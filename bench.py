@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + SURVEY §6).
+
+Two workload families:
+
+1. **Headline engine queries** at ``$SPARK_GRAFT_SF_DIR`` (default
+   /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` — the e2e
+   DataFrame pipelines from the declared inventory.
+
+2. **Metadata microbench** mirroring the reference harness
+   (benchmarks/benchmark_palletjack_metadata.py:27-34): a 200-row-group ×
+   400-float32-column file (no stats/dict/compression, chunk 1000);
+   ``meta_full_footer`` = pyarrow open + full footer parse per call (the
+   BASELINE.md 51 ms/call workload, :98-102); ``meta_indexed`` = pruned
+   metadata for (row_group 0, column 0) from the in-memory LocalIndex —
+   the reference's read_metadata workload (:94-96).
+
+Prints ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "q03_indexed_rowgroup_scan",
+    "q13_pushdown_prune",
+    "q20_inner_join",
+    "q23_broadcast_join",
+    "q26_asof_join",
+    "q30_hash_agg",
+    "q43_topk_per_group",
+    "q70_tumbling_window",
+    "q90_exact_dedup",
+    "q91_minhash_lsh",
+    "q92_cosine_topk",
+    "q93_text_stats",
+]
+
+META_ROW_GROUPS = 200
+META_COLS = 400
+META_CHUNK = 1000
+META_CALLS = 100
+
+
+def _meta_fixture_path() -> str:
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"pjspark_bench_meta_{META_ROW_GROUPS}x{META_COLS}.parquet",
+    )
+
+
+def _ensure_meta_fixture() -> str:
+    """Reference benchmark table (benchmark_palletjack_metadata.py:135-142)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = _meta_fixture_path()
+    if os.path.exists(path):
+        return path
+    rng = np.random.RandomState(42)
+    data = rng.rand(META_CHUNK, META_COLS).astype("float32")
+    table = pa.table(
+        {f"column_{i}": data[:, i] for i in range(META_COLS)}
+    )
+    writer = pq.ParquetWriter(
+        path + ".tmp",
+        table.schema,
+        use_dictionary=False,
+        write_statistics=False,
+        compression="NONE",
+        store_schema=False,
+    )
+    for _ in range(META_ROW_GROUPS):
+        writer.write_table(table, row_group_size=META_CHUNK)
+    writer.close()
+    os.rename(path + ".tmp", path)
+    return path
+
+
+def bench_metadata(spark) -> dict[str, float]:
+    import pyarrow.parquet as pq
+
+    from palletjack_spark import build_index
+
+    path = _ensure_meta_fixture()
+
+    t0 = time.perf_counter()
+    for _ in range(META_CALLS):
+        pq.ParquetFile(path).metadata  # full footer parse (baseline :98-102)
+    full = (time.perf_counter() - t0) / META_CALLS
+
+    t0 = time.perf_counter()
+    idx = build_index(spark, path)
+    local = idx.local()
+    index_build = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(META_CALLS):
+        md = local.read_metadata(path, row_groups=[0], column_indices=[0])
+        assert md["num_rows"] == META_CHUNK
+    indexed = (time.perf_counter() - t0) / META_CALLS
+
+    return {
+        "meta_full_footer": full,
+        "meta_indexed": indexed,
+        "meta_index_build_once": index_build,
+    }
+
+
+def main() -> None:
+    from palletjack_spark import get_spark
+    from palletjack_spark.queries import REGISTRY
+
+    spark = get_spark(app_name="pj-bench", cpus=CPUS)
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+
+    times: dict[str, float] = {}
+    # warm the JVM + staged events once so per-query numbers measure the
+    # query, not session startup
+    REGISTRY["q13_pushdown_prune"].fn(spark, SF_DIR).collect()
+
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    for k, v in bench_metadata(spark).items():
+        times[k] = round(v, 6)
+        print(f"# {k}: {v * 1000:.3f} ms/call", file=sys.stderr)
+
+    total = round(sum(times[q] for q in HEADLINE), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

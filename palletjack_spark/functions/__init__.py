@@ -1,0 +1,43 @@
+"""LLM-data-pipeline primitives (north-star mandate, BASELINE.json):
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), embedding
+similarity search, text analysis, and multimodal column plumbing — all
+shaped for 100 TB (shuffle-on-key, broadcast-small, no driver loops)."""
+
+from palletjack_spark.functions.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from palletjack_spark.functions.similarity import cosine_topk, lsh_bucket_topk
+from palletjack_spark.functions.text import (
+    text_stats,
+    language_id,
+    quality_score,
+    token_count_regex,
+    fingerprint_md5,
+)
+from palletjack_spark.functions.multimodal import (
+    attach_fake_binary,
+    extract_binary_features,
+    decode_image_stub,
+)
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "cosine_topk",
+    "lsh_bucket_topk",
+    "text_stats",
+    "language_id",
+    "quality_score",
+    "token_count_regex",
+    "fingerprint_md5",
+    "attach_fake_binary",
+    "extract_binary_features",
+    "decode_image_stub",
+]

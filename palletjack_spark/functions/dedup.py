@@ -1,0 +1,245 @@
+"""Deduplication operators for web-scale corpora.
+
+Design for 100 TB:
+- exact dedup groups on a 256-bit content hash (sha2), never on the raw
+  text — the shuffle moves 32-byte keys, not documents;
+- MinHash-LSH is the standard near-dup pipeline (shingle → k minhashes →
+  b bands → bucket-join): candidate generation is a self-join on band
+  hashes, so cost is O(sum of bucket sizes squared), not O(n²);
+- all hashes are engine-portable (md5-derived 60-bit ints) so results are
+  reproducible across Spark and the DuckDB oracle — swap in xxhash64 for
+  raw throughput when cross-engine determinism isn't needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: number of minhash permutations and LSH banding (k = bands * rows)
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4
+
+SHINGLE_LEN = 8  # character shingles
+
+
+def hash60(col: Column | str, seed: int | None = None) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of md5.  Matches DuckDB's
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT`` exactly."""
+    c = F.col(col) if isinstance(col, str) else col
+    if seed is not None:
+        c = F.concat(c, F.lit(f"#{seed}"))
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: keep the lowest id per identical content.
+
+    Returns (content_hash, keeper_id, dup_cnt).  Hash-groupBy — one shuffle
+    on a 64-char key (Q90)."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("dup_cnt"),
+        )
+    )
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = SHINGLE_LEN) -> DataFrame:
+    """Distinct character n-gram shingles per document: (id, shingle)."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1)))
+            ).alias("i"),
+            F.col(text_col),
+        )
+        .select(F.col(id_col), F.expr(f"substring({text_col}, i, {n})").alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, k: int = MINHASH_K
+) -> DataFrame:
+    """MinHash signature per document: (id, s0..s{k-1}).
+
+    k hash columns per shingle row, one min-aggregate shuffle — no seed
+    explosion."""
+    sh = shingles(df, text_col, id_col)
+    aggs = [F.min(hash60("shingle", seed=i)).alias(f"s{i}") for i in range(k)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def band_hashes(
+    sig: DataFrame, id_col: str, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """LSH banding: (id, band, band_hash) — md5 over the band's signature
+    slice, the bucket key for the candidate self-join."""
+    parts = []
+    for b in range(bands):
+        cols = [F.col(f"s{b * rows + r}").cast("string") for r in range(rows)]
+        parts.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_hash"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """Near-dup pairs via MinHash-LSH with exact Jaccard verification.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    LSH only *generates candidates*; every emitted pair carries its exact
+    shingle-set Jaccard, so precision is 1.0 and only recall depends on the
+    banding (Q91)."""
+    sig = minhash_signatures(df, text_col, id_col, k=k)
+    bh = band_hashes(sig, id_col, bands=bands, rows=rows)
+    a, b2 = bh.alias("a"), bh.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sh = shingles(df, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    common = (
+        cand.join(sh.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(
+            sh.alias("sb"),
+            (F.col("id_b") == F.col(f"sb.{id_col}"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(
+            sizes.alias("za"), F.col("id_a") == F.col(f"za.{id_col}")
+        )
+        .join(sizes.alias("zb"), F.col("id_b") == F.col(f"zb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("common")
+                / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float = 0.2,
+    n: int = 3,
+) -> DataFrame:
+    """Exact word n-gram Jaccard similarity, blocked to bound the pair
+    count (pairs only within the same ``block_col`` value) — the fully
+    SQL-expressible dedup variant (Q91b).  Returns (id_a, id_b, jaccard)."""
+    toks = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("block"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    grams = (
+        toks.alias("t1")
+        .join(
+            toks.alias("t2"),
+            (F.col(f"t1.{id_col}") == F.col(f"t2.{id_col}"))
+            & (F.col("t2.pos") == F.col("t1.pos") + 1),
+        )
+        .join(
+            toks.alias("t3"),
+            (F.col(f"t1.{id_col}") == F.col(f"t3.{id_col}"))
+            & (F.col("t3.pos") == F.col("t1.pos") + 2),
+        )
+        .select(
+            F.col(f"t1.{id_col}").alias(id_col),
+            F.col("t1.block").alias("block"),
+            F.concat_ws(" ", "t1.tok", "t2.tok", "t3.tok").alias("gram"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy(id_col, "block").agg(F.count("*").alias("n_g"))
+    common = (
+        grams.alias("a")
+        .join(
+            grams.alias("b"),
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(
+            sizes.alias("za"), F.col("id_a") == F.col(f"za.{id_col}")
+        )
+        .join(sizes.alias("zb"), F.col("id_b") == F.col(f"zb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("common")
+                / (F.col("za.n_g") + F.col("zb.n_g") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """SimHash document fingerprint over word tokens: (id, simhash).
+
+    Each token contributes its md5-derived bit pattern; the fingerprint
+    sets bit j when more tokens have bit j set than not.  Portable across
+    engines (Q99)."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    h = hash60("tok")
+    bit_sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
+            for j in range(bits)
+        ]
+    )
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        out = out + F.when(F.col(f"b{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bit_sums.select(F.col(id_col), out.alias("simhash"))

@@ -1,0 +1,114 @@
+"""Text analysis operators (Q93, Q95-Q98): token/char statistics,
+language-ID heuristic, quality scoring, regex token counting, content
+fingerprinting.  All built-in-function compositions (JVM-side, whole-stage
+codegen) — no Python in the hot path."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic.  Deliberately small and fixed so the DuckDB oracle can embed
+#: the same table as VALUES.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "de", "y", "una"),
+}
+
+
+def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document token/char statistics (Q93).  Exact arithmetic: counts
+    are ints; ratios are single int/int double divisions."""
+    toks = F.split(F.col(text_col), " ")
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length(text_col).cast("long")
+    n_spaces = (
+        n_chars - F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
+    ).cast("long")
+    distinct_tokens = F.size(F.array_distinct(toks)).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_computed"),
+        distinct_tokens.alias("n_distinct_tokens"),
+        ((n_chars - n_spaces) / n_tokens).alias("avg_token_len"),
+        (distinct_tokens / n_tokens).alias("ttr"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stopword-overlap language ID (Q95): argmax over languages of
+    stopword hits; ties broken lexicographically; zero hits → 'und'."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    hit_cols = []
+    for lang, words in sorted(STOPWORDS.items()):
+        hit_cols.append(
+            F.sum(
+                F.when(F.col("tok").isin(*words), 1).otherwise(0)
+            ).alias(f"hits_{lang}")
+        )
+    hits = toks.groupBy(id_col).agg(*hit_cols)
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.lit("und")
+    # reverse order so earlier languages win ties via later overwrite
+    for lang in reversed(langs):
+        pred = F.when(
+            (best > 0) & (F.col(f"hits_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    return hits.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        best.cast("long").alias("stopword_hits"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Composite document quality score (Q98): length band + type-token
+    ratio + mean token length, each an exact int-derived double."""
+    toks = F.split(F.col(text_col), " ")
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length(text_col).cast("long")
+    ttr = F.size(F.array_distinct(toks)).cast("long") / n_tokens
+    len_ok = F.when((n_chars >= 100) & (n_chars <= 2000), 1.0).otherwise(0.0)
+    tok_ok = F.when((n_tokens >= 20) & (n_tokens <= 500), 1.0).otherwise(0.0)
+    score = (len_ok + tok_ok + ttr) / 3.0
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_q"),
+        n_tokens.alias("n_tokens_q"),
+        score.alias("quality"),
+        F.when(score >= 0.5, "keep").otherwise("drop").alias("verdict"),
+    )
+
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space
+#: symbols — RE2/Java-regex portable.
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_count_regex(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Regex token counting (Q97) — whitespace count vs BPE-ish regex count."""
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0))
+        .cast("long")
+        .alias("re_tokens"),
+    )
+
+
+def fingerprint_md5(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Content fingerprint (Q96): md5 of the token-normalized text (lower,
+    collapse whitespace) — the exact-dup key used by dedup pipelines."""
+    normalized = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        F.md5(normalized).alias("fingerprint"),
+        F.substring(F.md5(normalized), 1, 8).alias("fp_prefix"),
+    )

@@ -1,0 +1,4 @@
+from palletjack_spark.index.builder import build_index, load_index
+from palletjack_spark.index.metadata_index import MetadataIndex
+
+__all__ = ["build_index", "load_index", "MetadataIndex"]

@@ -1,0 +1,215 @@
+"""Distributed Parquet metadata index build.
+
+Analogue of the reference's ``generate_metadata_index``
+(palletjack_cython.pyx:13, palletjack.cc:207-367): where the reference
+records byte offsets into the Thrift footer so later reads deserialize only
+the needed subset, we extract the footer's *content* — one row per
+(file, row_group) with per-column-chunk stats — into a queryable DataFrame,
+persisted as a small Parquet sidecar dataset ("PJ_2 buffer" → index table,
+SURVEY.md §1.3).
+
+Scale design (100 TB):
+- the driver only *lists* files; every footer is parsed executor-side by
+  pyarrow inside ``mapInPandas`` — no driver-side footer reads, no
+  arrow#38149 footer-tax on the driver;
+- the index is itself Parquet, partition-prunable and broadcastable
+  (typically ~0.01% of data size);
+- ``build_index(..., incremental=True)`` indexes only files not already
+  present, so nightly ingest re-indexes new files only.
+
+Like the reference, encrypted footers/column metadata are rejected
+(palletjack.cc:217-221) and index rows are validated against the header
+counts before being trusted (cc:239-310 → ``MetadataIndex.validate``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from palletjack_spark.errors import EncryptedParquetError
+from palletjack_spark.index.metadata_index import (
+    FILES_SCHEMA,
+    ROW_GROUPS_SCHEMA,
+    MetadataIndex,
+)
+from palletjack_spark.sources.arrow_scan import expand_paths
+
+
+def _stat_repr(v) -> str | None:
+    """Deterministic string repr for a min/max statistic value."""
+    if v is None:
+        return None
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def _stat_num(v) -> float | None:
+    """Numeric projection of a statistic (for range pruning).  Timestamps
+    and dates map to epoch micros / days; strings map to None."""
+    import datetime
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return float(v)
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return (v - epoch).total_seconds() * 1e6
+    if isinstance(v, datetime.date):
+        return float((v - datetime.date(1970, 1, 1)).days)
+    return None
+
+
+def _extract_file_rows(path: str) -> tuple[dict, list[dict]]:
+    """Executor-side: parse one footer, emit (file_row, row_group_rows)."""
+    import pyarrow.parquet as pq
+
+    try:
+        pf = pq.ParquetFile(path)
+    except Exception as e:
+        if "encrypt" in str(e).lower():
+            raise EncryptedParquetError(
+                f"Encrypted parquet is not supported: {path}"
+            ) from e
+        raise
+    md = pf.metadata
+    schema = pf.schema_arrow
+    file_row = {
+        "file": path,
+        "num_rows": md.num_rows,
+        "num_row_groups": md.num_row_groups,
+        "num_columns": md.num_columns,
+        "created_by": md.created_by,
+        "format_version": md.format_version,
+        "serialized_footer_size": md.serialized_size,
+        "file_size": os.path.getsize(path),
+        "column_names": list(schema.names),
+        "arrow_schema": schema.serialize().to_pybytes(),
+    }
+    rg_rows = []
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        cols = []
+        for j in range(rg.num_columns):
+            cc = rg.column(j)
+            st = cc.statistics
+            cols.append(
+                {
+                    "name": ".".join(cc.path_in_schema.split(".")),
+                    "physical_type": cc.physical_type,
+                    "codec": cc.compression,
+                    "num_values": cc.num_values,
+                    "total_compressed_size": cc.total_compressed_size,
+                    "total_uncompressed_size": cc.total_uncompressed_size,
+                    "data_page_offset": cc.data_page_offset,
+                    "dictionary_page_offset": cc.dictionary_page_offset,
+                    "null_count": (st.null_count if st and st.has_null_count else None),
+                    "distinct_count": (
+                        st.distinct_count if st and st.has_distinct_count else None
+                    ),
+                    "min_repr": (_stat_repr(st.min) if st and st.has_min_max else None),
+                    "max_repr": (_stat_repr(st.max) if st and st.has_min_max else None),
+                    "min_num": (_stat_num(st.min) if st and st.has_min_max else None),
+                    "max_num": (_stat_num(st.max) if st and st.has_min_max else None),
+                }
+            )
+        rg_rows.append(
+            {
+                "file": path,
+                "row_group": i,
+                "num_rows": rg.num_rows,
+                "total_byte_size": rg.total_byte_size,
+                "total_compressed_size": sum(c["total_compressed_size"] for c in cols),
+                "columns": cols,
+            }
+        )
+    return file_row, rg_rows
+
+
+def build_index(
+    spark: SparkSession,
+    paths: str | Iterable[str],
+    index_dir: str | None = None,
+    incremental: bool = False,
+) -> MetadataIndex:
+    """Build the metadata index for the given parquet files.
+
+    Returns an in-memory (cached DataFrame) index — the analogue of the
+    reference's in-memory ``bytearray`` index (palletjack.cc:656-678) —
+    or, when ``index_dir`` is given, persists the sidecar dataset first
+    (analogue of the `.index` file, cc:360-367) and returns the loaded form.
+    """
+    files = expand_paths(paths)
+    if incremental and index_dir and os.path.exists(os.path.join(index_dir, "files")):
+        existing = {
+            r["file"]
+            for r in spark.read.parquet(os.path.join(index_dir, "files"))
+            .select("file")
+            .collect()
+        }
+        files = [f for f in files if f not in existing]
+        if not files:
+            return load_index(spark, index_dir)
+
+    n_part = max(1, min(len(files), spark.sparkContext.defaultParallelism * 2))
+    fdf = spark.createDataFrame([(f,) for f in files], "file string").repartition(n_part)
+
+    def extract_rgs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for path in pdf["file"]:
+                _, rgs = _extract_file_rows(path)
+                rows.extend(rgs)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ROW_GROUPS_SCHEMA.fields]
+            )
+
+    def extract_files(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for path in pdf["file"]:
+                frow, _ = _extract_file_rows(path)
+                rows.append(frow)
+            yield pd.DataFrame(rows, columns=[f.name for f in FILES_SCHEMA.fields])
+
+    rg_df = fdf.mapInPandas(extract_rgs, ROW_GROUPS_SCHEMA)
+    files_df = fdf.mapInPandas(extract_files, FILES_SCHEMA)
+
+    if index_dir:
+        mode = "append" if incremental else "overwrite"
+        rg_df.write.mode(mode).parquet(os.path.join(index_dir, "row_groups"))
+        files_df.write.mode(mode).parquet(os.path.join(index_dir, "files"))
+        return load_index(spark, index_dir)
+
+    idx = MetadataIndex(spark, rg_df.cache(), files_df.cache(), index_dir=None)
+    idx.validate()
+    return idx
+
+
+def load_index(spark: SparkSession, index_dir: str) -> MetadataIndex:
+    """Load a persisted index sidecar (reference: read + magic check,
+    palletjack.cc:618-654 → directory layout check here)."""
+    from palletjack_spark.errors import IndexFormatError
+
+    rg_path = os.path.join(index_dir, "row_groups")
+    f_path = os.path.join(index_dir, "files")
+    if not (os.path.exists(rg_path) and os.path.exists(f_path)):
+        raise IndexFormatError(
+            f"{index_dir} is not a palletjack_spark metadata index "
+            "(missing row_groups/ or files/)"
+        )
+    idx = MetadataIndex(
+        spark,
+        spark.read.parquet(rg_path),
+        spark.read.parquet(f_path),
+        index_dir=index_dir,
+    )
+    idx.validate()
+    return idx

@@ -1,0 +1,340 @@
+"""MetadataIndex — queryable Parquet-footer index + pruned reads.
+
+The read side of the reference (``read_metadata`` / ``read_schema``,
+palletjack_cython.pyx:27-67, palletjack.cc:369-616): given a selection of
+row groups and/or columns, produce exactly those rows/columns without
+paying the full-footer cost per read.  Here the "spliced FileMetaData"
+becomes a filtered index DataFrame that drives a pyarrow ``mapInArrow``
+scan (sources/arrow_scan.py).
+
+Beyond by-ordinal selection, the index supports *stats-driven* row-group
+pruning (``predicate=``): the same min/max skipping Spark's native source
+does, but answered from the cached/persisted index with zero footer I/O —
+the point of the reference library (README.md:2-9).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from palletjack_spark.errors import IndexFormatError, InvalidSelectionError
+from palletjack_spark.sources.arrow_scan import (
+    arrow_to_spark_schema,
+    resolve_columns,
+    scan_tasks,
+)
+
+_COLUMN_STAT = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("physical_type", T.StringType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("num_values", T.LongType()),
+        T.StructField("total_compressed_size", T.LongType()),
+        T.StructField("total_uncompressed_size", T.LongType()),
+        T.StructField("data_page_offset", T.LongType()),
+        T.StructField("dictionary_page_offset", T.LongType()),
+        T.StructField("null_count", T.LongType()),
+        T.StructField("distinct_count", T.LongType()),
+        T.StructField("min_repr", T.StringType()),
+        T.StructField("max_repr", T.StringType()),
+        T.StructField("min_num", T.DoubleType()),
+        T.StructField("max_num", T.DoubleType()),
+    ]
+)
+
+ROW_GROUPS_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("row_group", T.IntegerType()),
+        T.StructField("num_rows", T.LongType()),
+        T.StructField("total_byte_size", T.LongType()),
+        T.StructField("total_compressed_size", T.LongType()),
+        T.StructField("columns", T.ArrayType(_COLUMN_STAT)),
+    ]
+)
+
+FILES_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("num_rows", T.LongType()),
+        T.StructField("num_row_groups", T.IntegerType()),
+        T.StructField("num_columns", T.IntegerType()),
+        T.StructField("created_by", T.StringType()),
+        T.StructField("format_version", T.StringType()),
+        T.StructField("serialized_footer_size", T.LongType()),
+        T.StructField("file_size", T.LongType()),
+        T.StructField("column_names", T.ArrayType(T.StringType())),
+        T.StructField("arrow_schema", T.BinaryType()),
+    ]
+)
+
+#: predicate ops supported by stats pruning
+_PRUNE_OPS = {"<", "<=", ">", ">=", "=", "==", "between"}
+
+
+class LocalIndex:
+    """Driver-local materialization of a (small) metadata index — the
+    analogue of the reference's in-memory index buffer (palletjack.cc:656-678):
+    after one collect, ``read_metadata``-style lookups are O(selected) dict
+    accesses with zero I/O and zero footer parsing.
+
+    Only for indexes that fit on the driver (a few thousand row groups);
+    the DataFrame form scales to the full 100 TB catalog.
+    """
+
+    def __init__(self, rg_rows: list, file_rows: list):
+        self.row_groups: dict[tuple[str, int], dict] = {}
+        self.files: dict[str, dict] = {}
+        for r in file_rows:
+            d = r.asDict(recursive=True)
+            self.files[d["file"]] = d
+        for r in rg_rows:
+            d = r.asDict(recursive=True)
+            d["columns_by_name"] = {c["name"]: c for c in d["columns"]}
+            self.row_groups[(d["file"], d["row_group"])] = d
+
+    def read_metadata(
+        self,
+        file: str,
+        row_groups: Sequence[int] | None = None,
+        columns: Sequence[str] | None = None,
+        column_indices: Sequence[int] | None = None,
+    ) -> dict:
+        """Pruned metadata view: O(selected row groups × columns), the
+        operation the reference makes O(1)-addressable (palletjack.cc:369-616).
+        Returns {num_rows, row_groups: [{row_group, num_rows, columns}]} with
+        num_rows = Σ selected (reference cc:495-507 semantics)."""
+        f = self.files[file]
+        names = f["column_names"]
+        sel = resolve_columns(names, columns, column_indices)
+        if row_groups is None:
+            row_groups = range(f["num_row_groups"])
+        out_rgs = []
+        for i in row_groups:
+            key = (file, int(i))
+            if key not in self.row_groups:
+                raise InvalidSelectionError(
+                    f"Row group {i} is out of range [0, {f['num_row_groups']}) for {file}"
+                )
+            rg = self.row_groups[key]
+            cols = (
+                rg["columns"]
+                if sel is None
+                else [rg["columns_by_name"][c] for c in sel]
+            )
+            out_rgs.append(
+                {"row_group": rg["row_group"], "num_rows": rg["num_rows"], "columns": cols}
+            )
+        return {
+            "file": file,
+            "num_rows": sum(r["num_rows"] for r in out_rgs),
+            "num_columns": len(sel) if sel is not None else f["num_columns"],
+            "row_groups": out_rgs,
+        }
+
+
+class MetadataIndex:
+    """Handle over the (row_groups, files) index DataFrames."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        row_groups: DataFrame,
+        files: DataFrame,
+        index_dir: str | None,
+    ):
+        self.spark = spark
+        self.row_groups = row_groups
+        self.files = files
+        self.index_dir = index_dir
+        self._files_cache: list | None = None
+
+    # -- validation (reference palletjack.cc:239-310) -----------------------
+
+    def validate(self) -> None:
+        """Cross-check row-group cardinalities against file headers —
+        the analogue of the reference's offset-array count validation."""
+        bad = (
+            self.row_groups.groupBy("file")
+            .agg(
+                F.count("*").alias("indexed_rgs"),
+                F.sum("num_rows").alias("indexed_rows"),
+            )
+            .join(self.files.select("file", "num_row_groups", "num_rows"), "file")
+            .where(
+                (F.col("indexed_rgs") != F.col("num_row_groups"))
+                | (F.col("indexed_rows") != F.col("num_rows"))
+            )
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            r = bad[0]
+            raise IndexFormatError(
+                f"Index inconsistent for {r['file']}: "
+                f"{r['indexed_rgs']} row groups indexed vs {r['num_row_groups']} "
+                f"declared, {r['indexed_rows']} rows vs {r['num_rows']}"
+            )
+
+    def local(self) -> "LocalIndex":
+        """Collect into a LocalIndex for O(1) driver-side metadata reads."""
+        return LocalIndex(self.row_groups.collect(), self.files.collect())
+
+    # -- schema (reference read_schema, pyx:48-67) ---------------------------
+
+    def _file_rows(self) -> list:
+        if self._files_cache is None:
+            self._files_cache = self.files.orderBy("file").collect()
+        return self._files_cache
+
+    def arrow_schema(self) -> pa.Schema:
+        rows = self._file_rows()
+        if not rows:
+            raise IndexFormatError("Empty index")
+        return pa.ipc.read_schema(pa.BufferReader(rows[0]["arrow_schema"]))
+
+    def read_schema(
+        self,
+        columns: Sequence[str] | None = None,
+        column_indices: Sequence[int] | None = None,
+    ) -> T.StructType:
+        """Schema from the index only — no data-file footer is touched
+        (reference schema-only fast path, palletjack.cc:492-520)."""
+        schema = self.arrow_schema()
+        sel = resolve_columns(schema.names, columns, column_indices)
+        if sel is not None:
+            schema = pa.schema([schema.field(c) for c in sel])
+        return arrow_to_spark_schema(schema)
+
+    # -- metadata-only aggregates (reference cc:495-507 / SURVEY §4 O4) ------
+
+    def count_rows(self, predicate: Sequence[tuple] | None = None) -> DataFrame:
+        """num_rows per file from the index alone (no data I/O).  With a
+        predicate this is an upper bound (whole-row-group granularity)."""
+        rgs = self.row_groups
+        if predicate:
+            rgs = rgs.where(self._prune_condition(predicate))
+        return rgs.groupBy("file").agg(
+            F.sum("num_rows").alias("num_rows"),
+            F.count("*").alias("num_row_groups"),
+        )
+
+    # -- pruning -------------------------------------------------------------
+
+    def _prune_condition(self, predicate: Sequence[tuple]) -> Column:
+        """Build a row-group *overlap* condition from simple predicates
+        [(col, op, value)] evaluated against per-column min/max stats.
+        A row group survives unless its stats prove no row can match —
+        missing stats keep the group (conservative, like ParquetFilters)."""
+        cond = F.lit(True)
+        for col_name, op, *vals in predicate:
+            if op not in _PRUNE_OPS:
+                raise InvalidSelectionError(f"Unsupported prune op: {op}")
+            # F.get → NULL when the file lacks the column (heterogeneous
+            # index); missing stats conservatively keep the row group.
+            st = F.get(
+                F.filter(F.col("columns"), lambda c: c["name"] == F.lit(col_name)), 0
+            )
+            lo, hi = st["min_num"], st["max_num"]
+            has = lo.isNotNull() & hi.isNotNull()
+            v = F.lit(float(vals[0])) if vals else None
+            if op in ("=", "=="):
+                keep = (lo <= v) & (hi >= v)
+            elif op == "<":
+                keep = lo < v
+            elif op == "<=":
+                keep = lo <= v
+            elif op == ">":
+                keep = hi > v
+            elif op == ">=":
+                keep = hi >= v
+            elif op == "between":
+                v2 = F.lit(float(vals[1]))
+                keep = (hi >= v) & (lo <= v2)
+            cond = cond & F.when(has, keep).otherwise(F.lit(True))
+        return cond
+
+    def prune(
+        self,
+        files: Sequence[str] | None = None,
+        row_groups: Sequence[int] | None = None,
+        predicate: Sequence[tuple] | None = None,
+    ) -> DataFrame:
+        """Filtered view of the row-group index for a selection."""
+        rgs = self.row_groups
+        if files is not None:
+            rgs = rgs.where(F.col("file").isin(list(files)))
+        if row_groups is not None:
+            for rg in row_groups:
+                if int(rg) < 0:
+                    raise InvalidSelectionError(f"Row group {rg} is out of range")
+            rgs = rgs.where(F.col("row_group").isin([int(r) for r in row_groups]))
+        if predicate:
+            rgs = rgs.where(self._prune_condition(predicate))
+        return rgs
+
+    # -- pruned read (reference read_metadata + pyarrow read) ----------------
+
+    def read(
+        self,
+        files: Sequence[str] | None = None,
+        row_groups: Sequence[int] | None = None,
+        columns: Sequence[str] | None = None,
+        column_indices: Sequence[int] | None = None,
+        predicate: Sequence[tuple] | None = None,
+        apply_residual: bool = True,
+    ) -> DataFrame:
+        """Read exactly the selected row groups × columns.
+
+        Row-group ordinals are validated against the index (reference
+        bounds check, palletjack.cc:383-393).  With ``predicate``, row
+        groups whose stats cannot match are skipped *and* (by default) the
+        residual filter is applied to the scanned rows, so results equal a
+        full scan + filter — pruning is a pure optimization, as in Spark's
+        native source.
+        """
+        schema = self.arrow_schema()
+        sel = resolve_columns(schema.names, columns, column_indices)
+
+        if row_groups is not None:
+            max_rg = {r["file"]: r["num_row_groups"] for r in self._file_rows()}
+            check_files = files if files is not None else list(max_rg)
+            for f in check_files:
+                for rg in row_groups:
+                    if not (0 <= int(rg) < max_rg.get(f, 0)):
+                        raise InvalidSelectionError(
+                            f"Row group {rg} is out of range [0, {max_rg.get(f, 0)}) for {f}"
+                        )
+
+        plan = self.prune(files=files, row_groups=row_groups, predicate=predicate)
+        # O(selected) driver-side task list; each element is one row-group.
+        # At 100 TB selections stay small *because* of pruning; an
+        # all-row-groups scan should use spark.read.parquet instead.
+        rows = plan.select("file", "row_group").orderBy("file", "row_group").collect()
+        by_file: dict[str, list[int]] = {}
+        for r in rows:
+            by_file.setdefault(r["file"], []).append(r["row_group"])
+        tasks = [(f, rgs) for f, rgs in by_file.items()]
+        df = scan_tasks(self.spark, tasks, schema, sel)
+        if predicate and apply_residual:
+            for col_name, op, *vals in predicate:
+                c = F.col(col_name)
+                if op in ("=", "=="):
+                    df = df.where(c == vals[0])
+                elif op == "<":
+                    df = df.where(c < vals[0])
+                elif op == "<=":
+                    df = df.where(c <= vals[0])
+                elif op == ">":
+                    df = df.where(c > vals[0])
+                elif op == ">=":
+                    df = df.where(c >= vals[0])
+                elif op == "between":
+                    df = df.where(c.between(vals[0], vals[1]))
+        return df

@@ -1,0 +1,189 @@
+"""Aggregations (SURVEY §2.2 Q30-Q36).
+
+Q30 is the flagship (TPC-H Q1 shape): partial aggregation map-side, one
+shuffle on the 6-value group key, decimal-exact sums so results are
+order-independent at any partition count.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from palletjack_spark.index import build_index
+from palletjack_spark.queries.registry import davg, dsum, query, sql_davg, sql_dsum, t
+from palletjack_spark.tables import TABLES, table_path
+
+CUTOFF = "1998-09-02 00:00:00"
+
+
+@query(
+    "q30_hash_agg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice', 'sum_base_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {sql_davg('l_quantity', 'avg_qty')},
+           {sql_davg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregate: sum/count/avg/min/max [host] — TPC-H Q1 shape, the
+    flagship query (SURVEY §7 M1)."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit(CUTOFF).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q31_count_distinct",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS nations,
+           COUNT(*) AS customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) [host] — expand+two-phase agg under the hood."""
+    return (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("nations"),
+            F.count("*").alias("customers"),
+        )
+    )
+
+
+@query("q32_approx_count_distinct", oracle=None)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx count-distinct (HLL++) [north-star scale]: the 100 TB shape of
+    Q31 — no shuffle of distinct values, mergeable sketches.  Tolerance
+    verified against the exact count in tests/test_catalog_oracle.py
+    (driver records rows-only; approximate results can't hash-match)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+@query(
+    "q33_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets [host]."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"), dsum("l_quantity", "sum_qty"))
+    )
+
+
+@query(
+    "q34_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS order_cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend
+    FROM orders GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    """,
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = post-aggregation filter [host]."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            dsum("o_totalprice", "total_spend"),
+        )
+        .where(F.col("order_cnt") >= 12)
+    )
+
+
+@query(
+    "q35_global_agg",
+    oracle=f"""
+    SELECT COUNT(*) AS cnt,
+           {sql_dsum('l_extendedprice', 'sum_price')},
+           MIN(l_shipdate) AS min_ship,
+           MAX(l_shipdate) AS max_ship,
+           COUNT(DISTINCT l_orderkey) AS orders
+    FROM lineitem
+    """,
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-group) aggregate [host].  COUNT/MIN/MAX on unfiltered
+    parquet are answered from footer stats via aggregate pushdown — the
+    built-in analogue of the reference's metadata-only num_rows
+    (palletjack.cc:495-507)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("cnt"),
+        dsum("l_extendedprice", "sum_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_orderkey").alias("orders"),
+    )
+
+
+_Q36_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{name}' AS table_name, COUNT(*) AS num_rows, "
+    f"CAST(COUNT(*) > 0 AS BIGINT) AS num_files FROM {name}"
+    for name in TABLES
+)
+
+
+@query("q36_metadata_agg", oracle=_Q36_ORACLE)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregate over the *persisted* index [ref R4]: row
+    counts for every table in the dataset, computed purely from the index
+    sidecar (reference: num_rows from row_numbers[], palletjack.cc:495-507)."""
+    index_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"pjspark_{sf_dir.strip('/').replace('/', '_')}_index",
+    )
+    idx = build_index(
+        spark, [table_path(sf_dir, name) for name in TABLES], index_dir=index_dir
+    )
+    return (
+        idx.row_groups.groupBy(
+            F.regexp_extract("file", r"([a-z]+)\.parquet$", 1).alias("table_name")
+        )
+        .agg(
+            F.sum("num_rows").alias("num_rows"),
+            F.count_distinct("file").alias("num_files"),
+        )
+    )

@@ -1,0 +1,108 @@
+"""Projections / filters / predicates (SURVEY §2.2 Q10-Q13)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from palletjack_spark.queries.registry import query, t
+
+
+@query(
+    "q10_projection",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           l_extendedprice * (1 - l_discount) AS disc_price,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           l_quantity + 0.5 AS qty_adj
+    FROM lineitem
+    """,
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection / aliasing / expression select [host].  Elementwise double
+    arithmetic is IEEE-deterministic, so values hash-match exactly."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+        (
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("charge"),
+        (F.col("l_quantity") + 0.5).alias("qty_adj"),
+    )
+
+
+@query(
+    "q11_predicates",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+    FROM lineitem
+    WHERE (l_quantity >= 30 AND l_discount < 0.05)
+       OR (l_returnflag = 'R' AND NOT (l_quantity < 10))
+    """,
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison + boolean predicate combinators [host]."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.where(
+        ((F.col("l_quantity") >= 30) & (F.col("l_discount") < 0.05))
+        | ((F.col("l_returnflag") == "R") & ~(F.col("l_quantity") < 10))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+
+
+@query(
+    "q12_in_between_like",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'P')
+      AND o_totalprice BETWEEN 1000 AND 200000
+      AND o_orderpriority LIKE '%URGENT'
+      AND o_custkey IS NOT NULL
+    """,
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / BETWEEN / LIKE / IS NULL [host]."""
+    o = t(spark, sf_dir, "orders")
+    return o.where(
+        F.col("o_orderstatus").isin("F", "P")
+        & F.col("o_totalprice").between(1000, 200000)
+        & F.col("o_orderpriority").like("%URGENT")
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "q13_pushdown_prune",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND l_quantity > 45
+    GROUP BY l_returnflag
+    """,
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate → storage pruning [ref R4 + Statistics h:552-636]: the
+    shipdate/quantity filters reach the parquet scan (PushedFilters) and
+    skip row groups via footer min/max — the built-in analogue of the
+    reference's row-group pruning.  tests/test_plans.py asserts pushdown."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("l_quantity") > 45)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )

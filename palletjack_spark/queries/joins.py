@@ -1,0 +1,227 @@
+"""Joins (SURVEY §2.2 Q20-Q26).
+
+Scale notes: dimension sides (region/nation/part/customer at TPC-H ratios)
+are broadcast explicitly (Q23) or by AQE; fact-fact joins shuffle on the
+join key and rely on AQE skew-join splitting.  The as-of join (Q26) is the
+one-pass union+window formulation — a single shuffle on the key, no
+range-join blowup — the idiomatic Spark shape for "latest record at or
+before t" at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from palletjack_spark.queries.registry import query, t
+
+# events.ts is timestamp[ns] in parquet; Spark truncates to µs, so oracles
+# must compare at µs too.
+_EVENTS_US = (
+    "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,"
+    " value, props FROM events)"
+)
+
+
+@query(
+    "q20_inner_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_orderstatus,
+           l.l_extendedprice * (1 - l.l_discount) AS disc_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join [host] — shuffle join on the fact key; AQE picks
+    broadcast when the filtered side is small."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return li.join(o, li.l_orderkey == o.o_orderkey, "inner").select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+    )
+
+
+@query(
+    "q21_outer_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, COUNT(o.o_orderkey) AS order_cnt
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join [host]: customers keep a row even with no orders."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+
+
+@query(
+    "q22_semi_anti_join",
+    oracle="""
+    SELECT c_custkey, 'has_orders' AS kind FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT c_custkey, 'no_orders' AS kind FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi + left anti joins [host]."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey")
+        .withColumn("kind", F.lit("has_orders"))
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey")
+        .withColumn("kind", F.lit("no_orders"))
+    )
+    return semi.unionByName(anti)
+
+
+@query(
+    "q23_broadcast_join",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size >= 30
+    GROUP BY p.p_brand
+    """,
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast join [ref R8 analogue]: the dimension is shipped to every
+    executor once — like the reference's in-memory index, small metadata is
+    kept hot instead of re-read.  tests/test_plans.py asserts
+    BroadcastHashJoin in the physical plan."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").where(F.col("p_size") >= 30)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+@query(
+    "q24_cross_join",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CASE WHEN n.n_regionkey = r.r_regionkey THEN 1 ELSE 0 END AS same_region
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join [host] — only ever between tiny dimensions."""
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    return r.crossJoin(n).select(
+        "r_name",
+        "n_name",
+        F.when(F.col("n_regionkey") == F.col("r_regionkey"), 1)
+        .otherwise(0)
+        .alias("same_region"),
+    )
+
+
+@query(
+    "q25_range_join",
+    oracle="""
+    SELECT b.band, COUNT(*) AS cnt,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM orders o
+    JOIN (VALUES ('low', 0.0, 50000.0),
+                 ('mid', 50000.0, 150000.0),
+                 ('high', 150000.0, 1000000000.0)) AS b(band, lo, hi)
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join [host]: BroadcastNestedLoop against a tiny banding
+    table — the scalable shape for value-range classification."""
+    o = t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0), ("high", 150000.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q26_asof_join",
+    oracle=f"""
+    SELECT e.event_id, e.user_id, MAX(o.o_orderdate) AS last_order_date
+    FROM {_EVENTS_US} e
+    LEFT JOIN orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join [north-star, time-series]: for each event, the most recent
+    order of that user at-or-before the event time.
+
+    One-pass formulation: union events and orders tagged by kind, window
+    over (key) ordered by (time, kind) with last(order_date ignorenulls) —
+    a single shuffle on user_id, no range-join row blowup.  Orders sort
+    before events at equal timestamps, giving <= semantics.
+    """
+    e = t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("tm"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("timestamp_ntz").alias("o_date"),
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("tm"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderdate").alias("o_date"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("tm", "is_event", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.unionByName(o)
+        .withColumn("last_order_date", F.last("o_date", ignorenulls=True).over(w))
+        .where(F.col("is_event") == 1)
+        .select(
+            "event_id", F.col("k").alias("user_id"), "last_order_date"
+        )
+    )

@@ -1,0 +1,356 @@
+"""LLM-data-pipeline queries (SURVEY §2.2 Q90-Q99, north-star mandate).
+
+The DuckDB oracles replicate each pipeline end-to-end — including the
+MinHash-LSH and SimHash pipelines, which use engine-portable md5-derived
+hashes (functions/dedup.hash60) precisely so an independent engine can
+reproduce them bit-for-bit.  Oracle SQL is *generated from the same
+constants* as the Spark implementation to prevent drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from palletjack_spark.functions.dedup import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_K,
+    SHINGLE_LEN,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from palletjack_spark.functions.similarity import cosine_topk, lsh_bucket_topk
+from palletjack_spark.functions.text import (
+    STOPWORDS,
+    fingerprint_md5,
+    language_id,
+    quality_score,
+    text_stats,
+    token_count_regex,
+)
+from palletjack_spark.queries.registry import query, t
+
+_H = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def _sql_hash60(expr: str, seed: int | None = None) -> str:
+    if seed is not None:
+        expr = f"{expr} || '#{seed}'"
+    return _H.format(expr=expr)
+
+
+@query(
+    "q90_exact_dedup",
+    oracle="""
+    SELECT sha256(text) AS content_hash, MIN(doc_id) AS keeper_id,
+           COUNT(*) AS dup_cnt
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (Q90): hash-groupBy on sha256(text) — the shuffle moves
+    32-byte digests, not documents."""
+    return exact_dedup(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _minhash_oracle() -> str:
+    n = SHINGLE_LEN
+    sig_cols = ",\n         ".join(
+        f"MIN({_sql_hash60('shingle', i)}) AS s{i}" for i in range(MINHASH_K)
+    )
+    band_selects = []
+    for b in range(LSH_BANDS):
+        cols = ", ".join(
+            f"CAST(s{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS band_hash FROM sig"
+        )
+    bands_sql = "\n      UNION ALL\n      ".join(band_selects)
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, substr(text, i, {n}) AS shingle
+      FROM documents,
+           UNNEST(generate_series(1, greatest(length(text) - {n - 1}, 1))) AS s(i)
+    ),
+    sig AS (
+      SELECT doc_id,
+         {sig_cols}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {bands_sql}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT m.id_a, m.id_b,
+           m.common / (za.n_sh + zb.n_sh - m.common) AS jaccard
+    FROM common m
+    JOIN sizes za ON za.doc_id = m.id_a
+    JOIN sizes zb ON zb.doc_id = m.id_b
+    WHERE m.common / (za.n_sh + zb.n_sh - m.common) >= 0.5
+    """
+
+
+@query("q91_minhash_lsh", oracle=_minhash_oracle())
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup via MinHash-LSH (Q91): char-shingles → 16 portable
+    minhashes → 4 bands → bucket self-join → exact-Jaccard verification.
+    The full pipeline is replicated in the DuckDB oracle."""
+    return minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5
+    )
+
+
+@query(
+    "q91b_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, source,
+             ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+      FROM toks, UNNEST(generate_series(1, greatest(len(ts) - 2, 0))) AS s(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_g FROM grams GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      FROM grams a
+      JOIN grams b ON a.source = b.source AND a.gram = b.gram
+                  AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           c.common / (za.n_g + zb.n_g - c.common) AS jaccard
+    FROM common c
+    JOIN sizes za ON za.doc_id = c.id_a
+    JOIN sizes zb ON zb.doc_id = c.id_b
+    WHERE c.common / (za.n_g + zb.n_g - c.common) >= 0.2
+    """,
+)
+def q91b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard pairs, blocked by source (Q91b) — the
+    fully-SQL-checkable near-dup variant."""
+    return ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id", "source", threshold=0.2
+    )
+
+
+_Q92_ORACLE = """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) /
+             sqrt(SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+             sqrt(SUM(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) AS cosine
+      FROM q, embeddings c,
+           UNNEST(generate_series(1, len(c.embedding))) AS s(i)
+      WHERE c.vec_id != q.query_id
+      GROUP BY q.query_id, c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, ROUND(cosine, 4) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ROUND(cosine, 4) DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+"""
+
+
+@query("q92_cosine_topk", oracle=_Q92_ORACLE)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine top-k (Q92): brute-force GEMM over broadcast query
+    vectors — numpy per Arrow batch, per-partition window limit."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries, k=10)
+
+
+@query("q92b_lsh_topk", oracle=None)
+def q92b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH buckets + exact re-score (Q92
+    scale path).  Approximate (bucketing may miss true neighbors) → no SQL
+    oracle; recall vs brute force is asserted in tests/test_llm.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return lsh_bucket_topk(emb, queries, k=10)
+
+
+@query(
+    "q93_text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_computed,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+             AS n_distinct_tokens,
+           (length(text) - (length(text) - length(replace(text, ' ', ''))))
+             / len(string_split(text, ' ')) AS avg_token_len,
+           len(list_distinct(string_split(text, ' ')))
+             / len(string_split(text, ' ')) AS ttr
+    FROM documents
+    """,
+)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char statistics (Q93)."""
+    return text_stats(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "q94_multimodal_join",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars, e.label,
+           CAST(len(e.embedding) AS INT) AS dim
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column join (Q94): text table ⋈ embedding table on the
+    shared id — the canonical multi-asset layout."""
+    d = t(spark, sf_dir, "documents")
+    e = t(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id", "lang", "n_chars", "label", F.size("embedding").alias("dim")
+    )
+
+
+def _langid_oracle() -> str:
+    langs = sorted(STOPWORDS)
+    hit_exprs = ",\n             ".join(
+        "SUM(CASE WHEN tok IN ({words}) THEN 1 ELSE 0 END) AS hits_{lang}".format(
+            words=", ".join(f"'{w}'" for w in STOPWORDS[lang]), lang=lang
+        )
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    case = f"CASE WHEN {best} = 0 THEN 'und'\n"
+    for lang in langs:
+        case += f"           WHEN hits_{lang} = {best} THEN '{lang}'\n"
+    case += "           ELSE 'und' END"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hits AS (
+      SELECT doc_id,
+             {hit_exprs}
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id,
+           {case} AS pred_lang,
+           CAST({best} AS BIGINT) AS stopword_hits
+    FROM hits
+    """
+
+
+@query("q95_language_id", oracle=_langid_oracle())
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (Q95): stopword-overlap argmax, lexicographic
+    tie-break, 'und' when no stopwords hit."""
+    return language_id(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "q96_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+           substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 8)
+             AS fp_prefix
+    FROM documents
+    """,
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (Q96): md5 over whitespace-normalized text."""
+    return fingerprint_md5(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "q97_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))
+                AS BIGINT) AS re_tokens
+    FROM documents
+    """,
+)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (Q97): whitespace vs BPE-ish regex pre-tokenizer."""
+    return token_count_regex(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "q98_quality_score",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars_q,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_q,
+             len(list_distinct(string_split(text, ' ')))
+               / len(string_split(text, ' ')) AS ttr
+      FROM documents
+    )
+    SELECT doc_id, n_chars_q, n_tokens_q,
+           ((CASE WHEN n_chars_q BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN n_tokens_q BETWEEN 20 AND 500 THEN 1.0 ELSE 0.0 END)
+            + ttr) / 3.0 AS quality,
+           CASE WHEN ((CASE WHEN n_chars_q BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.0 END)
+                      + (CASE WHEN n_tokens_q BETWEEN 20 AND 500 THEN 1.0 ELSE 0.0 END)
+                      + ttr) / 3.0 >= 0.5
+                THEN 'keep' ELSE 'drop' END AS verdict
+    FROM base
+    """,
+)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (Q98): length band + token band + type-token ratio."""
+    return quality_score(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    hv = _sql_hash60("tok")
+    bit_sums = ",\n             ".join(
+        f"SUM((({hv} >> {j}) & 1) * 2 - 1) AS b{j}" for j in range(bits)
+    )
+    recompose = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ),
+    bits AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@query("q99_simhash", oracle=_simhash_oracle())
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (Q99): 32-bit majority-vote over portable token
+    hashes — near-dup candidates differ in O(1) bits."""
+    return simhash(t(spark, sf_dir, "documents"), "text", "doc_id", bits=32)

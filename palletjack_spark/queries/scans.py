@@ -1,0 +1,183 @@
+"""Scans / sources / sinks (SURVEY §2.2 Q01-Q08).
+
+Q03/Q05/Q06 exercise the metadata-index lifecycle — the reference's core
+capability (palletjack.cc:207-367 build, 369-616 pruned read).  Q05's oracle
+is DuckDB's independent parquet footer parser (``parquet_metadata()``), so
+the index builder is differentially tested against a second implementation,
+mirroring the reference's pyarrow-vs-palletjack differential tests
+(test_palletjack.py:58-107).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from palletjack_spark.index import build_index
+from palletjack_spark.queries.registry import query, t
+from palletjack_spark.tables import table_path
+
+# oracle SQL runs at sf0.01 (driver contract); file-function oracles need
+# the concrete path because DuckDB views don't expose their source file.
+_SF001_DIR = "/root/testdata/sf0.01"
+
+
+def _tmp(name: str, sf_dir: str) -> str:
+    key = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(tempfile.gettempdir(), f"pjspark_{key}_{name}")
+
+
+@query(
+    "q01_full_scan",
+    oracle="SELECT * FROM lineitem",
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full parquet scan [ref R12]."""
+    return t(spark, sf_dir, "lineitem")
+
+
+@query(
+    "q02_column_pruned_scan",
+    oracle="SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned scan [ref R5/R6] — Catalyst ColumnPruning pushes the
+    3-column ReadSchema into the parquet scan."""
+    return t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+@query(
+    "q03_indexed_rowgroup_scan",
+    oracle="""
+    SELECT l_orderkey, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_orderkey BETWEEN 100 AND 2000
+    """,
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-group-pruned scan via the metadata index [ref R4]: stats-driven
+    row-group skip + residual filter == full scan + filter."""
+    idx = build_index(spark, table_path(sf_dir, "lineitem"))
+    return idx.read(
+        columns=["l_orderkey", "l_quantity", "l_extendedprice"],
+        predicate=[("l_orderkey", "between", 100, 2000)],
+    )
+
+
+@query(
+    "q04_schema_read",
+    oracle="SELECT column_name FROM (DESCRIBE lineitem)",
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-only read from the index — zero data I/O [ref R7]."""
+    idx = build_index(spark, table_path(sf_dir, "lineitem"))
+    schema = idx.read_schema()
+    return spark.createDataFrame(
+        [(f.name,) for f in schema.fields], "column_name string"
+    )
+
+
+@query(
+    "q05_index_build",
+    oracle=f"""
+    SELECT row_group_id AS row_group,
+           path_in_schema AS column_name,
+           num_values,
+           total_compressed_size,
+           total_uncompressed_size,
+           stats_null_count AS null_count,
+           row_group_num_rows AS num_rows
+    FROM parquet_metadata('{_SF001_DIR}/lineitem.parquet')
+    """,
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index build sink [ref R1/R2], differentially checked against
+    DuckDB's own footer parser."""
+    idx = build_index(spark, table_path(sf_dir, "lineitem"))
+    c = F.explode("columns").alias("c")
+    return idx.row_groups.select(
+        F.col("row_group").cast("long").alias("row_group"), "num_rows", c
+    ).select(
+        "row_group",
+        F.col("c.name").alias("column_name"),
+        F.col("c.num_values").alias("num_values"),
+        F.col("c.total_compressed_size").alias("total_compressed_size"),
+        F.col("c.total_uncompressed_size").alias("total_uncompressed_size"),
+        F.col("c.null_count").alias("null_count"),
+        "num_rows",
+    )
+
+
+@query(
+    "q06_cached_index_count",
+    oracle="""
+    SELECT 'lineitem' AS table_name, COUNT(*) AS num_rows FROM lineitem
+    UNION ALL
+    SELECT 'orders' AS table_name, COUNT(*) AS num_rows FROM orders
+    """,
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-memory cached index [ref R8]: metadata-only row counts, no data
+    pages touched (reference num_rows recomputation, palletjack.cc:495-507)."""
+    idx = build_index(
+        spark, [table_path(sf_dir, "lineitem"), table_path(sf_dir, "orders")]
+    )
+    return idx.count_rows().select(
+        F.regexp_extract("file", r"([a-z]+)\.parquet$", 1).alias("table_name"),
+        "num_rows",
+    )
+
+
+@query(
+    "q07_parquet_write_roundtrip",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS cnt
+    FROM lineitem WHERE l_quantity > 25 GROUP BY l_returnflag
+    """,
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet write with row-group size control, then read-back [host]
+    (reference README row_group_size guidance, python/README.md:44)."""
+    out = _tmp("q07_roundtrip", sf_dir)
+    (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 25)
+        .write.mode("overwrite")
+        .option("parquet.block.size", 1 * 1024 * 1024)
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "q08_csv_json_source",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey, 'csv' AS src FROM nation
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey, 'json' AS src FROM nation
+    """,
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV + JSON sources [north-star util]: parquet → csv/json → read back
+    with explicit schema."""
+    nation = t(spark, sf_dir, "nation")
+    csv_dir, json_dir = _tmp("q08_csv", sf_dir), _tmp("q08_json", sf_dir)
+    nation.write.mode("overwrite").option("header", True).csv(csv_dir)
+    nation.write.mode("overwrite").json(json_dir)
+    schema = "n_nationkey int, n_name string, n_regionkey int"
+    from_csv = (
+        spark.read.schema(schema).option("header", True).csv(csv_dir)
+        .withColumn("src", F.lit("csv"))
+    )
+    from_json = spark.read.schema(schema).json(json_dir).withColumn(
+        "src", F.lit("json")
+    )
+    return from_csv.unionByName(from_json)

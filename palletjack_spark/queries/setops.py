@@ -1,0 +1,88 @@
+"""Set operations (SURVEY §2.2 Q50-Q52)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from palletjack_spark.queries.registry import query, t
+
+
+@query(
+    "q50_union",
+    oracle="""
+    SELECT o_custkey, 'F' AS status FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_custkey, 'O' AS status FROM orders WHERE o_orderstatus = 'O'
+    UNION
+    SELECT o_custkey, 'P' AS status FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL + UNION DISTINCT [host].  (SQL UNION binds the distinct
+    over the whole stack; we mirror that exactly.)"""
+    o = t(spark, sf_dir, "orders")
+
+    def part(status: str) -> DataFrame:
+        return (
+            o.where(F.col("o_orderstatus") == status)
+            .select("o_custkey")
+            .withColumn("status", F.lit(status))
+        )
+
+    return part("F").unionByName(part("O")).unionByName(part("P")).distinct()
+
+
+@query(
+    "q51_intersect_except",
+    oracle="""
+    SELECT c_custkey, 'both' AS kind FROM (
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT c_custkey, 'f_only' AS kind FROM (
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT [host]."""
+    o = t(spark, sf_dir, "orders")
+    f_custs = o.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    o_custs = o.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    both = f_custs.intersect(o_custs).withColumn("kind", F.lit("both"))
+    f_only = f_custs.subtract(o_custs).withColumn("kind", F.lit("f_only"))
+    return both.unionByName(f_only)
+
+
+@query(
+    "q52_distinct",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus, l_shipmode FROM (
+      SELECT l_returnflag, l_linestatus,
+             CASE WHEN l_quantity < 25 THEN 'small' ELSE 'large' END AS l_shipmode
+      FROM lineitem
+    )
+    """,
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT / dropDuplicates [north-star dedup building block]."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.when(F.col("l_quantity") < 25, "small")
+            .otherwise("large")
+            .alias("l_shipmode"),
+        )
+        .dropDuplicates()
+    )

@@ -1,0 +1,164 @@
+"""Streaming queries (SURVEY §2.2 Q70-Q75), driver-checkable.
+
+Each query runs a *real* Structured Streaming job (file source over the
+staged µs events, availableNow trigger, memory sink) and returns the sink
+contents; the oracle is the batch SQL equivalent (SURVEY §2.3: streaming's
+oracle is the replayed batch query).  Windows are epoch-aligned in both
+engines (Spark ``window()`` ↔ DuckDB ``time_bucket``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from palletjack_spark.queries.registry import query, t
+from palletjack_spark.streaming.ops import (
+    dedup_within_watermark,
+    events_stream,
+    run_stream_to_table,
+    session_agg,
+    sliding_counts,
+    stream_static_join,
+    tumbling_counts,
+    watermarked_append_counts,
+)
+
+_E = "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+
+@query(
+    "q70_tumbling_window",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes'
+             AS window_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM {_E} e
+    GROUP BY time_bucket(INTERVAL '10 minutes', ts)
+    """,
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window aggregation [north-star], run as a real stream."""
+    return run_stream_to_table(
+        tumbling_counts(events_stream(spark, sf_dir)), "complete"
+    )
+
+
+@query(
+    "q71_sliding_window",
+    oracle=f"""
+    WITH b AS (
+      SELECT ts, time_bucket(INTERVAL '5 minutes', ts) AS bk FROM {_E} e
+    ),
+    cand AS (
+      SELECT ts, bk AS ws FROM b
+      UNION ALL
+      SELECT ts, bk - INTERVAL '5 minutes' AS ws FROM b
+    )
+    SELECT ws AS window_start, ws + INTERVAL '10 minutes' AS window_end,
+           COUNT(*) AS n_events
+    FROM cand
+    WHERE ts >= ws AND ts < ws + INTERVAL '10 minutes'
+    GROUP BY ws
+    """,
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window aggregation [north-star]: 10-minute windows every 5."""
+    return run_stream_to_table(
+        sliding_counts(events_stream(spark, sf_dir)), "complete"
+    )
+
+
+@query(
+    "q72_session_window",
+    oracle=f"""
+    WITH e AS (SELECT user_id, ts, event_id FROM {_E}),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL '5 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '5 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows [north-star]: 5-minute inactivity gap per user.
+    Spark merges events whose timestamp falls strictly inside the previous
+    session's [start, last+gap) — the oracle reproduces that with a
+    lag/cumsum sessionization."""
+    return run_stream_to_table(
+        session_agg(events_stream(spark, sf_dir)), "complete"
+    )
+
+
+@query(
+    "q73_watermark_append",
+    oracle=f"""
+    WITH e AS (SELECT ts FROM {_E}),
+    cutoff AS (
+      SELECT make_timestamp(epoch_ms(MAX(ts)) * 1000 - 600000000) AS wm FROM e
+    )
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes'
+             AS window_end,
+           COUNT(*) AS n_events
+    FROM e, cutoff
+    GROUP BY 1, 2
+    HAVING window_end <= (SELECT wm FROM cutoff)
+    """,
+)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + append mode [north-star]: only windows the final
+    watermark (max event time, ms precision, minus 10 minutes) has passed
+    are emitted; unfinalized windows stay in state.  The oracle computes
+    the same cutoff."""
+    return run_stream_to_table(
+        watermarked_append_counts(events_stream(spark, sf_dir)), "append"
+    )
+
+
+@query(
+    "q74_stateful_dedup",
+    oracle=f"SELECT event_id, user_id, event_type, value FROM {_E} e",
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dedup within watermark [north-star].  event_id is unique in
+    the fixture so the streaming dedup must be the identity set — the
+    *mechanism* (state store, watermark eviction) still executes; crafted
+    duplicate/late rows are exercised in tests/test_streaming.py."""
+    out = dedup_within_watermark(events_stream(spark, sf_dir), ["event_id"])
+    return run_stream_to_table(
+        out.select("event_id", "user_id", "event_type", "value"), "append"
+    )
+
+
+@query(
+    "q75_stream_static_join",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM {_E} e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join [north-star]: stream ⋈ broadcast dimension."""
+    customer = t(spark, sf_dir, "customer")
+    return run_stream_to_table(
+        stream_static_join(events_stream(spark, sf_dir), customer), "complete"
+    )

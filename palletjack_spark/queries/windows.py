@@ -1,0 +1,180 @@
+"""Window functions + sorts/limits (SURVEY §2.2 Q40-Q46).
+
+All window orderings carry a unique tiebreak key so ranking is total and
+results hash-match the oracle exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from palletjack_spark.queries.registry import query, t
+
+_EVENTS_US = (
+    "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,"
+    " value, props FROM events)"
+)
+
+
+@query(
+    "q40_ranking",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+           CAST(RANK() OVER w AS INT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+           CAST(NTILE(4) OVER w AS INT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window functions [host]."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "q41_lag_lead",
+    oracle=f"""
+    SELECT event_id, user_id, value,
+           LAG(value) OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           FIRST_VALUE(event_type) OVER w AS first_type
+    FROM {_EVENTS_US}
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions: lag/lead/first [host]."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("event_type").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("first_type"),
+    )
+
+
+@query(
+    "q42_moving_agg",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS moving_sum,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS frame_n
+    FROM {_EVENTS_US}
+    """,
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving frame aggregates [host] — decimal-exact so sliding-sum
+    implementation differences between engines can't leak into values."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("moving_sum"),
+        F.count("*").over(w).alias("frame_n"),
+    )
+
+
+@query(
+    "q43_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group [host]: rank window + filter — Spark pushes the
+    rn<=3 limit into the window sort (WindowGroupLimit) so no full
+    per-group materialization happens at scale."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q45_multikey_sort",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    ORDER BY c_acctbal DESC NULLS LAST, c_mktsegment ASC, c_custkey ASC
+    LIMIT 50
+    """,
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with null ordering [host]; LIMIT makes the ordering
+    observable under the order-insensitive hash."""
+    return (
+        t(spark, sf_dir, "customer")
+        .orderBy(
+            F.col("c_acctbal").desc_nulls_last(),
+            F.col("c_mktsegment").asc(),
+            F.col("c_custkey").asc(),
+        )
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .limit(50)
+    )
+
+
+@query(
+    "q46_limit_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k [host]: TakeOrderedAndProject — per-partition heaps then
+    a k-row merge on the driver, no global sort even at 100 TB."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(100)
+    )

@@ -1,0 +1,155 @@
+"""Structured Streaming operators (SURVEY §2.2 Q70-Q75).
+
+Every operator is written against a DataFrame that may be a stream or a
+batch — the *same* code path is verified two ways: batch-mode against the
+DuckDB oracle (driver correctness gate) and stream-mode (file source →
+availableNow → memory sink) against the batch result in tests.
+
+The events fixture is timestamp[ns], which neither the batch nor the
+streaming native parquet source accepts; ``events_stream`` stages a
+microsecond copy once per scale factor (written by our arrow scan → normal
+parquet), then streams from that directory — at production scale this
+staging is the ingest job itself.
+
+Scale notes: windowed aggregations keep state per (key × window); the
+watermark bounds that state.  ``session_window`` merges via the built-in
+state store.  Stream-static joins broadcast the static side per microbatch.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from palletjack_spark.tables import load_table
+
+
+def _staged_events_dir(sf_dir: str) -> str:
+    key = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(tempfile.gettempdir(), f"pjspark_{key}_events_us")
+
+
+def stage_events_us(spark: SparkSession, sf_dir: str) -> str:
+    """Write a microsecond-precision copy of events once per sf_dir."""
+    out = _staged_events_dir(sf_dir)
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+    return out
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a file-source stream (schema pinned, one file per batch)."""
+    path = stage_events_us(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def run_stream_to_table(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into a
+    memory sink; return the sink as a batch DataFrame."""
+    name = "pj_sink_" + uuid.uuid4().hex[:12]
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+# --- operators (stream- and batch-applicable) ------------------------------
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """Q70: 10-minute tumbling window — count + decimal-exact value sum."""
+    return (
+        events.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """Q71: 10-minute window sliding every 5 minutes."""
+    return (
+        events.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Q72: per-user session windows with a 5-minute inactivity gap."""
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def watermarked_append_counts(events: DataFrame) -> DataFrame:
+    """Q73: tumbling counts under a 10-minute watermark.  In append mode
+    only windows the watermark has passed are emitted; later-than-watermark
+    data would be dropped — the late-data policy under test."""
+    # watermarks require TIMESTAMP (not NTZ); session tz is UTC so the
+    # LTZ round-trip is value-preserving
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, keys: list[str]) -> DataFrame:
+    """Q74: stateful dedup bounded by the watermark (state is evicted once
+    the watermark passes, so memory is bounded at 100 TB stream rates)."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(keys)
+    )
+
+
+def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Q75: stream ⋈ static dimension (broadcast per microbatch) + agg."""
+    joined = events.join(
+        F.broadcast(customer), events.user_id == customer.c_custkey
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )

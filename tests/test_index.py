@@ -1,0 +1,177 @@
+"""Metadata-index tests mirroring the reference's strategy (SURVEY §5):
+permutation differential (indexed read == native read for every small
+row-group × column selection — test_palletjack.py:58-107), round-trip
+identity (:109-133), golden index-content regression (:210-248), error
+paths (:155-208), and schema API (:251-318)."""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from palletjack_spark import build_index, load_index, read_parquet_arrow
+from palletjack_spark.errors import IndexFormatError, InvalidSelectionError
+from palletjack_spark.sources.arrow_scan import read_schema_arrow
+
+N_ROW_GROUPS = 5
+N_COLUMNS = 7
+
+
+@pytest.fixture(scope="module")
+def perm_file(tmp_path_factory):
+    """Reference permutation fixture: 5 row groups x 7 double columns,
+    one row per row group (test_palletjack.py:14-16,42-54)."""
+    path = str(tmp_path_factory.mktemp("perm") / "perm.parquet")
+    cols = {
+        f"column_{c}": [float(rg * 10 + c) for rg in range(N_ROW_GROUPS)]
+        for c in range(N_COLUMNS)
+    }
+    table = pa.table(cols)
+    pq.write_table(
+        table,
+        path,
+        row_group_size=1,
+        use_dictionary=False,
+        write_statistics=True,
+        store_schema=False,
+    )
+    return path
+
+
+@pytest.fixture(scope="module")
+def perm_index(spark, perm_file):
+    return build_index(spark, perm_file)
+
+
+def _native(perm_file, row_groups, columns):
+    pf = pq.ParquetFile(perm_file)
+    tbl = pf.read_row_groups(row_groups, columns=columns)
+    return tbl.to_pandas()
+
+
+def test_permutation_differential(spark, perm_file, perm_index):
+    """Every permutation of <=2 row groups x <=2 columns (bounded like the
+    reference's <=3 sweep, :101-107): indexed read equals native pyarrow."""
+    rg_perms = [
+        list(p)
+        for n in (1, 2)
+        for p in itertools.permutations(range(N_ROW_GROUPS), n)
+    ]
+    col_perms = [
+        [f"column_{i}" for i in p]
+        for n in (1, 2)
+        for p in itertools.permutations(range(N_COLUMNS), n)
+    ]
+    # sample the cross product to keep runtime sane but deterministic
+    cases = [
+        (rgs, cols)
+        for i, rgs in enumerate(rg_perms)
+        for j, cols in enumerate(col_perms)
+        if (i + j) % 7 == 0
+    ]
+    assert len(cases) > 50
+    for rgs, cols in cases:
+        got = (
+            perm_index.read(row_groups=rgs, columns=cols)
+            .toPandas()
+            .sort_values(cols)
+            .reset_index(drop=True)
+        )
+        want = (
+            _native(perm_file, rgs, cols).sort_values(cols).reset_index(drop=True)
+        )
+        assert got.equals(want), (rgs, cols, got, want)
+        assert list(got.columns) == cols  # request order preserved (cc:459-490)
+
+
+def test_roundtrip_identity(spark, perm_file, perm_index):
+    """Select-everything == native full read (test_palletjack.py:109-133)."""
+    got = perm_index.read().toPandas().sort_values("column_0").reset_index(drop=True)
+    want = pq.read_table(perm_file).to_pandas()
+    assert got.equals(want)
+
+
+def test_column_indices_selection(spark, perm_file, perm_index):
+    got = perm_index.read(row_groups=[1, 3], column_indices=[6, 0]).toPandas()
+    assert list(got.columns) == ["column_6", "column_0"]
+    assert sorted(got["column_0"].tolist()) == [10.0, 30.0]
+
+
+def test_error_paths(spark, perm_index, perm_file):
+    """Reference error semantics (test_palletjack.py:155-208)."""
+    with pytest.raises(InvalidSelectionError, match="out of range"):
+        perm_index.read(row_groups=[N_ROW_GROUPS])
+    with pytest.raises(InvalidSelectionError, match="out of range"):
+        perm_index.read(column_indices=[N_COLUMNS])
+    with pytest.raises(InvalidSelectionError, match="Unknown column"):
+        perm_index.read(columns=["nope"])
+    with pytest.raises(InvalidSelectionError, match="both"):
+        perm_index.read(columns=["column_0"], column_indices=[0])
+    with pytest.raises(InvalidSelectionError, match="out of range"):
+        perm_index.read(row_groups=[-1])
+
+
+def test_not_an_index_dir(spark, tmp_path):
+    with pytest.raises(IndexFormatError):
+        load_index(spark, str(tmp_path))
+
+
+def test_schema_api(spark, perm_index, perm_file):
+    """Schema reads from index == pyarrow schema (test_palletjack.py:251-318)."""
+    full = perm_index.read_schema()
+    assert [f.name for f in full.fields] == [f"column_{i}" for i in range(N_COLUMNS)]
+    pruned = perm_index.read_schema(columns=["column_3", "column_1"])
+    assert [f.name for f in pruned.fields] == ["column_3", "column_1"]
+    by_idx = perm_index.read_schema(column_indices=[2])
+    assert [f.name for f in by_idx.fields] == ["column_2"]
+    assert read_schema_arrow(perm_file).fieldNames() == full.fieldNames()
+
+
+def test_persisted_index_roundtrip(spark, perm_file, tmp_path):
+    """File-form index == in-memory index (test_palletjack.py:320-332)."""
+    index_dir = str(tmp_path / "idx")
+    idx = build_index(spark, perm_file, index_dir=index_dir)
+    assert os.path.exists(os.path.join(index_dir, "row_groups"))
+    mem = build_index(spark, perm_file)
+    a = idx.row_groups.orderBy("file", "row_group").toPandas()
+    b = mem.row_groups.orderBy("file", "row_group").toPandas()
+    assert a.equals(b)
+
+
+def test_golden_index_content(spark, perm_file, perm_index):
+    """Golden-master analogue (test_palletjack.py:210-248): the index rows
+    for a fixed input are value-stable."""
+    rows = perm_index.row_groups.orderBy("row_group").collect()
+    assert [r["num_rows"] for r in rows] == [1] * N_ROW_GROUPS
+    first_cols = rows[0]["columns"]
+    assert [c["name"] for c in first_cols] == [
+        f"column_{i}" for i in range(N_COLUMNS)
+    ]
+    assert all(c["physical_type"] == "DOUBLE" for c in first_cols)
+    assert [c["min_num"] for c in first_cols] == [float(c) for c in range(N_COLUMNS)]
+    files = perm_index.files.collect()
+    assert files[0]["num_row_groups"] == N_ROW_GROUPS
+    assert files[0]["num_rows"] == N_ROW_GROUPS
+
+
+def test_stats_pruning_skips_row_groups(spark, perm_index):
+    """Predicate pruning touches only matching row groups (R4 semantics)."""
+    plan = perm_index.prune(predicate=[("column_0", "between", 10.0, 30.0)])
+    assert plan.count() == 3  # row groups 1..3
+    df = perm_index.read(predicate=[("column_0", "between", 10.0, 30.0)])
+    assert sorted(r["column_0"] for r in df.collect()) == [10.0, 20.0, 30.0]
+
+
+def test_count_rows_metadata_only(spark, perm_index):
+    got = perm_index.count_rows().collect()[0]
+    assert got["num_rows"] == N_ROW_GROUPS and got["num_row_groups"] == N_ROW_GROUPS
+
+
+def test_read_parquet_arrow_direct(spark, perm_file):
+    """Ad-hoc arrow scan without an index (R12 path)."""
+    df = read_parquet_arrow(spark, perm_file, row_groups=[0, 4], columns=["column_2"])
+    assert sorted(r["column_2"] for r in df.collect()) == [2.0, 42.0]

@@ -1,0 +1,83 @@
+"""Physical-plan shape assertions — the scale contract (100 TB):
+filters/projections must reach the parquet scan, dimension joins must
+broadcast, top-k must not global-sort, whole-stage codegen must cover the
+hot path.  These guard against regressions that small-data correctness
+tests can't see."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from palletjack_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    df = li.where(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "l_quantity" in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_column_pruning_reaches_scan(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    df = li.select("l_orderkey", "l_extendedprice")
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" in read_schema
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_broadcast_join_planned(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    p = load_table(spark, SF_DIR, "part")
+    df = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).groupBy("p_brand").count()
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_topk_uses_take_ordered(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    df = li.orderBy(F.col("l_extendedprice").desc()).limit(10)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    from pyspark.sql import Window
+
+    o = load_table(spark, SF_DIR, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    df = o.select("o_custkey", F.row_number().over(w).alias("rn")).where(
+        F.col("rn") <= 3
+    )
+    assert "WindowGroupLimit" in _plan(df)
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    assert "WholeStageCodegen" in _plan(df)
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    plan = _plan(df)
+    # two HashAggregates (partial + final) around one Exchange
+    assert plan.count("HashAggregate") >= 2 and "Exchange" in plan
+
+
+def test_aggregate_pushdown_metadata_count(spark):
+    """COUNT(*) on unfiltered parquet is answered from footer stats
+    (spark.sql.parquet.aggregatePushdown) — the built-in analogue of the
+    reference's metadata-only num_rows (palletjack.cc:495-507)."""
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").agg(
+        F.count("*").alias("n")
+    )
+    assert "PushedAggregation: [COUNT(*)]" in _plan(df)
