@@ -94,8 +94,8 @@ def cosine_topk(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
-    rng = np.random.RandomState(seed)
+def _hyperplanes(dim: int, n_planes: int, table: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed + 1000 * table)
     return rng.standard_normal((n_planes, dim))
 
 
@@ -105,6 +105,7 @@ def lsh_bucket_topk(
     k: int = 10,
     n_planes: int = 8,
     n_probes: int = 3,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
@@ -112,48 +113,61 @@ def lsh_bucket_topk(
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH + exact re-scoring.
 
-    Corpus rows are assigned one sign-pattern bucket; each query probes its
-    own bucket plus ``n_probes`` single-bit flips.  Candidates join on the
-    bucket id (an equi-join — shuffles candidates, never the full corpus
-    cross product), then exact cosine ranks them."""
+    Standard multi-table amplification: ``n_tables`` independent hyperplane
+    sets; a corpus row gets one sign-pattern bucket per table, a query
+    probes its bucket plus ``n_probes`` single-bit flips in every table.
+    Candidates join on (table, bucket) — an equi-join that shuffles
+    candidates only, never the corpus cross product — then exact cosine
+    re-scores.  Recall grows with n_tables/n_probes, candidate cost with
+    n_tables/2^n_planes; tune per corpus geometry."""
     spark = corpus_df.sparkSession
-    planes = _hyperplanes(dim, n_planes)
+    planes = np.stack(
+        [_hyperplanes(dim, n_planes, t) for t in range(n_tables)]
+    )  # (T, P, D)
     bplanes = spark.sparkContext.broadcast(planes)
 
-    def bucket_of(mat: np.ndarray) -> np.ndarray:
-        signs = (mat @ bplanes.value.T) > 0
-        return (signs * (1 << np.arange(n_planes))[None, :]).sum(axis=1).astype("int64")
+    def buckets_of(mat: np.ndarray) -> np.ndarray:
+        """(n, T) bucket ids."""
+        signs = np.einsum("nd,tpd->ntp", mat, bplanes.value) > 0
+        return (signs * (1 << np.arange(n_planes))[None, None, :]).sum(axis=2)
 
     def corpus_buckets(it):
         for pdf in it:
             mat = np.asarray([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
             if len(mat) == 0:
                 continue
+            b = buckets_of(mat)  # (n, T)
+            n = len(mat)
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf[id_col].to_numpy(),
-                    "bucket": bucket_of(mat),
-                    "vec": [list(v) for v in mat],
+                    "vec_id": np.repeat(pdf[id_col].to_numpy(), n_tables),
+                    "tbl": np.tile(np.arange(n_tables), n),
+                    "bucket": b.reshape(-1),
+                    "vec": [list(v) for v in np.repeat(mat, n_tables, axis=0)],
                 }
             )
 
     corpus_b = corpus_df.select(id_col, vec_col).mapInPandas(
-        corpus_buckets, "vec_id long, bucket long, vec array<double>"
+        corpus_buckets, "vec_id long, tbl int, bucket long, vec array<double>"
     )
 
     qids, qmat, _ = _collect_queries(queries_df, id_col, vec_col)
-    qbase = bucket_of(qmat)
+    qbase = buckets_of(qmat)  # (nq, T)
     probe_rows = []
-    for qid, vec, b in zip(qids, qmat, qbase):
-        buckets = {int(b)} | {int(b) ^ (1 << j) for j in range(n_probes)}
-        for bb in buckets:
-            probe_rows.append((int(qid), bb, [float(x) for x in vec]))
+    for qi, (qid, vec) in enumerate(zip(qids, qmat)):
+        for t in range(n_tables):
+            b = int(qbase[qi, t])
+            buckets = {b} | {b ^ (1 << j) for j in range(n_probes)}
+            for bb in buckets:
+                probe_rows.append((int(qid), t, bb, [float(x) for x in vec]))
     probes = spark.createDataFrame(
-        probe_rows, "query_id long, bucket long, qvec array<double>"
+        probe_rows, "query_id long, tbl int, bucket long, qvec array<double>"
     )
 
-    cand = corpus_b.join(F.broadcast(probes), "bucket").select(
-        "query_id", "vec_id", "vec", "qvec"
+    cand = (
+        corpus_b.join(F.broadcast(probes), ["tbl", "bucket"])
+        .select("query_id", "vec_id", "vec", "qvec")
+        .dropDuplicates(["query_id", "vec_id"])
     )
     dot = F.aggregate(
         F.zip_with("vec", "qvec", lambda a, b: a * b),

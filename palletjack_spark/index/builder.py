@@ -133,11 +133,19 @@ def _extract_file_rows(path: str) -> tuple[dict, list[dict]]:
     return file_row, rg_rows
 
 
+#: in-process memo for in-memory indexes (keyed by the resolved file list);
+#: the DataFrames are cached, so repeated callers skip footer re-reads —
+#: the same "read the index once, reuse it" property the reference gets
+#: from its in-memory bytearray index (palletjack.cc:656-678)
+_INDEX_CACHE: dict[tuple, MetadataIndex] = {}
+
+
 def build_index(
     spark: SparkSession,
     paths: str | Iterable[str],
     index_dir: str | None = None,
     incremental: bool = False,
+    use_cache: bool = True,
 ) -> MetadataIndex:
     """Build the metadata index for the given parquet files.
 
@@ -147,6 +155,9 @@ def build_index(
     (analogue of the `.index` file, cc:360-367) and returns the loaded form.
     """
     files = expand_paths(paths)
+    cache_key = (id(spark), tuple(files))
+    if use_cache and index_dir is None and cache_key in _INDEX_CACHE:
+        return _INDEX_CACHE[cache_key]
     if incremental and index_dir and os.path.exists(os.path.join(index_dir, "files")):
         existing = {
             r["file"]
@@ -190,6 +201,8 @@ def build_index(
 
     idx = MetadataIndex(spark, rg_df.cache(), files_df.cache(), index_dir=None)
     idx.validate()
+    if use_cache:
+        _INDEX_CACHE[cache_key] = idx
     return idx
 
 

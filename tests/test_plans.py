@@ -59,9 +59,19 @@ def test_topk_per_group_uses_window_group_limit(spark):
 
 
 def test_whole_stage_codegen_covers_agg(spark):
-    li = load_table(spark, SF_DIR, "lineitem")
-    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
-    assert "WholeStageCodegen" in _plan(df)
+    # AQE wraps the plan lazily (0 subtrees pre-execution); disable it to
+    # inspect the generated code directly
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        li = load_table(spark, SF_DIR, "lineitem")
+        df = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+        codegen = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "codegen"
+        )
+        assert "WholeStageCodegen subtrees" in codegen
+        assert "Found 0 WholeStageCodegen" not in codegen
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
 def test_partial_aggregation_before_shuffle(spark):
@@ -77,7 +87,14 @@ def test_aggregate_pushdown_metadata_count(spark):
     (spark.sql.parquet.aggregatePushdown) — the built-in analogue of the
     reference's metadata-only num_rows (palletjack.cc:495-507)."""
     spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").agg(
-        F.count("*").alias("n")
-    )
-    assert "PushedAggregation: [COUNT(*)]" in _plan(df)
+    prev = spark.conf.get("spark.sql.sources.useV1SourceList")
+    try:
+        # aggregate pushdown is a DSv2 feature; route parquet through v2
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").agg(
+            F.count("*").alias("n")
+        )
+        assert "PushedAggregation: [COUNT(*)]" in _plan(df)
+        assert df.collect()[0]["n"] > 0
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev)

@@ -1,0 +1,113 @@
+"""Streaming semantics beyond the batch oracle: stream==batch equivalence,
+real duplicate elimination, late-data drop across microbatches (SURVEY §2.2
+Q70-Q75 behaviors that need multi-batch arrival order to observe)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from palletjack_spark.streaming.ops import (
+    dedup_within_watermark,
+    events_stream,
+    run_stream_to_table,
+    stage_events_us,
+    tumbling_counts,
+)
+from palletjack_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_stream_equals_batch_tumbling(spark):
+    stream_out = (
+        run_stream_to_table(tumbling_counts(events_stream(spark, SF_DIR)), "complete")
+        .orderBy("window_start")
+        .toPandas()
+    )
+    batch_in = spark.read.parquet(stage_events_us(spark, SF_DIR))
+    batch_out = tumbling_counts(batch_in).orderBy("window_start").toPandas()
+    assert stream_out.equals(batch_out)
+
+
+_ROWS1 = [
+    (1, "2024-01-01 00:00:01", 1, "click", 1.0),
+    (2, "2024-01-01 01:00:00", 1, "view", 2.0),  # advances watermark to ~00:50
+]
+_ROWS2 = [
+    (1, "2024-01-01 00:00:01", 1, "click", 1.0),  # dup of event 1 (pre-watermark)
+    (3, "2024-01-01 00:00:02", 1, "click", 3.0),  # late data (< watermark)
+    (4, "2024-01-01 01:00:01", 1, "click", 4.0),  # fresh
+]
+_SCHEMA = "event_id long, ts_s string, user_id long, event_type string, value double"
+
+
+def _write_batch(spark, d: str, rows):
+    df = spark.createDataFrame(rows, _SCHEMA).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    df.coalesce(1).write.mode("append").parquet(d)
+
+
+def _run_two_arrivals(spark, tmp_path, build_query):
+    """Deterministic two-microbatch arrival: run availableNow to completion
+    on batch 1, write batch 2, resume from the same checkpoint (watermark
+    persists across restarts), collect the parquet sink."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = None
+    for rows in (_ROWS1, _ROWS2):
+        _write_batch(spark, src, rows)
+        schema = schema or spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            build_query(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(sink).toPandas()
+
+
+def test_dedup_drops_duplicate_across_batches(spark, tmp_path):
+    out = _run_two_arrivals(
+        spark,
+        tmp_path,
+        lambda s: dedup_within_watermark(s, ["event_id"]).select(
+            "event_id", "value"
+        ),
+    )
+    counts = out.groupby("event_id").size()
+    assert (counts <= 1).all(), out  # event 1's replay was dropped
+    assert set(out["event_id"]) >= {1, 2, 4}
+
+
+def test_watermark_drops_late_rows_in_append_agg(spark, tmp_path):
+    """A late row older than the advanced watermark must not resurrect an
+    already-finalized window."""
+
+    def agg(stream):
+        return (
+            stream.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").cast("timestamp_ntz").alias("ws"), "n")
+        )
+
+    out = _run_two_arrivals(spark, tmp_path, agg)
+    emitted = {str(r.ws): int(r.n) for r in out.itertuples()}
+    # the 00:00 window finalized after arrival 1 with exactly 1 event;
+    # arrival 2's late rows (events 1-dup and 3) were dropped
+    assert emitted.get("2024-01-01 00:00:00") == 1, out
