@@ -130,6 +130,11 @@ def main() -> None:
     # warm the JVM + staged events once so per-query numbers measure the
     # query, not session startup
     REGISTRY["q13_pushdown_prune"].fn(spark, SF_DIR).collect()
+    # ...and the Arrow Python workers (first mapInPandas pays worker
+    # spawn + Arrow codepath init, ~5s on local[32])
+    spark.range(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     for name in HEADLINE:
         t0 = time.perf_counter()

@@ -169,6 +169,12 @@ def lsh_bucket_topk(
         .select("query_id", "vec_id", "vec", "qvec")
         .dropDuplicates(["query_id", "vec_id"])
     )
+    return _exact_rescore_topk(cand, k, exclude_self)
+
+
+def _exact_rescore_topk(cand: DataFrame, k: int, exclude_self: bool) -> DataFrame:
+    """Exact cosine + top-k over candidate rows (query_id, vec_id, vec, qvec):
+    JVM-side zip_with/aggregate dot product, WindowGroupLimit rank filter."""
     dot = F.aggregate(
         F.zip_with("vec", "qvec", lambda a, b: a * b),
         F.lit(0.0),
@@ -196,3 +202,167 @@ def lsh_bucket_topk(
         )
         .where(F.col("rank") <= k)
     )
+
+
+def nn_graph(
+    corpus_df: DataFrame,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact nearest-neighbor graph: (vec_id, nn_id, cosine) — each vector's
+    top-1 cosine neighbor.  The embedding-cosine near-dup primitive: a
+    near-dup edge is nn cosine >= threshold.
+
+    Blocked all-pairs: vectors are replicated to every unordered block pair
+    containing their block, each (i, j) group runs one numpy GEMM over its
+    two blocks, emits block-local bests, and a global window picks the
+    winner.  Shuffle volume is n_blocks × corpus; the full n² compute is
+    spread over B(B+1)/2 independent tasks.  Exact (oracle-verifiable); for
+    100 TB use the approximate paths (lsh_bucket_topk / ivf_topk) and
+    reserve this for per-bucket verification."""
+    B = n_blocks
+
+    base = corpus_df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    ).withColumn("blk", F.pmod("vec_id", F.lit(B)).cast("int"))
+    exploded = base.select(
+        "vec_id",
+        "vec",
+        "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("other"),
+    ).select(
+        "vec_id",
+        "vec",
+        "blk",
+        F.least("blk", "other").alias("gi"),
+        F.greatest("blk", "other").alias("gj"),
+    )
+
+    def best_in_group(key, pdf):
+        gi, gj = int(key[0]), int(key[1])
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack([np.asarray(v, dtype="float64") for v in pdf["vec"]])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(norms == 0, 1.0, norms)
+        sides = []  # (query_mask, cand_mask)
+        if gi == gj:
+            m = (pdf["blk"] == gi).to_numpy()
+            sides.append((m, m))
+        else:
+            a = (pdf["blk"] == gi).to_numpy()
+            b = (pdf["blk"] == gj).to_numpy()
+            sides.append((a, b))
+            sides.append((b, a))
+        frames = []
+        for qm, cm in sides:
+            qi, ci = ids[qm], ids[cm]
+            if len(qi) == 0 or len(ci) == 0:
+                continue
+            # round to the output precision BEFORE ranking so the
+            # min-id tie-break matches the oracle's ORDER BY exactly
+            S = np.round(mat[qm] @ mat[cm].T, 4)
+            S[qi[:, None] == ci[None, :]] = -np.inf  # mask self-pairs
+            best = S.max(axis=1)
+            keep = best > -np.inf
+            cand_ids = np.where(S == best[:, None], ci[None, :], np.iinfo("int64").max)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": qi[keep],
+                        "cand_id": cand_ids.min(axis=1)[keep],
+                        "cosine": best[keep],
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame({"vec_id": [], "cand_id": [], "cosine": []})
+        return pd.concat(frames, ignore_index=True)
+
+    cands = exploded.groupBy("gi", "gj").applyInPandas(
+        best_in_group, "vec_id long, cand_id long, cosine double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cand_id").alias("nn_id"), "cosine")
+    )
+
+
+def _kmeans_cosine(mat: np.ndarray, k: int, iters: int = 8) -> np.ndarray:
+    """Deterministic spherical k-means: init = first k rows (caller passes
+    an id-ordered sample), assign by max cosine, recenter, renormalize."""
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    C = mat[:k].copy()
+    for _ in range(iters):
+        assign = (mat @ C.T).argmax(axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def ivf_topk(
+    corpus_df: DataFrame,
+    queries_df: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probes: int = 4,
+    train_rows: int = 512,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: spherical-kmeans
+    centroids partition the corpus into cells; each query probes its
+    ``n_probes`` nearest cells and exact cosine re-scores the candidates.
+
+    The scale path for big query sets: candidate cost is ~n_probes/n_centroids
+    of the corpus per query, and the cell assignment is a one-pass
+    mapInPandas keyed join — no cross product.  ``n_probes == n_centroids``
+    degenerates to exact brute force (asserted in tests).  Centroids are
+    deterministic (id-ordered training sample, fixed-init kmeans)."""
+    spark = corpus_df.sparkSession
+    sample = (
+        corpus_df.select(id_col, vec_col).orderBy(id_col).limit(train_rows).collect()
+    )
+    train = np.array([list(r[1]) for r in sample], dtype="float64")
+    C = _kmeans_cosine(train, n_centroids)
+    bC = spark.sparkContext.broadcast(C)
+
+    def assign_cells(it):
+        for pdf in it:
+            mat = np.asarray([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            if len(mat) == 0:
+                continue
+            n = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "cell": (n @ bC.value.T).argmax(axis=1).astype("int32"),
+                    "vec": [list(v) for v in mat],
+                }
+            )
+
+    corpus_cells = corpus_df.select(id_col, vec_col).mapInPandas(
+        assign_cells, "vec_id long, cell int, vec array<double>"
+    )
+
+    qids, qmat, qnorm = _collect_queries(queries_df, id_col, vec_col)
+    qn = qmat / qnorm[:, None]
+    probe_cells = np.argsort(-(qn @ C.T), axis=1)[:, :n_probes]
+    probes = spark.createDataFrame(
+        [
+            (int(qid), int(c), [float(x) for x in vec])
+            for qid, vec, cells in zip(qids, qmat, probe_cells)
+            for c in cells
+        ],
+        "query_id long, cell int, qvec array<double>",
+    )
+    cand = corpus_cells.join(F.broadcast(probes), "cell").select(
+        "query_id", "vec_id", "vec", "qvec"
+    )
+    return _exact_rescore_topk(cand, k, exclude_self)

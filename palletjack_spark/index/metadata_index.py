@@ -92,10 +92,10 @@ class LocalIndex:
         self.row_groups: dict[tuple[str, int], dict] = {}
         self.files: dict[str, dict] = {}
         for r in file_rows:
-            d = r.asDict(recursive=True)
+            d = r if isinstance(r, dict) else r.asDict(recursive=True)
             self.files[d["file"]] = d
         for r in rg_rows:
-            d = r.asDict(recursive=True)
+            d = r if isinstance(r, dict) else r.asDict(recursive=True)
             d["columns_by_name"] = {c["name"]: c for c in d["columns"]}
             self.row_groups[(d["file"], d["row_group"])] = d
 
@@ -183,8 +183,15 @@ class MetadataIndex:
             )
 
     def local(self) -> "LocalIndex":
-        """Collect into a LocalIndex for O(1) driver-side metadata reads."""
-        return LocalIndex(self.row_groups.collect(), self.files.collect())
+        """Collect into a LocalIndex for O(1) driver-side metadata reads.
+
+        Uses the Arrow collection path (``toArrow``) — nested column-stat
+        structs come back as plain dicts in one C++ pass instead of 10⁵
+        row-by-row ``Row.asDict`` conversions."""
+        return LocalIndex(
+            self.row_groups.toArrow().to_pylist(),
+            self.files.toArrow().to_pylist(),
+        )
 
     # -- schema (reference read_schema, pyx:48-67) ---------------------------
 

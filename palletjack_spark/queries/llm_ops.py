@@ -13,16 +13,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from palletjack_spark.functions.dedup import (
+    _H30_MASK,
     LSH_BANDS,
     LSH_ROWS,
     MINHASH_K,
+    MINHASH_P,
     SHINGLE_LEN,
     exact_dedup,
+    minhash_coeffs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
 )
-from palletjack_spark.functions.similarity import cosine_topk, lsh_bucket_topk
+from palletjack_spark.functions.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_bucket_topk,
+    nn_graph,
+)
 from palletjack_spark.functions.text import (
     STOPWORDS,
     fingerprint_md5,
@@ -59,7 +67,8 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_oracle() -> str:
     n = SHINGLE_LEN
     sig_cols = ",\n         ".join(
-        f"MIN({_sql_hash60('shingle', i)}) AS s{i}" for i in range(MINHASH_K)
+        f"MIN(({a} * (h & {_H30_MASK}) + {b}) % {MINHASH_P}) AS s{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(MINHASH_K))
     )
     band_selects = []
     for b in range(LSH_BANDS):
@@ -72,7 +81,8 @@ def _minhash_oracle() -> str:
     bands_sql = "\n      UNION ALL\n      ".join(band_selects)
     return f"""
     WITH sh AS (
-      SELECT DISTINCT doc_id, substr(text, i, {n}) AS shingle
+      SELECT DISTINCT doc_id,
+             {_sql_hash60(f'substr(text, i, {n})')} AS h
       FROM documents,
            UNNEST(generate_series(1, greatest(length(text) - {n - 1}, 1))) AS s(i)
     ),
@@ -95,7 +105,7 @@ def _minhash_oracle() -> str:
       SELECT c.id_a, c.id_b, COUNT(*) AS common
       FROM cand c
       JOIN sh sa ON sa.doc_id = c.id_a
-      JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.h = sa.h
       GROUP BY c.id_a, c.id_b
     )
     SELECT m.id_a, m.id_b,
@@ -194,6 +204,44 @@ def q92b(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return lsh_bucket_topk(emb, queries, k=10)
+
+
+_Q92C_ORACLE = """
+    WITH scored AS (
+      SELECT x.vec_id AS vec_id, y.vec_id AS cand_id,
+             ROUND(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                          CAST(y.embedding AS DOUBLE[])), 4)
+               AS cosine
+      FROM embeddings x JOIN embeddings y ON x.vec_id <> y.vec_id
+    ),
+    ranked AS (
+      SELECT vec_id, cand_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cosine DESC, cand_id) AS rn
+      FROM scored
+    )
+    SELECT vec_id, cand_id AS nn_id, cosine FROM ranked WHERE rn = 1
+"""
+
+
+@query("q92c_nn_graph", oracle=_Q92C_ORACLE)
+def q92c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-neighbor graph (embedding-cosine near-dup primitive):
+    top-1 cosine neighbor for EVERY vector via blocked all-pairs GEMM —
+    n² compute spread over independent block-pair tasks, oracle-checked
+    against DuckDB's own all-pairs cosine."""
+    return nn_graph(t(spark, sf_dir, "embeddings"))
+
+
+@query("q92d_ivf_topk", oracle=None)
+def q92d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via an IVF index: deterministic spherical-kmeans centroids,
+    n_probes nearest cells per query, exact re-score.  Approximate → no SQL
+    oracle; tests assert recall vs brute force and that full probing
+    (n_probes == n_centroids) is exactly brute force."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=10)
 
 
 @query(

@@ -17,6 +17,7 @@ from palletjack_spark.streaming.ops import (
     dedup_within_watermark,
     events_stream,
     run_stream_to_table,
+    running_totals_stateful,
     session_agg,
     sliding_counts,
     stream_static_join,
@@ -143,6 +144,29 @@ def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup_within_watermark(events_stream(spark, sf_dir), ["event_id"])
     return run_stream_to_table(
         out.select("event_id", "user_id", "event_type", "value"), "append"
+    )
+
+
+@query(
+    "q76_custom_stateful",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 1000) AS BIGINT))
+                AS BIGINT) AS value_millis
+    FROM {_E} e GROUP BY user_id
+    """,
+)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator [north-star]: applyInPandasWithState running
+    totals per user.  Each micro-batch emits the updated totals; the last
+    emission per user (the one with the highest n_events) must equal the
+    batch aggregate — which is exactly what the oracle computes."""
+    out = run_stream_to_table(
+        running_totals_stateful(events_stream(spark, sf_dir)), "update"
+    )
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("value_millis", "n_events").alias("value_millis"),
     )
 
 

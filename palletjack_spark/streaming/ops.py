@@ -144,6 +144,48 @@ def dedup_within_watermark(events: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def running_totals_stateful(events: DataFrame) -> DataFrame:
+    """Q76: custom stateful operator via ``applyInPandasWithState`` — the
+    escape hatch for operators the built-in streaming state machinery can't
+    express (reference-world: whatever the host does with its own state).
+
+    Keeps (n_events, value_millis) per user in the state store and emits the
+    running totals each micro-batch; the *last* emission per user equals the
+    batch aggregate, which is how the oracle checks it.  Value is
+    accumulated as floor(value·1000) integers so the cross-batch sum is
+    bit-deterministic in every engine.
+
+    Scale: state is one struct per user key, partitioned by the groupBy
+    hash — the same layout Spark's own streaming aggs use; a watermark-based
+    timeout (GroupStateTimeout.EventTimeTimeout) would bound state for
+    unbounded key spaces."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n, millis = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            millis += int(np_floor_millis(pdf["value"]))
+        state.update((n, millis))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "value_millis": [millis]}
+        )
+
+    def np_floor_millis(values) -> int:
+        import numpy as np
+
+        return int(np.floor(values.to_numpy(dtype="float64") * 1000).astype("int64").sum())
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, value_millis long",
+        stateStructType="n long, millis long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
     """Q75: stream ⋈ static dimension (broadcast per microbatch) + agg."""
     joined = events.join(

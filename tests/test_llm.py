@@ -142,3 +142,50 @@ def test_decode_stub_contract():
         decode_image_stub(b"\x89PNG")
     d = decode_image_stub(b"\x89PNG", fake=True)
     assert set(d) == {"width", "height", "mode"}
+
+
+def test_ivf_full_probe_is_exact(spark):
+    """Probing every IVF cell must reproduce brute force bit-for-bit."""
+    from palletjack_spark.functions.similarity import ivf_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    full = ivf_topk(emb, queries, k=10, n_centroids=8, n_probes=8).toPandas()
+    bf = cosine_topk(emb, queries, k=10).toPandas()
+    cols = ["query_id", "vec_id", "rank", "cosine"]
+    pd.testing.assert_frame_equal(
+        full[cols].sort_values(cols).reset_index(drop=True),
+        bf[cols].sort_values(cols).reset_index(drop=True),
+    )
+
+
+def test_ivf_partial_probe_recall(spark):
+    from palletjack_spark.functions.similarity import ivf_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    approx = ivf_topk(emb, queries, k=10, n_centroids=16, n_probes=6).toPandas()
+    exact = cosine_topk(emb, queries, k=10).toPandas()
+    exact_sets = exact.groupby("query_id")["vec_id"].apply(set)
+    approx_sets = approx.groupby("query_id")["vec_id"].apply(set)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets.index
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_nn_graph_matches_brute_force_top1(spark):
+    """nn_graph == cosine_topk(k=1) with every vector as its own query."""
+    from palletjack_spark.functions.similarity import nn_graph
+
+    emb = load_table(spark, SF_DIR, "embeddings").where(F.col("vec_id") < 100)
+    nn = nn_graph(emb, n_blocks=4).toPandas()
+    bf = cosine_topk(emb, emb, k=1).toPandas().rename(
+        columns={"query_id": "vec_id", "vec_id": "nn_id"}
+    )
+    cols = ["vec_id", "nn_id", "cosine"]
+    pd.testing.assert_frame_equal(
+        nn[cols].sort_values("vec_id").reset_index(drop=True),
+        bf[cols].sort_values("vec_id").reset_index(drop=True),
+    )

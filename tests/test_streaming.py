@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -111,3 +112,41 @@ def test_watermark_drops_late_rows_in_append_agg(spark, tmp_path):
     # the 00:00 window finalized after arrival 1 with exactly 1 event;
     # arrival 2's late rows (events 1-dup and 3) were dropped
     assert emitted.get("2024-01-01 00:00:00") == 1, out
+
+
+def test_custom_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches AND across
+    restarts: state lives in the checkpoint, so arrival 2's totals continue
+    from arrival 1's (update-mode memory sink per arrival, one checkpoint)."""
+    from palletjack_spark.streaming.ops import running_totals_stateful
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    emissions = []
+    schema = None
+    for rows in (_ROWS1, _ROWS2):
+        _write_batch(spark, src, rows)
+        schema = schema or spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        collected = []
+        q = (
+            running_totals_stateful(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, _id: collected.append(bdf.toPandas())
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        emissions.append(pd.concat(collected, ignore_index=True))
+    # arrival 1: user 1 saw events 1,2 → totals (2, 3000)
+    first = emissions[0]
+    assert first.loc[first.user_id == 1, "n_events"].item() == 2
+    assert first.loc[first.user_id == 1, "value_millis"].item() == 3000
+    # arrival 2 continues from checkpointed state: +3 rows (dup 1, 3, 4)
+    last = emissions[1].sort_values("n_events").groupby("user_id").last()
+    assert last.loc[1, "n_events"] == 5
+    assert last.loc[1, "value_millis"] == 11000
