@@ -180,6 +180,101 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q27_salted_skew_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join [north-star scale]: manual skew mitigation for when one
+    key dominates a shuffle join (a hot user, a null-ish default key).
+
+    The fact side gets a deterministic per-row salt (hash of the row, mod
+    S); the dimension side is exploded ×S; the join key becomes
+    (key, salt), so a hot key's rows spread over S reducers instead of one.
+    Results are identical to the unsalted join — the oracle is the plain
+    SQL join.  (AQE skew-join does this adaptively for sort-merge joins;
+    salting remains the portable fallback and works for aggregations too.)
+    """
+    S = 8
+    o = t(spark, sf_dir, "orders").withColumn(
+        "_salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(S)).cast("int")
+    )
+    c = (
+        t(spark, sf_dir, "customer")
+        .withColumn(
+            "_salt",
+            F.explode(F.array(*[F.lit(i) for i in range(S)]).cast("array<int>")),
+        )
+    )
+    return (
+        o.join(c, (o.o_custkey == c.c_custkey) & (o._salt == c._salt))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q28_bucketed_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join [north-star scale]: both fact tables are
+    written bucketed (+sorted) on the join key, so the sort-merge join
+    reads matching buckets directly — NO exchange on either side
+    (asserted in tests/test_plans.py).  The 100 TB pattern: pay the
+    bucketing shuffle once at ingest, amortize it over every later join.
+    """
+    import os
+    import tempfile
+
+    key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    wh = os.path.join(tempfile.gettempdir(), f"pjspark_{key}_buckets")
+    names = {}
+    for tbl, bkey in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        name = f"pj_bkt_{key}_{tbl}"
+        names[tbl] = name
+        if not spark.catalog.tableExists(name):
+            (
+                t(spark, sf_dir, tbl)
+                .write.bucketBy(8, bkey)
+                .sortBy(bkey)
+                .option("path", os.path.join(wh, tbl))
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+    li = spark.table(names["lineitem"])
+    o = spark.table(names["orders"])
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+@query(
     "q26_asof_join",
     oracle=f"""
     SELECT e.event_id, e.user_id, MAX(o.o_orderdate) AS last_order_date

@@ -38,7 +38,11 @@ def stage_events_us(spark: SparkSession, sf_dir: str) -> str:
     out = _staged_events_dir(sf_dir)
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
-        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+        # 4 files → 4 micro-batches under maxFilesPerTrigger=1: multi-batch
+        # semantics stay observable without paying per-batch overhead ×32
+        load_table(spark, sf_dir, "events").coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(out)
     return out
 
 

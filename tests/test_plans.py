@@ -98,3 +98,28 @@ def test_aggregate_pushdown_metadata_count(spark):
         assert df.collect()[0]["n"] > 0
     finally:
         spark.conf.set("spark.sql.sources.useV1SourceList", prev)
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """q28's bucketed tables join without any shuffle: the sort-merge join
+    reads co-located buckets directly on both sides."""
+    from palletjack_spark.queries import REGISTRY
+
+    REGISTRY["q28_bucketed_join"].fn(spark, SF_DIR).collect()  # creates tables
+    key = SF_DIR.strip("/").replace("/", "_").replace(".", "_")
+    li = spark.table(f"pj_bkt_{key}_lineitem")
+    o = spark.table(f"pj_bkt_{key}_orders")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
