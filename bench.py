@@ -93,6 +93,7 @@ def bench_metadata(spark) -> dict[str, float]:
     import pyarrow.parquet as pq
 
     from palletjack_spark import build_index
+    from palletjack_spark.index.metadata_index import LocalIndex
 
     path = _ensure_meta_fixture()
 
@@ -101,10 +102,18 @@ def bench_metadata(spark) -> dict[str, float]:
         pq.ParquetFile(path).metadata  # full footer parse (baseline :98-102)
     full = (time.perf_counter() - t0) / META_CALLS
 
+    # single-process build — the reference's generate_metadata_index shape
+    # (palletjack.cc:207 runs in the calling process)
     t0 = time.perf_counter()
-    idx = build_index(spark, path)
-    local = idx.local()
+    local = LocalIndex.from_files(path)
     index_build = time.perf_counter() - t0
+
+    # distributed build — the 100 TB path (executor-side footer parses +
+    # validation job); measured separately so both shapes are visible
+    t0 = time.perf_counter()
+    idx = build_index(spark, path, use_cache=False)
+    index_build_spark = time.perf_counter() - t0
+    idx.unpersist()
 
     t0 = time.perf_counter()
     for _ in range(META_CALLS):
@@ -116,6 +125,7 @@ def bench_metadata(spark) -> dict[str, float]:
         "meta_full_footer": full,
         "meta_indexed": indexed,
         "meta_index_build_once": index_build,
+        "meta_index_build_spark": index_build_spark,
     }
 
 

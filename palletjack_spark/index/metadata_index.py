@@ -99,6 +99,23 @@ class LocalIndex:
             d["columns_by_name"] = {c["name"]: c for c in d["columns"]}
             self.row_groups[(d["file"], d["row_group"])] = d
 
+    @classmethod
+    def from_files(cls, paths) -> "LocalIndex":
+        """Build directly on the driver with pyarrow — the true analogue of
+        the reference's single-process ``generate_metadata_index``
+        (palletjack.cc:207: footer parse + index build in the calling
+        process, no cluster).  For small/ad-hoc file sets; the distributed
+        ``build_index`` path is the 100 TB route."""
+        from palletjack_spark.index.builder import _extract_file_rows
+        from palletjack_spark.sources.arrow_scan import expand_paths
+
+        file_rows, rg_rows = [], []
+        for p in expand_paths(paths):
+            frow, rgs = _extract_file_rows(p)
+            file_rows.append(frow)
+            rg_rows.extend(rgs)
+        return cls(rg_rows, file_rows)
+
     def read_metadata(
         self,
         file: str,
@@ -181,6 +198,14 @@ class MetadataIndex:
                 f"{r['indexed_rgs']} row groups indexed vs {r['num_row_groups']} "
                 f"declared, {r['indexed_rows']} rows vs {r['num_rows']}"
             )
+
+    def unpersist(self) -> None:
+        """Release the cached index DataFrames (no-op for persisted indexes)."""
+        for df in (self.row_groups, self.files):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
 
     def local(self) -> "LocalIndex":
         """Collect into a LocalIndex for O(1) driver-side metadata reads.
