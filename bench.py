@@ -152,6 +152,9 @@ def main() -> None:
         n = df.count()
         times[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # drop caches a query may have left (e.g. q91's shingle set) so
+        # later measurements aren't skewed by GC/memory pressure
+        spark.catalog.clearCache()
 
     for k, v in bench_metadata(spark).items():
         times[k] = round(v, 6)

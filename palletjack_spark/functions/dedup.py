@@ -47,6 +47,17 @@ def minhash_coeffs(k: int = MINHASH_K) -> list[tuple[int, int]]:
     ]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the input arrives
+    in fewer partitions (one small parquet file → one task otherwise: the
+    explode+hash stage would run on a single core).  At real scale inputs
+    already have enough splits and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def hash60(col: Column | str, seed: int | None = None) -> Column:
     """Portable 60-bit hash: first 15 hex chars of md5.  Matches DuckDB's
     ``('0x' || substr(md5(x), 1, 15))::BIGINT`` exactly."""
@@ -95,6 +106,7 @@ def hashed_shingles(
     (long, long) pairs instead of strings.  60-bit hashing makes shingle
     collisions negligible (~n²/2^60), so Jaccard over h equals Jaccard over
     the raw shingle sets for any real corpus."""
+    df = _spread(df)
     return (
         df.select(
             F.col(id_col),
@@ -137,21 +149,26 @@ def band_hashes(
     sig: DataFrame, id_col: str, bands: int = LSH_BANDS, rows: int = LSH_ROWS
 ) -> DataFrame:
     """LSH banding: (id, band, band_hash) — md5 over the band's signature
-    slice, the bucket key for the candidate self-join."""
-    parts = []
-    for b in range(bands):
-        cols = [F.col(f"s{b * rows + r}").cast("string") for r in range(rows)]
-        parts.append(
-            sig.select(
-                F.col(id_col),
+    slice, the bucket key for the candidate self-join.  One projection +
+    explode (not a bands-way union), so the signature table is scanned
+    once."""
+    pairs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *cols)).alias("band_hash"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[F.col(f"s{b * rows + r}").cast("string") for r in range(rows)],
+                    )
+                ).alias("band_hash"),
             )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+            for b in range(bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(pairs).alias("bh")).select(
+        id_col, "bh.band", "bh.band_hash"
+    )
 
 
 def minhash_lsh_pairs(
@@ -228,6 +245,7 @@ def ngram_jaccard_pairs(
     """Exact word n-gram Jaccard similarity, blocked to bound the pair
     count (pairs only within the same ``block_col`` value) — the fully
     SQL-expressible dedup variant (Q91b).  Returns (id_a, id_b, jaccard)."""
+    df = _spread(df)
     toks = df.select(
         F.col(id_col),
         F.col(block_col).alias("block"),
@@ -289,6 +307,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     Each token contributes its md5-derived bit pattern; the fingerprint
     sets bit j when more tokens have bit j set than not.  Portable across
     engines (Q99)."""
+    df = _spread(df)
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
