@@ -111,7 +111,7 @@ def bench_metadata(spark) -> dict[str, float]:
     # distributed build — the 100 TB path (executor-side footer parses +
     # validation job); measured separately so both shapes are visible
     t0 = time.perf_counter()
-    idx = build_index(spark, path, use_cache=False)
+    idx = build_index(spark, path, use_cache=False, driver_fast_path=False)
     index_build_spark = time.perf_counter() - t0
     idx.unpersist()
 

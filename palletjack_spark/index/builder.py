@@ -140,12 +140,20 @@ def _extract_file_rows(path: str) -> tuple[dict, list[dict]]:
 _INDEX_CACHE: dict[tuple, MetadataIndex] = {}
 
 
+#: at or below this many files an in-memory build parses footers on the
+#: driver — the reference's own execution shape (generate_metadata_index
+#: runs in the calling process, palletjack.cc:207) — skipping two Spark
+#: jobs.  Above it, footers are parsed executor-side (the 100 TB path).
+DRIVER_BUILD_MAX_FILES = 32
+
+
 def build_index(
     spark: SparkSession,
     paths: str | Iterable[str],
     index_dir: str | None = None,
     incremental: bool = False,
     use_cache: bool = True,
+    driver_fast_path: bool = True,
 ) -> MetadataIndex:
     """Build the metadata index for the given parquet files.
 
@@ -158,6 +166,24 @@ def build_index(
     cache_key = (id(spark), tuple(files))
     if use_cache and index_dir is None and cache_key in _INDEX_CACHE:
         return _INDEX_CACHE[cache_key]
+
+    if (
+        driver_fast_path
+        and index_dir is None
+        and len(files) <= DRIVER_BUILD_MAX_FILES
+    ):
+        file_rows, rg_rows = [], []
+        for p in files:
+            frow, rgs = _extract_file_rows(p)
+            file_rows.append(frow)
+            rg_rows.extend(rgs)
+        rg_df = spark.createDataFrame(rg_rows, ROW_GROUPS_SCHEMA)
+        files_df = spark.createDataFrame(file_rows, FILES_SCHEMA)
+        idx = MetadataIndex(spark, rg_df.cache(), files_df.cache(), index_dir=None)
+        idx.validate()
+        if use_cache:
+            _INDEX_CACHE[cache_key] = idx
+        return idx
     if incremental and index_dir and os.path.exists(os.path.join(index_dir, "files")):
         existing = {
             r["file"]

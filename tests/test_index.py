@@ -16,6 +16,7 @@ import pytest
 from palletjack_spark import build_index, load_index, read_parquet_arrow
 from palletjack_spark.errors import IndexFormatError, InvalidSelectionError
 from palletjack_spark.sources.arrow_scan import read_schema_arrow
+from tests.conftest import SF_DIR
 
 N_ROW_GROUPS = 5
 N_COLUMNS = 7
@@ -175,3 +176,43 @@ def test_read_parquet_arrow_direct(spark, perm_file):
     """Ad-hoc arrow scan without an index (R12 path)."""
     df = read_parquet_arrow(spark, perm_file, row_groups=[0, 4], columns=["column_2"])
     assert sorted(r["column_2"] for r in df.collect()) == [2.0, 42.0]
+
+
+def test_incremental_build_indexes_new_files_only(spark, tmp_path):
+    """incremental=True re-indexes only files absent from the sidecar
+    (the nightly-ingest path at 100 TB)."""
+    import shutil
+
+    from palletjack_spark.index.builder import build_index
+
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    shutil.copy(f"{SF_DIR}/nation.parquet", f"{data}/nation.parquet")
+    idx_dir = str(tmp_path / "idx")
+    idx1 = build_index(spark, data, index_dir=idx_dir)
+    assert idx1.files.count() == 1
+    shutil.copy(f"{SF_DIR}/region.parquet", f"{data}/region.parquet")
+    idx2 = build_index(spark, data, index_dir=idx_dir, incremental=True)
+    files = sorted(r["file"] for r in idx2.files.select("file").collect())
+    assert len(files) == 2 and files[0].endswith("nation.parquet")
+    # re-running with nothing new is a no-op returning the loaded index
+    idx3 = build_index(spark, data, index_dir=idx_dir, incremental=True)
+    assert idx3.files.count() == 2
+
+
+def test_driver_and_executor_builds_agree(spark):
+    """The driver fast path and the distributed path produce identical
+    index content (same differential guarantee as the reference's
+    file/in-memory index forms, test_palletjack.py:73-80)."""
+    from palletjack_spark.index.builder import build_index
+
+    path = f"{SF_DIR}/lineitem.parquet"
+    a = build_index(spark, path, use_cache=False, driver_fast_path=True)
+    b = build_index(spark, path, use_cache=False, driver_fast_path=False)
+    pa_ = a.row_groups.orderBy("file", "row_group").toPandas()
+    pb = b.row_groups.orderBy("file", "row_group").toPandas()
+    assert pa_.drop(columns=["columns"]).equals(pb.drop(columns=["columns"]))
+    assert pa_["columns"].apply(len).equals(pb["columns"].apply(len))
+    fa = a.files.toPandas().drop(columns=["arrow_schema"])
+    fb = b.files.toPandas().drop(columns=["arrow_schema"])
+    assert fa.equals(fb)
