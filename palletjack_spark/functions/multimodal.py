@@ -99,3 +99,67 @@ def extract_binary_features(assets: DataFrame) -> DataFrame:
         "asset_id long, modality string, n_bytes long, head_byte int,"
         " checksum long, width int, height int",
     )
+
+
+def resize_images(
+    assets: DataFrame, target_w: int = 32, target_h: int = 32
+) -> DataFrame:
+    """Resize image assets to (target_w, target_h): binary-in/binary-out
+    through ``mapInPandas``.  The resample math is STUBBED as deterministic
+    stride-subsampling of the payload bytes (a real kernel would drop in
+    here unchanged — same signature, same batch shape)."""
+    n_out = target_w * target_h * 3  # RGB
+
+    def rs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for p in pdf["payload"]:
+                p = bytes(p) if p is not None else b""
+                stride = max(1, len(p) // n_out)
+                payloads.append(p[::stride][:n_out].ljust(n_out, b"\0"))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "payload": payloads,
+                    "width": target_w,
+                    "height": target_h,
+                    "n_bytes": n_out,
+                }
+            )
+
+    return (
+        assets.where(F.col("modality") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(
+            rs, "asset_id long, payload binary, width int, height int, n_bytes long"
+        )
+    )
+
+
+def sample_frames(
+    assets: DataFrame, frame_bytes: int = 256, max_frames: int = 4
+) -> DataFrame:
+    """Sample frames from video assets — the UDTF shape: one input row →
+    one output row per sampled frame.  Frame extraction is STUBBED as
+    fixed-size payload slices (a codec would replace the slicing, keeping
+    the fan-out schema and Arrow batching)."""
+
+    def fr(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nos, frames = [], [], []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                p = bytes(p) if p is not None else b""
+                n = min(max_frames, max(1, len(p) // frame_bytes))
+                for i in range(n):
+                    ids.append(aid)
+                    nos.append(i)
+                    frames.append(p[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_no": nos, "frame_payload": frames}
+            )
+
+    return (
+        assets.where(F.col("modality") == "video")
+        .select("asset_id", "payload")
+        .mapInPandas(fr, "asset_id long, frame_no int, frame_payload binary")
+    )

@@ -67,18 +67,42 @@ def _stat_num(v) -> float | None:
     return None
 
 
-def _extract_file_rows(path: str) -> tuple[dict, list[dict]]:
-    """Executor-side: parse one footer, emit (file_row, row_group_rows)."""
+def _open_footer(path: str):
     import pyarrow.parquet as pq
 
     try:
-        pf = pq.ParquetFile(path)
+        return pq.ParquetFile(path)
     except Exception as e:
         if "encrypt" in str(e).lower():
             raise EncryptedParquetError(
                 f"Encrypted parquet is not supported: {path}"
             ) from e
         raise
+
+
+def _extract_file_row(path: str) -> dict:
+    """Footer-level row only — no per-row-group walk (the files pass
+    doesn't need column-chunk stats)."""
+    pf = _open_footer(path)
+    md = pf.metadata
+    schema = pf.schema_arrow
+    return {
+        "file": path,
+        "num_rows": md.num_rows,
+        "num_row_groups": md.num_row_groups,
+        "num_columns": md.num_columns,
+        "created_by": md.created_by,
+        "format_version": md.format_version,
+        "serialized_footer_size": md.serialized_size,
+        "file_size": os.path.getsize(path),
+        "column_names": list(schema.names),
+        "arrow_schema": schema.serialize().to_pybytes(),
+    }
+
+
+def _extract_file_rows(path: str) -> tuple[dict, list[dict]]:
+    """Executor-side: parse one footer, emit (file_row, row_group_rows)."""
+    pf = _open_footer(path)
     md = pf.metadata
     schema = pf.schema_arrow
     file_row = {
@@ -210,10 +234,7 @@ def build_index(
 
     def extract_files(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for path in pdf["file"]:
-                frow, _ = _extract_file_rows(path)
-                rows.append(frow)
+            rows = [_extract_file_row(path) for path in pdf["file"]]
             yield pd.DataFrame(rows, columns=[f.name for f in FILES_SCHEMA.fields])
 
     rg_df = fdf.mapInPandas(extract_rgs, ROW_GROUPS_SCHEMA)

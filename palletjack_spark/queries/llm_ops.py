@@ -282,6 +282,40 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q94b_multimodal_transform", oracle=None)
+def q94b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal transform pipeline (Q94b): binary assets → image resize
+    (binary-in/binary-out) + video frame sampling (1→N fan-out), then a
+    per-modality summary.  Decode/resample kernels are stubbed
+    deterministically (no media libs here); the Spark plumbing — schemas,
+    Arrow batches, fan-out — is real, so dropping in a real codec changes
+    no query shape.  Rows-only check (binary outputs aren't SQL-comparable);
+    determinism is asserted in tests/test_llm.py."""
+    from palletjack_spark.functions.multimodal import (
+        attach_fake_binary,
+        resize_images,
+        sample_frames,
+    )
+
+    assets = attach_fake_binary(t(spark, sf_dir, "documents"), "text", "doc_id")
+    resized = resize_images(assets).select(
+        "asset_id", F.lit("image_resized").alias("kind"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+    )
+    frames = sample_frames(assets).select(
+        "asset_id", F.lit("video_frame").alias("kind"),
+        F.length("frame_payload").cast("long").alias("n_bytes"),
+    )
+    return (
+        resized.unionByName(frames)
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+    )
+
+
 def _langid_oracle() -> str:
     langs = sorted(STOPWORDS)
     hit_exprs = ",\n             ".join(

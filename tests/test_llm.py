@@ -189,3 +189,23 @@ def test_nn_graph_matches_brute_force_top1(spark):
         nn[cols].sort_values("vec_id").reset_index(drop=True),
         bf[cols].sort_values("vec_id").reset_index(drop=True),
     )
+
+
+def test_multimodal_resize_and_frames(spark):
+    from palletjack_spark.functions.multimodal import resize_images, sample_frames
+
+    docs = load_table(spark, SF_DIR, "documents").limit(60)
+    assets = attach_fake_binary(docs, "text", "doc_id")
+    resized = resize_images(assets, target_w=8, target_h=8).toPandas()
+    assert (resized["n_bytes"] == 8 * 8 * 3).all()
+    assert resized["payload"].apply(len).eq(8 * 8 * 3).all()
+    frames = sample_frames(assets, frame_bytes=64, max_frames=3).toPandas()
+    assert frames.groupby("asset_id")["frame_no"].max().le(2).all()
+    assert frames["frame_payload"].apply(len).le(64).all()
+    # deterministic across runs
+    again = sample_frames(assets, frame_bytes=64, max_frames=3).toPandas()
+    k = ["asset_id", "frame_no"]
+    pd.testing.assert_frame_equal(
+        frames.sort_values(k).reset_index(drop=True),
+        again.sort_values(k).reset_index(drop=True),
+    )
