@@ -137,8 +137,11 @@ def minhash_signatures(
 def _signatures_from_hashed(
     sh: DataFrame, id_col: str, k: int = MINHASH_K
 ) -> DataFrame:
+    """(id, n_sh, s0..s{k-1}) — the set size rides along in the same
+    aggregate, so Jaccard verification needs no second groupBy over the
+    shingle set."""
     h30 = F.col("h").bitwiseAND(F.lit(_H30_MASK))
-    aggs = [
+    aggs = [F.count("*").alias("n_sh")] + [
         F.min(F.pmod(F.lit(a) * h30 + F.lit(b), F.lit(MINHASH_P))).alias(f"s{i}")
         for i, (a, b) in enumerate(minhash_coeffs(k))
     ]
@@ -191,7 +194,7 @@ def minhash_lsh_pairs(
     join; it is persisted so the explode+md5 pass runs once (at 100 TB this
     would be a checkpointed intermediate table)."""
     sh = hashed_shingles(df, text_col, id_col).persist()
-    sig = _signatures_from_hashed(sh, id_col, k=k)
+    sig = _signatures_from_hashed(sh, id_col, k=k).persist()
     bh = band_hashes(sig, id_col, bands=bands, rows=rows)
     a, b2 = bh.alias("a"), bh.alias("b")
     cand = (
@@ -206,7 +209,7 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sizes = sig.select(F.col(id_col), "n_sh")
     common = (
         cand.join(sh.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
         .join(

@@ -67,8 +67,11 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_oracle() -> str:
     n = SHINGLE_LEN
     sig_cols = ",\n         ".join(
-        f"MIN(({a} * (h & {_H30_MASK}) + {b}) % {MINHASH_P}) AS s{i}"
-        for i, (a, b) in enumerate(minhash_coeffs(MINHASH_K))
+        ["COUNT(*) AS n_sh"]
+        + [
+            f"MIN(({a} * (h & {_H30_MASK}) + {b}) % {MINHASH_P}) AS s{i}"
+            for i, (a, b) in enumerate(minhash_coeffs(MINHASH_K))
+        ]
     )
     band_selects = []
     for b in range(LSH_BANDS):
@@ -100,7 +103,7 @@ def _minhash_oracle() -> str:
         ON a.band = b.band AND a.band_hash = b.band_hash
        AND a.doc_id < b.doc_id
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    sizes AS (SELECT doc_id, n_sh FROM sig),
     common AS (
       SELECT c.id_a, c.id_b, COUNT(*) AS common
       FROM cand c
