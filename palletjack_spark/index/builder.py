@@ -201,9 +201,11 @@ def build_index(
             frow, rgs = _extract_file_rows(p)
             file_rows.append(frow)
             rg_rows.extend(rgs)
+        # LocalRelations — already driver-resident, so no .cache(): caching
+        # would only pay InMemoryRelation codegen for the nested schema
         rg_df = spark.createDataFrame(rg_rows, ROW_GROUPS_SCHEMA)
         files_df = spark.createDataFrame(file_rows, FILES_SCHEMA)
-        idx = MetadataIndex(spark, rg_df.cache(), files_df.cache(), index_dir=None)
+        idx = MetadataIndex(spark, rg_df, files_df, index_dir=None)
         idx.validate()
         if use_cache:
             _INDEX_CACHE[cache_key] = idx
