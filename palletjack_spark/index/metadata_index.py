@@ -225,20 +225,36 @@ class MetadataIndex:
             self._files_cache = self.files.orderBy("file").collect()
         return self._files_cache
 
-    def arrow_schema(self) -> pa.Schema:
+    def arrow_schema(self, files: Sequence[str] | None = None) -> pa.Schema:
+        """Schema of the indexed files (restricted to ``files`` if given).
+
+        An index may span tables with different schemas (e.g. one catalog
+        index over lineitem+orders); schema-dependent operations must then
+        name the files they target — silently using the first file's schema
+        would misread the rest."""
         rows = self._file_rows()
+        if files is not None:
+            want = set(files)
+            rows = [r for r in rows if r["file"] in want]
         if not rows:
             raise IndexFormatError("Empty index")
+        schemas = {bytes(r["arrow_schema"]) for r in rows}
+        if len(schemas) > 1:
+            raise InvalidSelectionError(
+                f"Index spans {len(schemas)} distinct schemas; pass files=[...] "
+                "to select a single-schema subset"
+            )
         return pa.ipc.read_schema(pa.BufferReader(rows[0]["arrow_schema"]))
 
     def read_schema(
         self,
         columns: Sequence[str] | None = None,
         column_indices: Sequence[int] | None = None,
+        files: Sequence[str] | None = None,
     ) -> T.StructType:
         """Schema from the index only — no data-file footer is touched
         (reference schema-only fast path, palletjack.cc:492-520)."""
-        schema = self.arrow_schema()
+        schema = self.arrow_schema(files)
         sel = resolve_columns(schema.names, columns, column_indices)
         if sel is not None:
             schema = pa.schema([schema.field(c) for c in sel])
@@ -331,7 +347,7 @@ class MetadataIndex:
         full scan + filter — pruning is a pure optimization, as in Spark's
         native source.
         """
-        schema = self.arrow_schema()
+        schema = self.arrow_schema(files)
         sel = resolve_columns(schema.names, columns, column_indices)
 
         if row_groups is not None:

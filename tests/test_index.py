@@ -216,3 +216,22 @@ def test_driver_and_executor_builds_agree(spark):
     fa = a.files.toPandas().drop(columns=["arrow_schema"])
     fb = b.files.toPandas().drop(columns=["arrow_schema"])
     assert fa.equals(fb)
+
+
+def test_mixed_schema_index_requires_file_selection(spark):
+    """One index over two tables with different schemas: schema-dependent
+    reads must name their files instead of silently using the first
+    file's schema."""
+    li, od = f"{SF_DIR}/lineitem.parquet", f"{SF_DIR}/orders.parquet"
+    idx = build_index(spark, [li, od], use_cache=False)
+    # metadata-only ops work across schemas
+    assert idx.count_rows().count() == 2
+    with pytest.raises(InvalidSelectionError, match="distinct schemas"):
+        idx.read()
+    with pytest.raises(InvalidSelectionError, match="distinct schemas"):
+        idx.read_schema()
+    # restricted to one file, reads work
+    got = idx.read(files=[od], columns=["o_orderkey"]).count()
+    want = spark.read.parquet(od).count()
+    assert got == want
+    assert idx.read_schema(files=[li]).fieldNames()[0] == "l_orderkey"
