@@ -145,6 +145,16 @@ def main() -> None:
     spark.range(32).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    # ...and the agg/join codegen shapes (first Janino compile ~2s)
+    from pyspark.sql import functions as _F
+
+    (
+        spark.range(100)
+        .groupBy((_F.col("id") % 5).alias("k"))
+        .count()
+        .join(spark.range(5).withColumnRenamed("id", "k"), "k")
+        .collect()
+    )
 
     for name in HEADLINE:
         t0 = time.perf_counter()

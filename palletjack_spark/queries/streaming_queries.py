@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from palletjack_spark.queries.registry import query, t
 from palletjack_spark.streaming.ops import (
+    click_view_stream_join,
     dedup_within_watermark,
     events_stream,
     run_stream_to_table,
@@ -144,6 +145,28 @@ def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup_within_watermark(events_stream(spark, sf_dir), ["event_id"])
     return run_stream_to_table(
         out.select("event_id", "user_id", "event_type", "value"), "append"
+    )
+
+
+@query(
+    "q77_stream_stream_join",
+    oracle=f"""
+    SELECT a.event_id AS click_id, b.event_id AS view_id,
+           a.user_id,
+           a.ts AS click_ts, b.ts AS view_ts
+    FROM {_E} a JOIN {_E} b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'view'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    """,
+)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join [north-star]: clicks ⋈ views of the same
+    user within 10 minutes, watermarks bounding the join state on both
+    sides.  Over the replayed stream the append-mode result equals the
+    batch interval join — the oracle."""
+    return run_stream_to_table(
+        click_view_stream_join(events_stream(spark, sf_dir)), "append"
     )
 
 

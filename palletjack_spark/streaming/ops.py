@@ -190,6 +190,44 @@ def running_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def click_view_stream_join(events: DataFrame) -> DataFrame:
+    """Q77: stream-stream interval join — clicks matched to the same user's
+    views within the following 10 minutes.  Both sides carry watermarks, so
+    join state is bounded: a buffered click can be evicted once the view
+    watermark passes its 10-minute window (the property that makes
+    stream-stream joins feasible at unbounded input)."""
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("cu"),
+            F.col("ts").cast("timestamp").alias("cts"),
+        )
+        .withWatermark("cts", "10 minutes")
+    )
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("vu"),
+            F.col("ts").cast("timestamp").alias("vts"),
+        )
+        .withWatermark("vts", "10 minutes")
+    )
+    return clicks.join(
+        views,
+        (F.col("cu") == F.col("vu"))
+        & (F.col("vts") >= F.col("cts"))
+        & (F.col("vts") <= F.col("cts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select(
+        "click_id",
+        "view_id",
+        F.col("cu").alias("user_id"),
+        F.col("cts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("vts").cast("timestamp_ntz").alias("view_ts"),
+    )
+
+
 def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
     """Q75: stream ⋈ static dimension (broadcast per microbatch) + agg."""
     joined = events.join(
