@@ -5,7 +5,7 @@ codegen) — no Python in the hot path."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -111,4 +111,38 @@ def fingerprint_md5(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col),
         F.md5(normalized).alias("fingerprint"),
         F.substring(F.md5(normalized), 1, 8).alias("fp_prefix"),
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Q96b): rolling k-gram hashes, keep
+    the minimum of every w-hash window, distinct — the classic local
+    fingerprinting scheme (robust to insertions: two documents sharing a
+    long-enough substring share fingerprints).
+
+    Fully JVM-side: posexplode positions → portable hash60 → running
+    window min → distinct.  One shuffle (the per-doc window), one distinct.
+    """
+    from palletjack_spark.functions.dedup import _spread, hash60
+
+    df = _spread(df)
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+                f" i -> substring({text_col}, i, {k}))"
+            )
+        ).alias("pos", "gram"),
+    ).select(F.col(id_col), "pos", hash60(F.col("gram")).alias("h"))
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        grams.select(F.col(id_col), F.min("h").over(win).alias("fp"))
+        .distinct()
     )

@@ -371,6 +371,35 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q96b_winnowing",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, i AS pos,
+             {_sql_hash60('substr(text, i, 8)')} AS h
+      FROM documents,
+           UNNEST(generate_series(1, greatest(length(text) - 7, 1))) AS s(i)
+    ),
+    wmin AS (
+      SELECT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM grams
+    )
+    SELECT DISTINCT doc_id, fp FROM wmin
+    """,
+)
+def q96b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Q96b): rolling 8-gram hashes, min of each
+    4-hash window, distinct — the local fingerprinting scheme robust to
+    edits, fully window-function-expressible (and so oracle-exact)."""
+    from palletjack_spark.functions.text import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=8, w=4
+    )
+
+
+@query(
     "q97_token_count",
     oracle="""
     SELECT doc_id,
