@@ -135,17 +135,59 @@ def minhash_signatures(
 
 
 def _signatures_from_hashed(
-    sh: DataFrame, id_col: str, k: int = MINHASH_K
+    sh: DataFrame, id_col: str, k: int = MINHASH_K, with_set: bool = False
 ) -> DataFrame:
-    """(id, n_sh, s0..s{k-1}) — the set size rides along in the same
-    aggregate, so Jaccard verification needs no second groupBy over the
-    shingle set."""
+    """(id, n_sh, s0..s{k-1}[, sh_set]) — the set size (and, with
+    ``with_set``, the sorted hashed-shingle set itself) rides along in the
+    same aggregate, so Jaccard verification needs no second shuffle over
+    the shingle table."""
     h30 = F.col("h").bitwiseAND(F.lit(_H30_MASK))
     aggs = [F.count("*").alias("n_sh")] + [
         F.min(F.pmod(F.lit(a) * h30 + F.lit(b), F.lit(MINHASH_P))).alias(f"s{i}")
         for i, (a, b) in enumerate(minhash_coeffs(k))
     ]
+    if with_set:
+        # h is already distinct per id (hashed_shingles), so collect_list
+        # IS the set; sort_array for a deterministic layout
+        aggs.append(F.sort_array(F.collect_list("h")).alias("sh_set"))
     return sh.groupBy(id_col).agg(*aggs)
+
+
+def _signatures_one_shuffle(
+    df: DataFrame, text_col: str, id_col: str, k: int = MINHASH_K,
+    n: int = SHINGLE_LEN,
+) -> DataFrame:
+    """(id, n_sh, s0..s{k-1}, sh_set) with the shingle table shuffled
+    exactly once: no pre-``distinct`` pass — ``collect_set`` dedups inside
+    the aggregate, and MIN over duplicate shingle rows equals MIN over the
+    set (the min-permutation aggregates still combine map-side, so their
+    shuffle contribution is O(docs × k), not O(shingles))."""
+    df = _spread(df)
+    sh_rows = df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1)))
+        ).alias("i"),
+        F.col(text_col),
+    ).select(
+        F.col(id_col),
+        hash60(F.expr(f"substring({text_col}, i, {n})")).alias("h"),
+    )
+    h30 = F.col("h").bitwiseAND(F.lit(_H30_MASK))
+    aggs = [F.collect_set("h").alias("hset")] + [
+        F.min(F.pmod(F.lit(a) * h30 + F.lit(b), F.lit(MINHASH_P))).alias(f"s{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(k))
+    ]
+    return (
+        sh_rows.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.size("hset").alias("n_sh"),
+            *[F.col(f"s{i}") for i in range(k)],
+            F.sort_array("hset").alias("sh_set"),
+        )
+    )
 
 
 def band_hashes(
@@ -190,11 +232,12 @@ def minhash_lsh_pairs(
     shingle-set Jaccard, so precision is 1.0 and only recall depends on the
     banding (Q91).
 
-    The hashed shingle set feeds both the signatures and the verification
-    join; it is persisted so the explode+md5 pass runs once (at 100 TB this
-    would be a checkpointed intermediate table)."""
-    sh = hashed_shingles(df, text_col, id_col).persist()
-    sig = _signatures_from_hashed(sh, id_col, k=k).persist()
+    The hashed shingle table is shuffled exactly once: the signature
+    aggregate also carries the per-doc sorted shingle set, so verification
+    is an ``array_intersect`` over the (small) candidate list instead of
+    two more joins against the full shingle table — at 100 TB the shingle
+    explode/shuffle dominates, so one pass over it is the design point."""
+    sig = _signatures_one_shuffle(df, text_col, id_col, k=k).persist()
     bh = band_hashes(sig, id_col, bands=bands, rows=rows)
     a, b2 = bh.alias("a"), bh.alias("b")
     cand = (
@@ -209,28 +252,30 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sizes = sig.select(F.col(id_col), "n_sh")
-    common = (
-        cand.join(sh.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
-        .join(
-            sh.alias("sb"),
-            (F.col("id_b") == F.col(f"sb.{id_col}"))
-            & (F.col("sa.h") == F.col("sb.h")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("common"))
-    )
+    # shuffle_hash: the set-carrying rows are wide (one array per doc);
+    # SMJ would sort them, a hash join just streams them
+    sets_df = sig.select(F.col(id_col), "n_sh", "sh_set")
     return (
-        common.join(
-            sizes.alias("za"), F.col("id_a") == F.col(f"za.{id_col}")
+        cand.join(
+            sets_df.alias("za").hint("shuffle_hash"),
+            F.col("id_a") == F.col(f"za.{id_col}"),
         )
-        .join(sizes.alias("zb"), F.col("id_b") == F.col(f"zb.{id_col}"))
+        .join(
+            sets_df.alias("zb").hint("shuffle_hash"),
+            F.col("id_b") == F.col(f"zb.{id_col}"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("za.sh_set", "zb.sh_set")).alias("common"),
+            F.col("za.n_sh").alias("na"),
+            F.col("zb.n_sh").alias("nb"),
+        )
         .select(
             "id_a",
             "id_b",
             (
-                F.col("common")
-                / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("common"))
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)

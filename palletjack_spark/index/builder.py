@@ -205,7 +205,10 @@ def build_index(
         # would only pay InMemoryRelation codegen for the nested schema
         rg_df = spark.createDataFrame(rg_rows, ROW_GROUPS_SCHEMA)
         files_df = spark.createDataFrame(file_rows, FILES_SCHEMA)
-        idx = MetadataIndex(spark, rg_df, files_df, index_dir=None)
+        idx = MetadataIndex(
+            spark, rg_df, files_df, index_dir=None,
+            local_rows=(rg_rows, file_rows),
+        )
         idx.validate()
         if use_cache:
             _INDEX_CACHE[cache_key] = idx

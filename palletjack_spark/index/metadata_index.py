@@ -24,6 +24,7 @@ from pyspark.sql import types as T
 
 from palletjack_spark.errors import IndexFormatError, InvalidSelectionError
 from palletjack_spark.sources.arrow_scan import (
+    _TARGET_TASK_BYTES,
     arrow_to_spark_schema,
     resolve_columns,
     scan_tasks,
@@ -165,18 +166,40 @@ class MetadataIndex:
         row_groups: DataFrame,
         files: DataFrame,
         index_dir: str | None,
+        local_rows: tuple[list, list] | None = None,
     ):
         self.spark = spark
         self.row_groups = row_groups
         self.files = files
         self.index_dir = index_dir
         self._files_cache: list | None = None
+        #: driver-resident (rg_rows, file_rows) dicts for small indexes —
+        #: validation, schema reads and read-planning then run in plain
+        #: Python with zero Spark jobs (the reference's single-process
+        #: execution shape).  None for distributed/persisted catalogs.
+        self._local = local_rows
 
     # -- validation (reference palletjack.cc:239-310) -----------------------
 
     def validate(self) -> None:
         """Cross-check row-group cardinalities against file headers —
         the analogue of the reference's offset-array count validation."""
+        if self._local is not None:
+            rg_rows, file_rows = self._local
+            counts: dict[str, list[int]] = {}
+            for r in rg_rows:
+                acc = counts.setdefault(r["file"], [0, 0])
+                acc[0] += 1
+                acc[1] += r["num_rows"]
+            for fr in file_rows:
+                got = counts.get(fr["file"], [0, 0])
+                if got[0] != fr["num_row_groups"] or got[1] != fr["num_rows"]:
+                    raise IndexFormatError(
+                        f"Index inconsistent for {fr['file']}: "
+                        f"{got[0]} row groups indexed vs {fr['num_row_groups']} "
+                        f"declared, {got[1]} rows vs {fr['num_rows']}"
+                    )
+            return
         bad = (
             self.row_groups.groupBy("file")
             .agg(
@@ -213,6 +236,8 @@ class MetadataIndex:
         Uses the Arrow collection path (``toArrow``) — nested column-stat
         structs come back as plain dicts in one C++ pass instead of 10⁵
         row-by-row ``Row.asDict`` conversions."""
+        if self._local is not None:
+            return LocalIndex(self._local[0], self._local[1])
         return LocalIndex(
             self.row_groups.toArrow().to_pylist(),
             self.files.toArrow().to_pylist(),
@@ -222,7 +247,12 @@ class MetadataIndex:
 
     def _file_rows(self) -> list:
         if self._files_cache is None:
-            self._files_cache = self.files.orderBy("file").collect()
+            if self._local is not None:
+                self._files_cache = sorted(
+                    self._local[1], key=lambda r: r["file"]
+                )
+            else:
+                self._files_cache = self.files.orderBy("file").collect()
         return self._files_cache
 
     def arrow_schema(self, files: Sequence[str] | None = None) -> pa.Schema:
@@ -308,6 +338,37 @@ class MetadataIndex:
             cond = cond & F.when(has, keep).otherwise(F.lit(True))
         return cond
 
+    @staticmethod
+    def _keep_local(rg: dict, predicate: Sequence[tuple]) -> bool:
+        """Python mirror of ``_prune_condition`` for driver-local planning —
+        identical keep semantics: missing column or missing stats keep the
+        row group (conservative)."""
+        for col_name, op, *vals in predicate:
+            if op not in _PRUNE_OPS:
+                raise InvalidSelectionError(f"Unsupported prune op: {op}")
+            st = next((c for c in rg["columns"] if c["name"] == col_name), None)
+            if st is None:
+                continue
+            lo, hi = st["min_num"], st["max_num"]
+            if lo is None or hi is None:
+                continue
+            v = float(vals[0]) if vals else None
+            if op in ("=", "=="):
+                keep = lo <= v <= hi
+            elif op == "<":
+                keep = lo < v
+            elif op == "<=":
+                keep = lo <= v
+            elif op == ">":
+                keep = hi > v
+            elif op == ">=":
+                keep = hi >= v
+            else:  # between
+                keep = hi >= v and lo <= float(vals[1])
+            if not keep:
+                return False
+        return True
+
     def prune(
         self,
         files: Sequence[str] | None = None,
@@ -360,15 +421,51 @@ class MetadataIndex:
                             f"Row group {rg} is out of range [0, {max_rg.get(f, 0)}) for {f}"
                         )
 
-        plan = self.prune(files=files, row_groups=row_groups, predicate=predicate)
-        # O(selected) driver-side task list; each element is one row-group.
-        # At 100 TB selections stay small *because* of pruning; an
-        # all-row-groups scan should use spark.read.parquet instead.
-        rows = plan.select("file", "row_group").orderBy("file", "row_group").collect()
-        by_file: dict[str, list[int]] = {}
-        for r in rows:
-            by_file.setdefault(r["file"], []).append(r["row_group"])
-        tasks = [(f, rgs) for f, rgs in by_file.items()]
+        # O(selected) driver-side task list.  At 100 TB selections stay
+        # small *because* of pruning; an all-row-groups scan should use
+        # spark.read.parquet instead.
+        if self._local is not None:
+            # plan in plain Python — no Spark job before the scan itself
+            rg_rows = self._local[0]
+            if files is not None:
+                want_f = set(files)
+                rg_rows = [r for r in rg_rows if r["file"] in want_f]
+            if row_groups is not None:
+                want_rg = {int(r) for r in row_groups}
+                rg_rows = [r for r in rg_rows if r["row_group"] in want_rg]
+            if predicate:
+                rg_rows = [r for r in rg_rows if self._keep_local(r, predicate)]
+            sel_rows = sorted(
+                (r["file"], r["row_group"], r["total_byte_size"]) for r in rg_rows
+            )
+        else:
+            plan = self.prune(
+                files=files, row_groups=row_groups, predicate=predicate
+            )
+            sel_rows = [
+                (r["file"], r["row_group"], r["total_byte_size"])
+                for r in plan.select("file", "row_group", "total_byte_size")
+                .orderBy("file", "row_group")
+                .collect()
+            ]
+        # chunk each file's selection into ~128 MB spans so one big file
+        # still fans out across executors (parity with arrow_scan._plan_tasks)
+        tasks: list[tuple[str, list[int]]] = []
+        cur_file: str | None = None
+        span: list[int] = []
+        span_bytes = 0
+        for f, rg, nbytes in sel_rows:
+            if f != cur_file and span:
+                tasks.append((cur_file, span))
+                span, span_bytes = [], 0
+            cur_file = f
+            span.append(rg)
+            span_bytes += nbytes or 0
+            if span_bytes >= _TARGET_TASK_BYTES:
+                tasks.append((cur_file, span))
+                span, span_bytes = [], 0
+        if span:
+            tasks.append((cur_file, span))
         df = scan_tasks(self.spark, tasks, schema, sel)
         if predicate and apply_residual:
             for col_name, op, *vals in predicate:
