@@ -167,15 +167,23 @@ def main() -> None:
         .collect()
     )
     # ...and the minhash/LSH generated-code shapes (16 permutation mins,
-    # band md5s, array_intersect verify) on a 16-doc inline corpus —
-    # identical codegen classes, so q91 measures the data pass, not Janino
+    # band md5s, array_intersect verify) on a 16-doc corpus staged as
+    # parquet with the documents schema — the codegen classes then match
+    # q91's scan-backed pipeline, so q91 measures the data pass, not Janino
+    import tempfile as _tf
+
     from palletjack_spark.functions.dedup import minhash_lsh_pairs as _mlp
 
-    _tiny_docs = spark.createDataFrame(
-        [(i, f"warmup document {i} " * 3) for i in range(16)],
-        "doc_id long, text string",
-    )
-    _mlp(_tiny_docs, "text", "doc_id").count()
+    _tiny_dir = os.path.join(_tf.gettempdir(), "pjspark_bench_docs_warm")
+    if not os.path.exists(os.path.join(_tiny_dir, "_SUCCESS")):
+        spark.createDataFrame(
+            [
+                (i, f"warmup document {i} " * 3, "en", "warm", 60)
+                for i in range(16)
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(_tiny_dir)
+    _mlp(spark.read.parquet(_tiny_dir), "text", "doc_id").count()
     spark.catalog.clearCache()
     # ...and the Structured Streaming machinery (state store, memory sink,
     # streaming agg codegen) with a 2-row availableNow stream
