@@ -187,3 +187,129 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("file").alias("num_files"),
         )
     )
+
+
+@query(
+    "q37_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS p25,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.5)  AS p50,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS p75,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.95) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group [host].  Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the classic
+    (n-1)·q interpolation, so doubles match bit-for-bit.  At scale the
+    exact percentile is a sort-based aggregate; ``approx_percentile``
+    (t-digest, Q32's tolerance regime) is the 100 TB fallback."""
+    q = "percentile(CAST(l_quantity AS DOUBLE), {p})"
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            *[
+                F.expr(q.format(p=p)).alias(a)
+                for p, a in [
+                    ("0.25D", "p25"),
+                    ("0.5D", "p50"),
+                    ("0.75D", "p75"),
+                    ("0.95D", "p95"),
+                ]
+            ]
+        )
+    )
+
+
+#: moments from exact decimal power sums, finished in IDENTICAL double
+#: expressions on both engines — no Welford/streaming-variance drift
+#: rounded to 6 decimals: the compounded double expressions can differ by
+#: an ulp or two across engines (FMA contraction), and the compare is exact
+_Q38_FINISH = {
+    "var_qty": "round((n * sxx - sx * sx) / (n * (n - 1)), 6)",
+    "stddev_qty": "round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6)",
+    "covar_qp": "round((n * sxy - sx * sy) / (n * (n - 1)), 6)",
+    "corr_qp": (
+        "round((n * sxy - sx * sy)"
+        " / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)"
+    ),
+}
+
+
+@query(
+    "q38_stat_moments",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             -- DECIMAL(14,3) multiplicands: the fixture values carry <=2
+             -- decimals so this is still exact, and the (28,6) product
+             -- stays inside DuckDB's INT128 decimal (a (18,6) square
+             -- overflows its INT64 path)
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(14,3))
+                      * CAST(l_quantity AS DECIMAL(14,3))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,3))
+                      * CAST(l_extendedprice AS DECIMAL(14,3))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(14,3))
+                      * CAST(l_extendedprice AS DECIMAL(14,3))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           {", ".join(f"{e} AS {a}" for a, e in _Q38_FINISH.items())}
+    FROM s
+    """,
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev / covariance / correlation per group [host].
+    Streaming moment aggregates (Welford) are order-dependent in floats, so
+    both engines compute exact decimal power sums (order-independent) and
+    finish with the same double formula — bit-identical results at any
+    partitioning."""
+    li = t(spark, sf_dir, "lineitem")
+    dx = F.col("l_quantity").cast("decimal(18,6)")
+    dy = F.col("l_extendedprice").cast("decimal(18,6)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dy * dy).cast("double").alias("syy"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+    )
+    return s.select(
+        "l_returnflag",
+        *[F.expr(e).alias(a) for a, e in _Q38_FINISH.items()],
+    )
+
+
+@query(
+    "q39_pivot",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN l_returnflag = 'A'
+                CASE_A END) AS DOUBLE) AS A,
+           CAST(SUM(CASE WHEN l_returnflag = 'N'
+                CASE_A END) AS DOUBLE) AS N,
+           CAST(SUM(CASE WHEN l_returnflag = 'R'
+                CASE_A END) AS DOUBLE) AS R
+    FROM lineitem GROUP BY l_linestatus
+    """.replace(
+        "CASE_A", "THEN CAST(l_quantity AS DECIMAL(18,6))"
+    ),
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide) [host]: ``groupBy().pivot(values).agg`` is
+    conditional aggregation under the hood — one shuffle, no N-way
+    self-join; the explicit value list keeps the schema static (a dynamic
+    pivot needs a driver-side distinct first, an anti-pattern at scale)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double"))
+    )

@@ -106,3 +106,31 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
+
+
+@query(
+    "q47_hash_sample",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT % 100
+             AS bucket
+    FROM orders
+    WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT % 100 < 5
+    """,
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling [north-star util]: a reproducible ~5%
+    sample via an md5 key bucket — unlike ``df.sample`` it is stable across
+    engines, partitionings and reruns, which is what a 100 TB training-data
+    pipeline needs for holdout splits (the bucket expression is a pure
+    projection, so the filter pipelines into the scan)."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", bucket.alias("bucket"))
+        .where(F.col("bucket") < 5)
+    )

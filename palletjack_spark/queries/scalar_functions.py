@@ -256,3 +256,37 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("present")
         .alias("missing_probe"),
     )
+
+
+@query(
+    "q68_array_hof",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6)
+             AS norm2,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           CAST(list_max(embedding) AS DOUBLE) AS vmax
+    FROM embeddings
+    """,
+)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions [ref LIST h:706]: transform / filter /
+    aggregate lambdas evaluated inside the JVM over the embedding column —
+    the JVM-side building blocks the cosine/ANN pipeline (Q92*) composes.
+    Sequential fold both engines -> identical doubles (rounded vs FMA)."""
+    e = t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(
+            F.expr(
+                "aggregate(embedding, 0D,"
+                " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+            ),
+            6,
+        ).alias("norm2"),
+        F.expr("size(filter(embedding, x -> x > 0))").cast("long").alias("n_pos"),
+        F.array_max("embedding").cast("double").alias("vmax"),
+    )

@@ -86,3 +86,59 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates()
     )
+
+
+_Q53_SQL = """
+    SELECT o_orderkey, o_totalprice
+    FROM {orders} o
+    WHERE o_custkey IN (SELECT c_custkey FROM {customer}
+                        WHERE c_mktsegment = 'BUILDING')
+      AND o_totalprice > (SELECT 0.5 * MAX(l_extendedprice) FROM {lineitem})
+      AND EXISTS (SELECT 1 FROM {lineitem} l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+"""
+
+
+@query(
+    "q53_sql_subqueries",
+    oracle=_Q53_SQL.format(orders="orders", customer="customer", lineitem="lineitem"),
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL subqueries [host]: IN-subquery (left-semi), EXISTS (correlated ->
+    left-semi after decorrelation), and a scalar subquery (one-row broadcast).
+    Catalyst rewrites all three into joins — no per-row re-execution, unlike
+    a naive interpreter.  The exact same SQL text runs on both engines."""
+    for name in ("orders", "customer", "lineitem"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"pj_q53_{name}")
+    return spark.sql(
+        _Q53_SQL.format(
+            orders="pj_q53_orders",
+            customer="pj_q53_customer",
+            lineitem="pj_q53_lineitem",
+        )
+    )
+
+
+_Q55_SQL = """
+    WITH RECURSIVE months(m) AS (
+      SELECT 1
+      UNION ALL
+      SELECT m + 1 FROM months WHERE m < 12
+    )
+    SELECT m AS month, COUNT(o_orderkey) AS n_orders
+    FROM months LEFT JOIN {orders}
+      ON EXTRACT(MONTH FROM o_orderdate) = m
+    GROUP BY m
+"""
+
+
+@query(
+    "q55_recursive_cte",
+    oracle=_Q55_SQL.format(orders="orders"),
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE [host, Spark 4]: an iterative UnionLoop seeded by the
+    anchor — here a 12-row month dimension joined against orders.  The
+    recursion happens on the driver plan, the join fans out normally."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("pj_q55_orders")
+    return spark.sql(_Q55_SQL.format(orders="pj_q55_orders"))

@@ -40,7 +40,7 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
     )
 
 
@@ -177,4 +177,33 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
         .limit(100)
+    )
+
+
+@query(
+    "q44_dist_windows",
+    oracle="""
+    SELECT o_orderkey,
+           percent_rank() OVER w AS pr,
+           cume_dist()    OVER w AS cd,
+           ntile(4)       OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions [host]: percent_rank / cume_dist /
+    ntile over a total order (unique o_orderkey tiebreak, so every engine
+    ranks identically).  percent_rank = (rank-1)/(n-1) is a ratio of exact
+    integers — bit-identical doubles across engines."""
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
     )
