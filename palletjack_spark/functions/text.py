@@ -5,7 +5,7 @@ codegen) — no Python in the hot path."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -122,27 +122,26 @@ def winnowing_fingerprints(
     fingerprinting scheme (robust to insertions: two documents sharing a
     long-enough substring share fingerprints).
 
-    Fully JVM-side: posexplode positions → portable hash60 → running
-    window min → distinct.  One shuffle (the per-doc window), one distinct.
+    Fully JVM-side and ZERO-shuffle: the k-gram hash array, every trailing
+    w-window minimum (``array_min(slice(...))`` ≡ the running window min),
+    and the per-doc dedup (``array_distinct``) are all array expressions
+    over the document row — output rows are (id, fp) distinct already,
+    since fingerprints are deduped within each document and rows from
+    different documents differ by id.  Embarrassingly parallel at 100 TB.
     """
-    from palletjack_spark.functions.dedup import _spread, hash60
+    from palletjack_spark.functions.dedup import _spread
 
     df = _spread(df)
-    grams = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
-                f" i -> substring({text_col}, i, {k}))"
-            )
-        ).alias("pos", "gram"),
-    ).select(F.col(id_col), "pos", hash60(F.col("gram")).alias("h"))
-    win = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, w - 1)
+    harr = (
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+        f" i -> cast(conv(substring(md5(substring({text_col}, i, {k})), 1, 15),"
+        f" 16, 10) as long))"
+    )
+    fps = (
+        f"array_distinct(transform(sequence(1, size(h)),"
+        f" j -> array_min(slice(h, j, {w}))))"
     )
     return (
-        grams.select(F.col(id_col), F.min("h").over(win).alias("fp"))
-        .distinct()
+        df.select(F.col(id_col), F.expr(harr).alias("h"))
+        .select(F.col(id_col), F.explode(F.expr(fps)).alias("fp"))
     )

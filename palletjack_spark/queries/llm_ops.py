@@ -468,3 +468,122 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (Q99): 32-bit majority-vote over portable token
     hashes — near-dup candidates differ in O(1) bits."""
     return simhash(t(spark, sf_dir, "documents"), "text", "doc_id", bits=32)
+
+
+def _curation_oracle() -> str:
+    """Q100 oracle — generated from the same STOPWORDS/TOKEN_REGEX constants
+    as the Spark pipeline (the q91 generated-oracle discipline)."""
+    from palletjack_spark.functions.text import TOKEN_REGEX
+
+    langs = sorted(STOPWORDS)
+    hits = ",\n             ".join(
+        "len(list_filter(string_split(text, ' '), t -> t IN ({words})))"
+        " AS hits_{lang}".format(
+            words=", ".join(f"'{w}'" for w in STOPWORDS[lang]), lang=lang
+        )
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    case = f"CASE WHEN {best} = 0 THEN 'und'\n"
+    for lang in langs:
+        case += f"             WHEN hits_{lang} = {best} THEN '{lang}'\n"
+    case += "             ELSE 'und' END"
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, text,
+             sha256(text) AS content_hash,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             len(list_distinct(string_split(text, ' ')))
+               / len(string_split(text, ' ')) AS ttr,
+             {hits}
+      FROM documents
+    ),
+    dedup AS (
+      SELECT *, MIN(doc_id) OVER (PARTITION BY content_hash) AS keeper
+      FROM scored
+    ),
+    q AS (
+      SELECT *,
+             ((CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN n_tokens BETWEEN 20 AND 500 THEN 1.0 ELSE 0.0 END)
+              + ttr) / 3.0 AS quality,
+             {case} AS pred_lang
+      FROM dedup WHERE doc_id = keeper
+    )
+    SELECT doc_id, pred_lang, quality,
+           CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}', 0)) AS BIGINT)
+             AS re_tokens,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                     % 10 < 9
+                THEN 'train' ELSE 'heldout' END AS split
+    FROM q
+    WHERE quality >= 0.5 AND pred_lang = 'en'
+    """
+
+
+@query("q100_curation_pipeline", oracle=_curation_oracle())
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation (Q100) — the composition a training-data
+    pipeline actually runs: exact dedup (window-min over the content hash,
+    one shuffle) -> language ID + quality scoring + token counting (all
+    pure projections, zero shuffles) -> deterministic md5 train/heldout
+    split.  Everything except the dedup shuffle is embarrassingly parallel,
+    so the pipeline's 100 TB cost is one hash exchange over (hash, id)."""
+    from pyspark.sql import Window
+
+    from palletjack_spark.functions.dedup import _spread
+    from palletjack_spark.functions.text import TOKEN_REGEX
+
+    docs = _spread(t(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length("text").cast("long")
+    ttr = F.size(F.array_distinct(toks)).cast("long") / n_tokens
+    len_ok = F.when((n_chars >= 100) & (n_chars <= 2000), 1.0).otherwise(0.0)
+    tok_ok = F.when((n_tokens >= 20) & (n_tokens <= 500), 1.0).otherwise(0.0)
+    quality = (len_ok + tok_ok + ttr) / 3.0
+
+    langs = sorted(STOPWORDS)
+    scored = docs.select(
+        "doc_id",
+        "text",
+        F.sha2("text", 256).alias("content_hash"),
+        quality.alias("quality"),
+        *[
+            F.expr(
+                "size(filter(split(text, ' '), t -> t IN ({words})))".format(
+                    words=", ".join(f"'{w}'" for w in STOPWORDS[lang])
+                )
+            ).alias(f"hits_{lang}")
+            for lang in langs
+        ],
+    )
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when(
+            (best > 0) & (F.col(f"hits_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+
+    w = Window.partitionBy("content_hash")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 10
+    )
+    return (
+        scored.withColumn("keeper", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("keeper"))
+        .withColumn("pred_lang", pred)
+        .where((F.col("quality") >= 0.5) & (F.col("pred_lang") == "en"))
+        .select(
+            "doc_id",
+            "pred_lang",
+            "quality",
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0))
+            .cast("long")
+            .alias("re_tokens"),
+            F.when(bucket < 9, "train").otherwise("heldout").alias("split"),
+        )
+    )
