@@ -18,6 +18,14 @@ def _plan(df) -> str:
     )
 
 
+def _simple_plan(df) -> str:
+    """One line per node — use for counting node occurrences (the
+    formatted mode prints every node twice: tree + detail section)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+
+
 def test_filter_pushdown_reaches_scan(spark):
     li = load_table(spark, SF_DIR, "lineitem")
     df = li.where(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
@@ -123,3 +131,56 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan, plan
+
+
+def test_minhash_signatures_zero_shuffle(spark):
+    """The signature table (shingle set + 16 min-permutations) must be a
+    pure projection: no Exchange beyond the input-spreading repartition,
+    no aggregate, no Generate (exploded shingles never materialize)."""
+    from palletjack_spark.functions.dedup import _signatures_one_shuffle
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _simple_plan(_signatures_one_shuffle(docs, "text", "doc_id"))
+    assert plan.count("Exchange") <= 1  # only _spread's round-robin
+    assert "HashAggregate" not in plan and "ObjectHashAggregate" not in plan
+    assert "Generate" not in plan
+
+
+def test_winnowing_zero_shuffle(spark):
+    """Winnowing fingerprints: array expressions + explode only — the
+    window-min runs as array_min(slice), never as a Window exchange."""
+    from palletjack_spark.functions.text import winnowing_fingerprints
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _simple_plan(winnowing_fingerprints(docs, "text", "doc_id"))
+    assert plan.count("Exchange") <= 1  # only _spread's round-robin
+    assert "Window" not in plan
+
+
+def test_curation_pipeline_single_data_shuffle(spark):
+    """Q100: the only data shuffle is the dedup window's hash partition
+    (plus _spread's round-robin); scoring stages stay map-side."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q100_curation_pipeline"].fn(spark, SF_DIR))
+    assert plan.count("Exchange") <= 2
+
+
+def test_indexed_read_plans_without_jobs(spark):
+    """Driver-local index planning: building the scan DataFrame for a
+    small index must not run any Spark job (the reference's in-process
+    read_metadata shape)."""
+    from palletjack_spark.index import build_index
+    from palletjack_spark.tables import table_path
+
+    idx = build_index(
+        spark, table_path(SF_DIR, "lineitem"), use_cache=False
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = idx.read(
+        columns=["l_orderkey"], predicate=[("l_orderkey", ">", 1000)]
+    )
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before), "read() planning launched Spark jobs"
+    assert df.count() >= 0
