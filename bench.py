@@ -103,17 +103,23 @@ def bench_metadata(spark) -> dict[str, float]:
     full = (time.perf_counter() - t0) / META_CALLS
 
     # single-process build — the reference's generate_metadata_index shape
-    # (palletjack.cc:207 runs in the calling process)
-    t0 = time.perf_counter()
-    local = LocalIndex.from_files(path)
-    index_build = time.perf_counter() - t0
+    # (palletjack.cc:207 runs in the calling process).  Min of 3 iterations,
+    # matching the reference harness methodology (:159-180 reports min).
+    index_build = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        local = LocalIndex.from_files(path)
+        index_build = min(index_build, time.perf_counter() - t0)
 
     # distributed build — the 100 TB path (executor-side footer parses +
-    # validation job); measured separately so both shapes are visible
-    t0 = time.perf_counter()
-    idx = build_index(spark, path, use_cache=False, driver_fast_path=False)
-    index_build_spark = time.perf_counter() - t0
-    idx.unpersist()
+    # validation job); measured separately so both shapes are visible.
+    # Min of 2 (the first run can absorb executor GC from the query suite).
+    index_build_spark = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        idx = build_index(spark, path, use_cache=False, driver_fast_path=False)
+        index_build_spark = min(index_build_spark, time.perf_counter() - t0)
+        idx.unpersist()
 
     t0 = time.perf_counter()
     for _ in range(META_CALLS):

@@ -181,3 +181,41 @@ def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src", F.lit("json")
     )
     return from_csv.unionByName(from_json)
+
+
+@query(
+    "q09_partitioned_write",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_returnflag
+    """,
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write + partition-pruned read-back [host]: the
+    standard 100 TB layout move — ``partitionBy`` turns the partition
+    column into directory structure, and a reader filtering on it scans
+    only the matching directory (PartitionFilters, zero data I/O for the
+    rest).  tests/test_plans.py asserts the pruned scan."""
+    out = _tmp("q09_partitioned", sf_dir)
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            t(spark, sf_dir, "lineitem")
+            .select("l_returnflag", "l_quantity", "l_orderkey")
+            .write.mode("overwrite")
+            .partitionBy("l_returnflag")
+            .parquet(out)
+        )
+    return (
+        spark.read.parquet(out)
+        .where(F.col("l_returnflag") == "R")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )

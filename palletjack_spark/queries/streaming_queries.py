@@ -209,3 +209,30 @@ def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(
         stream_static_join(events_stream(spark, sf_dir), customer), "complete"
     )
+
+
+@query(
+    "q78_streaming_mv",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes'
+             AS window_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM {_E} e
+    GROUP BY time_bucket(INTERVAL '10 minutes', ts)
+    """,
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized view via foreachBatch [north-star]: per-batch
+    partial window aggregates appended to a parquet view, merged on read —
+    the continuous-aggregate (hypertable rollup) pattern.  The merged view
+    must equal the batch aggregate exactly (decimal partials re-summed)."""
+    import os
+    import tempfile
+
+    from palletjack_spark.streaming.ops import materialized_rollup
+
+    key = sf_dir.strip("/").replace("/", "_")
+    mv_dir = os.path.join(tempfile.gettempdir(), f"pjspark_{key}_q78_mv")
+    return materialized_rollup(spark, sf_dir, mv_dir)

@@ -237,3 +237,44 @@ def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
+
+
+def materialized_rollup(
+    spark: SparkSession, sf_dir: str, mv_dir: str
+) -> DataFrame:
+    """Q78: streaming materialized view (continuous-aggregate / hypertable
+    rollup pattern): each micro-batch appends its PARTIAL per-window
+    aggregates to a parquet "view" via ``foreachBatch``; readers merge
+    partials with a final re-aggregate.  Append-only partials make the
+    sink idempotent-per-batch and the merge associative — the standard
+    incremental-rollup design at ingest scale, where rewriting the full
+    aggregate per batch would be O(history).
+    """
+    import shutil
+
+    shutil.rmtree(mv_dir, ignore_errors=True)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            tumbling_counts(batch_df)
+            .write.mode("append")
+            .parquet(mv_dir)
+        )
+
+    q = (
+        events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(mv_dir)
+        .groupBy("window_start", "window_end")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum(F.col("sum_value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

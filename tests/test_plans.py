@@ -184,3 +184,14 @@ def test_indexed_read_plans_without_jobs(spark):
     after = tracker.getJobIdsForGroup(None)
     assert len(after) == len(before), "read() planning launched Spark jobs"
     assert df.count() >= 0
+
+
+def test_partitioned_write_prunes_partitions(spark):
+    """Q09: a filter on the partition column must become a PartitionFilter
+    (directory pruning), not a data filter."""
+    from palletjack_spark.queries import REGISTRY
+
+    df = REGISTRY["q09_partitioned_write"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "l_returnflag" in pf
