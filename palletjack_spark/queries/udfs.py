@@ -142,3 +142,39 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
     return docs.mapInPandas(tokenize, "doc_id long, token string")
+
+
+@query(
+    "q85_python_udtf",
+    oracle="""
+    WITH parts AS (
+      SELECT doc_id, string_split(text, '. ') AS p
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS sent_id,
+           p[i] AS sentence
+    FROM parts, UNNEST(generate_series(1, len(p))) AS s(i)
+    """,
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Python UDTF [host, Spark 4]: a ``@udtf`` class whose eval
+    yields multiple rows per input (sentence splitting) — the declarative
+    table-function surface (vs q84's mapInPandas).  Row-at-a-time Python
+    is the slow path; it's registered here as API coverage, with the
+    Arrow-batched q84 shape as the hot-path vehicle."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, sent_id: int, sentence: string")
+    class SentenceSplit:
+        def eval(self, doc_id: int, text: str):
+            for i, s in enumerate(text.split(". ")):
+                yield doc_id, i + 1, s
+
+    spark.udtf.register("pj_sentence_split", SentenceSplit)
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("pj_q85_docs")
+    return spark.sql(
+        "SELECT s.doc_id, s.sent_id, s.sentence "
+        "FROM pj_q85_docs d, LATERAL pj_sentence_split(d.doc_id, d.text) s"
+    )

@@ -40,7 +40,7 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.ntile(4).over(w).alias("quartile"),
     )
 
 
