@@ -375,3 +375,66 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
             F.lit(0).cast("long")
         )
     return bit_sums.select(F.col(id_col), out.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs (Q99b): (id_a, id_b, hamming<=max_hamming).
+
+    Pigeonhole blocking: with ``blocks`` > ``max_hamming``, any pair within
+    the hamming radius agrees on at least one block — so the block-bucket
+    self-join is a LOSSLESS candidate generator (recall exactly 1, unlike
+    minhash banding), and the oracle can be brute-force all-pairs.  At
+    100 TB the join shuffles (block, value) pairs — 4 rows per doc — and
+    the verify side broadcasts the 2-column fingerprint table."""
+    sim = simhash(df, text_col, id_col, bits=bits)
+    block_bits = bits // blocks
+    mask = (1 << block_bits) - 1
+    barr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("blk"),
+                F.shiftright("simhash", b * block_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("bv"),
+            )
+            for b in range(blocks)
+        ]
+    )
+    bh = sim.select(F.col(id_col), F.explode(barr).alias("x")).select(
+        id_col, "x.blk", "x.bv"
+    )
+    a, b2 = bh.alias("a"), bh.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sa, sb = sim.alias("sa"), sim.alias("sb")
+    return (
+        cand.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("sa.simhash").bitwiseXOR(F.col("sb.simhash"))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

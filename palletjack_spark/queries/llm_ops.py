@@ -587,3 +587,27 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(bucket < 9, "train").otherwise("heldout").alias("split"),
         )
     )
+
+
+@query(
+    "q99b_simhash_pairs",
+    oracle=f"""
+    WITH sim AS ({_simhash_oracle()}),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+    """,
+)
+def q99b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Q99b) via pigeonhole block-LSH: 4 blocks
+    over 32 bits guarantee recall 1 at hamming<=3, so the DuckDB oracle is
+    the brute-force all-pairs join — an independent proof the blocking
+    loses nothing."""
+    from palletjack_spark.functions.dedup import simhash_pairs
+
+    return simhash_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
+    )

@@ -219,3 +219,43 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_qty"),
         )
     )
+
+
+@query(
+    "q09b_compaction",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    """,
+)
+def q09b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction [north-star util]: the standard ingest-hygiene
+    job at 100 TB — many small files (here the 4-file staged events dir)
+    rewritten as ceil(total_bytes / target) right-sized files.  Uses
+    ``coalesce`` (no shuffle) when reducing file count; the checksum
+    aggregate proves the rewrite is lossless."""
+    import glob as _g
+
+    from palletjack_spark.streaming.ops import stage_events_us
+
+    src = stage_events_us(spark, sf_dir)
+    out = _tmp("q09b_compacted", sf_dir)
+    total = sum(
+        os.path.getsize(p) for p in _g.glob(os.path.join(src, "*.parquet"))
+    )
+    target = 64 * 1024 * 1024
+    n_out = max(1, -(-total // target))
+    df = spark.read.parquet(src)
+    compacted = (
+        df.coalesce(n_out)
+        if n_out < df.rdd.getNumPartitions()
+        else df.repartition(n_out)
+    )
+    compacted.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

@@ -235,3 +235,20 @@ def test_mixed_schema_index_requires_file_selection(spark):
     want = spark.read.parquet(od).count()
     assert got == want
     assert idx.read_schema(files=[li]).fieldNames()[0] == "l_orderkey"
+
+
+def test_compaction_reduces_file_count(spark):
+    """q09b: the 4-file staged events dir compacts to ceil(bytes/64MB)
+    files (1 at test scale) with a lossless checksum."""
+    import glob
+    import os
+    import tempfile
+
+    from palletjack_spark.queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    REGISTRY["q09b_compaction"].fn(spark, SF_DIR).collect()
+    key = SF_DIR.strip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), f"pjspark_{key}_q09b_compacted")
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert len(files) == 1, files

@@ -139,6 +139,7 @@ def test_minhash_signatures_zero_shuffle(spark):
     no aggregate, no Generate (exploded shingles never materialize)."""
     from palletjack_spark.functions.dedup import _signatures_one_shuffle
 
+    spark.catalog.clearCache()  # cached inputs would add their stored plan's Exchange
     docs = load_table(spark, SF_DIR, "documents")
     plan = _simple_plan(_signatures_one_shuffle(docs, "text", "doc_id"))
     assert plan.count("Exchange") <= 1  # only _spread's round-robin
@@ -151,6 +152,7 @@ def test_winnowing_zero_shuffle(spark):
     window-min runs as array_min(slice), never as a Window exchange."""
     from palletjack_spark.functions.text import winnowing_fingerprints
 
+    spark.catalog.clearCache()
     docs = load_table(spark, SF_DIR, "documents")
     plan = _simple_plan(winnowing_fingerprints(docs, "text", "doc_id"))
     assert plan.count("Exchange") <= 1  # only _spread's round-robin
@@ -162,6 +164,7 @@ def test_curation_pipeline_single_data_shuffle(spark):
     (plus _spread's round-robin); scoring stages stay map-side."""
     from palletjack_spark.queries import REGISTRY
 
+    spark.catalog.clearCache()
     plan = _simple_plan(REGISTRY["q100_curation_pipeline"].fn(spark, SF_DIR))
     assert plan.count("Exchange") <= 2
 
