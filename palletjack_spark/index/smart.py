@@ -1,0 +1,96 @@
+"""Auto-routing reader — the SURVEY §4 stretch goal at the Python API level.
+
+The reference makes the *user* choose when to consult the index
+(``read_metadata`` vs a plain pyarrow open).  ``smart_read`` makes that
+choice from the index itself: it evaluates the predicate against the
+row-group stats and routes to
+
+- the **indexed mapInArrow scan** when pruning pays (the stats prove a
+  large fraction of row groups can be skipped), or
+- **Spark's native parquet source** otherwise — the same predicate still
+  reaches the scan as PushedFilters, so the native path keeps footer-level
+  row-group skipping, plus whole-stage codegen and vectorized decode,
+  which beat the Python-source path when most data survives.
+
+Both paths return identical rows (pruning is a pure optimization; the
+residual filter always applies), so the router is safe to use everywhere
+a plain ``spark.read.parquet`` would be.
+
+A Catalyst ``SparkSessionExtensions`` rewrite rule could do this inside
+the optimizer (Scala); at the Python layer the routing decision is one
+O(selected) metadata lookup — driver-local for small indexes, a
+metadata-only count for catalog-scale ones.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from palletjack_spark.index.builder import build_index
+from palletjack_spark.index.metadata_index import MetadataIndex
+
+
+def _apply_predicate(df: DataFrame, predicate: Sequence[tuple]) -> DataFrame:
+    for col_name, op, *vals in predicate:
+        c = F.col(col_name)
+        if op in ("=", "=="):
+            df = df.where(c == vals[0])
+        elif op == "<":
+            df = df.where(c < vals[0])
+        elif op == "<=":
+            df = df.where(c <= vals[0])
+        elif op == ">":
+            df = df.where(c > vals[0])
+        elif op == ">=":
+            df = df.where(c >= vals[0])
+        elif op == "between":
+            df = df.where(c.between(vals[0], vals[1]))
+        else:
+            raise ValueError(f"Unsupported predicate op: {op}")
+    return df
+
+
+def smart_read(
+    spark: SparkSession,
+    paths: str | Iterable[str],
+    columns: Sequence[str] | None = None,
+    predicate: Sequence[tuple] | None = None,
+    index: MetadataIndex | None = None,
+    keep_fraction_threshold: float = 0.5,
+) -> DataFrame:
+    """Read parquet, letting the metadata index choose the scan strategy.
+
+    ``predicate`` uses the index mini-language ``[(col, op, value...)]``
+    (ops: <, <=, >, >=, =, between).  Returns the same rows either way;
+    only the physical strategy differs.  ``keep_fraction_threshold``: route
+    to the indexed scan when stats keep at most this fraction of row
+    groups.
+    """
+    idx = index if index is not None else build_index(spark, paths)
+
+    use_indexed = False
+    if predicate:
+        if idx._local is not None:
+            rg_rows = idx._local[0]
+            total = len(rg_rows)
+            kept = sum(1 for r in rg_rows if MetadataIndex._keep_local(r, predicate))
+        else:
+            total = idx.row_groups.count()
+            kept = idx.prune(predicate=predicate).count()
+        use_indexed = total > 0 and kept / total <= keep_fraction_threshold
+
+    if use_indexed:
+        return idx.read(columns=list(columns) if columns else None,
+                        predicate=predicate)
+
+    files = sorted(idx._local[1] if idx._local is not None else idx._file_rows(),
+                   key=lambda r: r["file"])
+    df = spark.read.parquet(*[r["file"] for r in files])
+    if predicate:
+        df = _apply_predicate(df, predicate)
+    if columns:
+        df = df.select(*columns)
+    return df

@@ -259,3 +259,35 @@ def q09b(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@query(
+    "q14_auto_routed_scan",
+    oracle="""
+    SELECT l_orderkey, l_extendedprice
+    FROM lineitem WHERE l_orderkey <= 600
+    UNION ALL
+    SELECT l_orderkey, l_extendedprice
+    FROM lineitem WHERE l_orderkey > 600
+    """,
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-routed scan [SURVEY §4 stretch]: ``smart_read`` consults the
+    index and picks the physical strategy per predicate — the selective
+    predicate routes to the indexed mapInArrow scan, the non-selective one
+    to the native source (PushedFilters + vectorized decode).  Both halves
+    return exactly the rows a plain scan+filter would."""
+    from palletjack_spark.index import smart_read
+
+    path = table_path(sf_dir, "lineitem")
+    selective = smart_read(
+        spark, path,
+        columns=["l_orderkey", "l_extendedprice"],
+        predicate=[("l_orderkey", "<=", 600)],
+    )
+    broad = smart_read(
+        spark, path,
+        columns=["l_orderkey", "l_extendedprice"],
+        predicate=[("l_orderkey", ">", 600)],
+    )
+    return selective.unionByName(broad)

@@ -252,3 +252,43 @@ def test_compaction_reduces_file_count(spark):
     out = os.path.join(tempfile.gettempdir(), f"pjspark_{key}_q09b_compacted")
     files = glob.glob(os.path.join(out, "*.parquet"))
     assert len(files) == 1, files
+
+
+def test_smart_read_routes_by_selectivity(spark, tmp_path):
+    """smart_read: a stats-selective predicate over a sorted multi-row-group
+    file routes to the indexed mapInArrow scan; a keep-everything predicate
+    routes to the native parquet source.  Both return exactly the rows a
+    plain scan+filter would."""
+    from palletjack_spark.index import smart_read
+    from palletjack_spark.tables import load_table
+
+    out = str(tmp_path / "li_sorted")
+    (
+        load_table(spark, SF_DIR, "lineitem")
+        .orderBy("l_orderkey")
+        .coalesce(1)
+        .write.option("parquet.block.size", 64 * 1024)
+        .parquet(out)
+    )
+    idx = build_index(spark, out)
+    n_rgs = len(idx._local[0])
+    assert n_rgs > 4, f"fixture produced only {n_rgs} row groups"
+
+    tight = [("l_orderkey", "<=", 100)]
+    broad = [("l_orderkey", ">=", 0)]
+    d_tight = smart_read(spark, out, predicate=tight, index=idx)
+    d_broad = smart_read(spark, out, predicate=broad, index=idx)
+    plan_tight = d_tight._sc._jvm.PythonSQLUtils.explainString(
+        d_tight._jdf.queryExecution(), "simple"
+    )
+    plan_broad = d_broad._sc._jvm.PythonSQLUtils.explainString(
+        d_broad._jdf.queryExecution(), "simple"
+    )
+    assert "MapInArrow" in plan_tight and "Scan parquet" not in plan_tight
+    assert "Scan parquet" in plan_broad and "MapInArrow" not in plan_broad
+
+    expect_tight = (
+        load_table(spark, SF_DIR, "lineitem").where("l_orderkey <= 100").count()
+    )
+    assert d_tight.count() == expect_tight
+    assert d_broad.count() == load_table(spark, SF_DIR, "lineitem").count()
