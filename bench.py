@@ -36,6 +36,7 @@ HEADLINE = [
     "q20_inner_join",
     "q23_broadcast_join",
     "q26_asof_join",
+    "q29_star_join",
     "q30_hash_agg",
     "q43_topk_per_group",
     "q70_tumbling_window",

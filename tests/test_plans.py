@@ -198,3 +198,15 @@ def test_partitioned_write_prunes_partitions(spark):
     plan = _plan(df)
     pf = plan.split("PartitionFilters:")[1].split("]")[0]
     assert "l_returnflag" in pf
+
+
+def test_star_join_broadcasts_all_dimensions(spark):
+    """Q29: four BroadcastHashJoins (customer/supplier/nation/region) and
+    exactly one shuffled fact join — the star-shape contract."""
+    from palletjack_spark.queries import REGISTRY
+
+    spark.catalog.clearCache()
+    plan = _simple_plan(REGISTRY["q29_star_join"].fn(spark, SF_DIR))
+    # >= 4: the four dimensions always broadcast; at tiny SF AQE may
+    # broadcast the orders side of the fact join too
+    assert plan.count("BroadcastHashJoin") >= 4, plan
