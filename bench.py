@@ -152,6 +152,14 @@ def main() -> None:
     spark.range(32).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    # ...and the mapInArrow codepath (q03's scan vehicle is ArrowStreamUDF,
+    # a different serializer than mapInPandas) including a real pyarrow
+    # parquet read inside the worker
+    from palletjack_spark.sources.arrow_scan import read_parquet_arrow
+
+    read_parquet_arrow(
+        spark, os.path.join(SF_DIR, "nation.parquet"), columns=["n_nationkey"]
+    ).count()
     # ...and the agg/join codegen shapes (first Janino compile ~2s)
     from pyspark.sql import functions as _F
 
