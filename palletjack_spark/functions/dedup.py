@@ -407,11 +407,22 @@ def simhash_pairs(
             for b in range(blocks)
         ]
     )
-    bh = sim.select(F.col(id_col), F.explode(barr).alias("x")).select(
-        id_col, "x.blk", "x.bv"
+    bh = sim.select(F.col(id_col), F.explode(barr).alias("x"), "simhash").select(
+        id_col, "x.blk", "x.bv", "simhash"
+    )
+    # pin the self-join's fan-out: its input is tiny in bytes (4 rows per
+    # doc) so AQE coalesces the exchange to one partition — but the join
+    # OUTPUT is O(sum of bucket sizes squared); explicit co-partitioning
+    # on the bucket key keeps the pair generation parallel
+    bh = bh.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "blk", "bv"
     )
     a, b2 = bh.alias("a"), bh.alias("b")
-    cand = (
+    # carrying the 64-bit fingerprint into the block rows lets the join
+    # verify hamming INLINE — raw bucket collisions (O(sum bucket²), e.g.
+    # 2.7M at sf0.1) are filtered to the true-pair set before any exchange;
+    # the distinct then dedups only survivors (each at most `blocks` times)
+    return (
         a.join(
             b2,
             (F.col("a.blk") == F.col("b.blk"))
@@ -419,22 +430,14 @@ def simhash_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
-    sa, sb = sim.alias("sa"), sim.alias("sb")
-    return (
-        cand.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
-        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
-        .select(
-            "id_a",
-            "id_b",
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
             F.bit_count(
-                F.col("sa.simhash").bitwiseXOR(F.col("sb.simhash"))
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             )
             .cast("long")
             .alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -174,7 +174,14 @@ def lsh_bucket_topk(
 
 def _exact_rescore_topk(cand: DataFrame, k: int, exclude_self: bool) -> DataFrame:
     """Exact cosine + top-k over candidate rows (query_id, vec_id, vec, qvec):
-    JVM-side zip_with/aggregate dot product, WindowGroupLimit rank filter."""
+    JVM-side zip_with/aggregate dot product, WindowGroupLimit rank filter.
+
+    The candidate list is small in bytes but each row pays an O(dim) dot
+    product — explicit keyed repartition pins the fan-out (AQE would
+    coalesce by size) and pre-partitions for the rank window."""
+    cand = cand.repartition(
+        cand.sparkSession.sparkContext.defaultParallelism, "query_id"
+    )
     dot = F.aggregate(
         F.zip_with("vec", "qvec", lambda a, b: a * b),
         F.lit(0.0),

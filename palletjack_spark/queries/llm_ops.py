@@ -592,7 +592,7 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q99b_simhash_pairs",
     oracle=f"""
-    WITH sim AS ({_simhash_oracle()}),
+    WITH sim AS ({_simhash_oracle(bits=48)}),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
@@ -603,11 +603,12 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q99b(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Q99b) via pigeonhole block-LSH: 4 blocks
-    over 32 bits guarantee recall 1 at hamming<=3, so the DuckDB oracle is
-    the brute-force all-pairs join — an independent proof the blocking
-    loses nothing."""
+    over a 48-bit fingerprint guarantee recall 1 at hamming<=3, so the
+    DuckDB oracle is the brute-force all-pairs join — an independent proof
+    the blocking loses nothing.  48 bits (vs q99's 32) buys 12-bit blocks:
+    ~16x fewer bucket collisions on a similarity-skewed corpus."""
     from palletjack_spark.functions.dedup import simhash_pairs
 
     return simhash_pairs(
-        t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
+        t(spark, sf_dir, "documents"), "text", "doc_id", bits=48, max_hamming=3
     )

@@ -84,6 +84,13 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pdf[["event_id", "user_id", "value_centered"]]
 
     ev = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    # explicit keyed repartition: AQE would coalesce the small-by-bytes
+    # shuffle to one partition and serialize every pandas group through a
+    # single Python worker; the explicit count pins the fan-out and
+    # satisfies applyInPandas's required hash partitioning (no 2nd shuffle)
+    ev = ev.repartition(
+        spark.sparkContext.defaultParallelism, "user_id"
+    )
     return ev.groupBy("user_id").applyInPandas(
         center, "event_id long, user_id long, value_centered double"
     )
