@@ -297,35 +297,46 @@ def ngram_jaccard_pairs(
     count (pairs only within the same ``block_col`` value) — the fully
     SQL-expressible dedup variant (Q91b).  Returns (id_a, id_b, jaccard)."""
     df = _spread(df)
-    toks = df.select(
-        F.col(id_col),
-        F.col(block_col).alias("block"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    # the distinct n-gram set per document is a pure array expression —
+    # no exploded-token self-joins, no shuffle until the gram match; the
+    # set size rides along with every exploded gram row, so no sizes
+    # joins either.  Docs with fewer than n tokens have no n-grams.
+    parts = ", ".join(f"element_at(toks, i + {j})" for j in range(n))
+    gexpr = (
+        f"array_distinct(CASE WHEN size(toks) < {n} THEN array()"
+        f" ELSE transform(sequence(1, size(toks) - {n - 1}),"
+        f" i -> concat_ws(' ', {parts})) END)"
     )
-    grams = (
-        toks.alias("t1")
-        .join(
-            toks.alias("t2"),
-            (F.col(f"t1.{id_col}") == F.col(f"t2.{id_col}"))
-            & (F.col("t2.pos") == F.col("t1.pos") + 1),
-        )
-        .join(
-            toks.alias("t3"),
-            (F.col(f"t1.{id_col}") == F.col(f"t3.{id_col}"))
-            & (F.col("t3.pos") == F.col("t1.pos") + 2),
-        )
-        .select(
-            F.col(f"t1.{id_col}").alias(id_col),
-            F.col("t1.block").alias("block"),
-            F.concat_ws(" ", "t1.tok", "t2.tok", "t3.tok").alias("gram"),
-        )
-        .distinct()
+    # STRUCT-PACKED explode: everything the downstream join needs (id,
+    # block, set size, gram) is packed INTO the generated elements, so the
+    # Generate node has NO sibling/retained columns.  The naive
+    # `select(id, block, size(gset), explode(gset))` plans as
+    # Project[size(gset)] ABOVE Generate — which then retains the whole
+    # gset array on every exploded row (~row_count × set_size copies,
+    # measured 10× the entire query's cost); CollapseProject re-merges any
+    # attempt to stage it in separate selects.
+    packed = (
+        f"transform({gexpr}, g -> struct("
+        f"{id_col}, block, size({gexpr}) AS n_g, g AS gram))"
     )
-    sizes = grams.groupBy(id_col, "block").agg(F.count("*").alias("n_g"))
-    common = (
-        grams.alias("a")
+    g = (
+        df.select(
+            F.col(id_col),
+            F.col(block_col).alias("block"),
+            F.split(F.col(text_col), " ").alias("toks"),
+        )
+        .select(F.explode(F.expr(packed)).alias("x"))
+        .select(f"x.{id_col}", "x.block", "x.n_g", "x.gram")
+        # pin the self-join fan-out (AQE sizes by bytes, join output is
+        # O(sum of gram-bucket sizes squared))
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "block", "gram"
+        )
+    )
+    return (
+        g.alias("a")
         .join(
-            grams.alias("b"),
+            g.alias("b"),
             (F.col("a.block") == F.col("b.block"))
             & (F.col("a.gram") == F.col("b.gram"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
@@ -333,19 +344,16 @@ def ngram_jaccard_pairs(
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .agg(F.count("*").alias("common"))
-    )
-    return (
-        common.join(
-            sizes.alias("za"), F.col("id_a") == F.col(f"za.{id_col}")
+        .agg(
+            F.count("*").alias("common"),
+            F.min("a.n_g").alias("na"),
+            F.min("b.n_g").alias("nb"),
         )
-        .join(sizes.alias("zb"), F.col("id_b") == F.col(f"zb.{id_col}"))
         .select(
             "id_a",
             "id_b",
             (
-                F.col("common")
-                / (F.col("za.n_g") + F.col("zb.n_g") - F.col("common"))
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
