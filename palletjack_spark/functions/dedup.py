@@ -83,18 +83,19 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingles(df: DataFrame, text_col: str, id_col: str, n: int = SHINGLE_LEN) -> DataFrame:
-    """Distinct character n-gram shingles per document: (id, shingle)."""
-    return (
-        df.select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1)))
-            ).alias("i"),
-            F.col(text_col),
-        )
-        .select(F.col(id_col), F.expr(f"substring({text_col}, i, {n})").alias("shingle"))
-        .distinct()
+    """Distinct character n-gram shingles per document: (id, shingle).
+
+    Per-doc array expression + explode — dedup happens inside the row
+    (``array_distinct``), so there is no shuffle and the Generate node
+    never retains the text column (exploding positions and substringing
+    afterwards would carry the full document on every exploded row)."""
+    df = _spread(df)
+    sexpr = (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
+        f" i -> substring({text_col}, i, {n})))"
     )
+    return df.select(F.col(id_col), F.explode(F.expr(sexpr)).alias("shingle"))
 
 
 def hashed_shingles(
@@ -102,25 +103,21 @@ def hashed_shingles(
 ) -> DataFrame:
     """Distinct 60-bit-hashed shingles per document: (id, h).
 
-    One md5 per shingle occurrence; dedup and every downstream shuffle move
-    (long, long) pairs instead of strings.  60-bit hashing makes shingle
-    collisions negligible (~n²/2^60), so Jaccard over h equals Jaccard over
-    the raw shingle sets for any real corpus."""
+    One md5 per shingle occurrence; downstream shuffles move (long, long)
+    pairs instead of strings.  60-bit hashing makes shingle collisions
+    negligible (~n²/2^60), so Jaccard over h equals Jaccard over the raw
+    shingle sets for any real corpus.  Zero-shuffle: the distinct hashed
+    set is a per-doc array expression (same shape as
+    ``_signatures_one_shuffle``), exploded with only the 8-byte id as
+    sibling output."""
     df = _spread(df)
-    return (
-        df.select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1)))
-            ).alias("i"),
-            F.col(text_col),
-        )
-        .select(
-            F.col(id_col),
-            hash60(F.expr(f"substring({text_col}, i, {n})")).alias("h"),
-        )
-        .distinct()
+    hexpr = (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
+        f" i -> cast(conv(substring(md5(substring({text_col}, i, {n})), 1, 15),"
+        f" 16, 10) as long)))"
     )
+    return df.select(F.col(id_col), F.explode(F.expr(hexpr)).alias("h"))
 
 
 def minhash_signatures(
@@ -172,7 +169,7 @@ def _signatures_one_shuffle(
         f" 16, 10) as long)))"
     )
     out = df.select(F.col(id_col), F.expr(hexpr).alias("hset"))
-    cols = [F.col(id_col), F.size("hset").alias("n_sh")]
+    cols = [F.col(id_col), F.size("hset").cast("long").alias("n_sh")]
     for i, (a, b) in enumerate(minhash_coeffs(k)):
         cols.append(
             F.expr(
