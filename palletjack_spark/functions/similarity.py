@@ -187,8 +187,12 @@ def _exact_rescore_topk(cand: DataFrame, k: int, exclude_self: bool) -> DataFram
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    # greatest(·, 1e-12): a zero vector must score 0.0, not NaN — NaN sorts
+    # ABOVE all doubles in Spark's DESC ordering and would rank first
+    # (mirrors the zero-norm guard in cosine_scores)
+    norm = lambda c: F.greatest(  # noqa: E731
+        F.sqrt(F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)),
+        F.lit(1e-12),
     )
     scored = cand.select(
         "query_id",

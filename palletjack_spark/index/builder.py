@@ -28,7 +28,7 @@ import os
 from typing import Iterable, Iterator
 
 import pandas as pd
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F, types as T
 
 from palletjack_spark.errors import EncryptedParquetError
 from palletjack_spark.index.metadata_index import (
@@ -80,24 +80,19 @@ def _open_footer(path: str):
         raise
 
 
-def _extract_file_row(path: str) -> dict:
-    """Footer-level row only — no per-row-group walk (the files pass
-    doesn't need column-chunk stats)."""
-    pf = _open_footer(path)
-    md = pf.metadata
-    schema = pf.schema_arrow
-    return {
-        "file": path,
-        "num_rows": md.num_rows,
-        "num_row_groups": md.num_row_groups,
-        "num_columns": md.num_columns,
-        "created_by": md.created_by,
-        "format_version": md.format_version,
-        "serialized_footer_size": md.serialized_size,
-        "file_size": os.path.getsize(path),
-        "column_names": list(schema.names),
-        "arrow_schema": schema.serialize().to_pybytes(),
-    }
+#: tagged-union schema for the single-pass distributed build: one footer
+#: parse emits the file row ("kind"='file') and its row-group rows
+#: ("kind"='rg') into the same frame; ``file`` and ``num_rows`` are shared
+#: column slots whose meaning follows the tag.
+_COMBINED_SCHEMA = T.StructType(
+    [T.StructField("kind", T.StringType())]
+    + list(ROW_GROUPS_SCHEMA.fields)
+    + [
+        f
+        for f in FILES_SCHEMA.fields
+        if f.name not in {x.name for x in ROW_GROUPS_SCHEMA.fields}
+    ]
+)
 
 
 def _extract_file_rows(path: str) -> tuple[dict, list[dict]]:
@@ -157,11 +152,26 @@ def _extract_file_rows(path: str) -> tuple[dict, list[dict]]:
     return file_row, rg_rows
 
 
-#: in-process memo for in-memory indexes (keyed by the resolved file list);
-#: the DataFrames are cached, so repeated callers skip footer re-reads —
-#: the same "read the index once, reuse it" property the reference gets
-#: from its in-memory bytearray index (palletjack.cc:656-678)
+#: in-process memo for in-memory indexes (keyed by Spark application id +
+#: per-file (path, mtime_ns, size)); the DataFrames are cached, so repeated
+#: callers skip footer re-reads — the same "read the index once, reuse it"
+#: property the reference gets from its in-memory bytearray index
+#: (palletjack.cc:656-678).  mtime/size in the key means a file rewritten
+#: in place gets a fresh index instead of a stale hit, and the application
+#: id (unlike ``id(spark)``) can't be recycled by the allocator after a
+#: session is garbage-collected.
 _INDEX_CACHE: dict[tuple, MetadataIndex] = {}
+
+
+def _cache_key(spark: SparkSession, files: list[str]) -> tuple:
+    return (
+        spark.sparkContext.applicationId,
+        tuple(
+            (f, st.st_mtime_ns, st.st_size)
+            for f in files
+            for st in (os.stat(f),)
+        ),
+    )
 
 
 #: at or below this many files an in-memory build parses footers on the
@@ -187,7 +197,7 @@ def build_index(
     (analogue of the `.index` file, cc:360-367) and returns the loaded form.
     """
     files = expand_paths(paths)
-    cache_key = (id(spark), tuple(files))
+    cache_key = _cache_key(spark, files)
     if use_cache and index_dir is None and cache_key in _INDEX_CACHE:
         return _INDEX_CACHE[cache_key]
 
@@ -227,32 +237,64 @@ def build_index(
     n_part = max(1, min(len(files), spark.sparkContext.defaultParallelism * 2))
     fdf = spark.createDataFrame([(f,) for f in files], "file string").repartition(n_part)
 
-    def extract_rgs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # SINGLE footer pass: each executor parses a footer once and emits the
+    # file-level row AND its row-group rows into one tagged union frame.
+    # Splitting the union afterwards is a cached filter+project, so at
+    # 100 TB (millions of footers) this is half the footer I/O and one
+    # Spark job where the naive two-pass shape needed two.
+    combined_cols = [f.name for f in _COMBINED_SCHEMA.fields]
+
+    def extract_all(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
+            rows: list[dict] = []
             for path in pdf["file"]:
-                _, rgs = _extract_file_rows(path)
-                rows.extend(rgs)
+                frow, rgs = _extract_file_rows(path)
+                frow["kind"] = "file"
+                rows.append(frow)
+                for r in rgs:
+                    r["kind"] = "rg"
+                    rows.append(r)
+            # explicit None (not pandas NaN) for absent union slots — the
+            # Arrow converter iterates array-typed cells and chokes on NaN
             yield pd.DataFrame(
-                rows, columns=[f.name for f in ROW_GROUPS_SCHEMA.fields]
+                [{c: r.get(c) for c in combined_cols} for r in rows],
+                columns=combined_cols,
+                dtype=object,
             )
 
-    def extract_files(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = [_extract_file_row(path) for path in pdf["file"]]
-            yield pd.DataFrame(rows, columns=[f.name for f in FILES_SCHEMA.fields])
-
-    rg_df = fdf.mapInPandas(extract_rgs, ROW_GROUPS_SCHEMA)
-    files_df = fdf.mapInPandas(extract_files, FILES_SCHEMA)
+    combined = fdf.mapInPandas(extract_all, _COMBINED_SCHEMA)
+    rg_cols = [f.name for f in ROW_GROUPS_SCHEMA.fields]
+    f_cols = [f.name for f in FILES_SCHEMA.fields]
 
     if index_dir:
-        mode = "append" if incremental else "overwrite"
-        rg_df.write.mode(mode).parquet(os.path.join(index_dir, "row_groups"))
-        files_df.write.mode(mode).parquet(os.path.join(index_dir, "files"))
+        from pyspark import StorageLevel
+
+        combined = combined.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            mode = "append" if incremental else "overwrite"
+            # row_groups/ first: a crash between the two writes then leaves
+            # orphaned row-group rows, which validate() rejects loudly
+            # (files/-first would leave a files entry whose row groups are
+            # missing — also rejected, but rg-first keeps the window where
+            # a *complete-looking* index exists at zero).
+            combined.where(F.col("kind") == "rg").select(rg_cols).write.mode(
+                mode
+            ).parquet(os.path.join(index_dir, "row_groups"))
+            combined.where(F.col("kind") == "file").select(f_cols).write.mode(
+                mode
+            ).parquet(os.path.join(index_dir, "files"))
+        finally:
+            combined.unpersist()
         return load_index(spark, index_dir)
 
-    idx = MetadataIndex(spark, rg_df.cache(), files_df.cache(), index_dir=None)
+    combined = combined.cache()
+    rg_df = combined.where(F.col("kind") == "rg").select(rg_cols).cache()
+    files_df = combined.where(F.col("kind") == "file").select(f_cols).cache()
+    idx = MetadataIndex(spark, rg_df, files_df, index_dir=None)
+    # validate() materializes both splits; the first action fills the
+    # combined cache (one footer pass), the second reads from it.
     idx.validate()
+    combined.unpersist()
     if use_cache:
         _INDEX_CACHE[cache_key] = idx
     return idx

@@ -191,7 +191,14 @@ class MetadataIndex:
                 acc = counts.setdefault(r["file"], [0, 0])
                 acc[0] += 1
                 acc[1] += r["num_rows"]
+            declared = set()
             for fr in file_rows:
+                if fr["file"] in declared:
+                    raise IndexFormatError(
+                        f"Index inconsistent for {fr['file']}: duplicate "
+                        "files/ entries (retried incremental append?)"
+                    )
+                declared.add(fr["file"])
                 got = counts.get(fr["file"], [0, 0])
                 if got[0] != fr["num_row_groups"] or got[1] != fr["num_rows"]:
                     raise IndexFormatError(
@@ -199,23 +206,56 @@ class MetadataIndex:
                         f"{got[0]} row groups indexed vs {fr['num_row_groups']} "
                         f"declared, {got[1]} rows vs {fr['num_rows']}"
                     )
+            orphans = set(counts) - declared
+            if orphans:
+                raise IndexFormatError(
+                    f"Index inconsistent for {sorted(orphans)[0]}: row-group "
+                    "rows present but no files/ entry (partial or torn write)"
+                )
             return
+        # Full outer join so a file present in only ONE of the two sidecar
+        # tables (orphaned row-group rows, or a file row whose row groups
+        # never landed — the two writes in build_index are not atomic) is a
+        # validation error, not silently invisible to an inner join.
+        rg_agg = self.row_groups.groupBy("file").agg(
+            F.count("*").alias("indexed_rgs"),
+            F.sum("num_rows").alias("indexed_rows"),
+        )
+        decl = self.files.groupBy("file").agg(
+            F.count("*").alias("file_entries"),
+            F.min("num_row_groups").alias("num_row_groups"),
+            F.min("num_rows").alias("num_rows"),
+        )
         bad = (
-            self.row_groups.groupBy("file")
-            .agg(
-                F.count("*").alias("indexed_rgs"),
-                F.sum("num_rows").alias("indexed_rows"),
-            )
-            .join(self.files.select("file", "num_row_groups", "num_rows"), "file")
+            rg_agg.join(decl, "file", "full_outer")
             .where(
-                (F.col("indexed_rgs") != F.col("num_row_groups"))
-                | (F.col("indexed_rows") != F.col("num_rows"))
+                F.col("file_entries").isNull()
+                | (F.col("file_entries") != F.lit(1))
+                | (
+                    F.coalesce(F.col("indexed_rgs"), F.lit(0))
+                    != F.col("num_row_groups")
+                )
+                | (
+                    F.coalesce(F.col("indexed_rows"), F.lit(0))
+                    != F.col("num_rows")
+                )
             )
             .limit(1)
             .collect()
         )
         if bad:
             r = bad[0]
+            if r["file_entries"] is None:
+                raise IndexFormatError(
+                    f"Index inconsistent for {r['file']}: row-group rows "
+                    "present but no files/ entry (partial or torn write)"
+                )
+            if r["file_entries"] != 1:
+                raise IndexFormatError(
+                    f"Index inconsistent for {r['file']}: "
+                    f"{r['file_entries']} duplicate files/ entries "
+                    "(retried incremental append?)"
+                )
             raise IndexFormatError(
                 f"Index inconsistent for {r['file']}: "
                 f"{r['indexed_rgs']} row groups indexed vs {r['num_row_groups']} "

@@ -245,11 +245,18 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    n_buckets = 8
     key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    wh = os.path.join(tempfile.gettempdir(), f"pjspark_{key}_buckets")
+    # Bucket count + sort discipline are encoded in the temp path so a future
+    # change to either constant can never silently re-register stale files
+    # written under the old layout (the DDL below must describe the on-disk
+    # layout exactly or the exchange-free SMJ returns wrong results).
+    wh = os.path.join(
+        tempfile.gettempdir(), f"pjspark_{key}_buckets{n_buckets}_sortkey"
+    )
     names = {}
     for tbl, bkey in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
-        name = f"pj_bkt_{key}_{tbl}"
+        name = f"pj_bkt_{key}_b{n_buckets}_{tbl}"
         names[tbl] = name
         if not spark.catalog.tableExists(name):
             path = os.path.join(wh, tbl)
@@ -264,13 +271,14 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 spark.sql(
                     f"CREATE TABLE {name} ({ddl}) USING parquet "
-                    f"CLUSTERED BY ({bkey}) SORTED BY ({bkey}) INTO 8 BUCKETS "
+                    f"CLUSTERED BY ({bkey}) SORTED BY ({bkey}) "
+                    f"INTO {n_buckets} BUCKETS "
                     f"LOCATION '{path}'"
                 )
             else:
                 (
                     t(spark, sf_dir, tbl)
-                    .write.bucketBy(8, bkey)
+                    .write.bucketBy(n_buckets, bkey)
                     .sortBy(bkey)
                     .option("path", path)
                     .mode("overwrite")

@@ -78,15 +78,17 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (SELECT user_id, ts, event_id FROM {_E}),
     flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN LAG(ts) OVER w IS NULL
                        OR ts - LAG(ts) OVER w >= INTERVAL '5 minutes'
                   THEN 1 ELSE 0 END AS new_s
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
+      -- cumsum uses the SAME total order (ts, event_id) as the flag window,
+      -- so duplicate timestamps per user can't scramble session assignment
       SELECT user_id, ts,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged
     )
