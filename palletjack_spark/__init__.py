@@ -31,7 +31,14 @@ from palletjack_spark.errors import (
 )
 from palletjack_spark.session import get_spark, tune_session
 from palletjack_spark.tables import TABLES, load_table, table_path
-from palletjack_spark.index import build_index, load_index, MetadataIndex
+from palletjack_spark.index import (
+    build_index,
+    load_index,
+    MetadataIndex,
+    generate_metadata_index,
+    read_metadata,
+    read_schema,
+)
 from palletjack_spark.sources.arrow_scan import read_parquet_arrow
 
 __version__ = "0.1.0"
@@ -49,5 +56,8 @@ __all__ = [
     "build_index",
     "load_index",
     "MetadataIndex",
+    "generate_metadata_index",
+    "read_metadata",
+    "read_schema",
     "read_parquet_arrow",
 ]

@@ -1,5 +1,18 @@
 from palletjack_spark.index.builder import build_index, load_index
+from palletjack_spark.index.footer_splice import (
+    generate_metadata_index,
+    read_metadata,
+    read_schema,
+)
 from palletjack_spark.index.metadata_index import MetadataIndex
 from palletjack_spark.index.smart import smart_read
 
-__all__ = ["build_index", "load_index", "MetadataIndex", "smart_read"]
+__all__ = [
+    "build_index",
+    "load_index",
+    "MetadataIndex",
+    "smart_read",
+    "generate_metadata_index",
+    "read_metadata",
+    "read_schema",
+]

@@ -1,0 +1,985 @@
+"""Pruned ``pyarrow.parquet.FileMetaData`` splicing — the reference's core trick.
+
+The reference's documented downstream contract
+(``/root/reference/python/palletjack/palletjack_cython.pyx:27-46``,
+``python/README.md:70-74``) is::
+
+    metadata = pj.read_metadata(index_path, row_groups=[5, 7])
+    pr = pq.ParquetReader()
+    pr.open(path, metadata=metadata)     # reads ONLY row groups 5 and 7
+
+i.e. hand pyarrow a *genuine* ``FileMetaData`` object restricted to selected
+row groups × columns, so the reader never deserializes the rest of the
+footer.  The reference implements this in C++ by recording byte offsets of
+every row group / schema element / column chunk inside the Thrift blob at
+index time, then memcpy-splicing a pruned footer at read time
+(``palletjack.cc:369-616``).
+
+This module is the Spark-engine analogue, pure Python, built ONLY on the
+public Parquet Thrift layout (format/src/main/thrift/parquet.thrift) and the
+Thrift compact-protocol wire spec:
+
+- a generic compact-protocol *span walker* records where each top-level
+  ``FileMetaData`` field and each ``row_groups`` list element lives in the
+  blob (the analogue of the reference's offset arrays);
+- ``splice_footer`` rebuilds a footer containing only the selected row
+  groups × columns: unselected bytes are copied or skipped wholesale, and
+  only the *kept* row groups are decoded/re-encoded (to renumber ordinals
+  and prune their column-chunk lists) — O(selected), like the reference;
+- the result is round-tripped through ``pq.read_metadata`` on an in-memory
+  "PAR1 + footer + len + PAR1" buffer, yielding a real
+  ``pyarrow.parquet.FileMetaData`` that ``pq.ParquetReader().open(path,
+  metadata=...)`` accepts.
+
+Row groups are renumbered 0..k-1 in the pruned footer, matching the
+reference's semantics (``test_palletjack.py:87`` reads pruned metadata with
+``row_groups=[0]`` after selecting one group).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterable, Sequence
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from palletjack_spark.errors import EncryptedParquetError, InvalidSelectionError
+
+# Thrift compact-protocol type codes
+CT_STOP = 0
+CT_TRUE = 1
+CT_FALSE = 2
+CT_BYTE = 3
+CT_I16 = 4
+CT_I32 = 5
+CT_I64 = 6
+CT_DOUBLE = 7
+CT_BINARY = 8
+CT_LIST = 9
+CT_SET = 10
+CT_MAP = 11
+CT_STRUCT = 12
+
+_MAGIC = b"PAR1"
+
+
+# --------------------------------------------------------------------------
+# varint / zigzag primitives
+# --------------------------------------------------------------------------
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _write_varint(out: bytearray, v: int) -> None:
+    while True:
+        if v <= 0x7F:
+            out.append(v)
+            return
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+
+
+def _unzigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _write_zigzag(out: bytearray, v: int) -> None:
+    _write_varint(out, ((v << 1) ^ (v >> 63)) & ((1 << 64) - 1))
+
+
+# --------------------------------------------------------------------------
+# generic skip / span walk (no object allocation for skipped content)
+# --------------------------------------------------------------------------
+
+def _skip_value(buf: bytes, pos: int, ctype: int) -> int:
+    if ctype in (CT_TRUE, CT_FALSE):
+        return pos
+    if ctype == CT_BYTE:
+        return pos + 1
+    if ctype in (CT_I16, CT_I32, CT_I64):
+        while buf[pos] & 0x80:
+            pos += 1
+        return pos + 1
+    if ctype == CT_DOUBLE:
+        return pos + 8
+    if ctype == CT_BINARY:
+        n, pos = _read_varint(buf, pos)
+        return pos + n
+    if ctype in (CT_LIST, CT_SET):
+        etype, n, pos = _read_list_header(buf, pos)
+        for _ in range(n):
+            pos = _skip_value(buf, pos, etype)
+        return pos
+    if ctype == CT_MAP:
+        n, pos = _read_varint(buf, pos)
+        if n == 0:
+            return pos
+        kv = buf[pos]
+        pos += 1
+        kt, vt = kv >> 4, kv & 0xF
+        for _ in range(n):
+            pos = _skip_value(buf, pos, kt)
+            pos = _skip_value(buf, pos, vt)
+        return pos
+    if ctype == CT_STRUCT:
+        return _skip_struct_fast(buf, pos)
+    raise InvalidSelectionError(f"Unknown thrift compact type {ctype}")
+
+
+def _skip_struct_fast(buf: bytes, pos: int) -> int:
+    """Iterative struct skip — explicit stack instead of per-value recursion.
+    The footer walk is O(footer) by necessity (Thrift compact is a stream
+    format with no random access — the exact problem the reference solves by
+    recording offsets, palletjack.cc:33-80); this keeps the constant small,
+    and `_SPAN_CACHE` makes the walk once-per-footer rather than per-call."""
+    # stack entries: -1 = struct; (etype, n) = list/set with n elems left
+    stack: list = [-1]
+    push = stack.append
+    pop = stack.pop
+    while stack:
+        top = stack[-1]
+        if top == -1:
+            b = buf[pos]
+            pos += 1
+            if b == 0:
+                pop()
+                continue
+            t = b & 15
+            if b < 16:  # long-form field id (delta nibble == 0)
+                while buf[pos] & 0x80:
+                    pos += 1
+                pos += 1
+            if t < 3:
+                continue  # bool lives in the header
+        else:
+            t, n = top
+            if n == 1:
+                pop()
+            else:
+                stack[-1] = (t, n - 1)
+        # skip one value of type t
+        if t == 3:
+            pos += 1
+        elif t < 7:  # i16/i32/i64 varint
+            while buf[pos] & 0x80:
+                pos += 1
+            pos += 1
+        elif t == 7:
+            pos += 8
+        elif t == 8:
+            ln = 0
+            shift = 0
+            while True:
+                byte = buf[pos]
+                pos += 1
+                ln |= (byte & 0x7F) << shift
+                if byte < 0x80:
+                    break
+                shift += 7
+            pos += ln
+        elif t == 9 or t == 10:
+            hb = buf[pos]
+            pos += 1
+            et = hb & 15
+            n2 = hb >> 4
+            if n2 == 15:
+                n2 = 0
+                shift = 0
+                while True:
+                    byte = buf[pos]
+                    pos += 1
+                    n2 |= (byte & 0x7F) << shift
+                    if byte < 0x80:
+                        break
+                    shift += 7
+            if n2 == 0:
+                continue
+            if et < 4:  # bool/byte elems: 1 byte each
+                pos += n2
+            elif et == 7:
+                pos += 8 * n2
+            else:
+                push((et, n2))
+        elif t == 11:
+            # parquet.thrift has no map fields; defensive exact skip
+            n2, pos = _read_varint(buf, pos)
+            if n2:
+                kv = buf[pos]
+                pos += 1
+                for _ in range(n2):
+                    pos = _skip_value(buf, pos, kv >> 4)
+                    pos = _skip_value(buf, pos, kv & 15)
+        elif t == 12:
+            push(-1)
+        else:
+            raise InvalidSelectionError(f"Unknown thrift compact type {t}")
+    return pos
+
+
+def _read_list_header(buf: bytes, pos: int) -> tuple[int, int, int]:
+    b = buf[pos]
+    pos += 1
+    etype = b & 0xF
+    n = b >> 4
+    if n == 15:
+        n, pos = _read_varint(buf, pos)
+    return etype, n, pos
+
+
+def _struct_field_spans(
+    buf: bytes, pos: int
+) -> tuple[list[tuple[int, int, int, int]], int]:
+    """Spans of a struct's fields: [(fid, ctype, value_start, value_end)].
+    For bool fields value_start == value_end (the value is in the header)."""
+    fields = []
+    fid = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        if b == CT_STOP:
+            return fields, pos
+        delta = b >> 4
+        ctype = b & 0xF
+        if delta == 0:
+            zz, pos = _read_varint(buf, pos)
+            fid = _unzigzag(zz)
+        else:
+            fid += delta
+        start = pos
+        if ctype not in (CT_TRUE, CT_FALSE):
+            pos = _skip_value(buf, pos, ctype)
+        fields.append((fid, ctype, start, pos))
+
+
+def _list_elem_spans(
+    buf: bytes, pos: int
+) -> tuple[int, list[tuple[int, int]], int]:
+    etype, n, pos = _read_list_header(buf, pos)
+    spans = []
+    if etype == CT_STRUCT:
+        for _ in range(n):
+            start = pos
+            pos = _skip_struct_fast(buf, pos)
+            spans.append((start, pos))
+    else:
+        for _ in range(n):
+            start = pos
+            pos = _skip_value(buf, pos, etype)
+            spans.append((start, pos))
+    return etype, spans, pos
+
+
+#: once-per-footer span memo (the in-memory analogue of the reference's
+#: persisted offset arrays): keyed by the footer OBJECT's identity — the
+#: cache keeps a strong reference to the bytes, so the id cannot be recycled
+#: while the entry lives.  Hashing the blob per call would cost more than
+#: the splice itself on wide footers.  Splices after the first per footer
+#: object are O(selected).
+_SPAN_CACHE: dict[int, tuple[bytes, list, list]] = {}
+_SPAN_CACHE_MAX = 16
+
+
+def footer_spans(footer: bytes) -> tuple[list, list]:
+    """Top-level ``FileMetaData`` field spans + per-row-group field spans,
+    memoized per blob object.  Returns ``(fields, rg_elems)`` where
+    ``rg_elems[i]`` is the field-span list of row group *i* — enough to
+    rebuild any subset of the footer by raw byte copy (the reference's
+    offset arrays, palletjack.cc:33-80, as Python lists)."""
+    hit = _SPAN_CACHE.get(id(footer))
+    if hit is not None and hit[0] is footer:
+        return hit[1], hit[2]
+    fields, _ = _struct_field_spans(footer, 0)
+    rg_span = next(((s, e) for fid, ct, s, e in fields if fid == 4), None)
+    if rg_span is None:
+        raise InvalidSelectionError("footer has no row_groups field")
+    etype, n, pos = _read_list_header(footer, rg_span[0])
+    rg_elems = []
+    for _ in range(n):
+        rg_fields, pos = _struct_field_spans(footer, pos)
+        rg_elems.append(rg_fields)
+    if len(_SPAN_CACHE) >= _SPAN_CACHE_MAX:
+        _SPAN_CACHE.pop(next(iter(_SPAN_CACHE)))
+    _SPAN_CACHE[id(footer)] = (footer, fields, rg_elems)
+    return fields, rg_elems
+
+
+# --------------------------------------------------------------------------
+# full decode / encode for the few structs we must edit
+# --------------------------------------------------------------------------
+
+def _decode_value(buf: bytes, pos: int, ctype: int):
+    if ctype == CT_TRUE:
+        return True, pos
+    if ctype == CT_FALSE:
+        return False, pos
+    if ctype == CT_BYTE:
+        v = buf[pos]
+        return (v - 256 if v >= 128 else v), pos + 1
+    if ctype in (CT_I16, CT_I32, CT_I64):
+        zz, pos = _read_varint(buf, pos)
+        return _unzigzag(zz), pos
+    if ctype == CT_DOUBLE:
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if ctype == CT_BINARY:
+        n, pos = _read_varint(buf, pos)
+        return bytes(buf[pos : pos + n]), pos + n
+    if ctype in (CT_LIST, CT_SET):
+        etype, n, pos = _read_list_header(buf, pos)
+        vals = []
+        for _ in range(n):
+            v, pos = _decode_value(buf, pos, etype)
+            vals.append(v)
+        return (etype, vals), pos
+    if ctype == CT_MAP:
+        n, pos = _read_varint(buf, pos)
+        if n == 0:
+            return (CT_BINARY, CT_BINARY, []), pos
+        kv = buf[pos]
+        pos += 1
+        kt, vt = kv >> 4, kv & 0xF
+        items = []
+        for _ in range(n):
+            k, pos = _decode_value(buf, pos, kt)
+            v, pos = _decode_value(buf, pos, vt)
+            items.append((k, v))
+        return (kt, vt, items), pos
+    if ctype == CT_STRUCT:
+        fields = []
+        fid = 0
+        while True:
+            b = buf[pos]
+            pos += 1
+            if b == CT_STOP:
+                return fields, pos
+            delta = b >> 4
+            ft = b & 0xF
+            if delta == 0:
+                zz, pos = _read_varint(buf, pos)
+                fid = _unzigzag(zz)
+            else:
+                fid += delta
+            if ft == CT_TRUE:
+                fields.append((fid, CT_TRUE, True))
+                continue
+            if ft == CT_FALSE:
+                fields.append((fid, CT_FALSE, False))
+                continue
+            v, pos = _decode_value(buf, pos, ft)
+            fields.append((fid, ft, v))
+    raise InvalidSelectionError(f"Unknown thrift compact type {ctype}")
+
+
+def _encode_field_header(out: bytearray, fid: int, ctype: int, prev: int) -> None:
+    delta = fid - prev
+    if 0 < delta <= 15:
+        out.append((delta << 4) | ctype)
+    else:
+        out.append(ctype)
+        _write_zigzag(out, fid)
+
+
+def _encode_value(out: bytearray, ctype: int, v) -> None:
+    if ctype in (CT_TRUE, CT_FALSE):
+        # only reachable as a list element; compact spec: 1=true, 2=false
+        out.append(CT_TRUE if v else CT_FALSE)
+        return
+    if ctype == CT_BYTE:
+        out.append(v & 0xFF)
+        return
+    if ctype in (CT_I16, CT_I32, CT_I64):
+        _write_zigzag(out, v)
+        return
+    if ctype == CT_DOUBLE:
+        out += struct.pack("<d", v)
+        return
+    if ctype == CT_BINARY:
+        _write_varint(out, len(v))
+        out += v
+        return
+    if ctype in (CT_LIST, CT_SET):
+        etype, vals = v
+        _encode_list_header(out, etype, len(vals))
+        for x in vals:
+            _encode_value(out, etype, x)
+        return
+    if ctype == CT_MAP:
+        kt, vt, items = v
+        _write_varint(out, len(items))
+        if items:
+            out.append((kt << 4) | vt)
+            for k, x in items:
+                _encode_value(out, kt, k)
+                _encode_value(out, vt, x)
+        return
+    if ctype == CT_STRUCT:
+        _encode_struct(out, v)
+        return
+    raise InvalidSelectionError(f"Unknown thrift compact type {ctype}")
+
+
+def _encode_list_header(out: bytearray, etype: int, n: int) -> None:
+    if n < 15:
+        out.append((n << 4) | etype)
+    else:
+        out.append(0xF0 | etype)
+        _write_varint(out, n)
+
+
+def _encode_struct(out: bytearray, fields: list[tuple[int, int, object]]) -> None:
+    prev = 0
+    for fid, ctype, v in fields:
+        if ctype in (CT_TRUE, CT_FALSE):
+            # bool FIELD: the value lives in the header's type nibble
+            _encode_field_header(out, fid, CT_TRUE if v else CT_FALSE, prev)
+        else:
+            _encode_field_header(out, fid, ctype, prev)
+            _encode_value(out, ctype, v)
+        prev = fid
+    out.append(CT_STOP)
+
+
+# --------------------------------------------------------------------------
+# struct-field helpers
+# --------------------------------------------------------------------------
+
+class _Raw:
+    """Pre-encoded value payload for `_copy_struct` overrides."""
+
+    __slots__ = ("data",)
+
+    def __init__(self, data: bytes):
+        self.data = data
+
+
+def _span_get(fields: list[tuple[int, int, int, int]], fid: int):
+    """(ctype, start, end) of a field in a span list, or None."""
+    for f, ct, s, e in fields:
+        if f == fid:
+            return ct, s, e
+    return None
+
+
+def _copy_struct(
+    out: bytearray,
+    buf: bytes,
+    fields: list[tuple[int, int, int, int]],
+    overrides: dict[int, tuple[int, object]],
+) -> None:
+    """Re-emit a struct from its field spans: raw byte copy for untouched
+    fields, re-encode only the overridden ones.  This is the memcpy splice
+    at the heart of the reference (palletjack.cc:369-616)."""
+    prev = 0
+    for fid, ctype, s, e in fields:
+        ov = overrides.get(fid)
+        if ov is not None:
+            octype, oval = ov
+            _encode_field_header(out, fid, octype, prev)
+            if isinstance(oval, _Raw):
+                out += oval.data
+            else:
+                _encode_value(out, octype, oval)
+        elif ctype in (CT_TRUE, CT_FALSE):
+            _encode_field_header(out, fid, ctype, prev)
+        else:
+            _encode_field_header(out, fid, ctype, prev)
+            out += buf[s:e]
+        prev = fid
+    out.append(CT_STOP)
+
+
+def _get(fields: list[tuple[int, int, object]], fid: int):
+    for f, _, v in fields:
+        if f == fid:
+            return v
+    return None
+
+
+def _set(fields: list[tuple[int, int, object]], fid: int, ctype: int, v) -> None:
+    for i, (f, _, _) in enumerate(fields):
+        if f == fid:
+            fields[i] = (fid, ctype, v)
+            return
+    # insert keeping fid order (thrift field ids are written ascending)
+    at = next((i for i, (f, _, _) in enumerate(fields) if f > fid), len(fields))
+    fields.insert(at, (fid, ctype, v))
+
+
+def _drop(fields: list[tuple[int, int, object]], fid: int) -> None:
+    fields[:] = [f for f in fields if f[0] != fid]
+
+
+# --------------------------------------------------------------------------
+# footer I/O
+# --------------------------------------------------------------------------
+
+#: footer-bytes memo keyed by (path, mtime_ns, size) — returns the SAME
+#: bytes object for an unchanged file, which keeps `_SPAN_CACHE` warm
+#: across path-based `read_metadata` calls
+_FOOTER_CACHE: dict[tuple, bytes] = {}
+_FOOTER_CACHE_MAX = 16
+
+
+def read_footer_bytes(path: str) -> bytes:
+    """The raw Thrift ``FileMetaData`` blob from a parquet file's tail —
+    what the reference stores verbatim inside its PJ_2 index
+    (palletjack.cc:33-80)."""
+    import os
+
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    hit = _FOOTER_CACHE.get(key)
+    if hit is not None:
+        return hit
+    blob = _read_footer_bytes_uncached(path)
+    if len(_FOOTER_CACHE) >= _FOOTER_CACHE_MAX:
+        _FOOTER_CACHE.pop(next(iter(_FOOTER_CACHE)))
+    _FOOTER_CACHE[key] = blob
+    return blob
+
+
+def _read_footer_bytes_uncached(path: str) -> bytes:
+    with open(path, "rb") as f:
+        f.seek(0, 2)
+        size = f.tell()
+        if size < 12:
+            raise InvalidSelectionError(f"{path}: not a parquet file")
+        f.seek(size - 8)
+        tail = f.read(8)
+        if tail[4:] != _MAGIC:
+            if tail[4:] == b"PARE":
+                # encrypted-footer files end in "PARE" — reject like the
+                # reference (palletjack.cc:217-221)
+                raise EncryptedParquetError(
+                    f"Encrypted parquet is not supported: {path}"
+                )
+            raise InvalidSelectionError(f"{path}: bad parquet magic")
+        (flen,) = struct.unpack("<I", tail[:4])
+        if flen > size - 8:
+            raise InvalidSelectionError(f"{path}: corrupt footer length")
+        f.seek(size - 8 - flen)
+        return f.read(flen)
+
+
+def metadata_from_footer(footer: bytes) -> pq.FileMetaData:
+    """Wrap a Thrift footer blob as an in-memory ``_metadata``-style file and
+    parse it with pyarrow — yields a genuine ``FileMetaData`` object."""
+    buf = _MAGIC + footer + struct.pack("<I", len(footer)) + _MAGIC
+    return pq.read_metadata(pa.BufferReader(buf))
+
+
+# --------------------------------------------------------------------------
+# schema-tree pruning (column selection)
+# --------------------------------------------------------------------------
+
+def _schema_tree(elems: list):
+    """parquet schema list → (children adjacency, leaf list).  Elements are
+    decoded SchemaElement structs; tree shape from num_children (fid 5)."""
+    n = len(elems)
+    children: list[list[int]] = [[] for _ in range(n)]
+    leaves: list[int] = []
+    pos = 0
+
+    def walk(parent_is_root: bool) -> int:
+        nonlocal pos
+        i = pos
+        pos += 1
+        nc = _get(elems[i], 5) or 0
+        for _ in range(nc):
+            children[i].append(walk(False))
+        if nc == 0 and i != 0:
+            leaves.append(i)
+        return i
+
+    root = walk(True)
+    return root, children, leaves
+
+
+def _prune_schema(elems: list, keep_leaves: set[int]):
+    """Return pruned SchemaElement structs (depth-first order) keeping the
+    root, the selected leaves, and every ancestor group of a selected leaf,
+    with num_children recomputed."""
+    root, children, leaves = _schema_tree(elems)
+    leaf_rank = {idx: r for r, idx in enumerate(leaves)}
+    kept: set[int] = set()
+
+    def mark(i: int) -> bool:
+        if not children[i]:  # leaf (or childless group)
+            hit = i == root or leaf_rank.get(i) in keep_leaves
+            if hit:
+                kept.add(i)
+            return hit
+        any_kept = False
+        for c in children[i]:
+            if mark(c):
+                any_kept = True
+        if any_kept or i == root:
+            kept.add(i)
+            return True
+        return False
+
+    mark(root)
+    out: list = []
+
+    def emit(i: int) -> None:
+        if i not in kept:
+            return
+        fields = list(elems[i])  # shallow copy; _set replaces tuples
+        kept_children = [c for c in children[i] if c in kept]
+        if _get(elems[i], 5) is not None:
+            _set(fields, 5, CT_I32, len(kept_children))
+        out.append(fields)
+        for c in kept_children:
+            emit(c)
+
+    emit(root)
+    return out
+
+
+# --------------------------------------------------------------------------
+# the splice
+# --------------------------------------------------------------------------
+
+def leaf_column_names(footer: bytes) -> list[str]:
+    """Dotted leaf paths in leaf order (the reference's column_names keys)."""
+    fields, _ = footer_spans(footer)
+    return _leaf_paths(_decode_schema(footer, fields))
+
+
+def _decode_schema(footer: bytes, fields) -> list:
+    span = next(((s, e) for fid, ct, s, e in fields if fid == 2), None)
+    if span is None:
+        raise InvalidSelectionError("footer has no schema field")
+    (_, elems), _ = _decode_value(footer, span[0], CT_LIST)
+    return elems
+
+
+def _leaf_paths(elems: list) -> list[str]:
+    root, children, leaves = _schema_tree(elems)
+    names = [_get(e, 4) for e in elems]
+    parent = {c: i for i, cs in enumerate(children) for c in cs}
+    paths = []
+    for leaf in leaves:
+        parts = []
+        i = leaf
+        while i != root:
+            parts.append(
+                names[i].decode() if isinstance(names[i], bytes) else names[i]
+            )
+            i = parent[i]
+        paths.append(".".join(reversed(parts)))
+    return paths
+
+
+def resolve_column_names(footer: bytes, column_names: Sequence[str]) -> list[int]:
+    """Map dotted leaf paths (or top-level names) to leaf column indices."""
+    fields, _ = footer_spans(footer)
+    paths = _leaf_paths(_decode_schema(footer, fields))
+    by_path = {p: i for i, p in enumerate(paths)}
+    by_head: dict[str, list[int]] = {}
+    for i, p in enumerate(paths):
+        by_head.setdefault(p.split(".")[0], []).append(i)
+    out: list[int] = []
+    for name in column_names:
+        if name in by_path:
+            out.append(by_path[name])
+        elif name in by_head:
+            out.extend(by_head[name])  # whole top-level column (nested)
+        else:
+            raise InvalidSelectionError(
+                f"Column {name!r} not in schema (leaves: {paths[:8]}...)"
+            )
+    return out
+
+
+def splice_footer(
+    footer: bytes,
+    row_groups: Sequence[int] | None = None,
+    column_indices: Sequence[int] | None = None,
+    column_names: Sequence[str] | None = None,
+    schema_only: bool = False,
+) -> bytes:
+    """Rebuild a parquet footer containing only the selected row groups ×
+    leaf columns.  O(selected) decode work; unselected row-group bytes are
+    never decoded (their spans are skipped wholesale).
+
+    Mirrors reference semantics (palletjack.cc:369-616): empty/None
+    selection = keep everything; row groups renumbered 0..k-1; column
+    selection prunes schema + per-row-group column chunks + column_orders.
+    """
+    if column_names:
+        if column_indices:
+            raise InvalidSelectionError(
+                "Pass column_indices or column_names, not both"
+            )
+        column_indices = resolve_column_names(footer, column_names)
+
+    fields, rg_elems = footer_spans(footer)
+    n_rg = len(rg_elems)
+
+    if schema_only:
+        sel: list[int] = []
+    elif row_groups is None or len(row_groups) == 0:
+        sel = list(range(n_rg))
+    else:
+        sel = [int(r) for r in row_groups]
+        bad = [r for r in sel if r < 0 or r >= n_rg]
+        if bad:
+            raise InvalidSelectionError(
+                f"Row group {bad[0]} out of range (file has {n_rg})"
+            )
+
+    keep_cols: set[int] | None = None
+    new_schema = None
+    if column_indices is not None and len(column_indices) > 0:
+        schema_elems = _decode_schema(footer, fields)
+        n_leaves = len(_leaf_paths(schema_elems))
+        keep_sorted = sorted(set(int(c) for c in column_indices))
+        bad = [c for c in keep_sorted if c < 0 or c >= n_leaves]
+        if bad:
+            raise InvalidSelectionError(
+                f"Column index {bad[0]} out of range (file has {n_leaves})"
+            )
+        keep_cols = set(keep_sorted)
+        new_schema = _prune_schema(schema_elems, keep_cols)
+
+    # touch ONLY the kept row groups, and even those mostly by byte copy:
+    # the columns list of a kept group is spliced from chunk spans, the
+    # ordinal / num_rows / size fields are the only re-encoded values
+    keep_sorted_cols = sorted(keep_cols) if keep_cols is not None else None
+    new_rgs: list[tuple[list, dict]] = []
+    total_rows = 0
+    for new_ord, r in enumerate(sel):
+        rgf = rg_elems[r]
+        nr_span = _span_get(rgf, 3)
+        if nr_span is not None:
+            zz, _ = _read_varint(footer, nr_span[1])
+            total_rows += _unzigzag(zz)
+        overrides: dict[int, tuple[int, object]] = {}
+        if keep_sorted_cols is not None:
+            cols_span = _span_get(rgf, 1)
+            _, chunk_spans, _ = _list_elem_spans(footer, cols_span[1])
+            if keep_sorted_cols[-1] >= len(chunk_spans):
+                raise InvalidSelectionError(
+                    f"Column index {keep_sorted_cols[-1]} out of range for "
+                    f"row group {r} ({len(chunk_spans)} chunks)"
+                )
+            payload = bytearray()
+            _encode_list_header(payload, CT_STRUCT, len(keep_sorted_cols))
+            tbs = tcs = 0
+            have_sizes = True
+            for ci in keep_sorted_cols:
+                cs, ce = chunk_spans[ci]
+                payload += footer[cs:ce]
+                chunk_fields, _ = _struct_field_spans(footer, cs)
+                md_span = _span_get(chunk_fields, 3)
+                if md_span is None:
+                    have_sizes = False
+                    continue
+                md_fields, _ = _struct_field_spans(footer, md_span[1])
+                for mfid, acc in ((6, "tbs"), (7, "tcs")):
+                    sp = _span_get(md_fields, mfid)
+                    if sp is None:
+                        continue
+                    zz, _ = _read_varint(footer, sp[1])
+                    if mfid == 6:
+                        tbs += _unzigzag(zz)
+                    else:
+                        tcs += _unzigzag(zz)
+            overrides[1] = (CT_LIST, _Raw(bytes(payload)))
+            if have_sizes:
+                overrides[2] = (CT_I64, tbs)
+                if _span_get(rgf, 6) is not None:
+                    overrides[6] = (CT_I64, tcs)
+        if _span_get(rgf, 7) is not None:
+            overrides[7] = (CT_I16, new_ord)
+        new_rgs.append((rgf, overrides))
+
+    out = bytearray()
+    prev = 0
+    for fid, ctype, s, e in fields:
+        if fid == 2 and new_schema is not None:
+            _encode_field_header(out, fid, CT_LIST, prev)
+            _encode_list_header(out, CT_STRUCT, len(new_schema))
+            for el in new_schema:
+                _encode_struct(out, el)
+        elif fid == 3:
+            _encode_field_header(out, fid, CT_I64, prev)
+            _write_zigzag(out, total_rows)
+        elif fid == 4:
+            _encode_field_header(out, fid, CT_LIST, prev)
+            _encode_list_header(out, CT_STRUCT, len(new_rgs))
+            for rgf, overrides in new_rgs:
+                _copy_struct(out, footer, rgf, overrides)
+        elif fid == 7 and keep_cols is not None:
+            (etype, orders), _ = _decode_value(footer, s, CT_LIST)
+            kept = [o for i, o in enumerate(orders) if i in keep_cols]
+            _encode_field_header(out, fid, CT_LIST, prev)
+            _encode_list_header(out, etype, len(kept))
+            for o in kept:
+                _encode_value(out, etype, o)
+        elif ctype in (CT_TRUE, CT_FALSE):
+            _encode_field_header(out, fid, ctype, prev)
+        else:
+            _encode_field_header(out, fid, ctype, prev)
+            out += footer[s:e]
+        prev = fid
+    out.append(CT_STOP)
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# PJS1 sidecar index: footer blob + span offset arrays
+# --------------------------------------------------------------------------
+#
+# The serialized analogue of the reference's PJ_2 buffer (palletjack.cc:33-80:
+# header + offset arrays + original Thrift blob).  Layout (little-endian):
+#   "PJS1" | u32 footer_len | footer | u32 n_top | n_top×(4×i64)
+#        | u32 n_rg | per-rg: u32 n_fields | n_fields×(4×i64)
+
+_PJS_MAGIC = b"PJS1"
+
+
+def _serialize_index(footer: bytes, fields: list, rg_elems: list) -> bytearray:
+    out = bytearray(_PJS_MAGIC)
+    out += struct.pack("<I", len(footer))
+    out += footer
+    out += struct.pack("<I", len(fields))
+    for f in fields:
+        out += struct.pack("<4q", *f)
+    out += struct.pack("<I", len(rg_elems))
+    for rgf in rg_elems:
+        out += struct.pack("<I", len(rgf))
+        for f in rgf:
+            out += struct.pack("<4q", *f)
+    return out
+
+
+def _deserialize_index(blob: bytes) -> tuple[bytes, list, list]:
+    if blob[:4] != _PJS_MAGIC:
+        raise InvalidSelectionError(
+            "Not a palletjack_spark footer index (bad magic; expected PJS1)"
+        )
+    pos = 4
+    (flen,) = struct.unpack_from("<I", blob, pos)
+    pos += 4
+    footer = bytes(blob[pos : pos + flen])
+    pos += flen
+    (n_top,) = struct.unpack_from("<I", blob, pos)
+    pos += 4
+    fields = []
+    for _ in range(n_top):
+        fields.append(struct.unpack_from("<4q", blob, pos))
+        pos += 32
+    (n_rg,) = struct.unpack_from("<I", blob, pos)
+    pos += 4
+    rg_elems = []
+    for _ in range(n_rg):
+        (nf,) = struct.unpack_from("<I", blob, pos)
+        pos += 4
+        rgf = []
+        for _ in range(nf):
+            rgf.append(struct.unpack_from("<4q", blob, pos))
+            pos += 32
+        rg_elems.append(rgf)
+    # seed the span cache so splices skip the walk entirely
+    if len(_SPAN_CACHE) >= _SPAN_CACHE_MAX:
+        _SPAN_CACHE.pop(next(iter(_SPAN_CACHE)))
+    _SPAN_CACHE[id(footer)] = (footer, fields, rg_elems)
+    return footer, fields, rg_elems
+
+
+def generate_metadata_index(
+    parquet_path: str, index_file_path: str | None = None
+) -> bytearray | None:
+    """Reference-parity ``generate_metadata_index``
+    (palletjack_cython.pyx:13-25): walk the footer once, record every span,
+    and emit a self-contained index — returned as a ``bytearray`` when no
+    path is given, else written to ``index_file_path``."""
+    footer = read_footer_bytes(parquet_path)
+    fields, rg_elems = footer_spans(footer)
+    blob = _serialize_index(footer, fields, rg_elems)
+    if index_file_path is None:
+        return blob
+    with open(index_file_path, "wb") as f:
+        f.write(blob)
+    return None
+
+
+def _footer_from_source(
+    index_file_path: str | None, index_data, parquet_path: str | None
+) -> bytes:
+    n_sources = sum(
+        x is not None for x in (index_file_path, index_data, parquet_path)
+    )
+    if n_sources != 1:
+        raise InvalidSelectionError(
+            "Pass exactly one of index_file_path, index_data, parquet_path"
+        )
+    if parquet_path is not None:
+        return read_footer_bytes(parquet_path)
+    if index_file_path is not None:
+        with open(index_file_path, "rb") as f:
+            index_data = f.read()
+    footer, _, _ = _deserialize_index(bytes(index_data))
+    return footer
+
+
+# --------------------------------------------------------------------------
+# reference-parity public API
+# --------------------------------------------------------------------------
+
+def read_metadata(
+    index_file_path: str | None = None,
+    row_groups: Sequence[int] | Iterable[int] = (),
+    column_indices: Sequence[int] | Iterable[int] = (),
+    column_names: Sequence[str] | Iterable[str] = (),
+    index_data: bytes | bytearray | None = None,
+    parquet_path: str | None = None,
+) -> pq.FileMetaData:
+    """Pruned, genuine ``pyarrow.parquet.FileMetaData``.
+
+    Reference contract (``palletjack_cython.pyx:27-46``, README.md:70-74):
+    the returned object plugs into ``pq.ParquetReader().open(path,
+    metadata=...)`` / ``pq.ParquetFile(path, metadata=...)`` and the reader
+    touches only the selected row groups × columns, renumbered 0..k-1.
+    Empty selections mean "everything".  Sources: a PJS1 index file
+    (``index_file_path``), an in-memory PJS1 blob (``index_data``) — both
+    from :func:`generate_metadata_index` — or, as an extension over the
+    reference, the parquet file itself (``parquet_path``)."""
+    footer = _footer_from_source(index_file_path, index_data, parquet_path)
+    pruned = splice_footer(
+        footer,
+        row_groups=list(row_groups),
+        column_indices=list(column_indices) or None,
+        column_names=list(column_names) or None,
+    )
+    return metadata_from_footer(pruned)
+
+
+def read_schema(
+    index_file_path: str | None = None,
+    column_indices: Sequence[int] | Iterable[int] = (),
+    column_names: Sequence[str] | Iterable[str] = (),
+    index_data: bytes | bytearray | None = None,
+    parquet_path: str | None = None,
+) -> pa.Schema:
+    """Schema-only read (zero row groups decoded), optionally column-pruned
+    (reference ``read_schema``, palletjack_cython.pyx:48-67)."""
+    footer = _footer_from_source(index_file_path, index_data, parquet_path)
+    pruned = splice_footer(
+        footer,
+        column_indices=list(column_indices) or None,
+        column_names=list(column_names) or None,
+        schema_only=True,
+    )
+    return metadata_from_footer(pruned).schema.to_arrow_schema()

@@ -1,0 +1,237 @@
+"""Differential tests for the pruned-FileMetaData splice.
+
+Mirrors the reference's all-permutations discipline
+(/root/reference/python/test/test_palletjack.py:101-107): every (row-group
+permutation × column selection) read through the spliced metadata must equal
+the direct pyarrow read of the same subset.  No Spark needed — this layer is
+pure pyarrow interop.
+"""
+
+import itertools as it
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from palletjack_spark.errors import InvalidSelectionError
+from palletjack_spark.index import footer_splice as fs
+from palletjack_spark.index.footer_splice import (
+    generate_metadata_index,
+    read_metadata,
+    read_schema,
+)
+
+N_RG = 5
+N_COLS = 4
+CHUNK = 20
+
+
+@pytest.fixture(scope="module")
+def pq_file(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("fsplice") / "multi.parquet")
+    rng = np.random.default_rng(7)
+    t = pa.table(
+        {
+            "c_int": pa.array(np.arange(N_RG * CHUNK, dtype=np.int64)),
+            "c_dbl": pa.array(rng.random(N_RG * CHUNK)),
+            "c_str": pa.array([f"s{i:04d}" for i in range(N_RG * CHUNK)]),
+            "c_ts": pa.array(
+                np.arange(N_RG * CHUNK) * 1_000_000, type=pa.timestamp("us")
+            ),
+        }
+    )
+    pq.write_table(t, path, row_group_size=CHUNK)
+    return path
+
+
+@pytest.fixture(scope="module")
+def full_table(pq_file):
+    return pq.ParquetFile(pq_file).read()
+
+
+def _direct_read(full, row_groups, col_idx):
+    names = [full.column_names[c] for c in sorted(set(col_idx))] or list(
+        full.column_names
+    )
+    parts = [full.select(names).slice(r * CHUNK, CHUNK) for r in row_groups]
+    return pa.concat_tables(parts) if parts else full.select(names).slice(0, 0)
+
+
+def test_permutation_sweep(pq_file, full_table):
+    """Reference test_palletjack.py:101-107: permutations of row groups ×
+    combinations of columns, read via ParquetReader(metadata=pruned)."""
+    n_checked = 0
+    for r in range(3):
+        for rp in it.permutations(range(N_RG), r):
+            if not rp:
+                continue
+            for c in range(3):
+                for cp in it.combinations(range(N_COLS), c):
+                    md = read_metadata(
+                        parquet_path=pq_file,
+                        row_groups=list(rp),
+                        column_indices=list(cp),
+                    )
+                    pr = pq.ParquetReader()
+                    pr.open(pq_file, metadata=md)
+                    got = pr.read_all()
+                    pr.close()
+                    want = _direct_read(full_table, rp, cp)
+                    assert got.equals(want), (rp, cp)
+                    n_checked += 1
+    assert n_checked > 100
+
+
+def test_row_groups_keep_requested_order(pq_file, full_table):
+    md = read_metadata(parquet_path=pq_file, row_groups=[3, 1])
+    got = pq.ParquetFile(pq_file, metadata=md).read()
+    want = pa.concat_tables(
+        [full_table.slice(3 * CHUNK, CHUNK), full_table.slice(1 * CHUNK, CHUNK)]
+    )
+    assert got.equals(want)
+
+
+def test_renumbered_row_group_read(pq_file, full_table):
+    """test_palletjack.py:87 semantics: pruned metadata's groups are 0..k-1."""
+    md = read_metadata(parquet_path=pq_file, row_groups=[2, 4])
+    assert md.num_row_groups == 2
+    pr = pq.ParquetReader()
+    pr.open(pq_file, metadata=md)
+    got = pr.read_row_groups([1])
+    pr.close()
+    assert got.equals(full_table.slice(4 * CHUNK, CHUNK))
+
+
+def test_metadata_counts(pq_file):
+    orig = pq.read_metadata(pq_file)
+    md = read_metadata(parquet_path=pq_file, row_groups=[0, 2])
+    assert md.num_rows == 2 * CHUNK
+    assert md.num_columns == orig.num_columns
+    md2 = read_metadata(parquet_path=pq_file, column_indices=[1])
+    assert md2.num_columns == 1
+    assert md2.num_rows == orig.num_rows
+
+
+def test_column_names_equal_indices(pq_file):
+    md_i = read_metadata(parquet_path=pq_file, column_indices=[0, 2])
+    md_n = read_metadata(parquet_path=pq_file, column_names=["c_int", "c_str"])
+    assert md_i.schema.to_arrow_schema() == md_n.schema.to_arrow_schema()
+    got_i = pq.ParquetFile(pq_file, metadata=md_i).read()
+    got_n = pq.ParquetFile(pq_file, metadata=md_n).read()
+    assert got_i.equals(got_n)
+
+
+def test_index_file_and_data_roundtrip(pq_file, tmp_path, full_table):
+    """generate_metadata_index → .index file / in-memory blob; reads from
+    both must equal reads from the parquet path (README.md:70-97 shapes)."""
+    index_path = str(tmp_path / "my.parquet.index")
+    generate_metadata_index(pq_file, index_path)
+    assert os.path.exists(index_path)
+    blob = generate_metadata_index(pq_file)
+    assert isinstance(blob, bytearray)
+
+    with open(index_path, "rb") as f:
+        disk = f.read()
+    assert bytes(blob) == disk
+
+    for kwargs in (
+        {"index_file_path": index_path},
+        {"index_data": blob},
+        {"parquet_path": pq_file},
+    ):
+        md = read_metadata(row_groups=[1, 3], column_indices=[0, 3], **kwargs)
+        got = pq.ParquetFile(pq_file, metadata=md).read()
+        want = _direct_read(full_table, (1, 3), (0, 3))
+        assert got.equals(want), kwargs
+
+
+def test_read_schema(pq_file):
+    orig = pq.ParquetFile(pq_file).schema_arrow
+    sch = read_schema(parquet_path=pq_file)
+    assert sch.names == orig.names
+    sch2 = read_schema(parquet_path=pq_file, column_names=["c_dbl", "c_ts"])
+    assert sch2.names == ["c_dbl", "c_ts"]
+    assert sch2.field("c_ts").type == orig.field("c_ts").type
+    # schema-only = zero row groups in the underlying metadata
+    md = fs.metadata_from_footer(
+        fs.splice_footer(fs.read_footer_bytes(pq_file), schema_only=True)
+    )
+    assert md.num_row_groups == 0 and md.num_rows == 0
+
+
+def test_nested_column_pruning(tmp_path):
+    path = str(tmp_path / "nested.parquet")
+    t = pa.table(
+        {
+            "plain": pa.array(range(50), type=pa.int64()),
+            "vec": pa.array([[float(i), i + 0.5] for i in range(50)]),
+            "m": pa.array(
+                [{"a": i, "b": str(i)} for i in range(50)],
+                type=pa.struct([("a", pa.int64()), ("b", pa.string())]),
+            ),
+        }
+    )
+    pq.write_table(t, path, row_group_size=10)
+    full = pq.ParquetFile(path).read()
+    leaves = fs.leaf_column_names(fs.read_footer_bytes(path))
+    assert leaves == ["plain", "vec.list.element", "m.a", "m.b"]
+    # whole nested column by top-level name
+    md = read_metadata(parquet_path=path, column_names=["vec"])
+    got = pq.ParquetFile(path, metadata=md).read()
+    assert got.equals(full.select(["vec"]))
+    # a single struct leaf by dotted path
+    md2 = read_metadata(parquet_path=path, column_names=["m.a"])
+    got2 = pq.ParquetFile(path, metadata=md2).read()
+    assert got2.column_names == ["m"]
+    assert got2.column("m").combine_chunks().field("a").equals(
+        full.column("m").combine_chunks().field("a")
+    )
+    # row-group + nested column combined
+    md3 = read_metadata(parquet_path=path, row_groups=[2], column_names=["vec"])
+    got3 = pq.ParquetFile(path, metadata=md3).read()
+    assert got3.equals(full.select(["vec"]).slice(20, 10))
+
+
+def test_error_paths(pq_file, tmp_path):
+    with pytest.raises(InvalidSelectionError):
+        read_metadata(parquet_path=pq_file, row_groups=[N_RG])
+    with pytest.raises(InvalidSelectionError):
+        read_metadata(parquet_path=pq_file, column_indices=[99])
+    with pytest.raises(InvalidSelectionError):
+        read_metadata(parquet_path=pq_file, column_names=["nope"])
+    with pytest.raises(InvalidSelectionError):
+        read_metadata(
+            parquet_path=pq_file, column_indices=[0], column_names=["c_int"]
+        )
+    with pytest.raises(InvalidSelectionError):
+        read_metadata()  # no source
+    with pytest.raises(InvalidSelectionError):
+        read_metadata(index_file_path="x", parquet_path=pq_file)  # two sources
+    with pytest.raises(InvalidSelectionError):
+        fs._deserialize_index(b"NOPE" + b"\x00" * 16)
+    junk = str(tmp_path / "junk.bin")
+    with open(junk, "wb") as f:
+        f.write(b"hello world, definitely not parquet")
+    with pytest.raises(InvalidSelectionError):
+        fs.read_footer_bytes(junk)
+
+
+def test_splice_is_byte_stable(pq_file):
+    """Same selection twice → identical bytes (determinism underpins the
+    golden-master test for the sidecar)."""
+    footer = fs.read_footer_bytes(pq_file)
+    a = fs.splice_footer(footer, row_groups=[1, 2], column_indices=[0, 1])
+    b = fs.splice_footer(footer, row_groups=[1, 2], column_indices=[0, 1])
+    assert a == b
+    # identity splice parses to metadata equal to pyarrow's own
+    ident = fs.metadata_from_footer(fs.splice_footer(footer))
+    orig = pq.read_metadata(pq_file)
+    assert ident.num_rows == orig.num_rows
+    assert ident.num_row_groups == orig.num_row_groups
+    assert ident.schema.to_arrow_schema() == orig.schema.to_arrow_schema()
+    assert (
+        ident.row_group(3).column(2).statistics.min
+        == orig.row_group(3).column(2).statistics.min
+    )

@@ -292,3 +292,107 @@ def test_smart_read_routes_by_selectivity(spark, tmp_path):
     )
     assert d_tight.count() == expect_tight
     assert d_broad.count() == load_table(spark, SF_DIR, "lineitem").count()
+
+
+# ---------------------------------------------------------------------------
+# encrypted parquet (reference test_palletjack.py:334-364) and golden master
+# (:210-248)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def encrypted_file(tmp_path_factory):
+    """A REAL encrypted parquet file via pyarrow's modular encryption —
+    end-to-end analogue of the reference's KMS-stub test."""
+    import base64
+
+    pe = pytest.importorskip("pyarrow.parquet.encryption")
+
+    class _Kms(pe.KmsClient):
+        def __init__(self, config):
+            super().__init__()
+
+        def wrap_key(self, key_bytes, master_key_identifier):
+            return base64.b64encode(key_bytes).decode()
+
+        def unwrap_key(self, wrapped_key, master_key_identifier):
+            return base64.b64decode(wrapped_key)
+
+    factory = pe.CryptoFactory(lambda cfg: _Kms(cfg))
+    kms_cfg = pe.KmsConnectionConfig(
+        custom_kms_conf={"footer": "f", "col": "c"}
+    )
+    enc_cfg = pe.EncryptionConfiguration(
+        footer_key="footer", column_keys={"col": ["a"]}
+    )
+    props = factory.file_encryption_properties(kms_cfg, enc_cfg)
+    path = str(tmp_path_factory.mktemp("enc") / "encrypted.parquet")
+    t = pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    with pq.ParquetWriter(path, t.schema, encryption_properties=props) as w:
+        w.write_table(t)
+    return path
+
+
+def test_encrypted_parquet_rejected_by_build_index(spark, encrypted_file):
+    from palletjack_spark.errors import EncryptedParquetError
+
+    with pytest.raises(EncryptedParquetError):
+        build_index(spark, encrypted_file)
+
+
+def test_encrypted_parquet_rejected_by_arrow_scan(spark, encrypted_file):
+    from palletjack_spark.errors import EncryptedParquetError
+
+    with pytest.raises(EncryptedParquetError):
+        read_parquet_arrow(spark, encrypted_file).collect()
+
+
+def test_encrypted_parquet_rejected_by_footer_splice(encrypted_file):
+    from palletjack_spark.errors import EncryptedParquetError
+    from palletjack_spark.index.footer_splice import (
+        generate_metadata_index,
+        read_footer_bytes,
+    )
+
+    with pytest.raises(EncryptedParquetError):
+        read_footer_bytes(encrypted_file)
+    with pytest.raises(EncryptedParquetError):
+        generate_metadata_index(encrypted_file)
+
+
+_GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "data")
+
+
+def test_golden_sidecar_bytes_stable():
+    """Reference golden master (test_palletjack.py:210-248): the PJS1 index
+    generated for the committed fixture must be byte-identical to the
+    committed artifact — pins the sidecar format across refactors."""
+    from palletjack_spark.index.footer_splice import generate_metadata_index
+
+    golden_pq = os.path.join(_GOLDEN_DIR, "golden.parquet")
+    golden_idx = os.path.join(_GOLDEN_DIR, "golden.parquet.index")
+    with open(golden_idx, "rb") as f:
+        committed = f.read()
+    regenerated = generate_metadata_index(golden_pq)
+    assert bytes(regenerated) == committed, (
+        "PJS1 sidecar bytes changed — if intentional, regenerate "
+        "tests/data/golden.parquet.index and document the format bump"
+    )
+
+
+def test_golden_sidecar_reads_correctly():
+    """The committed index must still splice valid pruned metadata."""
+    from palletjack_spark.index.footer_splice import read_metadata
+
+    golden_pq = os.path.join(_GOLDEN_DIR, "golden.parquet")
+    golden_idx = os.path.join(_GOLDEN_DIR, "golden.parquet.index")
+    full = pq.ParquetFile(golden_pq).read()
+    md = read_metadata(golden_idx, row_groups=[1, 3], column_indices=[0, 2])
+    got = pq.ParquetFile(golden_pq, metadata=md).read()
+    want = pa.concat_tables(
+        [
+            full.select(["g_int", "g_str"]).slice(12, 12),
+            full.select(["g_int", "g_str"]).slice(36, 12),
+        ]
+    )
+    assert got.equals(want)
+    assert md.num_rows == 24
