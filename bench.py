@@ -91,9 +91,12 @@ def _ensure_meta_fixture() -> str:
 
 
 def bench_metadata(spark) -> dict[str, float]:
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
 
-    from palletjack_spark import build_index
+    from palletjack_spark import build_index, generate_metadata_index
+    from palletjack_spark.index import footer_splice
     from palletjack_spark.index.metadata_index import LocalIndex
 
     path = _ensure_meta_fixture()
@@ -102,6 +105,17 @@ def bench_metadata(spark) -> dict[str, float]:
     for _ in range(META_CALLS):
         pq.ParquetFile(path).metadata  # full footer parse (baseline :98-102)
     full = (time.perf_counter() - t0) / META_CALLS
+
+    # thread-pool sweep, mirroring the reference harness's pool sizes 1 and 2
+    # (benchmark_palletjack_metadata.py:32,159-176): per-call wall time when
+    # two readers parse concurrently
+    def _full_parse(_):
+        return pq.ParquetFile(path).metadata.num_row_groups
+
+    with ThreadPoolExecutor(2) as pool:
+        t0 = time.perf_counter()
+        list(pool.map(_full_parse, range(META_CALLS)))
+        full_pool2 = (time.perf_counter() - t0) / META_CALLS
 
     # single-process build — the reference's generate_metadata_index shape
     # (palletjack.cc:207 runs in the calling process).  Min of 3 iterations,
@@ -128,11 +142,46 @@ def bench_metadata(spark) -> dict[str, float]:
         assert md["num_rows"] == META_CHUNK
     indexed = (time.perf_counter() - t0) / META_CALLS
 
+    def _indexed_read(_):
+        return local.read_metadata(path, row_groups=[0], column_indices=[0])[
+            "num_rows"
+        ]
+
+    with ThreadPoolExecutor(2) as pool:
+        t0 = time.perf_counter()
+        list(pool.map(_indexed_read, range(META_CALLS)))
+        indexed_pool2 = (time.perf_counter() - t0) / META_CALLS
+
+    # PJS1 sidecar: build (footer walk + span record), then the reference's
+    # actual read_metadata workload — a pruned, genuine pyarrow FileMetaData
+    # spliced from the in-memory index (palletjack_cython.pyx:27-46)
+    t0 = time.perf_counter()
+    pjs1 = generate_metadata_index(path)
+    pjs1_build = time.perf_counter() - t0
+    footer_splice._deserialize_index(bytes(pjs1))  # warm the span cache
+    t0 = time.perf_counter()
+    for _ in range(META_CALLS):
+        md = footer_splice.read_metadata(
+            index_data=pjs1, row_groups=[0], column_indices=[0]
+        )
+        assert md.num_rows == META_CHUNK
+    spliced = (time.perf_counter() - t0) / META_CALLS
+
+    # index-size accounting (reference harness :128-131 prints the ratio)
+    file_size = os.path.getsize(path)
+    footer_size = pq.ParquetFile(path).metadata.serialized_size
+
     return {
         "meta_full_footer": full,
+        "meta_full_footer_pool2": full_pool2,
         "meta_indexed": indexed,
+        "meta_indexed_pool2": indexed_pool2,
+        "meta_spliced_filemetadata": spliced,
+        "meta_pjs1_build_once": pjs1_build,
         "meta_index_build_once": index_build,
         "meta_index_build_spark": index_build_spark,
+        "meta_index_size_ratio": len(pjs1) / file_size,
+        "meta_index_vs_footer_ratio": len(pjs1) / max(1, footer_size),
     }
 
 

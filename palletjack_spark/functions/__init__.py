@@ -18,10 +18,10 @@ from palletjack_spark.functions.text import (
     token_count_regex,
     fingerprint_md5,
 )
+from palletjack_spark.functions.imagecodec import decode_image
 from palletjack_spark.functions.multimodal import (
     attach_fake_binary,
     extract_binary_features,
-    decode_image_stub,
 )
 
 __all__ = [
@@ -39,5 +39,5 @@ __all__ = [
     "fingerprint_md5",
     "attach_fake_binary",
     "extract_binary_features",
-    "decode_image_stub",
+    "decode_image",
 ]

@@ -3,10 +3,14 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata travelling alongside.  The Spark-side plumbing — schema, batch
 shape, partition sizing, Arrow transfer through ``mapInPandas`` — is real
-and tested; the actual media decode is stubbed (no image/audio libraries
-in this container) behind ``decode_image_stub``, which raises
-NotImplementedError unless ``fake=True`` supplies a deterministic fake
-decode.
+and tested, and since round 2 the IMAGE decode path is real too:
+``imagecodec`` implements 24-bit BMP and binary PPM (P6) from their public
+specs in pure numpy, so image payloads are actual image files, widths and
+heights come from genuine header parsing, and resize is a real
+nearest-neighbour resample over decoded pixels.  Compressed formats and
+audio/video codecs remain out of scope for this container — the
+``imagecodec.REGISTRY`` dict is the documented plug-in point, and
+unsupported payloads raise ``UnsupportedImageError``.
 
 Scale notes: binary payloads stay in the executors (never collected);
 feature extraction is Arrow-batched; ``spark.sql.execution.arrow.
@@ -19,9 +23,19 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from palletjack_spark.functions.imagecodec import (
+    UnsupportedImageError,
+    decode_image,
+    encode_bmp,
+    encode_ppm,
+    resize_nearest,
+    synthetic_image,
+)
 
 #: schema of a multimodal asset table
 ASSET_SCHEMA = (
@@ -30,67 +44,95 @@ ASSET_SCHEMA = (
 )
 
 
-def decode_image_stub(payload: bytes, fake: bool = False) -> dict:
-    """Decode an image payload → {width, height, mode}.
-
-    STUB: real decoding needs an image library not present in this
-    container.  ``fake=True`` returns a deterministic fake derived from the
-    payload bytes so the distributed plumbing is testable end-to-end."""
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires an imaging library; pass fake=True for "
-            "the deterministic test double"
-        )
-    return {
-        "width": 16 + payload[0] % 64 if payload else 16,
-        "height": 16 + payload[-1] % 64 if payload else 16,
-        "mode": "RGB",
-    }
+def _asset_dims(asset_id: int) -> tuple[int, int]:
+    """Deterministic closed-form dimensions for synthetic image assets —
+    the oracle side recomputes these in SQL, the Spark side must recover
+    them by DECODING the payload."""
+    return 8 + asset_id % 16, 8 + (asset_id * 7) % 16
 
 
 def attach_fake_binary(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Build a multimodal asset table from a text fixture: payload =
-    utf-8 bytes of the text (a deterministic opaque blob), modality by id."""
+    """Build a multimodal asset table from a text fixture.
+
+    Modality cycles (image, audio, video) by id.  IMAGE payloads are REAL
+    encoded files — BMP for even ids, PPM for odd — of a deterministic
+    test pattern with closed-form dimensions (``_asset_dims``), so decode
+    correctness is oracle-checkable.  Audio/video payloads stay opaque
+    utf-8 blobs (no codec in this container)."""
+    cols = ["asset_id", "modality", "payload", "width", "height", "n_bytes"]
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, text in zip(pdf["asset_id"], pdf["text"]):
+                aid = int(aid)
+                modality = ("image", "audio", "video")[aid % 3]
+                if modality == "image":
+                    w, h = _asset_dims(aid)
+                    px = synthetic_image(aid % 256, w, h)
+                    payload = (
+                        encode_bmp(px) if aid % 2 == 0 else encode_ppm(px)
+                    )
+                else:
+                    payload = text.encode("utf-8")
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "modality": modality,
+                        "payload": payload,
+                        "width": None,
+                        "height": None,
+                        "n_bytes": len(payload),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols, dtype=object)
+
     return df.select(
-        F.col(id_col).alias("asset_id"),
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col(id_col) % 3 + 1).cast("int"),
-        ).alias("modality"),
-        F.encode(F.col(text_col), "utf-8").alias("payload"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        F.length(F.encode(F.col(text_col), "utf-8")).cast("long").alias("n_bytes"),
-    )
+        F.col(id_col).alias("asset_id"), F.col(text_col).alias("text")
+    ).mapInPandas(gen, ASSET_SCHEMA)
 
 
 def extract_binary_features(assets: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
     ``mapInPandas``: (asset_id, modality, n_bytes, head_byte, checksum,
-    width, height).  The decode step itself is the stub above with
-    ``fake=True``."""
+    width, height).  Image payloads are REALLY decoded (BMP/PPM header
+    parse via ``imagecodec``); non-image modalities report null dims."""
 
     def extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            decoded = [
-                decode_image_stub(p if p is not None else b"", fake=True)
-                for p in pdf["payload"]
-            ]
+            widths, heights = [], []
+            for modality, p in zip(pdf["modality"], pdf["payload"]):
+                if modality == "image" and p is not None:
+                    try:
+                        d = decode_image(bytes(p))
+                        widths.append(d["width"])
+                        heights.append(d["height"])
+                    except UnsupportedImageError:
+                        widths.append(None)
+                        heights.append(None)
+                else:
+                    widths.append(None)
+                    heights.append(None)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "modality": pdf["modality"],
-                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "n_bytes": [
+                        len(p) if p is not None else 0 for p in pdf["payload"]
+                    ],
                     "head_byte": [
                         int(p[0]) if p is not None and len(p) else -1
                         for p in pdf["payload"]
                     ],
                     "checksum": [
-                        int(sum(p) % 65521) if p is not None else 0
+                        int(np.frombuffer(bytes(p), dtype=np.uint8).sum())
+                        % 65521
+                        if p is not None
+                        else 0
                         for p in pdf["payload"]
                     ],
-                    "width": [d["width"] for d in decoded],
-                    "height": [d["height"] for d in decoded],
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
                 }
             )
 
@@ -105,26 +147,43 @@ def resize_images(
     assets: DataFrame, target_w: int = 32, target_h: int = 32
 ) -> DataFrame:
     """Resize image assets to (target_w, target_h): binary-in/binary-out
-    through ``mapInPandas``.  The resample math is STUBBED as deterministic
-    stride-subsampling of the payload bytes (a real kernel would drop in
-    here unchanged — same signature, same batch shape)."""
-    n_out = target_w * target_h * 3  # RGB
+    through ``mapInPandas``.  REAL pipeline: decode (BMP/PPM) →
+    nearest-neighbour resample → re-encode as BMP.  Payloads no codec can
+    read pass through with null dims rather than poisoning the batch."""
 
     def rs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            payloads = []
-            for p in pdf["payload"]:
-                p = bytes(p) if p is not None else b""
-                stride = max(1, len(p) // n_out)
-                payloads.append(p[::stride][:n_out].ljust(n_out, b"\0"))
+            rows = []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    d = decode_image(bytes(p) if p is not None else b"")
+                except UnsupportedImageError:
+                    rows.append(
+                        {
+                            "asset_id": aid,
+                            "payload": None,
+                            "width": None,
+                            "height": None,
+                            "n_bytes": 0,
+                        }
+                    )
+                    continue
+                out = encode_bmp(
+                    resize_nearest(d["pixels"], target_w, target_h)
+                )
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "payload": out,
+                        "width": target_w,
+                        "height": target_h,
+                        "n_bytes": len(out),
+                    }
+                )
             yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "payload": payloads,
-                    "width": target_w,
-                    "height": target_h,
-                    "n_bytes": n_out,
-                }
+                rows,
+                columns=["asset_id", "payload", "width", "height", "n_bytes"],
+                dtype=object,
             )
 
     return (
@@ -141,8 +200,9 @@ def sample_frames(
 ) -> DataFrame:
     """Sample frames from video assets — the UDTF shape: one input row →
     one output row per sampled frame.  Frame extraction is STUBBED as
-    fixed-size payload slices (a codec would replace the slicing, keeping
-    the fan-out schema and Arrow batching)."""
+    fixed-size payload slices (no video codec in this container; a codec
+    would replace the slicing, keeping the fan-out schema and Arrow
+    batching)."""
 
     def fr(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

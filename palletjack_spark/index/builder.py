@@ -288,13 +288,17 @@ def build_index(
         return load_index(spark, index_dir)
 
     combined = combined.cache()
-    rg_df = combined.where(F.col("kind") == "rg").select(rg_cols).cache()
-    files_df = combined.where(F.col("kind") == "file").select(f_cols).cache()
+    # force the cache in ONE clean job before anything branches off it —
+    # validate()'s join reads both splits and its two map stages would
+    # otherwise race to compute the cached partitions (2× footer parses).
+    # The splits stay as filters OVER the cached union (one InMemoryRelation,
+    # not three); the cache is released via the index handle.
+    combined.count()
+    rg_df = combined.where(F.col("kind") == "rg").select(rg_cols)
+    files_df = combined.where(F.col("kind") == "file").select(f_cols)
     idx = MetadataIndex(spark, rg_df, files_df, index_dir=None)
-    # validate() materializes both splits; the first action fills the
-    # combined cache (one footer pass), the second reads from it.
+    idx._combined = combined  # unpersist() releases the backing cache
     idx.validate()
-    combined.unpersist()
     if use_cache:
         _INDEX_CACHE[cache_key] = idx
     return idx

@@ -285,19 +285,18 @@ def _list_elem_spans(
 #: while the entry lives.  Hashing the blob per call would cost more than
 #: the splice itself on wide footers.  Splices after the first per footer
 #: object are O(selected).
-_SPAN_CACHE: dict[int, tuple[bytes, list, list]] = {}
+_SPAN_CACHE: dict[int, tuple[bytes, list, list, dict]] = {}
 _SPAN_CACHE_MAX = 16
 
 
-def footer_spans(footer: bytes) -> tuple[list, list]:
-    """Top-level ``FileMetaData`` field spans + per-row-group field spans,
-    memoized per blob object.  Returns ``(fields, rg_elems)`` where
-    ``rg_elems[i]`` is the field-span list of row group *i* — enough to
-    rebuild any subset of the footer by raw byte copy (the reference's
-    offset arrays, palletjack.cc:33-80, as Python lists)."""
+def _footer_state(footer: bytes) -> tuple[list, list, dict]:
+    """(top-level field spans, per-row-group field spans, extras memo) for a
+    footer blob, memoized per blob object.  ``extras`` lazily accumulates
+    derived structures (decoded schema, leaf paths, per-rg chunk spans) so
+    repeated splices never redo identical decode work."""
     hit = _SPAN_CACHE.get(id(footer))
     if hit is not None and hit[0] is footer:
-        return hit[1], hit[2]
+        return hit[1], hit[2], hit[3]
     fields, _ = _struct_field_spans(footer, 0)
     rg_span = next(((s, e) for fid, ct, s, e in fields if fid == 4), None)
     if rg_span is None:
@@ -309,7 +308,15 @@ def footer_spans(footer: bytes) -> tuple[list, list]:
         rg_elems.append(rg_fields)
     if len(_SPAN_CACHE) >= _SPAN_CACHE_MAX:
         _SPAN_CACHE.pop(next(iter(_SPAN_CACHE)))
-    _SPAN_CACHE[id(footer)] = (footer, fields, rg_elems)
+    extras: dict = {}
+    _SPAN_CACHE[id(footer)] = (footer, fields, rg_elems, extras)
+    return fields, rg_elems, extras
+
+
+def footer_spans(footer: bytes) -> tuple[list, list]:
+    """Top-level ``FileMetaData`` field spans + per-row-group field spans —
+    the reference's offset arrays (palletjack.cc:33-80) as Python lists."""
+    fields, rg_elems, _ = _footer_state(footer)
     return fields, rg_elems
 
 
@@ -723,7 +730,7 @@ def splice_footer(
             )
         column_indices = resolve_column_names(footer, column_names)
 
-    fields, rg_elems = footer_spans(footer)
+    fields, rg_elems, extras = _footer_state(footer)
     n_rg = len(rg_elems)
 
     if schema_only:
@@ -741,8 +748,15 @@ def splice_footer(
     keep_cols: set[int] | None = None
     new_schema = None
     if column_indices is not None and len(column_indices) > 0:
-        schema_elems = _decode_schema(footer, fields)
-        n_leaves = len(_leaf_paths(schema_elems))
+        schema_elems = extras.get("schema_elems")
+        if schema_elems is None:
+            schema_elems = _decode_schema(footer, fields)
+            extras["schema_elems"] = schema_elems
+        leaf_paths = extras.get("leaf_paths")
+        if leaf_paths is None:
+            leaf_paths = _leaf_paths(schema_elems)
+            extras["leaf_paths"] = leaf_paths
+        n_leaves = len(leaf_paths)
         keep_sorted = sorted(set(int(c) for c in column_indices))
         bad = [c for c in keep_sorted if c < 0 or c >= n_leaves]
         if bad:
@@ -766,8 +780,12 @@ def splice_footer(
             total_rows += _unzigzag(zz)
         overrides: dict[int, tuple[int, object]] = {}
         if keep_sorted_cols is not None:
-            cols_span = _span_get(rgf, 1)
-            _, chunk_spans, _ = _list_elem_spans(footer, cols_span[1])
+            chunk_memo = extras.setdefault("chunk_spans", {})
+            chunk_spans = chunk_memo.get(r)
+            if chunk_spans is None:
+                cols_span = _span_get(rgf, 1)
+                _, chunk_spans, _ = _list_elem_spans(footer, cols_span[1])
+                chunk_memo[r] = chunk_spans
             if keep_sorted_cols[-1] >= len(chunk_spans):
                 raise InvalidSelectionError(
                     f"Column index {keep_sorted_cols[-1]} out of range for "
@@ -894,7 +912,7 @@ def _deserialize_index(blob: bytes) -> tuple[bytes, list, list]:
     # seed the span cache so splices skip the walk entirely
     if len(_SPAN_CACHE) >= _SPAN_CACHE_MAX:
         _SPAN_CACHE.pop(next(iter(_SPAN_CACHE)))
-    _SPAN_CACHE[id(footer)] = (footer, fields, rg_elems)
+    _SPAN_CACHE[id(footer)] = (footer, fields, rg_elems, {})
     return footer, fields, rg_elems
 
 
@@ -915,6 +933,13 @@ def generate_metadata_index(
     return None
 
 
+#: deserialized-index memo: id(blob) → (blob ref, footer).  The strong blob
+#: reference keeps the id stable; repeated reads from the same in-memory
+#: index then skip the per-call unpack (the dominant cost on wide footers).
+_INDEX_BLOB_CACHE: dict[int, tuple[object, bytes]] = {}
+_INDEX_BLOB_CACHE_MAX = 16
+
+
 def _footer_from_source(
     index_file_path: str | None, index_data, parquet_path: str | None
 ) -> bytes:
@@ -928,9 +953,26 @@ def _footer_from_source(
     if parquet_path is not None:
         return read_footer_bytes(parquet_path)
     if index_file_path is not None:
+        import os
+
+        st = os.stat(index_file_path)
+        fkey = (index_file_path, st.st_mtime_ns, st.st_size)
+        fhit = _FOOTER_CACHE.get(fkey)
+        if fhit is not None:
+            return fhit
         with open(index_file_path, "rb") as f:
-            index_data = f.read()
+            footer, _, _ = _deserialize_index(f.read())
+        if len(_FOOTER_CACHE) >= _FOOTER_CACHE_MAX:
+            _FOOTER_CACHE.pop(next(iter(_FOOTER_CACHE)))
+        _FOOTER_CACHE[fkey] = footer
+        return footer
+    hit = _INDEX_BLOB_CACHE.get(id(index_data))
+    if hit is not None and hit[0] is index_data:
+        return hit[1]
     footer, _, _ = _deserialize_index(bytes(index_data))
+    if len(_INDEX_BLOB_CACHE) >= _INDEX_BLOB_CACHE_MAX:
+        _INDEX_BLOB_CACHE.pop(next(iter(_INDEX_BLOB_CACHE)))
+    _INDEX_BLOB_CACHE[id(index_data)] = (index_data, footer)
     return footer
 
 

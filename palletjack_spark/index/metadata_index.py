@@ -264,7 +264,11 @@ class MetadataIndex:
 
     def unpersist(self) -> None:
         """Release the cached index DataFrames (no-op for persisted indexes)."""
-        for df in (self.row_groups, self.files):
+        backing = getattr(self, "_combined", None)
+        frames = (self.row_groups, self.files) + (
+            (backing,) if backing is not None else ()
+        )
+        for df in frames:
             try:
                 df.unpersist()
             except Exception:

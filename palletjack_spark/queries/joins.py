@@ -347,6 +347,44 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q26b_asof_bucketed",
+    oracle=f"""
+    SELECT e.event_id, e.user_id, MAX(o.o_orderdate) AS last_order_date
+    FROM {_EVENTS_US} e
+    LEFT JOIN orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def q26b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, skew-proof variant [north-star scale]: same semantics as
+    q26 but via the time-bucketed two-phase carry-forward
+    (functions/asof.py) — a hot user spreads over (user, bucket) partitions
+    instead of serializing one window task; the only per-key serial step is
+    O(#buckets).  This is the plan to ship at 100 TB when keys are skewed;
+    q26 remains the minimal one-shuffle shape for well-distributed keys."""
+    from palletjack_spark.functions.asof import asof_last_bucketed
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").alias("o_date")
+    )
+    return asof_last_bucketed(
+        e.withColumnRenamed("user_id", "k_user"),
+        o.withColumnRenamed("o_custkey", "k_user"),
+        key="k_user",
+        left_ts="ts",
+        right_ts="o_date",
+        value_col="o_date",
+        bucket="90 days",
+    ).select(
+        "event_id",
+        F.col("k_user").alias("user_id"),
+        F.col("asof_o_date").alias("last_order_date"),
+    )
+
+
+@query(
     "q29_star_join",
     oracle="""
     SELECT n_name,

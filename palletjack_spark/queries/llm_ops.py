@@ -285,37 +285,70 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q94b_multimodal_transform", oracle=None)
+@query(
+    "q94b_multimodal_transform",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 16 AS INT) AS width,
+             CAST(8 + (doc_id * 7) % 16 AS INT) AS height
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id AS asset_id, width, height,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN 54 + ((width*3 + 3) - (width*3 + 3) % 4) * height
+                ELSE 9 + LENGTH(CAST(width AS VARCHAR))
+                       + LENGTH(CAST(height AS VARCHAR))
+                       + width * height * 3
+           END AS BIGINT) AS n_bytes,
+           CAST(3126 AS BIGINT) AS resized_bytes
+    FROM img
+    """,
+)
 def q94b(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal transform pipeline (Q94b): binary assets → image resize
-    (binary-in/binary-out) + video frame sampling (1→N fan-out), then a
-    per-modality summary.  Decode/resample kernels are stubbed
-    deterministically (no media libs here); the Spark plumbing — schemas,
-    Arrow batches, fan-out — is real, so dropping in a real codec changes
-    no query shape.  Rows-only check (binary outputs aren't SQL-comparable);
-    determinism is asserted in tests/test_llm.py."""
+    """Multimodal transform pipeline (Q94b), REAL decode: image assets are
+    genuine BMP/PPM files; Spark recovers width/height by parsing the
+    payload headers (imagecodec.decode_image) and resizes via actual
+    nearest-neighbour resample + BMP re-encode.  The oracle recomputes the
+    expected dimensions/byte sizes analytically from the synthetic-asset
+    closed forms — a true differential: any header-parse or re-encode bug
+    breaks the match.  (Resized 32×32 BMP is always 54 + 96×32 = 3126 B.)"""
     from palletjack_spark.functions.multimodal import (
         attach_fake_binary,
+        extract_binary_features,
         resize_images,
+    )
+
+    assets = attach_fake_binary(t(spark, sf_dir, "documents"), "text", "doc_id")
+    feats = extract_binary_features(assets).where(F.col("modality") == "image")
+    resized = resize_images(assets).select(
+        "asset_id", F.col("n_bytes").alias("resized_bytes")
+    )
+    return feats.join(resized, "asset_id").select(
+        "asset_id", "width", "height", "n_bytes", "resized_bytes"
+    )
+
+
+@query("q94c_multimodal_frames", oracle=None)
+def q94c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (Q94c): 1→N fan-out over binary payloads plus a
+    per-modality byte summary.  The frame slicer remains a declared stub
+    (no video codec in this container) — rows-only check; determinism is
+    asserted in tests/test_llm.py."""
+    from palletjack_spark.functions.multimodal import (
+        attach_fake_binary,
         sample_frames,
     )
 
     assets = attach_fake_binary(t(spark, sf_dir, "documents"), "text", "doc_id")
-    resized = resize_images(assets).select(
-        "asset_id", F.lit("image_resized").alias("kind"),
-        F.col("n_bytes").cast("long").alias("n_bytes"),
-    )
     frames = sample_frames(assets).select(
-        "asset_id", F.lit("video_frame").alias("kind"),
+        "asset_id",
+        F.lit("video_frame").alias("kind"),
         F.length("frame_payload").cast("long").alias("n_bytes"),
     )
-    return (
-        resized.unionByName(frames)
-        .groupBy("kind")
-        .agg(
-            F.count("*").alias("n_assets"),
-            F.sum("n_bytes").alias("total_bytes"),
-        )
+    return frames.groupBy("kind").agg(
+        F.count("*").alias("n_assets"),
+        F.sum("n_bytes").alias("total_bytes"),
     )
 
 
@@ -612,3 +645,67 @@ def q99b(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(
         t(spark, sf_dir, "documents"), "text", "doc_id", bits=48, max_hamming=3
     )
+
+
+_Q101_PAIRS_SQL = """
+    toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, source,
+             ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+      FROM toks, UNNEST(generate_series(1, greatest(len(ts) - 2, 0))) AS s(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_g FROM grams GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      FROM grams a
+      JOIN grams b ON a.source = b.source AND a.gram = b.gram
+                  AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM common c
+      JOIN sizes za ON za.doc_id = c.id_a
+      JOIN sizes zb ON zb.doc_id = c.id_b
+      WHERE c.common / (za.n_g + zb.n_g - c.common) >= 0.2
+    )
+"""
+
+
+@query(
+    "q101_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE
+    {_Q101_PAIRS_SQL},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS node, LEAST(a, MIN(b)) AS component
+    FROM reach GROUP BY a
+    """,
+)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering (Q101): connected components over the exact
+    n-gram Jaccard pair list — the step that turns pairwise dedup output
+    into keep-one-per-group decisions.  Alternating contraction
+    (functions/dedup.py:connected_components): O(log n) rounds, one
+    min-neighbor aggregate + one edge-contraction join per round, lineage
+    cut per round via localCheckpoint.  The oracle recomputes components
+    with a recursive transitive closure over the same pairs."""
+    from palletjack_spark.functions.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id", "source", threshold=0.2
+    )
+    return connected_components(pairs)

@@ -10,7 +10,6 @@ from pyspark.sql import functions as F
 from palletjack_spark.functions.dedup import exact_dedup, minhash_lsh_pairs, simhash
 from palletjack_spark.functions.multimodal import (
     attach_fake_binary,
-    decode_image_stub,
     extract_binary_features,
 )
 from palletjack_spark.functions.similarity import cosine_topk, lsh_bucket_topk
@@ -128,7 +127,13 @@ def test_multimodal_plumbing(spark):
     assert len(feats) == 100
     assert set(feats["modality"]) <= {"image", "audio", "video"}
     assert (feats["n_bytes"] > 0).all()
-    assert feats["width"].between(16, 79).all()
+    # image dims come from REAL header parsing and must match the
+    # closed-form synthetic dimensions; other modalities decode to null
+    img = feats[feats["modality"] == "image"]
+    assert len(img) > 0
+    assert (img["width"] == 8 + img["asset_id"] % 16).all()
+    assert (img["height"] == 8 + (img["asset_id"] * 7) % 16).all()
+    assert feats[feats["modality"] != "image"]["width"].isna().all()
     # deterministic: same payload → same checksum on re-run
     again = extract_binary_features(assets).toPandas()
     pd.testing.assert_frame_equal(
@@ -137,11 +142,30 @@ def test_multimodal_plumbing(spark):
     )
 
 
-def test_decode_stub_contract():
-    with pytest.raises(NotImplementedError):
-        decode_image_stub(b"\x89PNG")
-    d = decode_image_stub(b"\x89PNG", fake=True)
-    assert set(d) == {"width", "height", "mode"}
+def test_image_codec_roundtrip():
+    """encode→decode identity for both real codecs, plus dispatch errors."""
+    import numpy as np
+
+    from palletjack_spark.functions.imagecodec import (
+        UnsupportedImageError,
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+        resize_nearest,
+        synthetic_image,
+    )
+
+    px = synthetic_image(seed=42, w=13, h=9)  # odd width exercises BMP pad
+    for enc in (encode_bmp, encode_ppm):
+        d = decode_image(enc(px))
+        assert (d["width"], d["height"], d["mode"]) == (13, 9, "RGB")
+        assert np.array_equal(d["pixels"], px)
+    small = resize_nearest(px, 4, 4)
+    assert small.shape == (4, 4, 3)
+    with pytest.raises(UnsupportedImageError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError):  # keeps the stub contract
+        decode_image(b"")
 
 
 def test_ivf_full_probe_is_exact(spark):
@@ -197,8 +221,10 @@ def test_multimodal_resize_and_frames(spark):
     docs = load_table(spark, SF_DIR, "documents").limit(60)
     assets = attach_fake_binary(docs, "text", "doc_id")
     resized = resize_images(assets, target_w=8, target_h=8).toPandas()
-    assert (resized["n_bytes"] == 8 * 8 * 3).all()
-    assert resized["payload"].apply(len).eq(8 * 8 * 3).all()
+    # real BMP re-encode: 54-byte header + 8 rows of 24 B (pad-free)
+    assert (resized["n_bytes"] == 54 + 8 * 24).all()
+    assert resized["payload"].apply(len).eq(54 + 8 * 24).all()
+    assert (resized["width"] == 8).all() and (resized["height"] == 8).all()
     frames = sample_frames(assets, frame_bytes=64, max_frames=3).toPandas()
     assert frames.groupby("asset_id")["frame_no"].max().le(2).all()
     assert frames["frame_payload"].apply(len).le(64).all()
@@ -209,3 +235,118 @@ def test_multimodal_resize_and_frames(spark):
         frames.sort_values(k).reset_index(drop=True),
         again.sort_values(k).reset_index(drop=True),
     )
+
+
+# ---------------------------------------------------------------------------
+# degenerate-bucket guards (VERDICT r1 #5): a hot LSH bucket must not emit
+# O(bucket²) candidates, and capped runs must keep dup groups connected
+# while leaving under-cap buckets oracle-exact
+# ---------------------------------------------------------------------------
+
+def _connected_components(ids, pairs):
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        if a in parent and b in parent:
+            parent[find(a)] = find(b)
+    groups = {}
+    for i in ids:
+        groups.setdefault(find(i), set()).add(i)
+    return list(groups.values())
+
+
+@pytest.fixture(scope="module")
+def hot_bucket_docs(spark):
+    """300 byte-identical docs (one degenerate bucket in EVERY band) plus a
+    small distinct corpus with known near-dups."""
+    hot = "identical boilerplate document repeated across the corpus " * 4
+    rows = [(i, hot) for i in range(300)]
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows += [
+        (1000, base),
+        (1001, base.replace("lazy", "sleepy")),
+        (1002, "completely different content about spark query engines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_hot_bucket_chains(spark, hot_bucket_docs):
+    from palletjack_spark.functions.dedup import minhash_lsh_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            hot_bucket_docs, "text", "doc_id", threshold=0.5, bucket_cap=50
+        ).collect()
+    }
+    hot_ids = set(range(300))
+    hot_pairs = [p for p in pairs if p[0] in hot_ids and p[1] in hot_ids]
+    # chain mode: O(bucket) pairs, NOT 300*299/2 = 44850
+    assert len(hot_pairs) < 3000, len(hot_pairs)
+    assert all(pairs[p] == 1.0 for p in hot_pairs)
+    # the whole hot group stays transitively connected
+    comps = _connected_components(hot_ids, hot_pairs)
+    assert len(comps) == 1 and comps[0] == hot_ids
+    # under-cap docs keep exhaustive behavior: differential vs uncapped
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            hot_bucket_docs.where("doc_id >= 1000"),
+            "text",
+            "doc_id",
+            threshold=0.5,
+        ).collect()
+    }
+    cold_pairs = {p for p in pairs if p[0] >= 1000 and p[1] >= 1000}
+    assert cold_pairs == uncapped
+
+
+def test_simhash_hot_bucket_chains(spark, hot_bucket_docs):
+    from palletjack_spark.functions.dedup import simhash_pairs
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(
+            hot_bucket_docs, "text", "doc_id", bucket_cap=50
+        ).collect()
+    }
+    hot_ids = set(range(300))
+    hot_pairs = [p for p in got if p[0] in hot_ids and p[1] in hot_ids]
+    assert len(hot_pairs) < 3000, len(hot_pairs)
+    assert all(got[p] == 0 for p in hot_pairs)
+    comps = _connected_components(hot_ids, hot_pairs)
+    assert len(comps) == 1 and comps[0] == hot_ids
+    # the near-dup among distinct docs must still be found (recall intact
+    # for under-cap buckets)
+    assert any(p == (1000, 1001) for p in got)
+
+
+def test_connected_components_crafted(spark):
+    """Chain, star, triangle+tail, singletons-absent: the contraction must
+    label every node with its component minimum, converging in O(log n)
+    rounds even on a 64-node chain (the bucket-cap chain shape)."""
+    from palletjack_spark.functions.dedup import connected_components
+
+    edges = (
+        # 64-node chain: 0-1-2-...-63
+        [(i, i + 1) for i in range(63)]
+        # star centred at 100
+        + [(100, v) for v in (101, 102, 103, 104)]
+        # triangle with a tail, listed in arbitrary order
+        + [(202, 201), (200, 202), (201, 200), (203, 202)]
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert {n for n in got if got[n] == 0} == set(range(64))
+    assert {n for n in got if got[n] == 100} == {100, 101, 102, 103, 104}
+    assert {n for n in got if got[n] == 200} == {200, 201, 202, 203}
+    assert len(got) == 64 + 5 + 4  # no phantom nodes

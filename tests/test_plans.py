@@ -210,3 +210,68 @@ def test_star_join_broadcasts_all_dimensions(spark):
     # >= 4: the four dimensions always broadcast; at tiny SF AQE may
     # broadcast the orders side of the fact join too
     assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_asof_bucketed_splits_hot_key(spark):
+    """Skew hardening (VERDICT r1 #4): the bucketed as-of join's heavy
+    window partitions by (key, time-bucket) — a hot key spreads across
+    buckets instead of serializing one window task — and the result matches
+    the plain single-window as-of on a deliberately skewed fixture."""
+    import datetime
+
+    from palletjack_spark.functions.asof import asof_last_bucketed
+    from pyspark.sql import Window
+
+    base = datetime.datetime(2024, 1, 1)
+    # one pathological key with 5000 events + 500 orders over ~1 year,
+    # plus a couple of normal keys and a key with no orders at all
+    events = [
+        (1, base + datetime.timedelta(hours=i), i) for i in range(5000)
+    ] + [(2, base + datetime.timedelta(days=i), 10_000 + i) for i in range(5)]
+    events += [(3, base + datetime.timedelta(days=40), 20_000)]
+    orders = [
+        (1, base + datetime.timedelta(hours=10 * i - 3)) for i in range(500)
+    ] + [(2, base + datetime.timedelta(days=2))]
+    e = spark.createDataFrame(events, "k long, ts timestamp, event_id long")
+    o = spark.createDataFrame(orders, "k long, o_date timestamp")
+
+    got = asof_last_bucketed(
+        e, o, key="k", left_ts="ts", right_ts="o_date",
+        value_col="o_date", bucket="7 days",
+    )
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    # the row-level window must partition by BOTH key and bucket
+    assert "partitionBy=[k#" in plan.replace(" ", "") or "k, bkt" in plan or (
+        "bkt" in plan
+    ), plan[:2000]
+
+    # differential vs the plain single-window as-of
+    u = e.select(
+        "k", F.col("ts").alias("tm"), F.lit(1).alias("is_event"),
+        "event_id", F.lit(None).cast("timestamp").alias("o_date"),
+    ).unionByName(
+        o.select(
+            "k", F.col("o_date").alias("tm"), F.lit(0).alias("is_event"),
+            F.lit(None).cast("long").alias("event_id"), "o_date",
+        )
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("tm", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r["k"], r["event_id"]): r["asof"]
+        for r in u.withColumn(
+            "asof", F.last("o_date", ignorenulls=True).over(w)
+        )
+        .where("is_event = 1")
+        .collect()
+    }
+    got_rows = {
+        (r["k"], r["event_id"]): r["asof_o_date"] for r in got.collect()
+    }
+    assert got_rows == want
+    assert got_rows[(3, 20_000)] is None  # key with no right rows
