@@ -291,3 +291,51 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         predicate=[("l_orderkey", ">", 600)],
     )
     return selective.unionByName(broad)
+
+
+@query(
+    "q15_spliced_metadata_read",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars
+    FROM ranked WHERE rn > 100 AND rn <= 200
+    """,
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spliced-FileMetaData read (Q15) — the reference's literal downstream
+    contract, driver-checked end-to-end: stage a deterministic multi-row-
+    group copy of `documents` (sorted by doc_id, 100 rows per group),
+    `generate_metadata_index` → PJS1 sidecar, `read_metadata(row_groups=[1],
+    column_indices=...)` → genuine pruned pyarrow FileMetaData →
+    `pq.ParquetReader().open(path, metadata=...)` reads ONLY row group 1
+    (rows 101-200 in doc_id order).  Any splice bug — wrong spans, wrong
+    ordinal renumbering, wrong schema pruning — breaks the value match."""
+    import pyarrow.parquet as pq
+
+    from palletjack_spark.index.footer_splice import (
+        generate_metadata_index,
+        read_metadata,
+    )
+
+    key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    staged = os.path.join(tempfile.gettempdir(), f"pjspark_{key}_splice.parquet")
+    if not os.path.exists(staged):
+        tbl = (
+            t(spark, sf_dir, "documents")
+            .select("doc_id", "source", "n_chars")
+            .orderBy("doc_id")
+            .toArrow()
+        )
+        pq.write_table(tbl, staged + ".tmp", row_group_size=100)
+        os.rename(staged + ".tmp", staged)
+    idx = generate_metadata_index(staged)
+    md = read_metadata(index_data=idx, row_groups=[1], column_indices=[0, 1, 2])
+    pr = pq.ParquetReader()
+    pr.open(staged, metadata=md)
+    out = pr.read_all()
+    pr.close()
+    return spark.createDataFrame(out.to_pandas())

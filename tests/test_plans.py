@@ -115,8 +115,8 @@ def test_bucketed_join_has_no_exchange(spark):
 
     REGISTRY["q28_bucketed_join"].fn(spark, SF_DIR).collect()  # creates tables
     key = SF_DIR.strip("/").replace("/", "_").replace(".", "_")
-    li = spark.table(f"pj_bkt_{key}_lineitem")
-    o = spark.table(f"pj_bkt_{key}_orders")
+    li = spark.table(f"pj_bkt_{key}_b8_lineitem")
+    o = spark.table(f"pj_bkt_{key}_b8_orders")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
