@@ -251,33 +251,56 @@ def minhash_lsh_pairs(
     reduced; buckets at or under the cap are exhaustive as before."""
     sig = _signatures_one_shuffle(df, text_col, id_col, k=k).persist()
     bh = band_hashes(sig, id_col, bands=bands, rows=rows)
-    wb = Window.partitionBy("band", "band_hash")
-    wo = wb.orderBy(id_col)
-    bh = bh.select(
-        F.col(id_col),
-        "band",
-        "band_hash",
-        F.count("*").over(wb).alias("bsz"),
-        F.lead(id_col).over(wo).alias("next_id"),
+    # hot-bucket probe: ONE tiny driver-side aggregate (it also fills sig's
+    # persist, which the broadcast-decision stats read below reuses).  The
+    # common case — no degenerate bucket — keeps the exact round-1 plan
+    # with zero extra joins; the guard plan only materializes when a bucket
+    # actually exceeds the cap.
+    hot_rows = (
+        bh.groupBy("band", "band_hash")
+        .agg(F.count("*").alias("bsz"))
+        .where(F.col("bsz") > bucket_cap)
+        .select("band", "band_hash")
+        .collect()
     )
-    small = bh.where(F.col("bsz") <= bucket_cap)
-    a, b2 = small.alias("a"), small.alias("b")
-    pair_cols = [
+    pair_cols_ab = lambda: [  # noqa: E731
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
     ]
-    small_pairs = a.join(
-        b2,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.band_hash") == F.col("b.band_hash"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(*pair_cols)
-    chain_pairs = (
-        bh.where((F.col("bsz") > bucket_cap) & F.col("next_id").isNotNull())
-        .select(F.col(id_col).alias("id_a"), F.col("next_id").alias("id_b"))
-    )
+    if not hot_rows:
+        a, b2 = bh.alias("a"), bh.alias("b")
+        all_pairs = a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(*pair_cols_ab())
+    else:
+        hot = F.broadcast(
+            df.sparkSession.createDataFrame(
+                hot_rows, "band int, band_hash string"
+            )
+        )
+        small = bh.join(hot, ["band", "band_hash"], "left_anti")
+        a, b2 = small.alias("a"), small.alias("b")
+        small_pairs = a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(*pair_cols_ab())
+        wo = Window.partitionBy("band", "band_hash").orderBy(id_col)
+        chain_pairs = (
+            bh.join(hot, ["band", "band_hash"], "inner")
+            .select(
+                F.col(id_col).alias("id_a"),
+                F.lead(id_col).over(wo).alias("id_b"),
+            )
+            .where(F.col("id_b").isNotNull())
+        )
+        all_pairs = small_pairs.unionByName(chain_pairs)
     cand = (
-        small_pairs.unionByName(chain_pairs)
+        all_pairs
         .distinct()
         # the candidate list is tiny in BYTES but each row costs an
         # array_intersect over two shingle sets in the verify stage — AQE
@@ -446,7 +469,7 @@ def simhash_pairs(
     switch to consecutive-chain candidates, same rationale as
     ``minhash_lsh_pairs``: O(bucket) rows instead of O(bucket²), with dup
     groups kept transitively connected."""
-    sim = simhash(df, text_col, id_col, bits=bits)
+    sim = simhash(df, text_col, id_col, bits=bits).persist()
     block_bits = bits // blocks
     mask = (1 << block_bits) - 1
     barr = F.array(
@@ -470,18 +493,22 @@ def simhash_pairs(
     bh = bh.repartition(
         df.sparkSession.sparkContext.defaultParallelism, "blk", "bv"
     )
-    wb = Window.partitionBy("blk", "bv")
-    wo = wb.orderBy(id_col)
-    bh = bh.select(
-        F.col(id_col),
-        "blk",
-        "bv",
-        "simhash",
-        F.count("*").over(wb).alias("bsz"),
-        F.lead(id_col).over(wo).alias("next_id"),
-        F.lead("simhash").over(wo).alias("next_sim"),
+    # hot-block probe: one tiny driver-side aggregate over the persisted
+    # fingerprints; the common no-hot-bucket case keeps the round-1 plan
+    hot_rows = (
+        bh.groupBy("blk", "bv")
+        .agg(F.count("*").alias("bsz"))
+        .where(F.col("bsz") > bucket_cap)
+        .select("blk", "bv")
+        .collect()
     )
-    small = bh.where(F.col("bsz") <= bucket_cap)
+    if not hot_rows:
+        small = bh
+    else:
+        hot = F.broadcast(
+            df.sparkSession.createDataFrame(hot_rows, "blk int, bv long")
+        )
+        small = bh.join(hot, ["blk", "bv"], "left_anti")
     a, b2 = small.alias("a"), small.alias("b")
     # carrying the 64-bit fingerprint into the block rows lets the join
     # verify hamming INLINE — raw bucket collisions (O(sum bucket²), e.g.
@@ -505,16 +532,21 @@ def simhash_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+    if not hot_rows:
+        return small_pairs.distinct()
+    wo = Window.partitionBy("blk", "bv").orderBy(id_col)
     chain_pairs = (
-        bh.where((F.col("bsz") > bucket_cap) & F.col("next_id").isNotNull())
+        bh.join(hot, ["blk", "bv"], "inner")
         .select(
             F.col(id_col).alias("id_a"),
-            F.col("next_id").alias("id_b"),
-            F.bit_count(F.col("simhash").bitwiseXOR(F.col("next_sim")))
+            F.lead(id_col).over(wo).alias("id_b"),
+            F.bit_count(
+                F.col("simhash").bitwiseXOR(F.lead("simhash").over(wo))
+            )
             .cast("long")
             .alias("hamming"),
         )
-        .where(F.col("hamming") <= max_hamming)
+        .where(F.col("id_b").isNotNull() & (F.col("hamming") <= max_hamming))
     )
     return small_pairs.unionByName(chain_pairs).distinct()
 
