@@ -27,7 +27,7 @@ from __future__ import annotations
 import os
 from typing import Iterable, Iterator
 
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import SparkSession, functions as F, types as T
 
 from palletjack_spark.errors import EncryptedParquetError
@@ -95,25 +95,35 @@ _COMBINED_SCHEMA = T.StructType(
 )
 
 
-def _extract_file_rows(path: str) -> tuple[dict, list[dict]]:
-    """Executor-side: parse one footer, emit (file_row, row_group_rows)."""
+def _extract_file_rows(
+    path: str, chunk: int = 0, n_chunks: int = 1
+) -> tuple[dict | None, list[dict]]:
+    """Executor-side: parse one footer, emit (file_row, row_group_rows).
+
+    ``chunk``/``n_chunks`` stride the row groups so one huge footer can be
+    extracted by many tasks in parallel (each re-parses the footer thrift —
+    cheap, ~35 ms — then walks only row groups ``chunk::n_chunks``).  The
+    file-level row is emitted by chunk 0 only.
+    """
     pf = _open_footer(path)
     md = pf.metadata
     schema = pf.schema_arrow
-    file_row = {
-        "file": path,
-        "num_rows": md.num_rows,
-        "num_row_groups": md.num_row_groups,
-        "num_columns": md.num_columns,
-        "created_by": md.created_by,
-        "format_version": md.format_version,
-        "serialized_footer_size": md.serialized_size,
-        "file_size": os.path.getsize(path),
-        "column_names": list(schema.names),
-        "arrow_schema": schema.serialize().to_pybytes(),
-    }
+    file_row = None
+    if chunk == 0:
+        file_row = {
+            "file": path,
+            "num_rows": md.num_rows,
+            "num_row_groups": md.num_row_groups,
+            "num_columns": md.num_columns,
+            "created_by": md.created_by,
+            "format_version": md.format_version,
+            "serialized_footer_size": md.serialized_size,
+            "file_size": os.path.getsize(path),
+            "column_names": list(schema.names),
+            "arrow_schema": schema.serialize().to_pybytes(),
+        }
     rg_rows = []
-    for i in range(md.num_row_groups):
+    for i in range(chunk, md.num_row_groups, n_chunks):
         rg = md.row_group(i)
         cols = []
         for j in range(rg.num_columns):
@@ -180,6 +190,11 @@ def _cache_key(spark: SparkSession, files: list[str]) -> tuple:
 #: jobs.  Above it, footers are parsed executor-side (the 100 TB path).
 DRIVER_BUILD_MAX_FILES = 32
 
+#: max footer-extract tasks per file in the distributed build; each task
+#: pays one ~35 ms thrift re-parse, so chunking only wins while the stride
+#: of row-group stat extraction it saves exceeds that.
+_FOOTER_CHUNKS = 16
+
 
 def build_index(
     spark: SparkSession,
@@ -234,35 +249,52 @@ def build_index(
         if not files:
             return load_index(spark, index_dir)
 
-    n_part = max(1, min(len(files), spark.sparkContext.defaultParallelism * 2))
-    fdf = spark.createDataFrame([(f,) for f in files], "file string").repartition(n_part)
+    # Parallelism unit = (file, footer chunk): with many files each file is
+    # one unit; with few files (or one giant footer) each file fans out to
+    # up to _FOOTER_CHUNKS units whose tasks re-parse the footer thrift
+    # (~35 ms) and extract a disjoint stride of row groups.  Either way the
+    # cluster is busy — a million small files AND a handful of 10k-row-group
+    # files both saturate.
+    par = spark.sparkContext.defaultParallelism
+    n_chunks = max(1, min(_FOOTER_CHUNKS, par // max(1, len(files))))
+    units = [(f, c, n_chunks) for f in files for c in range(n_chunks)]
+    # no repartition: parallelize() already spreads the unit rows evenly
+    # across defaultParallelism slices, and a shuffle here would only add
+    # a stage before the footer-parse tasks.
+    fdf = spark.createDataFrame(units, "file string, chunk int, n_chunks int")
 
     # SINGLE footer pass: each executor parses a footer once and emits the
     # file-level row AND its row-group rows into one tagged union frame.
     # Splitting the union afterwards is a cached filter+project, so at
     # 100 TB (millions of footers) this is half the footer I/O and one
     # Spark job where the naive two-pass shape needed two.
-    combined_cols = [f.name for f in _COMBINED_SCHEMA.fields]
+    #
+    # mapInArrow, not mapInPandas: the rows carry a deeply nested
+    # array<struct<15 fields>> column (one element per column chunk — a
+    # 400-col × 200-rg footer is 80 k structs), and the pandas serializer
+    # converts those object-dtype cells element-by-element (~0.7 s/footer).
+    # Building the RecordBatch straight from the row dicts with the target
+    # schema is ~15× cheaper and skips pandas entirely.
+    from pyspark.sql.pandas.types import to_arrow_schema
 
-    def extract_all(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
+    arrow_schema = to_arrow_schema(_COMBINED_SCHEMA)
+
+    def extract_all(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
             rows: list[dict] = []
-            for path in pdf["file"]:
-                frow, rgs = _extract_file_rows(path)
-                frow["kind"] = "file"
-                rows.append(frow)
+            for unit in batch.to_pylist():
+                frow, rgs = _extract_file_rows(
+                    unit["file"], unit["chunk"], unit["n_chunks"]
+                )
+                if frow is not None:
+                    frow["kind"] = "file"
+                    rows.append(frow)
                 for r in rgs:
                     r["kind"] = "rg"
                     rows.append(r)
-            # explicit None (not pandas NaN) for absent union slots — the
-            # Arrow converter iterates array-typed cells and chokes on NaN
-            yield pd.DataFrame(
-                [{c: r.get(c) for c in combined_cols} for r in rows],
-                columns=combined_cols,
-                dtype=object,
-            )
+            yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
 
-    combined = fdf.mapInPandas(extract_all, _COMBINED_SCHEMA)
+    combined = fdf.mapInArrow(extract_all, _COMBINED_SCHEMA)
     rg_cols = [f.name for f in ROW_GROUPS_SCHEMA.fields]
     f_cols = [f.name for f in FILES_SCHEMA.fields]
 
@@ -288,20 +320,71 @@ def build_index(
         return load_index(spark, index_dir)
 
     combined = combined.cache()
-    # force the cache in ONE clean job before anything branches off it —
-    # validate()'s join reads both splits and its two map stages would
-    # otherwise race to compute the cached partitions (2× footer parses).
-    # The splits stay as filters OVER the cached union (one InMemoryRelation,
-    # not three); the cache is released via the index handle.
-    combined.count()
+    # ONE job both forces the cache and validates: the tagged union lets a
+    # single groupBy("file") compare indexed row-group counts/rows against
+    # the declared header counts without the load_index-shape groupBy+join
+    # (which would be two more shuffled jobs here).  The splits stay as
+    # filters OVER the cached union (one InMemoryRelation, not three); the
+    # cache is released via the index handle.
+    _validate_combined(combined)
     rg_df = combined.where(F.col("kind") == "rg").select(rg_cols)
     files_df = combined.where(F.col("kind") == "file").select(f_cols)
     idx = MetadataIndex(spark, rg_df, files_df, index_dir=None)
     idx._combined = combined  # unpersist() releases the backing cache
-    idx.validate()
     if use_cache:
         _INDEX_CACHE[cache_key] = idx
     return idx
+
+
+def _validate_combined(combined) -> None:
+    """Validate a freshly-extracted tagged-union frame in one job.
+
+    Same invariants as ``MetadataIndex.validate`` (header counts match
+    indexed counts, exactly one files/ row per file, no orphaned row-group
+    rows) — expressed over the union so forcing the cache and validating
+    share a single aggregation job.  Only the offending rows are collected.
+    """
+    from palletjack_spark.errors import IndexFormatError
+
+    is_rg = F.col("kind") == "rg"
+    is_file = F.col("kind") == "file"
+    bad = (
+        combined.groupBy("file")
+        .agg(
+            F.count(F.when(is_rg, 1)).alias("indexed_rgs"),
+            F.sum(F.when(is_rg, F.col("num_rows"))).alias("indexed_rows"),
+            F.count(F.when(is_file, 1)).alias("file_entries"),
+            F.min(F.when(is_file, F.col("num_row_groups"))).alias("decl_rgs"),
+            F.min(F.when(is_file, F.col("num_rows"))).alias("decl_rows"),
+        )
+        .where(
+            (F.col("file_entries") != F.lit(1))
+            | (F.col("indexed_rgs") != F.col("decl_rgs"))
+            | (
+                F.coalesce(F.col("indexed_rows"), F.lit(0))
+                != F.col("decl_rows")
+            )
+        )
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        r = bad[0]
+        if r["file_entries"] == 0:
+            raise IndexFormatError(
+                f"Index inconsistent for {r['file']}: row-group rows "
+                "present but no files/ entry (partial or torn write)"
+            )
+        if r["file_entries"] != 1:
+            raise IndexFormatError(
+                f"Index inconsistent for {r['file']}: "
+                f"{r['file_entries']} duplicate files/ entries"
+            )
+        raise IndexFormatError(
+            f"Index inconsistent for {r['file']}: "
+            f"{r['indexed_rgs']} row groups indexed vs {r['decl_rgs']} "
+            f"declared, {r['indexed_rows']} rows vs {r['decl_rows']}"
+        )
 
 
 def load_index(spark: SparkSession, index_dir: str) -> MetadataIndex:
