@@ -182,12 +182,13 @@ def _signatures_one_shuffle(
 
 
 def band_hashes(
-    sig: DataFrame, id_col: str, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+    sig: DataFrame, id_col: str, bands: int = LSH_BANDS, rows: int = LSH_ROWS,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """LSH banding: (id, band, band_hash) — md5 over the band's signature
     slice, the bucket key for the candidate self-join.  One projection +
     explode (not a bands-way union), so the signature table is scanned
-    once."""
+    once.  ``carry`` names extra signature columns to keep on each row."""
     pairs = F.array(
         *[
             F.struct(
@@ -202,9 +203,9 @@ def band_hashes(
             for b in range(bands)
         ]
     )
-    return sig.select(F.col(id_col), F.explode(pairs).alias("bh")).select(
-        id_col, "bh.band", "bh.band_hash"
-    )
+    return sig.select(
+        F.col(id_col), *carry, F.explode(pairs).alias("bh")
+    ).select(id_col, *carry, "bh.band", "bh.band_hash")
 
 
 #: broadcast the shingle-sets table only below this estimated byte size —
@@ -251,18 +252,29 @@ def minhash_lsh_pairs(
     reduced; buckets at or under the cap are exhaustive as before."""
     sig = _signatures_one_shuffle(df, text_col, id_col, k=k).persist()
     bh = band_hashes(sig, id_col, bands=bands, rows=rows)
-    # hot-bucket probe: ONE tiny driver-side aggregate (it also fills sig's
-    # persist, which the broadcast-decision stats read below reuses).  The
-    # common case — no degenerate bucket — keeps the exact round-1 plan
-    # with zero extra joins; the guard plan only materializes when a bucket
-    # actually exceeds the cap.
-    hot_rows = (
-        bh.groupBy("band", "band_hash")
-        .agg(F.count("*").alias("bsz"))
-        .where(F.col("bsz") > bucket_cap)
-        .select("band", "band_hash")
+    # hot-bucket probe + broadcast-decision stats in ONE tiny driver-side
+    # aggregate (grouping sets: per-bucket counts AND the global totals from
+    # a single pass; it also fills sig's persist).  The common case — no
+    # degenerate bucket — keeps the exact round-1 plan with zero extra
+    # joins; the guard plan only materializes when a bucket actually
+    # exceeds the cap.  Only hot buckets + the one global row are
+    # collected, never the full bucket histogram.
+    probe = (
+        band_hashes(sig, id_col, bands=bands, rows=rows, carry=("n_sh",))
+        .groupingSets([["band", "band_hash"], []], "band", "band_hash")
+        .agg(F.count("*").alias("bsz"), F.sum("n_sh").alias("sum_nsh"))
+        # band is a non-null literal on every real row, so a null band
+        # tags the grand-total grouping-set row
+        .where(F.col("band").isNull() | (F.col("bsz") > bucket_cap))
         .collect()
     )
+    hot_rows = [
+        (r["band"], r["band_hash"]) for r in probe if r["band"] is not None
+    ]
+    total = next((r for r in probe if r["band"] is None), None)
+    # every doc contributes `bands` rows to the explode, so divide back out
+    n_docs = (total["bsz"] // bands) if total else 0
+    total_sh = ((total["sum_nsh"] or 0) // bands) if total else 0
     pair_cols_ab = lambda: [  # noqa: E731
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
@@ -313,12 +325,9 @@ def minhash_lsh_pairs(
     # keeps those wide rows inside one stage — nothing wide is ever
     # shuffled.  Falls back to shuffle_hash (not SMJ: no point sorting
     # array-carrying rows) when the corpus is too large to broadcast.  The
-    # decision is BYTE-based: n_docs × avg shingle count × 8 B, both read
-    # from the same materializing aggregate (no extra pass).
-    stats = sig.agg(
-        F.count("*").alias("n_docs"), F.sum("n_sh").alias("total_sh")
-    ).collect()[0]
-    est_bytes = (stats["total_sh"] or 0) * 8 + stats["n_docs"] * 64
+    # decision is BYTE-based: n_docs × avg shingle count × 8 B, read from
+    # the probe's grand-total grouping-set row (no extra pass).
+    est_bytes = total_sh * 8 + n_docs * 64
     sets_df = sig.select(F.col(id_col), "n_sh", "sh_set")
     if est_bytes <= BROADCAST_SETS_MAX_BYTES:
         za = F.broadcast(sets_df.alias("za"))
