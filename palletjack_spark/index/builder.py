@@ -348,7 +348,12 @@ def _validate_combined(combined) -> None:
 
     is_rg = F.col("kind") == "rg"
     is_file = F.col("kind") == "file"
-    bad = (
+    # second aggregate (not limit(1).collect(): CollectLimit over an EMPTY
+    # result — the valid-index common case — escalates through 1/4/20/...
+    # partition scan jobs; a global agg is always exactly one job) returns
+    # a count plus one deterministic example row, bounding driver data even
+    # when every file is inconsistent.
+    summary = (
         combined.groupBy("file")
         .agg(
             F.count(F.when(is_rg, 1)).alias("indexed_rgs"),
@@ -365,11 +370,23 @@ def _validate_combined(combined) -> None:
                 != F.col("decl_rows")
             )
         )
-        .limit(1)
-        .collect()
+        .agg(
+            F.count("*").alias("n_bad"),
+            F.min(
+                F.struct(
+                    "file",
+                    "file_entries",
+                    "indexed_rgs",
+                    "decl_rgs",
+                    "indexed_rows",
+                    "decl_rows",
+                )
+            ).alias("example"),
+        )
+        .collect()[0]
     )
-    if bad:
-        r = bad[0]
+    if summary["n_bad"]:
+        r = summary["example"]
         if r["file_entries"] == 0:
             raise IndexFormatError(
                 f"Index inconsistent for {r['file']}: row-group rows "

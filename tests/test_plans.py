@@ -275,3 +275,35 @@ def test_asof_bucketed_splits_hot_key(spark):
     }
     assert got_rows == want
     assert got_rows[(3, 20_000)] is None  # key with no right rows
+
+
+def test_distributed_index_build_is_one_job(spark):
+    """The distributed (executor-side) in-memory index build must run as a
+    SINGLE Spark job: one mapInArrow footer pass whose grouping aggregate
+    both forces the cache and validates header counts.  A second job means
+    either the extract pass split (double footer I/O at 100 TB) or
+    validation stopped riding the cache-forcing action."""
+    from palletjack_spark.index import build_index
+    from palletjack_spark.tables import table_path
+
+    tracker = spark.sparkContext.statusTracker()
+    # AQE materializes one job per exchange, which would hide the
+    # one-action property this test pins; disable it for the build only
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        before = tracker.getJobIdsForGroup(None)
+        idx = build_index(
+            spark,
+            table_path(SF_DIR, "lineitem"),
+            use_cache=False,
+            driver_fast_path=False,
+        )
+        after = tracker.getJobIdsForGroup(None)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert len(after) - len(before) == 1, (
+        f"distributed build launched {len(after) - len(before)} jobs, want 1"
+    )
+    assert idx.row_groups.count() >= 1
+    idx.unpersist()
