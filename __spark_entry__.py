@@ -47,9 +47,15 @@ def _verified_qids() -> set[str]:
         for qid, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            ok = (
-                row.get("rows_match") and row.get("hash_match")
-            ) or row.get("err") == "no_oracle"
+            # A "no_oracle" rows-only row counts as verified only while the
+            # query still has no registered oracle — once an oracle exists
+            # (e.g. q32's tolerance-boolean upgrade) the QID re-enters the
+            # sort-first window to earn a hash-checked row.
+            name = _canonical(qid)
+            has_oracle = name in REGISTRY and REGISTRY[name].oracle is not None
+            ok = (row.get("rows_match") and row.get("hash_match")) or (
+                row.get("err") == "no_oracle" and not has_oracle
+            )
             if ok:
                 seen.add(_canonical(qid))
     return seen

@@ -78,18 +78,40 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q32_approx_count_distinct", oracle=None)
+@query(
+    "q32_approx_count_distinct",
+    # The raw sketch value can't hash-match across engines (Spark HLL++ vs
+    # DuckDB's sketch), so the driver-checked output encodes the tolerance
+    # contract instead: exact counts plus a boolean asserting the HLL++
+    # estimate landed within 10% (5× the configured rsd) of exact.  The
+    # oracle emits TRUE unconditionally — the hash matches iff every
+    # group's sketch is in tolerance.
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS exact_custs,
+           COUNT(*) AS cnt,
+           TRUE AS approx_within_10pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approx count-distinct (HLL++) [north-star scale]: the 100 TB shape of
-    Q31 — no shuffle of distinct values, mergeable sketches.  Tolerance
-    verified against the exact count in tests/test_catalog_oracle.py
-    (driver records rows-only; approximate results can't hash-match)."""
+    Q31 — no shuffle of distinct values, mergeable sketches.  The output
+    carries the exact count and an in-tolerance boolean so the approximate
+    sketch is driver-hash-checkable (see oracle comment); the raw estimate
+    tolerance is additionally tested in tests/test_catalog_oracle.py."""
+    approx = F.approx_count_distinct("o_custkey", rsd=0.02)
+    exact = F.countDistinct("o_custkey")
     return (
         t(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
+            exact.alias("exact_custs"),
             F.count("*").alias("cnt"),
+            (
+                approx.cast("double")
+                .between(exact * 0.9, exact * 1.1)
+            ).alias("approx_within_10pct"),
         )
     )
 

@@ -199,14 +199,20 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=10)
 
 
-@query("q92b_lsh_topk", oracle=None)
+@query("q92b_lsh_topk", oracle=_Q92_ORACLE)
 def q92b(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via random-hyperplane LSH buckets + exact re-score (Q92
-    scale path).  Approximate (bucketing may miss true neighbors) → no SQL
-    oracle; recall vs brute force is asserted in tests/test_llm.py."""
+    scale path).  The driver entry pins the probe set exhaustive
+    (n_planes=1, n_probes=1 → every query probes both buckets of every
+    table), which forces recall to exactly 1 while still exercising the
+    full LSH machinery — hashing, probe generation, (tbl, bucket)
+    candidate join, dedup, exact re-score — so the result is
+    hash-checkable against the brute-force oracle.  Realistic
+    parameterization (8 planes, 4 tables) is recall-tested in
+    tests/test_llm.py."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    return lsh_bucket_topk(emb, queries, k=10)
+    return lsh_bucket_topk(emb, queries, k=10, n_planes=1, n_probes=1, n_tables=2)
 
 
 _Q92C_ORACLE = """
@@ -236,15 +242,18 @@ def q92c(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nn_graph(t(spark, sf_dir, "embeddings"))
 
 
-@query("q92d_ivf_topk", oracle=None)
+@query("q92d_ivf_topk", oracle=_Q92_ORACLE)
 def q92d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via an IVF index: deterministic spherical-kmeans centroids,
-    n_probes nearest cells per query, exact re-score.  Approximate → no SQL
-    oracle; tests assert recall vs brute force and that full probing
-    (n_probes == n_centroids) is exactly brute force."""
+    n_probes nearest cells per query, exact re-score.  The driver entry
+    runs at full probe (n_probes == n_centroids), which degenerates to
+    exact brute force by construction (asserted in tests/test_llm.py) —
+    the whole IVF pipeline (kmeans training, cell assignment join, exact
+    re-score) is therefore hash-checked against the brute-force oracle.
+    Sub-linear parameterization (n_probes=4) is recall-tested locally."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    return ivf_topk(emb, queries, k=10)
+    return ivf_topk(emb, queries, k=10, n_centroids=16, n_probes=16)
 
 
 @query(
@@ -329,12 +338,32 @@ def q94b(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q94c_multimodal_frames", oracle=None)
+@query(
+    "q94c_multimodal_frames",
+    # Analytic differential (the q94b discipline): video payloads are the
+    # utf-8 text bytes, the slicer emits min(4, max(1, L div 256)) frames of
+    # 256 bytes (the last full; sub-256 payloads yield one L-byte frame), so
+    # frame counts and byte totals have closed forms over strlen(text).
+    oracle="""
+    WITH vid AS (
+      SELECT doc_id, strlen(text) AS L FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT 'video_frame' AS kind,
+           CAST(SUM(CASE WHEN L < 256 THEN 1 ELSE least(L // 256, 4) END)
+                AS BIGINT) AS n_assets,
+           CAST(SUM(CASE WHEN L < 256 THEN L ELSE least(L // 256, 4) * 256 END)
+                AS BIGINT) AS total_bytes
+    FROM vid
+    GROUP BY 1
+    """,
+)
 def q94c(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling (Q94c): 1→N fan-out over binary payloads plus a
-    per-modality byte summary.  The frame slicer remains a declared stub
-    (no video codec in this container) — rows-only check; determinism is
-    asserted in tests/test_llm.py."""
+    per-modality byte summary.  The frame slicer is a declared stub (no
+    video codec in this container), but the stub is deterministic, so the
+    fan-out arithmetic IS oracle-checked: the DuckDB side recomputes frame
+    counts and byte totals analytically from the payload length closed
+    form — any slicing/fan-out bug breaks the hash match."""
     from palletjack_spark.functions.multimodal import (
         attach_fake_binary,
         sample_frames,

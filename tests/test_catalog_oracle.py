@@ -32,8 +32,16 @@ def test_rows_only_runs(spark, name):
 
 
 def test_q32_tolerance(spark, duck):
-    """Approximate count-distinct within 5% of exact (SURVEY §2.3)."""
-    pdf = REGISTRY["q32_approx_count_distinct"].fn(spark, SF_DIR).toPandas()
+    """Raw HLL++ estimate within 5% of exact (SURVEY §2.3) — the driver
+    row only sees the 10% boolean, this pins the tighter bound."""
+    from pyspark.sql import functions as F
+
+    pdf = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"))
+        .toPandas()
+    )
     exact = duck.sql(
         "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS ex FROM orders"
         " GROUP BY o_orderstatus"
