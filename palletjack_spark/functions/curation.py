@@ -1,0 +1,157 @@
+"""Training-corpus curation operators beyond dedup (north-star mandate):
+benchmark decontamination, sequence packing, PII redaction.
+
+These are the remaining ops every large-scale pretraining pipeline runs
+between raw text and the trainer (alongside dedup.py / text.py /
+similarity.py):
+
+- ``decontaminate`` — drop/flag training documents that share a long word
+  n-gram with an evaluation benchmark, so the model is never trained on
+  its own test set.  The eval side is tiny relative to a 100 TB corpus, so
+  its distinct gram set is BROADCAST and the corpus is never shuffled —
+  flagging is a broadcast semi/inner join over exploded corpus grams.
+- ``pack_sequences`` — the concat-then-chunk packing step that turns
+  variable-length documents into fixed-capacity training sequences.
+  A global ordered cumsum would serialize at 100 TB, so packing is scoped
+  per partition key (source/shard), exactly how production pipelines pack
+  per input shard: one window shuffle on the shard key, and the chunk
+  aggregation reuses that partitioning (no second exchange).
+- ``redact_pii`` — regex scrubbing (emails, phone numbers) as pure
+  JVM-side ``regexp_replace``/``regexp_extract_all`` expressions: zero
+  shuffles, whole-stage codegen, linear scan.
+
+All three keep the q91 oracle discipline: constants (gram length, bin
+capacity, regexes) are module-level so the DuckDB differential embeds the
+same values, and regex patterns stick to the syntax subset Java regex and
+RE2 interpret identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: decontamination gram length (words).  13 is the classic published
+#: choice for benchmark overlap; the testdata vocabulary is tiny, so the
+#: driver query uses a shorter gram to exercise both hit and miss paths.
+DECONTAM_NGRAM = 8
+
+#: sequence-packing bin capacity (tokens)
+PACK_CAPACITY = 512
+
+#: PII regexes — the common subset of Java regex (Spark) and RE2 (DuckDB):
+#: character classes, quantifiers, and word boundaries only (no lookaround,
+#: no backreferences, both engines treat them identically).
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+def _word_grams(toks_col: str, n: int) -> str:
+    """SQL expr: distinct word n-gram set over a tokens-array column —
+    a pure projection (zero-shuffle, same idiom as dedup.ngram_jaccard).
+    Docs with fewer than n tokens contribute no grams."""
+    parts = ", ".join(f"element_at({toks_col}, i + {j})" for j in range(n))
+    return (
+        f"array_distinct(CASE WHEN size({toks_col}) < {n}"
+        f" THEN array() ELSE transform("
+        f"sequence(1, size({toks_col}) - {n - 1}),"
+        f" i -> concat_ws(' ', {parts})) END)"
+    )
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = DECONTAM_NGRAM,
+) -> DataFrame:
+    """Flag training documents sharing any word ``n``-gram with the eval
+    set: returns (id, n_shared_grams) for contaminated documents only.
+
+    Scale shape: the eval benchmark's distinct grams (KBs–MBs even for
+    large eval suites) are broadcast; corpus grams are a zero-shuffle
+    array expression exploded into (id, gram) rows that meet the broadcast
+    on the map side.  The only exchange is the final per-document count —
+    over matched rows only, a vanishing fraction of the corpus."""
+    eval_grams = (
+        eval_df.select(F.split(F.col(text_col), " ").alias("toks"))
+        .select(F.explode(F.expr(_word_grams("toks", n))).alias("gram"))
+        .distinct()
+    )
+    train_grams = train_df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("toks")
+    ).select(F.col(id_col), F.explode(F.expr(_word_grams("toks", n))).alias("gram"))
+    return (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    part_col: str,
+    capacity: int = PACK_CAPACITY,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents are laid end to end in
+    ``id_col`` order within each ``part_col`` shard, and the token stream
+    is cut into fixed ``capacity`` chunks; a document belongs to the chunk
+    its first token lands in.  Returns per-chunk stats
+    (part, chunk_id, n_docs, n_tokens).
+
+    One shuffle total: the cumsum window partitions by the shard key, and
+    the chunk aggregation groups by (shard, chunk) — a superset of that
+    partitioning, so Catalyst plans it exchange-free on top of the window
+    (asserted in tests/test_plans.py)."""
+    n_tokens: Column = F.size(F.split(F.col(text_col), " ")).cast("long")
+    w = (
+        Window.partitionBy("part")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_offset = df.select(
+        F.col(part_col).alias("part"),
+        F.col(id_col),
+        n_tokens.alias("n_tok"),
+    ).select(
+        "part",
+        F.col(id_col),
+        "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start_offset"),
+    )
+    return (
+        with_offset.select(
+            "part",
+            F.col(id_col),
+            "n_tok",
+            F.floor(F.col("start_offset") / capacity).alias("chunk_id"),
+        )
+        .groupBy("part", "chunk_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+
+
+def redact_pii(df: DataFrame, text_col: str) -> DataFrame:
+    """Scrub emails and phone numbers: adds ``n_emails``, ``n_phones``, and
+    ``clean_text`` (matches replaced by <EMAIL>/<PHONE> tokens).  Pure
+    expression pipeline — no UDF, no shuffle, codegen'd linear scan."""
+    emails = F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_RE), F.lit(0))
+    phones = F.regexp_extract_all(F.col(text_col), F.lit(PHONE_RE), F.lit(0))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return df.withColumns(
+        {
+            "n_emails": F.size(emails).cast("long"),
+            "n_phones": F.size(phones).cast("long"),
+            "clean_text": clean,
+        }
+    )

@@ -738,3 +738,127 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "documents"), "text", "doc_id", "source", threshold=0.2
     )
     return connected_components(pairs)
+
+
+def _decontam_oracle(n: int = 4, eval_mod: int = 25) -> str:
+    """Q102 oracle — generated from the same gram length / eval-slice
+    constants as the Spark pipeline (the q91 generated-oracle discipline)."""
+    concat = " || ' ' || ".join(f"ts[i+{j}]" for j in range(n))
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, {concat} AS gram
+      FROM toks,
+           UNNEST(generate_series(1, greatest(len(ts) - {n - 1}, 0))) AS s(i)
+    ),
+    ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {eval_mod} = 0),
+    tr AS (SELECT doc_id, gram FROM grams WHERE doc_id % {eval_mod} <> 0)
+    SELECT tr.doc_id, COUNT(*) AS n_shared_grams
+    FROM tr JOIN ev USING (gram)
+    GROUP BY tr.doc_id
+    """
+
+
+@query("q102_decontaminate", oracle=_decontam_oracle())
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (Q102): flag training documents sharing a
+    word n-gram with the eval slice (doc_id % 25 == 0), so no model trains
+    on its test set.  Eval grams are broadcast (benchmarks are tiny vs a
+    100 TB corpus; the corpus side never shuffles before the match);
+    4-gram here so the synthetic vocabulary exercises both hit and miss
+    paths — production uses 8-13 (functions/curation.py:DECONTAM_NGRAM)."""
+    from palletjack_spark.functions.curation import decontaminate
+
+    docs = t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 25 == 0)
+    train = docs.where(F.col("doc_id") % 25 != 0)
+    return decontaminate(train, ev, "text", "doc_id", n=4)
+
+
+@query(
+    "q103_sequence_packing",
+    oracle="""
+    WITH d AS (
+      SELECT source AS part, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    o AS (
+      SELECT part, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY part ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS start_offset
+      FROM d
+    )
+    SELECT part, CAST(start_offset // 512 AS BIGINT) AS chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM o GROUP BY part, chunk_id
+    """,
+)
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (Q103): concat-then-chunk documents into
+    512-token training sequences, packed per source shard in doc_id order
+    — the step between curation and the trainer.  One shuffle total: the
+    cumsum window partitions by shard and the per-chunk aggregate reuses
+    that partitioning exchange-free (asserted in tests/test_plans.py)."""
+    from palletjack_spark.functions.curation import pack_sequences
+
+    return pack_sequences(
+        t(spark, sf_dir, "documents"), "text", "doc_id", "source", capacity=512
+    )
+
+
+def _pii_oracle() -> str:
+    """Q104 oracle — same regexes as functions/curation.py (patterns stay
+    inside the Java-regex ∩ RE2 common subset, so both engines match
+    identically)."""
+    from palletjack_spark.functions.curation import EMAIL_RE, PHONE_RE
+
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT)
+             AS n_phones,
+           CAST(length(regexp_replace(regexp_replace(text,
+                '{EMAIL_RE}', '<EMAIL>', 'g'),
+                '{PHONE_RE}', '<PHONE>', 'g')) AS BIGINT) AS clean_chars
+    FROM aug
+    """
+
+
+@query("q104_pii_redact", oracle=_pii_oracle())
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (Q104): scrub emails/phone numbers via JVM-side regex
+    expressions — zero shuffle, codegen'd linear scan (the shape that
+    matters at 100 TB: no Python, no exchange, reads each byte once).
+    The synthetic corpus carries no PII, so the query plants one
+    deterministic email + phone per document and the oracle replicates
+    the injection — redaction counts and cleaned lengths must then match
+    exactly."""
+    from palletjack_spark.functions.curation import redact_pii
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    red = redact_pii(docs, "text")
+    return red.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.length("clean_text").cast("long").alias("clean_chars"),
+    )

@@ -307,3 +307,45 @@ def test_distributed_index_build_is_one_job(spark):
     )
     assert idx.row_groups.count() >= 1
     idx.unpersist()
+
+
+def test_sequence_packing_single_exchange(spark):
+    """q103: the chunk aggregate must reuse the cumsum window's shard
+    partitioning — one Exchange total, no second shuffle for the groupBy
+    (hashpartitioning(part) clusters every (part, chunk_id) group)."""
+    from palletjack_spark.functions.curation import pack_sequences
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = pack_sequences(docs, "text", "doc_id", "source", capacity=512)
+    plan = _simple_plan(df)
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """q102: eval grams broadcast; the corpus side must reach the join
+    without any exchange (zero-shuffle gram projection + map-side
+    broadcast join) — only the eval distinct and the final per-doc count
+    (matched rows only) may shuffle."""
+    from palletjack_spark.functions.curation import decontaminate
+
+    docs = load_table(spark, SF_DIR, "documents")
+    ev = docs.where(F.col("doc_id") % 25 == 0)
+    train = docs.where(F.col("doc_id") % 25 != 0)
+    df = decontaminate(train, ev, "text", "doc_id", n=4)
+    plan = _simple_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # corpus branch: scan → project/explode → join with no Exchange between
+    join_input = plan.split("BroadcastHashJoin")[1]
+    corpus_branch = join_input.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in corpus_branch, plan
+
+
+def test_pii_redact_zero_shuffle(spark):
+    """q104: regex scrub is a pure projection — no Exchange anywhere."""
+    from palletjack_spark.functions.curation import redact_pii
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = redact_pii(docs, "text").select("doc_id", "n_emails", "n_phones")
+    plan = _simple_plan(df)
+    assert "Exchange" not in plan, plan
