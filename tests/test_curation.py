@@ -1,0 +1,97 @@
+"""Curation operator tests beyond the SQL oracle: planted contamination
+(the hit path with a disjoint eval set), packing boundary arithmetic,
+and PII regex behavior on crafted strings."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from palletjack_spark.functions.curation import (
+    decontaminate,
+    pack_sequences,
+    redact_pii,
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Train docs 0-3; doc 1 contains eval doc 100's 5-gram verbatim,
+    doc 2 shares two overlapping 5-grams, docs 0/3 are clean."""
+    eval_text = "alpha beta gamma delta epsilon zeta"
+    train = spark.createDataFrame(
+        [
+            (0, "one two three four five six seven"),
+            (1, "prefix words alpha beta gamma delta epsilon suffix"),
+            (2, "alpha beta gamma delta epsilon zeta trailing"),
+            (3, "eight nine ten eleven twelve thirteen"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, eval_text)], "doc_id long, text string")
+    return train, ev
+
+
+def test_decontaminate_plants(spark, planted):
+    train, ev = planted
+    out = {
+        r["doc_id"]: r["n_shared_grams"]
+        for r in decontaminate(train, ev, "text", "doc_id", n=5).collect()
+    }
+    # eval 5-grams: {alpha..epsilon, beta..zeta}; doc 1 contains the first,
+    # doc 2 contains both
+    assert out == {1: 1, 2: 2}
+
+
+def test_decontaminate_short_docs_no_grams(spark):
+    train = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    ev = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    # both shorter than n -> no grams on either side -> no flags
+    assert decontaminate(train, ev, "text", "doc_id", n=5).count() == 0
+
+
+def test_pack_sequences_boundaries(spark):
+    # 3-token docs, capacity 7: offsets 0,3,6,9,... -> chunks 0,0,0,1,...
+    rows = [(i, "w w w", "s") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = {
+        (r["part"], r["chunk_id"]): (r["n_docs"], r["n_tokens"])
+        for r in pack_sequences(df, "text", "doc_id", "src", capacity=7).collect()
+    }
+    # offsets: 0,3,6,9,12 -> chunk ids 0,0,0,1,1
+    assert out == {("s", 0): (3, 9), ("s", 1): (2, 6)}
+
+
+def test_pack_sequences_independent_shards(spark):
+    rows = [(0, "w w w w", "a"), (1, "w w w w", "b"), (2, "w", "a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = {
+        (r["part"], r["chunk_id"]): r["n_tokens"]
+        for r in pack_sequences(df, "text", "doc_id", "src", capacity=4).collect()
+    }
+    # shard a: doc0 at offset 0 (chunk 0), doc2 at offset 4 (chunk 1);
+    # shard b restarts at offset 0
+    assert out == {("a", 0): 4, ("a", 1): 1, ("b", 0): 4}
+
+
+def test_redact_pii_crafted(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at jane.doe+x@corp.example.org now"),
+            (1, "call 555-0199 or 555-12345 tomorrow"),
+            (2, "nothing sensitive here"),
+            (3, "two mails a@b.io c@d.net and 555-0000"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_emails"], r["n_phones"], r["clean_text"])
+        for r in redact_pii(df, "text").collect()
+    }
+    assert out[0][0] == 1 and "<EMAIL>" in out[0][2]
+    assert "jane" not in out[0][2]
+    # 555-12345: \b after {4} digits fails at the 5th digit, so only
+    # 555-0199 matches
+    assert out[1][1] == 1 and out[1][2].count("<PHONE>") == 1
+    assert out[2] == (0, 0, "nothing sensitive here")
+    assert out[3][0] == 2 and out[3][1] == 1
