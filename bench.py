@@ -44,6 +44,9 @@ HEADLINE = [
     "q91_minhash_lsh",
     "q92_cosine_topk",
     "q93_text_stats",
+    "q102_decontaminate",
+    "q103_sequence_packing",
+    "q104_pii_redact",
 ]
 
 META_ROW_GROUPS = 200
@@ -248,6 +251,22 @@ def main() -> None:
             "doc_id long, text string, lang string, source string, n_chars long",
         ).write.mode("overwrite").parquet(_tiny_dir)
     _mlp(spark.read.parquet(_tiny_dir), "text", "doc_id").count()
+    # ...and the curation shapes (gram-transform lambdas + broadcast string
+    # join + cumsum window + regexp scrub — q102/q103/q104's codegen
+    # classes; first compile is ~4s, the warm data pass is milliseconds)
+    from palletjack_spark.functions.curation import (
+        decontaminate as _dec,
+        pack_sequences as _pack,
+        redact_pii as _pii,
+    )
+
+    _wdf = spark.read.parquet(_tiny_dir)
+    _dec(
+        _wdf.where("doc_id % 2 = 0"), _wdf.where("doc_id % 2 = 1"),
+        "text", "doc_id", n=2,
+    ).count()
+    _pack(_wdf, "text", "doc_id", "source", capacity=8).count()
+    _pii(_wdf, "text").select("n_emails", "n_phones").count()
     spark.catalog.clearCache()
     # ...and the Structured Streaming machinery (state store, memory sink,
     # streaming agg codegen) with a 2-row availableNow stream
