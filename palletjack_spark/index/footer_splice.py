@@ -982,9 +982,9 @@ def _footer_from_source(
 
 def read_metadata(
     index_file_path: str | None = None,
-    row_groups: Sequence[int] | Iterable[int] = (),
-    column_indices: Sequence[int] | Iterable[int] = (),
-    column_names: Sequence[str] | Iterable[str] = (),
+    row_groups: Sequence[int] | Iterable[int] | None = (),
+    column_indices: Sequence[int] | Iterable[int] | None = (),
+    column_names: Sequence[str] | Iterable[str] | None = (),
     index_data: bytes | bytearray | None = None,
     parquet_path: str | None = None,
 ) -> pq.FileMetaData:
@@ -999,19 +999,21 @@ def read_metadata(
     from :func:`generate_metadata_index` — or, as an extension over the
     reference, the parquet file itself (``parquet_path``)."""
     footer = _footer_from_source(index_file_path, index_data, parquet_path)
+    # None and () both mean "no pruning on this axis" (the reference's
+    # Cython signature defaults every selection to None)
     pruned = splice_footer(
         footer,
-        row_groups=list(row_groups),
-        column_indices=list(column_indices) or None,
-        column_names=list(column_names) or None,
+        row_groups=list(row_groups or ()),
+        column_indices=list(column_indices or ()) or None,
+        column_names=list(column_names or ()) or None,
     )
     return metadata_from_footer(pruned)
 
 
 def read_schema(
     index_file_path: str | None = None,
-    column_indices: Sequence[int] | Iterable[int] = (),
-    column_names: Sequence[str] | Iterable[str] = (),
+    column_indices: Sequence[int] | Iterable[int] | None = (),
+    column_names: Sequence[str] | Iterable[str] | None = (),
     index_data: bytes | bytearray | None = None,
     parquet_path: str | None = None,
 ) -> pa.Schema:
@@ -1020,8 +1022,8 @@ def read_schema(
     footer = _footer_from_source(index_file_path, index_data, parquet_path)
     pruned = splice_footer(
         footer,
-        column_indices=list(column_indices) or None,
-        column_names=list(column_names) or None,
+        column_indices=list(column_indices or ()) or None,
+        column_names=list(column_names or ()) or None,
         schema_only=True,
     )
     return metadata_from_footer(pruned).schema.to_arrow_schema()
