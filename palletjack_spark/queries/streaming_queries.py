@@ -19,7 +19,9 @@ from palletjack_spark.streaming.ops import (
     events_stream,
     run_stream_to_table,
     running_totals_stateful,
+    running_totals_tws,
     session_agg,
+    with_rocksdb_state,
     sliding_counts,
     stream_static_join,
     tumbling_counts,
@@ -238,3 +240,10 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = sf_dir.strip("/").replace("/", "_")
     mv_dir = os.path.join(tempfile.gettempdir(), f"pjspark_{key}_q78_mv")
     return materialized_rollup(spark, sf_dir, mv_dir)
+
+
+# q79 (transformWithStateInPandas running totals, streaming/ops.py:
+# running_totals_tws) is implemented but NOT registered: the Spark 4
+# transformWithState Python side imports google.protobuf, which this
+# container does not ship — the operator is exercised by a skip-gated
+# test (tests/test_streaming.py) instead of the driver gate.

@@ -278,3 +278,78 @@ def materialized_rollup(
             .alias("sum_value"),
         )
     )
+
+
+def running_totals_tws(events: DataFrame) -> DataFrame:
+    """Q79: the Spark 4 arbitrary-state API — ``transformWithStateInPandas``
+    with a ``StatefulProcessor`` — computing the same per-user running
+    totals as Q76's ``applyInPandasWithState``.
+
+    Why both exist: transformWithState is the successor API (typed state
+    handles — value/list/map — plus timers and TTL) and requires the
+    RocksDB state store provider, which is also the provider that scales:
+    changelog-checkpointed, memory-bounded state vs the HDFS-backed
+    provider's full in-heap map.  Same millis-integer accumulation as Q76,
+    so the cross-batch totals are bit-deterministic and the batch aggregate
+    is the oracle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._totals = handle.getValueState("totals", "n long, millis long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, millis = (
+                tuple(self._totals.get()) if self._totals.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                millis += int(
+                    np.floor(pdf["value"].to_numpy(dtype="float64") * 1000)
+                    .astype("int64")
+                    .sum()
+                )
+            self._totals.update((n, millis))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "value_millis": [millis]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id long, n_events long, value_millis long",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def with_rocksdb_state(spark: SparkSession):
+    """Context manager: run a streaming query on the RocksDB state store
+    (required by transformWithState; also the 100 TB-scale provider),
+    restoring the session's previous provider afterwards."""
+    import contextlib
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+
+    @contextlib.contextmanager
+    def cm():
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, ROCKSDB_PROVIDER)
+        try:
+            yield
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    return cm()

@@ -150,3 +150,40 @@ def test_custom_stateful_running_totals(spark, tmp_path):
     last = emissions[1].sort_values("n_events").groupby("user_id").last()
     assert last.loc[1, "n_events"] == 5
     assert last.loc[1, "value_millis"] == 11000
+
+
+def test_transform_with_state_running_totals(spark):
+    """Spark 4 transformWithStateInPandas parity with q76's totals.
+
+    Gated: the transformWithState Python protocol needs google.protobuf,
+    which this container may not ship; the operator itself
+    (streaming/ops.py:running_totals_tws) is environment-independent.
+    """
+    pytest.importorskip("google.protobuf.descriptor")
+    from pyspark.sql import functions as F
+
+    from palletjack_spark.streaming.ops import (
+        events_stream,
+        run_stream_to_table,
+        running_totals_stateful,
+        running_totals_tws,
+        with_rocksdb_state,
+    )
+
+    with with_rocksdb_state(spark):
+        out = run_stream_to_table(
+            running_totals_tws(events_stream(spark, SF_DIR)), "update"
+        )
+    final = out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("value_millis", "n_events").alias("value_millis"),
+    )
+    ref = run_stream_to_table(
+        running_totals_stateful(events_stream(spark, SF_DIR)), "update"
+    ).groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("value_millis", "n_events").alias("value_millis"),
+    )
+    got = {r["user_id"]: (r["n_events"], r["value_millis"]) for r in final.collect()}
+    want = {r["user_id"]: (r["n_events"], r["value_millis"]) for r in ref.collect()}
+    assert got == want
