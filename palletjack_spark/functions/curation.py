@@ -155,3 +155,47 @@ def redact_pii(df: DataFrame, text_col: str) -> DataFrame:
             "clean_text": clean,
         }
     )
+
+
+#: per-shard token budget for mixture sampling
+MIXTURE_BUDGET = 2000
+
+
+def token_budget_sample(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    part_col: str,
+    budget: int = MIXTURE_BUDGET,
+) -> DataFrame:
+    """Data-mixture sampling: keep a greedy prefix of documents per
+    ``part_col`` domain, in deterministic md5-hash order, until the domain's
+    token budget is exhausted (take-while on the running token cumsum).
+    This is how mixture weights become concrete document selections in a
+    pretraining pipeline — per-domain budgets, reproducible order, no
+    global coordination.
+
+    Returns kept rows (id, part, n_tok).  One shuffle (the per-domain
+    cumsum window); the hash order is engine-portable (md5-derived, the
+    functions/dedup.hash60 scheme) so a SQL oracle reproduces the exact
+    selection."""
+    from palletjack_spark.functions.dedup import hash60
+
+    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    pri = hash60(F.concat(F.col(id_col).cast("string"), F.lit("#mix")))
+    w = (
+        Window.partitionBy("part")
+        .orderBy("pri", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(part_col).alias("part"),
+            n_tokens.alias("n_tok"),
+            pri.alias("pri"),
+        )
+        .withColumn("cum", F.sum("n_tok").over(w))
+        .where(F.col("cum") <= budget)
+        .select(id_col, "part", "n_tok")
+    )

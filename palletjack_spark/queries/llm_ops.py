@@ -862,3 +862,38 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_phones",
         F.length("clean_text").cast("long").alias("clean_chars"),
     )
+
+
+@query(
+    "q105_token_budget_sample",
+    # hash60-ordered greedy prefix per source; the oracle reproduces the
+    # md5-derived priority order bit-for-bit (dedup.hash60 scheme)
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 15))::BIGINT
+               AS pri
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY pri, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d
+    )
+    SELECT doc_id, source AS part, n_tok FROM c WHERE cum <= 1000
+    """,
+)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture sampling (Q105): per-source token budgets realized as
+    a deterministic hash-ordered greedy prefix — the step that turns
+    mixture weights into an actual document selection.  One cumsum window
+    shuffle; selection is reproducible across engines (md5 priority),
+    which the oracle checks exactly.  Budget 1000 ≈ ⅔ of each source's
+    tokens at sf0.01, so the take-while cut binds in every domain."""
+    from palletjack_spark.functions.curation import token_budget_sample
+
+    return token_budget_sample(
+        t(spark, sf_dir, "documents"), "text", "doc_id", "source", budget=1000
+    )

@@ -95,3 +95,22 @@ def test_redact_pii_crafted(spark):
     assert out[1][1] == 1 and out[1][2].count("<PHONE>") == 1
     assert out[2] == (0, 0, "nothing sensitive here")
     assert out[3][0] == 2 and out[3][1] == 1
+
+
+def test_token_budget_take_while(spark):
+    """The budget is a take-while on the hash-ordered cumsum: once a doc
+    overflows, everything after it in that domain is dropped — even
+    smaller docs that would individually fit."""
+    from palletjack_spark.functions.curation import token_budget_sample
+
+    rows = [(i, "w " * 10, "s") for i in range(6)]  # 11 tokens each (trailing '')
+    df = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows], "doc_id long, text string, src string"
+    )
+    out = token_budget_sample(df, "text", "doc_id", "src", budget=25)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # 10 tokens per doc -> exactly 2 fit in 25 regardless of hash order
+    assert len(kept) == 2
+    # determinism: same selection on re-run
+    again = sorted(r["doc_id"] for r in out.collect())
+    assert kept == again

@@ -349,3 +349,14 @@ def test_pii_redact_zero_shuffle(spark):
     df = redact_pii(docs, "text").select("doc_id", "n_emails", "n_phones")
     plan = _simple_plan(df)
     assert "Exchange" not in plan, plan
+
+
+def test_token_budget_sample_single_exchange(spark):
+    """q105: one shuffle (the per-domain cumsum window); the take-while
+    filter and projection ride on top without further exchanges."""
+    from palletjack_spark.functions.curation import token_budget_sample
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = token_budget_sample(docs, "text", "doc_id", "source", budget=2000)
+    plan = _simple_plan(df)
+    assert plan.count("Exchange") == 1, plan
