@@ -170,6 +170,25 @@ def bench_metadata(spark) -> dict[str, float]:
         assert md.num_rows == META_CHUNK
     spliced = (time.perf_counter() - t0) / META_CALLS
 
+    # end-to-end 1-row-group DATA reads (reference harness :65-76): native
+    # pyarrow pays the full footer parse per open; the indexed path opens
+    # with the pruned spliced FileMetaData instead.  BASELINE.md's
+    # apples-to-apples row: pyarrow open + read_row_groups([0]) ≈ 51 ms.
+    E2E_CALLS = 20
+    t0 = time.perf_counter()
+    for _ in range(E2E_CALLS):
+        pq.ParquetFile(path).read_row_groups([0])
+    e2e_native = (time.perf_counter() - t0) / E2E_CALLS
+
+    t0 = time.perf_counter()
+    for _ in range(E2E_CALLS):
+        md = footer_splice.read_metadata(index_data=pjs1, row_groups=[0])
+        pr = pq.ParquetReader()
+        pr.open(path, metadata=md)
+        pr.read_all()
+        pr.close()
+    e2e_indexed = (time.perf_counter() - t0) / E2E_CALLS
+
     # index-size accounting (reference harness :128-131 prints the ratio)
     file_size = os.path.getsize(path)
     footer_size = pq.ParquetFile(path).metadata.serialized_size
@@ -180,6 +199,8 @@ def bench_metadata(spark) -> dict[str, float]:
         "meta_indexed": indexed,
         "meta_indexed_pool2": indexed_pool2,
         "meta_spliced_filemetadata": spliced,
+        "meta_e2e_rg0_read_native": e2e_native,
+        "meta_e2e_rg0_read_indexed": e2e_indexed,
         "meta_pjs1_build_once": pjs1_build,
         "meta_index_build_once": index_build,
         "meta_index_build_spark": index_build_spark,
