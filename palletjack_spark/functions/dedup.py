@@ -645,3 +645,24 @@ def connected_components(
         )
         .distinct()
     )
+
+
+def apply_components(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str,
+    node: str = "node",
+    component: str = "component",
+) -> DataFrame:
+    """Materialize a dedup decision from a connected-components labelling:
+    keep every document that is either untouched by any near-dup pair or
+    the canonical (minimum-id) member of its component.
+
+    The LOSERS list (node != component) is a vanishing fraction of the
+    corpus — near-dup rates are single-digit percent in practice — so it
+    broadcasts and the corpus passes through one map-side anti-join:
+    the full dataset is never shuffled to be deduplicated."""
+    losers = components.where(F.col(node) != F.col(component)).select(
+        F.col(node).alias(id_col)
+    )
+    return df.join(F.broadcast(losers), id_col, "left_anti")

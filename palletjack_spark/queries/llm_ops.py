@@ -897,3 +897,45 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_sample(
         t(spark, sf_dir, "documents"), "text", "doc_id", "source", budget=1000
     )
+
+
+@query(
+    "q106_near_dedup_apply",
+    oracle=f"""
+    WITH RECURSIVE
+    {_Q101_PAIRS_SQL},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS node, LEAST(a, MIN(b)) AS component
+      FROM reach GROUP BY a
+    ),
+    losers AS (SELECT node FROM comp WHERE node <> component)
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM losers)
+    """,
+)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup removal end-to-end (Q106): pair list → connected
+    components → keep the minimum-id member per cluster → surviving
+    corpus.  The dedup DELIVERABLE, not just the pair list: losers
+    broadcast into a map-side anti-join, so the corpus is never shuffled
+    to be deduplicated (functions/dedup.py:apply_components)."""
+    from palletjack_spark.functions.dedup import (
+        apply_components,
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", "source", threshold=0.2)
+    comp = connected_components(pairs)
+    return apply_components(docs, comp, "doc_id").select("doc_id", "source")

@@ -350,3 +350,23 @@ def test_connected_components_crafted(spark):
     assert {n for n in got if got[n] == 100} == {100, 101, 102, 103, 104}
     assert {n for n in got if got[n] == 200} == {200, 201, 202, 203}
     assert len(got) == 64 + 5 + 4  # no phantom nodes
+
+
+def test_apply_components_keeps_canonical(spark, crafted_docs):
+    """Dedup materialization: the min-id member of each near-dup cluster
+    survives; untouched docs pass through."""
+    from palletjack_spark.functions.dedup import (
+        apply_components,
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    comp = connected_components(pairs)
+    out = sorted(
+        r["doc_id"]
+        for r in apply_components(crafted_docs, comp, "doc_id").collect()
+    )
+    # clusters {0,1,2} -> keep 0; {3,4} -> keep 3; 5 untouched
+    assert out == [0, 3, 5]

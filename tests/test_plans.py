@@ -360,3 +360,18 @@ def test_token_budget_sample_single_exchange(spark):
     df = token_budget_sample(docs, "text", "doc_id", "source", budget=2000)
     plan = _simple_plan(df)
     assert plan.count("Exchange") == 1, plan
+
+
+def test_near_dedup_apply_broadcasts_losers(spark):
+    """q106: the corpus-side anti-join must be a BroadcastHashJoin
+    (LeftAnti) — the corpus is never shuffled to be deduplicated."""
+    from palletjack_spark.functions.dedup import apply_components
+
+    docs = load_table(spark, SF_DIR, "documents")
+    comp = spark.createDataFrame(
+        [(1, 0), (2, 0)], "node long, component long"
+    )
+    df = apply_components(docs, comp, "doc_id")
+    plan = _simple_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
