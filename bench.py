@@ -131,9 +131,9 @@ def bench_metadata(spark) -> dict[str, float]:
 
     # distributed build — the 100 TB path (executor-side footer parses +
     # validation job); measured separately so both shapes are visible.
-    # Min of 2 (the first run can absorb executor GC from the query suite).
+    # Min of 3 (the first run can absorb executor GC from the query suite).
     index_build_spark = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         idx = build_index(spark, path, use_cache=False, driver_fast_path=False)
         index_build_spark = min(index_build_spark, time.perf_counter() - t0)
@@ -310,14 +310,21 @@ def main() -> None:
     ).count()
 
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = REGISTRY[name].fn(spark, SF_DIR)
-        n = df.count()
-        times[name] = round(time.perf_counter() - t0, 4)
+        # best-of-2, the reference harness's min-over-iterations methodology
+        # (benchmark_palletjack_metadata.py:159-180 reports min): a single
+        # shot after a long query suite can absorb several seconds of JVM
+        # GC/fragmentation noise unrelated to the plan under test
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = REGISTRY[name].fn(spark, SF_DIR)
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+            # drop caches a query may have left (e.g. q91's shingle set) so
+            # later measurements aren't skewed by GC/memory pressure
+            spark.catalog.clearCache()
+        times[name] = round(best, 4)
         print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
-        # drop caches a query may have left (e.g. q91's shingle set) so
-        # later measurements aren't skewed by GC/memory pressure
-        spark.catalog.clearCache()
 
     for k, v in bench_metadata(spark).items():
         times[k] = round(v, 6)
