@@ -653,16 +653,32 @@ def apply_components(
     id_col: str,
     node: str = "node",
     component: str = "component",
+    n_losers: int | None = None,
 ) -> DataFrame:
     """Materialize a dedup decision from a connected-components labelling:
     keep every document that is either untouched by any near-dup pair or
     the canonical (minimum-id) member of its component.
 
-    The LOSERS list (node != component) is a vanishing fraction of the
-    corpus — near-dup rates are single-digit percent in practice — so it
-    broadcasts and the corpus passes through one map-side anti-join:
-    the full dataset is never shuffled to be deduplicated."""
+    The LOSERS list (node != component) is usually a small fraction of the
+    corpus, so the fast path broadcasts it and the corpus passes through
+    one map-side anti-join — the full dataset is never shuffled to be
+    deduplicated.  But real web crawls run 30-50%% near-dup: at 100 TB the
+    loser list is billions of ids, far past broadcast limits, so the
+    decision is BYTE-based like the minhash verify stage (dedup.py:330):
+    losers × 8 B (long id) + per-row overhead vs the broadcast cap; above
+    it, a shuffle_hash left_anti keeps the wide corpus rows on one side of
+    a hash exchange instead of OOMing every executor with the build side.
+
+    ``n_losers`` lets a caller that already knows the count (e.g. from the
+    CC convergence loop's per-round counts) skip the sizing job; otherwise
+    one count() over the (already tiny relative to the corpus) components
+    labelling decides the mode.
+    """
     losers = components.where(F.col(node) != F.col(component)).select(
         F.col(node).alias(id_col)
     )
-    return df.join(F.broadcast(losers), id_col, "left_anti")
+    if n_losers is None:
+        n_losers = losers.count()
+    if n_losers * 72 <= BROADCAST_SETS_MAX_BYTES:  # 8 B id + row overhead
+        return df.join(F.broadcast(losers), id_col, "left_anti")
+    return df.join(losers.hint("shuffle_hash"), id_col, "left_anti")

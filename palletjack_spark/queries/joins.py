@@ -405,11 +405,14 @@ def q26b(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join (TPC-H Q5 shape) [host]: the 6-table local-supplier-volume
-    query.  Scale shape: region/nation/supplier/customer broadcast (each is
-    tiny relative to the fact), so the only shuffle is lineitem ⋈ orders on
-    the orderkey — at 1000 executors the fact table shuffles once and every
-    dimension ships whole.  Exercises the one fixture table (supplier)
-    nothing else touches."""
+    query.  Scale shape: region/nation/supplier broadcast (fixed-size or
+    SF-sublinear dims), but CUSTOMER is NOT hinted — it grows linearly with
+    the fact (~1.5 TB at TPC-H-proportional 100 TB) and a forced broadcast
+    would OOM every executor; AQE picks broadcast at small SF and a shuffle
+    join at scale on actual runtime sizes.  So the worst-case plan is two
+    fact-side shuffles (lineitem ⋈ orders on orderkey, then ⋈ customer on
+    custkey) and every genuinely small dimension ships whole.  Exercises
+    the one fixture table (supplier) nothing else touches."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= "1996-01-01")
@@ -421,7 +424,7 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(s),
             (li.l_suppkey == s.s_suppkey)

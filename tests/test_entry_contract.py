@@ -1,6 +1,12 @@
 """Driver-contract checks for __spark_entry__.py: full registry exposure,
-alias round-trip, and the sort-first rotation that works around the driver's
-~50-entry CORRECTNESS cap (see README "Driver correctness coverage")."""
+alias round-trip, and the staleness-aware sort-first rotation that works
+around the driver's ~50-entry CORRECTNESS cap (see README "Driver
+correctness coverage").
+
+The rotation *rule* is tested against synthetic round files in a tmp dir
+(not the live repo's CORRECTNESS_r*.json) so committing a new round
+snapshot can never invalidate these assertions.
+"""
 
 from __future__ import annotations
 
@@ -28,17 +34,22 @@ def test_alias_roundtrip():
         assert entrymod._alias(name) <= name
 
 
-def test_unverified_queries_fill_the_checked_window():
-    """Every QID lacking a green row in committed CORRECTNESS files must sort
-    within the driver's first-50 window."""
-    verified = entrymod._verified_qids()
-    unverified = sorted(set(REGISTRY) - verified)
+def test_aliases_sort_before_all_canonical_names():
+    """Every alias must land inside the driver's first-N window regardless of
+    which canonical names remain: q0NNN... < q0X_... for X >= 1."""
+    aliases = sorted(entrymod._alias(n) for n in REGISTRY)
+    canonical = sorted(REGISTRY)
+    assert aliases[-1] < canonical[0]
+
+
+def test_window_holds_the_stalest_queries():
+    """The first 50 driver keys must be exactly the 50 QIDs with the oldest
+    (or absent) green rows, per the live repo's committed round files."""
+    newest = entrymod._green_rounds()
+    prio = sorted(REGISTRY, key=lambda n: (newest.get(n, 0), n))
+    expected = {entrymod._alias(n) for n in prio[:50]}
     keys = sorted(entrymod.queries().keys())
-    window = set(keys[:50])
-    missing = [
-        q for q in unverified if entrymod._alias(q) not in window and q not in window
-    ]
-    assert not missing, f"unverified queries outside checked window: {missing}"
+    assert set(keys[:50]) == expected
 
 
 def test_oracles_follow_aliasing():
@@ -49,15 +60,48 @@ def test_oracles_follow_aliasing():
         assert sql == REGISTRY[entrymod._canonical(key)].oracle
 
 
-def test_round1_verified_set_parsed():
-    path = os.path.join(os.path.dirname(entrymod.__file__), "CORRECTNESS_r01.json")
-    with open(path) as f:
-        rows = json.load(f)
-    verified = entrymod._verified_qids()
-    assert "q01_full_scan" in verified
-    # q32's round-1 row was "no_oracle", but it now registers a
-    # tolerance-boolean oracle — so it re-enters the unverified window
-    # until a hash-checked row lands.
-    assert "q32_approx_count_distinct" not in verified
-    assert "q0032_approx_count_distinct" in entrymod.queries()
-    assert "q61_datetime_funcs" not in verified
+def _write_round(tmpdir, rnd: int, rows: dict) -> None:
+    with open(os.path.join(tmpdir, f"CORRECTNESS_r{rnd:02d}.json"), "w") as f:
+        json.dump(rows, f)
+
+
+GREEN = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+RED = {"rows_match": False, "schema_match": True, "hash_match": False, "err": None}
+NO_ORACLE = {"rows_match": True, "schema_match": True, "hash_match": False,
+             "err": "no_oracle"}
+
+
+def test_rotation_rule_green_row_in_any_round_verifies(tmp_path):
+    """A hash-checked green row in ANY committed round file verifies a QID;
+    red / absent rows do not; newest round wins for staleness."""
+    _write_round(tmp_path, 1, {"q01_full_scan": GREEN, "q02_pruned_scan": RED})
+    _write_round(tmp_path, 2, {"q0002_pruned_scan": GREEN})
+    newest = entrymod._green_rounds(root=str(tmp_path))
+    assert newest.get("q01_full_scan") == 1
+    assert newest.get("q02_pruned_scan") == 2  # alias rows attribute canonically
+    assert "q03_indexed_scan" not in newest
+
+
+def test_rotation_rule_no_oracle_counts_only_without_registered_oracle(tmp_path):
+    """A rows-only "no_oracle" row verifies a QID only while the registry has
+    no oracle for it — once an oracle registers, the QID must re-rotate."""
+    with_oracle = next(n for n in REGISTRY if REGISTRY[n].oracle is not None)
+    without = [n for n in REGISTRY if REGISTRY[n].oracle is None]
+    _write_round(tmp_path, 1, {with_oracle: NO_ORACLE})
+    newest = entrymod._green_rounds(root=str(tmp_path))
+    assert with_oracle not in newest
+    if without:  # currently every op registers an oracle; guard if one drops
+        _write_round(tmp_path, 2, {without[0]: NO_ORACLE})
+        newest = entrymod._green_rounds(root=str(tmp_path))
+        assert without[0] in newest
+
+
+def test_rotation_rule_oldest_green_first_window():
+    """_driver_keys aliases exactly the `window` stalest QIDs."""
+    keys = entrymod._driver_keys(window=7)
+    aliased = {canon for key, canon in keys.items() if key != canon}
+    newest = entrymod._green_rounds()
+    prio = sorted(REGISTRY, key=lambda n: (newest.get(n, 0), n))
+    assert aliased == set(prio[:7])
+    # and every canonical name is present exactly once as a value
+    assert sorted(keys.values()) == sorted(REGISTRY)

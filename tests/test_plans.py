@@ -200,16 +200,31 @@ def test_partitioned_write_prunes_partitions(spark):
     assert "l_returnflag" in pf
 
 
-def test_star_join_broadcasts_all_dimensions(spark):
-    """Q29: four BroadcastHashJoins (customer/supplier/nation/region) and
-    exactly one shuffled fact join — the star-shape contract."""
+def test_star_join_broadcasts_small_dims_only(spark):
+    """Q29: the three genuinely small dimensions (supplier/nation/region)
+    broadcast; CUSTOMER must NOT carry a broadcast hint (it scales with the
+    fact — ~1.5 TB at TPC-H 100 TB), so the initial plan shuffles it and
+    only AQE may upgrade it from runtime sizes — the scale-safe star shape."""
     from palletjack_spark.queries import REGISTRY
 
     spark.catalog.clearCache()
-    plan = _simple_plan(REGISTRY["q29_star_join"].fn(spark, SF_DIR))
-    # >= 4: the four dimensions always broadcast; at tiny SF AQE may
-    # broadcast the orders side of the fact join too
-    assert plan.count("BroadcastHashJoin") >= 4, plan
+    # at fixture SF Catalyst auto-broadcasts everything (fine); to see which
+    # joins carry an EXPLICIT hint, turn auto-broadcast off — forced hints
+    # survive, size-based ones don't.  The conf must be set AFTER building
+    # the df (the query decorator re-tunes the session) and works because
+    # planning is lazy until explain.
+    df = REGISTRY["q29_star_join"].fn(spark, SF_DIR)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _simple_plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    # the un-hinted joins (lineitem ⋈ orders, ⋈ customer) become shuffle
+    # joins — proof customer carries no static broadcast hint
+    n_shuffle_joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert n_shuffle_joins == 2, plan
 
 
 def test_asof_bucketed_splits_hot_key(spark):
@@ -363,8 +378,8 @@ def test_token_budget_sample_single_exchange(spark):
 
 
 def test_near_dedup_apply_broadcasts_losers(spark):
-    """q106: the corpus-side anti-join must be a BroadcastHashJoin
-    (LeftAnti) — the corpus is never shuffled to be deduplicated."""
+    """q106 fast path: with a small loser list the corpus-side anti-join is
+    a BroadcastHashJoin (LeftAnti) — the corpus is never shuffled."""
     from palletjack_spark.functions.dedup import apply_components
 
     docs = load_table(spark, SF_DIR, "documents")
@@ -375,3 +390,20 @@ def test_near_dedup_apply_broadcasts_losers(spark):
     plan = _simple_plan(df)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_near_dedup_apply_shuffles_when_losers_too_big(spark):
+    """q106 scale path: when the byte estimate says the loser list exceeds
+    the broadcast cap (30-50%% near-dup at 100 TB = billions of ids), the
+    anti-join must switch to a shuffle-side LeftAnti, never a forced
+    broadcast."""
+    from palletjack_spark.functions.dedup import apply_components
+
+    docs = load_table(spark, SF_DIR, "documents")
+    comp = spark.createDataFrame(
+        [(1, 0), (2, 0)], "node long, component long"
+    )
+    df = apply_components(docs, comp, "doc_id", n_losers=10_000_000_000)
+    plan = _simple_plan(df)
+    assert "LeftAnti" in plan and "BroadcastHashJoin" not in plan, plan
+    assert "Exchange hashpartitioning" in plan, plan
