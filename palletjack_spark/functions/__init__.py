@@ -19,9 +19,11 @@ from palletjack_spark.functions.text import (
     fingerprint_md5,
 )
 from palletjack_spark.functions.imagecodec import decode_image
+from palletjack_spark.functions.videocodec import decode_avi, encode_avi
 from palletjack_spark.functions.multimodal import (
     attach_fake_binary,
     extract_binary_features,
+    sample_frames,
 )
 
 __all__ = [
@@ -39,5 +41,8 @@ __all__ = [
     "fingerprint_md5",
     "attach_fake_binary",
     "extract_binary_features",
+    "sample_frames",
     "decode_image",
+    "decode_avi",
+    "encode_avi",
 ]

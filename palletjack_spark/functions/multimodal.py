@@ -3,14 +3,20 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata travelling alongside.  The Spark-side plumbing — schema, batch
 shape, partition sizing, Arrow transfer through ``mapInPandas`` — is real
-and tested, and since round 2 the IMAGE decode path is real too:
-``imagecodec`` implements 24-bit BMP and binary PPM (P6) from their public
-specs in pure numpy, so image payloads are actual image files, widths and
-heights come from genuine header parsing, and resize is a real
-nearest-neighbour resample over decoded pixels.  Compressed formats and
-audio/video codecs remain out of scope for this container — the
-``imagecodec.REGISTRY`` dict is the documented plug-in point, and
-unsupported payloads raise ``UnsupportedImageError``.
+and tested, and the decode paths are real too:
+
+- IMAGE (round 2): ``imagecodec`` implements 24-bit BMP and binary PPM
+  (P6) from their public specs in pure numpy — widths/heights come from
+  genuine header parsing, resize is a real nearest-neighbour resample.
+- VIDEO (round 3): ``videocodec`` implements the uncompressed AVI
+  container (RIFF 'AVI ' tree walk -> 'avih' header -> 'movi' '00db' DIB
+  frame chunks) the same way — frame counts and dimensions come from the
+  actual RIFF parse, and frame sampling decodes real pixel data.
+
+Compressed codecs (JPEG/H.264/...) remain out of scope for this container
+— ``imagecodec.REGISTRY`` / ``videocodec.FOURCC_DECODERS`` are the
+documented plug-in points, and unsupported payloads raise
+``UnsupportedImageError`` / ``UnsupportedVideoError``.
 
 Scale notes: binary payloads stay in the executors (never collected);
 feature extraction is Arrow-batched; ``spark.sql.execution.arrow.
@@ -36,6 +42,12 @@ from palletjack_spark.functions.imagecodec import (
     resize_nearest,
     synthetic_image,
 )
+from palletjack_spark.functions.videocodec import (
+    UnsupportedVideoError,
+    decode_avi,
+    encode_avi,
+    synthetic_video,
+)
 
 #: schema of a multimodal asset table
 ASSET_SCHEMA = (
@@ -51,14 +63,27 @@ def _asset_dims(asset_id: int) -> tuple[int, int]:
     return 8 + asset_id % 16, 8 + (asset_id * 7) % 16
 
 
+def _video_dims(asset_id: int) -> tuple[int, int, int]:
+    """Closed-form (width, height, n_frames) for synthetic video assets —
+    same oracle discipline as ``_asset_dims``: the SQL side recomputes
+    these analytically, the Spark side must recover them by parsing the
+    AVI RIFF headers."""
+    return (
+        8 + (asset_id * 5) % 12,
+        6 + (asset_id * 3) % 10,
+        2 + asset_id % 7,
+    )
+
+
 def attach_fake_binary(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Build a multimodal asset table from a text fixture.
 
     Modality cycles (image, audio, video) by id.  IMAGE payloads are REAL
-    encoded files — BMP for even ids, PPM for odd — of a deterministic
-    test pattern with closed-form dimensions (``_asset_dims``), so decode
-    correctness is oracle-checkable.  Audio/video payloads stay opaque
-    utf-8 blobs (no codec in this container)."""
+    encoded files — BMP for even ids, PPM for odd — and VIDEO payloads are
+    REAL uncompressed AVI files, both of deterministic test patterns with
+    closed-form dimensions (``_asset_dims`` / ``_video_dims``), so decode
+    correctness is oracle-checkable.  Audio payloads stay opaque utf-8
+    blobs (no audio codec yet)."""
     cols = ["asset_id", "modality", "payload", "width", "height", "n_bytes"]
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -72,6 +97,11 @@ def attach_fake_binary(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                     px = synthetic_image(aid % 256, w, h)
                     payload = (
                         encode_bmp(px) if aid % 2 == 0 else encode_ppm(px)
+                    )
+                elif modality == "video":
+                    w, h, n = _video_dims(aid)
+                    payload = encode_avi(
+                        synthetic_video(aid % 256, w, h, n), fps=10
                     )
                 else:
                     payload = text.encode("utf-8")
@@ -95,24 +125,32 @@ def attach_fake_binary(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def extract_binary_features(assets: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
     ``mapInPandas``: (asset_id, modality, n_bytes, head_byte, checksum,
-    width, height).  Image payloads are REALLY decoded (BMP/PPM header
-    parse via ``imagecodec``); non-image modalities report null dims."""
+    width, height, n_frames).  Image payloads are REALLY decoded (BMP/PPM
+    header parse via ``imagecodec``) and video payloads REALLY parsed
+    (AVI 'avih' header via ``videocodec``, pixel decode skipped —
+    header-only metadata read); audio reports null dims."""
 
     def extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            widths, heights = [], []
+            widths, heights, framecounts = [], [], []
             for modality, p in zip(pdf["modality"], pdf["payload"]):
-                if modality == "image" and p is not None:
-                    try:
-                        d = decode_image(bytes(p))
-                        widths.append(d["width"])
-                        heights.append(d["height"])
-                    except UnsupportedImageError:
-                        widths.append(None)
-                        heights.append(None)
-                else:
-                    widths.append(None)
-                    heights.append(None)
+                w = h = n = None
+                if p is not None:
+                    if modality == "image":
+                        try:
+                            d = decode_image(bytes(p))
+                            w, h = d["width"], d["height"]
+                        except UnsupportedImageError:
+                            pass
+                    elif modality == "video":
+                        try:
+                            d = decode_avi(bytes(p), frame_indices=[])
+                            w, h, n = d["width"], d["height"], d["n_frames"]
+                        except UnsupportedVideoError:
+                            pass
+                widths.append(w)
+                heights.append(h)
+                framecounts.append(n)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -133,13 +171,14 @@ def extract_binary_features(assets: DataFrame) -> DataFrame:
                     ],
                     "width": pd.array(widths, dtype="Int32"),
                     "height": pd.array(heights, dtype="Int32"),
+                    "n_frames": pd.array(framecounts, dtype="Int32"),
                 }
             )
 
     return assets.mapInPandas(
         extract,
         "asset_id long, modality string, n_bytes long, head_byte int,"
-        " checksum long, width int, height int",
+        " checksum long, width int, height int, n_frames int",
     )
 
 
@@ -195,31 +234,62 @@ def resize_images(
     )
 
 
-def sample_frames(
-    assets: DataFrame, frame_bytes: int = 256, max_frames: int = 4
-) -> DataFrame:
+def sample_frames(assets: DataFrame, max_frames: int = 4) -> DataFrame:
     """Sample frames from video assets — the UDTF shape: one input row →
-    one output row per sampled frame.  Frame extraction is STUBBED as
-    fixed-size payload slices (no video codec in this container; a codec
-    would replace the slicing, keeping the fan-out schema and Arrow
-    batching)."""
+    one output row per sampled frame.  REAL pipeline since round 3: parse
+    the AVI RIFF tree (``videocodec.decode_avi``), uniformly sample up to
+    ``max_frames`` frames (source indices ``i * n // max_frames`` when the
+    video is longer, every frame otherwise — only the selected '00db'
+    chunks are pixel-decoded), and re-encode each sampled frame as a
+    standalone BMP image payload.  Output: (asset_id, frame_no, src_frame,
+    width, height, frame_payload).  Payloads no registered codec can read
+    are skipped rather than poisoning the batch (``FOURCC_DECODERS`` is
+    the compressed-codec plug-in point)."""
 
     def fr(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, nos, frames = [], [], []
+            rows = []
             for aid, p in zip(pdf["asset_id"], pdf["payload"]):
-                p = bytes(p) if p is not None else b""
-                n = min(max_frames, max(1, len(p) // frame_bytes))
-                for i in range(n):
-                    ids.append(aid)
-                    nos.append(i)
-                    frames.append(p[i * frame_bytes : (i + 1) * frame_bytes])
+                try:
+                    meta = decode_avi(bytes(p) if p is not None else b"",
+                                      frame_indices=[])
+                except UnsupportedVideoError:
+                    continue
+                n = meta["n_frames"]
+                srcs = (
+                    list(range(n))
+                    if n <= max_frames
+                    else [i * n // max_frames for i in range(max_frames)]
+                )
+                decoded = decode_avi(bytes(p), frame_indices=srcs)
+                for frame_no, (src, px) in enumerate(
+                    zip(srcs, decoded["frames"])
+                ):
+                    rows.append(
+                        {
+                            "asset_id": aid,
+                            "frame_no": frame_no,
+                            "src_frame": src,
+                            "width": meta["width"],
+                            "height": meta["height"],
+                            "frame_payload": encode_bmp(px),
+                        }
+                    )
             yield pd.DataFrame(
-                {"asset_id": ids, "frame_no": nos, "frame_payload": frames}
+                rows,
+                columns=[
+                    "asset_id", "frame_no", "src_frame", "width", "height",
+                    "frame_payload",
+                ],
+                dtype=object,
             )
 
     return (
         assets.where(F.col("modality") == "video")
         .select("asset_id", "payload")
-        .mapInPandas(fr, "asset_id long, frame_no int, frame_payload binary")
+        .mapInPandas(
+            fr,
+            "asset_id long, frame_no int, src_frame int, width int,"
+            " height int, frame_payload binary",
+        )
     )

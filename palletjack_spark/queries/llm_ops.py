@@ -340,45 +340,73 @@ def q94b(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q94c_multimodal_frames",
-    # Analytic differential (the q94b discipline): video payloads are the
-    # utf-8 text bytes, the slicer emits min(4, max(1, L div 256)) frames of
-    # 256 bytes (the last full; sub-256 payloads yield one L-byte frame), so
-    # frame counts and byte totals have closed forms over strlen(text).
+    # Analytic differential (the q94b discipline): video payloads are REAL
+    # uncompressed AVI files of the synthetic frame pattern; the oracle
+    # recomputes every decoded quantity from the closed forms in
+    # multimodal._video_dims / videocodec.synthetic_video: dims
+    # w = 8+(id*5)%12, h = 6+(id*3)%10, frames n = 2+id%7; uniform sampling
+    # takes src = i*n//4 for n > 4 else every frame; the re-encoded BMP is
+    # 54 + 4-byte-aligned-row × h bytes; and pixel (0,0,R) of source frame
+    # f is (id%256 + f*13) % 256.  Any RIFF-walk, DIB-decode, sampling, or
+    # re-encode bug breaks the hash match.
     oracle="""
     WITH vid AS (
-      SELECT doc_id, strlen(text) AS L FROM documents WHERE doc_id % 3 = 2
+      SELECT doc_id,
+             CAST(8 + (doc_id * 5) % 12 AS INT) AS w,
+             CAST(6 + (doc_id * 3) % 10 AS INT) AS h,
+             CAST(2 + doc_id % 7 AS INT) AS n
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    fr AS (
+      SELECT doc_id, w, h, n, UNNEST(range(least(n, 4))) AS i FROM vid
     )
-    SELECT 'video_frame' AS kind,
-           CAST(SUM(CASE WHEN L < 256 THEN 1 ELSE least(L // 256, 4) END)
-                AS BIGINT) AS n_assets,
-           CAST(SUM(CASE WHEN L < 256 THEN L ELSE least(L // 256, 4) * 256 END)
-                AS BIGINT) AS total_bytes
-    FROM vid
-    GROUP BY 1
+    SELECT doc_id AS asset_id,
+           CAST(i AS INT) AS frame_no,
+           CAST(CASE WHEN n <= 4 THEN i ELSE i * n // 4 END AS INT)
+               AS src_frame,
+           w AS width, h AS height,
+           CAST(54 + ((w*3 + 3) - (w*3 + 3) % 4) * h AS BIGINT) AS n_bytes,
+           CAST((doc_id % 256
+                 + (CASE WHEN n <= 4 THEN i ELSE i * n // 4 END) * 13) % 256
+                AS INT) AS p00
+    FROM fr
+    ORDER BY asset_id, frame_no
     """,
 )
 def q94c(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling (Q94c): 1→N fan-out over binary payloads plus a
-    per-modality byte summary.  The frame slicer is a declared stub (no
-    video codec in this container), but the stub is deterministic, so the
-    fan-out arithmetic IS oracle-checked: the DuckDB side recomputes frame
-    counts and byte totals analytically from the payload length closed
-    form — any slicing/fan-out bug breaks the hash match."""
+    """Video frame sampling (Q94c), REAL decode: video assets are genuine
+    uncompressed AVI files; Spark recovers dimensions and frame counts by
+    walking the RIFF tree, uniformly samples up to 4 frames, decodes the
+    selected DIB chunks, and re-encodes each as BMP.  The per-frame output
+    exposes the decoded width/height, the re-encoded byte size, and a
+    pixel probe (the (0,0) red channel) — each analytically recomputed by
+    the oracle from the synthetic-pattern closed forms, so the driver row
+    checks real decoded frame content, not just fan-out arithmetic."""
     from palletjack_spark.functions.multimodal import (
         attach_fake_binary,
         sample_frames,
     )
 
     assets = attach_fake_binary(t(spark, sf_dir, "documents"), "text", "doc_id")
-    frames = sample_frames(assets).select(
+    frames = sample_frames(assets)
+    # pixel (0,0) red channel straight from the re-encoded BMP bytes,
+    # JVM-side: the BMP header is 54 bytes and rows are stored bottom-up
+    # BGR with 4-byte-aligned stride, so the byte sits at 0-based offset
+    # 54 + (h-1)*row_size + 2 (substring is 1-based, hence the +1).
+    p00 = F.expr(
+        "CAST(conv(hex(substring(frame_payload, "
+        "54 + (height - 1) * ((width * 3 + 3) - (width * 3 + 3) % 4) + 3, "
+        "1)), 16, 10) AS INT)"
+    )
+    return frames.select(
         "asset_id",
-        F.lit("video_frame").alias("kind"),
+        "frame_no",
+        "src_frame",
+        "width",
+        "height",
         F.length("frame_payload").cast("long").alias("n_bytes"),
-    )
-    return frames.groupBy("kind").agg(
-        F.count("*").alias("n_assets"),
-        F.sum("n_bytes").alias("total_bytes"),
-    )
+        p00.alias("p00"),
+    ).orderBy("asset_id", "frame_no")
 
 
 def _langid_oracle() -> str:

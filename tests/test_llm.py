@@ -128,12 +128,19 @@ def test_multimodal_plumbing(spark):
     assert set(feats["modality"]) <= {"image", "audio", "video"}
     assert (feats["n_bytes"] > 0).all()
     # image dims come from REAL header parsing and must match the
-    # closed-form synthetic dimensions; other modalities decode to null
+    # closed-form synthetic dimensions
     img = feats[feats["modality"] == "image"]
     assert len(img) > 0
     assert (img["width"] == 8 + img["asset_id"] % 16).all()
     assert (img["height"] == 8 + (img["asset_id"] * 7) % 16).all()
-    assert feats[feats["modality"] != "image"]["width"].isna().all()
+    # video dims/frame counts come from the REAL AVI RIFF parse
+    vid = feats[feats["modality"] == "video"]
+    assert len(vid) > 0
+    assert (vid["width"] == 8 + (vid["asset_id"] * 5) % 12).all()
+    assert (vid["height"] == 6 + (vid["asset_id"] * 3) % 10).all()
+    assert (vid["n_frames"] == 2 + vid["asset_id"] % 7).all()
+    # audio has no codec: dims decode to null
+    assert feats[feats["modality"] == "audio"]["width"].isna().all()
     # deterministic: same payload → same checksum on re-run
     again = extract_binary_features(assets).toPandas()
     pd.testing.assert_frame_equal(
@@ -225,11 +232,31 @@ def test_multimodal_resize_and_frames(spark):
     assert (resized["n_bytes"] == 54 + 8 * 24).all()
     assert resized["payload"].apply(len).eq(54 + 8 * 24).all()
     assert (resized["width"] == 8).all() and (resized["height"] == 8).all()
-    frames = sample_frames(assets, frame_bytes=64, max_frames=3).toPandas()
+    frames = sample_frames(assets, max_frames=3).toPandas()
     assert frames.groupby("asset_id")["frame_no"].max().le(2).all()
-    assert frames["frame_payload"].apply(len).le(64).all()
+    # dims come from the AVI header parse; sampled count = min(n_frames, 3)
+    assert (frames["width"] == 8 + (frames["asset_id"] * 5) % 12).all()
+    assert (frames["height"] == 6 + (frames["asset_id"] * 3) % 10).all()
+    n_frames = 2 + frames["asset_id"] % 7
+    counts = frames.groupby("asset_id")["frame_no"].count()
+    expect = n_frames.groupby(frames["asset_id"]).first().clip(upper=3)
+    assert counts.eq(expect).all()
+    # each sampled frame re-encodes as a real BMP of the source dims
+    import numpy as np
+
+    from palletjack_spark.functions.imagecodec import decode_image
+    from palletjack_spark.functions.videocodec import synthetic_video
+
+    row = frames.iloc[0]
+    d = decode_image(bytes(row["frame_payload"]))
+    assert (d["width"], d["height"]) == (row["width"], row["height"])
+    src = synthetic_video(
+        int(row["asset_id"]) % 256, row["width"], row["height"],
+        int(2 + row["asset_id"] % 7),
+    )
+    assert np.array_equal(d["pixels"], src[int(row["src_frame"])])
     # deterministic across runs
-    again = sample_frames(assets, frame_bytes=64, max_frames=3).toPandas()
+    again = sample_frames(assets, max_frames=3).toPandas()
     k = ["asset_id", "frame_no"]
     pd.testing.assert_frame_equal(
         frames.sort_values(k).reset_index(drop=True),
