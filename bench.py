@@ -170,6 +170,20 @@ def bench_metadata(spark) -> dict[str, float]:
         assert md.num_rows == META_CHUNK
     spliced = (time.perf_counter() - t0) / META_CALLS
 
+    # spliced path under the 2-reader pool, completing parity with the
+    # reference's indexed-path sweep (benchmark_palletjack_metadata.py:159-176
+    # times palletjack reads at pool sizes 1 AND 2) — the splice is pure
+    # Python, so this measures GIL contention the reference avoids via nogil
+    def _spliced_read(_):
+        return footer_splice.read_metadata(
+            index_data=pjs1, row_groups=[0], column_indices=[0]
+        ).num_rows
+
+    with ThreadPoolExecutor(2) as pool:
+        t0 = time.perf_counter()
+        list(pool.map(_spliced_read, range(META_CALLS)))
+        spliced_pool2 = (time.perf_counter() - t0) / META_CALLS
+
     # end-to-end 1-row-group DATA reads (reference harness :65-76): native
     # pyarrow pays the full footer parse per open; the indexed path opens
     # with the pruned spliced FileMetaData instead.  BASELINE.md's
@@ -199,6 +213,7 @@ def bench_metadata(spark) -> dict[str, float]:
         "meta_indexed": indexed,
         "meta_indexed_pool2": indexed_pool2,
         "meta_spliced_filemetadata": spliced,
+        "meta_spliced_filemetadata_pool2": spliced_pool2,
         "meta_e2e_rg0_read_native": e2e_native,
         "meta_e2e_rg0_read_indexed": e2e_indexed,
         "meta_pjs1_build_once": pjs1_build,

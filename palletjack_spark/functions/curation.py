@@ -46,6 +46,19 @@ EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
 PHONE_RE = r"\b555-[0-9]{4}\b"
 
 
+def _check_reserved(reserved: set[str], **caller_cols: str) -> None:
+    """Fail fast when a caller column name collides with one of an
+    operator's internal working columns (e.g. ``id_col='n_tok'``) —
+    a collision would silently compute over the wrong column."""
+    for param, name in caller_cols.items():
+        if name in reserved:
+            raise ValueError(
+                f"{param}={name!r} collides with an internal column of this "
+                f"operator (reserved: {sorted(reserved)}); rename the input "
+                "column first"
+            )
+
+
 def _word_grams(toks_col: str, n: int) -> str:
     """SQL expr: distinct word n-gram set over a tokens-array column —
     a pure projection (zero-shuffle, same idiom as dedup.ngram_jaccard).
@@ -74,6 +87,7 @@ def decontaminate(
     array expression exploded into (id, gram) rows that meet the broadcast
     on the map side.  The only exchange is the final per-document count —
     over matched rows only, a vanishing fraction of the corpus."""
+    _check_reserved({"toks", "gram"}, id_col=id_col)
     eval_grams = (
         eval_df.select(F.split(F.col(text_col), " ").alias("toks"))
         .select(F.explode(F.expr(_word_grams("toks", n))).alias("gram"))
@@ -106,6 +120,10 @@ def pack_sequences(
     the chunk aggregation groups by (shard, chunk) — a superset of that
     partitioning, so Catalyst plans it exchange-free on top of the window
     (asserted in tests/test_plans.py)."""
+    _check_reserved(
+        {"part", "n_tok", "start_offset", "chunk_id"},
+        id_col=id_col, part_col=part_col, text_col=text_col,
+    )
     n_tokens: Column = F.size(F.split(F.col(text_col), " ")).cast("long")
     w = (
         Window.partitionBy("part")
@@ -141,6 +159,7 @@ def redact_pii(df: DataFrame, text_col: str) -> DataFrame:
     """Scrub emails and phone numbers: adds ``n_emails``, ``n_phones``, and
     ``clean_text`` (matches replaced by <EMAIL>/<PHONE> tokens).  Pure
     expression pipeline — no UDF, no shuffle, codegen'd linear scan."""
+    _check_reserved({"n_emails", "n_phones", "clean_text"}, text_col=text_col)
     emails = F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_RE), F.lit(0))
     phones = F.regexp_extract_all(F.col(text_col), F.lit(PHONE_RE), F.lit(0))
     clean = F.regexp_replace(
@@ -181,6 +200,10 @@ def token_budget_sample(
     selection."""
     from palletjack_spark.functions.dedup import hash60
 
+    _check_reserved(
+        {"part", "n_tok", "pri", "cum"},
+        id_col=id_col, part_col=part_col, text_col=text_col,
+    )
     n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
     pri = hash60(F.concat(F.col(id_col).cast("string"), F.lit("#mix")))
     w = (

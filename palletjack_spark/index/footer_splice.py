@@ -999,8 +999,10 @@ def read_metadata(
     from :func:`generate_metadata_index` — or, as an extension over the
     reference, the parquet file itself (``parquet_path``)."""
     footer = _footer_from_source(index_file_path, index_data, parquet_path)
-    # None and () both mean "no pruning on this axis" (the reference's
-    # Cython signature defaults every selection to None)
+    # None and () both mean "no pruning on this axis".  Accepting None is
+    # an extension over the reference's Cython signature, which defaults
+    # every selection to [] and would TypeError on None (palletjack's
+    # `cdef vector[uint32_t] crow_groups = row_groups` conversion)
     pruned = splice_footer(
         footer,
         row_groups=list(row_groups or ()),

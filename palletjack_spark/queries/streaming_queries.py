@@ -19,9 +19,7 @@ from palletjack_spark.streaming.ops import (
     events_stream,
     run_stream_to_table,
     running_totals_stateful,
-    running_totals_tws,
     session_agg,
-    with_rocksdb_state,
     sliding_counts,
     stream_static_join,
     tumbling_counts,

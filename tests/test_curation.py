@@ -114,3 +114,24 @@ def test_token_budget_take_while(spark):
     # determinism: same selection on re-run
     again = sorted(r["doc_id"] for r in out.collect())
     assert kept == again
+
+
+def test_reserved_internal_names_rejected(spark):
+    """Caller column names that collide with an operator's internal working
+    columns must raise instead of silently computing over the wrong data."""
+    from palletjack_spark.functions.curation import (
+        pack_sequences,
+        redact_pii,
+        token_budget_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "s")], "n_tok long, text string, cum string"
+    )
+    with pytest.raises(ValueError, match="n_tok"):
+        pack_sequences(df, "text", "n_tok", "cum")
+    with pytest.raises(ValueError, match="cum"):
+        token_budget_sample(df, "text", "text", "cum")
+    df2 = df.withColumnRenamed("text", "clean_text")
+    with pytest.raises(ValueError, match="clean_text"):
+        redact_pii(df2, "clean_text")
