@@ -20,8 +20,10 @@ from palletjack_spark.functions.text import (
 )
 from palletjack_spark.functions.imagecodec import decode_image
 from palletjack_spark.functions.videocodec import decode_avi, encode_avi
+from palletjack_spark.functions.audiocodec import decode_wav, encode_wav
 from palletjack_spark.functions.multimodal import (
     attach_fake_binary,
+    extract_audio_features,
     extract_binary_features,
     sample_frames,
 )
@@ -40,9 +42,12 @@ __all__ = [
     "token_count_regex",
     "fingerprint_md5",
     "attach_fake_binary",
+    "extract_audio_features",
     "extract_binary_features",
     "sample_frames",
     "decode_image",
     "decode_avi",
     "encode_avi",
+    "decode_wav",
+    "encode_wav",
 ]

@@ -48,6 +48,12 @@ from palletjack_spark.functions.videocodec import (
     encode_avi,
     synthetic_video,
 )
+from palletjack_spark.functions.audiocodec import (
+    UnsupportedAudioError,
+    decode_wav,
+    encode_wav,
+    synthetic_audio,
+)
 
 #: schema of a multimodal asset table
 ASSET_SCHEMA = (
@@ -75,15 +81,24 @@ def _video_dims(asset_id: int) -> tuple[int, int, int]:
     )
 
 
+#: synthetic audio sample rate (Hz)
+AUDIO_RATE = 8000
+
+
+def _audio_dims(asset_id: int) -> tuple[int, int]:
+    """Closed-form (channels, n_samples) for synthetic audio assets."""
+    return 1 + asset_id % 2, 100 + (asset_id * 11) % 400
+
+
 def attach_fake_binary(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Build a multimodal asset table from a text fixture.
 
-    Modality cycles (image, audio, video) by id.  IMAGE payloads are REAL
-    encoded files — BMP for even ids, PPM for odd — and VIDEO payloads are
-    REAL uncompressed AVI files, both of deterministic test patterns with
-    closed-form dimensions (``_asset_dims`` / ``_video_dims``), so decode
-    correctness is oracle-checkable.  Audio payloads stay opaque utf-8
-    blobs (no audio codec yet)."""
+    Modality cycles (image, audio, video) by id.  ALL THREE payloads are
+    REAL encoded files — BMP (even ids) / PPM (odd) images, PCM16 WAV
+    audio, uncompressed-AVI video — of deterministic test patterns with
+    closed-form parameters (``_asset_dims`` / ``_audio_dims`` /
+    ``_video_dims``), so decode correctness is oracle-checkable for every
+    modality."""
     cols = ["asset_id", "modality", "payload", "width", "height", "n_bytes"]
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -104,7 +119,12 @@ def attach_fake_binary(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                         synthetic_video(aid % 256, w, h, n), fps=10
                     )
                 else:
-                    payload = text.encode("utf-8")
+                    ch, ns = _audio_dims(aid)
+                    payload = encode_wav(
+                        synthetic_audio(aid % 256, ns, ch),
+                        sample_rate=AUDIO_RATE,
+                        channels=ch,
+                    )
                 rows.append(
                     {
                         "asset_id": aid,
@@ -291,5 +311,54 @@ def sample_frames(assets: DataFrame, max_frames: int = 4) -> DataFrame:
             fr,
             "asset_id long, frame_no int, src_frame int, width int,"
             " height int, frame_payload binary",
+        )
+    )
+
+
+def extract_audio_features(assets: DataFrame) -> DataFrame:
+    """Audio feature extraction over WAV payloads via ``mapInPandas``:
+    (asset_id, sample_rate, channels, n_samples, duration_ms,
+    first_sample, last_sample).  REAL pipeline: the RIFF/WAVE chunks are
+    genuinely parsed (``audiocodec.decode_wav``) and the probe samples
+    come from decoded PCM amplitudes — channel 0's first and last sample.
+    Payloads no registered codec can read are skipped
+    (``FORMAT_DECODERS`` is the compressed-codec plug-in point)."""
+
+    def ex(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    d = decode_wav(bytes(p) if p is not None else b"")
+                except UnsupportedAudioError:
+                    continue
+                s = d["samples"]
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "sample_rate": d["sample_rate"],
+                        "channels": d["channels"],
+                        "n_samples": d["n_samples"],
+                        "duration_ms": d["n_samples"] * 1000 // d["sample_rate"],
+                        "first_sample": int(s[0, 0]) if len(s) else None,
+                        "last_sample": int(s[-1, 0]) if len(s) else None,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "sample_rate", "channels", "n_samples",
+                    "duration_ms", "first_sample", "last_sample",
+                ],
+                dtype=object,
+            )
+
+    return (
+        assets.where(F.col("modality") == "audio")
+        .select("asset_id", "payload")
+        .mapInPandas(
+            ex,
+            "asset_id long, sample_rate int, channels int, n_samples int,"
+            " duration_ms long, first_sample int, last_sample int",
         )
     )

@@ -409,6 +409,51 @@ def q94c(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("asset_id", "frame_no")
 
 
+@query(
+    "q94d_audio_features",
+    # Analytic differential (the q94b/q94c discipline): audio payloads are
+    # REAL PCM16 WAV files of the synthetic pattern; the oracle recomputes
+    # every decoded quantity from the closed forms in
+    # multimodal._audio_dims / audiocodec.synthetic_audio: channels
+    # ch = 1+id%2, samples ns = 100+(id*11)%400, rate 8000; sample (i, c)
+    # = ((id%256 + i*37 + c*101) % 2048) - 1024.  Any RIFF/fmt/data-chunk
+    # parse or PCM decode bug breaks the hash match.
+    oracle="""
+    WITH aud AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 2 AS INT) AS channels,
+             CAST(100 + (doc_id * 11) % 400 AS INT) AS ns
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT doc_id AS asset_id,
+           CAST(8000 AS INT) AS sample_rate,
+           channels,
+           ns AS n_samples,
+           CAST(ns * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST((doc_id % 256) - 1024 AS INT) AS first_sample,
+           CAST(((doc_id % 256 + (ns - 1) * 37) % 2048) - 1024 AS INT)
+               AS last_sample
+    FROM aud
+    ORDER BY asset_id
+    """,
+)
+def q94d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction (Q94d), REAL decode: audio assets are
+    genuine PCM16 WAV files; Spark recovers sample rate, channel count,
+    and sample count by parsing the RIFF 'fmt '/'data' chunks and probes
+    actual decoded PCM amplitudes (channel 0's first and last sample) —
+    each analytically recomputed by the oracle from the synthetic-pattern
+    closed forms.  Completes the media family: BMP/PPM images (q94b),
+    AVI video (q94c), WAV audio (here)."""
+    from palletjack_spark.functions.multimodal import (
+        attach_fake_binary,
+        extract_audio_features,
+    )
+
+    assets = attach_fake_binary(t(spark, sf_dir, "documents"), "text", "doc_id")
+    return extract_audio_features(assets).orderBy("asset_id")
+
+
 def _langid_oracle() -> str:
     langs = sorted(STOPWORDS)
     hit_exprs = ",\n             ".join(
