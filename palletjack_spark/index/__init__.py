@@ -5,6 +5,12 @@ from palletjack_spark.index.footer_splice import (
     read_schema,
 )
 from palletjack_spark.index.metadata_index import MetadataIndex
+from palletjack_spark.index.routing import (
+    disable_auto_routing,
+    enable_auto_routing,
+    register_index,
+    unregister_index,
+)
 from palletjack_spark.index.smart import smart_read
 
 __all__ = [
@@ -12,6 +18,10 @@ __all__ = [
     "load_index",
     "MetadataIndex",
     "smart_read",
+    "enable_auto_routing",
+    "disable_auto_routing",
+    "register_index",
+    "unregister_index",
     "generate_metadata_index",
     "read_metadata",
     "read_schema",

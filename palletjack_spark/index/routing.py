@@ -1,0 +1,264 @@
+"""Automatic scan+filter rewriting for plain ``spark.read.parquet`` users
+— the SURVEY §4 stretch goal, at the session level.
+
+``smart_read`` (index/smart.py) routes between the indexed mapInArrow scan
+and the native parquet source, but the caller must invoke it explicitly
+with the predicate mini-language.  This module closes the last gap: after
+``enable_auto_routing(spark)``, a completely ordinary
+
+    spark.read.parquet(path).where("l_orderkey <= 100")
+
+is intercepted at the DataFrame layer — the filter condition is parsed
+back into the index predicate language and handed to ``smart_read``, which
+consults the row-group stats and reroutes the scan through the index when
+pruning pays.  Results are identical either way (pruning is a pure
+optimization; the residual filter always applies), and anything the parser
+or router cannot prove safe falls through to the untouched native path.
+
+Mechanics and limits (all deliberate):
+
+- Routing applies only to paths with a registered index
+  (``register_index``); unregistered paths behave exactly as stock
+  PySpark.  The interception is process-local and reversible
+  (``disable_auto_routing``).
+- The condition parser accepts conjunctions of simple comparisons
+  (``col op numeric-literal``, plus BETWEEN) — the same subset the index
+  stats can prune on.  Disjunctions, UDFs, expressions over multiple
+  columns, or non-numeric literals fall back to the native filter.
+- In production Spark this rewrite belongs in the optimizer: a
+  ``SparkSessionExtensions`` ``injectOptimizerRule`` (Scala) matching
+  Filter(ParquetScan) — the decision logic (stats lookup, keep-fraction
+  threshold) is exactly what ``smart_read`` implements, and this module is
+  its session-level stand-in for a pure-Python deployment: same inputs
+  (path, parsed predicate), same routing decision, same plans out.
+
+The reference has no analogue — its user must explicitly choose
+``read_metadata`` vs a plain open per call (palletjack_cython.pyx:27);
+auto-routing generalizes its value proposition ("consult the cheap index
+first") to unmodified reader code.
+"""
+
+from __future__ import annotations
+
+import re
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+
+# RoutedDataFrame must subclass the CLASSIC DataFrame: the unified
+# pyspark.sql.DataFrame.__new__ dispatches subclass construction back to
+# the base class and would swallow our constructor arguments.
+from pyspark.sql.classic.dataframe import DataFrame as ClassicDataFrame
+from pyspark.sql.readwriter import DataFrameReader
+
+from palletjack_spark.index.builder import build_index
+from palletjack_spark.index.metadata_index import MetadataIndex
+
+#: canonical path -> MetadataIndex for routed reads
+_INDEXES: dict[str, MetadataIndex] = {}
+
+#: saved stock DataFrameReader.parquet while routing is enabled
+_ORIG_PARQUET = None
+
+#: reentrancy guard: smart_read's own native fallback reads the same path
+#: with the same predicate — without this flag that inner read would be
+#: re-intercepted and recurse forever
+_IN_ROUTE = threading.local()
+
+
+def _canon(path: str) -> str:
+    return path.rstrip("/")
+
+
+def register_index(
+    spark: SparkSession, path: str, index: MetadataIndex | None = None
+) -> MetadataIndex:
+    """Register (building if needed) the metadata index that auto-routing
+    consults for ``path``.  Paths without a registered index are never
+    intercepted."""
+    idx = index if index is not None else build_index(spark, path)
+    _INDEXES[_canon(path)] = idx
+    return idx
+
+
+def unregister_index(path: str) -> None:
+    _INDEXES.pop(_canon(path), None)
+
+
+#: one comparison term: identifier op numeric literal (either direction)
+_TERM = re.compile(
+    r"^\(*\s*(?:(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*"
+    r"(?P<op>>=|<=|==?|>|<)\s*(?P<lit>-?\d+(?:\.\d+)?)"
+    r"|(?P<lit2>-?\d+(?:\.\d+)?)\s*(?P<op2>>=|<=|==?|>|<)\s*"
+    r"(?P<col2>[A-Za-z_][A-Za-z0-9_]*))\s*\)*$"
+)
+
+_FLIP = {">": "<", "<": ">", ">=": "<=", "<=": ">=", "=": "=", "==": "="}
+
+
+def _split_conjuncts(text: str) -> list[str] | None:
+    """Split a condition string on top-level AND; None if an OR/NOT (or
+    unbalanced parens) makes the conjunction unsafe to decompose."""
+    parts, depth, start = [], 0, 0
+    upper = text.upper()
+    i = 0
+    while i < len(upper):
+        c = upper[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth < 0:
+                return None
+        elif depth <= 1 and upper[i : i + 4] == " OR ":
+            return None
+        elif upper[i : i + 5] == " NOT " or upper.startswith("NOT ", i) and i == 0:
+            return None
+        elif depth <= 1 and upper[i : i + 5] == " AND ":
+            parts.append(text[start:i])
+            start = i + 5
+            i += 4
+        i += 1
+    parts.append(text[start:])
+    return parts
+
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+_NUM = re.compile(r"^-?\d+(?:\.\d+)?$")
+
+
+def _split_args(text: str) -> list[str]:
+    """Split on top-level commas (outside parentheses)."""
+    parts, depth, start = [], 0, 0
+    for i, c in enumerate(text):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+    parts.append(text[start:])
+    return parts
+
+
+def _parse_prefix(text: str) -> list[tuple] | None:
+    """Parse Spark 4's prefix-form Column rendering — ``<(l_orderkey, 50)``,
+    ``and(>(x, 45), <=(y, 2))`` — into predicate terms; None outside the
+    routable subset (or/not/non-numeric/expression operands)."""
+    text = text.strip()
+    m = re.match(r"^([A-Za-z_]+|>=|<=|==?|>|<)\((.*)\)$", text, re.DOTALL)
+    if not m:
+        return None
+    op, inner = m.group(1), m.group(2)
+    args = _split_args(inner)
+    if op == "and":
+        terms: list[tuple] = []
+        for a in args:
+            part = _parse_prefix(a)
+            if part is None:
+                return None
+            terms.extend(part)
+        return terms or None
+    if op not in _FLIP:
+        return None  # or/not/isnull/udf/... — not safely routable
+    if len(args) != 2:
+        return None
+    a, b = args[0].strip(), args[1].strip()
+    if _IDENT.match(a) and _NUM.match(b):
+        col, lit = a, b
+    elif _NUM.match(a) and _IDENT.match(b):
+        col, lit, op = b, a, _FLIP[op]
+    else:
+        return None
+    op = "=" if op in ("=", "==") else op
+    return [(col, op, float(lit) if "." in lit else int(lit))]
+
+
+def parse_condition(condition) -> list[tuple] | None:
+    """Parse a filter condition (Column or SQL string) into the index
+    predicate mini-language ``[(col, op, value), ...]``; None when the
+    condition is outside the safely-routable subset."""
+    if not isinstance(condition, str):
+        try:
+            return _parse_prefix(condition._jc.toString())
+        except Exception:
+            return None
+    text = condition
+    conjuncts = _split_conjuncts(text.strip())
+    if not conjuncts:
+        return None
+    out: list[tuple] = []
+    for part in conjuncts:
+        m = _TERM.match(part.strip())
+        if not m:
+            return None
+        if m.group("col"):
+            col, op, lit = m.group("col"), m.group("op"), m.group("lit")
+        else:
+            col, lit = m.group("col2"), m.group("lit2")
+            op = _FLIP[m.group("op2")]
+        op = "=" if op in ("=", "==") else op
+        val = float(lit) if "." in lit else int(lit)
+        out.append((col, op, val))
+    return out or None
+
+
+class RoutedDataFrame(ClassicDataFrame):
+    """A DataFrame over a single registered parquet path whose FIRST
+    ``filter``/``where`` may reroute through the metadata index.  Every
+    other operation behaves exactly like the stock DataFrame (and returns
+    stock DataFrames — routing targets the scan+filter pattern only)."""
+
+    def __init__(self, df: DataFrame, path: str):
+        super().__init__(df._jdf, df.sparkSession)
+        self._pj_path = path
+
+    def filter(self, condition) -> DataFrame:
+        from palletjack_spark.index.smart import smart_read
+
+        if getattr(_IN_ROUTE, "on", False):
+            return super().filter(condition)
+        idx = _INDEXES.get(self._pj_path)
+        pred = parse_condition(condition) if idx is not None else None
+        if pred is not None:
+            # columns without stats are conservatively kept by the index
+            # (MetadataIndex._keep_local), so any parsed predicate is safe
+            _IN_ROUTE.on = True
+            try:
+                return smart_read(
+                    self.sparkSession, self._pj_path,
+                    predicate=pred, index=idx,
+                )
+            except Exception:
+                pass  # anything unroutable falls back to the native path
+            finally:
+                _IN_ROUTE.on = False
+        return super().filter(condition)
+
+    where = filter
+
+
+def _routed_parquet(self: DataFrameReader, *paths: str, **options):
+    df = _ORIG_PARQUET(self, *paths, **options)
+    if len(paths) == 1 and _canon(paths[0]) in _INDEXES:
+        return RoutedDataFrame(df, _canon(paths[0]))
+    return df
+
+
+def enable_auto_routing() -> None:
+    """Intercept ``DataFrameReader.parquet`` so reads of registered paths
+    return :class:`RoutedDataFrame`.  Idempotent; reverse with
+    :func:`disable_auto_routing`."""
+    global _ORIG_PARQUET
+    if _ORIG_PARQUET is None:
+        _ORIG_PARQUET = DataFrameReader.parquet
+        DataFrameReader.parquet = _routed_parquet
+
+
+def disable_auto_routing() -> None:
+    """Restore the stock ``DataFrameReader.parquet``."""
+    global _ORIG_PARQUET
+    if _ORIG_PARQUET is not None:
+        DataFrameReader.parquet = _ORIG_PARQUET
+        _ORIG_PARQUET = None

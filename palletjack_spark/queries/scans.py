@@ -339,3 +339,53 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pr.read_all()
     pr.close()
     return spark.createDataFrame(out.to_pandas())
+
+
+@query(
+    "q16_routed_session_scan",
+    oracle="""
+    SELECT l_orderkey, l_quantity FROM lineitem WHERE l_orderkey <= 600
+    UNION ALL
+    SELECT l_orderkey, l_quantity FROM lineitem WHERE l_orderkey >= 1
+    """,
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level auto-routing (Q16) [SURVEY §4 stretch, closed]: a
+    PLAIN ``spark.read.parquet(path).where(...)`` — no engine API in the
+    user's code — is intercepted for index-registered paths, the filter is
+    parsed back into the index predicate language, and ``smart_read``
+    reroutes the selective half through the indexed mapInArrow scan while
+    the keep-everything half stays on the native source (plan shapes
+    pinned in tests/test_routing.py).  The Python-level stand-in for a
+    Catalyst SparkSessionExtensions Filter(ParquetScan) rewrite rule; both
+    halves return exactly the rows stock PySpark would."""
+    from palletjack_spark.index import (
+        disable_auto_routing,
+        enable_auto_routing,
+        register_index,
+        unregister_index,
+    )
+
+    key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    staged = os.path.join(tempfile.gettempdir(), f"pjspark_{key}_routed")
+    if not os.path.exists(staged):
+        (
+            t(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_quantity")
+            .orderBy("l_orderkey", "l_quantity")
+            .coalesce(1)
+            .write.option("parquet.block.size", 64 * 1024)
+            .mode("overwrite")
+            .parquet(staged)
+        )
+    register_index(spark, staged)
+    enable_auto_routing()
+    try:
+        selective = spark.read.parquet(staged).where("l_orderkey <= 600")
+        broad = spark.read.parquet(staged).where("l_orderkey >= 1")
+    finally:
+        disable_auto_routing()
+        unregister_index(staged)
+    return selective.select("l_orderkey", "l_quantity").unionByName(
+        broad.select("l_orderkey", "l_quantity")
+    )
