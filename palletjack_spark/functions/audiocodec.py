@@ -99,6 +99,10 @@ def decode_wav(payload: bytes, decode_samples: bool = True) -> dict:
 
     if fmt_tag is None or data_span is None:
         raise UnsupportedAudioError("WAV missing fmt or data chunk")
+    if channels < 1 or channels > 64 or bits < 8 or bits % 8:
+        raise UnsupportedAudioError(
+            f"implausible WAV format: {channels} channels / {bits} bits"
+        )
     pcm16 = fmt_tag == 1 and bits == 16
     decoder = None if pcm16 else FORMAT_DECODERS.get(fmt_tag)
     if not pcm16 and decoder is None:

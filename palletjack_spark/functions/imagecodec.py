@@ -26,6 +26,12 @@ class UnsupportedImageError(NotImplementedError):
     """Payload is not in a format this build can decode."""
 
 
+#: dimension sanity cap — corrupt headers must fail cleanly, not allocate
+#: unbounded pixel buffers (the decode analogue of the reference's Thrift
+#: string/container DoS limits, palletjack.cc:82-83)
+MAX_DIM = 1 << 16
+
+
 # --------------------------------------------------------------------------
 # BMP (Windows BITMAPINFOHEADER, 24bpp, BI_RGB)
 # --------------------------------------------------------------------------
@@ -68,6 +74,8 @@ def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
         )
     top_down = h < 0
     h = abs(h)
+    if not (0 < w <= MAX_DIM and 0 < h <= MAX_DIM):
+        raise UnsupportedImageError(f"implausible BMP dimensions {w}x{h}")
     row_size = (w * 3 + 3) & ~3
     if len(payload) < data_offset + row_size * h:
         raise UnsupportedImageError("truncated BMP payload")
@@ -109,11 +117,18 @@ def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
             pos += 1
         if start == pos:
             raise UnsupportedImageError("malformed PPM header")
-        vals.append(int(payload[start:pos]))
+        try:
+            vals.append(int(payload[start:pos]))
+        except ValueError:
+            raise UnsupportedImageError(
+                f"malformed PPM header token {payload[start:pos]!r}"
+            ) from None
     pos += 1  # single whitespace after maxval
     w, h, maxval = vals
     if maxval != 255:
         raise UnsupportedImageError(f"PPM maxval {maxval} unsupported")
+    if not (0 < w <= MAX_DIM and 0 < h <= MAX_DIM):
+        raise UnsupportedImageError(f"implausible PPM dimensions {w}x{h}")
     need = w * h * 3
     if len(payload) < pos + need:
         raise UnsupportedImageError("truncated PPM payload")
