@@ -203,6 +203,29 @@ def bench_metadata(spark) -> dict[str, float]:
         pr.close()
     e2e_indexed = (time.perf_counter() - t0) / E2E_CALLS
 
+    # the reference harness sweeps its DATA-read workloads across pool
+    # sizes 1 and 2 as well (benchmark_palletjack_metadata.py:65-76 with
+    # :159-176's worker loop) — same sweep for both e2e paths here
+    def _e2e_native(_):
+        return pq.ParquetFile(path).read_row_groups([0]).num_rows
+
+    def _e2e_indexed(_):
+        md = footer_splice.read_metadata(index_data=pjs1, row_groups=[0])
+        pr = pq.ParquetReader()
+        pr.open(path, metadata=md)
+        out = pr.read_all()
+        pr.close()
+        return out.num_rows
+
+    with ThreadPoolExecutor(2) as pool:
+        t0 = time.perf_counter()
+        list(pool.map(_e2e_native, range(E2E_CALLS)))
+        e2e_native_pool2 = (time.perf_counter() - t0) / E2E_CALLS
+    with ThreadPoolExecutor(2) as pool:
+        t0 = time.perf_counter()
+        list(pool.map(_e2e_indexed, range(E2E_CALLS)))
+        e2e_indexed_pool2 = (time.perf_counter() - t0) / E2E_CALLS
+
     # index-size accounting (reference harness :128-131 prints the ratio)
     file_size = os.path.getsize(path)
     footer_size = pq.ParquetFile(path).metadata.serialized_size
@@ -216,6 +239,8 @@ def bench_metadata(spark) -> dict[str, float]:
         "meta_spliced_filemetadata_pool2": spliced_pool2,
         "meta_e2e_rg0_read_native": e2e_native,
         "meta_e2e_rg0_read_indexed": e2e_indexed,
+        "meta_e2e_rg0_read_native_pool2": e2e_native_pool2,
+        "meta_e2e_rg0_read_indexed_pool2": e2e_indexed_pool2,
         "meta_pjs1_build_once": pjs1_build,
         "meta_index_build_once": index_build,
         "meta_index_build_spark": index_build_spark,
