@@ -131,7 +131,14 @@ def bench_metadata(spark) -> dict[str, float]:
 
     # distributed build — the 100 TB path (executor-side footer parses +
     # validation job); measured separately so both shapes are visible.
-    # Min of 3 (the first run can absorb executor GC from the query suite).
+    # Min of 3, after an explicit JVM GC: this runs right after the whole
+    # query suite, and collecting that garbage up front means the timings
+    # measure the build jobs, not a collector paying down earlier queries'
+    # allocations mid-measurement.
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
     index_build_spark = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
