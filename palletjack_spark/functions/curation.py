@@ -28,6 +28,8 @@ RE2 interpret identically.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -221,4 +223,75 @@ def token_budget_sample(
         .withColumn("cum", F.sum("n_tok").over(w))
         .where(F.col("cum") <= budget)
         .select(id_col, "part", "n_tok")
+    )
+
+
+#: paragraph separator for paragraph-level dedup (a literal, not a regex —
+#: both engines must split identically)
+PARA_SEP = ". "
+
+
+def dedup_paragraphs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Paragraph-level dedup (the C4/RefinedWeb-style curation step):
+    boilerplate paragraphs repeated across a crawl (cookie banners, nav
+    text, license blurbs) are kept only at their FIRST corpus occurrence
+    (lowest (id, position)); every later repeat is dropped and the
+    documents are reassembled from their surviving paragraphs, preserving
+    order.  Returns (id, n_paras, clean_text) for documents with at least
+    one surviving paragraph.
+
+    Scale shape — paragraph TEXT crosses the wire exactly once:
+
+    1. winners: paragraphs project to (hash, id, pos) — ~24 B/row — and a
+       row_number window over the hash picks each paragraph's first
+       occurrence.  The only corpus-wide exchange is this id-sized
+       projection, never the text.
+    2. the winning positions aggregate per document (second id-sized
+       shuffle) into one array row per doc.
+    3. the corpus joins that per-doc array on ``id`` alone — the single
+       text exchange — and the final reassembly groupBy(id) reuses the
+       join's hash partitioning, so no further exchange follows the text
+       (asserted in tests/test_plans.py).
+
+    Empty split parts (consecutive separators) are discarded in both
+    engines — deduping empty strings would weld unrelated documents'
+    structure together.
+    """
+    from palletjack_spark.functions.dedup import hash60
+
+    _check_reserved(
+        {"pos", "para", "ph", "rn", "keep_pos", "n_paras", "clean_text"},
+        id_col=id_col, text_col=text_col,
+    )
+    paras = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.col(text_col), re.escape(PARA_SEP))
+            ).alias("pos", "para"),
+        )
+        .where(F.length("para") > 0)
+    )
+    w = Window.partitionBy("ph").orderBy(id_col, "pos")
+    winners = (
+        paras.select(F.col(id_col), "pos", hash60(F.col("para")).alias("ph"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("keep_pos"))
+    )
+    return (
+        paras.join(winners, id_col)
+        .where(F.array_contains("keep_pos", F.col("pos")))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_paras"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+                PARA_SEP,
+            ).alias("clean_text"),
+        )
     )

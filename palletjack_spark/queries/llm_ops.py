@@ -454,6 +454,68 @@ def q94d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_features(assets).orderBy("asset_id")
 
 
+@query(
+    "q107_paragraph_dedup",
+    # The corpus is derived with REAL planted boilerplate: every document
+    # becomes [unique-ish prefix, THE SAME cookie-banner paragraph,
+    # unique-ish suffix], so the dedup logic genuinely fires — the banner
+    # survives only in the first document by (id, position) order, and the
+    # oracle mirrors the derivation + first-occurrence window exactly
+    # (hash60 == ('0x' || substr(md5(x),1,15))::BIGINT on both engines).
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || '. cookie banner accept all tracking. '
+               || substr(text, 41, 40) AS text2
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, i AS pos, parts[i] AS para
+      FROM (SELECT doc_id, string_split(text2, '. ') AS parts FROM corpus),
+           UNNEST(generate_series(1, len(parts))) AS t(i)
+      WHERE length(parts[i]) > 0
+    ),
+    win AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (
+               PARTITION BY ('0x' || substr(md5(para), 1, 15))::BIGINT
+               ORDER BY doc_id, pos
+             ) AS rn
+      FROM p
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paras,
+           string_agg(p.para, '. ' ORDER BY p.pos) AS clean_text
+    FROM p JOIN win ON p.doc_id = win.doc_id AND p.pos = win.pos
+                   AND win.rn = 1
+    GROUP BY p.doc_id
+    ORDER BY p.doc_id
+    """,
+)
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level dedup (Q107) — the C4/RefinedWeb curation step:
+    paragraphs repeated across the crawl (cookie banners, nav text,
+    license blurbs) are kept only at their first corpus occurrence and
+    documents are reassembled from the survivors.  Scale shape: paragraph
+    text crosses the wire exactly once — the first-occurrence decision
+    shuffles only (hash, id, pos) projections, and the reassembly groupBy
+    reuses the text join's partitioning (functions/curation.py:
+    dedup_paragraphs; plan pinned in tests/test_plans.py)."""
+    from palletjack_spark.functions.curation import dedup_paragraphs
+
+    corpus = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(". cookie banner accept all tracking. "),
+            F.substring("text", 41, 40),
+        ).alias("text2"),
+    )
+    return (
+        dedup_paragraphs(corpus, "text2", "doc_id").orderBy("doc_id")
+    )
+
+
 def _langid_oracle() -> str:
     langs = sorted(STOPWORDS)
     hit_exprs = ",\n             ".join(

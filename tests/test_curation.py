@@ -135,3 +135,38 @@ def test_reserved_internal_names_rejected(spark):
     df2 = df.withColumnRenamed("text", "clean_text")
     with pytest.raises(ValueError, match="clean_text"):
         redact_pii(df2, "clean_text")
+
+
+def test_paragraph_dedup_first_occurrence(spark):
+    """Planted boilerplate: the shared paragraph survives only in the
+    lowest-(id, pos) document; unique paragraphs all survive; documents
+    reassemble in original order; all-duplicate documents vanish."""
+    from palletjack_spark.functions.curation import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha one. SHARED BANNER. alpha two"),
+            (2, "beta one. SHARED BANNER. beta two"),
+            (3, "SHARED BANNER"),
+            (4, "gamma. gamma"),  # intra-doc repeat: second copy drops
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_paragraphs(df, "text", "doc_id").collect()
+    }
+    assert out[1]["clean_text"] == "alpha one. SHARED BANNER. alpha two"
+    assert out[1]["n_paras"] == 3
+    assert out[2]["clean_text"] == "beta one. beta two"
+    assert out[2]["n_paras"] == 2
+    assert 3 not in out  # its only paragraph lost to doc 1
+    assert out[4]["clean_text"] == "gamma" and out[4]["n_paras"] == 1
+
+
+def test_paragraph_dedup_reserved_names(spark):
+    from palletjack_spark.functions.curation import dedup_paragraphs
+
+    df = spark.createDataFrame([(1, "x")], "pos long, text string")
+    with pytest.raises(ValueError, match="pos"):
+        dedup_paragraphs(df, "text", "pos")

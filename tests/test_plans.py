@@ -407,3 +407,19 @@ def test_near_dedup_apply_shuffles_when_losers_too_big(spark):
     plan = _simple_plan(df)
     assert "LeftAnti" in plan and "BroadcastHashJoin" not in plan, plan
     assert "Exchange hashpartitioning" in plan, plan
+
+
+def test_paragraph_dedup_text_crosses_wire_once(spark):
+    """q107: the first-occurrence decision must shuffle only (hash, id,
+    pos) projections — 3 hash exchanges total (paragraph-hash window,
+    winner-position aggregate, reassembly), with the paragraph TEXT in
+    only the last one, and WindowGroupLimit bounding the rank."""
+    from palletjack_spark.functions.curation import dedup_paragraphs
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = dedup_paragraphs(docs, "text", "doc_id")
+    plan = _simple_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+    assert "WindowGroupLimit" in plan, plan
+    # the winners side aggregates POSITIONS, never paragraph text
+    assert "collect_set(pos" in plan and "collect_set(para" not in plan
