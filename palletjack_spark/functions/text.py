@@ -145,3 +145,58 @@ def winnowing_fingerprints(
         df.select(F.col(id_col), F.expr(harr).alias("h"))
         .select(F.col(id_col), F.explode(F.expr(fps)).alias("fp"))
     )
+
+
+#: Gopher-rule thresholds for repetition filtering (Rae et al. 2021,
+#: "Scaling Language Models" §A1.1: drop documents whose duplicate
+#: 2-gram fraction or top-word concentration indicates boilerplate/spam)
+REPETITION_MAX_DUP_2GRAM_FRAC = 0.20
+REPETITION_MAX_TOP_WORD_FRAC = 0.30
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals (the published pretraining
+    filter family): per document, the duplicate word fraction, duplicate
+    word-2-gram fraction, and top-word concentration, plus the keep/drop
+    decision at the published-style thresholds.
+
+    ZERO-shuffle: every signal is an array expression over the document
+    row (split → distinct/size ratios; 2-grams via transform(sequence);
+    top-word count via a transform over the distinct set) — embarrassingly
+    parallel, no aggregation, no explode.  Fractions round to 6 places so
+    the DuckDB oracle hash-matches bit-for-bit.
+    """
+    from palletjack_spark.functions.dedup import _spread
+
+    df = _spread(df)
+    toks = f"split({text_col}, ' ')"
+    grams2 = (
+        f"CASE WHEN size({toks}) < 2 THEN array() ELSE "
+        f"transform(sequence(1, size({toks}) - 1),"
+        f" i -> concat_ws(' ', element_at({toks}, i),"
+        f" element_at({toks}, i + 1))) END"
+    )
+    n_words = F.expr(f"size({toks})").cast("long")
+    dup_word = F.expr(
+        f"round(1.0 - size(array_distinct({toks})) / size({toks}), 6)"
+    )
+    dup_2gram = F.expr(
+        f"CASE WHEN size({toks}) < 2 THEN 0.0 ELSE "
+        f"round(1.0 - size(array_distinct({grams2})) / size({grams2}), 6) END"
+    )
+    top_word = F.expr(
+        f"round(array_max(transform(array_distinct({toks}),"
+        f" w -> size(filter({toks}, x -> x = w)))) / size({toks}), 6)"
+    )
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        dup_word.alias("dup_word_frac"),
+        dup_2gram.alias("dup_2gram_frac"),
+        top_word.alias("top_word_frac"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("dup_2gram_frac") <= REPETITION_MAX_DUP_2GRAM_FRAC)
+        & (F.col("top_word_frac") <= REPETITION_MAX_TOP_WORD_FRAC),
+    )

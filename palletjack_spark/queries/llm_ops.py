@@ -516,6 +516,48 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q108_repetition_filter",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, toks,
+             list_transform(generate_series(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i + 1]) AS grams
+      FROM t
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             round(1.0 - len(list_distinct(toks)) / len(toks), 6)
+                 AS dup_word_frac,
+             CASE WHEN len(toks) < 2 THEN 0.0
+                  ELSE round(1.0 - len(list_distinct(grams)) / len(grams), 6)
+             END AS dup_2gram_frac,
+             round(list_max(list_transform(list_distinct(toks),
+                   w -> len(list_filter(toks, x -> x = w)))) / len(toks), 6)
+                 AS top_word_frac
+      FROM g
+    )
+    SELECT doc_id, n_words, dup_word_frac, dup_2gram_frac, top_word_frac,
+           (dup_2gram_frac <= 0.20 AND top_word_frac <= 0.30) AS keep
+    FROM s ORDER BY doc_id
+    """,
+)
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filtering (Q108) — the published
+    pretraining quality gate (Rae et al. 2021 §A1.1): duplicate word /
+    2-gram fractions and top-word concentration decide keep/drop.  All
+    signals are zero-shuffle array expressions over the document row
+    (functions/text.py:repetition_stats); DuckDB recomputes them with
+    list lambdas for a bit-exact differential."""
+    from palletjack_spark.functions.text import repetition_stats
+
+    return repetition_stats(
+        t(spark, sf_dir, "documents"), "text", "doc_id"
+    ).orderBy("doc_id")
+
+
 def _langid_oracle() -> str:
     langs = sorted(STOPWORDS)
     hit_exprs = ",\n             ".join(

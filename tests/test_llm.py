@@ -397,3 +397,28 @@ def test_apply_components_keeps_canonical(spark, crafted_docs):
     )
     # clusters {0,1,2} -> keep 0; {3,4} -> keep 3; 5 untouched
     assert out == [0, 3, 5]
+
+
+def test_repetition_filter_drops_spam(spark):
+    """Gopher-rule signals: a repeated-boilerplate doc must trip the
+    dup-2gram threshold, a single-word spam doc the top-word threshold;
+    normal prose passes."""
+    from palletjack_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "click here to win " * 20),     # dup 2-grams ≈ 1
+            (2, "spam " * 50),                  # top word = 1.0
+            (3, "the quick brown fox jumps over a lazy dog near banks"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in repetition_stats(
+            df.withColumn("text", F.trim("text")), "text", "doc_id"
+        ).collect()
+    }
+    assert not out[1]["keep"] and out[1]["dup_2gram_frac"] > 0.9
+    assert not out[2]["keep"] and out[2]["top_word_frac"] == 1.0
+    assert out[3]["keep"] and out[3]["dup_word_frac"] == 0.0

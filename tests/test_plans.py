@@ -423,3 +423,16 @@ def test_paragraph_dedup_text_crosses_wire_once(spark):
     assert "WindowGroupLimit" in plan, plan
     # the winners side aggregates POSITIONS, never paragraph text
     assert "collect_set(pos" in plan and "collect_set(para" not in plan
+
+
+def test_repetition_stats_zero_shuffle(spark):
+    """q108: every repetition signal is an array expression over the
+    document row — no Exchange beyond the input-spreading repartition, no
+    aggregate, no Generate."""
+    from palletjack_spark.functions.text import repetition_stats
+
+    spark.catalog.clearCache()
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _simple_plan(repetition_stats(docs, "text", "doc_id"))
+    assert plan.count("Exchange") <= 1, plan  # only _spread's round-robin
+    assert "HashAggregate" not in plan and "Generate" not in plan
