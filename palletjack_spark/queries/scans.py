@@ -113,6 +113,52 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q05b_incremental_index_build",
+    oracle="""
+    SELECT doc_id, n_chars FROM documents ORDER BY doc_id
+    """,
+)
+def q05b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index build (Q05b) — the 100 TB ingest shape (SURVEY §7
+    hard parts: "index build must be incremental — new files only"):
+    file A is indexed into a persisted sidecar, file B arrives later, and
+    ``build_index(..., incremental=True)`` appends only B's footer rows to
+    the existing sidecar (skip-already-indexed is separately pinned by
+    tests/test_index.py:test_incremental_build_indexes_new_files_only).
+    The driver check reads the full dataset THROUGH the incrementally-built
+    index — any missed file, duplicated row group, or stale sidecar row
+    breaks the value match against a plain scan oracle."""
+    key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"pjspark_{key}_incr")
+    file_a = os.path.join(base, "a.parquet")
+    file_b = os.path.join(base, "b.parquet")
+    idx_dir = os.path.join(base, "idx")
+    if not (os.path.exists(file_a) and os.path.exists(file_b)):
+        import pyarrow.parquet as pq
+
+        os.makedirs(base, exist_ok=True)
+        tbl = (
+            t(spark, sf_dir, "documents")
+            .select("doc_id", "n_chars")
+            .orderBy("doc_id")
+            .toArrow()
+        )
+        half = tbl.num_rows // 2
+        pq.write_table(tbl.slice(0, half), file_a + ".tmp", row_group_size=100)
+        pq.write_table(tbl.slice(half), file_b + ".tmp", row_group_size=100)
+        os.rename(file_a + ".tmp", file_a)
+        os.rename(file_b + ".tmp", file_b)
+    if not os.path.exists(os.path.join(idx_dir, "files")):
+        # day 1: only file A exists when the sidecar is first written
+        build_index(spark, [file_a], index_dir=idx_dir)
+    # day 2: file B arrived — incremental build appends only B's rows
+    idx = build_index(
+        spark, [file_a, file_b], index_dir=idx_dir, incremental=True
+    )
+    return idx.read(columns=["doc_id", "n_chars"]).orderBy("doc_id")
+
+
+@query(
     "q06_cached_index_count",
     oracle="""
     SELECT 'lineitem' AS table_name, COUNT(*) AS num_rows FROM lineitem
