@@ -206,13 +206,28 @@ def parse_condition(condition) -> list[tuple] | None:
 
 class RoutedDataFrame(ClassicDataFrame):
     """A DataFrame over a single registered parquet path whose FIRST
-    ``filter``/``where`` may reroute through the metadata index.  Every
-    other operation behaves exactly like the stock DataFrame (and returns
-    stock DataFrames — routing targets the scan+filter pattern only)."""
+    ``filter``/``where`` may reroute through the metadata index —
+    directly, or after a plain name-only ``select`` (the
+    ``scan[+project]+filter`` pattern).  Every other operation behaves
+    exactly like the stock DataFrame and returns stock DataFrames."""
 
-    def __init__(self, df: DataFrame, path: str):
+    def __new__(cls, df: DataFrame, path: str, projection=None):
+        # bypass ClassicDataFrame.__new__, which requires exactly
+        # (jdf, sql_ctx) and self-invokes __init__ with them
+        return object.__new__(cls)
+
+    def __init__(self, df: DataFrame, path: str, projection=None):
         super().__init__(df._jdf, df.sparkSession)
         self._pj_path = path
+        self._pj_projection = projection
+
+    def select(self, *cols) -> DataFrame:
+        out = super().select(*cols)
+        # track name-only projections so a following filter still routes;
+        # expressions/Columns fall back to a stock DataFrame
+        if cols and all(isinstance(c, str) and _IDENT.match(c) for c in cols):
+            return RoutedDataFrame(out, self._pj_path, projection=list(cols))
+        return out
 
     def filter(self, condition) -> DataFrame:
         from palletjack_spark.index.smart import smart_read
@@ -221,6 +236,12 @@ class RoutedDataFrame(ClassicDataFrame):
             return super().filter(condition)
         idx = _INDEXES.get(self._pj_path)
         pred = parse_condition(condition) if idx is not None else None
+        # under a projection, route only when the predicate references
+        # projected columns — the native path would reject anything else,
+        # and the rewrite must never widen what a query can see
+        if pred is not None and self._pj_projection is not None:
+            if not all(c in self._pj_projection for c, _op, *_ in pred):
+                pred = None
         if pred is not None:
             # columns without stats are conservatively kept by the index
             # (MetadataIndex._keep_local), so any parsed predicate is safe
@@ -228,6 +249,7 @@ class RoutedDataFrame(ClassicDataFrame):
             try:
                 return smart_read(
                     self.sparkSession, self._pj_path,
+                    columns=self._pj_projection,
                     predicate=pred, index=idx,
                 )
             except Exception:

@@ -130,3 +130,63 @@ def test_disable_restores_stock_reader(spark, sorted_lineitem):
         assert "Scan parquet" in _plan(df) and "MapInArrow" not in _plan(df)
     finally:
         enable_auto_routing()
+
+
+def test_select_then_filter_routes_with_projection(spark, sorted_lineitem):
+    """The scan+project+filter pattern: a name-only select keeps routing
+    alive, the reroute carries the projection, and results match native."""
+    routed = (
+        spark.read.parquet(sorted_lineitem)
+        .select("l_orderkey", "l_quantity")
+        .where("l_orderkey <= 100")
+    )
+    plan = _plan(routed)
+    assert "MapInArrow" in plan and "Scan parquet" not in plan, plan
+    assert routed.columns == ["l_orderkey", "l_quantity"]
+    disable_auto_routing()
+    try:
+        native = (
+            spark.read.parquet(sorted_lineitem)
+            .select("l_orderkey", "l_quantity")
+            .where("l_orderkey <= 100")
+        )
+        n = native.count()
+    finally:
+        enable_auto_routing()
+    assert routed.count() == n > 0
+
+
+def test_expression_select_falls_back_native(spark, sorted_lineitem):
+    """A select with expressions yields a stock DataFrame — no proxying,
+    the following filter is untouched native."""
+    df = (
+        spark.read.parquet(sorted_lineitem)
+        .select(F.col("l_orderkey"), (F.col("l_quantity") * 2).alias("q2"))
+        .where("l_orderkey <= 100")
+    )
+    assert "Scan parquet" in _plan(df) and "MapInArrow" not in _plan(df)
+
+
+def test_projection_mismatched_predicate_stays_native(spark, sorted_lineitem):
+    """A filter on a column outside the tracked projection must not route —
+    Spark's analyzer resolves the missing reference through the Project
+    (stock behavior), and the routed session must reproduce exactly that,
+    native plan and all."""
+    df = (
+        spark.read.parquet(sorted_lineitem)
+        .select("l_quantity")
+        .where("l_orderkey <= 100")
+    )
+    plan = _plan(df)
+    assert "Scan parquet" in plan and "MapInArrow" not in plan, plan
+    disable_auto_routing()
+    try:
+        expect = (
+            spark.read.parquet(sorted_lineitem)
+            .select("l_quantity")
+            .where("l_orderkey <= 100")
+            .count()
+        )
+    finally:
+        enable_auto_routing()
+    assert df.count() == expect > 0
