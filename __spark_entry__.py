@@ -67,11 +67,6 @@ def _green_rounds(root: str = _HERE) -> dict[str, int]:
     return newest
 
 
-def _verified_qids() -> set[str]:
-    """QIDs with a green (or no-oracle) row in any committed round file."""
-    return set(_green_rounds())
-
-
 def _canonical(qid: str) -> str:
     """Undo the sort-first alias: q0061_date_funcs -> q61_date_funcs."""
     m = re.match(r"^q0*(\d+)([a-z]?)_(.+)$", qid)

@@ -103,6 +103,10 @@ def decode_wav(payload: bytes, decode_samples: bool = True) -> dict:
         raise UnsupportedAudioError(
             f"implausible WAV format: {channels} channels / {bits} bits"
         )
+    # rate is a u32: 0 would divide-by-zero in duration math downstream,
+    # and anything past int32 overflows consumers' declared int fields
+    if not (1 <= rate <= 2**31 - 1):
+        raise UnsupportedAudioError(f"implausible WAV sample rate {rate}")
     pcm16 = fmt_tag == 1 and bits == 16
     decoder = None if pcm16 else FORMAT_DECODERS.get(fmt_tag)
     if not pcm16 and decoder is None:

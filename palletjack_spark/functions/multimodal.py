@@ -273,15 +273,17 @@ def sample_frames(assets: DataFrame, max_frames: int = 4) -> DataFrame:
                 try:
                     meta = decode_avi(bytes(p) if p is not None else b"",
                                       frame_indices=[])
+                    n = meta["n_frames"]
+                    srcs = (
+                        list(range(n))
+                        if n <= max_frames
+                        else [i * n // max_frames for i in range(max_frames)]
+                    )
+                    # the pixel decode must be inside the guard too: headers
+                    # can parse while a selected DIB chunk is corrupt/short
+                    decoded = decode_avi(bytes(p), frame_indices=srcs)
                 except UnsupportedVideoError:
                     continue
-                n = meta["n_frames"]
-                srcs = (
-                    list(range(n))
-                    if n <= max_frames
-                    else [i * n // max_frames for i in range(max_frames)]
-                )
-                decoded = decode_avi(bytes(p), frame_indices=srcs)
                 for frame_no, (src, px) in enumerate(
                     zip(srcs, decoded["frames"])
                 ):

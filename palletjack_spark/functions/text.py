@@ -162,12 +162,19 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     ZERO-shuffle: every signal is an array expression over the document
     row (split → distinct/size ratios; 2-grams via transform(sequence);
-    top-word count via a transform over the distinct set) — embarrassingly
-    parallel, no aggregation, no explode.  Fractions round to 6 places so
-    the DuckDB oracle hash-matches bit-for-bit.
+    top-word count as the longest run of a SORTED token array — one
+    O(n log n) fold, not an O(n²) per-distinct-token rescan) —
+    embarrassingly parallel, no aggregation, no explode.  Fractions round
+    to 6 places so the DuckDB oracle hash-matches bit-for-bit.
     """
+    from palletjack_spark.functions.curation import _check_reserved
     from palletjack_spark.functions.dedup import _spread
 
+    _check_reserved(
+        {"n_words", "dup_word_frac", "dup_2gram_frac", "top_word_frac",
+         "keep"},
+        id_col=id_col, text_col=text_col,
+    )
     df = _spread(df)
     toks = f"split({text_col}, ' ')"
     grams2 = (
@@ -184,9 +191,16 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         f"CASE WHEN size({toks}) < 2 THEN 0.0 ELSE "
         f"round(1.0 - size(array_distinct({grams2})) / size({grams2}), 6) END"
     )
+    # max token frequency == longest equal-run of the sorted token array
     top_word = F.expr(
-        f"round(array_max(transform(array_distinct({toks}),"
-        f" w -> size(filter({toks}, x -> x = w)))) / size({toks}), 6)"
+        f"round(aggregate(array_sort({toks}),"
+        f" named_struct('best', 0, 'run', 0,"
+        f" 'prev', CAST(NULL AS STRING)),"
+        f" (acc, x) -> named_struct("
+        f"   'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1, 1)),"
+        f"   'run', IF(x <=> acc.prev, acc.run + 1, 1),"
+        f"   'prev', x),"
+        f" acc -> acc.best) / size({toks}), 6)"
     )
     out = df.select(
         F.col(id_col),

@@ -193,10 +193,14 @@ def decode_avi(payload: bytes, frame_indices=None) -> dict:
                             handler = payload[b3 + 4 : b3 + 8]
         elif list_type == b"movi":
             for f2, b2, s2 in _walk_chunks(payload, body + 4, body + size):
-                if f2[2:4] in (b"db", b"dc") or (
-                    f2 == b"LIST" and payload[b2 : b2 + 4] == b"rec "
-                ):
+                if f2[2:4] in (b"db", b"dc"):
                     frame_chunks.append((b2, s2))
+                elif f2 == b"LIST" and payload[b2 : b2 + 4] == b"rec ":
+                    # interleaved AVIs group frames in 'rec ' lists —
+                    # recurse so every contained frame chunk is found
+                    for f3, b3, s3 in _walk_chunks(payload, b2 + 4, b2 + s2):
+                        if f3[2:4] in (b"db", b"dc"):
+                            frame_chunks.append((b3, s3))
 
     if width is None or n_frames is None:
         raise UnsupportedVideoError("AVI missing avih header")

@@ -95,10 +95,27 @@ _TERM = re.compile(
 
 _FLIP = {">": "<", "<": ">", ">=": "<=", "<=": ">=", "=": "=", "==": "="}
 
+#: the AND inside "x BETWEEN a AND b" is part of the term, not a conjunction
+_BETWEEN_SPAN = re.compile(
+    r"\bBETWEEN\s+-?\d+(?:\.\d+)?\s+AND\b", re.IGNORECASE
+)
+
+_BETWEEN_TERM = re.compile(
+    r"^\(*\s*([A-Za-z_][A-Za-z0-9_]*)\s+BETWEEN\s+(-?\d+(?:\.\d+)?)"
+    r"\s+AND\s+(-?\d+(?:\.\d+)?)\s*\)*$",
+    re.IGNORECASE,
+)
+
 
 def _split_conjuncts(text: str) -> list[str] | None:
     """Split a condition string on top-level AND; None if an OR/NOT (or
-    unbalanced parens) makes the conjunction unsafe to decompose."""
+    unbalanced parens) makes the conjunction unsafe to decompose.  The AND
+    belonging to a BETWEEN term never splits."""
+    between_spans = [m.span() for m in _BETWEEN_SPAN.finditer(text)]
+
+    def in_between(i: int) -> bool:
+        return any(a <= i < b for a, b in between_spans)
+
     parts, depth, start = [], 0, 0
     upper = text.upper()
     i = 0
@@ -114,7 +131,7 @@ def _split_conjuncts(text: str) -> list[str] | None:
             return None
         elif upper[i : i + 5] == " NOT " or upper.startswith("NOT ", i) and i == 0:
             return None
-        elif depth <= 1 and upper[i : i + 5] == " AND ":
+        elif depth <= 1 and upper[i : i + 5] == " AND " and not in_between(i + 1):
             parts.append(text[start:i])
             start = i + 5
             i += 4
@@ -190,6 +207,15 @@ def parse_condition(condition) -> list[tuple] | None:
         return None
     out: list[tuple] = []
     for part in conjuncts:
+        b = _BETWEEN_TERM.match(part.strip())
+        if b:
+            col, lo, hi = b.group(1), b.group(2), b.group(3)
+            out.append((
+                col, "between",
+                float(lo) if "." in lo else int(lo),
+                float(hi) if "." in hi else int(hi),
+            ))
+            continue
         m = _TERM.match(part.strip())
         if not m:
             return None

@@ -190,3 +190,28 @@ def test_projection_mismatched_predicate_stays_native(spark, sorted_lineitem):
     finally:
         enable_auto_routing()
     assert df.count() == expect > 0
+
+
+def test_between_routes(spark, sorted_lineitem):
+    """BETWEEN parses to the mini-language 'between' term and routes; its
+    inner AND never splits the conjunction."""
+    assert parse_condition("l_orderkey BETWEEN 1 AND 100") == [
+        ("l_orderkey", "between", 1, 100)
+    ]
+    assert parse_condition(
+        "l_orderkey BETWEEN 1 AND 100 AND l_quantity > 5"
+    ) == [("l_orderkey", "between", 1, 100), ("l_quantity", ">", 5)]
+    routed = spark.read.parquet(sorted_lineitem).where(
+        "l_orderkey BETWEEN 1 AND 100"
+    )
+    assert "MapInArrow" in _plan(routed)
+    disable_auto_routing()
+    try:
+        expect = (
+            spark.read.parquet(sorted_lineitem)
+            .where("l_orderkey BETWEEN 1 AND 100")
+            .count()
+        )
+    finally:
+        enable_auto_routing()
+    assert routed.count() == expect > 0

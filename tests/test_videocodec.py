@@ -98,3 +98,46 @@ def test_compressed_fourcc_requires_registered_decoder():
         assert d["frames"][0].shape == (6, 8, 3)
     finally:
         del FOURCC_DECODERS[b"MJPG"]
+
+
+def test_rec_list_interleaved_frames():
+    """Interleaved AVIs wrap frame chunks in LIST 'rec ' groups — the movi
+    walk must recurse into them and find every frame."""
+    import numpy as np
+
+    frames = synthetic_video(seed=5, w=8, h=6, n_frames=4)
+    payload = bytearray(encode_avi(frames))
+    # rebuild the movi list with the 4 '00db' chunks wrapped 2-per-'rec '
+    movi_at = bytes(payload).index(b"movi") - 8
+    (movi_size,) = struct.unpack_from("<I", payload, movi_at + 4)
+    movi_end = movi_at + 8 + movi_size
+    chunks = []
+    pos = movi_at + 12
+    while pos + 8 <= movi_end:
+        (sz,) = struct.unpack_from("<I", payload, pos + 4)
+        if payload[pos : pos + 4][2:4] == b"db":
+            chunks.append(bytes(payload[pos : pos + 8 + sz + (sz % 2)]))
+        pos += 8 + sz + (sz % 2)
+    assert len(chunks) == 4
+    recs = b""
+    for i in range(0, 4, 2):
+        body = b"rec " + chunks[i] + chunks[i + 1]
+        recs += b"LIST" + struct.pack("<I", len(body)) + body
+    new_movi = b"LIST" + struct.pack("<I", 4 + len(recs)) + b"movi" + recs
+    rebuilt = bytes(payload[:movi_at]) + new_movi + bytes(payload[movi_end:])
+    rebuilt = rebuilt[:4] + struct.pack("<I", len(rebuilt) - 8) + rebuilt[8:]
+    d = decode_avi(rebuilt)
+    assert d["n_frames"] == 4
+    for got, want in zip(d["frames"], frames):
+        assert np.array_equal(got, want)
+
+
+def test_corrupt_dib_chunk_raises_codec_error_only():
+    """Header-valid payloads with a short frame chunk must raise the
+    codec's own error (the skip contract callers rely on)."""
+    frames = synthetic_video(seed=6, w=8, h=6, n_frames=2)
+    payload = bytearray(encode_avi(frames))
+    at = bytes(payload).index(b"00db")
+    struct.pack_into("<I", payload, at + 4, 4)  # shrink chunk to 4 bytes
+    with pytest.raises(UnsupportedVideoError):
+        decode_avi(bytes(payload))
