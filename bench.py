@@ -47,6 +47,11 @@ HEADLINE = [
     "q102_decontaminate",
     "q103_sequence_packing",
     "q104_pii_redact",
+    # round 3 additions: real AVI frame decode, paragraph-level dedup,
+    # Gopher repetition signals
+    "q94c_multimodal_frames",
+    "q107_paragraph_dedup",
+    "q108_repetition_filter",
 ]
 
 META_ROW_GROUPS = 200
