@@ -37,14 +37,77 @@ sys.path.insert(0, _HERE)
 from palletjack_spark.queries import REGISTRY  # noqa: E402
 
 
+def _next_round(root: str = _HERE) -> int:
+    """The round the driver will record next: max committed round + 1."""
+    rounds = [0]
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds) + 1
+
+
+def _oracle_rounds(root: str = _HERE) -> dict[str, int]:
+    """canonical QID -> round its CURRENT oracle text was introduced.
+
+    A green CORRECTNESS row only certifies the (query, oracle) pair it
+    actually ran (round-3 ADVICE: q94c's rewritten oracle kept its r2
+    credit), so every oracle's fingerprint is persisted in
+    ``ORACLE_HASHES.json``.  A hash CHANGE on an existing entry stamps the
+    upcoming round — invalidating all older green rows for that QID in
+    :func:`_green_rounds`, i.e. "treat an oracle rewrite as never-verified".
+    A first-seen QID gets round 0: a brand-new query has no prior rows to
+    misattribute, and distrusting it would break cold-start roots.  The
+    committed file was bootstrapped from the registry at each round-end
+    commit (2a3c860 / 201ccf0 / 46434e6), so historical intro rounds are
+    faithful, not guessed.
+    """
+    import hashlib
+
+    path = os.path.join(root, "ORACLE_HASHES.json")
+    try:
+        with open(path) as f:
+            stored = json.load(f)
+    except (OSError, ValueError):
+        stored = {}
+    nxt: int | None = None
+    changed = False
+    out: dict[str, int] = {}
+    for name, q in REGISTRY.items():
+        h = hashlib.sha256((q.oracle or "").encode()).hexdigest()[:16]
+        ent = stored.get(name)
+        if not isinstance(ent, dict):
+            ent = {"hash": h, "round": 0}
+            stored[name] = ent
+            changed = True
+        elif ent.get("hash") != h:
+            if nxt is None:
+                nxt = _next_round(root)
+            ent = {"hash": h, "round": nxt}
+            stored[name] = ent
+            changed = True
+        out[name] = int(ent.get("round", 0))
+    if changed:
+        try:
+            with open(path, "w") as f:
+                json.dump(stored, f, indent=1, sort_keys=True)
+                f.write("\n")
+        except OSError:
+            pass
+    return out
+
+
 def _green_rounds(root: str = _HERE) -> dict[str, int]:
     """canonical QID -> newest round number with a verified row.
 
     A row is verified if it hash-matched, or if it was a "no_oracle"
     rows-only row for a query that still has no registered oracle — once an
     oracle exists (e.g. q32's tolerance-boolean upgrade) the QID re-enters
-    the sort-first window to earn a hash-checked row.
+    the sort-first window to earn a hash-checked row.  Rows older than the
+    QID's current oracle (per :func:`_oracle_rounds`) verified a DIFFERENT
+    oracle and are ignored.
     """
+    intro = _oracle_rounds(root)
     newest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -62,7 +125,7 @@ def _green_rounds(root: str = _HERE) -> dict[str, int]:
             ok = (row.get("rows_match") and row.get("hash_match")) or (
                 row.get("err") == "no_oracle" and not has_oracle
             )
-            if ok:
+            if ok and rnd >= intro.get(name, 0):
                 newest[name] = max(newest.get(name, 0), rnd)
     return newest
 

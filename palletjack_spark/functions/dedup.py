@@ -613,29 +613,45 @@ def connected_components(
 
     Spark-specific: per-round ``localCheckpoint`` cuts the iterative
     lineage — otherwise every action replays all prior rounds and the plan
-    grows without bound (the classic iterative-algorithm trap).
+    grows without bound (the classic iterative-algorithm trap).  ONE job per
+    round: the checkpoint is lazy and the single action is an order-independent
+    (count, hash-xor) signature aggregate that both materializes the
+    checkpoint and decides convergence — the star operators are idempotent
+    at their fixed point, so signature equality across rounds (64-bit
+    collision odds aside) means the edge set stopped changing.  XOR, not
+    SUM: overflow-free under ANSI mode, and the edge set is always
+    ``distinct()`` so duplicate-cancellation can't occur.
     """
+
+    def _signature(df: DataFrame) -> tuple[int, int]:
+        row = df.groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64("u", "v")), F.lit(0)
+            ).alias("sig"),
+        ).collect()[0]
+        return row["n"], row["sig"]
+
     e = (
         pairs.select(
             F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    if e.isEmpty():
+    prev = _signature(e)
+    if prev[0] == 0:
         return e.select(
             F.col("u").alias("node"), F.col("v").alias("component")
         )
     for _ in range(max_iterations):
-        e_next = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        converged = (
-            e_next.count() == e.count()
-            and e_next.exceptAll(e).isEmpty()
-        )
+        e_next = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        cur = _signature(e_next)
         e = e_next
-        if converged:
+        if cur == prev:
             break
+        prev = cur
     # converged edge set is a star per component: (member, root).  Roots
     # appear only on the right; map them to themselves.
     return (

@@ -44,7 +44,11 @@ from typing import Iterable, Sequence
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from palletjack_spark.errors import EncryptedParquetError, InvalidSelectionError
+from palletjack_spark.errors import (
+    EncryptedParquetError,
+    IndexFormatError,
+    InvalidSelectionError,
+)
 
 # Thrift compact-protocol type codes
 CT_STOP = 0
@@ -78,6 +82,25 @@ def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
         if not b & 0x80:
             return result, pos
         shift += 7
+        if shift > 63:
+            # a valid thrift varint is ≤ 10 bytes; an unterminated run of
+            # continuation bits would otherwise build an unbounded bignum
+            # (the allocation-cap discipline of palletjack.cc:82-83)
+            raise IndexFormatError("malformed varint (more than 10 bytes)")
+
+
+def _check_declared_len(buf: bytes, pos: int, n: int, what: str) -> None:
+    """Reject declared string/container lengths that exceed the remaining
+    buffer BEFORE allocating or looping — the reference bounds every
+    deserialized string/container against the footer size while decoding
+    untrusted input (palletjack.cc:82-83, 100-102, 148-150).  Every wire
+    element occupies ≥ 1 byte, so a count above ``len(buf) - pos`` can never
+    be satisfied and is rejected fast with bounded memory."""
+    if n < 0 or n > len(buf) - pos:
+        raise IndexFormatError(
+            f"declared {what} length {n} exceeds remaining footer bytes "
+            f"({len(buf) - pos})"
+        )
 
 
 def _write_varint(out: bytearray, v: int) -> None:
@@ -103,7 +126,10 @@ def _write_zigzag(out: bytearray, v: int) -> None:
 
 def _skip_value(buf: bytes, pos: int, ctype: int) -> int:
     if ctype in (CT_TRUE, CT_FALSE):
-        return pos
+        # only reached as a LIST/MAP element (bool FIELD values live in the
+        # field header) — compact encodes bool elements as one byte; not
+        # advancing here would loop forever on a hostile bool-list count
+        return pos + 1
     if ctype == CT_BYTE:
         return pos + 1
     if ctype in (CT_I16, CT_I32, CT_I64):
@@ -114,6 +140,7 @@ def _skip_value(buf: bytes, pos: int, ctype: int) -> int:
         return pos + 8
     if ctype == CT_BINARY:
         n, pos = _read_varint(buf, pos)
+        _check_declared_len(buf, pos, n, "binary")
         return pos + n
     if ctype in (CT_LIST, CT_SET):
         etype, n, pos = _read_list_header(buf, pos)
@@ -122,6 +149,7 @@ def _skip_value(buf: bytes, pos: int, ctype: int) -> int:
         return pos
     if ctype == CT_MAP:
         n, pos = _read_varint(buf, pos)
+        _check_declared_len(buf, pos, n, "map")
         if n == 0:
             return pos
         kv = buf[pos]
@@ -177,15 +205,8 @@ def _skip_struct_fast(buf: bytes, pos: int) -> int:
         elif t == 7:
             pos += 8
         elif t == 8:
-            ln = 0
-            shift = 0
-            while True:
-                byte = buf[pos]
-                pos += 1
-                ln |= (byte & 0x7F) << shift
-                if byte < 0x80:
-                    break
-                shift += 7
+            ln, pos = _read_varint(buf, pos)
+            _check_declared_len(buf, pos, ln, "binary")
             pos += ln
         elif t == 9 or t == 10:
             hb = buf[pos]
@@ -193,15 +214,8 @@ def _skip_struct_fast(buf: bytes, pos: int) -> int:
             et = hb & 15
             n2 = hb >> 4
             if n2 == 15:
-                n2 = 0
-                shift = 0
-                while True:
-                    byte = buf[pos]
-                    pos += 1
-                    n2 |= (byte & 0x7F) << shift
-                    if byte < 0x80:
-                        break
-                    shift += 7
+                n2, pos = _read_varint(buf, pos)
+                _check_declared_len(buf, pos, n2, "list")
             if n2 == 0:
                 continue
             if et < 4:  # bool/byte elems: 1 byte each
@@ -213,6 +227,7 @@ def _skip_struct_fast(buf: bytes, pos: int) -> int:
         elif t == 11:
             # parquet.thrift has no map fields; defensive exact skip
             n2, pos = _read_varint(buf, pos)
+            _check_declared_len(buf, pos, n2, "map")
             if n2:
                 kv = buf[pos]
                 pos += 1
@@ -233,6 +248,7 @@ def _read_list_header(buf: bytes, pos: int) -> tuple[int, int, int]:
     n = b >> 4
     if n == 15:
         n, pos = _read_varint(buf, pos)
+        _check_declared_len(buf, pos, n, "list")
     return etype, n, pos
 
 
@@ -325,10 +341,11 @@ def footer_spans(footer: bytes) -> tuple[list, list]:
 # --------------------------------------------------------------------------
 
 def _decode_value(buf: bytes, pos: int, ctype: int):
-    if ctype == CT_TRUE:
-        return True, pos
-    if ctype == CT_FALSE:
-        return False, pos
+    if ctype in (CT_TRUE, CT_FALSE):
+        # only reached as a LIST/MAP element (bool FIELD values live in the
+        # field header, handled in the CT_STRUCT branch below): one byte,
+        # 1 = true, 2 = false
+        return buf[pos] == CT_TRUE, pos + 1
     if ctype == CT_BYTE:
         v = buf[pos]
         return (v - 256 if v >= 128 else v), pos + 1
@@ -339,6 +356,7 @@ def _decode_value(buf: bytes, pos: int, ctype: int):
         return struct.unpack_from("<d", buf, pos)[0], pos + 8
     if ctype == CT_BINARY:
         n, pos = _read_varint(buf, pos)
+        _check_declared_len(buf, pos, n, "binary")
         return bytes(buf[pos : pos + n]), pos + n
     if ctype in (CT_LIST, CT_SET):
         etype, n, pos = _read_list_header(buf, pos)
@@ -349,6 +367,7 @@ def _decode_value(buf: bytes, pos: int, ctype: int):
         return (etype, vals), pos
     if ctype == CT_MAP:
         n, pos = _read_varint(buf, pos)
+        _check_declared_len(buf, pos, n, "map")
         if n == 0:
             return (CT_BINARY, CT_BINARY, []), pos
         kv = buf[pos]
@@ -611,6 +630,17 @@ def _schema_tree(elems: list):
     return root, children, leaves
 
 
+def _flat_schema_in_order(elems: list, leaves: list[int], order: list[int]):
+    """Pruned SchemaElement structs for a FLAT schema (root + leaf elements
+    only), emitting the selected leaves in the CALLER'S order — the
+    reference's contract (palletjack.cc:483-490 iterates the requested
+    ``columns`` vector verbatim when copying schema elements)."""
+    root = list(elems[0])
+    if _get(elems[0], 5) is not None:
+        _set(root, 5, CT_I32, len(order))
+    return [root] + [elems[leaves[c]] for c in order]
+
+
 def _prune_schema(elems: list, keep_leaves: set[int]):
     """Return pruned SchemaElement structs (depth-first order) keeping the
     root, the selected leaves, and every ancestor group of a selected leaf,
@@ -722,6 +752,11 @@ def splice_footer(
     Mirrors reference semantics (palletjack.cc:369-616): empty/None
     selection = keep everything; row groups renumbered 0..k-1; column
     selection prunes schema + per-row-group column chunks + column_orders.
+    Both row groups AND columns come out in the CALLER'S requested order
+    (palletjack.cc:534-545, 459-490) — ``column_indices=[3, 1]`` yields a
+    footer whose first column is leaf 3.  Exception: nested schemas (not
+    supported by the reference's flat-only indexer) normalize the column
+    selection to depth-first order, because the group tree fixes leaf order.
     """
     if column_names:
         if column_indices:
@@ -746,6 +781,7 @@ def splice_footer(
             )
 
     keep_cols: set[int] | None = None
+    keep_order: list[int] | None = None
     new_schema = None
     if column_indices is not None and len(column_indices) > 0:
         schema_elems = extras.get("schema_elems")
@@ -757,19 +793,30 @@ def splice_footer(
             leaf_paths = _leaf_paths(schema_elems)
             extras["leaf_paths"] = leaf_paths
         n_leaves = len(leaf_paths)
-        keep_sorted = sorted(set(int(c) for c in column_indices))
-        bad = [c for c in keep_sorted if c < 0 or c >= n_leaves]
+        keep_order = [int(c) for c in column_indices]
+        bad = [c for c in keep_order if c < 0 or c >= n_leaves]
         if bad:
             raise InvalidSelectionError(
                 f"Column index {bad[0]} out of range (file has {n_leaves})"
             )
-        keep_cols = set(keep_sorted)
-        new_schema = _prune_schema(schema_elems, keep_cols)
+        keep_cols = set(keep_order)
+        # Flat schema (root + leaves, the only shape the reference's indexer
+        # supports): emit schema / chunks / column_orders in the CALLER'S
+        # requested order, duplicates included — palletjack.cc:459-490 and
+        # 551-570 iterate the requested ``columns`` vector verbatim.  Nested
+        # schemas are an extension over the reference; their leaf order is
+        # dictated by the group tree, so the selection is normalized to
+        # depth-first (= ascending leaf-index) order there.
+        if len(schema_elems) == n_leaves + 1:
+            _, _, leaves = _schema_tree(schema_elems)
+            new_schema = _flat_schema_in_order(schema_elems, leaves, keep_order)
+        else:
+            keep_order = sorted(keep_cols)
+            new_schema = _prune_schema(schema_elems, keep_cols)
 
     # touch ONLY the kept row groups, and even those mostly by byte copy:
     # the columns list of a kept group is spliced from chunk spans, the
     # ordinal / num_rows / size fields are the only re-encoded values
-    keep_sorted_cols = sorted(keep_cols) if keep_cols is not None else None
     new_rgs: list[tuple[list, dict]] = []
     total_rows = 0
     for new_ord, r in enumerate(sel):
@@ -779,23 +826,23 @@ def splice_footer(
             zz, _ = _read_varint(footer, nr_span[1])
             total_rows += _unzigzag(zz)
         overrides: dict[int, tuple[int, object]] = {}
-        if keep_sorted_cols is not None:
+        if keep_order is not None:
             chunk_memo = extras.setdefault("chunk_spans", {})
             chunk_spans = chunk_memo.get(r)
             if chunk_spans is None:
                 cols_span = _span_get(rgf, 1)
                 _, chunk_spans, _ = _list_elem_spans(footer, cols_span[1])
                 chunk_memo[r] = chunk_spans
-            if keep_sorted_cols[-1] >= len(chunk_spans):
+            if max(keep_order) >= len(chunk_spans):
                 raise InvalidSelectionError(
-                    f"Column index {keep_sorted_cols[-1]} out of range for "
+                    f"Column index {max(keep_order)} out of range for "
                     f"row group {r} ({len(chunk_spans)} chunks)"
                 )
             payload = bytearray()
-            _encode_list_header(payload, CT_STRUCT, len(keep_sorted_cols))
+            _encode_list_header(payload, CT_STRUCT, len(keep_order))
             tbs = tcs = 0
             have_sizes = True
-            for ci in keep_sorted_cols:
+            for ci in keep_order:
                 cs, ce = chunk_spans[ci]
                 payload += footer[cs:ce]
                 chunk_fields, _ = _struct_field_spans(footer, cs)
@@ -838,9 +885,17 @@ def splice_footer(
             _encode_list_header(out, CT_STRUCT, len(new_rgs))
             for rgf, overrides in new_rgs:
                 _copy_struct(out, footer, rgf, overrides)
-        elif fid == 7 and keep_cols is not None:
+        elif fid == 7 and keep_order is not None:
+            # requested order, mirroring the chunk/schema splice
+            # (palletjack.cc:580-601); absent section (foreign writers,
+            # cc:288-299) never reaches here — the span list has no fid 7
             (etype, orders), _ = _decode_value(footer, s, CT_LIST)
-            kept = [o for i, o in enumerate(orders) if i in keep_cols]
+            if max(keep_order) >= len(orders):
+                raise InvalidSelectionError(
+                    f"Column index {max(keep_order)} out of range for "
+                    f"column_orders ({len(orders)} entries)"
+                )
+            kept = [orders[i] for i in keep_order]
             _encode_field_header(out, fid, CT_LIST, prev)
             _encode_list_header(out, etype, len(kept))
             for o in kept:

@@ -96,6 +96,77 @@ def test_rotation_rule_no_oracle_counts_only_without_registered_oracle(tmp_path)
         assert without[0] in newest
 
 
+def test_rotation_rule_oracle_change_invalidates_old_rows(tmp_path):
+    """Round-3 ADVICE: a green row older than the QID's current oracle text
+    verified a DIFFERENT oracle — an oracle rewrite resets verification."""
+    import hashlib
+
+    name = next(n for n in REGISTRY if REGISTRY[n].oracle is not None)
+    h = hashlib.sha256(REGISTRY[name].oracle.encode()).hexdigest()[:16]
+    _write_round(tmp_path, 1, {name: GREEN})
+    # stored fingerprint: the current oracle text dates from round 2
+    with open(tmp_path / "ORACLE_HASHES.json", "w") as f:
+        json.dump({name: {"hash": h, "round": 2}}, f)
+    newest = entrymod._green_rounds(root=str(tmp_path))
+    assert name not in newest  # the r1 row predates the oracle
+    _write_round(tmp_path, 2, {name: GREEN})
+    newest = entrymod._green_rounds(root=str(tmp_path))
+    assert newest.get(name) == 2  # re-verified after the rewrite
+
+
+def test_rotation_rule_hash_mismatch_stamps_upcoming_round(tmp_path):
+    """A stored fingerprint that doesn't match the live oracle bumps the
+    QID's intro round to max-committed-round + 1 and rewrites the file."""
+    name = next(n for n in REGISTRY if REGISTRY[n].oracle is not None)
+    _write_round(tmp_path, 3, {name: GREEN})
+    with open(tmp_path / "ORACLE_HASHES.json", "w") as f:
+        json.dump({name: {"hash": "0" * 16, "round": 1}}, f)
+    intro = entrymod._oracle_rounds(root=str(tmp_path))
+    assert intro[name] == 4
+    with open(tmp_path / "ORACLE_HASHES.json") as f:
+        stored = json.load(f)
+    assert stored[name]["round"] == 4
+    assert stored[name]["hash"] != "0" * 16
+    assert name not in entrymod._green_rounds(root=str(tmp_path))
+    # first-seen QIDs get round 0 (nothing to misattribute on cold start)
+    other = next(
+        n for n in REGISTRY if n != name and REGISTRY[n].oracle is not None
+    )
+    assert intro[other] == 0
+
+
+def test_live_fingerprints_match_registry():
+    """The committed ORACLE_HASHES.json must stay in sync with the live
+    registry — _oracle_rounds must not rewrite it during a driver run."""
+    import hashlib
+
+    path = os.path.join(os.path.dirname(entrymod.__file__), "ORACLE_HASHES.json")
+    with open(path) as f:
+        stored = json.load(f)
+    for name, q in REGISTRY.items():
+        h = hashlib.sha256((q.oracle or "").encode()).hexdigest()[:16]
+        assert stored.get(name, {}).get("hash") == h, (
+            f"{name}: oracle changed — rerun _oracle_rounds() and commit "
+            "the updated ORACLE_HASHES.json"
+        )
+
+
+def test_round4_window_contains_stalest_qids():
+    """Round-3 verdict item 4: the QIDs with the oldest or invalidated
+    evidence (q52/q53/q55/q60 r1-vintage; q94c's oracle rewritten in r3
+    after its only green row) must be aliased into the driver window."""
+    keys = entrymod._driver_keys()
+    aliased = {canon for key, canon in keys.items() if key != canon}
+    for q in (
+        "q52_distinct",
+        "q53_sql_subqueries",
+        "q55_recursive_cte",
+        "q60_string_funcs",
+        "q94c_multimodal_frames",
+    ):
+        assert q in aliased, q
+
+
 def test_rotation_rule_oldest_green_first_window():
     """_driver_keys aliases exactly the `window` stalest QIDs."""
     keys = entrymod._driver_keys(window=7)

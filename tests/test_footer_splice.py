@@ -52,23 +52,23 @@ def full_table(pq_file):
 
 
 def _direct_read(full, row_groups, col_idx):
-    names = [full.column_names[c] for c in sorted(set(col_idx))] or list(
-        full.column_names
-    )
+    # requested order on BOTH axes — the reference's contract
+    # (palletjack.cc:534-545 row groups, 459-490 columns)
+    names = [full.column_names[c] for c in col_idx] or list(full.column_names)
     parts = [full.select(names).slice(r * CHUNK, CHUNK) for r in row_groups]
     return pa.concat_tables(parts) if parts else full.select(names).slice(0, 0)
 
 
 def test_permutation_sweep(pq_file, full_table):
     """Reference test_palletjack.py:101-107: permutations of row groups ×
-    combinations of columns, read via ParquetReader(metadata=pruned)."""
+    permutations of columns, read via ParquetReader(metadata=pruned)."""
     n_checked = 0
     for r in range(3):
         for rp in it.permutations(range(N_RG), r):
             if not rp:
                 continue
             for c in range(3):
-                for cp in it.combinations(range(N_COLS), c):
+                for cp in it.permutations(range(N_COLS), c):
                     md = read_metadata(
                         parquet_path=pq_file,
                         row_groups=list(rp),
@@ -91,6 +91,124 @@ def test_row_groups_keep_requested_order(pq_file, full_table):
         [full_table.slice(3 * CHUNK, CHUNK), full_table.slice(1 * CHUNK, CHUNK)]
     )
     assert got.equals(want)
+
+
+def test_columns_keep_requested_order(pq_file, full_table):
+    """Reference contract (palletjack.cc:459-490, 551-570): schema elements,
+    per-row-group chunks and column_orders come out in the CALLER'S order —
+    column_indices=[3, 1] must NOT be normalized to [1, 3]."""
+    md = read_metadata(parquet_path=pq_file, column_indices=[3, 1])
+    assert [md.schema.column(i).name for i in range(2)] == ["c_ts", "c_dbl"]
+    got = pq.ParquetFile(pq_file, metadata=md).read()
+    assert got.equals(full_table.select(["c_ts", "c_dbl"]))
+    # combined with out-of-order row groups
+    md2 = read_metadata(
+        parquet_path=pq_file, row_groups=[2, 0], column_indices=[2, 0]
+    )
+    got2 = pq.ParquetFile(pq_file, metadata=md2).read()
+    want2 = pa.concat_tables(
+        [
+            full_table.select(["c_str", "c_int"]).slice(2 * CHUNK, CHUNK),
+            full_table.select(["c_str", "c_int"]).slice(0, CHUNK),
+        ]
+    )
+    assert got2.equals(want2)
+    # duplicate indices are emitted twice, like the reference's verbatim
+    # iteration over the requested columns vector
+    md3 = read_metadata(parquet_path=pq_file, column_indices=[1, 1])
+    assert md3.num_columns == 2
+    got3 = pq.ParquetFile(pq_file, metadata=md3).read()
+    assert got3.column(0).equals(got3.column(1))
+    assert got3.column(0).equals(full_table.column("c_dbl"))
+
+
+def _strip_top_field(footer: bytes, drop_fid: int) -> bytes:
+    """Re-emit a footer without one top-level field — builds the
+    foreign-writer fixture (the reference tests a Parquet.Net file with no
+    column_orders section, test_palletjack.py:135-153)."""
+    fields, _ = fs._struct_field_spans(footer, 0)
+    out = bytearray()
+    prev = 0
+    for fid, ctype, s, e in fields:
+        if fid == drop_fid:
+            continue
+        fs._encode_field_header(out, fid, ctype, prev)
+        if ctype not in (fs.CT_TRUE, fs.CT_FALSE):
+            out += footer[s:e]
+        prev = fid
+    out.append(0)
+    return bytes(out)
+
+
+@pytest.fixture(scope="module")
+def no_orders_file(pq_file, tmp_path_factory):
+    """A physical parquet file whose footer has NO column_orders section,
+    as written by foreign writers like Parquet.Net (the reference's
+    sample.parquet fixture, test_palletjack.py:135-153, handled at
+    palletjack.cc:288-299)."""
+    footer = fs.read_footer_bytes(pq_file)
+    assert any(f[0] == 7 for f in fs._struct_field_spans(footer, 0)[0]), (
+        "fixture premise: pyarrow wrote a column_orders section"
+    )
+    stripped = _strip_top_field(footer, 7)
+    with open(pq_file, "rb") as f:
+        raw = f.read()
+    flen = len(raw) - len(footer) - 8
+    out = raw[:flen] + stripped + np.uint32(len(stripped)).tobytes() + b"PAR1"
+    path = str(tmp_path_factory.mktemp("noorders") / "no_orders.parquet")
+    with open(path, "wb") as f:
+        f.write(out)
+    # the fixture itself must be a valid parquet file for plain pyarrow
+    assert pq.ParquetFile(path).read().num_rows == N_RG * CHUNK
+    return path
+
+
+def test_no_column_orders_differential(no_orders_file, full_table):
+    """Full permutation differential over the no-column_orders fixture —
+    mirrors the reference's foreign-writer test (test_palletjack.py:135-153):
+    every row-group permutation × column permutation read through the spliced
+    metadata equals the direct read."""
+    footer = fs.read_footer_bytes(no_orders_file)
+    assert not any(f[0] == 7 for f in fs._struct_field_spans(footer, 0)[0])
+    n_checked = 0
+    for r in range(3):
+        for rp in it.permutations(range(N_RG), r):
+            if not rp:
+                continue
+            for c in range(2):
+                for cp in it.permutations(range(N_COLS), c):
+                    md = read_metadata(
+                        parquet_path=no_orders_file,
+                        row_groups=list(rp),
+                        column_indices=list(cp),
+                    )
+                    pr = pq.ParquetReader()
+                    pr.open(no_orders_file, metadata=md)
+                    got = pr.read_all()
+                    pr.close()
+                    want = _direct_read(full_table, rp, cp)
+                    assert got.equals(want), (rp, cp)
+                    n_checked += 1
+    assert n_checked > 50
+
+
+def test_no_column_orders_index_and_schema(no_orders_file, tmp_path):
+    """Index build + schema-only + column-pruned reads on the fixture — the
+    spliced footer must also lack column_orders (nothing to splice)."""
+    index_path = str(tmp_path / "no_orders.index")
+    generate_metadata_index(no_orders_file, index_path)
+    md = read_metadata(
+        index_file_path=index_path, row_groups=[4, 1], column_indices=[2]
+    )
+    got = pq.ParquetFile(no_orders_file, metadata=md).read()
+    assert got.column_names == ["c_str"]
+    assert got.num_rows == 2 * CHUNK
+    pruned = fs.splice_footer(
+        fs.read_footer_bytes(no_orders_file), column_indices=[1, 0]
+    )
+    assert not any(f[0] == 7 for f in fs._struct_field_spans(pruned, 0)[0])
+    sch = read_schema(parquet_path=no_orders_file, column_names=["c_dbl"])
+    assert sch.names == ["c_dbl"]
 
 
 def test_renumbered_row_group_read(pq_file, full_table):
@@ -216,6 +334,40 @@ def test_error_paths(pq_file, tmp_path):
         f.write(b"hello world, definitely not parquet")
     with pytest.raises(InvalidSelectionError):
         fs.read_footer_bytes(junk)
+
+
+def test_length_bombs_fail_fast():
+    """Hostile footers declaring huge string/container lengths must be
+    rejected with bounded memory BEFORE allocating or looping — the
+    reference's decode caps (palletjack.cc:82-83, 100-102, 148-150)."""
+    from palletjack_spark.errors import IndexFormatError
+
+    def varint(v):
+        out = bytearray()
+        fs._write_varint(out, v)
+        return bytes(out)
+
+    bombs = {
+        # field 1, CT_BINARY, declared length 2^40 with no payload
+        "binary": b"\x18" + varint(2**40),
+        # field 1, CT_LIST of i32, long-form count 2^40
+        "list": b"\x19\xf5" + varint(2**40),
+        # field 1, CT_LIST of bool — pre-fix this looped without advancing
+        "bool_list": b"\x19\xf1" + varint(2**40),
+        # field 1, CT_MAP with huge declared pair count
+        "map": b"\x1b" + varint(2**40) + b"\x55",
+        # field 1, CT_BINARY with an unterminated 11-byte varint length
+        "varint": b"\x18" + b"\x80" * 11,
+        # nested: field 1 CT_STRUCT containing a binary bomb
+        "nested": b"\x1c\x18" + varint(2**40),
+    }
+    for name, blob in bombs.items():
+        with pytest.raises(IndexFormatError):
+            fs._struct_field_spans(blob, 0)
+        # the skip path (used inside list-element walks) must also reject
+        with pytest.raises(IndexFormatError):
+            fs._skip_struct_fast(blob, 0)
+        assert name  # keep the case label in failure output
 
 
 def test_splice_is_byte_stable(pq_file):

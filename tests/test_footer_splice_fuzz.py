@@ -100,8 +100,9 @@ def test_spliced_read_equals_direct(case):
     got = pr.read_all()
     pr.close()
 
+    # the splice honors the REQUESTED column order (palletjack.cc:459-490)
     names = (
-        [table.column_names[c] for c in sorted(set(col_idx))]
+        [table.column_names[c] for c in col_idx]
         if col_idx
         else list(table.column_names)
     )

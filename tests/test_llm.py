@@ -379,6 +379,45 @@ def test_connected_components_crafted(spark):
     assert len(got) == 64 + 5 + 4  # no phantom nodes
 
 
+def test_connected_components_one_action_per_round(spark, monkeypatch):
+    """Round-3 verdict item 7: convergence is decided by ONE driver action
+    per round — a fused (count, hash-sum) signature aggregate — instead of
+    count() + exceptAll().isEmpty().  Counted at the DataFrame-action layer
+    (AQE splits one action into several Spark jobs, so job counts lie)."""
+    import pyspark.sql.classic.dataframe as dfmod
+
+    from palletjack_spark.functions.dedup import connected_components
+
+    calls = {"collect": 0, "count": 0, "isEmpty": 0}
+    orig_collect = dfmod.DataFrame.collect
+    monkeypatch.setattr(
+        dfmod.DataFrame,
+        "collect",
+        lambda self: (calls.__setitem__("collect", calls["collect"] + 1),
+                      orig_collect(self))[1],
+    )
+    orig_count = dfmod.DataFrame.count
+    monkeypatch.setattr(
+        dfmod.DataFrame,
+        "count",
+        lambda self: (calls.__setitem__("count", calls["count"] + 1),
+                      orig_count(self))[1],
+    )
+    orig_empty = dfmod.DataFrame.isEmpty
+    monkeypatch.setattr(
+        dfmod.DataFrame,
+        "isEmpty",
+        lambda self: (calls.__setitem__("isEmpty", calls["isEmpty"] + 1),
+                      orig_empty(self))[1],
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    connected_components(pairs, max_iterations=1)
+    # one initial signature + one per-round signature, nothing else
+    assert calls == {"collect": 2, "count": 0, "isEmpty": 0}
+
+
 def test_apply_components_keeps_canonical(spark, crafted_docs):
     """Dedup materialization: the min-id member of each near-dup cluster
     survives; untouched docs pass through."""
