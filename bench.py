@@ -52,6 +52,9 @@ HEADLINE = [
     "q94c_multimodal_frames",
     "q107_paragraph_dedup",
     "q108_repetition_filter",
+    # round 4 addition: compressed (G.711 µ-law) audio through the
+    # FORMAT_DECODERS plug-in seam
+    "q94e_audio_mulaw",
 ]
 
 META_ROW_GROUPS = 200

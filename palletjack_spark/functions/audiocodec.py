@@ -35,8 +35,81 @@ class UnsupportedAudioError(NotImplementedError):
 
 #: wFormatTag -> sample decoder; PCM16 (tag 1) is built in.  Register a
 #: compressed codec by adding an entry (e.g. ``FORMAT_DECODERS[0x55] =
-#: mp3_decode``).
+#: mp3_decode``).  G.711 µ-law (tag 7) registers below — a REAL compressed
+#: codec (2:1 companding) carried through this seam, proving the plug-in
+#: point works end to end.
 FORMAT_DECODERS: dict[int, object] = {}
+
+
+# --------------------------------------------------------------------------
+# G.711 µ-law (public ITU-T G.711 spec): 8-bit companded <-> 16-bit linear
+# --------------------------------------------------------------------------
+
+_MULAW_BIAS = 0x84  # 132
+_MULAW_CLIP = 32635
+
+
+def mulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """Linear int16 -> µ-law codewords (uint8), vectorized closed form:
+    x = min(|s|, 32635) + 132; e = floor(log2 x) - 7; m = (x >> (e+3)) & 15;
+    byte = ~(sign | e<<4 | m).  Exactly mirrored by the SQL oracle."""
+    s = np.asarray(samples, dtype=np.int64)
+    sign = np.where(s < 0, 0x80, 0)
+    x = np.minimum(np.abs(s), _MULAW_CLIP) + _MULAW_BIAS
+    # exponent = MSB position of (x >> 7); x in [132, 32767] -> e in [0, 7]
+    e = (np.floor(np.log2(x)).astype(np.int64) - 7).clip(0, 7)
+    m = (x >> (e + 3)) & 0x0F
+    return (~(sign | (e << 4) | m) & 0xFF).astype(np.uint8)
+
+
+def mulaw_decode_codewords(codes: np.ndarray) -> np.ndarray:
+    """µ-law codewords (uint8) -> linear int16:
+    u = ~byte; s = (((m<<3) + 132) << e) - 132, negated when sign bit set."""
+    u = (~np.asarray(codes, dtype=np.int64)) & 0xFF
+    sign = (u & 0x80) != 0
+    e = (u >> 4) & 0x07
+    m = u & 0x0F
+    t = (((m << 3) + _MULAW_BIAS) << e) - _MULAW_BIAS
+    return np.where(sign, -t, t).astype(np.int16)
+
+
+def _decode_mulaw(raw: bytes, channels: int, bits: int) -> np.ndarray:
+    """FORMAT_DECODERS entry for wFormatTag 7: one byte per sample."""
+    if bits != 8:
+        raise UnsupportedAudioError(f"µ-law WAV must be 8-bit, got {bits}")
+    n = len(raw) // channels
+    codes = np.frombuffer(raw, dtype=np.uint8, count=n * channels)
+    return mulaw_decode_codewords(codes).reshape(n, channels)
+
+
+FORMAT_DECODERS[7] = _decode_mulaw
+
+
+def encode_wav_mulaw(
+    samples: np.ndarray, sample_rate: int = 8000, channels: int = 1
+) -> bytes:
+    """int16 sample array -> G.711 µ-law WAV bytes (wFormatTag 7, 8-bit,
+    with the spec-required 'fact' chunk carrying the sample count)."""
+    pcm = np.asarray(samples, dtype=np.int16)
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    if pcm.ndim != 2 or pcm.shape[1] != channels:
+        raise ValueError(f"expected (n,) or (n, {channels}) samples")
+    data = mulaw_encode(pcm.reshape(-1)).tobytes()
+    block_align = channels  # 1 byte/sample
+    fmt = struct.pack(
+        "<HHIIHHH", 7, channels, sample_rate, sample_rate * block_align,
+        block_align, 8, 0,  # cbSize=0 (WAVEFORMATEX for non-PCM tags)
+    )
+    fact = struct.pack("<I", pcm.shape[0])
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def encode_wav(

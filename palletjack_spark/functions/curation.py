@@ -48,12 +48,22 @@ EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
 PHONE_RE = r"\b555-[0-9]{4}\b"
 
 
-def _check_reserved(reserved: set[str], **caller_cols: str) -> None:
+def _check_reserved(
+    reserved: set[str],
+    _identity: dict[str, str] | None = None,
+    **caller_cols: str,
+) -> None:
     """Fail fast when a caller column name collides with one of an
     operator's internal working columns (e.g. ``id_col='n_tok'``) —
-    a collision would silently compute over the wrong column."""
+    a collision would silently compute over the wrong column.
+
+    ``_identity`` maps a parameter to the internal name that parameter is
+    *aliased to*: there the collision is a no-op alias, not a clash —
+    ``pack_sequences(part_col='part')`` is fine because the operator
+    renames ``part_col`` to ``part`` anyway (round-3 ADVICE)."""
+    ident = _identity or {}
     for param, name in caller_cols.items():
-        if name in reserved:
+        if name in reserved and name != ident.get(param):
             raise ValueError(
                 f"{param}={name!r} collides with an internal column of this "
                 f"operator (reserved: {sorted(reserved)}); rename the input "
@@ -124,6 +134,7 @@ def pack_sequences(
     (asserted in tests/test_plans.py)."""
     _check_reserved(
         {"part", "n_tok", "start_offset", "chunk_id"},
+        _identity={"part_col": "part"},
         id_col=id_col, part_col=part_col, text_col=text_col,
     )
     n_tokens: Column = F.size(F.split(F.col(text_col), " ")).cast("long")
@@ -204,6 +215,7 @@ def token_budget_sample(
 
     _check_reserved(
         {"part", "n_tok", "pri", "cum"},
+        _identity={"part_col": "part"},
         id_col=id_col, part_col=part_col, text_col=text_col,
     )
     n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")

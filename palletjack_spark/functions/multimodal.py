@@ -52,6 +52,7 @@ from palletjack_spark.functions.audiocodec import (
     UnsupportedAudioError,
     decode_wav,
     encode_wav,
+    encode_wav_mulaw,
     synthetic_audio,
 )
 
@@ -90,15 +91,21 @@ def _audio_dims(asset_id: int) -> tuple[int, int]:
     return 1 + asset_id % 2, 100 + (asset_id * 11) % 400
 
 
-def attach_fake_binary(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def attach_fake_binary(
+    df: DataFrame, text_col: str, id_col: str, audio_codec: str = "pcm16"
+) -> DataFrame:
     """Build a multimodal asset table from a text fixture.
 
     Modality cycles (image, audio, video) by id.  ALL THREE payloads are
-    REAL encoded files — BMP (even ids) / PPM (odd) images, PCM16 WAV
-    audio, uncompressed-AVI video — of deterministic test patterns with
+    REAL encoded files — BMP (even ids) / PPM (odd) images, WAV audio,
+    uncompressed-AVI video — of deterministic test patterns with
     closed-form parameters (``_asset_dims`` / ``_audio_dims`` /
     ``_video_dims``), so decode correctness is oracle-checkable for every
-    modality."""
+    modality.  ``audio_codec``: ``"pcm16"`` (uncompressed) or ``"mulaw"``
+    (G.711-companded — exercises the ``FORMAT_DECODERS`` compressed-codec
+    seam on the read side)."""
+    if audio_codec not in ("pcm16", "mulaw"):
+        raise ValueError(f"unknown audio_codec {audio_codec!r}")
     cols = ["asset_id", "modality", "payload", "width", "height", "n_bytes"]
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -120,7 +127,8 @@ def attach_fake_binary(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                     )
                 else:
                     ch, ns = _audio_dims(aid)
-                    payload = encode_wav(
+                    enc = encode_wav if audio_codec == "pcm16" else encode_wav_mulaw
+                    payload = enc(
                         synthetic_audio(aid % 256, ns, ch),
                         sample_rate=AUDIO_RATE,
                         channels=ch,
@@ -254,6 +262,30 @@ def resize_images(
     )
 
 
+def _skip_counter(df: DataFrame, what: str):
+    """Accumulator + executor-side log line for undecodable payloads.
+
+    Skip-on-corrupt must not be SILENT (round-3 ADVICE: corrupt assets
+    vanishing indistinguishably from empty output is data loss at curation
+    scale): each batch that drops payloads logs a warning on the executor,
+    and the total is queryable on the driver after any action via the
+    accumulator handle attached to the result as ``_pjs_skipped``."""
+    import logging
+
+    acc = df.sparkSession.sparkContext.accumulator(0)
+    log = logging.getLogger("palletjack_spark.multimodal")
+
+    def note(n_skipped: int, n_batch: int) -> None:
+        if n_skipped:
+            acc.add(n_skipped)
+            log.warning(
+                "%s: skipped %d/%d undecodable payloads in batch",
+                what, n_skipped, n_batch,
+            )
+
+    return acc, note
+
+
 def sample_frames(assets: DataFrame, max_frames: int = 4) -> DataFrame:
     """Sample frames from video assets — the UDTF shape: one input row →
     one output row per sampled frame.  REAL pipeline since round 3: parse
@@ -264,11 +296,15 @@ def sample_frames(assets: DataFrame, max_frames: int = 4) -> DataFrame:
     standalone BMP image payload.  Output: (asset_id, frame_no, src_frame,
     width, height, frame_payload).  Payloads no registered codec can read
     are skipped rather than poisoning the batch (``FOURCC_DECODERS`` is
-    the compressed-codec plug-in point)."""
+    the compressed-codec plug-in point) — but NOT silently: skips are
+    counted into an accumulator (attached to the result DataFrame as
+    ``_pjs_skipped``) and warned per batch."""
+    acc, note = _skip_counter(assets, "sample_frames")
 
     def fr(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
+            skipped = 0
             for aid, p in zip(pdf["asset_id"], pdf["payload"]):
                 try:
                     meta = decode_avi(bytes(p) if p is not None else b"",
@@ -283,6 +319,7 @@ def sample_frames(assets: DataFrame, max_frames: int = 4) -> DataFrame:
                     # can parse while a selected DIB chunk is corrupt/short
                     decoded = decode_avi(bytes(p), frame_indices=srcs)
                 except UnsupportedVideoError:
+                    skipped += 1
                     continue
                 for frame_no, (src, px) in enumerate(
                     zip(srcs, decoded["frames"])
@@ -297,6 +334,7 @@ def sample_frames(assets: DataFrame, max_frames: int = 4) -> DataFrame:
                             "frame_payload": encode_bmp(px),
                         }
                     )
+            note(skipped, len(pdf))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -306,7 +344,7 @@ def sample_frames(assets: DataFrame, max_frames: int = 4) -> DataFrame:
                 dtype=object,
             )
 
-    return (
+    out = (
         assets.where(F.col("modality") == "video")
         .select("asset_id", "payload")
         .mapInPandas(
@@ -315,6 +353,8 @@ def sample_frames(assets: DataFrame, max_frames: int = 4) -> DataFrame:
             " height int, frame_payload binary",
         )
     )
+    out._pjs_skipped = acc
+    return out
 
 
 def extract_audio_features(assets: DataFrame) -> DataFrame:
@@ -324,15 +364,21 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
     genuinely parsed (``audiocodec.decode_wav``) and the probe samples
     come from decoded PCM amplitudes — channel 0's first and last sample.
     Payloads no registered codec can read are skipped
-    (``FORMAT_DECODERS`` is the compressed-codec plug-in point)."""
+    (``FORMAT_DECODERS`` is the compressed-codec plug-in point — G.711
+    µ-law WAVs, tag 7, decode through it out of the box) — but NOT
+    silently: skips are counted into an accumulator (attached to the
+    result DataFrame as ``_pjs_skipped``) and warned per batch."""
+    acc, note = _skip_counter(assets, "extract_audio_features")
 
     def ex(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
+            skipped = 0
             for aid, p in zip(pdf["asset_id"], pdf["payload"]):
                 try:
                     d = decode_wav(bytes(p) if p is not None else b"")
                 except UnsupportedAudioError:
+                    skipped += 1
                     continue
                 s = d["samples"]
                 rows.append(
@@ -346,6 +392,7 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
                         "last_sample": int(s[-1, 0]) if len(s) else None,
                     }
                 )
+            note(skipped, len(pdf))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -355,7 +402,7 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
                 dtype=object,
             )
 
-    return (
+    out = (
         assets.where(F.col("modality") == "audio")
         .select("asset_id", "payload")
         .mapInPandas(
@@ -364,3 +411,5 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
             " duration_ms long, first_sample int, last_sample int",
         )
     )
+    out._pjs_skipped = acc
+    return out

@@ -4,7 +4,11 @@
 ``smart_read`` (index/smart.py) routes between the indexed mapInArrow scan
 and the native parquet source, but the caller must invoke it explicitly
 with the predicate mini-language.  This module closes the last gap: after
-``enable_auto_routing(spark)``, a completely ordinary
+
+    register_index(spark, path)   # index the table
+    enable_auto_routing()         # patch the reader (no arguments)
+
+a completely ordinary
 
     spark.read.parquet(path).where("l_orderkey <= 100")
 
@@ -294,19 +298,36 @@ def _routed_parquet(self: DataFrameReader, *paths: str, **options):
     return df
 
 
+#: nesting depth of enable_auto_routing() calls.  The interception is
+#: PROCESS-GLOBAL (DataFrameReader.parquet is patched class-wide) and the
+#: toggles assume a single-threaded driver: two threads racing
+#: enable/disable would see each other's routing state.  Reference-counting
+#: (round-3 ADVICE) at least makes nested enable/disable pairs — e.g. a
+#: registered query toggling routing inside a session that already enabled
+#: it — compose correctly instead of the inner disable stripping the
+#: outer scope's routing.
+_ROUTING_DEPTH = 0
+
+
 def enable_auto_routing() -> None:
     """Intercept ``DataFrameReader.parquet`` so reads of registered paths
-    return :class:`RoutedDataFrame`.  Idempotent; reverse with
-    :func:`disable_auto_routing`."""
-    global _ORIG_PARQUET
+    return :class:`RoutedDataFrame`.  Reference-counted: each call must be
+    paired with one :func:`disable_auto_routing`; the patch is removed when
+    the count returns to zero.  Driver-side single-threaded use assumed
+    (the patch is process-global)."""
+    global _ORIG_PARQUET, _ROUTING_DEPTH
+    _ROUTING_DEPTH += 1
     if _ORIG_PARQUET is None:
         _ORIG_PARQUET = DataFrameReader.parquet
         DataFrameReader.parquet = _routed_parquet
 
 
-def disable_auto_routing() -> None:
-    """Restore the stock ``DataFrameReader.parquet``."""
-    global _ORIG_PARQUET
-    if _ORIG_PARQUET is not None:
+def disable_auto_routing(force: bool = False) -> None:
+    """Undo one :func:`enable_auto_routing`; the stock
+    ``DataFrameReader.parquet`` is restored when every enable has been
+    released (or immediately with ``force=True``)."""
+    global _ORIG_PARQUET, _ROUTING_DEPTH
+    _ROUTING_DEPTH = 0 if force else max(0, _ROUTING_DEPTH - 1)
+    if _ROUTING_DEPTH == 0 and _ORIG_PARQUET is not None:
         DataFrameReader.parquet = _ORIG_PARQUET
         _ORIG_PARQUET = None

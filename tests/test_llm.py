@@ -149,6 +149,63 @@ def test_multimodal_plumbing(spark):
     )
 
 
+def test_mulaw_assets_decode_through_plugin_seam(spark):
+    """q94e's pipeline shape: µ-law-companded WAV assets flow through the
+    same extract_audio_features path as PCM, dispatched by FORMAT_DECODERS;
+    metadata is exact and probe samples are the dequantized amplitudes."""
+    import numpy as np
+
+    from palletjack_spark.functions.audiocodec import (
+        mulaw_decode_codewords,
+        mulaw_encode,
+    )
+    from palletjack_spark.functions.multimodal import extract_audio_features
+
+    docs = load_table(spark, SF_DIR, "documents").limit(60)
+    assets = attach_fake_binary(docs, "text", "doc_id", audio_codec="mulaw")
+    feats = extract_audio_features(assets).toPandas()
+    assert len(feats) > 0
+    assert (feats["sample_rate"] == 8000).all()
+    assert (feats["channels"] == 1 + feats["asset_id"] % 2).all()
+    assert (feats["n_samples"] == 100 + (feats["asset_id"] * 11) % 400).all()
+    raw_first = (feats["asset_id"] % 256) - 1024
+    want_first = mulaw_decode_codewords(
+        mulaw_encode(raw_first.to_numpy(np.int64))
+    )
+    assert (feats["first_sample"].to_numpy(np.int64) == want_first).all()
+
+
+def test_skipped_payloads_are_counted(spark):
+    """Round-3 ADVICE: undecodable payloads must not vanish silently —
+    the skip count is surfaced via the accumulator attached to the result."""
+    import pandas as pd_
+
+    from palletjack_spark.functions.multimodal import (
+        extract_audio_features,
+        sample_frames,
+    )
+
+    good = attach_fake_binary(
+        load_table(spark, SF_DIR, "documents").limit(12), "text", "doc_id"
+    ).toPandas()
+    # corrupt one audio and one video payload
+    for modality in ("audio", "video"):
+        i = good[good["modality"] == modality].index[0]
+        good.at[i, "payload"] = b"\x00garbage"
+    broken = spark.createDataFrame(
+        good, "asset_id long, modality string, payload binary, width int,"
+        " height int, n_bytes long"
+    )
+    aud = extract_audio_features(broken)
+    n_aud = aud.count()
+    assert aud._pjs_skipped.value == 1
+    assert n_aud == len(good[good["modality"] == "audio"]) - 1
+    vid = sample_frames(broken)
+    vid.count()
+    assert vid._pjs_skipped.value == 1
+    assert isinstance(good, pd_.DataFrame)
+
+
 def test_image_codec_roundtrip():
     """encode→decode identity for both real codecs, plus dispatch errors."""
     import numpy as np

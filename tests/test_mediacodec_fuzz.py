@@ -14,6 +14,7 @@ from palletjack_spark.functions.audiocodec import (
     UnsupportedAudioError,
     decode_wav,
     encode_wav,
+    encode_wav_mulaw,
     synthetic_audio,
 )
 from palletjack_spark.functions.imagecodec import (
@@ -92,7 +93,7 @@ def test_garbage_never_crashes_with_foreign_exception(data):
 @settings(max_examples=60, deadline=None)
 @given(
     data=st.data(),
-    kind=st.sampled_from(["bmp", "ppm", "avi", "wav"]),
+    kind=st.sampled_from(["bmp", "ppm", "avi", "wav", "wav_mulaw"]),
 )
 def test_mutated_valid_payloads_never_crash(data, kind):
     """Flip bytes inside real payloads: decode must return or raise the
@@ -113,9 +114,14 @@ def test_mutated_valid_payloads_never_crash(data, kind):
             encode_avi(synthetic_video(3, 8, 6, 3)), decode_avi,
             UnsupportedVideoError,
         )
-    else:
+    elif kind == "wav":
         payload, dec, err = (
             encode_wav(synthetic_audio(4, 64)), decode_wav,
+            UnsupportedAudioError,
+        )
+    else:
+        payload, dec, err = (
+            encode_wav_mulaw(synthetic_audio(5, 64)), decode_wav,
             UnsupportedAudioError,
         )
     buf = bytearray(payload)

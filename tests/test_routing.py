@@ -49,6 +49,27 @@ def sorted_lineitem(spark, tmp_path):
         unregister_index(out)
 
 
+def test_nested_enable_disable_refcounted(spark, sorted_lineitem):
+    """Round-3 ADVICE: enable/disable are reference-counted, so an inner
+    scope's disable (e.g. a registered query toggling routing) must not
+    strip routing from an outer scope that is still inside its enable."""
+    # fixture already holds one enable; take a second, release it, and the
+    # outer enable must still route
+    enable_auto_routing()
+    disable_auto_routing()
+    routed = spark.read.parquet(sorted_lineitem).where("l_orderkey <= 100")
+    assert "MapInArrow" in _plan(routed)
+    # force=True tears down regardless of depth (and the fixture's final
+    # disable is then a no-op)
+    enable_auto_routing()
+    disable_auto_routing(force=True)
+    try:
+        native = spark.read.parquet(sorted_lineitem).where("l_orderkey <= 100")
+        assert "Scan parquet" in _plan(native)
+    finally:
+        enable_auto_routing()  # restore for the fixture's finally
+
+
 def test_parse_condition_subset(spark):
     assert parse_condition("l_orderkey <= 100") == [("l_orderkey", "<=", 100)]
     assert parse_condition("(a > 5) AND (b < 3.5)") == [
