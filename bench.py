@@ -381,6 +381,36 @@ def main() -> None:
         times[name] = round(best, 4)
         print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    # SF sweep (round-3 verdict item 8): re-run the index/metadata-path
+    # queries at a secondary scale factor so one bench line carries BOTH
+    # scales — data grows 10x between adjacent SFs, and the pruned paths
+    # should grow far slower (the sub-linear-scaling evidence).  Sweep keys
+    # are prefixed and excluded from the headline total.
+    sweep_dir = os.environ.get("SPARK_GRAFT_SWEEP_DIR")
+    if sweep_dir is None:
+        sweep_dir = {
+            "/root/testdata/sf0.1": "/root/testdata/sf0.01",
+            "/root/testdata/sf0.01": "/root/testdata/sf0.001",
+        }.get(SF_DIR.rstrip("/"))
+    if sweep_dir and os.path.isdir(sweep_dir):
+        sweep_tag = "sf" + sweep_dir.rstrip("/").rsplit("sf", 1)[-1]
+        for name in (
+            "q03_indexed_rowgroup_scan",
+            "q13_pushdown_prune",
+            "q36_metadata_agg",
+        ):
+            best, n = float("inf"), 0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = REGISTRY[name].fn(spark, sweep_dir).count()
+                best = min(best, time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            times[f"sweep_{sweep_tag}_{name}"] = round(best, 4)
+            print(
+                f"# sweep {sweep_tag} {name}: {best:.3f}s ({n} rows)",
+                file=sys.stderr,
+            )
+
     for k, v in bench_metadata(spark).items():
         times[k] = round(v, 6)
         print(f"# {k}: {v * 1000:.3f} ms/call", file=sys.stderr)
