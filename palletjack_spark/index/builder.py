@@ -239,12 +239,23 @@ def build_index(
             _INDEX_CACHE[cache_key] = idx
         return idx
     if incremental and index_dir and os.path.exists(os.path.join(index_dir, "files")):
+        # loaded-index memo: repeated incremental builds over unchanged
+        # candidates + an unchanged sidecar skip the semi-join probe AND
+        # re-validation — the reference's read-the-index-once reuse
+        # (palletjack.cc:656-678).  The sidecar signature (directory
+        # mtimes) invalidates on any append/rewrite.
+        inc_key = ("inc", index_dir, _sidecar_sig(index_dir)) + cache_key
+        if use_cache and inc_key in _INDEX_CACHE:
+            return _INDEX_CACHE[inc_key]
         files = [
             f for f in files
             if f not in _already_indexed(spark, files, index_dir)
         ]
         if not files:
-            return load_index(spark, index_dir)
+            idx = load_index(spark, index_dir)
+            if use_cache:
+                _INDEX_CACHE[inc_key] = idx
+            return idx
 
     # Parallelism unit = (file, footer chunk): with many files each file is
     # one unit; with few files (or one giant footer) each file fans out to
@@ -331,6 +342,18 @@ def build_index(
     if use_cache:
         _INDEX_CACHE[cache_key] = idx
     return idx
+
+
+def _sidecar_sig(index_dir: str) -> tuple:
+    """Change signature of a persisted sidecar: the mtimes of its two
+    dataset directories (bumped by any write into them)."""
+    sig = []
+    for sub in ("files", "row_groups"):
+        try:
+            sig.append(os.stat(os.path.join(index_dir, sub)).st_mtime_ns)
+        except OSError:
+            sig.append(-1)
+    return tuple(sig)
 
 
 def _already_indexed(
