@@ -52,9 +52,10 @@ HEADLINE = [
     "q94c_multimodal_frames",
     "q107_paragraph_dedup",
     "q108_repetition_filter",
-    # round 4 addition: compressed (G.711 µ-law) audio through the
-    # FORMAT_DECODERS plug-in seam
+    # round 4 additions: compressed media through the plug-in seams —
+    # G.711 µ-law audio (FORMAT_DECODERS), MS RLE8 video (FOURCC_DECODERS)
     "q94e_audio_mulaw",
+    "q94f_video_rle8",
 ]
 
 META_ROW_GROUPS = 200

@@ -46,7 +46,9 @@ from palletjack_spark.functions.videocodec import (
     UnsupportedVideoError,
     decode_avi,
     encode_avi,
+    encode_avi_rle8,
     synthetic_video,
+    synthetic_video_indexed,
 )
 from palletjack_spark.functions.audiocodec import (
     UnsupportedAudioError,
@@ -92,7 +94,11 @@ def _audio_dims(asset_id: int) -> tuple[int, int]:
 
 
 def attach_fake_binary(
-    df: DataFrame, text_col: str, id_col: str, audio_codec: str = "pcm16"
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    audio_codec: str = "pcm16",
+    video_codec: str = "dib",
 ) -> DataFrame:
     """Build a multimodal asset table from a text fixture.
 
@@ -103,9 +109,13 @@ def attach_fake_binary(
     ``_video_dims``), so decode correctness is oracle-checkable for every
     modality.  ``audio_codec``: ``"pcm16"`` (uncompressed) or ``"mulaw"``
     (G.711-companded — exercises the ``FORMAT_DECODERS`` compressed-codec
-    seam on the read side)."""
+    seam on the read side).  ``video_codec``: ``"dib"`` (uncompressed) or
+    ``"rle8"`` (MS-RLE8-compressed, palettized — exercises the
+    ``FOURCC_DECODERS`` seam)."""
     if audio_codec not in ("pcm16", "mulaw"):
         raise ValueError(f"unknown audio_codec {audio_codec!r}")
+    if video_codec not in ("dib", "rle8"):
+        raise ValueError(f"unknown video_codec {video_codec!r}")
     cols = ["asset_id", "modality", "payload", "width", "height", "n_bytes"]
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -122,9 +132,15 @@ def attach_fake_binary(
                     )
                 elif modality == "video":
                     w, h, n = _video_dims(aid)
-                    payload = encode_avi(
-                        synthetic_video(aid % 256, w, h, n), fps=10
-                    )
+                    if video_codec == "dib":
+                        payload = encode_avi(
+                            synthetic_video(aid % 256, w, h, n), fps=10
+                        )
+                    else:
+                        payload = encode_avi_rle8(
+                            synthetic_video_indexed(aid % 256, w, h, n),
+                            fps=10,
+                        )
                 else:
                     ch, ns = _audio_dims(aid)
                     enc = encode_wav if audio_codec == "pcm16" else encode_wav_mulaw

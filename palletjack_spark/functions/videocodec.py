@@ -42,9 +42,14 @@ class UnsupportedVideoError(NotImplementedError):
     """Payload is not in a format this build can decode."""
 
 
-#: fourcc -> frame decoder; ``b"DIB "``/``b"\0\0\0\0"`` (uncompressed) is
-#: built in.  Register a compressed codec by adding an entry
-#: (e.g. ``FOURCC_DECODERS[b"MJPG"] = jpeg_frame_decode``).
+#: fourcc -> frame decoder ``(chunk_body, width, height, strf_bytes) ->
+#: RGB (h, w, 3)``; ``b"DIB "``/``b"\0\0\0\0"`` (uncompressed) is built
+#: in.  ``strf_bytes`` is the stream-format chunk (BITMAPINFOHEADER +
+#: palette) — palettized codecs need it.  Register a compressed codec by
+#: adding an entry (e.g. ``FOURCC_DECODERS[b"MJPG"] = jpeg_frame_decode``);
+#: MS RLE8 (fourcc 'MRLE') registers below — a REAL compressed codec
+#: (run-length, BI_RLE8) carried through this seam, proving the plug-in
+#: point works end to end.
 FOURCC_DECODERS: dict[bytes, object] = {}
 
 
@@ -71,6 +76,157 @@ def _decode_dib(body: bytes, w: int, h: int) -> np.ndarray:
         h, row_size
     )[:, : w * 3].reshape(h, w, 3)
     return raw[::-1, :, ::-1].copy()  # bottom-up BGR -> top-down RGB
+
+
+# --------------------------------------------------------------------------
+# MS RLE8 (public BI_RLE8 spec): 8-bit palettized run-length frames
+# --------------------------------------------------------------------------
+
+def rle8_palette() -> np.ndarray:
+    """Deterministic 256-entry RGB palette — closed form (i*7, i*13, i*29)
+    mod 256, so oracle SQL can recompute any palettized pixel probe."""
+    i = np.arange(256)
+    return np.stack([(i * 7) % 256, (i * 13) % 256, (i * 29) % 256],
+                    axis=-1).astype(np.uint8)
+
+
+def _encode_rle8_frame(idx_frame: np.ndarray) -> bytes:
+    """(h, w) uint8 palette indices -> MS RLE8 stream (bottom-up rows;
+    encoded runs capped at 255; EOL between rows, EOB at the end)."""
+    h, w = idx_frame.shape
+    out = bytearray()
+    for y in range(h - 1, -1, -1):  # RLE8 data starts at the bottom row
+        row = idx_frame[y]
+        x = 0
+        while x < w:
+            v = row[x]
+            run = 1
+            while x + run < w and run < 255 and row[x + run] == v:
+                run += 1
+            out += bytes((run, int(v)))
+            x += run
+        if y != 0:
+            out += b"\x00\x00"  # end of line
+    out += b"\x00\x01"  # end of bitmap
+    return bytes(out)
+
+
+def _rle8_palette_from_strf(strf: bytes) -> np.ndarray:
+    """BITMAPINFOHEADER (+RGBQUAD table) -> (256, 3) RGB palette."""
+    if strf is None or len(strf) < 40:
+        raise UnsupportedVideoError("RLE8 stream missing BITMAPINFOHEADER")
+    bit_count, compression = struct.unpack_from("<HI", strf, 14)
+    if bit_count != 8 or compression != 1:  # BI_RLE8
+        raise UnsupportedVideoError(
+            f"RLE8 decoder expects 8bpp/BI_RLE8, got {bit_count}bpp "
+            f"compression {compression}"
+        )
+    (clr_used,) = struct.unpack_from("<I", strf, 32)
+    n_colors = clr_used or 256
+    quads = np.frombuffer(strf, dtype=np.uint8, offset=40,
+                          count=min(n_colors, 256) * 4).reshape(-1, 4)
+    palette = np.zeros((256, 3), dtype=np.uint8)
+    palette[: len(quads)] = quads[:, 2::-1]  # RGBQUAD is B,G,R,reserved
+    return palette
+
+
+def _decode_rle8(body: bytes, w: int, h: int, strf: bytes) -> np.ndarray:
+    """MS RLE8 '00dc' chunk -> RGB (h, w, 3).  Implements the full BI_RLE8
+    state machine: encoded runs, absolute mode (escape >= 3, word-padded),
+    delta moves (escape 2), end-of-line (0) and end-of-bitmap (1)."""
+    palette = _rle8_palette_from_strf(strf)
+    grid = np.zeros((h, w), dtype=np.uint8)  # bottom-up rows
+    x = y = pos = 0
+    n = len(body)
+    while True:
+        if pos + 2 > n:
+            raise UnsupportedVideoError("truncated RLE8 stream")
+        a, b = body[pos], body[pos + 1]
+        pos += 2
+        if a > 0:  # encoded run
+            if y >= h or x + a > w:
+                raise UnsupportedVideoError("RLE8 run overflows the frame")
+            grid[y, x : x + a] = b
+            x += a
+        elif b == 0:  # end of line
+            x, y = 0, y + 1
+        elif b == 1:  # end of bitmap
+            break
+        elif b == 2:  # delta
+            if pos + 2 > n:
+                raise UnsupportedVideoError("truncated RLE8 delta")
+            x += body[pos]
+            y += body[pos + 1]
+            pos += 2
+            if x > w or y > h:
+                raise UnsupportedVideoError("RLE8 delta leaves the frame")
+        else:  # absolute mode: b literal indices, padded to a word boundary
+            span = b + (b % 2)
+            if pos + span > n:
+                raise UnsupportedVideoError("truncated RLE8 absolute run")
+            if y >= h or x + b > w:
+                raise UnsupportedVideoError("RLE8 absolute run overflows")
+            grid[y, x : x + b] = np.frombuffer(body, np.uint8, b, pos)
+            x += b
+            pos += span
+    return palette[grid[::-1]]  # bottom-up -> top-down, indices -> RGB
+
+
+def encode_avi_rle8(
+    idx_frames: np.ndarray, palette: np.ndarray | None = None, fps: int = 10
+) -> bytes:
+    """(n, h, w) uint8 palette-index frames -> MS-RLE8-compressed AVI
+    ('MRLE' handler, BI_RLE8 strf with an RGBQUAD palette, '00dc' chunks).
+    The compressed sibling of :func:`encode_avi`."""
+    if idx_frames.ndim != 3:
+        raise ValueError("encode_avi_rle8 expects (n, h, w) index frames")
+    if palette is None:
+        palette = rle8_palette()
+    n, h, w = idx_frames.shape
+    bodies = [_encode_rle8_frame(idx_frames[i]) for i in range(n)]
+    frame_bytes = max(len(b) for b in bodies)
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, frame_bytes * fps, 0, 0x10, n, 0, 1,
+        frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MRLE"
+        + struct.pack(
+            "<IHHIIIIIIII4H", 0, 0, 0, 0, 1, fps, 0, n, frame_bytes,
+            0xFFFFFFFF, 0, 0, 0, w, h,
+        )
+    )
+    quads = np.zeros((256, 4), dtype=np.uint8)
+    quads[:, :3] = palette[:, ::-1]  # RGBQUAD stores B,G,R,reserved
+    strf = (
+        struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, 0, 2835, 2835, 256, 0)
+        + quads.tobytes()
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi_chunks, idx_entries, offset = [], [], 4
+    for body in bodies:
+        movi_chunks.append(_chunk(b"00dc", body))
+        idx_entries.append(b"00dc" + struct.pack("<III", 0x10, offset, len(body)))
+        offset += len(movi_chunks[-1])
+    movi = _list(b"movi", b"".join(movi_chunks))
+    idx1 = _chunk(b"idx1", b"".join(idx_entries))
+    return _chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def synthetic_video_indexed(seed: int, w: int, h: int, n_frames: int) -> np.ndarray:
+    """Deterministic palette-index frame stack with RUNS (RLE-friendly):
+    frame f pixel (y, x) = (seed + f*13 + y*7 + (x//4)*3) mod 256 — pure
+    closed form, so oracle SQL recomputes any probe analytically."""
+    f, y, x = np.mgrid[0:n_frames, 0:h, 0:w]
+    return ((seed + f * 13 + y * 7 + (x // 4) * 3) % 256).astype(np.uint8)
+
+
+FOURCC_DECODERS[b"MRLE"] = _decode_rle8
+FOURCC_DECODERS[b"mrle"] = _decode_rle8
 
 
 def _chunk(fourcc: bytes, body: bytes) -> bytes:
@@ -173,6 +329,7 @@ def decode_avi(payload: bytes, frame_indices=None) -> dict:
     width = height = n_frames = None
     usec_per_frame = 0
     handler = b"\x00\x00\x00\x00"
+    strf_span: tuple[int, int] | None = None
     frame_chunks: list[tuple[int, int]] = []
 
     for fourcc, body, size in _walk_chunks(payload, 12, end):
@@ -188,9 +345,16 @@ def decode_avi(payload: bytes, frame_indices=None) -> dict:
                     usec_per_frame, n_frames = vals[0], vals[4]
                     width, height = vals[8], vals[9]
                 elif f2 == b"LIST" and payload[b2 : b2 + 4] == b"strl":
+                    in_vids = False
                     for f3, b3, s3 in _walk_chunks(payload, b2 + 4, b2 + s2):
-                        if f3 == b"strh" and payload[b3 : b3 + 4] == b"vids":
-                            handler = payload[b3 + 4 : b3 + 8]
+                        if f3 == b"strh":
+                            in_vids = payload[b3 : b3 + 4] == b"vids"
+                            if in_vids:
+                                handler = payload[b3 + 4 : b3 + 8]
+                        elif f3 == b"strf" and in_vids:
+                            # stream format (BITMAPINFOHEADER + palette) —
+                            # palettized plug-in codecs need it
+                            strf_span = (b3, s3)
         elif list_type == b"movi":
             for f2, b2, s2 in _walk_chunks(payload, body + 4, body + size):
                 if f2[2:4] in (b"db", b"dc"):
@@ -217,6 +381,11 @@ def decode_avi(payload: bytes, frame_indices=None) -> dict:
         if frame_indices is None
         else [i for i in frame_indices if 0 <= i < len(frame_chunks)]
     )
+    strf = (
+        payload[strf_span[0] : strf_span[0] + strf_span[1]]
+        if strf_span is not None
+        else None
+    )
     frames = []
     for i in wanted:
         b2, s2 = frame_chunks[i]
@@ -224,7 +393,7 @@ def decode_avi(payload: bytes, frame_indices=None) -> dict:
         frames.append(
             _decode_dib(body, width, height)
             if uncompressed
-            else decoder(body, width, height)
+            else decoder(body, width, height, strf)
         )
     fps = round(1_000_000 / usec_per_frame) if usec_per_frame else 0
     return {

@@ -28,7 +28,9 @@ from palletjack_spark.functions.videocodec import (
     UnsupportedVideoError,
     decode_avi,
     encode_avi,
+    encode_avi_rle8,
     synthetic_video,
+    synthetic_video_indexed,
 )
 
 
@@ -93,7 +95,7 @@ def test_garbage_never_crashes_with_foreign_exception(data):
 @settings(max_examples=60, deadline=None)
 @given(
     data=st.data(),
-    kind=st.sampled_from(["bmp", "ppm", "avi", "wav", "wav_mulaw"]),
+    kind=st.sampled_from(["bmp", "ppm", "avi", "avi_rle8", "wav", "wav_mulaw"]),
 )
 def test_mutated_valid_payloads_never_crash(data, kind):
     """Flip bytes inside real payloads: decode must return or raise the
@@ -112,6 +114,11 @@ def test_mutated_valid_payloads_never_crash(data, kind):
     elif kind == "avi":
         payload, dec, err = (
             encode_avi(synthetic_video(3, 8, 6, 3)), decode_avi,
+            UnsupportedVideoError,
+        )
+    elif kind == "avi_rle8":
+        payload, dec, err = (
+            encode_avi_rle8(synthetic_video_indexed(6, 8, 6, 3)), decode_avi,
             UnsupportedVideoError,
         )
     elif kind == "wav":
