@@ -238,6 +238,51 @@ def token_budget_sample(
     )
 
 
+#: per-domain document cap for crawl curation (kept small so the sf0.01
+#: fixture genuinely drops rows; production values are e.g. 1e5 pages/host)
+DOMAIN_CAP = 15
+
+#: blocked domains (stand-in for a host blocklist; real deployments load
+#: one — the operator takes any iterable)
+DOMAIN_BLOCKLIST = ("src13", "src17")
+
+
+def cap_domains(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    cap: int = DOMAIN_CAP,
+    blocklist: tuple[str, ...] = DOMAIN_BLOCKLIST,
+) -> DataFrame:
+    """Domain-level crawl curation (the C4/RefinedWeb/Dolma host step):
+    drop blocklisted domains outright, then keep at most ``cap`` documents
+    per domain, chosen in deterministic md5-hash order so the retained
+    sample is an unbiased, reproducible draw (not "first N by crawl
+    order", which over-represents whatever the crawler saw first).
+
+    Returns kept rows (id, domain, rn) with ``rn`` the 1-based pick order.
+
+    Scale shape: the blocklist filter is a codegen'd ``NOT IN`` (zero
+    shuffle; a large real blocklist would broadcast-anti-join instead).
+    The cap is a rank-limit window — one shuffle on the domain key, and
+    Spark's WindowGroupLimit pushdown keeps only ``cap`` rows per domain
+    *before* the exchange, so a hot domain (the very thing caps exist
+    for) never concentrates its full row set on one task (same plan shape
+    as Q43 top-k per group; asserted in tests/test_plans.py)."""
+    from palletjack_spark.functions.dedup import hash60
+
+    _check_reserved({"pri", "rn"}, id_col=id_col, domain_col=domain_col)
+    pri = hash60(F.concat(F.col(id_col).cast("string"), F.lit("#dom")))
+    w = Window.partitionBy(domain_col).orderBy("pri", id_col)
+    return (
+        df.where(~F.col(domain_col).isin(*blocklist))
+        .select(F.col(id_col), F.col(domain_col), pri.alias("pri"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= cap)
+        .select(id_col, domain_col, F.col("rn").cast("long").alias("rn"))
+    )
+
+
 #: paragraph separator for paragraph-level dedup (a literal, not a regex —
 #: both engines must split identically)
 PARA_SEP = ". "

@@ -1244,3 +1244,34 @@ def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(docs, "text", "doc_id", "source", threshold=0.2)
     comp = connected_components(pairs)
     return apply_components(docs, comp, "doc_id").select("doc_id", "source")
+
+
+@query(
+    "q109_domain_caps",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '#dom'),
+                                        1, 15))::BIGINT, doc_id
+             ) AS rn
+      FROM documents
+      WHERE source NOT IN ('src13', 'src17')
+    )
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 15 ORDER BY doc_id
+    """,
+)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level crawl curation (Q109): host blocklist + per-domain
+    document caps in deterministic hash order — the C4/RefinedWeb/Dolma
+    "max pages per host" step.  The cap is a rank-limit window, so
+    WindowGroupLimit truncates hot domains to ``cap`` rows BEFORE the
+    domain-key exchange (hot hosts are exactly why the cap exists); the
+    blocklist is a codegen'd NOT IN (functions/curation.py:cap_domains;
+    plan pinned in tests/test_plans.py)."""
+    from palletjack_spark.functions.curation import cap_domains
+
+    docs = t(spark, sf_dir, "documents")
+    return cap_domains(docs, "doc_id", "source").orderBy("doc_id")

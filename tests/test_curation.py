@@ -170,3 +170,21 @@ def test_paragraph_dedup_reserved_names(spark):
     df = spark.createDataFrame([(1, "x")], "pos long, text string")
     with pytest.raises(ValueError, match="pos"):
         dedup_paragraphs(df, "text", "pos")
+
+
+def test_cap_domains_caps_and_blocks(spark):
+    from palletjack_spark.functions.curation import cap_domains
+    from palletjack_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = cap_domains(docs, "doc_id", "source", cap=5).toPandas()
+    per = out.groupby("source").size()
+    assert (per <= 5).all()
+    assert not {"src13", "src17"} & set(out["source"])
+    # deterministic: same selection twice
+    again = cap_domains(docs, "doc_id", "source", cap=5).toPandas()
+    assert sorted(out["doc_id"]) == sorted(again["doc_id"])
+    # the pick is a hash draw, not a doc_id prefix
+    first_ids = set(docs.orderBy("doc_id").limit(5).toPandas()["doc_id"])
+    assert set(out[out["source"] == "src1"]["doc_id"]) != first_ids

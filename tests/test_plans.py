@@ -436,3 +436,16 @@ def test_repetition_stats_zero_shuffle(spark):
     plan = _simple_plan(repetition_stats(docs, "text", "doc_id"))
     assert plan.count("Exchange") <= 1, plan  # only _spread's round-robin
     assert "HashAggregate" not in plan and "Generate" not in plan
+
+
+def test_cap_domains_group_limits_before_exchange(spark):
+    """Q109: the per-domain cap must plan as WindowGroupLimit (per-map-task
+    rank truncation) so a hot domain never lands its full row set on one
+    reducer, and the blocklist must be a pushed/codegen'd filter, not a
+    join."""
+    from palletjack_spark.functions.curation import cap_domains
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(cap_domains(docs, "doc_id", "source"))
+    assert "WindowGroupLimit" in plan, plan
+    assert "Join" not in plan, plan
