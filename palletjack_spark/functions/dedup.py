@@ -698,3 +698,74 @@ def apply_components(
     if n_losers * 72 <= BROADCAST_SETS_MAX_BYTES:  # 8 B id + row overhead
         return df.join(F.broadcast(losers), id_col, "left_anti")
     return df.join(losers.hint("shuffle_hash"), id_col, "left_anti")
+
+
+#: cross-document duplicate-gram settings (Q110): word-gram length and the
+#: keep threshold on the duplicated-position fraction.  Module-level so the
+#: DuckDB oracle embeds the same values.
+DUPGRAM_N = 4
+DUPGRAM_MAX_FRAC = 0.5
+
+
+def cross_doc_dupgrams(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = DUPGRAM_N,
+    max_frac: float = DUPGRAM_MAX_FRAC,
+) -> DataFrame:
+    """Cross-corpus duplicated-substring filtering — the scalable
+    approximation of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for every
+    document, the fraction of its word ``n``-gram POSITIONS whose gram
+    also appears in at least one other document.  Documents past
+    ``max_frac`` are mostly boilerplate/copy and are marked drop.
+
+    Returns (id, n_grams, n_dup_grams, dup_frac, keep) — one row per
+    document with at least ``n`` tokens.
+
+    Scale shape — the text column never shuffles:
+
+    1. grams are a per-row projection hashed to 60-bit longs
+       (``hash60``), exploded as (id, gh) pairs — 16 B rows;
+    2. gram doc-frequency is a distinct + count aggregate on ``gh`` with
+       map-side partial combine;
+    3. the per-doc roll-up joins (id, gh) back to the tiny-keyed
+       frequency table on ``gh`` and aggregates by id — after the
+       explode a document's grams are co-located, so the partial
+       aggregate collapses to ~one row per doc before the exchange.
+
+    All exchanges move two-long projections; a 100 TB corpus shuffles
+    ~corpus-token-count × 16 B, the same order as the minhash shingle
+    pass (Q91), not corpus bytes.
+    """
+    df = _spread(df)
+    gram = " || ' ' || ".join(f"element_at(toks, i + {j})" for j in range(n))
+    g = (
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
+        .where(F.size("toks") >= n)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(f"transform(sequence(1, size(toks) - {n - 1}), i -> {gram})")
+            ).alias("gram"),
+        )
+        .select(F.col(id_col), hash60(F.col("gram")).alias("gh"))
+    )
+    dfreq = g.distinct().groupBy("gh").agg(F.count("*").alias("ndocs"))
+    dup_frac = F.col("n_dup_grams").cast("double") / F.col("n_grams")
+    return (
+        g.join(dfreq, "gh")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0)).alias("n_dup_grams"),
+        )
+        .select(
+            F.col(id_col),
+            "n_grams",
+            "n_dup_grams",
+            dup_frac.alias("dup_frac"),
+            (dup_frac <= F.lit(max_frac)).alias("keep"),
+        )
+    )

@@ -1275,3 +1275,46 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return cap_domains(docs, "doc_id", "source").orderBy("doc_id")
+
+
+@query(
+    "q110_cross_doc_dupgrams",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' ||
+                                 toks[i+2] || ' ' || toks[i+3]), 1, 15))::BIGINT AS gh
+      FROM t, UNNEST(generate_series(1, len(toks) - 3)) s(i)
+      WHERE len(toks) >= 4
+    ),
+    d AS (
+      SELECT gh, COUNT(DISTINCT doc_id) AS ndocs FROM g GROUP BY gh
+    ),
+    p AS (
+      SELECT g.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN d.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_grams
+      FROM g JOIN d USING (gh) GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_grams, n_dup_grams,
+           CAST(n_dup_grams AS DOUBLE) / n_grams AS dup_frac,
+           (CAST(n_dup_grams AS DOUBLE) / n_grams) <= 0.5 AS keep
+    FROM p ORDER BY doc_id
+    """,
+)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus duplicated-substring filtering (Q110) — the scalable
+    stand-in for suffix-array substring dedup (Lee et al. 2022): per-doc
+    fraction of word 4-gram positions shared with any other document;
+    boilerplate-heavy docs are marked drop.  Text never shuffles — grams
+    hash to 60-bit longs row-side and every exchange moves (long, long)
+    projections (functions/dedup.py:cross_doc_dupgrams; plan pinned in
+    tests/test_plans.py)."""
+    from palletjack_spark.functions.dedup import cross_doc_dupgrams
+
+    docs = t(spark, sf_dir, "documents")
+    return cross_doc_dupgrams(docs, "text", "doc_id").orderBy("doc_id")

@@ -518,3 +518,29 @@ def test_repetition_filter_drops_spam(spark):
     assert not out[1]["keep"] and out[1]["dup_2gram_frac"] > 0.9
     assert not out[2]["keep"] and out[2]["top_word_frac"] == 1.0
     assert out[3]["keep"] and out[3]["dup_word_frac"] == 0.0
+
+
+def test_cross_doc_dupgrams_crafted(spark, crafted_docs):
+    """Exact dups score dup_frac 1.0 and are dropped; unique docs keep."""
+    from palletjack_spark.functions.dedup import cross_doc_dupgrams
+
+    out = {
+        r["doc_id"]: r
+        for r in cross_doc_dupgrams(crafted_docs, "text", "doc_id").collect()
+    }
+    assert out[0]["dup_frac"] == 1.0 and not out[0]["keep"]  # dup of 1
+    assert out[3]["dup_frac"] == 1.0 and not out[3]["keep"]  # dup of 4
+    assert 5 not in out  # 3 tokens < gram length -> no grams, no row
+    # near-dup of 0 shares most but not all 4-gram positions
+    assert 0.0 < out[2]["dup_frac"] < 1.0
+    # a long unique doc keeps with zero duplicated positions
+    uniq = crafted_docs.union(
+        crafted_docs.sparkSession.createDataFrame(
+            [(9, "entirely novel words nobody else wrote in any other row")],
+            "doc_id long, text string",
+        )
+    )
+    out9 = {
+        r["doc_id"]: r for r in cross_doc_dupgrams(uniq, "text", "doc_id").collect()
+    }[9]
+    assert out9["dup_frac"] == 0.0 and out9["keep"]

@@ -449,3 +449,26 @@ def test_cap_domains_group_limits_before_exchange(spark):
     plan = _plan(cap_domains(docs, "doc_id", "source"))
     assert "WindowGroupLimit" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_cross_doc_dupgrams_text_never_shuffles(spark):
+    """Q110: every Exchange must carry only (id, gh)-shaped long
+    projections — neither the document text nor raw gram strings may
+    cross the wire (the whole point of hashing grams row-side)."""
+    from palletjack_spark.functions.dedup import cross_doc_dupgrams
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(cross_doc_dupgrams(docs, "text", "doc_id"))
+    lines = plan.splitlines()
+    hash_exchange_inputs = []
+    for i, line in enumerate(lines):
+        # block layout: "(N) Exchange" / "Input [...]: [...]" /
+        # "Arguments: hashpartitioning(...)|roundrobin(...)".  Only hash
+        # exchanges are real data shuffles — _spread's round-robin input
+        # splitting is a no-op at scale (inputs already have splits).
+        if ") Exchange" in line and i + 2 < len(lines):
+            if "hashpartitioning" in lines[i + 2]:
+                hash_exchange_inputs.append(lines[i + 1])
+    assert hash_exchange_inputs, plan
+    for inp in hash_exchange_inputs:
+        assert "text#" not in inp and "gram#" not in inp, inp
