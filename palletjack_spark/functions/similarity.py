@@ -377,3 +377,84 @@ def ivf_topk(
         "query_id", "vec_id", "vec", "qvec"
     )
     return _exact_rescore_topk(cand, k, exclude_self)
+
+
+#: SemDeDup cosine threshold — vectors this similar to a LOWER-id vector in
+#: the same cluster are dropped.  Module-level so the DuckDB oracle embeds
+#: the same value.  0.2 is tuned to the iid-random fixture (cos ~ N(0, 1/64):
+#: ~1.6σ, so both keep and drop branches genuinely fire); real corpora use
+#: 0.9+ on *semantic* embeddings.
+SEMDEDUP_TAU = 0.2
+
+
+def _fold_dot(a: str, b: str) -> str:
+    """SQL expr: dot product of two float arrays as a strict left-to-right
+    DOUBLE fold.  Bit-portable: DuckDB's ``list_reduce`` folds the same
+    product list in the same order, and IEEE double ops are deterministic,
+    so both engines produce the identical double (the leading ``0.0 + x``
+    is exact)."""
+    return (
+        f"aggregate(zip_with({a}, {b},"
+        f" (x, y) -> cast(x as double) * cast(y as double)),"
+        f" cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cluster_col: str,
+    tau: float = SEMDEDUP_TAU,
+) -> DataFrame:
+    """SemDeDup-style embedding-space dedup (Abbas et al. 2023): within
+    each cluster, a vector whose cosine to ANY lower-id cluster member
+    reaches ``tau`` is a semantic duplicate and is dropped (the lowest id
+    of each similar group survives — deterministic, no iteration).
+
+    Returns (id, cluster, keep) for every input vector, ordered by
+    nothing (caller sorts).
+
+    Scale shape — this is the published SemDeDup decomposition: the
+    O(n²) cosine scan is *within-cluster only*, and clustering (k-means
+    with k ≈ √N, e.g. the driver-trained IVF cells in ``ivf_topk``) bounds
+    cluster sizes so each cluster's pair block fits one task.  The
+    cluster self-join shuffles (id, vec) once on the cluster key; the
+    drop list is id-only and byte-gated downstream exactly like Q106's
+    loser anti-join.  A degenerate hot cluster (thousands of identical
+    embeddings) is the Q91 hot-bucket regime — cap cluster size at the
+    assigner and re-split, which re-finds the same duplicates because
+    identical vectors land in every sub-cell's pair block with their
+    lowest-id member.
+
+    The ``cluster_col`` here is any precomputed assignment (the fixture
+    uses the ``label`` column; production pipelines persist the IVF cell
+    id).  Cosines are strict left-fold double dot products
+    (``_fold_dot``) so a SQL oracle reproduces every comparison
+    bit-exactly."""
+    nrm = F.sqrt(F.expr(_fold_dot(vec_col, vec_col)))
+    v = df.select(
+        F.col(id_col), F.col(cluster_col), F.col(vec_col), nrm.alias("nrm")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = F.expr(f"{_fold_dot(f'a.{vec_col}', f'b.{vec_col}')}") / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col(f"a.{cluster_col}") == F.col(f"b.{cluster_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(cos >= F.lit(tau))
+        .select(F.col(f"b.{id_col}").alias("_sd_dropped"))
+        .distinct()
+    )
+    return (
+        v.join(dropped, F.col(id_col) == F.col("_sd_dropped"), "left")
+        .select(
+            F.col(id_col),
+            F.col(cluster_col),
+            F.col("_sd_dropped").isNull().alias("keep"),
+        )
+    )

@@ -1318,3 +1318,40 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return cross_doc_dupgrams(docs, "text", "doc_id").orderBy("doc_id")
+
+
+@query(
+    "q111_semantic_dedup",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_reduce(list_transform(list_zip(embedding, embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                  (x, y) -> x + y)) AS nrm
+      FROM embeddings
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id AS dvid
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+              (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.2
+    )
+    SELECT v.vec_id, v.label, d.dvid IS NULL AS keep
+    FROM v LEFT JOIN dropped d ON v.vec_id = d.dvid
+    ORDER BY v.vec_id
+    """,
+)
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding dedup (Q111, Abbas et al. 2023): within
+    each cluster, vectors cosine-similar to a lower-id member are
+    semantic duplicates and dropped.  The O(n²) scan is within-cluster
+    only — the published decomposition that makes embedding dedup
+    tractable; cosines are strict left-fold double dot products so the
+    DuckDB differential reproduces every comparison bit-exactly
+    (functions/similarity.py:semantic_dedup).  The fixture's ``label``
+    column stands in for the persisted IVF cell id."""
+    from palletjack_spark.functions.similarity import semantic_dedup
+
+    emb = t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, "embedding", "vec_id", "label").orderBy("vec_id")

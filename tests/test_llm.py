@@ -544,3 +544,26 @@ def test_cross_doc_dupgrams_crafted(spark, crafted_docs):
         r["doc_id"]: r for r in cross_doc_dupgrams(uniq, "text", "doc_id").collect()
     }[9]
     assert out9["dup_frac"] == 0.0 and out9["keep"]
+
+
+def test_semantic_dedup_crafted(spark):
+    """Same-cluster duplicate drops; cross-cluster duplicate and
+    orthogonal same-cluster vectors keep; lowest id survives."""
+    from palletjack_spark.functions.similarity import semantic_dedup
+
+    e1 = [1.0] + [0.0] * 7
+    e2 = [0.0, 1.0] + [0.0] * 6
+    rows = [
+        (0, 0, e1),   # keeper
+        (1, 0, e1),   # same-cluster dup of 0 -> dropped
+        (2, 0, e2),   # same cluster, orthogonal -> kept
+        (3, 1, e1),   # dup of 0 but other cluster -> kept (cluster-scoped)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<float>"
+    )
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(df, "embedding", "vec_id", "label", tau=0.9).collect()
+    }
+    assert out == {0: True, 1: False, 2: True, 3: True}
