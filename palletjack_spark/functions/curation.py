@@ -352,3 +352,92 @@ def dedup_paragraphs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             ).alias("clean_text"),
         )
     )
+
+
+#: DSIR hashed-feature bucket count.  64 keeps the count tables trivially
+#: broadcastable while leaving bucket-collision noise small at fixture
+#: vocabulary sizes; production uses 10k-1M buckets.
+DSIR_BUCKETS = 64
+
+
+def importance_weights(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how much its hashed-unigram feature mass looks like the
+    TARGET distribution versus the RAW distribution, then resample with a
+    deterministic hash draw proportional to the score.
+
+    Words hash into ``n_buckets`` feature buckets; per document,
+    ``t_mass``/``r_mass`` are the summed (smoothed) target/raw bucket
+    counts over its token positions, and ``score = t_mass / r_mass`` — a
+    single BIGINT/BIGINT double division, so the ratio is exact-integer
+    arithmetic until the last operation (no log-likelihoods: libm ``log``
+    is not bit-portable across engines, integer masses are).  ``keep`` is
+    a reproducible importance draw: an md5-derived uniform in [0,1)
+    compared against the score.
+
+    Returns (id, n_toks, t_mass, r_mass, score, keep).
+
+    Scale shape: both distribution tables are ``n_buckets`` rows —
+    broadcast; the corpus token stream never shuffles to be scored (the
+    bucket join is map-side) and the per-doc aggregate collapses each
+    document's tokens before its one id-keyed exchange.  The target
+    corpus is read twice (once for its distribution, once inside raw if
+    it overlaps) — at 100 TB the target is the tiny curated side, the
+    raw corpus streams once."""
+    from palletjack_spark.functions.dedup import hash60
+
+    _check_reserved(
+        {"tok", "b", "raw_cnt", "tgt_cnt", "n_toks", "t_mass", "r_mass"},
+        id_col=id_col, text_col=text_col,
+    )
+
+    def toks(df: DataFrame, *cols):
+        return df.select(
+            *cols, F.explode(F.split(F.col(text_col), " ")).alias("tok")
+        ).select(*cols, F.pmod(hash60(F.col("tok")), F.lit(n_buckets)).alias("b"))
+
+    # both distributions from ONE tagged union + aggregate — a join here
+    # (full outer on bucket) would plan a sort-merge join just to build a
+    # 64-row table; the union aggregates map-side to n_buckets rows total
+    dists = (
+        toks(raw_df, F.lit(0).alias("is_tgt"))
+        .unionByName(toks(target_df, F.lit(1).alias("is_tgt")))
+        .groupBy("b")
+        .agg(
+            F.sum(1 - F.col("is_tgt")).alias("raw_cnt"),
+            F.sum("is_tgt").alias("tgt_cnt"),
+        )
+    )
+    score = F.col("t_mass").cast("double") / F.col("r_mass")
+    draw = (
+        F.pmod(
+            hash60(F.concat(F.col(id_col).cast("string"), F.lit("#dsir"))),
+            F.lit(1000000),
+        ).cast("double")
+        / F.lit(1000000.0)
+    )
+    return (
+        toks(raw_df, F.col(id_col))
+        .join(F.broadcast(dists), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum(F.col("tgt_cnt") + 1).alias("t_mass"),
+            F.sum(F.col("raw_cnt") + 1).alias("r_mass"),
+        )
+        .select(
+            F.col(id_col),
+            "n_toks",
+            "t_mass",
+            "r_mass",
+            score.alias("score"),
+            (draw < score).alias("keep"),
+        )
+    )

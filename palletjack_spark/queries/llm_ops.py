@@ -1355,3 +1355,71 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, "embedding", "vec_id", "label").orderBy("vec_id")
+
+
+@query(
+    "q112_importance_resampling",
+    # The corpus is derived with PLANTED distribution skew (q107 idiom):
+    # every document's language token is appended 8 times, so the 'en'
+    # target's hashed-feature distribution genuinely differs from the raw
+    # mix and the importance scores separate — the fixture's organic token
+    # mix is deliberately language-uniform and would score flat.
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, lang, text || repeat(' ' || lang, 8) AS text2
+      FROM documents
+    ),
+    rt AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS b
+      FROM (SELECT doc_id, unnest(string_split(text2, ' ')) AS tok FROM corpus)
+    ),
+    tt AS (
+      SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS b
+      FROM (SELECT unnest(string_split(text2, ' ')) AS tok
+            FROM corpus WHERE lang = 'en')
+    ),
+    rc AS (SELECT b, COUNT(*) AS raw_cnt FROM rt GROUP BY b),
+    tc AS (SELECT b, COUNT(*) AS tgt_cnt FROM tt GROUP BY b),
+    d AS (
+      SELECT COALESCE(rc.b, tc.b) AS b,
+             COALESCE(raw_cnt, 0) AS raw_cnt,
+             COALESCE(tgt_cnt, 0) AS tgt_cnt
+      FROM rc FULL JOIN tc ON rc.b = tc.b
+    ),
+    p AS (
+      SELECT rt.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_toks,
+             CAST(SUM(tgt_cnt + 1) AS BIGINT) AS t_mass,
+             CAST(SUM(raw_cnt + 1) AS BIGINT) AS r_mass
+      FROM rt JOIN d USING (b) GROUP BY rt.doc_id
+    )
+    SELECT doc_id, n_toks, t_mass, r_mass,
+           CAST(t_mass AS DOUBLE) / r_mass AS score,
+           (CAST(('0x' || substr(md5(doc_id::VARCHAR || '#dsir'),
+                                 1, 15))::BIGINT % 1000000 AS DOUBLE)
+              / 1000000.0
+            < CAST(t_mass AS DOUBLE) / r_mass) AS keep
+    FROM p ORDER BY doc_id
+    """,
+)
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (Q112, Xie et al. 2023): score
+    raw documents by hashed-unigram target/raw mass ratio and keep via a
+    deterministic importance draw.  Integer masses, not log-likelihoods —
+    libm log is not bit-portable, BIGINT sums are.  Both distribution
+    tables are 64 rows and broadcast; the corpus token stream is scored
+    map-side and exchanges only per-doc aggregates
+    (functions/curation.py:importance_weights; plan pinned in
+    tests/test_plans.py)."""
+    from palletjack_spark.functions.curation import importance_weights
+
+    corpus = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"), F.repeat(F.concat(F.lit(" "), F.col("lang")), 8)
+        ).alias("text2"),
+    )
+    target = corpus.where(F.col("lang") == "en")
+    return importance_weights(corpus, target, "text2", "doc_id").orderBy("doc_id")

@@ -188,3 +188,25 @@ def test_cap_domains_caps_and_blocks(spark):
     # the pick is a hash draw, not a doc_id prefix
     first_ids = set(docs.orderBy("doc_id").limit(5).toPandas()["doc_id"])
     assert set(out[out["source"] == "src1"]["doc_id"]) != first_ids
+
+
+def test_importance_weights_prefers_target_like_docs(spark):
+    """Docs made of target-distribution tokens must outscore docs made of
+    tokens absent from the target."""
+    from palletjack_spark.functions.curation import importance_weights
+
+    rows = [
+        (0, "alpha beta gamma alpha beta"),
+        (1, "delta epsilon zeta delta zeta"),
+        (2, "alpha beta alpha beta gamma"),
+    ]
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    target = raw.where(F.col("doc_id") == 0)
+    out = {
+        r["doc_id"]: r
+        for r in importance_weights(raw, target, "text", "doc_id").collect()
+    }
+    assert out[2]["score"] > out[1]["score"]
+    assert out[0]["n_toks"] == 5
+    # masses are exact integers: doc0/doc2 tokens all in target
+    assert out[1]["t_mass"] == out[1]["n_toks"]  # +1 smoothing only

@@ -472,3 +472,16 @@ def test_cross_doc_dupgrams_text_never_shuffles(spark):
     assert hash_exchange_inputs, plan
     for inp in hash_exchange_inputs:
         assert "text#" not in inp and "gram#" not in inp, inp
+
+
+def test_importance_weights_broadcasts_distributions(spark):
+    """Q112: the bucket-count distribution tables must broadcast so the
+    corpus token stream is scored map-side (never shuffled to meet the
+    distributions)."""
+    from palletjack_spark.functions.curation import importance_weights
+
+    docs = load_table(spark, SF_DIR, "documents")
+    target = docs.where(F.col("lang") == "en")
+    plan = _plan(importance_weights(docs, target, "text", "doc_id"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
