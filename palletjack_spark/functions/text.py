@@ -214,3 +214,40 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         (F.col("dup_2gram_frac") <= REPETITION_MAX_DUP_2GRAM_FRAC)
         & (F.col("top_word_frac") <= REPETITION_MAX_TOP_WORD_FRAC),
     )
+
+
+#: stand-in profanity/NSFW blocklist (the C4 "bad words" filter shape —
+#: real deployments load the published LDNOOBW lists); module-level so the
+#: DuckDB oracle embeds the same words and threshold
+BADWORDS = ("slow", "big", "dup")
+BADWORD_MAX_FRAC = 0.08
+
+
+def badword_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    words: tuple[str, ...] = BADWORDS,
+    max_frac: float = BADWORD_MAX_FRAC,
+) -> DataFrame:
+    """Blocklist-word filtering (the C4-style bad-word gate): per document,
+    the fraction of tokens on a blocklist; documents past ``max_frac`` are
+    marked drop.  Pure zero-shuffle array expressions (codegen'd linear
+    scan, same shape as ``repetition_stats``); the fraction is one
+    int/int double division so the SQL differential is bit-exact.
+
+    Returns (id, n_tokens, n_bad, bad_frac, keep)."""
+    quoted = ", ".join(f"'{w}'" for w in words)
+    toks = F.split(F.col(text_col), " ")
+    n_tokens = F.size(toks).cast("long")
+    n_bad = F.size(F.expr(
+        f"filter(split({text_col}, ' '), t -> t IN ({quoted}))"
+    )).cast("long")
+    bad_frac = n_bad.cast("double") / n_tokens
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_bad.alias("n_bad"),
+        bad_frac.alias("bad_frac"),
+        (bad_frac <= F.lit(max_frac)).alias("keep"),
+    )

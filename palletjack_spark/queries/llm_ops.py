@@ -1423,3 +1423,31 @@ def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     target = corpus.where(F.col("lang") == "en")
     return importance_weights(corpus, target, "text2", "doc_id").orderBy("doc_id")
+
+
+@query(
+    "q113_badword_filter",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks, w -> w IN ('slow', 'big', 'dup')))
+                AS BIGINT) AS n_bad,
+           CAST(len(list_filter(toks, w -> w IN ('slow', 'big', 'dup')))
+                AS DOUBLE) / len(toks) AS bad_frac,
+           (CAST(len(list_filter(toks, w -> w IN ('slow', 'big', 'dup')))
+                 AS DOUBLE) / len(toks)) <= 0.08 AS keep
+    FROM t ORDER BY doc_id
+    """,
+)
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist-word filtering (Q113) — the C4 bad-word gate: fraction
+    of tokens on a blocklist decides keep/drop.  Zero-shuffle codegen'd
+    array expressions; the stand-in list is module-level so the DuckDB
+    differential embeds identical words and threshold
+    (functions/text.py:badword_stats)."""
+    from palletjack_spark.functions.text import badword_stats
+
+    return badword_stats(
+        t(spark, sf_dir, "documents"), "text", "doc_id"
+    ).orderBy("doc_id")

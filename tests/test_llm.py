@@ -567,3 +567,15 @@ def test_semantic_dedup_crafted(spark):
         for r in semantic_dedup(df, "embedding", "vec_id", "label", tau=0.9).collect()
     }
     assert out == {0: True, 1: False, 2: True, 3: True}
+
+
+def test_badword_stats_crafted(spark):
+    from palletjack_spark.functions.text import badword_stats
+
+    df = spark.createDataFrame(
+        [(0, "slow slow big dup clean"), (1, "clean words only here now")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in badword_stats(df, "text", "doc_id").collect()}
+    assert out[0]["n_bad"] == 4 and not out[0]["keep"]
+    assert out[1]["n_bad"] == 0 and out[1]["keep"] and out[1]["bad_frac"] == 0.0

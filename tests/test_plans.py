@@ -485,3 +485,15 @@ def test_importance_weights_broadcasts_distributions(spark):
     plan = _plan(importance_weights(docs, target, "text", "doc_id"))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_badword_stats_zero_shuffle(spark):
+    """Q113: pure per-row array expressions — no aggregate, no exchange
+    beyond _spread-free direct scan (the filter is codegen'd)."""
+    from palletjack_spark.functions.text import badword_stats
+
+    spark.catalog.clearCache()
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _simple_plan(badword_stats(docs, "text", "doc_id"))
+    assert "Exchange" not in plan, plan
+    assert "HashAggregate" not in plan and "Generate" not in plan
