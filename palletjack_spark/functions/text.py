@@ -237,13 +237,7 @@ def badword_stats(
     int/int double division so the SQL differential is bit-exact.
 
     Returns (id, n_tokens, n_bad, bad_frac, keep)."""
-    quoted = ", ".join(f"'{w}'" for w in words)
-    toks = F.split(F.col(text_col), " ")
-    n_tokens = F.size(toks).cast("long")
-    n_bad = F.size(F.expr(
-        f"filter(split({text_col}, ' '), t -> t IN ({quoted}))"
-    )).cast("long")
-    bad_frac = n_bad.cast("double") / n_tokens
+    n_tokens, n_bad, bad_frac = _badword_cols(text_col, words)
     return df.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
@@ -251,3 +245,25 @@ def badword_stats(
         bad_frac.alias("bad_frac"),
         (bad_frac <= F.lit(max_frac)).alias("keep"),
     )
+
+
+def _badword_cols(text_col: str, words: tuple[str, ...]):
+    quoted = ", ".join(f"'{w}'" for w in words)
+    toks = F.split(F.col(text_col), " ")
+    n_tokens = F.size(toks).cast("long")
+    n_bad = F.size(F.expr(
+        f"filter(split({text_col}, ' '), t -> t IN ({quoted}))"
+    )).cast("long")
+    return n_tokens, n_bad, n_bad.cast("double") / n_tokens
+
+
+def badword_keep(
+    text_col: str,
+    words: tuple[str, ...] = BADWORDS,
+    max_frac: float = BADWORD_MAX_FRAC,
+):
+    """The bad-word gate as a row-local boolean Column — lets pipelines
+    ``where`` the corpus in place (zero shuffle, no id join-back) while
+    ``badword_stats`` stays the reporting surface."""
+    _, _, bad_frac = _badword_cols(text_col, words)
+    return bad_frac <= F.lit(max_frac)

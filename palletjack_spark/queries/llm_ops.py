@@ -1451,3 +1451,114 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
     return badword_stats(
         t(spark, sf_dir, "documents"), "text", "doc_id"
     ).orderBy("doc_id")
+
+
+@query(
+    "q114_curation_pipeline_v2",
+    # End-to-end composition of the round-4 curation ops; every stage's
+    # fragment is the same SQL as its standalone oracle, chained over the
+    # survivor sets — the whole pipeline stays one deterministic
+    # differential.
+    oracle="""
+    WITH kept1 AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY source
+                 ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '#dom'),
+                                          1, 15))::BIGINT, doc_id
+               ) AS rn
+        FROM documents WHERE source NOT IN ('src13', 'src17')
+      ) WHERE rn <= 15
+    ),
+    c2 AS (
+      SELECT d.* FROM documents d JOIN kept1 USING (doc_id)
+      WHERE CAST(len(list_filter(string_split(text, ' '),
+                                 w -> w IN ('slow', 'big', 'dup'))) AS DOUBLE)
+            / len(string_split(text, ' ')) <= 0.08
+    ),
+    g AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' ||
+                                 toks[i+2] || ' ' || toks[i+3]), 1, 15))::BIGINT AS gh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM c2),
+           UNNEST(generate_series(1, len(toks) - 3)) s(i)
+      WHERE len(toks) >= 4
+    ),
+    dfq AS (SELECT gh, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gh),
+    dg AS (
+      SELECT g.doc_id FROM g JOIN dfq USING (gh) GROUP BY g.doc_id
+      HAVING CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) <= 0.5
+    ),
+    c3 AS (SELECT c2.* FROM c2 JOIN dg USING (doc_id)),
+    rt AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS b
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM c3)
+    ),
+    tt AS (
+      SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS b
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok
+            FROM c3 WHERE lang = 'en')
+    ),
+    rc AS (SELECT b, COUNT(*) AS raw_cnt FROM rt GROUP BY b),
+    tc AS (SELECT b, COUNT(*) AS tgt_cnt FROM tt GROUP BY b),
+    dist AS (
+      SELECT COALESCE(rc.b, tc.b) AS b,
+             COALESCE(raw_cnt, 0) AS raw_cnt,
+             COALESCE(tgt_cnt, 0) AS tgt_cnt
+      FROM rc FULL JOIN tc ON rc.b = tc.b
+    ),
+    p AS (
+      SELECT rt.doc_id,
+             CAST(SUM(tgt_cnt + 1) AS BIGINT) AS t_mass,
+             CAST(SUM(raw_cnt + 1) AS BIGINT) AS r_mass
+      FROM rt JOIN dist USING (b) GROUP BY rt.doc_id
+    ),
+    iw AS (
+      SELECT doc_id, CAST(t_mass AS DOUBLE) / r_mass AS score
+      FROM p
+      WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR || '#dsir'),
+                                 1, 15))::BIGINT % 1000000 AS DOUBLE)
+              / 1000000.0
+            < CAST(t_mass AS DOUBLE) / r_mass
+    )
+    SELECT c3.doc_id, c3.source, c3.lang, iw.score
+    FROM c3 JOIN iw USING (doc_id) ORDER BY c3.doc_id
+    """,
+)
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline v2 (Q114): domain caps + blocklist →
+    bad-word gate → cross-doc duplicated-substring filter → DSIR
+    importance resample, composed exactly as a production training-data
+    pipeline chains them.  Scale shape per stage: the domain-cap winner
+    set is bounded by cap × n_domains BY CONSTRUCTION, so its semi-join
+    broadcast is structurally safe; the bad-word gate is a row-local
+    ``where`` (zero shuffle, no join-back); dupgram and resample keeps
+    are id-only semi-joins.  The corpus rows cross an exchange only where
+    an aggregation-derived keep set forces it."""
+    from palletjack_spark.functions.curation import cap_domains, importance_weights
+    from palletjack_spark.functions.dedup import cross_doc_dupgrams
+    from palletjack_spark.functions.text import badword_keep
+
+    docs = t(spark, sf_dir, "documents")
+    kept1 = cap_domains(docs, "doc_id", "source").select("doc_id")
+    c2 = docs.join(F.broadcast(kept1), "doc_id", "left_semi").where(
+        badword_keep("text")
+    )
+    dg = (
+        cross_doc_dupgrams(c2, "text", "doc_id")
+        .where("keep")
+        .select("doc_id")
+    )
+    c3 = c2.join(dg, "doc_id", "left_semi")
+    iw = (
+        importance_weights(c3, c3.where(F.col("lang") == "en"), "text", "doc_id")
+        .where("keep")
+        .select("doc_id", "score")
+    )
+    return (
+        c3.join(iw, "doc_id")
+        .select("doc_id", "source", "lang", "score")
+        .orderBy("doc_id")
+    )
