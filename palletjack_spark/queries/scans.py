@@ -435,3 +435,29 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selective.select("l_orderkey", "l_quantity").unionByName(
         broad.select("l_orderkey", "l_quantity")
     )
+
+
+@query(
+    "q08b_orc_source",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal > 1000
+    """,
+)
+def q08b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink [north-star util]: parquet → ORC → filtered
+    read-back.  Spark's native ORC reader gets the same scale treatment
+    as parquet — vectorized scan, predicate pushdown into ORC
+    stripe/row-group stats, column pruning (tests/test_plans.py asserts
+    PushedFilters reaches the ORC scan).  DuckDB cannot read ORC, so the
+    oracle reads the same rows from the parquet fixture — the roundtrip
+    itself is what's under test."""
+    out = _tmp("q08b_orc", sf_dir)
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            t(spark, sf_dir, "customer")
+            .select("c_custkey", "c_name", "c_acctbal")
+            .write.mode("overwrite")
+            .orc(out)
+        )
+    return spark.read.orc(out).where(F.col("c_acctbal") > 1000)

@@ -497,3 +497,18 @@ def test_badword_stats_zero_shuffle(spark):
     plan = _simple_plan(badword_stats(docs, "text", "doc_id"))
     assert "Exchange" not in plan, plan
     assert "HashAggregate" not in plan and "Generate" not in plan
+
+
+def test_orc_filter_pushdown_reaches_scan(spark):
+    """Q08b: the acctbal predicate must push into the ORC scan (stripe
+    and row-group stat skipping), same contract as the parquet scans."""
+    import os
+    import tempfile
+
+    src = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_acctbal")
+    out = os.path.join(tempfile.gettempdir(), "pjspark_test_orc")
+    src.write.mode("overwrite").orc(out)
+    df = spark.read.orc(out).where(F.col("c_acctbal") > 1000)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "c_acctbal" in plan.split("PushedFilters:")[1].split("]")[0], plan
