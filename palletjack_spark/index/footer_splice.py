@@ -205,8 +205,25 @@ def _skip_struct_fast(buf: bytes, pos: int) -> int:
         elif t == 7:
             pos += 8
         elif t == 8:
-            ln, pos = _read_varint(buf, pos)
-            _check_declared_len(buf, pos, ln, "binary")
+            # inlined varint + bound check: this is the hottest branch of
+            # the walk (one per string field per chunk × row group), and a
+            # call pair here costs ~2× on a 400-col footer
+            ln = 0
+            shift = 0
+            while True:
+                byte = buf[pos]
+                pos += 1
+                ln |= (byte & 0x7F) << shift
+                if byte < 0x80:
+                    break
+                shift += 7
+                if shift > 63:
+                    raise IndexFormatError("malformed varint (>10 bytes)")
+            if ln > len(buf) - pos:
+                raise IndexFormatError(
+                    f"declared binary length {ln} exceeds remaining "
+                    f"footer bytes ({len(buf) - pos})"
+                )
             pos += ln
         elif t == 9 or t == 10:
             hb = buf[pos]
@@ -214,8 +231,22 @@ def _skip_struct_fast(buf: bytes, pos: int) -> int:
             et = hb & 15
             n2 = hb >> 4
             if n2 == 15:
-                n2, pos = _read_varint(buf, pos)
-                _check_declared_len(buf, pos, n2, "list")
+                n2 = 0
+                shift = 0
+                while True:
+                    byte = buf[pos]
+                    pos += 1
+                    n2 |= (byte & 0x7F) << shift
+                    if byte < 0x80:
+                        break
+                    shift += 7
+                    if shift > 63:
+                        raise IndexFormatError("malformed varint (>10 bytes)")
+            if n2 > len(buf) - pos:
+                raise IndexFormatError(
+                    f"declared list length {n2} exceeds remaining "
+                    f"footer bytes ({len(buf) - pos})"
+                )
             if n2 == 0:
                 continue
             if et < 4:  # bool/byte elems: 1 byte each
