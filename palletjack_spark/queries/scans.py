@@ -461,3 +461,45 @@ def q08b(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orc(out)
         )
     return spark.read.orc(out).where(F.col("c_acctbal") > 1000)
+
+
+@query(
+    "q07b_clustered_write",
+    oracle="""
+    SELECT COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_price
+    FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000
+    """,
+)
+def q07b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered write + stat-pruned read-back [host]: the CLUSTER
+    BY layout move — ``repartitionByRange`` gives each output file a
+    disjoint key range and ``sortWithinPartitions`` orders row groups
+    inside it, so a key-range predicate prunes to ~1 file via parquet
+    min/max stats instead of scanning the table.  At 100 TB this is the
+    difference between touching gigabytes and touching everything when
+    the query key isn't the partition key.  tests/test_index.py asserts
+    the written files' key ranges are pairwise disjoint; the checksum
+    aggregate proves the clustered copy is lossless."""
+    out = _tmp("q07b_clustered", sf_dir)
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            t(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice")
+            .repartitionByRange(8, "l_orderkey")
+            .sortWithinPartitions("l_orderkey")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    return (
+        spark.read.parquet(out)
+        .where(F.col("l_orderkey").between(1000, 2000))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )

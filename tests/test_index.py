@@ -429,3 +429,36 @@ def test_golden_sidecar_reads_correctly():
     )
     assert got.equals(want)
     assert md.num_rows == 24
+
+
+def test_clustered_write_produces_disjoint_key_ranges(spark):
+    """Q07b: after repartitionByRange + sortWithinPartitions, every output
+    file covers a disjoint l_orderkey range — the property that lets a
+    key-range read prune to ~1 file from footer stats alone."""
+    import glob as _g
+
+    import pyarrow.parquet as pq
+
+    from palletjack_spark.queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    REGISTRY["q07b_clustered_write"].fn(spark, SF_DIR).collect()
+    out = None
+    import tempfile, os
+    for d in _g.glob(os.path.join(tempfile.gettempdir(), "pjspark_*q07b_clustered*")):
+        out = d
+    assert out, "clustered output dir not found"
+    ranges = []
+    for f in sorted(_g.glob(os.path.join(out, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "l_orderkey"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) > 1
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (ranges, "overlapping file key ranges")
