@@ -245,3 +245,35 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
 # transformWithState Python side imports google.protobuf, which this
 # container does not ship — the operator is exercised by a skip-gated
 # test (tests/test_streaming.py) instead of the driver gate.
+
+
+@query(
+    "q115_streaming_curation",
+    oracle="""
+    SELECT source, CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_docs
+    FROM documents
+    WHERE CAST(len(list_filter(string_split(text, ' '),
+                               w -> w IN ('slow', 'big', 'dup'))) AS DOUBLE)
+            / len(string_split(text, ' ')) <= 0.08
+      AND length(text) >= 100
+    GROUP BY source
+    """,
+)
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus curation (Q115): documents arrive as a real file
+    stream (availableNow, multi-batch), pass row-local quality gates
+    (bad-word fraction, min length — zero-shuffle, same exprs as Q113),
+    dedup statefully on (source, content-hash), and aggregate per-source
+    kept counts.  The training-data INGESTION shape: curation decisions
+    made on arrival, not in a later batch sweep.  The dedup key makes the
+    result arrival-order-free, so the batch replay is an exact oracle
+    (streaming/ops.py:streaming_curation_counts)."""
+    from palletjack_spark.streaming.ops import (
+        documents_stream,
+        run_stream_to_table,
+        streaming_curation_counts,
+    )
+
+    return run_stream_to_table(
+        streaming_curation_counts(documents_stream(spark, sf_dir)), "complete"
+    )

@@ -353,3 +353,56 @@ def with_rocksdb_state(spark: SparkSession):
                 spark.conf.set(key, prev)
 
     return cm()
+
+
+def _staged_documents_dir(sf_dir: str) -> str:
+    key = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(tempfile.gettempdir(), f"pjspark_{key}_documents")
+
+
+def stage_documents(spark: SparkSession, sf_dir: str) -> str:
+    """Stage documents for file-source streaming, once per sf_dir (the
+    events staging idiom: 4 files → multi-batch semantics observable)."""
+    out = _staged_documents_dir(sf_dir)
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "documents").coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(out)
+    return out
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as a file-source stream (schema pinned, one file/batch)."""
+    path = stage_documents(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def streaming_curation_counts(docs: DataFrame) -> DataFrame:
+    """Streaming corpus curation (Q115): row-local quality gates (bad-word
+    fraction, minimum length) → stateful exact dedup on (source,
+    content-hash) → per-source kept-document counts.
+
+    The dedup state key is (source, md5) so the aggregate is ORDER-FREE:
+    whichever duplicate arrives first, the per-source count is the count
+    of distinct surviving hashes — a batch replay produces the identical
+    table, which is what makes the streaming run oracle-checkable.
+    Unbounded ingest would grow the dedup state forever; production runs
+    bound it with dropDuplicatesWithinWatermark on the ingest timestamp
+    (the Q74 idiom) — the fixture table has no event time, so this demo
+    keeps global state."""
+    from palletjack_spark.functions.text import badword_keep
+
+    return (
+        docs.where(badword_keep("text"))
+        .where(F.length("text") >= 100)
+        .select("source", F.md5("text").alias("h"))
+        .dropDuplicates(["source", "h"])
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+    )

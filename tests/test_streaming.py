@@ -187,3 +187,40 @@ def test_transform_with_state_running_totals(spark):
     got = {r["user_id"]: (r["n_events"], r["value_millis"]) for r in final.collect()}
     want = {r["user_id"]: (r["n_events"], r["value_millis"]) for r in ref.collect()}
     assert got == want
+
+
+def test_streaming_curation_dedups_across_batches(spark, tmp_path):
+    """A duplicate arriving in a LATER micro-batch must hit the dedup
+    state from the earlier one — the property that distinguishes stateful
+    streaming dedup from per-batch dropDuplicates."""
+    import pandas as pd
+
+    from palletjack_spark.streaming.ops import (
+        run_stream_to_table,
+        streaming_curation_counts,
+    )
+
+    good = "clean words " * 20  # passes both gates (len >= 100, no badwords)
+    other = "other clean text " * 20
+    f1 = spark.createDataFrame(
+        [(0, good, "en", "srcA", len(good))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    f2 = spark.createDataFrame(
+        [(1, good, "en", "srcA", len(good)),      # dup of batch-1 doc
+         (2, other, "en", "srcA", len(other))],   # new
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "stream_src")
+    f1.coalesce(1).write.mode("overwrite").parquet(d)
+    f2.coalesce(1).write.mode("append").parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = run_stream_to_table(
+        streaming_curation_counts(stream), "complete"
+    ).toPandas()
+    assert out.set_index("source")["n_docs"].to_dict() == {"srcA": 2}
