@@ -1,0 +1,125 @@
+"""Property-based invariants for the round-4 curation operators — the
+oracle differential pins one fixture; these pin the algebraic properties
+on randomized corpora (few examples: each example runs Spark jobs)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+
+corpus_strategy = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=1, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+_SETTINGS = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _docs(spark, texts, sources=None):
+    rows = [
+        (i, t, (sources or ["s%d" % (i % 3)] * len(texts))[i])
+        for i, t in enumerate(texts)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+@given(texts=corpus_strategy)
+@_SETTINGS
+def test_cap_domains_invariants(spark, texts):
+    """Caps hold, blocked domains vanish, output ids ⊆ input ids, and the
+    selection is order-independent."""
+    from palletjack_spark.functions.curation import cap_domains
+
+    df = _docs(spark, texts)
+    out = cap_domains(df, "doc_id", "source", cap=2, blocklist=("s0",)).toPandas()
+    assert (out.groupby("source").size() <= 2).all()
+    assert "s0" not in set(out["source"])
+    assert set(out["doc_id"]) <= set(range(len(texts)))
+    shuffled = df.orderBy(F.rand(7))
+    again = cap_domains(
+        shuffled, "doc_id", "source", cap=2, blocklist=("s0",)
+    ).toPandas()
+    assert sorted(out["doc_id"]) == sorted(again["doc_id"])
+
+
+@given(texts=corpus_strategy)
+@_SETTINGS
+def test_cross_doc_dupgrams_invariants(spark, texts):
+    """Fractions live in [0,1]; appending an exact copy of a doc drives
+    both copies' dup_frac to 1.0; short docs produce no row."""
+    from palletjack_spark.functions.dedup import cross_doc_dupgrams
+
+    df = _docs(spark, texts)
+    out = cross_doc_dupgrams(df, "text", "doc_id").toPandas()
+    assert ((out["dup_frac"] >= 0) & (out["dup_frac"] <= 1)).all()
+    short_ids = {i for i, t in enumerate(texts) if len(t.split()) < 4}
+    assert short_ids.isdisjoint(set(out["doc_id"]))
+    long_ids = [i for i, t in enumerate(texts) if len(t.split()) >= 4]
+    if long_ids:
+        victim = long_ids[0]
+        dup_id = len(texts)
+        with_dup = df.union(
+            df.sparkSession.createDataFrame(
+                [(dup_id, texts[victim], "sX")],
+                "doc_id long, text string, source string",
+            )
+        )
+        out2 = cross_doc_dupgrams(with_dup, "text", "doc_id").toPandas()
+        by_id = out2.set_index("doc_id")["dup_frac"]
+        assert by_id[victim] == 1.0 and by_id[dup_id] == 1.0
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-2, 2, allow_nan=False, width=32), min_size=4, max_size=4
+        ).filter(lambda v: sum(x * x for x in v) > 1e-3),
+        min_size=2,
+        max_size=8,
+    )
+)
+@_SETTINGS
+def test_semantic_dedup_invariants(spark, vecs):
+    """The lowest id of every cluster always keeps; positively scaling a
+    vector never changes the verdicts (cosine invariance)."""
+    from palletjack_spark.functions.similarity import semantic_dedup
+
+    rows = [(i, i % 2, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<float>"
+    )
+    out = {r["vec_id"]: r["keep"] for r in
+           semantic_dedup(df, "embedding", "vec_id", "label", tau=0.8).collect()}
+    for cluster in (0, 1):
+        members = [i for i, _ in enumerate(vecs) if i % 2 == cluster]
+        if members:
+            assert out[min(members)] is True
+    scaled = [(i, i % 2, [x * 3.0 for x in v]) for i, v in enumerate(vecs)]
+    df2 = spark.createDataFrame(
+        scaled, "vec_id long, label long, embedding array<float>"
+    )
+    out2 = {r["vec_id"]: r["keep"] for r in
+            semantic_dedup(df2, "embedding", "vec_id", "label", tau=0.8).collect()}
+    assert out == out2
+
+
+@given(texts=corpus_strategy)
+@_SETTINGS
+def test_importance_weights_self_target_scores_one(spark, texts):
+    """When the target IS the raw corpus, every document's score is
+    exactly 1.0 (t_mass == r_mass term by term)."""
+    from palletjack_spark.functions.curation import importance_weights
+
+    df = _docs(spark, texts)
+    out = importance_weights(df, df, "text", "doc_id").toPandas()
+    assert (out["score"] == 1.0).all()
+    assert (out["t_mass"] == out["r_mass"]).all()
