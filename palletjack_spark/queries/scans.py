@@ -503,3 +503,35 @@ def q07b(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
+
+
+@query(
+    "q04b_schema_evolution",
+    oracle="""
+    SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey,
+           1 AS batch
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey, 2 AS batch FROM nation
+    """,
+)
+def q04b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across ingest batches [host]: batch 1 lands
+    without ``n_regionkey``, batch 2 adds it — the routine drift of a
+    long-lived 100 TB lake.  ``mergeSchema`` unifies the footers at read
+    time (old rows surface NULL for the new column) without rewriting a
+    byte of data; per-file pruning still applies because merging is a
+    footer-only operation."""
+    out = _tmp("q04b_evolution", sf_dir)
+    nation = t(spark, sf_dir, "nation")
+    b1 = os.path.join(out, "batch=1")
+    b2 = os.path.join(out, "batch=2")
+    if not os.path.exists(os.path.join(b1, "_SUCCESS")):
+        nation.select("n_nationkey", "n_name").write.mode("overwrite").parquet(b1)
+    if not os.path.exists(os.path.join(b2, "_SUCCESS")):
+        nation.select("n_nationkey", "n_name", "n_regionkey").write.mode(
+            "overwrite"
+        ).parquet(b2)
+    return spark.read.option("mergeSchema", "true").parquet(out).select(
+        "n_nationkey", "n_name", "n_regionkey", "batch"
+    )
