@@ -535,3 +535,44 @@ def q04b(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(out).select(
         "n_nationkey", "n_name", "n_regionkey", "batch"
     )
+
+
+@query(
+    "q09c_keyed_upsert",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(CASE WHEN o_orderkey % 10 = 0
+                              THEN o_totalprice * 2
+                              ELSE o_totalprice END
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    """,
+)
+def q09c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed upsert without a table format [host]: MERGE emulated as
+    read-side anti-join + union + rewrite — the copy-on-write move every
+    parquet lake runs for late-arriving corrections when Delta/Iceberg
+    isn't in play.  The update batch's keys drive a broadcast anti-join
+    (the delta is small by construction; a large delta flips to
+    shuffle_hash exactly like Q106's byte-gated loser join), so the base
+    table streams through one scan.  The checksum aggregate proves
+    updated rows carry the new values and untouched rows survive."""
+    base_dir = _tmp("q09c_base", sf_dir)
+    merged_dir = _tmp("q09c_merged", sf_dir)
+    orders = t(spark, sf_dir, "orders")
+    if not os.path.exists(os.path.join(base_dir, "_SUCCESS")):
+        orders.write.mode("overwrite").parquet(base_dir)
+    updates = orders.where(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    base = spark.read.parquet(base_dir)
+    merged = base.join(
+        F.broadcast(updates.select("o_orderkey")), "o_orderkey", "left_anti"
+    ).unionByName(updates)
+    merged.write.mode("overwrite").parquet(merged_dir)
+    return spark.read.parquet(merged_dir).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

@@ -207,3 +207,45 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+@query(
+    "q42b_range_time_window",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS sum_10m,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+             AS n_10m
+    FROM {_EVENTS_US}
+    """,
+)
+def q42b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE frame aggregates (Q42b): per user, the rolling
+    10-minute sum/count over a RANGE frame keyed on epoch microseconds —
+    the batch-side sibling of the Q71 sliding stream window, and the
+    frame type ROWS can't express when events are irregularly spaced.
+    Both engines order on the identical int64 microsecond key, so frame
+    membership (including ties) is bit-identical; sums are decimal-exact
+    per the registry discipline."""
+    # ts is TIMESTAMP_NTZ (arrow-staged events); the tuned session pins
+    # UTC, so the cast to TIMESTAMP is instant-preserving and unix_micros
+    # equals DuckDB's epoch_us on the same wall-clock value
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_10m"),
+        F.count("*").over(w).alias("n_10m"),
+    )
