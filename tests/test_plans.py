@@ -512,3 +512,25 @@ def test_orc_filter_pushdown_reaches_scan(spark):
     plan = _plan(df)
     assert "PushedFilters: [" in plan
     assert "c_acctbal" in plan.split("PushedFilters:")[1].split("]")[0], plan
+
+
+def test_tpch_q3_shape_plan(spark):
+    """Q29b: filtered customer broadcasts, the top-10 plans as
+    TakeOrderedAndProject (no global sort), and the date filters reach
+    the scans."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["q29b_tpch_q3_shape"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+
+
+def test_tpch_q18_shape_plan(spark):
+    """Q29c: the qualifying-keys semi-join broadcasts so the fact table
+    is never shuffled against itself."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["q29c_tpch_q18_shape"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
