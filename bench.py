@@ -210,19 +210,29 @@ def bench_metadata(spark) -> dict[str, float]:
     # with the pruned spliced FileMetaData instead.  BASELINE.md's
     # apples-to-apples row: pyarrow open + read_row_groups([0]) ≈ 51 ms.
     E2E_CALLS = 20
-    t0 = time.perf_counter()
-    for _ in range(E2E_CALLS):
-        pq.ParquetFile(path).read_row_groups([0])
-    e2e_native = (time.perf_counter() - t0) / E2E_CALLS
 
-    t0 = time.perf_counter()
-    for _ in range(E2E_CALLS):
+    def _best2(block) -> float:
+        """min of two averaged passes — a box-load episode during one pass
+        (this host shows multi-second background spikes) can't pollute the
+        recorded number; the reference harness likewise reports min."""
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(E2E_CALLS):
+                block()
+            best = min(best, (time.perf_counter() - t0) / E2E_CALLS)
+        return best
+
+    e2e_native = _best2(lambda: pq.ParquetFile(path).read_row_groups([0]))
+
+    def _indexed_block():
         md = footer_splice.read_metadata(index_data=pjs1, row_groups=[0])
         pr = pq.ParquetReader()
         pr.open(path, metadata=md)
         pr.read_all()
         pr.close()
-    e2e_indexed = (time.perf_counter() - t0) / E2E_CALLS
+
+    e2e_indexed = _best2(_indexed_block)
 
     # the reference harness sweeps its DATA-read workloads across pool
     # sizes 1 and 2 as well (benchmark_palletjack_metadata.py:65-76 with
@@ -238,14 +248,17 @@ def bench_metadata(spark) -> dict[str, float]:
         pr.close()
         return out.num_rows
 
-    with ThreadPoolExecutor(2) as pool:
-        t0 = time.perf_counter()
-        list(pool.map(_e2e_native, range(E2E_CALLS)))
-        e2e_native_pool2 = (time.perf_counter() - t0) / E2E_CALLS
-    with ThreadPoolExecutor(2) as pool:
-        t0 = time.perf_counter()
-        list(pool.map(_e2e_indexed, range(E2E_CALLS)))
-        e2e_indexed_pool2 = (time.perf_counter() - t0) / E2E_CALLS
+    def _best2_pool(fn) -> float:
+        best = float("inf")
+        for _ in range(2):
+            with ThreadPoolExecutor(2) as pool:
+                t0 = time.perf_counter()
+                list(pool.map(fn, range(E2E_CALLS)))
+                best = min(best, (time.perf_counter() - t0) / E2E_CALLS)
+        return best
+
+    e2e_native_pool2 = _best2_pool(_e2e_native)
+    e2e_indexed_pool2 = _best2_pool(_e2e_indexed)
 
     # index-size accounting (reference harness :128-131 prints the ratio)
     file_size = os.path.getsize(path)
