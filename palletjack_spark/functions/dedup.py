@@ -743,6 +743,12 @@ def cross_doc_dupgrams(
     ~corpus-token-count × 16 B, the same order as the minhash shingle
     pass (Q91), not corpus bytes.
     """
+    from palletjack_spark.functions.curation import _check_reserved
+
+    _check_reserved(
+        {"toks", "gram", "gh", "ndocs", "n_grams", "n_dup_grams"},
+        id_col=id_col, text_col=text_col,
+    )
     df = _spread(df)
     gram = " || ' ' || ".join(f"element_at(toks, i + {j})" for j in range(n))
     # CASE-guarded so the expression is total: Catalyst infers a

@@ -432,6 +432,12 @@ def semantic_dedup(
     id).  Cosines are strict left-fold double dot products
     (``_fold_dot``) so a SQL oracle reproduces every comparison
     bit-exactly."""
+    from palletjack_spark.functions.curation import _check_reserved
+
+    _check_reserved(
+        {"nrm", "_sd_dropped", "keep"},
+        id_col=id_col, cluster_col=cluster_col, vec_col=vec_col,
+    )
     nrm = F.sqrt(F.expr(_fold_dot(vec_col, vec_col)))
     v = df.select(
         F.col(id_col), F.col(cluster_col), F.col(vec_col), nrm.alias("nrm")

@@ -4,7 +4,6 @@ on randomized corpora (few examples: each example runs Spark jobs)."""
 
 from __future__ import annotations
 
-import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
