@@ -343,3 +343,45 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("l_returnflag", ["A", "N", "R"])
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double"))
     )
+
+
+@query(
+    "q37b_approx_percentiles",
+    # Same driver-checkable encoding as q32: the sketch value itself can't
+    # hash-match across engines, so the row carries the exact percentiles
+    # plus booleans asserting the approx_percentile estimates landed
+    # within 2% relative error; the oracle emits TRUE unconditionally.
+    oracle="""
+    SELECT l_returnflag,
+           CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+                AS DOUBLE) AS exact_p50,
+           CAST(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice)
+                AS DOUBLE) AS exact_p95,
+           TRUE AS p50_within_2pct,
+           TRUE AS p95_within_2pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q37b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Q37b) [north-star scale]: the 100 TB
+    shape of Q37 — Greenwald-Khanna/KLL-style mergeable sketches, no
+    per-group sort or full materialization of values.  Spark's
+    percentile_approx returns an EXACT-rank element when accuracy exceeds
+    the group size (discrete), while the exact reference is interpolated
+    (percentile_cont), so the contract is a 2% relative-error band
+    encoded q32-style."""
+    li = t(spark, sf_dir, "lineitem")
+    exact_p50 = F.expr("percentile(l_extendedprice, 0.5)")
+    exact_p95 = F.expr("percentile(l_extendedprice, 0.95)")
+    ap50 = F.expr("percentile_approx(l_extendedprice, 0.5, 1000)")
+    ap95 = F.expr("percentile_approx(l_extendedprice, 0.95, 1000)")
+    return li.groupBy("l_returnflag").agg(
+        exact_p50.alias("exact_p50"),
+        exact_p95.alias("exact_p95"),
+        (
+            (ap50 >= exact_p50 * 0.98) & (ap50 <= exact_p50 * 1.02)
+        ).alias("p50_within_2pct"),
+        (
+            (ap95 >= exact_p95 * 0.98) & (ap95 <= exact_p95 * 1.02)
+        ).alias("p95_within_2pct"),
+    )
