@@ -578,3 +578,59 @@ def q29d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
+
+
+def _bloom_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q20b_runtime_bloom_join",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+)
+def q20b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning (Q20b): when a selective dim
+    filter can't broadcast, Catalyst builds a Bloom filter over the dim
+    keys at RUNTIME and injects ``might_contain`` into the fact scan —
+    at 100 TB this turns a full-fact shuffle join into a pre-filtered
+    one, the same asymmetric-join economics as Q102's broadcast grams
+    but decided by the optimizer.  The thresholds are lowered here so
+    the injection fires at fixture scale (the plan assertion lives in
+    tests/test_plans.py); production leaves the defaults."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # materialize under the scoped confs — the runtime filter is
+        # injected at planning time of THIS action
+        out = _bloom_join_df(spark, sf_dir)
+        rows = out.collect()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(rows, out.schema)

@@ -534,3 +534,25 @@ def test_tpch_q18_shape_plan(spark):
     plan = _plan(REGISTRY["q29c_tpch_q18_shape"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """Q20b: with broadcast off and a selective dim filter, Catalyst must
+    inject a runtime Bloom filter (might_contain) into the fact scan."""
+    from palletjack_spark.queries.joins import _bloom_join_df
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        plan = _plan(_bloom_join_df(spark, SF_DIR))
+    finally:
+        for k, v in prev.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+    assert "might_contain" in plan, plan
+    assert "bloom_filter_agg" in plan, plan
