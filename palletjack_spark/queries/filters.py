@@ -134,3 +134,43 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", bucket.alias("bucket"))
         .where(F.col("bucket") < 5)
     )
+
+
+@query(
+    "q47b_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#strat'),
+                           1, 4))::BIGINT % 100 AS bucket
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#strat'),
+                          1, 4))::BIGINT % 100
+          < CASE WHEN lang = 'en' THEN 20 ELSE 5 END
+    """,
+)
+def q47b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified hash sampling (Q47b) [north-star util]: per-stratum
+    rates — 20% of English, 5% of everything else — the rebalancing /
+    eval-split primitive of a multilingual corpus pipeline.  Same
+    reproducibility contract as Q47 (md5 bucket, engine- and
+    partitioning-stable), with the rate a codegen'd CASE over the
+    stratum column; the whole filter pipelines into the scan with zero
+    shuffles."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#strat"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", 20).otherwise(5)
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", bucket.alias("bucket"))
+        .where(F.col("bucket") < rate)
+    )
