@@ -576,3 +576,74 @@ def q09c(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+def _zorder_col(b1, b2, bits: int = 12):
+    """Interleave two ``bits``-wide bucket columns into a Z-value — pure
+    shift/mask expressions, whole-stage codegen'd."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(b1, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(b2, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
+@query(
+    "q07c_zorder_write",
+    oracle="""
+    SELECT COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem WHERE l_partkey BETWEEN 100 AND 400
+    """,
+)
+def q07c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered write (Q07c): multi-dimensional data skipping —
+    the Delta OPTIMIZE ZORDER move, built from primitives.  Both join
+    keys bucket into 12-bit ranges (range boundaries from a one-row
+    driver-side stats agg, exactly how production z-ordering uses column
+    stats), the buckets bit-interleave into a Z-value, and
+    ``repartitionByRange`` + ``sortWithinPartitions`` on it give every
+    file a compact rectangle in (orderkey, partkey) space.  A filter on
+    EITHER column then prunes most files from footer stats — linear
+    clustering on one key can never skip on the other.
+    tests/test_index.py quantifies the per-file partkey-span shrinkage;
+    the checksum aggregate proves the clustered copy is lossless."""
+    out = _tmp("q07c_zorder", sf_dir)
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        li = t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_quantity"
+        )
+        hi = li.agg(
+            F.max("l_orderkey").alias("mo"), F.max("l_partkey").alias("mp")
+        ).collect()[0]
+        # stretch each column across the FULL 12-bit bucket range —
+        # bucket = floor(col * 4096 / (max+1)) — so both dimensions
+        # contribute equally-significant high bits to the Z-value (a
+        # dimension that fills only 11 bits loses its top split and
+        # z-ordering degrades toward linear clustering on the other key)
+        z = _zorder_col(
+            F.floor(F.col("l_orderkey") * 4096 / (hi["mo"] + 1)).cast("long"),
+            F.floor(F.col("l_partkey") * 4096 / (hi["mp"] + 1)).cast("long"),
+        )
+        (
+            li.withColumn("z", z)
+            .repartitionByRange(16, "z")
+            .sortWithinPartitions("z")
+            .drop("z")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    return (
+        spark.read.parquet(out)
+        .where(F.col("l_partkey").between(100, 400))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )

@@ -462,3 +462,43 @@ def test_clustered_write_produces_disjoint_key_ranges(spark):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, (ranges, "overlapping file key ranges")
+
+
+def test_zorder_write_skips_on_secondary_column(spark):
+    """Q07c: after z-ordering on (orderkey, partkey), each file covers a
+    compact RECTANGLE — its partkey span must be well under the full
+    domain (linear orderkey clustering leaves every file spanning ~all
+    partkeys, skipping nothing on the secondary column)."""
+    import glob as _g
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from palletjack_spark.queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    REGISTRY["q07c_zorder_write"].fn(spark, SF_DIR).collect()
+    out = None
+    for d in _g.glob(os.path.join(tempfile.gettempdir(), "pjspark_*q07c_zorder*")):
+        out = d
+    assert out, "z-order output dir not found"
+    spans, lo_all, hi_all = [], float("inf"), 0
+    for f in sorted(_g.glob(os.path.join(out, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.row_group(rg).num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == "l_partkey":
+                    mins.append(col.statistics.min)
+                    maxs.append(col.statistics.max)
+        spans.append((min(mins), max(maxs)))
+        lo_all = min(lo_all, min(mins))
+        hi_all = max(hi_all, max(maxs))
+    assert len(spans) >= 8
+    domain = hi_all - lo_all
+    avg_span = sum(hi - lo for lo, hi in spans) / len(spans)
+    # 16 z-range files over 2 dims → each file covers ~1/4 of each dim;
+    # assert comfortably under the linear-clustering span (~domain)
+    assert avg_span < 0.6 * domain, (avg_span, domain, spans)
