@@ -647,3 +647,85 @@ def q07c(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_qty"),
         )
     )
+
+
+@query(
+    "q01b_catalog_table",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def q01b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-managed table surface [host]: ``saveAsTable`` registers the
+    data in the session catalog (external table, explicit path) and
+    downstream consumers address it by NAME through ``spark.sql`` — the
+    multi-team contract at 100 TB is catalog names + table ACLs, not file
+    paths.  Statistics/partitioning metadata live in the catalog where
+    CBO can use them."""
+    key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    tbl = f"pj_cat_{key}_nation"
+    path = _tmp("q01b_catalog", sf_dir)
+    if tbl not in [t.name for t in spark.catalog.listTables()]:
+        (
+            t(spark, sf_dir, "nation")
+            .write.mode("overwrite")
+            .option("path", path)
+            .saveAsTable(tbl)
+        )
+    return spark.sql(
+        f"SELECT n_regionkey, COUNT(*) AS n_nations FROM {tbl}"
+        " GROUP BY n_regionkey"
+    )
+
+
+@query(
+    "q09d_dynamic_partition_overwrite",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS cnt,
+           CAST(SUM(CAST(CASE WHEN l_returnflag = 'R'
+                              THEN l_quantity + 100
+                              ELSE l_quantity END
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q09d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite [host]: rewriting ONE partition of a
+    hive layout without touching its siblings
+    (``partitionOverwriteMode=dynamic``) — the daily-restatement move on
+    a 100 TB partitioned lake; static mode would silently TRUNCATE every
+    other partition first, which is exactly what the checksum over the
+    untouched partitions proves didn't happen."""
+    out = _tmp("q09d_dynpart", sf_dir)
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            li.where(F.col("l_returnflag") == "R")
+            .withColumn("l_quantity", F.col("l_quantity") + 100)
+            .write.mode("overwrite")
+            .partitionBy("l_returnflag")
+            .parquet(out)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return (
+        spark.read.parquet(out)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )

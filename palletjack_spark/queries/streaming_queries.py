@@ -277,3 +277,90 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(
         streaming_curation_counts(documents_stream(spark, sf_dir)), "complete"
     )
+
+
+@query(
+    "q78b_streaming_upsert",
+    oracle=f"""
+    SELECT user_id, event_id AS last_event_id, value AS last_value
+    FROM (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM {_E} e
+    ) WHERE rn = 1
+    """,
+)
+def q78b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert into a parquet target (Q78b): ``foreachBatch``
+    merges each micro-batch into a latest-event-per-user table — the
+    standard CDC-to-lake pattern when no table format is available
+    (per-batch copy-on-write, the Q09c move driven by a stream).  The
+    merge key is (ts DESC, event_id DESC) per user, so the final state
+    is ARRIVAL-ORDER-FREE — any micro-batching of the same events
+    converges to the same table, which is what makes the batch replay an
+    exact oracle."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+    from palletjack_spark.streaming.ops import events_stream
+
+    target = os.path.join(
+        tempfile.gettempdir(), f"pjspark_q78b_{uuid.uuid4().hex[:8]}"
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        latest_new = (
+            batch_df.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(
+                        F.col("ts").desc(), F.col("event_id").desc()
+                    )
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .select("user_id", "event_id", "ts", "value")
+        )
+        if os.path.exists(os.path.join(target, "_SUCCESS")):
+            existing = sp.read.parquet(target)
+            merged = (
+                existing.unionByName(latest_new)
+                .withColumn(
+                    "rn",
+                    F.row_number().over(
+                        Window.partitionBy("user_id").orderBy(
+                            F.col("ts").desc(), F.col("event_id").desc()
+                        )
+                    ),
+                )
+                .where(F.col("rn") == 1)
+                .drop("rn")
+            )
+        else:
+            merged = latest_new
+        # rewrite via a staging dir: the target must stay readable for
+        # the NEXT batch's merge (copy-on-write, not in-place truncate)
+        staging = target + f"_b{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        sp.read.parquet(staging).write.mode("overwrite").parquet(target)
+
+    q = (
+        events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), f"pjspark_q78b_ckpt_{uuid.uuid4().hex[:8]}"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
