@@ -385,3 +385,34 @@ def q37b(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ap95 >= exact_p95 * 0.98) & (ap95 <= exact_p95 * 1.02)
         ).alias("p95_within_2pct"),
     )
+
+
+@query(
+    "q34b_filtered_aggregates",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE o_totalprice > 1000) AS n_big,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+             AS urgent_total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q34b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregates (Q34b): per-aggregate predicates in one
+    pass — the standard way to compute N conditional metrics without N
+    scans or a pivot.  One partial/final hash aggregate, each FILTER a
+    codegen'd branch inside the same accumulator update."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("pj_q34b_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE o_totalprice > 1000) AS n_big,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                    FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+                 AS urgent_total
+        FROM pj_q34b_orders GROUP BY o_orderstatus
+        """
+    )

@@ -142,3 +142,37 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursion happens on the driver plan, the join fans out normally."""
     t(spark, sf_dir, "orders").createOrReplaceTempView("pj_q55_orders")
     return spark.sql(_Q55_SQL.format(orders="pj_q55_orders"))
+
+
+@query(
+    "q54_lateral_join",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    ORDER BY c.c_custkey, t.o_orderkey
+    """,
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (Q54): a per-row subquery — top-2 orders
+    per customer — the SQL spelling of Q43's rank-limit window.  Catalyst
+    DECORRELATES the lateral into a join + WindowGroupLimit rather than
+    executing the subquery per outer row, which is the only survivable
+    plan at 100 TB (per-row subquery execution would be O(customers)
+    scans)."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("pj_q54_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("pj_q54_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM pj_q54_customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM pj_q54_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        ORDER BY c.c_custkey, t.o_orderkey
+        """
+    )
