@@ -729,3 +729,23 @@ def q09d(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_qty"),
         )
     )
+
+
+@query(
+    "q03b_indexed_string_predicate",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q03b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed scan pruned by a STRING predicate (Q03b): row-group min/max
+    stats on BYTE_ARRAY columns skip groups whose [min,max] range can't
+    contain the literal, then the residual filter exacts the match — the
+    same contract as Q03's numeric BETWEEN, proven on the string stats
+    path (binary-ordered min/max, the trickier footer encoding)."""
+    idx = build_index(spark, table_path(sf_dir, "orders"))
+    return idx.read(
+        columns=["o_orderkey", "o_orderpriority"],
+        predicate=[("o_orderpriority", "=", "1-URGENT")],
+    )
