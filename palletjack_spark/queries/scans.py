@@ -749,3 +749,53 @@ def q03b(spark: SparkSession, sf_dir: str) -> DataFrame:
         columns=["o_orderkey", "o_orderpriority"],
         predicate=[("o_orderpriority", "=", "1-URGENT")],
     )
+
+
+@query(
+    "q07d_nested_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           MIN(l_linenumber) AS first_line
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey <= 500
+    GROUP BY o_orderkey
+    """,
+)
+def q07d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-schema parquet roundtrip (Q07d): orders nest their line
+    items as ``array<struct<...>>`` (the document/denormalized layout
+    that kills a join at read time — one row fetch replaces an
+    o_orderkey shuffle), write to parquet (LIST/group encoding), read
+    back, and re-derive flat aggregates from the nested column with
+    array expressions.  The checksum against the flat join proves the
+    nest→write→read→unnest cycle is lossless."""
+    out = _tmp("q07d_nested", sf_dir)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        li = t(spark, sf_dir, "lineitem")
+        o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 500)
+        nested = (
+            li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderkey")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("l_linenumber", "l_quantity"))
+                ).alias("items")
+            )
+        )
+        nested.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.select(
+        "o_orderkey",
+        F.size("items").cast("long").alias("n_items"),
+        # accumulator at max precision: DECIMAL(38,6) + DECIMAL(18,6)
+        # stays DECIMAL(38,6) (a narrower accumulator widens per addition
+        # and fails the lambda type check); sum is exact, order-free
+        F.expr(
+            "cast(aggregate(items, cast(0 as decimal(38,6)),"
+            " (acc, x) -> acc + cast(x.l_quantity as decimal(18,6)))"
+            " as double)"
+        ).alias("sum_qty"),
+        F.element_at("items", 1)["l_linenumber"].alias("first_line"),
+    )
