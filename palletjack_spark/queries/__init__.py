@@ -20,6 +20,7 @@ from palletjack_spark.queries import (  # noqa: F401,E402
     udfs,
     llm_ops,
     streaming_queries,
+    analytics,
 )
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

@@ -556,3 +556,16 @@ def test_runtime_bloom_filter_injected(spark):
             spark.conf.unset(k) if v is None else spark.conf.set(k, v)
     assert "might_contain" in plan, plan
     assert "bloom_filter_agg" in plan, plan
+
+
+def test_event_analytics_single_exchange(spark):
+    """Q116/Q117/Q120: every window and the final aggregate cluster on
+    user_id, so each plan must carry exactly ONE Exchange — the windows'
+    hash partitioning is reused by everything downstream (the analytics
+    module's 100 TB contract)."""
+    from palletjack_spark.queries import REGISTRY
+
+    for q in ("q116_scd2_dimension", "q117_sessionization", "q120_funnel"):
+        plan = _simple_plan(REGISTRY[q].fn(spark, SF_DIR))
+        n = plan.count("Exchange")
+        assert n == 1, f"{q}: expected 1 Exchange, saw {n}\n{plan}"
