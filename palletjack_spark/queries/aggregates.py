@@ -416,3 +416,100 @@ def q34b(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pj_q34b_orders GROUP BY o_orderstatus
         """
     )
+
+
+@query(
+    "q39b_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, val
+    FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+                          l_extendedprice, l_discount
+                   FROM lineitem WHERE l_orderkey <= 1000)
+          ON l_quantity, l_extendedprice, l_discount
+          INTO NAME metric VALUE val)
+    """,
+)
+def q39b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (Q39b): wide metric columns to long (metric, val)
+    rows — the inverse of Q39's pivot and the standard reshape before a
+    per-metric groupBy.  `DataFrame.unpivot` is a zero-shuffle 1→N row
+    expansion (Catalyst `Expand`), embarrassingly parallel at any scale;
+    both engines emit the source column name as the metric label."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") <= 1000)
+        .select(
+            "l_orderkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount",
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "metric",
+            "val",
+        )
+    )
+
+
+@query(
+    "q31b_hll_sketch_rollup",
+    # Same pinning contract as q32 (see that oracle's comment): the
+    # Datasketches binary sketch can't hash-match a different engine, so
+    # the driver row carries exact distinct counts at BOTH aggregation
+    # levels plus booleans asserting each estimate-from-merged-sketches
+    # landed within 5% of exact.  The oracle emits TRUE unconditionally.
+    oracle="""
+    WITH fine AS (
+      SELECT l_returnflag, l_linestatus,
+             COUNT(DISTINCT l_partkey) AS exact_parts
+      FROM lineitem GROUP BY l_returnflag, l_linestatus),
+    coarse AS (
+      SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts_flag
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT f.l_returnflag, f.l_linestatus, f.exact_parts,
+           c.exact_parts_flag,
+           TRUE AS fine_within_5pct,
+           TRUE AS coarse_within_5pct
+    FROM fine f JOIN coarse c USING (l_returnflag)
+    """,
+)
+def q31b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch rollup (Q31b): build Datasketches HLL per
+    (returnflag, linestatus), then re-aggregate to per-returnflag by
+    UNIONING THE SKETCHES — no second pass over raw data, the exact shape
+    a 100 TB rollup cube needs (distinct counts at N granularities from
+    one scan).  `hll_sketch_agg` partials merge map-side like any
+    aggregate; `hll_union_agg` makes coarser levels a metadata-sized
+    re-aggregation.  Driver row pins estimates to 5% of exact (q32
+    discipline); the sketches themselves are the operator under test."""
+    li = t(spark, sf_dir, "lineitem")
+    fine = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey", 14).alias("sketch"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    coarse = fine.groupBy("l_returnflag").agg(
+        F.hll_union_agg("sketch").alias("flag_sketch")
+    )
+    # exact per-flag count must come from raw data (exact counts don't
+    # merge); this is the verification side, not the operator
+    exact_coarse = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts_flag")
+    )
+    merged = (
+        fine.join(coarse, "l_returnflag")
+        .join(exact_coarse, "l_returnflag")
+    )
+    fine_est = F.hll_sketch_estimate("sketch").cast("double")
+    coarse_est = F.hll_sketch_estimate("flag_sketch").cast("double")
+    return merged.select(
+        "l_returnflag",
+        "l_linestatus",
+        "exact_parts",
+        "exact_parts_flag",
+        fine_est.between(
+            F.col("exact_parts") * 0.95, F.col("exact_parts") * 1.05
+        ).alias("fine_within_5pct"),
+        coarse_est.between(
+            F.col("exact_parts_flag") * 0.95, F.col("exact_parts_flag") * 1.05
+        ).alias("coarse_within_5pct"),
+    )
