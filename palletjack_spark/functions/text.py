@@ -267,3 +267,52 @@ def badword_keep(
     ``badword_stats`` stays the reporting surface."""
     _, _, bad_frac = _badword_cols(text_col, words)
     return bad_frac <= F.lit(max_frac)
+
+
+#: hashed-feature linear classifier: feature-space dimension and the seed
+#: tag baked into the per-bucket weight hash.  Module-level so the DuckDB
+#: oracle can restate the identical weight function.
+CLASSIFIER_DIM = 4096
+CLASSIFIER_SEED = "qw1"
+
+
+def hashed_linear_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Model-based quality classification (Q118): a fastText-style linear
+    classifier over hashed unigram features — the architecture used for
+    corpus quality gates (e.g. CCNet/GPT-3-style "looks like reference
+    text" filters), with deterministic pseudo-trained weights so two
+    engines can verify bit-exactly.
+
+    Pipeline per row (zero shuffle, all codegen'd array exprs):
+    token → feature bucket ``hash60(tok) % DIM`` → integer weight
+    ``hash60(seed || bucket) % 2001 - 1000`` (∈ [-1000, 1000], a stand-in
+    for trained int8-quantized weights) → integer sum over tokens →
+    ``score = Σw / (1000 · n_tok)``.  Integer accumulation keeps the sum
+    exact under any fold order; the single final double division is
+    IEEE-deterministic.  Swapping real trained weights in means replacing
+    the weight expression with a broadcast ``DIM``-row map — same plan
+    shape, still zero shuffle on the corpus."""
+    toks = f"split({text_col}, ' ')"
+    bucket = (
+        f"t -> pmod(cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint),"
+        f" {CLASSIFIER_DIM})"
+    )
+    weight = (
+        f"b -> cast(conv(substring(md5(concat('{CLASSIFIER_SEED}#',"
+        f" cast(b as string))), 1, 15), 16, 10) as bigint) % 2001 - 1000"
+    )
+    wsum = F.expr(
+        f"aggregate(transform(transform({toks}, {bucket}), {weight}),"
+        f" 0L, (acc, x) -> acc + x)"
+    )
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    score = F.when(
+        n_tok > 0, wsum.cast("double") / (n_tok.cast("double") * 1000.0)
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        wsum.alias("weight_sum"),
+        score.alias("score"),
+        (score > 0.0).alias("keep"),
+    )

@@ -1562,3 +1562,95 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "lang", "score")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q118_quality_classifier",
+    oracle="""
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    w AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(list_sum(list_transform(toks,
+                    t -> ('0x' || substr(md5('qw1#' || CAST(
+                             ('0x' || substr(md5(t), 1, 15))::BIGINT % 4096
+                           AS VARCHAR)), 1, 15))::BIGINT % 2001 - 1000)),
+                  0) AS BIGINT) AS weight_sum
+      FROM s)
+    SELECT doc_id, n_tokens, weight_sum,
+           CASE WHEN n_tokens > 0
+                THEN weight_sum / (n_tokens * 1000.0) ELSE 0.0 END AS score,
+           CASE WHEN n_tokens > 0
+                THEN weight_sum / (n_tokens * 1000.0) ELSE 0.0 END > 0.0
+             AS keep
+    FROM w
+    """,
+)
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate (Q118): fastText-style hashed-unigram
+    linear classifier (functions/text.hashed_linear_score) — the
+    classifier-filter stage of LLM curation pipelines, as a zero-shuffle
+    codegen'd expression chain.  Deterministic int-quantized weights make
+    the score bit-exact across engines; production swaps in trained
+    weights via a broadcast map with the identical plan shape."""
+    from palletjack_spark.functions.text import hashed_linear_score
+
+    return hashed_linear_score(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "q119_training_shards",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             {_sql_hash60("CAST(doc_id AS VARCHAR)", seed="shard")} % 8
+               AS shard
+      FROM documents)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM d GROUP BY shard
+    """,
+)
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export (Q119): the last pipeline stage — deal the
+    curated corpus into N shard files by a deterministic content-free
+    hash (reshuffles the domain/time clustering a crawl arrives in, which
+    training-data loaders require), write one directory per shard, and
+    read the MANIFEST back from the written files (doc/token counts per
+    shard — what a loader consumes to plan epochs).
+
+    Scale shape: shard = hash60(doc_id) % N is a pure projection — the
+    only exchange is the write's ``partitionBy`` clustering; there is no
+    global sort (a 100 TB corpus never needs total order, only
+    determinism).  The manifest aggregate runs over the written files, so
+    it doubles as a write-path verification."""
+    import os
+
+    from palletjack_spark.functions.dedup import hash60
+    from palletjack_spark.queries.scans import _tmp
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+        F.pmod(
+            hash60(F.col("doc_id").cast("string"), seed="shard"), F.lit(8)
+        ).alias("shard"),
+    )
+    out = _tmp("q119_shards", sf_dir)
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        docs.write.mode("overwrite").partitionBy("shard").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .groupBy(F.col("shard").cast("long").alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("shard_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

@@ -569,3 +569,12 @@ def test_event_analytics_single_exchange(spark):
         plan = _simple_plan(REGISTRY[q].fn(spark, SF_DIR))
         n = plan.count("Exchange")
         assert n == 1, f"{q}: expected 1 Exchange, saw {n}\n{plan}"
+
+
+def test_quality_classifier_zero_shuffle(spark):
+    """Q118: the hashed linear classifier is a pure projection — no
+    Exchange anywhere in the plan (the corpus is never moved to score)."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q118_quality_classifier"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
