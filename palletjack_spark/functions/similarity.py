@@ -464,3 +464,152 @@ def semantic_dedup(
             F.col("_sd_dropped").isNull().alias("keep"),
         )
     )
+
+
+def _kmeans_l2(mat: np.ndarray, k: int, iters: int = 8) -> np.ndarray:
+    """Deterministic L2 k-means for PQ codebooks: init = first k rows of
+    the id-ordered training sample, assign by min squared distance,
+    recenter; empty clusters keep their previous centroid."""
+    C = mat[: min(k, len(mat))].copy()
+    if len(C) < k:  # degenerate tiny sample: pad by repeating rows
+        C = np.concatenate([C] * (k // max(len(C), 1) + 1))[:k].copy()
+    for _ in range(iters):
+        d2 = ((mat[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return C
+
+
+def pq_topk(
+    corpus_df: DataFrame,
+    queries_df: DataFrame,
+    k: int = 10,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    shortlist: int = 64,
+    train_rows: int = 512,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k via Product Quantization (Jégou et al., PAMI
+    2011): split each L2-normalized vector into ``m_subspaces`` blocks,
+    vector-quantize each block against a per-subspace codebook, and scan
+    CODES, not vectors — asymmetric distance computation (ADC) scores a
+    candidate as the sum of per-block query·centroid lookup-table entries.
+
+    The 100 TB memory story: a dim-64 float64 embedding is 512 B; its PQ
+    code is ``m_subspaces`` small ints (8 B here) — the corpus the ADC
+    scan touches shrinks ~64×, which is the difference between an ANN
+    sweep that fits in page cache and one that doesn't.  Plan shape: the
+    encode and the ADC scan are zero-shuffle mapInPandas passes over the
+    corpus (lookup tables broadcast, per-batch partial top-``shortlist``
+    bounds fan-out); only the tiny (query × shortlist) candidate list
+    crosses an exchange for the global rank + exact re-score.
+
+    ``shortlist`` ≥ corpus size degenerates to exact brute force (the
+    shortlist keeps everything and the re-score is exact) — the
+    registered driver query runs there so the whole pipeline is
+    hash-checkable; realistic settings are recall-tested in
+    tests/test_llm.py."""
+    spark = corpus_df.sparkSession
+    sample = (
+        corpus_df.select(id_col, vec_col).orderBy(id_col).limit(train_rows).collect()
+    )
+    train = np.array([list(r[1]) for r in sample], dtype="float64")
+    train = train / np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-12)
+    dim = train.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    sub = dim // m_subspaces
+    codebooks = np.stack(
+        [
+            _kmeans_l2(train[:, m * sub : (m + 1) * sub], n_codes)
+            for m in range(m_subspaces)
+        ]
+    )  # (M, K, sub)
+    bCB = spark.sparkContext.broadcast(codebooks)
+
+    def encode(it):
+        CB = bCB.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.asarray([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(mat), len(CB)), dtype="int32")
+            for m in range(len(CB)):
+                blk = mat[:, m * sub : (m + 1) * sub]
+                d2 = ((blk[:, None, :] - CB[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    corpus_codes = corpus_df.select(id_col, vec_col).mapInPandas(
+        encode, "vec_id long, codes array<int>"
+    )
+
+    qids, qmat, qnorm = _collect_queries(queries_df, id_col, vec_col)
+    qn = qmat / qnorm[:, None]
+    # ADC lookup tables: T[q, m, j] = qblock · centroid  (inner product of
+    # normalized query with codebook centroids; cosine ≈ Σ_m T[q, m, code_m])
+    T = np.einsum(
+        "qms,mjs->qmj", qn.reshape(len(qn), m_subspaces, sub), codebooks
+    )
+    bT = spark.sparkContext.broadcast(T)
+    bqids = spark.sparkContext.broadcast(qids)
+
+    def adc_scan(it):
+        Tl, qi = bT.value, bqids.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())  # (B, M)
+            ids = pdf["vec_id"].to_numpy()
+            frames = []
+            for q in range(len(qi)):
+                scores = Tl[q][np.arange(codes.shape[1]), codes].sum(axis=1)
+                keep = min(shortlist, len(scores))
+                top = np.argpartition(-scores, keep - 1)[:keep]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qi[q],
+                            "vec_id": ids[top],
+                            "approx_ip": scores[top],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    partial = corpus_codes.mapInPandas(
+        adc_scan, "query_id long, vec_id long, approx_ip double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_ip"), F.asc("vec_id")
+    )
+    short = (
+        partial.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    qvecs = spark.createDataFrame(
+        [(int(qid), [float(x) for x in vec]) for qid, vec in zip(qids, qmat)],
+        "query_id long, qvec array<double>",
+    )
+    cand = (
+        corpus_df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+        .join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.transform("_v", lambda x: x.cast("double")).alias("vec"),
+            "qvec",
+        )
+    )
+    return _exact_rescore_topk(cand, k, exclude_self)

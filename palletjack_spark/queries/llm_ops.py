@@ -1654,3 +1654,21 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+@query("q92e_pq_topk", oracle=_Q92_ORACLE)
+def q92e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via Product Quantization (functions/similarity.pq_topk):
+    per-subspace codebooks compress each vector to m small ints and the
+    ADC scan reads codes, not vectors — the memory-bound ANN shape for a
+    100 TB embedding store (~64× less data touched than brute force).
+    The driver entry runs with an exhaustive shortlist, which keeps every
+    candidate and therefore degenerates to exact brute force after the
+    exact re-score (asserted in tests/test_llm.py) — codebook training,
+    encode, ADC tables, and re-score are all hash-checked.  Sub-linear
+    parameterization (shortlist=64) is recall-tested locally."""
+    from palletjack_spark.functions.similarity import pq_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return pq_topk(emb, queries, k=10, shortlist=1_000_000)

@@ -579,3 +579,37 @@ def test_badword_stats_crafted(spark):
     out = {r["doc_id"]: r for r in badword_stats(df, "text", "doc_id").collect()}
     assert out[0]["n_bad"] == 4 and not out[0]["keep"]
     assert out[1]["n_bad"] == 0 and out[1]["keep"] and out[1]["bad_frac"] == 0.0
+
+
+def test_pq_exhaustive_shortlist_equals_brute_force(spark):
+    """pq_topk with shortlist >= corpus degenerates to exact brute force
+    (the q92e driver contract)."""
+    from palletjack_spark.functions.similarity import pq_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    pq = pq_topk(emb, queries, k=10, shortlist=1_000_000).toPandas()
+    bf = cosine_topk(emb, queries, k=10).toPandas()
+    cols = ["query_id", "vec_id", "cosine", "rank"]
+    a = pq[cols].sort_values(cols).reset_index(drop=True)
+    b = bf[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_pq_realistic_shortlist_recall(spark):
+    """PQ at sub-linear settings (shortlist=64 of a 500-row corpus) must
+    recall most of the true top-10 — ADC tables are lossy but the exact
+    re-score fixes ranking within the shortlist."""
+    from palletjack_spark.functions.similarity import pq_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    approx = pq_topk(emb, queries, k=10, shortlist=64).toPandas()
+    exact = cosine_topk(emb, queries, k=10).toPandas()
+    exact_sets = exact.groupby("query_id")["vec_id"].apply(set)
+    approx_sets = approx.groupby("query_id")["vec_id"].apply(set)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets.index
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
