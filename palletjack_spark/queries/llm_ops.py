@@ -9,7 +9,7 @@ constants* as the Spark implementation to prevent drift.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from palletjack_spark.functions.dedup import (
@@ -1672,3 +1672,98 @@ def q92e(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return pq_topk(emb, queries, k=10, shortlist=1_000_000)
+
+
+@query(
+    "q122_keyword_extraction",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY doc_id, tok),
+    df AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS doc_freq FROM tf GROUP BY tok),
+    ranked AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, df.doc_freq,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, df.doc_freq ASC, tf.tok)
+               AS rnk
+      FROM tf JOIN df USING (tok))
+    SELECT doc_id, tok, tf, doc_freq, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction (Q122): top-3 distinguishing terms per document
+    by (term frequency DESC, corpus document-frequency ASC) — tf-idf
+    ordering without the idf logarithm, so the ranking is exact integer
+    arithmetic and bit-portable (transcendentals are excluded from
+    hash-matched outputs per the registry discipline).
+
+    Scale shape: tf is one (doc, term) hash aggregate; document frequency
+    re-aggregates TF'S OUTPUT (never re-reads text, partial-agg collapses
+    per-partition); the df table joins back keyed on term — at 100 TB the
+    term dictionary is Zipf-skewed but df rows are (term, count) pairs,
+    tiny relative to the corpus, and AQE handles the hot-term skew.  The
+    per-doc top-3 is a WindowGroupLimit, not a global sort."""
+    tf = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("doc_freq"), F.asc("tok")
+    )
+    return (
+        tf.join(df, "tok")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "tf", "doc_freq", "rnk")
+    )
+
+
+@query(
+    "q123_inverted_index",
+    oracle="""
+    WITH postings AS (
+      SELECT tok, list_sort(list(DISTINCT doc_id)) AS docs
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY tok)
+    SELECT tok,
+           CAST(len(docs) AS BIGINT) AS n_docs,
+           docs[1] AS first_doc,
+           docs[len(docs)] AS last_doc,
+           md5(array_to_string(docs, ',')) AS postings_md5
+    FROM postings WHERE len(docs) >= 100
+    """,
+)
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (Q123): term → sorted posting list of doc ids
+    — the search-engine core structure, here as one shuffle keyed on term
+    (explode is a zero-shuffle 1→N expansion; the groupBy's partial agg
+    assembles per-partition lists map-side).  Posting lists are sorted +
+    distinct so the structure is canonical and mergeable; the driver row
+    carries an md5 digest + endpoints of each list (the comparator can't
+    sort array cells, the digest is exactly as strict), and the ≥100-docs
+    filter keeps the row on the head of the Zipf curve (full index
+    materializes the same way, this is a HAVING not a cap)."""
+    postings = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .select(
+            "tok",
+            F.size("docs").cast("long").alias("n_docs"),
+            F.element_at("docs", 1).alias("first_doc"),
+            F.element_at("docs", -1).alias("last_doc"),
+            F.md5(F.concat_ws(",", F.col("docs").cast("array<string>")))
+            .alias("postings_md5"),
+        )
+        .where(F.col("n_docs") >= 100)
+    )
+    return postings
