@@ -221,3 +221,82 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("stage_reached"),
     )
+
+
+@query(
+    "q116b_temporal_join",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_type, ts_us, event_id FROM {_E}),
+    ordered AS (
+      SELECT user_id, event_type, ts_us, event_id,
+             LAG(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+      FROM e),
+    changes AS (
+      SELECT user_id, event_type, ts_us, event_id FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type),
+    dim AS (
+      SELECT user_id, event_type AS dim_state,
+             ts_us AS valid_from_us,
+             COALESCE(LEAD(ts_us) OVER
+               (PARTITION BY user_id ORDER BY ts_us, event_id),
+               9223372036854775807) AS valid_to_us
+      FROM changes),
+    facts AS (
+      SELECT user_id, event_id, value, ts_us FROM {_E}
+      WHERE event_type = 'purchase')
+    SELECT f.event_id, f.user_id, f.ts_us, d.dim_state,
+           CAST(f.value AS DOUBLE) AS value
+    FROM facts f JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts_us >= d.valid_from_us AND f.ts_us < d.valid_to_us
+    """,
+)
+def q116b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (point-in-time) dimension join (Q116b): enrich fact rows
+    with the dimension version valid AT THE FACT'S TIMESTAMP — the join
+    every SCD2 warehouse runs, and the lookup that makes Q116's interval
+    build useful.  Here the facts are purchase events and the dimension
+    is the user's state history from Q116's gaps-and-islands build.
+
+    Join shape at scale: the equality key (user_id) drives a normal hash
+    join — the validity-interval predicate is a RESIDUAL filter evaluated
+    inside the matched key group, never a nested-loop over the table (the
+    plan is SortMergeJoin/ShuffledHashJoin with a join condition, not
+    BroadcastNestedLoop — asserted in tests/test_plans.py).  Intervals
+    are half-open [from, to) and partition each user's timeline, so every
+    fact matches exactly one version — no row explosion."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", _ts_us(), "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    dim = changes.select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("dim_state"),
+        F.col("ts_us").alias("valid_from_us"),
+        F.coalesce(
+            F.lead("ts_us").over(w), F.lit(9223372036854775807)
+        ).alias("valid_to_us"),
+    )
+    facts = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "value", "ts_us"
+    )
+    return facts.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("ts_us") >= F.col("valid_from_us"))
+        & (F.col("ts_us") < F.col("valid_to_us")),
+    ).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "dim_state",
+        F.col("value").cast("double").alias("value"),
+    )

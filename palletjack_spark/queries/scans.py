@@ -799,3 +799,162 @@ def q07d(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_qty"),
         F.element_at("items", 1)["l_linenumber"].alias("first_line"),
     )
+
+
+def _snapshot_commit(table_dir: str, version: int, data_dir: str) -> None:
+    """Commit a snapshot version: record version → data dir in the table's
+    manifest (atomic rename, last-writer-wins like a lake log append)."""
+    import json
+
+    manifest = os.path.join(table_dir, "_versions.json")
+    state = {}
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            state = json.load(f)
+    state[str(version)] = data_dir
+    state["current"] = version
+    tmp_path = manifest + ".tmp"
+    with open(tmp_path, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp_path, manifest)
+
+
+def _snapshot_read(spark: SparkSession, table_dir: str, version: int | None):
+    """Time-travel read: resolve a version (None = current) through the
+    manifest and read that snapshot's immutable data directory."""
+    import json
+
+    with open(os.path.join(table_dir, "_versions.json")) as f:
+        state = json.load(f)
+    v = state["current"] if version is None else version
+    return spark.read.parquet(state[str(v)])
+
+
+@query(
+    "q09e_snapshot_time_travel",
+    oracle="""
+    SELECT 1 AS version, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    UNION ALL
+    SELECT 2 AS version, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(CASE WHEN o_orderkey % 10 = 0
+                              THEN o_totalprice * 2
+                              ELSE o_totalprice END
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    """,
+)
+def q09e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot versioning + time travel [north-star lakehouse]: each
+    write commits an immutable data directory to a tiny version manifest
+    (the core Delta/Iceberg idea, built from primitives) — readers
+    resolve version N (or current) through the manifest and scan only
+    that snapshot, so historic reads cost the same as current reads and
+    concurrent readers never see a half-written table.
+
+    v1 = base orders; v2 = copy-on-write upsert (the q09c merge).  The
+    returned frame aggregates BOTH versions through the time-travel
+    reader, proving old snapshots survive new commits.  Scale: the
+    manifest is O(versions) metadata; data dirs are immutable parquet —
+    exactly how table formats scale to 100 TB (the log is small, the
+    data never rewrites in place beyond the upsert's copy)."""
+    table_dir = _tmp("q09e_table", sf_dir)
+    os.makedirs(table_dir, exist_ok=True)
+    v1_dir = os.path.join(table_dir, "v1")
+    v2_dir = os.path.join(table_dir, "v2")
+    orders = t(spark, sf_dir, "orders")
+    if not os.path.exists(os.path.join(v1_dir, "_SUCCESS")):
+        orders.write.mode("overwrite").parquet(v1_dir)
+        _snapshot_commit(table_dir, 1, v1_dir)
+    if not os.path.exists(os.path.join(v2_dir, "_SUCCESS")):
+        updates = orders.where(F.col("o_orderkey") % 10 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        base = _snapshot_read(spark, table_dir, 1)
+        merged = base.join(
+            F.broadcast(updates.select("o_orderkey")), "o_orderkey", "left_anti"
+        ).unionByName(updates)
+        merged.write.mode("overwrite").parquet(v2_dir)
+        _snapshot_commit(table_dir, 2, v2_dir)
+
+    def summarize(version: int) -> DataFrame:
+        return _snapshot_read(spark, table_dir, version).agg(
+            F.lit(version).alias("version"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+
+    return summarize(1).unionByName(summarize(2))
+
+
+@query(
+    "q09f_change_data_feed",
+    oracle="""
+    WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 17 <> 3
+      UNION ALL
+      SELECT o_orderkey + 10000000, 1.0 FROM orders WHERE o_orderkey % 23 = 5)
+    SELECT COALESCE(v2.o_orderkey, v1.o_orderkey) AS o_orderkey,
+           CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+                WHEN v2.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           v1.o_totalprice AS old_price,
+           v2.o_totalprice AS new_price
+    FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
+    WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+          OR v1.o_totalprice <> v2.o_totalprice
+    """,
+)
+def q09f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between snapshots [north-star lakehouse]: diff two
+    table versions into (key, insert/update/delete, old, new) rows — what
+    Delta's CDF serves to downstream incremental consumers, computed here
+    from any two immutable snapshots (composes with Q09e's manifest).
+
+    One full-outer join keyed on the table key: both snapshots shuffle
+    once on o_orderkey and the change classification is row-local.
+    Unchanged rows are filtered AFTER the join but BEFORE any further
+    exchange — the feed leaving this operator is proportional to the
+    delta, not the table, which is what makes downstream incremental
+    consumption cheaper than re-reading the snapshot at 100 TB."""
+    orders = t(spark, sf_dir, "orders")
+    v1 = orders.select("o_orderkey", "o_totalprice")
+    updated = orders.where(F.col("o_orderkey") % 17 != 3).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    inserted = orders.where(F.col("o_orderkey") % 23 == 5).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    v2 = updated.unionByName(inserted)
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    old_key, new_key = F.col("a.o_orderkey"), F.col("b.o_orderkey")
+    return (
+        j.where(
+            old_key.isNull()
+            | new_key.isNull()
+            | (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+        )
+        .select(
+            F.coalesce(new_key, old_key).alias("o_orderkey"),
+            F.when(old_key.isNull(), "insert")
+            .when(new_key.isNull(), "delete")
+            .otherwise("update")
+            .alias("change_type"),
+            F.col("a.o_totalprice").alias("old_price"),
+            F.col("b.o_totalprice").alias("new_price"),
+        )
+    )

@@ -578,3 +578,16 @@ def test_quality_classifier_zero_shuffle(spark):
 
     plan = _simple_plan(REGISTRY["q118_quality_classifier"].fn(spark, SF_DIR))
     assert "Exchange" not in plan, plan
+
+
+def test_temporal_join_is_hash_keyed_not_nested_loop(spark):
+    """Q116b: the validity-interval predicate must ride as a residual on
+    the user_id equi-join — a BroadcastNestedLoopJoin here would be the
+    O(n·m) scale-killer."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q116b_temporal_join"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
