@@ -61,6 +61,13 @@ HEADLINE = [
     "q110_cross_doc_dupgrams",
     "q111_semantic_dedup",
     "q112_importance_resampling",
+    # this round's additions: event analytics (single-exchange
+    # sessionization), PQ ANN (code-scan memory shape), classifier gate
+    # (zero-shuffle), shard export (write path)
+    "q117_sessionization",
+    "q92e_pq_topk",
+    "q118_quality_classifier",
+    "q119_training_shards",
 ]
 
 META_ROW_GROUPS = 200
