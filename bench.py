@@ -68,6 +68,9 @@ HEADLINE = [
     "q92e_pq_topk",
     "q118_quality_classifier",
     "q119_training_shards",
+    # single-exchange generated gap fill; Zipf-table bigram counting
+    "q121_time_gapfill",
+    "q124_bpe_pair_counts",
 ]
 
 META_ROW_GROUPS = 200

@@ -224,6 +224,245 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q121_time_gapfill",
+    oracle=f"""
+    WITH e AS (SELECT user_id, value, ts_us FROM {_E}),
+    hourly AS (
+      SELECT user_id,
+             CAST(FLOOR(ts_us / 3600000000) AS BIGINT) AS bucket,
+             COUNT(*) AS n_events,
+             SUM(CAST(value AS DECIMAL(18,6))) AS sval
+      FROM e GROUP BY user_id, bucket),
+    span AS (
+      SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+      FROM hourly GROUP BY user_id),
+    grid AS (
+      SELECT user_id, UNNEST(generate_series(b0, b1)) AS bucket FROM span),
+    j AS (
+      SELECT g.user_id, g.bucket,
+             COALESCE(h.n_events, 0) AS n_events,
+             CAST(h.sval AS DOUBLE) / h.n_events AS avg_value
+      FROM grid g LEFT JOIN hourly h USING (user_id, bucket))
+    SELECT user_id, bucket, n_events, avg_value,
+           LAST_VALUE(avg_value IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY bucket
+              ROWS UNBOUNDED PRECEDING) AS filled_value
+    FROM j
+    """,
+)
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill (Q121): bucket each user's events
+    into hourly bars, materialize the MISSING hours from each user's
+    first to last bucket, and forward-fill the hourly average across the
+    gaps — the densification step before any rolling-window feature or
+    charting query can run on irregular event data.
+
+    Scale shape — ONE exchange, ONE pass, NO join: the raw stream is
+    hash-partitioned on user_id once; the hourly pre-aggregate
+    (partial-combined map-side) and the LEAD window both run inside that
+    partitioning (their key sets contain user_id, so the explicit
+    repartition satisfies every downstream distribution requirement).
+    Gap rows are then GENERATED, not joined: each bar explodes
+    ``sequence(bucket, next_bucket - 1)``, emitting itself plus its
+    trailing gap hours with the bar's average carried as the fill — the
+    grid-and-left-join formulation this replaces cost two more exchanges
+    (Spark re-shuffles joins whose children are partitioned on a subset
+    of the join keys) and a second scan of the stream.  Per user the
+    fan-out is bounded by the observed time span, never event volume.
+    Averages divide an exact decimal sum by the count so both engines
+    round once from the same rational."""
+    e = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "value", _ts_us())
+        .repartition("user_id")
+    )
+    hourly = (
+        e.withColumn("bucket", F.floor(F.col("ts_us") / 3_600_000_000))
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sval"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("bucket")
+    bars = hourly.select(
+        "user_id",
+        "bucket",
+        "n_events",
+        (F.col("sval").cast("double") / F.col("n_events")).alias("bar_avg"),
+        F.lead("bucket").over(w).alias("next_bucket"),
+    )
+    return bars.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                "bucket",
+                F.coalesce(F.col("next_bucket") - 1, F.col("bucket")),
+            )
+        ).alias("out_bucket"),
+        "bucket",
+        "n_events",
+        "bar_avg",
+    ).select(
+        "user_id",
+        F.col("out_bucket").alias("bucket"),
+        F.when(F.col("out_bucket") == F.col("bucket"), F.col("n_events"))
+        .otherwise(0)
+        .alias("n_events"),
+        F.when(
+            F.col("out_bucket") == F.col("bucket"), F.col("bar_avg")
+        ).alias("avg_value"),
+        F.col("bar_avg").alias("filled_value"),
+    )
+
+
+@query(
+    "q125_anomaly_zscore",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(value AS DECIMAL(14,3)) AS vq
+      FROM {_E}),
+    stats AS (
+      SELECT event_type,
+             COUNT(vq) AS n,
+             CAST(SUM(vq) AS DOUBLE) AS s1,
+             CAST(SUM(vq * vq) AS DOUBLE) AS s2
+      FROM e GROUP BY event_type),
+    scored AS (
+      SELECT e.event_id, e.event_type, CAST(e.vq AS DOUBLE) AS value,
+             (CAST(e.vq AS DOUBLE) - s1 / n)
+               / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS zscore
+      FROM e JOIN stats USING (event_type) WHERE n > 1)
+    SELECT event_id, event_type, value, zscore
+    FROM scored WHERE abs(zscore) > 3.0
+    """,
+)
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-population anomaly detection (Q125): flag events whose value
+    is more than 3 sample standard deviations from its event-type mean —
+    the monitoring/data-quality gate run before metrics dashboards trust
+    a day's ingest.
+
+    Two-pass shape chosen for scale: a tiny per-type moment table (one
+    groupBy over the stream, partial-aggregated map-side) is broadcast
+    back onto the unshuffled stream — the full table never repartitions,
+    unlike the window-function formulation which would shuffle every row.
+    Values are quantized to DECIMAL(14,3) for the statistic so the power
+    sums' integer mantissas stay under 2^53 — above that, a decimal→
+    double cast is double-rounded in some engines (observed 1-ulp drift
+    vs DuckDB at scale 6) and the z-scores stop being bit-identical; at
+    scale 3 every cast in the formula is single-rounded on both sides
+    (q38's multiplicand discipline)."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("decimal(14,3)").alias("vq")
+    )
+    stats = e.groupBy("event_type").agg(
+        F.count("vq").alias("n"),
+        F.sum("vq").cast("double").alias("s1"),
+        F.sum(F.col("vq") * F.col("vq")).cast("double").alias("s2"),
+    )
+    v = F.col("vq").cast("double")
+    z = (v - F.col("s1") / F.col("n")) / F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return (
+        e.join(F.broadcast(stats.where(F.col("n") > 1)), "event_type")
+        .withColumn("zscore", z)
+        .where(F.abs(F.col("zscore")) > 3.0)
+        .select("event_id", "event_type", v.alias("value"), "zscore")
+    )
+
+
+#: columns q126 profiles, with the numeric view used for min/max (strings
+#: get NULL bounds — their min/max would hinge on collation, which the two
+#: engines need not share; timestamps profile as epoch-µs doubles).
+_PROFILE_COLS = [
+    ("l_quantity", "CAST(l_quantity AS DOUBLE)"),
+    ("l_extendedprice", "CAST(l_extendedprice AS DOUBLE)"),
+    ("l_discount", "CAST(l_discount AS DOUBLE)"),
+    ("l_returnflag", None),
+    ("l_shipdate", "CAST(epoch_us(CAST(l_shipdate AS TIMESTAMP)) AS DOUBLE)"),
+]
+
+
+@query(
+    "q126_data_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{name}' AS col_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({name}) AS n_null,
+           COUNT(DISTINCT {name}) AS n_distinct,
+           {f"MIN({num})" if num else "CAST(NULL AS DOUBLE)"} AS min_num,
+           {f"MAX({num})" if num else "CAST(NULL AS DOUBLE)"} AS max_num
+    FROM lineitem"""
+        for name, num in _PROFILE_COLS
+    ),
+)
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data profiling (Q126): per-column row/null/distinct
+    counts and numeric bounds over lineitem — the ingest-validation
+    summary every pipeline runs before promoting a day's data, as one
+    DataFrame job instead of a query per column.
+
+    All columns profile in ONE aggregate pass: Spark plans the multi-
+    count-distinct as a single Expand + aggregate, so the table is read
+    once regardless of how many columns are profiled.  Exact distincts
+    keep the oracle hash-checkable at test scale; a 100 TB profile swaps
+    in approx_count_distinct (the Q32 sketch path) — same plan shape
+    minus the Expand, noted here rather than silently assumed.
+    Timestamps profile as epoch-µs doubles and strings carry NULL bounds
+    so min/max never depend on engine collation."""
+    li = t(spark, sf_dir, "lineitem")
+    num_expr = {
+        "l_quantity": F.col("l_quantity").cast("double"),
+        "l_extendedprice": F.col("l_extendedprice").cast("double"),
+        "l_discount": F.col("l_discount").cast("double"),
+        "l_returnflag": None,
+        "l_shipdate": F.unix_micros(
+            F.col("l_shipdate").cast("timestamp")
+        ).cast("double"),
+    }
+    aggs = [F.count("*").alias("n_rows")]
+    for name, _ in _PROFILE_COLS:
+        aggs += [
+            F.count(name).alias(f"{name}__nn"),
+            F.countDistinct(name).alias(f"{name}__nd"),
+        ]
+        num = num_expr[name]
+        if num is not None:
+            aggs += [
+                F.min(num).alias(f"{name}__min"),
+                F.max(num).alias(f"{name}__max"),
+            ]
+    one = li.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(name).alias("col_name"),
+            F.col("n_rows").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"{name}__nn")).alias("n_null"),
+            F.col(f"{name}__nd").alias("n_distinct"),
+            (
+                F.col(f"{name}__min")
+                if num_expr[name] is not None
+                else F.lit(None).cast("double")
+            ).alias("min_num"),
+            (
+                F.col(f"{name}__max")
+                if num_expr[name] is not None
+                else F.lit(None).cast("double")
+            ).alias("max_num"),
+        )
+        for name, _ in _PROFILE_COLS
+    ]
+    return one.select(
+        F.explode(F.array(*rows)).alias("p")
+    ).select("p.*")
+
+
+@query(
     "q116b_temporal_join",
     oracle=f"""
     WITH e AS (SELECT user_id, event_type, ts_us, event_id FROM {_E}),

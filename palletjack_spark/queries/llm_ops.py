@@ -1767,3 +1767,59 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_docs") >= 100)
     )
     return postings
+
+
+@query(
+    "q124_bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+      SELECT UNNEST(string_split(text, ' ')) AS w FROM documents),
+    wf AS (
+      SELECT w, COUNT(*) AS cnt FROM words WHERE length(w) >= 2 GROUP BY w),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INT), 1) AS a,
+             substr(w, CAST(i AS INT) + 1, 1) AS b,
+             cnt
+      FROM wf, UNNEST(generate_series(1, length(w) - 1)) AS t(i))
+    SELECT a, b, SUM(cnt) AS pair_count
+    FROM pairs GROUP BY a, b
+    ORDER BY pair_count DESC, a, b LIMIT 20
+    """,
+)
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate counting (Q124): the first iteration of
+    byte-pair-encoding tokenizer training (Sennrich et al., ACL 2016) —
+    count adjacent-symbol pair frequencies across the corpus, weighted by
+    word frequency, and rank the top merge candidates.
+
+    The scale trick IS the word-frequency table: pair generation runs
+    over DISTINCT words (Zipf: vastly smaller than the corpus and it
+    grows sublinearly), so the only full-corpus pass is the word count's
+    partial-aggregated shuffle; the character-bigram explode fans out
+    executor-side via ``sequence`` over a table of unique words, and the
+    final pair aggregate is tiny (≤ alphabet²).  Full BPE training loops
+    this with merged symbols; each round has this same plan shape with
+    the pair table re-derived from the (still small) word-symbol table.
+    Top-20 carries a (count DESC, pair) total order for the driver."""
+    wf = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pairs = wf.select(
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        "w",
+        "cnt",
+    ).select(
+        F.expr("substring(w, i, 1)").alias("a"),
+        F.expr("substring(w, i + 1, 1)").alias("b"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.sum("cnt").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "a", "b")
+        .limit(20)
+    )

@@ -89,3 +89,76 @@ def test_funnel_stage_monotone(spark):
         + has_p.astype(int)
     )
     assert (pdf["stage_reached"] == expect).all()
+
+
+def test_gapfill_buckets_contiguous_and_filled(spark):
+    """Q121: per user the output buckets tile [min, max] hourly with no
+    gaps; filled_value is never null (every user's first bucket has
+    data); bars with events carry avg_value = filled_value."""
+    pdf = (
+        REGISTRY["q121_time_gapfill"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+    )
+    assert int(pdf["n_events"].sum()) == _events_count(spark)
+    assert pdf["filled_value"].notna().all()
+    for uid, grp in pdf.groupby("user_id"):
+        b = grp["bucket"].sort_values().to_numpy()
+        assert (b[1:] - b[:-1] == 1).all(), f"{uid}: grid must be dense"
+    has = pdf["n_events"] > 0
+    assert (pdf.loc[has, "avg_value"] == pdf.loc[has, "filled_value"]).all()
+    assert pdf.loc[~has, "avg_value"].isna().all()
+
+
+def test_anomaly_zscore_flags_are_extreme(spark):
+    """Q125: every flagged event is >3 sample stddevs from its type mean,
+    recomputed here from the raw table in pandas."""
+    import numpy as np
+
+    pdf = REGISTRY["q125_anomaly_zscore"].fn(spark, SF_DIR).toPandas()
+    assert (pdf["zscore"].abs() > 3.0).all()
+    raw = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", "event_type", F.col("value").cast("double").alias("v"))
+        .toPandas()
+    )
+    for etype, grp in pdf.groupby("event_type"):
+        vals = raw.loc[raw["event_type"] == etype, "v"]
+        mu, sd = vals.mean(), vals.std(ddof=1)
+        flagged = raw["event_id"].isin(grp["event_id"])
+        z = (raw.loc[flagged, "v"] - mu) / sd
+        # quantized stats differ from raw floats at ~1e-3; the flag margin
+        # is far coarser than that
+        assert (z.abs() > 2.9).all(), etype
+
+
+def test_data_profile_counts_match_table(spark):
+    """Q126: profiled row counts equal the table's; distincts bounded by
+    rows; numeric bounds ordered."""
+    pdf = REGISTRY["q126_data_profile"].fn(spark, SF_DIR).toPandas()
+    n = load_table(spark, SF_DIR, "lineitem").count()
+    assert (pdf["n_rows"] == n).all()
+    assert (pdf["n_distinct"] + pdf["n_null"] <= pdf["n_rows"]).all()
+    num = pdf["min_num"].notna()
+    assert (pdf.loc[num, "min_num"] <= pdf.loc[num, "max_num"]).all()
+
+
+def test_bpe_pair_counts_match_bruteforce(spark):
+    """Q124: top pair counts equal a brute-force pandas recount over the
+    corpus (weighted by word frequency)."""
+    from collections import Counter
+
+    docs = load_table(spark, SF_DIR, "documents").select("text").toPandas()
+    counts = Counter()
+    for text in docs["text"]:
+        for w in text.split(" "):
+            if len(w) >= 2:
+                for i in range(len(w) - 1):
+                    counts[(w[i], w[i + 1])] += 1
+    pdf = REGISTRY["q124_bpe_pair_counts"].fn(spark, SF_DIR).toPandas()
+    for _, r in pdf.iterrows():
+        assert counts[(r["a"], r["b"])] == r["pair_count"], (r["a"], r["b"])
+    # and nothing bigger was left out of the top-20
+    floor = pdf["pair_count"].min()
+    bigger = sum(1 for v in counts.values() if v > floor)
+    assert bigger <= len(pdf)

@@ -591,3 +591,51 @@ def test_temporal_join_is_hash_keyed_not_nested_loop(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     ), plan
+
+
+def test_gapfill_single_exchange_no_join(spark):
+    """Q121: gap rows are generated by exploding each bar's trailing gap
+    range — NOT by left-joining a dense grid (which would re-shuffle: the
+    join keys (user, bucket) are a superset of the stream's user_id
+    partitioning).  One hash exchange, zero joins."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q121_time_gapfill"].fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_anomaly_zscore_broadcasts_moments(spark):
+    """Q125: the per-type moment table broadcasts back onto the stream —
+    the stream itself must never hash-shuffle to be scored (the window
+    formulation would move every row)."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q125_anomaly_zscore"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_data_profile_reads_table_once(spark):
+    """Q126: all columns profile in one aggregate pass — one parquet scan
+    regardless of how many columns are profiled (the multi-count-distinct
+    plans as a single Expand, not a scan per column)."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q126_data_profile"].fn(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan, plan
+
+
+def test_bpe_pairs_explode_after_word_agg(spark):
+    """Q124: the bigram explode must fan out of the AGGREGATED word table
+    (Zipf-small), not the raw token stream — Generate sits above the word
+    count's HashAggregate; top-20 uses TakeOrderedAndProject, not a
+    global sort."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q124_bpe_pair_counts"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    gen = plan.index("Generate explode")
+    agg_below = plan[gen:].count("HashAggregate")
+    assert agg_below >= 2, plan  # word-count partial+final below the explode
