@@ -1781,7 +1781,7 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
              substr(w, CAST(i AS INT) + 1, 1) AS b,
              cnt
       FROM wf, UNNEST(generate_series(1, length(w) - 1)) AS t(i))
-    SELECT a, b, SUM(cnt) AS pair_count
+    SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS pair_count
     FROM pairs GROUP BY a, b
     ORDER BY pair_count DESC, a, b LIMIT 20
     """,

@@ -151,20 +151,21 @@ def test_live_fingerprints_match_registry():
         )
 
 
-def test_round4_window_contains_stalest_qids():
-    """Round-3 verdict item 4: the QIDs with the oldest or invalidated
-    evidence (q52/q53/q55/q60 r1-vintage; q94c's oracle rewritten in r3
-    after its only green row) must be aliased into the driver window."""
+def test_window_contains_stalest_qids():
+    """Round-4 verdict item 2: the rotation window must always contain the
+    QIDs whose green evidence is currently stalest — computed dynamically
+    from _green_rounds(), never pinned to one round's answer (the round-4
+    pinned variant of this test self-expired the moment CORRECTNESS_r04
+    landed and the cohort rotated out)."""
     keys = entrymod._driver_keys()
     aliased = {canon for key, canon in keys.items() if key != canon}
-    for q in (
-        "q52_distinct",
-        "q53_sql_subqueries",
-        "q55_recursive_cte",
-        "q60_string_funcs",
-        "q94c_multimodal_frames",
-    ):
+    newest = entrymod._green_rounds()
+    stalest = sorted(REGISTRY, key=lambda n: (newest.get(n, 0), n))
+    for q in stalest[: entrymod._DRIVER_WINDOW]:
         assert q in aliased, q
+    # the freshest cohort must NOT be aliased (the window is bounded)
+    for q in stalest[entrymod._DRIVER_WINDOW :][-5:]:
+        assert q not in aliased, q
 
 
 def test_rotation_rule_oldest_green_first_window():
