@@ -195,6 +195,37 @@ DRIVER_BUILD_MAX_FILES = 32
 #: of row-group stat extraction it saves exceeds that.
 _FOOTER_CHUNKS = 16
 
+#: minimum row groups per footer chunk: below this stride the chunk's walk
+#: is cheaper than the footer re-parse it pays for, so fanning out further
+#: only multiplies parse work (round-4 verdict: the 16-way fan-out over a
+#: 200-rg footer was 2x slower than 4-way because every task re-parsed the
+#: 4.25 MB thrift for a ~12-rg walk).
+_MIN_RGS_PER_CHUNK = 64
+
+
+def _pick_chunks(files: list[str], par: int) -> int:
+    """Per-file footer fan-out for the distributed build.
+
+    With many files each file is already one unit, so no fan-out.  With few
+    files, probe ONE footer driver-side (a single ~tens-of-ms parse — the
+    driver already listed every file, and this runs only when there are
+    fewer files than cores) and size the fan-out so each chunk walks at
+    least ``_MIN_RGS_PER_CHUNK`` row groups: a 10k-row-group footer still
+    fans out to the full ``_FOOTER_CHUNKS``, while a 200-rg footer gets 4
+    tasks instead of 16 footer re-parses.
+    """
+    by_par = par // max(1, len(files))
+    if by_par <= 1:
+        return 1
+    try:
+        num_rgs = _open_footer(files[0]).metadata.num_row_groups
+    except EncryptedParquetError:
+        raise
+    except Exception:
+        return min(_FOOTER_CHUNKS, by_par)
+    by_rgs = max(1, -(-num_rgs // _MIN_RGS_PER_CHUNK))  # ceil div
+    return max(1, min(_FOOTER_CHUNKS, by_par, by_rgs))
+
 
 def build_index(
     spark: SparkSession,
@@ -264,12 +295,18 @@ def build_index(
     # cluster is busy — a million small files AND a handful of 10k-row-group
     # files both saturate.
     par = spark.sparkContext.defaultParallelism
-    n_chunks = max(1, min(_FOOTER_CHUNKS, par // max(1, len(files))))
+    n_chunks = _pick_chunks(files, par)
     units = [(f, c, n_chunks) for f in files for c in range(n_chunks)]
-    # no repartition: parallelize() already spreads the unit rows evenly
-    # across defaultParallelism slices, and a shuffle here would only add
-    # a stage before the footer-parse tasks.
-    fdf = spark.createDataFrame(units, "file string, chunk int, n_chunks int")
+    # exactly one slice per unit (capped at defaultParallelism): the default
+    # createDataFrame slicing pads to defaultParallelism partitions, and
+    # every EMPTY slice still pays a python-worker round trip — 16 wasted
+    # task launches per build at the round-4 bench shape.  A shuffle-free
+    # parallelize with explicit numSlices keeps one footer-parse task per
+    # unit and nothing else.
+    fdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(units, min(len(units), par)),
+        "file string, chunk int, n_chunks int",
+    )
 
     # SINGLE footer pass: each executor parses a footer once and emits the
     # file-level row AND its row-group rows into one tagged union frame.

@@ -27,6 +27,7 @@ from palletjack_spark.sources.arrow_scan import (
     _TARGET_TASK_BYTES,
     arrow_to_spark_schema,
     resolve_columns,
+    scan_plan,
     scan_tasks,
 )
 
@@ -465,11 +466,10 @@ class MetadataIndex:
                             f"Row group {rg} is out of range [0, {max_rg.get(f, 0)}) for {f}"
                         )
 
-        # O(selected) driver-side task list.  At 100 TB selections stay
-        # small *because* of pruning; an all-row-groups scan should use
-        # spark.read.parquet instead.
         if self._local is not None:
-            # plan in plain Python — no Spark job before the scan itself
+            # small driver-resident index: plan in plain Python — no Spark
+            # job before the scan itself — and chunk each file's selection
+            # into ~128 MB spans (parity with arrow_scan._plan_tasks)
             rg_rows = self._local[0]
             if files is not None:
                 want_f = set(files)
@@ -482,35 +482,32 @@ class MetadataIndex:
             sel_rows = sorted(
                 (r["file"], r["row_group"], r["total_byte_size"]) for r in rg_rows
             )
+            tasks: list[tuple[str, list[int]]] = []
+            cur_file: str | None = None
+            span: list[int] = []
+            span_bytes = 0
+            for f, rg, nbytes in sel_rows:
+                if f != cur_file and span:
+                    tasks.append((cur_file, span))
+                    span, span_bytes = [], 0
+                cur_file = f
+                span.append(rg)
+                span_bytes += nbytes or 0
+                if span_bytes >= _TARGET_TASK_BYTES:
+                    tasks.append((cur_file, span))
+                    span, span_bytes = [], 0
+            if span:
+                tasks.append((cur_file, span))
+            df = scan_tasks(self.spark, tasks, schema, sel)
         else:
+            # distributed catalog: the pruned plan DataFrame drives the scan
+            # executor-side — the driver never materializes the row-group
+            # list (round-4 verdict: an O(selected) collect caps a weakly
+            # selective predicate over a 100 TB catalog at driver memory)
             plan = self.prune(
                 files=files, row_groups=row_groups, predicate=predicate
             )
-            sel_rows = [
-                (r["file"], r["row_group"], r["total_byte_size"])
-                for r in plan.select("file", "row_group", "total_byte_size")
-                .orderBy("file", "row_group")
-                .collect()
-            ]
-        # chunk each file's selection into ~128 MB spans so one big file
-        # still fans out across executors (parity with arrow_scan._plan_tasks)
-        tasks: list[tuple[str, list[int]]] = []
-        cur_file: str | None = None
-        span: list[int] = []
-        span_bytes = 0
-        for f, rg, nbytes in sel_rows:
-            if f != cur_file and span:
-                tasks.append((cur_file, span))
-                span, span_bytes = [], 0
-            cur_file = f
-            span.append(rg)
-            span_bytes += nbytes or 0
-            if span_bytes >= _TARGET_TASK_BYTES:
-                tasks.append((cur_file, span))
-                span, span_bytes = [], 0
-        if span:
-            tasks.append((cur_file, span))
-        df = scan_tasks(self.spark, tasks, schema, sel)
+            df = scan_plan(self.spark, plan, schema, sel)
         if predicate and apply_residual:
             for col_name, op, *vals in predicate:
                 c = F.col(col_name)

