@@ -968,10 +968,96 @@ def _serialize_index(footer: bytes, fields: list, rg_elems: list) -> bytearray:
     return out
 
 
+#: magic of the reference's own binary sidecar (palletjack.cc:29-30)
+_PJ2_MAGIC = b"PJ_2"
+
+
+def _decode_pj2(blob: bytes) -> bytes:
+    """Decode the reference's ``PJ_2`` sidecar into its embedded footer.
+
+    Layout (palletjack.cc:33-80, write order cc:316-339): a 20-byte header
+    ``'PJ_2' | u32 row_groups | u32 columns | u32 column_names_length |
+    u32 metadata_length`` followed by seven little-endian u32 offset
+    arrays, the nul-separated leaf column names, and the ORIGINAL Thrift
+    compact footer blob.  The blob is self-contained, so a
+    reference-generated ``.index`` reads through the same span machinery
+    as our PJS1 format: extract the footer, walk it once, and every
+    ``read_metadata``/``read_schema`` selection works unchanged.
+
+    Validation mirrors the reference's own header/count discipline
+    (palletjack.cc:239-310 checks array sizes against the header before
+    trusting them; cc:425-434 checks the magic) plus length-bomb bounds:
+    every declared length is checked against the physical buffer before
+    any allocation sized from it.
+    """
+    if blob[:4] != _PJ2_MAGIC:
+        raise InvalidSelectionError(
+            "Not a PalletJack PJ_2 index (bad magic)"
+        )
+    if len(blob) < 20:
+        raise InvalidSelectionError(
+            f"Truncated PJ_2 index: {len(blob)} bytes < 20-byte header"
+        )
+    rg, cols, cnames_len, md_len = struct.unpack_from("<4I", blob, 4)
+    n_u32 = (
+        2  # num_rows_offsets
+        + rg  # row_numbers
+        + (1 + 1 + cols + 1)  # schema_offsets
+        + (cols + 1) * 2  # num_children_offsets
+        + (1 + rg + 1)  # row_groups_offsets
+        + (1 + cols + 1)  # column_orders_offsets
+        + rg * (1 + cols + 1)  # column_chunks_offsets
+    )
+    expected = 20 + n_u32 * 4 + cnames_len + md_len
+    # reject bombs BEFORE computing section positions from declared sizes
+    if rg > 10_000_000 or cols > 10_000_000 or expected != len(blob):
+        raise InvalidSelectionError(
+            f"Corrupt PJ_2 index: header declares {rg} row groups x "
+            f"{cols} columns ({expected} bytes) but the file is "
+            f"{len(blob)} bytes"
+        )
+    names_start = 20 + n_u32 * 4
+    names_blob = blob[names_start : names_start + cnames_len]
+    names = names_blob.split(b"\0")[:-1]
+    if len(names) != cols or (cnames_len and not names_blob.endswith(b"\0")):
+        raise InvalidSelectionError(
+            f"Corrupt PJ_2 index: {len(names)} column names for "
+            f"{cols} declared columns"
+        )
+    footer = bytes(blob[names_start + cnames_len :])
+    # cross-check the embedded footer against the header the same way the
+    # reference trusts its offset arrays only after count validation
+    try:
+        fields, rg_elems = footer_spans(footer)
+    except Exception as e:
+        raise InvalidSelectionError(
+            f"Corrupt PJ_2 index: embedded footer does not parse ({e})"
+        ) from e
+    leaves = leaf_column_names(footer)
+    if len(rg_elems) != rg or len(leaves) != cols:
+        raise InvalidSelectionError(
+            f"Corrupt PJ_2 index: footer has {len(rg_elems)} row groups x "
+            f"{len(leaves)} columns, header declares {rg} x {cols}"
+        )
+    if [n.decode("utf-8", "replace") for n in names] != leaves:
+        raise InvalidSelectionError(
+            "Corrupt PJ_2 index: column-name section disagrees with the "
+            "embedded footer schema"
+        )
+    return footer
+
+
 def _deserialize_index(blob: bytes) -> tuple[bytes, list, list]:
+    if blob[:4] == _PJ2_MAGIC:
+        # reference-generated sidecar: extract the embedded footer; the
+        # span walk happened (and was cached) during validation
+        footer = _decode_pj2(blob)
+        fields, rg_elems = footer_spans(footer)
+        return footer, fields, rg_elems
     if blob[:4] != _PJS_MAGIC:
         raise InvalidSelectionError(
-            "Not a palletjack_spark footer index (bad magic; expected PJS1)"
+            "Not a palletjack_spark footer index (bad magic; expected "
+            "PJS1 or PJ_2)"
         )
     pos = 4
     (flen,) = struct.unpack_from("<I", blob, pos)

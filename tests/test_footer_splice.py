@@ -387,3 +387,93 @@ def test_splice_is_byte_stable(pq_file):
         ident.row_group(3).column(2).statistics.min
         == orig.row_group(3).column(2).statistics.min
     )
+
+
+# --------------------------------------------------------------------------
+# PJ_2 compatibility: the reference's own binary sidecar format
+# --------------------------------------------------------------------------
+
+_REF_DATA = "/root/reference/python/test/data"
+_GOLDEN = os.path.join(_REF_DATA, "golden_master.parquet")
+_GOLDEN_IDX = _GOLDEN + ".index"
+
+needs_ref_golden = pytest.mark.skipif(
+    not os.path.exists(_GOLDEN_IDX),
+    reason="reference golden_master index not available",
+)
+
+
+@needs_ref_golden
+def test_pj2_golden_sidecar_differential():
+    """Round-4 verdict item 6: an index produced by the ACTUAL reference
+    (its committed golden_master.parquet.index, layout palletjack.cc:33-80)
+    must read through read_metadata/read_schema unchanged — every
+    (row-group, column) selection equal to the direct pyarrow read."""
+    full = pq.ParquetFile(_GOLDEN).read()
+    md_full = pq.ParquetFile(_GOLDEN).metadata
+    n_rg, n_cols = md_full.num_row_groups, md_full.num_columns
+    chunk = md_full.row_group(0).num_rows
+
+    sch = read_schema(index_file_path=_GOLDEN_IDX)
+    assert sch == pq.ParquetFile(_GOLDEN).schema_arrow
+
+    with open(_GOLDEN_IDX, "rb") as f:
+        blob = f.read()
+    for row_groups in it.chain.from_iterable(
+        it.permutations(range(n_rg), k) for k in range(n_rg + 1)
+    ):
+        for k in range(n_cols + 1):
+            for col_idx in it.combinations(range(n_cols), k):
+                md = read_metadata(
+                    index_data=blob,
+                    row_groups=list(row_groups),
+                    column_indices=list(col_idx),
+                )
+                pr = pq.ParquetReader()
+                pr.open(_GOLDEN, metadata=md)
+                got = pr.read_all()
+                pr.close()
+                names = [full.column_names[c] for c in col_idx] or list(
+                    full.column_names
+                )
+                # empty selection = no filtering (reference semantics,
+                # palletjack.cc:492)
+                rgs = row_groups or range(n_rg)
+                parts = [
+                    full.select(names).slice(r * chunk, chunk) for r in rgs
+                ]
+                want = pa.concat_tables(parts)
+                assert got.equals(want), (row_groups, col_idx)
+
+
+@needs_ref_golden
+def test_pj2_corrupt_rejected(tmp_path):
+    """PJ_2 bounds discipline: truncation, bad magic, and header/body
+    disagreement all fail fast with InvalidSelectionError — never an
+    allocation sized from an unchecked declared length."""
+    import struct as _struct
+
+    with open(_GOLDEN_IDX, "rb") as f:
+        blob = f.read()
+    with pytest.raises(InvalidSelectionError, match="magic"):
+        fs._decode_pj2(b"PJ_3" + blob[4:])
+    with pytest.raises(InvalidSelectionError, match="Truncated|Corrupt"):
+        fs._decode_pj2(blob[:12])
+    with pytest.raises(InvalidSelectionError, match="Corrupt"):
+        fs._decode_pj2(blob[:-10])  # body shorter than declared
+    # declared row-group bomb: huge count vs tiny file
+    bomb = bytearray(blob)
+    _struct.pack_into("<I", bomb, 4, 2**31 - 1)
+    with pytest.raises(InvalidSelectionError, match="Corrupt"):
+        fs._decode_pj2(bytes(bomb))
+    # column-name section out of sync with the footer schema
+    tampered = bytearray(blob)
+    rg, cols, cnames_len, md_len = _struct.unpack_from("<4I", blob, 4)
+    n_u32 = (
+        2 + rg + (cols + 3) + (cols + 1) * 2 + (rg + 2) + (cols + 2)
+        + rg * (cols + 2)
+    )
+    names_start = 20 + n_u32 * 4
+    tampered[names_start] = ord("X")
+    with pytest.raises(InvalidSelectionError, match="disagrees"):
+        fs._decode_pj2(bytes(tampered))
