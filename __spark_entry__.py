@@ -32,9 +32,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-sys.path.insert(0, _HERE)
 
-from palletjack_spark.queries import REGISTRY  # noqa: E402
+try:
+    # installed form (pip install -e . via pyproject.toml)
+    from palletjack_spark.queries import REGISTRY
+except ImportError:  # uninstalled checkout: import relative to this file
+    sys.path.insert(0, _HERE)
+    from palletjack_spark.queries import REGISTRY  # noqa: E402
 
 
 def _next_round(root: str = _HERE) -> int:
