@@ -128,10 +128,20 @@ def bench_metadata(spark) -> dict[str, float]:
 
     path = _ensure_meta_fixture()
 
-    t0 = time.perf_counter()
-    for _ in range(META_CALLS):
-        pq.ParquetFile(path).metadata  # full footer parse (baseline :98-102)
-    full = (time.perf_counter() - t0) / META_CALLS
+    # round-4 verdict item 4: EVERY metadata workload is min-of-passes —
+    # a multi-second background spike during one averaged pass otherwise
+    # pollutes the recorded number (the reference harness likewise reports
+    # min over iterations, benchmark_palletjack_metadata.py:159-180)
+    def _best_avg(block, passes: int = 2, calls: int = META_CALLS) -> float:
+        best = float("inf")
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            for _ in range(calls):
+                block()
+            best = min(best, (time.perf_counter() - t0) / calls)
+        return best
+
+    full = _best_avg(lambda: pq.ParquetFile(path).metadata)
 
     # thread-pool sweep, mirroring the reference harness's pool sizes 1 and 2
     # (benchmark_palletjack_metadata.py:32,159-176): per-call wall time when
@@ -139,10 +149,16 @@ def bench_metadata(spark) -> dict[str, float]:
     def _full_parse(_):
         return pq.ParquetFile(path).metadata.num_row_groups
 
-    with ThreadPoolExecutor(2) as pool:
-        t0 = time.perf_counter()
-        list(pool.map(_full_parse, range(META_CALLS)))
-        full_pool2 = (time.perf_counter() - t0) / META_CALLS
+    def _best_pool(fn, passes: int = 2, calls: int = META_CALLS) -> float:
+        best = float("inf")
+        for _ in range(passes):
+            with ThreadPoolExecutor(2) as pool:
+                t0 = time.perf_counter()
+                list(pool.map(fn, range(calls)))
+                best = min(best, (time.perf_counter() - t0) / calls)
+        return best
+
+    full_pool2 = _best_pool(_full_parse)
 
     # single-process build — the reference's generate_metadata_index shape
     # (palletjack.cc:207 runs in the calling process).  Min of 3 iterations,
@@ -170,36 +186,40 @@ def bench_metadata(spark) -> dict[str, float]:
         index_build_spark = min(index_build_spark, time.perf_counter() - t0)
         idx.unpersist()
 
-    t0 = time.perf_counter()
-    for _ in range(META_CALLS):
+    def _indexed_block():
         md = local.read_metadata(path, row_groups=[0], column_indices=[0])
         assert md["num_rows"] == META_CHUNK
-    indexed = (time.perf_counter() - t0) / META_CALLS
+
+    indexed = _best_avg(_indexed_block)
 
     def _indexed_read(_):
         return local.read_metadata(path, row_groups=[0], column_indices=[0])[
             "num_rows"
         ]
 
-    with ThreadPoolExecutor(2) as pool:
-        t0 = time.perf_counter()
-        list(pool.map(_indexed_read, range(META_CALLS)))
-        indexed_pool2 = (time.perf_counter() - t0) / META_CALLS
+    indexed_pool2 = _best_pool(_indexed_read)
 
     # PJS1 sidecar: build (footer walk + span record), then the reference's
     # actual read_metadata workload — a pruned, genuine pyarrow FileMetaData
-    # spliced from the in-memory index (palletjack_cython.pyx:27-46)
-    t0 = time.perf_counter()
-    pjs1 = generate_metadata_index(path)
-    pjs1_build = time.perf_counter() - t0
+    # spliced from the in-memory index (palletjack_cython.pyx:27-46).
+    # Min-of-2 COLD builds: span/footer caches are cleared between passes so
+    # each measures the true one-time walk, not a memo hit.
+    pjs1_build = float("inf")
+    for _ in range(2):
+        footer_splice._SPAN_CACHE.clear()
+        footer_splice._FOOTER_CACHE.clear()
+        t0 = time.perf_counter()
+        pjs1 = generate_metadata_index(path)
+        pjs1_build = min(pjs1_build, time.perf_counter() - t0)
     footer_splice._deserialize_index(bytes(pjs1))  # warm the span cache
-    t0 = time.perf_counter()
-    for _ in range(META_CALLS):
+
+    def _spliced_block():
         md = footer_splice.read_metadata(
             index_data=pjs1, row_groups=[0], column_indices=[0]
         )
         assert md.num_rows == META_CHUNK
-    spliced = (time.perf_counter() - t0) / META_CALLS
+
+    spliced = _best_avg(_spliced_block)
 
     # spliced path under the 2-reader pool, completing parity with the
     # reference's indexed-path sweep (benchmark_palletjack_metadata.py:159-176
@@ -210,10 +230,7 @@ def bench_metadata(spark) -> dict[str, float]:
             index_data=pjs1, row_groups=[0], column_indices=[0]
         ).num_rows
 
-    with ThreadPoolExecutor(2) as pool:
-        t0 = time.perf_counter()
-        list(pool.map(_spliced_read, range(META_CALLS)))
-        spliced_pool2 = (time.perf_counter() - t0) / META_CALLS
+    spliced_pool2 = _best_pool(_spliced_read)
 
     # end-to-end 1-row-group DATA reads (reference harness :65-76): native
     # pyarrow pays the full footer parse per open; the indexed path opens
@@ -235,14 +252,14 @@ def bench_metadata(spark) -> dict[str, float]:
 
     e2e_native = _best2(lambda: pq.ParquetFile(path).read_row_groups([0]))
 
-    def _indexed_block():
+    def _e2e_indexed_block():
         md = footer_splice.read_metadata(index_data=pjs1, row_groups=[0])
         pr = pq.ParquetReader()
         pr.open(path, metadata=md)
         pr.read_all()
         pr.close()
 
-    e2e_indexed = _best2(_indexed_block)
+    e2e_indexed = _best2(_e2e_indexed_block)
 
     # the reference harness sweeps its DATA-read workloads across pool
     # sizes 1 and 2 as well (benchmark_palletjack_metadata.py:65-76 with
@@ -274,7 +291,23 @@ def bench_metadata(spark) -> dict[str, float]:
     file_size = os.path.getsize(path)
     footer_size = pq.ParquetFile(path).metadata.serialized_size
 
+    # host-load self-flag (round-4 verdict item 4): meta_full_footer is
+    # PURE pyarrow on unchanged inputs — its only legitimate value is
+    # BASELINE.md's 51.0 ms/call.  A deviation beyond ±20% means the run
+    # was taken on a loaded host and round-over-round query deltas from
+    # this run are contaminated; the ratio is recorded so the run carries
+    # its own weather report.
+    _BASELINE_FULL_FOOTER = 0.0510
+    control_ratio = full / _BASELINE_FULL_FOOTER
+    if not 0.8 <= control_ratio <= 1.2:
+        print(
+            f"# WARNING loaded host: meta_full_footer {full * 1000:.1f} ms "
+            f"vs baseline 51.0 ms (ratio {control_ratio:.2f})",
+            file=sys.stderr,
+        )
+
     return {
+        "meta_control_vs_baseline_ratio": control_ratio,
         "meta_full_footer": full,
         "meta_full_footer_pool2": full_pool2,
         "meta_indexed": indexed,
