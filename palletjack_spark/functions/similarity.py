@@ -470,6 +470,13 @@ def _kmeans_l2(mat: np.ndarray, k: int, iters: int = 8) -> np.ndarray:
     """Deterministic L2 k-means for PQ codebooks: init = first k rows of
     the id-ordered training sample, assign by min squared distance,
     recenter; empty clusters keep their previous centroid."""
+    if len(mat) == 0:
+        # an empty corpus/sample would otherwise surface as an opaque
+        # numpy argmin-over-empty-axis error from deep inside the loop
+        raise ValueError(
+            "k-means training requires a non-empty sample "
+            "(pq_topk/ivf_topk on an empty corpus?)"
+        )
     C = mat[: min(k, len(mat))].copy()
     if len(C) < k:  # degenerate tiny sample: pad by repeating rows
         C = np.concatenate([C] * (k // max(len(C), 1) + 1))[:k].copy()

@@ -802,32 +802,51 @@ def q07d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _snapshot_commit(table_dir: str, version: int, data_dir: str) -> None:
-    """Commit a snapshot version: record version → data dir in the table's
-    manifest (atomic rename, last-writer-wins like a lake log append)."""
+    """Commit a snapshot version as an immutable one-file-per-version log
+    entry (Delta-style ``_versions/N.json``): commits never rewrite shared
+    state, so two concurrent committers can't drop each other's entry.
+    The publish is ``link(2)`` — atomic fail-if-exists — so a version is
+    write-once: racing committers of the SAME version get exactly one
+    winner; a retried commit of identical content is an idempotent no-op."""
     import json
 
-    manifest = os.path.join(table_dir, "_versions.json")
-    state = {}
-    if os.path.exists(manifest):
-        with open(manifest) as f:
-            state = json.load(f)
-    state[str(version)] = data_dir
-    state["current"] = version
-    tmp_path = manifest + ".tmp"
+    log_dir = os.path.join(table_dir, "_versions")
+    os.makedirs(log_dir, exist_ok=True)
+    final = os.path.join(log_dir, f"{version:020d}.json")
+    entry = {"version": version, "data_dir": data_dir}
+    tmp_path = f"{final}.tmp.{os.getpid()}"
     with open(tmp_path, "w") as f:
-        json.dump(state, f)
-    os.replace(tmp_path, manifest)
+        json.dump(entry, f)
+    try:
+        os.link(tmp_path, final)
+    except FileExistsError:
+        with open(final) as f:
+            existing = json.load(f)
+        if existing != entry:
+            raise RuntimeError(
+                f"Concurrent snapshot commit conflict on version {version}: "
+                f"{existing['data_dir']} already committed"
+            )
+    finally:
+        os.unlink(tmp_path)
 
 
 def _snapshot_read(spark: SparkSession, table_dir: str, version: int | None):
-    """Time-travel read: resolve a version (None = current) through the
-    manifest and read that snapshot's immutable data directory."""
+    """Time-travel read: resolve a version (None = current = highest
+    committed log entry) and read that snapshot's immutable data dir."""
+    import glob
     import json
 
-    with open(os.path.join(table_dir, "_versions.json")) as f:
-        state = json.load(f)
-    v = state["current"] if version is None else version
-    return spark.read.parquet(state[str(v)])
+    log_dir = os.path.join(table_dir, "_versions")
+    if version is None:
+        entries = sorted(glob.glob(os.path.join(log_dir, "*.json")))
+        if not entries:
+            raise FileNotFoundError(f"No committed versions in {log_dir}")
+        path = entries[-1]
+    else:
+        path = os.path.join(log_dir, f"{version:020d}.json")
+    with open(path) as f:
+        return spark.read.parquet(json.load(f)["data_dir"])
 
 
 @query(
@@ -867,7 +886,7 @@ def q09e(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     if not os.path.exists(os.path.join(v1_dir, "_SUCCESS")):
         orders.write.mode("overwrite").parquet(v1_dir)
-        _snapshot_commit(table_dir, 1, v1_dir)
+    _snapshot_commit(table_dir, 1, v1_dir)  # idempotent re-publish
     if not os.path.exists(os.path.join(v2_dir, "_SUCCESS")):
         updates = orders.where(F.col("o_orderkey") % 10 == 0).withColumn(
             "o_totalprice", F.col("o_totalprice") * 2
@@ -877,7 +896,7 @@ def q09e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(updates.select("o_orderkey")), "o_orderkey", "left_anti"
         ).unionByName(updates)
         merged.write.mode("overwrite").parquet(v2_dir)
-        _snapshot_commit(table_dir, 2, v2_dir)
+    _snapshot_commit(table_dir, 2, v2_dir)
 
     def summarize(version: int) -> DataFrame:
         return _snapshot_read(spark, table_dir, version).agg(
