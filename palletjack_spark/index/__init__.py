@@ -1,6 +1,7 @@
 from palletjack_spark.index.builder import build_index, load_index
 from palletjack_spark.index.footer_splice import (
     generate_metadata_index,
+    generate_pj2_index,
     read_metadata,
     read_schema,
 )
@@ -23,6 +24,7 @@ __all__ = [
     "register_index",
     "unregister_index",
     "generate_metadata_index",
+    "generate_pj2_index",
     "read_metadata",
     "read_schema",
 ]

@@ -1003,6 +1003,157 @@ def _serialize_index(footer: bytes, fields: list, rg_elems: list) -> bytearray:
 _PJ2_MAGIC = b"PJ_2"
 
 
+def _encode_pj2(footer: bytes) -> bytearray:
+    """Encode a footer as a byte-compatible ``PJ_2`` sidecar.
+
+    Emits exactly what the reference's ``generate_metadata_index`` writes
+    (palletjack.cc:312-345): the 20-byte header, seven little-endian u32
+    offset arrays whose semantics come from the patched codec (offsets are
+    recorded AFTER each field header, relative to the enclosing struct's
+    read start — parquet_types_palletjack.cpp:6946-6989 for FileMetaData,
+    :5590-5599 for RowGroup.column_chunks, :2599-2604 for num_children),
+    the nul-terminated leaf column names, and the consumed footer bytes.
+    Differentially verified byte-for-byte against the reference's committed
+    golden_master.parquet.index.
+
+    Like the reference (validation at palletjack.cc:260-264 admits exactly
+    ``columns + 3`` schema offsets), only FLAT schemas are representable;
+    nested schemas raise ``InvalidSelectionError``.
+    """
+    fields, md_len = _struct_field_spans(footer, 0)
+    top = {fid: (ct, s, e) for fid, ct, s, e in fields}
+    for fid, what in ((2, "schema"), (3, "num_rows"), (4, "row_groups")):
+        if fid not in top:
+            raise InvalidSelectionError(f"footer has no {what} field")
+
+    # schema: [list hdr, elem starts..., end]; elements depth-first
+    _, s2, _ = top[2]
+    _, n_elems, pos = _read_list_header(footer, s2)
+    elem_starts: list[int] = []
+    elem_fields: list[list] = []
+    for _ in range(n_elems):
+        elem_starts.append(pos)
+        ef, pos = _struct_field_spans(footer, pos)
+        elem_fields.append(ef)
+    schema_offsets = [s2] + elem_starts + [pos]
+    cols = n_elems - 1
+    if n_elems < 1:
+        raise InvalidSelectionError("footer schema has no elements")
+    # flatness check: only the root may carry children
+    for i, ef in enumerate(elem_fields[1:], 1):
+        sp = _span_get(ef, 5)
+        if sp is not None:
+            zz, _ = _read_varint(footer, sp[1])
+            if _unzigzag(zz) > 0:
+                raise InvalidSelectionError(
+                    "PJ_2 cannot represent nested schemas (the reference "
+                    "admits exactly columns+3 schema offsets, "
+                    "palletjack.cc:260-264)"
+                )
+    num_children_offsets: list[int] = []
+    for st, ef in zip(elem_starts, elem_fields):
+        sp = _span_get(ef, 5)
+        if sp is None:
+            num_children_offsets += [0, 0]  # reference pad (cc:268-272)
+        else:
+            num_children_offsets += [sp[1] - st, sp[2] - st]
+
+    # num_rows value span
+    _, s3, e3 = top[3]
+    num_rows_offsets = [s3, e3]
+
+    # row groups: [list hdr, rg starts..., end] + per-rg chunk offsets
+    _, s4, _ = top[4]
+    _, n_rg, pos = _read_list_header(footer, s4)
+    rg_starts: list[int] = []
+    row_numbers: list[int] = []
+    column_chunks_offsets: list[int] = []
+    for _ in range(n_rg):
+        rg_start = pos
+        rg_starts.append(rg_start)
+        rgf, pos = _struct_field_spans(footer, rg_start)
+        sp3 = _span_get(rgf, 3)
+        if sp3 is None:
+            raise InvalidSelectionError("row group has no num_rows")
+        zz, _ = _read_varint(footer, sp3[1])
+        row_numbers.append(_unzigzag(zz) & 0xFFFFFFFF)
+        sp1 = _span_get(rgf, 1)
+        if sp1 is None:
+            raise InvalidSelectionError("row group has no columns list")
+        _, n_chunks, cpos = _read_list_header(footer, sp1[1])
+        if n_chunks != cols:
+            raise InvalidSelectionError(
+                f"row group has {n_chunks} column chunks but the schema "
+                f"declares {cols} columns (PJ_2 requires a rectangular "
+                "layout)"
+            )
+        column_chunks_offsets.append(sp1[1] - rg_start)
+        for _ in range(n_chunks):
+            column_chunks_offsets.append(cpos - rg_start)
+            cpos = _skip_struct_fast(footer, cpos)
+        column_chunks_offsets.append(cpos - rg_start)
+    row_groups_offsets = [s4] + rg_starts + [pos]
+
+    # column orders: zeros when absent (reference cc:289-292)
+    if 7 in top:
+        _, s7, _ = top[7]
+        _, n_ord, pos = _read_list_header(footer, s7)
+        if n_ord != cols:
+            raise InvalidSelectionError(
+                f"column_orders has {n_ord} entries for {cols} columns"
+            )
+        column_orders_offsets = [s7]
+        for _ in range(n_ord):
+            column_orders_offsets.append(pos)
+            pos = _skip_struct_fast(footer, pos)
+        column_orders_offsets.append(pos)
+    else:
+        column_orders_offsets = [0] * (1 + cols + 1)
+
+    # leaf names, nul-terminated, schema order (reference cc:333-340)
+    names = bytearray()
+    for st, ef in zip(elem_starts[1:], elem_fields[1:]):
+        sp = _span_get(ef, 4)
+        if sp is None:
+            raise InvalidSelectionError("schema element has no name")
+        ln, vpos = _read_varint(footer, sp[1])
+        names += footer[vpos : vpos + ln]
+        names.append(0)
+
+    out = bytearray(
+        struct.pack("<4s4I", _PJ2_MAGIC, n_rg, cols, len(names), md_len)
+    )
+    for arr in (
+        num_rows_offsets,
+        row_numbers,
+        schema_offsets,
+        num_children_offsets,
+        row_groups_offsets,
+        column_orders_offsets,
+        column_chunks_offsets,
+    ):
+        out += struct.pack(f"<{len(arr)}I", *arr)
+    out += names
+    out += footer[:md_len]
+    return out
+
+
+def generate_pj2_index(
+    parquet_path: str, index_file_path: str | None = None
+) -> bytearray | None:
+    """Reference-compatible ``generate_metadata_index``: emits the
+    ORIGINAL library's binary ``PJ_2`` sidecar (palletjack.cc:207-367), so
+    an index written here is readable by an existing PalletJack deployment
+    and vice versa.  Returns the blob, or writes it to ``index_file_path``."""
+    footer = read_footer_bytes(parquet_path)
+    blob = _encode_pj2(footer)
+    if index_file_path is None:
+        return blob
+    with open(index_file_path, "wb") as f:
+        f.write(blob)
+    return None
+
+
 def _decode_pj2(blob: bytes) -> bytes:
     """Decode the reference's ``PJ_2`` sidecar into its embedded footer.
 

@@ -477,3 +477,47 @@ def test_pj2_corrupt_rejected(tmp_path):
     tampered[names_start] = ord("X")
     with pytest.raises(InvalidSelectionError, match="disagrees"):
         fs._decode_pj2(bytes(tampered))
+
+
+@needs_ref_golden
+def test_pj2_writer_byte_identical_to_reference():
+    """generate_pj2_index must reproduce the reference's committed
+    golden_master.parquet.index BYTE FOR BYTE — full write-side parity
+    with palletjack.cc:312-345, so indexes written here are readable by
+    an existing PalletJack deployment."""
+    ours = bytes(fs.generate_pj2_index(_GOLDEN))
+    with open(_GOLDEN_IDX, "rb") as f:
+        theirs = f.read()
+    assert ours == theirs
+
+
+def test_pj2_writer_roundtrip(pq_file, full_table):
+    """PJ_2 written here reads back through the PJ_2 decoder with full
+    differential equality, including a file WITHOUT column_orders
+    (zero-filled offsets, reference cc:289-292)."""
+    for path in (pq_file, os.path.join(_REF_DATA, "no_column_orders.parquet")):
+        if not os.path.exists(path):
+            continue
+        blob = bytes(fs.generate_pj2_index(path))
+        assert blob[:4] == b"PJ_2"
+        full = pq.ParquetFile(path).read()
+        md = read_metadata(index_data=blob, row_groups=[0], column_indices=[0])
+        pr = pq.ParquetReader()
+        pr.open(path, metadata=md)
+        got = pr.read_all()
+        pr.close()
+        n = pq.ParquetFile(path).metadata.row_group(0).num_rows
+        want = full.select([full.column_names[0]]).slice(0, n)
+        assert got.equals(want), path
+
+
+def test_pj2_writer_rejects_nested(tmp_path):
+    """Nested schemas are not representable in PJ_2 (the reference's own
+    size validation admits exactly columns+3 schema offsets,
+    palletjack.cc:260-264) — fail with a clear error, not a corrupt blob."""
+    path = str(tmp_path / "nested.parquet")
+    t = pa.table({"s": pa.array([{"a": 1, "b": "x"}], type=pa.struct(
+        [("a", pa.int64()), ("b", pa.string())]))})
+    pq.write_table(t, path)
+    with pytest.raises(InvalidSelectionError, match="nested"):
+        fs.generate_pj2_index(path)
