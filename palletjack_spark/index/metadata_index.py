@@ -174,6 +174,7 @@ class MetadataIndex:
         self.files = files
         self.index_dir = index_dir
         self._files_cache: list | None = None
+        self._schemas_cache: dict = {}
         #: driver-resident (rg_rows, file_rows) dicts for small indexes —
         #: validation, schema reads and read-planning then run in plain
         #: Python with zero Spark jobs (the reference's single-process
@@ -291,6 +292,10 @@ class MetadataIndex:
     # -- schema (reference read_schema, pyx:48-67) ---------------------------
 
     def _file_rows(self) -> list:
+        """All files/ rows on the driver — O(files).  Only for the
+        driver-local form and small-catalog callers (smart-read routing);
+        the distributed read path resolves schemas and validates bounds
+        executor-side instead (:meth:`_distinct_schemas`, :meth:`read`)."""
         if self._files_cache is None:
             if self._local is not None:
                 self._files_cache = sorted(
@@ -300,6 +305,34 @@ class MetadataIndex:
                 self._files_cache = self.files.orderBy("file").collect()
         return self._files_cache
 
+    def _distinct_schemas(self, files: Sequence[str] | None) -> list[bytes]:
+        """Distinct serialized schemas over the (possibly file-restricted)
+        index — computed executor-side, so the driver reads O(distinct
+        schemas) rows (≈1), never O(files).  Memoized per selection."""
+        key = None if files is None else tuple(sorted(set(files)))
+        hit = self._schemas_cache.get(key)
+        if hit is not None:
+            return hit
+        if self._local is not None:
+            rows = self._local[1]
+            if files is not None:
+                want = set(files)
+                rows = [r for r in rows if r["file"] in want]
+            out = sorted({bytes(r["arrow_schema"]) for r in rows})
+        else:
+            df = self.files
+            if files is not None:
+                df = df.where(F.col("file").isin(list(files)))
+            out = sorted(
+                bytes(r["arrow_schema"])
+                for r in df.select("arrow_schema")
+                .distinct()
+                .toArrow()
+                .to_pylist()
+            )
+        self._schemas_cache[key] = out
+        return out
+
     def arrow_schema(self, files: Sequence[str] | None = None) -> pa.Schema:
         """Schema of the indexed files (restricted to ``files`` if given).
 
@@ -307,19 +340,15 @@ class MetadataIndex:
         index over lineitem+orders); schema-dependent operations must then
         name the files they target — silently using the first file's schema
         would misread the rest."""
-        rows = self._file_rows()
-        if files is not None:
-            want = set(files)
-            rows = [r for r in rows if r["file"] in want]
-        if not rows:
+        schemas = self._distinct_schemas(files)
+        if not schemas:
             raise IndexFormatError("Empty index")
-        schemas = {bytes(r["arrow_schema"]) for r in rows}
         if len(schemas) > 1:
             raise InvalidSelectionError(
                 f"Index spans {len(schemas)} distinct schemas; pass files=[...] "
                 "to select a single-schema subset"
             )
-        return pa.ipc.read_schema(pa.BufferReader(rows[0]["arrow_schema"]))
+        return pa.ipc.read_schema(pa.BufferReader(schemas[0]))
 
     def read_schema(
         self,
@@ -414,6 +443,57 @@ class MetadataIndex:
                 return False
         return True
 
+    def _check_row_group_bounds(
+        self, files: Sequence[str] | None, row_groups: Sequence[int]
+    ) -> None:
+        """Reference bounds check (palletjack.cc:383-393): every requested
+        ordinal must exist in every targeted file.  Driver-local indexes
+        check a dict; distributed catalogs check EXECUTOR-side — one job
+        returning at most one offending row, so the driver never holds the
+        O(files) (file → num_row_groups) map."""
+        lo = min(int(r) for r in row_groups)
+        hi = max(int(r) for r in row_groups)
+        if lo < 0:
+            raise InvalidSelectionError(f"Row group {lo} is out of range")
+        if self._local is not None:
+            max_rg = {
+                r["file"]: r["num_row_groups"] for r in self._local[1]
+            }
+            check_files = files if files is not None else list(max_rg)
+            for f in check_files:
+                for rg in row_groups:
+                    if not (0 <= int(rg) < max_rg.get(f, 0)):
+                        raise InvalidSelectionError(
+                            f"Row group {rg} is out of range "
+                            f"[0, {max_rg.get(f, 0)}) for {f}"
+                        )
+            return
+        df = self.files
+        if files is not None:
+            df = df.where(F.col("file").isin(list(files)))
+        bad = (
+            df.where(F.col("num_row_groups") <= F.lit(hi))
+            .select("file", "num_row_groups")
+            .limit(1)
+            .toArrow()
+            .to_pylist()
+        )
+        if bad:
+            raise InvalidSelectionError(
+                f"Row group {hi} is out of range "
+                f"[0, {bad[0]['num_row_groups']}) for {bad[0]['file']}"
+            )
+        if files is not None:
+            known = {
+                r["file"]
+                for r in df.select("file").toArrow().to_pylist()
+            }
+            missing = [f for f in files if f not in known]
+            if missing:
+                raise InvalidSelectionError(
+                    f"Row group {hi} is out of range [0, 0) for {missing[0]}"
+                )
+
     def prune(
         self,
         files: Sequence[str] | None = None,
@@ -457,14 +537,7 @@ class MetadataIndex:
         sel = resolve_columns(schema.names, columns, column_indices)
 
         if row_groups is not None:
-            max_rg = {r["file"]: r["num_row_groups"] for r in self._file_rows()}
-            check_files = files if files is not None else list(max_rg)
-            for f in check_files:
-                for rg in row_groups:
-                    if not (0 <= int(rg) < max_rg.get(f, 0)):
-                        raise InvalidSelectionError(
-                            f"Row group {rg} is out of range [0, {max_rg.get(f, 0)}) for {f}"
-                        )
+            self._check_row_group_bounds(files, row_groups)
 
         if self._local is not None:
             # small driver-resident index: plan in plain Python — no Spark

@@ -539,3 +539,145 @@ def q116b(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim_state",
         F.col("value").cast("double").alias("value"),
     )
+
+
+#: one week in epoch microseconds (cohort bucketing unit for q127)
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+@query(
+    "q127_cohort_retention",
+    oracle=f"""
+    WITH e AS (SELECT user_id, ts_us FROM {_E}),
+    firsts AS (
+      SELECT user_id, MIN(ts_us) AS first_us FROM e GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT
+             e.user_id,
+             f.first_us // {_WEEK_US} AS cohort_week,
+             e.ts_us // {_WEEK_US} - f.first_us // {_WEEK_US} AS week_offset
+      FROM e JOIN firsts f USING (user_id))
+    SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM act GROUP BY cohort_week, week_offset
+    """,
+)
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (Q127): bucket every user into the week of
+    their first activity, then count how many of each cohort are still
+    active N weeks later — the standard product-analytics retention
+    triangle, here over the events table.
+
+    Scale shape: ONE user_id exchange serves the whole query.  The
+    first-touch aggregate partial-aggregates map-side, the cohort join is
+    co-partitioned on the same user_id hash (no second stream shuffle),
+    and the per-(user, cohort, offset) DISTINCT reuses that partitioning
+    before the tiny final matrix aggregate (≤ weeks² rows).  Week indexes
+    are integer floor-divisions of epoch-µs (`div`), so bucketing is
+    exact on both engines — no date-truncation semantics to align."""
+    e = t(spark, sf_dir, "events").select("user_id", _ts_us())
+    firsts = e.groupBy("user_id").agg(F.min("ts_us").alias("first_us"))
+    act = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            F.expr(f"first_us div {_WEEK_US}").alias("cohort_week"),
+            (
+                F.expr(f"ts_us div {_WEEK_US}")
+                - F.expr(f"first_us div {_WEEK_US}")
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_users")
+    )
+
+
+@query(
+    "q130_pagerank_fixedpoint",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    n AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+    r0 AS (
+      SELECT node, CAST(1000000000000 AS BIGINT) // n_nodes AS rank
+      FROM nodes, n),
+    c1 AS (
+      SELECT e.dst AS node, SUM(r0.rank // o.deg) AS contrib
+      FROM edges e JOIN r0 ON e.src = r0.node JOIN outdeg o ON e.src = o.src
+      GROUP BY e.dst),
+    r1 AS (
+      SELECT nodes.node,
+             (CAST(150000000000 AS BIGINT) // n_nodes)
+               + 85 * COALESCE(c1.contrib, 0) // 100 AS rank
+      FROM nodes LEFT JOIN c1 ON nodes.node = c1.node, n),
+    c2 AS (
+      SELECT e.dst AS node, SUM(r1.rank // o.deg) AS contrib
+      FROM edges e JOIN r1 ON e.src = r1.node JOIN outdeg o ON e.src = o.src
+      GROUP BY e.dst),
+    r2 AS (
+      SELECT nodes.node,
+             (CAST(150000000000 AS BIGINT) // n_nodes)
+               + 85 * COALESCE(c2.contrib, 0) // 100 AS rank
+      FROM nodes LEFT JOIN c2 ON nodes.node = c2.node, n)
+    SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank
+    FROM r2 ORDER BY rank DESC, node LIMIT 50
+    """,
+)
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (Q130): two damped power-iteration rounds over
+    the customer→supplier graph induced by orders×lineitem, with ranks
+    held as integer trillionths.
+
+    Floating-point PageRank cannot hash-match across engines (float sums
+    over variable in-degree groups are order-dependent), so ranks are
+    fixed-point BIGINTs: contributions are integer floor-divisions
+    (`rank div outdeg`), sums are exact integers, and damping is
+    `85 * contrib div 100` — every engine computes bit-identical ranks in
+    any execution order, which is also what a 1000-executor run needs for
+    reproducibility.  Scale shape: edges build with ONE orderkey join and
+    dedup; each iteration is an edges⋈ranks hash join partitioned on src
+    (the same key both iterations, so AQE reuses the layout) plus a tiny
+    per-node aggregate; outdeg broadcasts.  Two iterations unrolled —
+    the general N-iteration loop is the q101-style localCheckpoint
+    pattern; the declared query pins N=2 so the oracle stays a finite
+    SQL expression."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    base = 1_000_000_000_000 // n_nodes
+    teleport = 150_000_000_000 // n_nodes
+    ranks = nodes.withColumn("rank", F.lit(base))
+    for _ in range(2):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(F.broadcast(outdeg), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("rank div deg")).alias("contrib"))
+            .withColumnRenamed("dst", "node")
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.expr("85 * coalesce(contrib, 0) div 100")
+            ).alias("rank"),
+        )
+    return ranks.orderBy(F.desc("rank"), "node").limit(50)

@@ -1823,3 +1823,180 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "a", "b")
         .limit(20)
     )
+
+
+@query(
+    "q128_unigram_surprisal",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+            FROM documents)
+      WHERE tok <> ''),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+    scored AS (
+      SELECT tk.doc_id,
+             CAST(LENGTH(bin(total // cnt)) - 1 AS BIGINT) AS bits
+      FROM tk JOIN vocab USING (tok), tot)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_toks,
+           CAST(SUM(bits) AS BIGINT) AS total_bits,
+           CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS avg_bits
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal scoring (Q128): train a unigram language model
+    over the corpus (token → count) and score each document by its mean
+    per-token surprisal — the classic perplexity-proxy quality filter
+    (low-surprisal ≈ boilerplate, high ≈ noise) run before corpus mixing.
+
+    Surprisal is held in INTEGER bits — ``floor(log2(total/cnt))`` via
+    ``length(bin(total div cnt)) - 1`` — because a float ``-ln p`` sum
+    over a document is addition-order-dependent and can never hash-match
+    across engines (or across 1000 executors); integer bit-counts sum
+    exactly in any order, and the single final division is deterministic.
+    Scale shape: the token exchange is hashed once on ``tok`` and reused
+    by the vocabulary aggregate AND the score-back join (co-partitioned,
+    no second stream shuffle); the vocabulary is Zipf-sublinear in corpus
+    size and never collects; ``total`` is a one-row broadcast scalar."""
+    tk = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    vocab = tk.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = (
+        tk.join(vocab, "tok")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            (F.length(F.expr("bin(total div cnt)")) - 1)
+            .cast("long")
+            .alias("bits"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_toks"),
+        F.sum("bits").alias("total_bits"),
+        (F.sum("bits").cast("double") / F.count("*")).alias("avg_bits"),
+    )
+
+
+#: q129 quantization scale: embeddings land on a 1/1000 grid via FLOOR —
+#: floor of an identical IEEE double is identical everywhere, unlike
+#: round-half rules, which differ between engines.
+_KM_SCALE = 1000
+_KM_K = 8
+
+
+def _km_assign(spark: SparkSession, qv: DataFrame, centroids: list) -> DataFrame:
+    """(vec_id, cid, dist2) of each vector's nearest centroid: centroid
+    arrays ship as a broadcast literal table; distance is an integer
+    fold over ``zip_with`` diffs (exact, order-free)."""
+    cdf = spark.createDataFrame(
+        [(cid, vals) for cid, vals in centroids], "cid long, c array<long>"
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(qv, c, (a, b) -> (a - b) * (a - b)),"
+        " cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    scored = qv.crossJoin(F.broadcast(cdf)).select(
+        "vec_id", "cid", d2.alias("dist2")
+    )
+    best = F.min(F.struct("dist2", "cid")).alias("b")
+    return (
+        scored.groupBy("vec_id")
+        .agg(best)
+        .select("vec_id", F.col("b.cid").alias("cid"), F.col("b.dist2").alias("dist2"))
+    )
+
+
+@query(
+    "q129_kmeans_quantized",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, UNNEST(embedding) AS e,
+             generate_subscripts(embedding, 1) AS d
+      FROM embeddings),
+    qv AS (SELECT vec_id, d, CAST(FLOOR(e * {_KM_SCALE}) AS BIGINT) AS v
+           FROM q),
+    c0 AS (SELECT vec_id AS cid, d, v FROM qv WHERE vec_id < {_KM_K}),
+    d1 AS (
+      SELECT qv.vec_id, c0.cid, SUM((qv.v - c0.v) * (qv.v - c0.v)) AS dist
+      FROM qv JOIN c0 USING (d) GROUP BY qv.vec_id, c0.cid),
+    m1 AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT vec_id, cid, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM d1) WHERE rn = 1),
+    c1 AS (
+      SELECT m1.cid, qv.d, SUM(qv.v) // COUNT(*) AS v
+      FROM m1 JOIN qv USING (vec_id) GROUP BY m1.cid, qv.d),
+    d2 AS (
+      SELECT qv.vec_id, c1.cid, SUM((qv.v - c1.v) * (qv.v - c1.v)) AS dist
+      FROM qv JOIN c1 USING (d) GROUP BY qv.vec_id, c1.cid),
+    m2 AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT vec_id, cid, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM d2) WHERE rn = 1)
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
+           CAST(dist AS BIGINT) AS dist2
+    FROM m2
+    """,
+)
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-quantized k-means over embeddings (Q129): two deterministic
+    Lloyd's rounds (init = first k vectors, k=8) assigning every
+    vector to its nearest centroid — the clustering pass that feeds
+    SemDeDup (q111), IVF cell maps (q92d) and topic-balanced sampling.
+
+    Distances and centroids are INTEGER: vectors land on a 1/1000 grid
+    (floor — half-rounding rules differ between engines, floor doesn't),
+    distances are exact integer sums in any order, and centroid updates
+    are integer truncating division — so a 1000-executor run and the
+    DuckDB oracle produce bit-identical assignments, which float k-means
+    fundamentally cannot (per-dimension float mean is addition-order-
+    dependent).  Scale shape: the corpus NEVER shuffles — each round is
+    a broadcast of k centroid arrays, a per-batch fold for distances,
+    and one k×d-row partial aggregate for the update (collected driver-
+    side: k×d = 8×64 rows, bounded like the q92e codebook
+    training); empty clusters drop from the centroid table exactly as
+    they vanish from the oracle's GROUP BY."""
+    qv = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(floor(x * {_KM_SCALE}) as bigint))"
+        ).alias("qv"),
+    )
+    init = qv.where(F.col("vec_id") < _KM_K).orderBy("vec_id").collect()
+    centroids = [(int(r["vec_id"]), list(r["qv"])) for r in init]
+    assign = _km_assign(spark, qv, centroids)
+    for _ in range(1):
+        sums = (
+            assign.join(qv, "vec_id")
+            .select("cid", F.posexplode("qv").alias("d", "v"))
+            .groupBy("cid", "d")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, int]] = {}
+        for r in sums:
+            by_cid.setdefault(int(r["cid"]), {})[int(r["d"])] = int(
+                r["s"]
+            ) // int(r["n"]) if int(r["s"]) >= 0 else -((-int(r["s"])) // int(r["n"]))
+        centroids = [
+            (cid, [dims[d] for d in sorted(dims)])
+            for cid, dims in sorted(by_cid.items())
+        ]
+        assign = _km_assign(spark, qv, centroids)
+    return assign.select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cluster"),
+        F.col("dist2").cast("long").alias("dist2"),
+    )
