@@ -71,6 +71,12 @@ HEADLINE = [
     # single-exchange generated gap fill; Zipf-table bigram counting
     "q121_time_gapfill",
     "q124_bpe_pair_counts",
+    # round 5 additions: single-exchange cohort retention, integer-bits
+    # unigram surprisal, grid-quantized k-means, fixed-point PageRank
+    "q127_cohort_retention",
+    "q128_unigram_surprisal",
+    "q129_kmeans_quantized",
+    "q130_pagerank_fixedpoint",
 ]
 
 META_ROW_GROUPS = 200

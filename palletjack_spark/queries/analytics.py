@@ -650,15 +650,22 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL expression."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # edges/nodes are cached: every unrolled iteration references both, and
+    # without the cache each reference would re-execute the orderkey join
+    # (the round-4 plan showed 20 parquet scans for 2 iterations); ranks
+    # localCheckpoint per round cuts the lineage the same way q101's CC
+    # loop does, so iteration N's plan does not replay iterations 0..N-1.
     edges = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
         .distinct()
+        .cache()
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .cache()
     )
     n_nodes = nodes.count()
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
@@ -673,11 +680,15 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.expr("rank div deg")).alias("contrib"))
             .withColumnRenamed("dst", "node")
         )
-        ranks = nodes.join(contrib, "node", "left").select(
-            "node",
-            (
-                F.lit(teleport)
-                + F.expr("85 * coalesce(contrib, 0) div 100")
-            ).alias("rank"),
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr("85 * coalesce(contrib, 0) div 100")
+                ).alias("rank"),
+            )
+            .localCheckpoint()
         )
     return ranks.orderBy(F.desc("rank"), "node").limit(50)

@@ -1866,7 +1866,10 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
         .where(F.col("tok") != "")
     )
-    vocab = tk.groupBy("tok").agg(F.count("*").alias("cnt"))
+    # vocab is cached: the Zipf-small LM table feeds BOTH the score-back
+    # join and the total-mass scalar, and without the cache Spark would
+    # re-execute its subtree — a third full-corpus scan for one number
+    vocab = tk.groupBy("tok").agg(F.count("*").alias("cnt")).cache()
     total = vocab.agg(F.sum("cnt").alias("total"))
     scored = (
         tk.join(vocab, "tok")

@@ -639,3 +639,54 @@ def test_bpe_pairs_explode_after_word_agg(spark):
     gen = plan.index("Generate explode")
     agg_below = plan[gen:].count("HashAggregate")
     assert agg_below >= 2, plan  # word-count partial+final below the explode
+
+
+def test_cohort_retention_distinct_reuses_join_partitioning(spark):
+    """Q127: exactly THREE hash exchanges — first-touch agg, stream side
+    of the cohort join, final matrix agg.  The per-(user, cohort, offset)
+    DISTINCT must NOT add a fourth: hash partitioning on user_id already
+    clusters every superset key set, and Spark must see that."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q127_cohort_retention"].fn(spark, SF_DIR))
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 3, f"expected 3 hash exchanges, saw {n}\n{plan}"
+
+
+def test_unigram_surprisal_vocab_cached_total_scalar(spark):
+    """Q128: the Zipf-small vocab must be an InMemoryRelation feeding BOTH
+    the score-back join and the total-mass scalar (without it Spark
+    re-executes the subtree — a third full-corpus scan for one number);
+    the scalar rides a single-row BroadcastNestedLoopJoin."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q128_unigram_surprisal"].fn(spark, SF_DIR))
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    spark.catalog.clearCache()
+
+
+def test_kmeans_quantized_corpus_never_shuffles(spark):
+    """Q129: the assignment pass is a broadcast of k centroid arrays plus
+    ONE vec_id aggregate — the embedding table itself is scanned once and
+    never hash-repartitioned to be scored."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q129_kmeans_quantized"].fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_pagerank_iterations_checkpoint_lineage(spark):
+    """Q130: each unrolled iteration localCheckpoints, so the FINAL plan
+    is a TakeOrderedAndProject over the checkpointed ranks — zero parquet
+    re-scans, zero exchanges (the pre-fix plan replayed the edge build
+    ~20x across iterations)."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q130_pagerank_fixedpoint"].fn(spark, SF_DIR))
+    assert plan.count("TakeOrderedAndProject") == 1, plan
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("Exchange") == 0, plan
+    spark.catalog.clearCache()
