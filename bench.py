@@ -77,6 +77,8 @@ HEADLINE = [
     "q128_unigram_surprisal",
     "q129_kmeans_quantized",
     "q130_pagerank_fixedpoint",
+    "q131_vocab_encode",
+    "q132_fim_split",
 ]
 
 META_ROW_GROUPS = 200

@@ -86,9 +86,13 @@ def smart_read(
         return idx.read(columns=list(columns) if columns else None,
                         predicate=predicate)
 
-    files = sorted(idx._local[1] if idx._local is not None else idx._file_rows(),
-                   key=lambda r: r["file"])
-    df = spark.read.parquet(*[r["file"] for r in files])
+    # native fallback reads the CALLER'S paths directly — routing through
+    # the index's file list would collect O(files) rows to the driver just
+    # to re-name paths the caller already holds (a directory path stays a
+    # directory; Spark does its own distributed listing)
+    df = spark.read.parquet(
+        *([paths] if isinstance(paths, str) else list(paths))
+    )
     if predicate:
         df = _apply_predicate(df, predicate)
     if columns:

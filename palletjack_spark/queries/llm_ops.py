@@ -2003,3 +2003,143 @@ def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").cast("long").alias("cluster"),
         F.col("dist2").cast("long").alias("dist2"),
     )
+
+
+#: q131 vocabulary size: tokens ranked past this id encode as OOV id 0
+_VOCAB_K = 1000
+
+
+@query(
+    "q131_vocab_encode",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, tok, ord FROM (
+        SELECT doc_id,
+               UNNEST(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS ord
+        FROM documents)
+      WHERE tok <> ''),
+    ranked AS (
+      SELECT tok,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS id
+      FROM (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok)),
+    vocab AS (SELECT tok, id FROM ranked WHERE id <= {_VOCAB_K}),
+    enc AS (
+      SELECT tk.doc_id, tk.ord,
+             CAST(COALESCE(vocab.id, 0) AS BIGINT) AS id
+      FROM tk LEFT JOIN vocab USING (tok))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_toks,
+           CAST(COUNT(*) FILTER (WHERE id = 0) AS BIGINT) AS n_oov,
+           md5(array_to_string(list(id ORDER BY ord), ',')) AS ids_md5
+    FROM enc GROUP BY doc_id
+    """,
+)
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary encoding (Q131): rank tokens by corpus frequency, keep
+    the top K as the vocabulary (id 1..K by count-desc/token tiebreak),
+    and encode every document as its ordered token-id array with OOV → 0
+    — the text→ids step every training pipeline runs before packing
+    (q103) and sharding (q119).
+
+    Scale shape: the token stream shuffles ONCE (the frequency
+    aggregate); the encode join broadcasts the K-row vocabulary back
+    onto the unshuffled stream (at a vocab too large to broadcast, AQE
+    falls back to the tok-co-partitioned join), and the per-doc
+    re-assembly aggregates
+    ``sort_array(struct(pos, id))`` so the array order is deterministic
+    under any partitioning (a bare collect_list is not), then the id
+    sequence ships as an md5 digest — the q123 posting-list discipline:
+    the driver row stays small and hashable while still pinning every
+    element and its order.  The global vocabulary ranking is a window
+    over the AGGREGATED token table (Zipf-small), not the corpus; ids
+    are BIGINT so the oracle's ROW_NUMBER and Spark's agree exactly."""
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("ord", "tok")
+    ).where(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window as W
+
+    vocab = (
+        counts.withColumn(
+            "id",
+            F.row_number()
+            .over(W.orderBy(F.desc("cnt"), "tok"))
+            .cast("long"),
+        )
+        .where(F.col("id") <= _VOCAB_K)
+        .select("tok", "id")
+    )
+    enc = toks.join(vocab, "tok", "left").select(
+        "doc_id", "ord", F.coalesce(F.col("id"), F.lit(0)).cast("long").alias("id")
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count("*").alias("n_toks"),
+        F.count(F.when(F.col("id") == 0, 1)).alias("n_oov"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("ord", "id"))),
+                    lambda s: s["id"].cast("string"),
+                ),
+                ",",
+            )
+        ).alias("ids_md5"),
+    )
+
+
+@query(
+    "q132_fim_split",
+    oracle="""
+    WITH cuts AS (
+      SELECT doc_id, text, length(text) AS n,
+             1 + (length(text) * (1 + doc_id % 5)) // 10 AS c1,
+             1 + (length(text) * (5 + doc_id % 4)) // 10 AS c2
+      FROM documents WHERE length(text) >= 20)
+    SELECT doc_id,
+           CAST(c1 - 1 AS BIGINT) AS pre_len,
+           CAST(c2 - c1 AS BIGINT) AS mid_len,
+           CAST(n - c2 + 1 AS BIGINT) AS suf_len,
+           '<PRE>' || substr(text, 1, c1 - 1) || '<SUF>'
+             || substr(text, c2) || '<MID>'
+             || substr(text, c1, c2 - c1) AS fim_text
+    FROM cuts
+    """,
+)
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transform (Q132, Bavarian et al. 2022): split
+    each document into (prefix, middle, suffix) at deterministic cut
+    points and re-emit in PSM order (``<PRE>p<SUF>s<MID>m``) — the
+    pretraining-data rewrite that teaches infilling.
+
+    Cut points are pure integer arithmetic on (doc_id, length) — 10-60%%
+    and 50-90%% of the text — so the transform is reproducible across
+    engines and runs with no RNG state; short docs (< 20 chars) are
+    excluded rather than degenerately split.  Pure projection: zero
+    shuffles, zero joins — the plan is a single codegen'd map over the
+    scan, which is exactly what a 100 TB rewrite pass must be."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .where(F.length("text") >= 20)
+        .select(
+            "doc_id",
+            "text",
+            F.length("text").alias("n"),
+            (1 + F.expr("length(text) * (1 + doc_id % 5) div 10")).alias("c1"),
+            (1 + F.expr("length(text) * (5 + doc_id % 4) div 10")).alias("c2"),
+        )
+    )
+    return d.select(
+        "doc_id",
+        (F.col("c1") - 1).cast("long").alias("pre_len"),
+        (F.col("c2") - F.col("c1")).cast("long").alias("mid_len"),
+        (F.col("n") - F.col("c2") + 1).cast("long").alias("suf_len"),
+        F.concat(
+            F.lit("<PRE>"),
+            F.expr("substring(text, 1, c1 - 1)"),
+            F.lit("<SUF>"),
+            F.expr("substring(text, c2)"),
+            F.lit("<MID>"),
+            F.expr("substring(text, c1, c2 - c1)"),
+        ).alias("fim_text"),
+    )

@@ -690,3 +690,25 @@ def test_pagerank_iterations_checkpoint_lineage(spark):
     assert plan.count("Scan parquet") == 0, plan
     assert plan.count("Exchange") == 0, plan
     spark.catalog.clearCache()
+
+
+def test_vocab_encode_broadcasts_vocab(spark):
+    """Q131: two hash exchanges only (token frequency agg + per-doc
+    re-assembly); the K-row vocabulary broadcasts back onto the token
+    stream rather than shuffling it a second time."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q131_vocab_encode"].fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_fim_split_is_pure_projection(spark):
+    """Q132: the FIM rewrite is a single codegen'd map over the scan —
+    zero exchanges, zero joins (what a 100 TB rewrite pass must be)."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q132_fim_split"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
