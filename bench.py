@@ -79,6 +79,7 @@ HEADLINE = [
     "q130_pagerank_fixedpoint",
     "q131_vocab_encode",
     "q132_fim_split",
+    "q134_contrastive_pairs",
 ]
 
 META_ROW_GROUPS = 200

@@ -620,3 +620,117 @@ def pq_topk(
         )
     )
     return _exact_rescore_topk(cand, k, exclude_self)
+
+
+def contrastive_pairs(
+    corpus_df: DataFrame,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive pair mining: per anchor, the nearest SAME-label vector
+    (positive) and the nearest OTHER-label vector (hard negative) by
+    cosine — the (anchor, positive, hard-negative) triplets embedding-
+    model training consumes.
+
+    Same blocked all-pairs GEMM as :func:`nn_graph` (labels ride along;
+    each block-pair task computes two masked argmaxes instead of one),
+    so shuffle volume stays n_blocks × corpus and the n² compute spreads
+    over B(B+1)/2 independent tasks.  Cosines round to 4 decimals BEFORE
+    ranking so the min-id tie-break matches the oracle's ORDER BY.
+    Anchors lacking a positive (singleton label) or a negative (single
+    label corpus) are dropped — a triplet needs both sides.
+    """
+    B = n_blocks
+    base = corpus_df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        F.col(label_col).alias("lbl"),
+    ).withColumn("blk", F.pmod("vec_id", F.lit(B)).cast("int"))
+    exploded = base.select(
+        "vec_id",
+        "vec",
+        "lbl",
+        "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("other"),
+    ).select(
+        "vec_id",
+        "vec",
+        "lbl",
+        "blk",
+        F.least("blk", "other").alias("gi"),
+        F.greatest("blk", "other").alias("gj"),
+    )
+
+    def best_in_group(key, pdf):
+        gi, gj = int(key[0]), int(key[1])
+        ids = pdf["vec_id"].to_numpy()
+        lbls = pdf["lbl"].to_numpy()
+        mat = np.stack([np.asarray(v, dtype="float64") for v in pdf["vec"]])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(norms == 0, 1.0, norms)
+        sides = []
+        if gi == gj:
+            m = (pdf["blk"] == gi).to_numpy()
+            sides.append((m, m))
+        else:
+            a = (pdf["blk"] == gi).to_numpy()
+            b = (pdf["blk"] == gj).to_numpy()
+            sides.append((a, b))
+            sides.append((b, a))
+        frames = []
+        for qm, cm in sides:
+            qi, ci = ids[qm], ids[cm]
+            if len(qi) == 0 or len(ci) == 0:
+                continue
+            S = np.round(mat[qm] @ mat[cm].T, 4)
+            S[qi[:, None] == ci[None, :]] = -np.inf
+            same = lbls[qm][:, None] == lbls[cm][None, :]
+            for kind, mask in (("pos", same), ("neg", ~same)):
+                M = np.where(mask, S, -np.inf)
+                best = M.max(axis=1)
+                keep = best > -np.inf
+                if not keep.any():
+                    continue
+                cand = np.where(
+                    M == best[:, None], ci[None, :], np.iinfo("int64").max
+                )
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": qi[keep],
+                            "kind": kind,
+                            "cand_id": cand.min(axis=1)[keep],
+                            "cosine": best[keep],
+                        }
+                    )
+                )
+        if not frames:
+            return pd.DataFrame(
+                {"vec_id": [], "kind": [], "cand_id": [], "cosine": []}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    cands = exploded.groupBy("gi", "gj").applyInPandas(
+        best_in_group, "vec_id long, kind string, cand_id long, cosine double"
+    )
+    w = Window.partitionBy("vec_id", "kind").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    best = (
+        cands.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    pos = best.where(F.col("kind") == "pos").select(
+        "vec_id",
+        F.col("cand_id").alias("pos_id"),
+        F.col("cosine").alias("pos_cos"),
+    )
+    neg = best.where(F.col("kind") == "neg").select(
+        "vec_id",
+        F.col("cand_id").alias("neg_id"),
+        F.col("cosine").alias("neg_cos"),
+    )
+    return pos.join(neg, "vec_id")

@@ -2143,3 +2143,104 @@ def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substring(text, c1, c2 - c1)"),
         ).alias("fim_text"),
     )
+
+
+#: q133 batching parameters: docs bucket by n_chars div _BUCKET_CHARS and
+#: batch _BATCH_DOCS per batch within a bucket
+_BUCKET_CHARS = 200
+_BATCH_DOCS = 8
+
+
+@query(
+    "q133_length_bucketed_batching",
+    oracle=f"""
+    WITH b AS (
+      SELECT n_chars // {_BUCKET_CHARS} AS bucket, n_chars
+      FROM documents)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST((COUNT(*) + {_BATCH_DOCS} - 1) // {_BATCH_DOCS} AS BIGINT)
+             AS n_batches,
+           CAST(((COUNT(*) + {_BATCH_DOCS} - 1) // {_BATCH_DOCS})
+                * {_BATCH_DOCS} * MAX(n_chars) - SUM(n_chars) AS BIGINT)
+             AS pad_waste,
+           CAST(SUM(n_chars) AS DOUBLE)
+             / (((COUNT(*) + {_BATCH_DOCS} - 1) // {_BATCH_DOCS})
+                * {_BATCH_DOCS} * MAX(n_chars)) AS pad_efficiency
+    FROM b GROUP BY bucket
+    """,
+)
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching plan (Q133): bucket documents by length,
+    then compute per-bucket batch counts and padding waste when each
+    batch pads to the bucket maximum — the planning pass behind bucketed
+    batching (pad-to-longest within a bucket beats global pad-to-max by
+    orders of magnitude in wasted tokens).
+
+    Everything is integer arithmetic (floor-division buckets, ceil-
+    division batch counts, exact waste sums); the single double is one
+    final division per bucket row.  ONE partial-aggregated exchange on
+    the bucket key — at 100 TB this is a metadata-sized aggregate, and
+    the plan (bucket → shard assignment) drives the q119-style shard
+    writer without ever moving document text."""
+    d = t(spark, sf_dir, "documents").select(
+        F.expr(f"n_chars div {_BUCKET_CHARS}").alias("bucket"), "n_chars"
+    )
+    n_batches = F.expr(f"(count(1) + {_BATCH_DOCS} - 1) div {_BATCH_DOCS}")
+    padded = n_batches * _BATCH_DOCS * F.max("n_chars")
+    return d.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.max("n_chars").alias("max_chars"),
+        n_batches.alias("n_batches"),
+        (padded - F.sum("n_chars")).alias("pad_waste"),
+        (F.sum("n_chars").cast("double") / padded).alias("pad_efficiency"),
+    )
+
+
+_Q134_ORACLE = """
+    WITH scored AS (
+      SELECT x.vec_id AS vec_id, x.label AS lbl,
+             y.vec_id AS cand_id, y.label AS cand_lbl,
+             ROUND(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                          CAST(y.embedding AS DOUBLE[])), 4)
+               AS cosine
+      FROM embeddings x JOIN embeddings y ON x.vec_id <> y.vec_id),
+    pos AS (
+      SELECT vec_id, cand_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cosine DESC, cand_id) AS rn
+      FROM scored WHERE lbl = cand_lbl),
+    neg AS (
+      SELECT vec_id, cand_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cosine DESC, cand_id) AS rn
+      FROM scored WHERE lbl <> cand_lbl)
+    SELECT p.vec_id,
+           p.cand_id AS pos_id, p.cosine AS pos_cos,
+           n.cand_id AS neg_id, n.cosine AS neg_cos
+    FROM pos p JOIN neg n USING (vec_id)
+    WHERE p.rn = 1 AND n.rn = 1
+"""
+
+
+@query("q134_contrastive_pairs", oracle=_Q134_ORACLE)
+def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive pair mining (Q134): per anchor vector, the nearest
+    same-label neighbor (positive) and nearest other-label neighbor
+    (hard negative) — the (anchor, positive, hard-negative) triplets
+    embedding-model contrastive training consumes.
+
+    Runs the q92c blocked all-pairs GEMM with labels riding along
+    (functions/similarity.py:contrastive_pairs): each block-pair task
+    computes two masked argmaxes, so the n² compute spreads over
+    B(B+1)/2 independent tasks and shuffle volume stays n_blocks ×
+    corpus; cosines round to 4 decimals before ranking so the min-id
+    tie-break is the oracle's ORDER BY.  At 100 TB the exact pass runs
+    per-cluster after q129/q92d partitioning — same decomposition
+    SemDeDup (q111) uses."""
+    from palletjack_spark.functions.similarity import contrastive_pairs
+
+    return contrastive_pairs(t(spark, sf_dir, "embeddings"))
