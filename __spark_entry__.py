@@ -33,12 +33,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
-try:
-    # installed form (pip install -e . via pyproject.toml)
-    from palletjack_spark.queries import REGISTRY
-except ImportError:  # uninstalled checkout: import relative to this file
-    sys.path.insert(0, _HERE)
-    from palletjack_spark.queries import REGISTRY  # noqa: E402
+# the checkout adjacent to this file ALWAYS wins — a stale plain
+# `pip install .` in site-packages must not shadow newer local code (the
+# packaged form is for library consumers; this entry is the driver
+# contract for THIS repo, and `pip install -e .` resolves to the same
+# files either way)
+sys.path.insert(0, _HERE)
+
+from palletjack_spark.queries import REGISTRY  # noqa: E402
 
 
 def _next_round(root: str = _HERE) -> int:

@@ -212,13 +212,16 @@ def _pick_chunks(files: list[str], par: int) -> int:
     fewer files than cores) and size the fan-out so each chunk walks at
     least ``_MIN_RGS_PER_CHUNK`` row groups: a 10k-row-group footer still
     fans out to the full ``_FOOTER_CHUNKS``, while a 200-rg footer gets 4
-    tasks instead of 16 footer re-parses.
+    tasks instead of 16 footer re-parses.  The probe target is the LARGEST
+    file by size — sizing the whole batch from an arbitrary small first
+    file would serialize the walk of its big siblings.
     """
     by_par = par // max(1, len(files))
     if by_par <= 1:
         return 1
     try:
-        num_rgs = _open_footer(files[0]).metadata.num_row_groups
+        probe = max(files, key=os.path.getsize)
+        num_rgs = _open_footer(probe).metadata.num_row_groups
     except EncryptedParquetError:
         raise
     except Exception:

@@ -313,6 +313,11 @@ class MetadataIndex:
         hit = self._schemas_cache.get(key)
         if hit is not None:
             return hit
+        # bound the memo: keys are O(selection) path tuples, and a
+        # long-lived index serving many distinct file subsets must not
+        # re-grow the very driver ceiling this cache replaced
+        if len(self._schemas_cache) >= 32:
+            self._schemas_cache.pop(next(iter(self._schemas_cache)))
         if self._local is not None:
             rows = self._local[1]
             if files is not None:
@@ -451,6 +456,10 @@ class MetadataIndex:
         check a dict; distributed catalogs check EXECUTOR-side — one job
         returning at most one offending row, so the driver never holds the
         O(files) (file → num_row_groups) map."""
+        if len(row_groups) == 0:
+            # explicit empty selection: nothing to bounds-check (prune's
+            # isin([]) yields the empty result, as before)
+            return
         lo = min(int(r) for r in row_groups)
         hi = max(int(r) for r in row_groups)
         if lo < 0:

@@ -86,13 +86,18 @@ def smart_read(
         return idx.read(columns=list(columns) if columns else None,
                         predicate=predicate)
 
-    # native fallback reads the CALLER'S paths directly — routing through
-    # the index's file list would collect O(files) rows to the driver just
-    # to re-name paths the caller already holds (a directory path stays a
-    # directory; Spark does its own distributed listing)
-    df = spark.read.parquet(
-        *([paths] if isinstance(paths, str) else list(paths))
+    # native fallback reads the INDEX'S file list, not the caller's raw
+    # paths: both routes must return the same rows (the smart_read
+    # contract), and a directory that gained files since the index was
+    # built would otherwise appear only in the fallback.  The O(files)
+    # driver list is inherent here — spark.read.parquet needs driver-side
+    # path strings — and bounded in practice: a catalog too large to list
+    # is exactly the case the indexed route exists for.
+    files = sorted(
+        idx._local[1] if idx._local is not None else idx._file_rows(),
+        key=lambda r: r["file"],
     )
+    df = spark.read.parquet(*[r["file"] for r in files])
     if predicate:
         df = _apply_predicate(df, predicate)
     if columns:

@@ -820,15 +820,27 @@ def _snapshot_commit(table_dir: str, version: int, data_dir: str) -> None:
     try:
         os.link(tmp_path, final)
     except FileExistsError:
-        with open(final) as f:
-            existing = json.load(f)
+        try:
+            with open(final) as f:
+                existing = json.load(f)
+        except (OSError, ValueError):
+            existing = None  # torn/corrupt winner: surface as a conflict
         if existing != entry:
             raise RuntimeError(
                 f"Concurrent snapshot commit conflict on version {version}: "
-                f"{existing['data_dir']} already committed"
+                f"{final} already committed with different content"
             )
+    except OSError:
+        # filesystem without hard links (some FUSE/object-store mounts):
+        # degrade to an atomic-rename publish — still one immutable file
+        # per version, but a same-version race is last-writer-wins there
+        os.replace(tmp_path, final)
+        return
     finally:
-        os.unlink(tmp_path)
+        try:
+            os.unlink(tmp_path)
+        except OSError:
+            pass
 
 
 def _snapshot_read(spark: SparkSession, table_dir: str, version: int | None):

@@ -257,6 +257,24 @@ def _plan_tasks(
     return tasks, schema
 
 
+def _read_span_batches(
+    path: str,
+    span: list[int],
+    cols: list[str] | None,
+    target: pa.Schema,
+    batch_size: int,
+) -> Iterator[pa.RecordBatch]:
+    """Executor-side: one file's selected row groups as normalized record
+    batches — the shared inner loop of every scan flavor."""
+    pf = _open_parquet(path)
+    for rb in pf.iter_batches(batch_size=batch_size, row_groups=span, columns=cols):
+        if rb.num_rows == 0:
+            continue
+        if rb.schema != target:
+            rb = rb.cast(target, safe=False)
+        yield rb
+
+
 def scan_tasks(
     spark: SparkSession,
     tasks: list[tuple[str, list[int]]],
@@ -285,15 +303,9 @@ def scan_tasks(
             for path, span in zip(paths, spans):
                 if not span:
                     continue
-                pf = _open_parquet(path)
-                for rb in pf.iter_batches(
-                    batch_size=batch_size, row_groups=span, columns=cols
-                ):
-                    if rb.num_rows == 0:
-                        continue
-                    if rb.schema != target:
-                        rb = rb.cast(target, safe=False)
-                    yield rb
+                yield from _read_span_batches(
+                    path, span, cols, target, batch_size
+                )
 
     return tdf.mapInArrow(gen, spark_schema)
 
@@ -314,9 +326,12 @@ def scan_plan(
     over a 100 TB catalog selects millions of row groups).  Here the plan
     rows stay executor-side end to end: the only driver data is a single
     two-scalar aggregate row (total bytes + row-group count) used to size
-    the scan, and the plan is range-partitioned on (file, row_group) so
-    each task reads a contiguous, file-local span — the same locality the
-    driver-side span chunker produced, minus the ceiling.
+    the scan.  Partitioning is a plain hash on (file, row_group div
+    stride) — stride chosen so each group holds ~``_TARGET_TASK_BYTES``
+    of data — NOT repartitionByRange, whose boundary sampler would
+    execute the plan lineage a second time before the scan; consecutive
+    row groups share a group key, so tasks still read contiguous,
+    file-local spans (sorted within the partition).
 
     Requires ``plan`` to carry ``file``, ``row_group``, ``total_byte_size``.
     """
@@ -343,24 +358,19 @@ def scan_plan(
         return spark.createDataFrame([], spark_schema)
     total_bytes = int(stats["pj_bytes"] or 0)
     par = spark.sparkContext.defaultParallelism
-    n_part = int(
-        max(
-            1,
-            min(
-                n_rgs,
-                max(total_bytes // _TARGET_TASK_BYTES + 1, min(par, n_rgs)),
-            ),
-        )
-    )
-    # range partitioning keeps each file's row groups contiguous and
-    # clustered on few partitions (ordinal-sorted), so a task opens each of
-    # its files once; partition sizing is by row-group count (range sampler
-    # semantics) which tracks bytes for the near-uniform row-group sizes
-    # real writers produce.
+    avg_rg = max(1, total_bytes // n_rgs)
+    stride = max(1, _TARGET_TASK_BYTES // avg_rg)
+    n_groups = max(1, n_rgs // stride)
+    n_part = int(max(min(par, n_rgs), min(n_groups, n_rgs)))
     tdf = (
-        plan.select("file", "row_group")
-        .repartitionByRange(n_part, "file", "row_group")
+        plan.select(
+            "file",
+            "row_group",
+            F.expr(f"row_group div {int(stride)}").alias("pj_grp"),
+        )
+        .repartition(n_part, "file", "pj_grp")
         .sortWithinPartitions("file", "row_group")
+        .drop("pj_grp")
     )
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -371,15 +381,9 @@ def scan_plan(
             for f, rg in zip(files, rgs):
                 by_file.setdefault(f, []).append(int(rg))
             for path, span in by_file.items():
-                pf = _open_parquet(path)
-                for rb in pf.iter_batches(
-                    batch_size=batch_size, row_groups=span, columns=cols
-                ):
-                    if rb.num_rows == 0:
-                        continue
-                    if rb.schema != target:
-                        rb = rb.cast(target, safe=False)
-                    yield rb
+                yield from _read_span_batches(
+                    path, span, cols, target, batch_size
+                )
 
     return tdf.mapInArrow(gen, spark_schema)
 

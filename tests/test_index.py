@@ -538,3 +538,16 @@ def test_zorder_write_skips_on_secondary_column(spark):
     # 16 z-range files over 2 dims → each file covers ~1/4 of each dim;
     # assert comfortably under the linear-clustering span (~domain)
     assert avg_span < 0.6 * domain, (avg_span, domain, spans)
+
+
+def test_empty_row_group_selection_distributed(spark):
+    """Explicit row_groups=[] on a distributed index: empty result (the
+    pre-round-5 behavior), not a ValueError from the bounds check."""
+    from palletjack_spark.index.builder import build_index
+
+    idx = build_index(
+        spark, f"{SF_DIR}/nation.parquet", use_cache=False,
+        driver_fast_path=False,
+    )
+    assert idx.read(row_groups=[]).count() == 0
+    idx.unpersist()
