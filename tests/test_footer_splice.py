@@ -521,3 +521,42 @@ def test_pj2_writer_rejects_nested(tmp_path):
     pq.write_table(t, path)
     with pytest.raises(InvalidSelectionError, match="nested"):
         fs.generate_pj2_index(path)
+
+
+@needs_ref_golden
+def test_pj2_decode_fuzz_corruption_never_crashes():
+    """Property: any single- or multi-byte corruption of a valid PJ_2 blob
+    either still decodes to a parseable footer or fails with one of the
+    library's typed errors — never an unhandled IndexError/struct.error/
+    MemoryError (the reference's decode-cap discipline, palletjack.cc
+    82-83, applied to the sidecar container format)."""
+    import hypothesis.strategies as st
+    from hypothesis import given, settings
+
+    from palletjack_spark.errors import IndexFormatError
+
+    with open(_GOLDEN_IDX, "rb") as f:
+        golden = f.read()
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        edits=st.lists(
+            st.tuples(
+                st.integers(0, len(golden) - 1), st.integers(0, 255)
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        truncate=st.integers(0, len(golden)),
+    )
+    def check(edits, truncate):
+        blob = bytearray(golden)
+        for pos, val in edits:
+            blob[pos] = val
+        blob = bytes(blob[:truncate]) if truncate < len(blob) else bytes(blob)
+        try:
+            fs._decode_pj2(blob)
+        except (InvalidSelectionError, IndexFormatError):
+            pass  # typed rejection is the contract
+
+    check()
