@@ -551,3 +551,31 @@ def test_empty_row_group_selection_distributed(spark):
     )
     assert idx.read(row_groups=[]).count() == 0
     idx.unpersist()
+
+
+def test_pick_chunks_probes_largest_file(tmp_path):
+    """Fan-out sizing probes the LARGEST file: a small first file must not
+    serialize the footer walk of a big sibling (round-5 review fix), and
+    the stride floor keeps tiny footers from over-fanning."""
+    import numpy as np
+
+    from palletjack_spark.index.builder import (
+        _FOOTER_CHUNKS,
+        _MIN_RGS_PER_CHUNK,
+        _pick_chunks,
+    )
+
+    small = str(tmp_path / "small.parquet")
+    big = str(tmp_path / "big.parquet")
+    t1 = pa.table({"x": np.arange(8.0)})
+    pq.write_table(t1, small, row_group_size=8)  # 1 row group
+    t2 = pa.table({"x": np.arange(4096.0)})
+    pq.write_table(t2, big, row_group_size=16)  # 256 row groups
+    # small listed FIRST: probe must still find big's 256 row groups
+    assert _pick_chunks([small, big], par=64) == min(
+        _FOOTER_CHUNKS, 64 // 2, -(-256 // _MIN_RGS_PER_CHUNK)
+    )
+    # single tiny footer: no fan-out beyond its row-group count
+    assert _pick_chunks([small], par=64) == 1
+    # many files: one unit per file, no fan-out
+    assert _pick_chunks([small] * 100, par=32) == 1
