@@ -79,6 +79,7 @@ HEADLINE = [
     "q130_pagerank_fixedpoint",
     "q131_vocab_encode",
     "q132_fim_split",
+    "q133_length_bucketed_batching",
     "q134_contrastive_pairs",
 ]
 
