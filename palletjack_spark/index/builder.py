@@ -237,6 +237,7 @@ def build_index(
     incremental: bool = False,
     use_cache: bool = True,
     driver_fast_path: bool = True,
+    catalog_buckets: int = 0,
 ) -> MetadataIndex:
     """Build the metadata index for the given parquet files.
 
@@ -244,6 +245,14 @@ def build_index(
     reference's in-memory ``bytearray`` index (palletjack.cc:656-678) —
     or, when ``index_dir`` is given, persists the sidecar dataset first
     (analogue of the `.index` file, cc:360-367) and returns the loaded form.
+
+    ``catalog_buckets > 0`` hash-partitions the persisted sidecar by
+    ``file_bucket = hash60(file) % buckets``: a point-file selection over
+    a million-file catalog then reads 1/buckets of the sidecar via true
+    partition pruning instead of scanning every sidecar file's stats.
+    The bucket count persists in ``_pj_meta.json`` so incremental appends
+    and loads keep the same layout (the portable md5-based hash60 makes
+    the bucket computable driver-side for pruning).
     """
     files = expand_paths(paths)
     cache_key = _cache_key(spark, files)
@@ -272,6 +281,11 @@ def build_index(
         if use_cache:
             _INDEX_CACHE[cache_key] = idx
         return idx
+    if index_dir and os.path.exists(os.path.join(index_dir, _META_NAME)):
+        # an existing sidecar's layout wins: appends must match it
+        catalog_buckets = _read_meta(index_dir).get(
+            "catalog_buckets", catalog_buckets
+        )
     if incremental and index_dir and os.path.exists(os.path.join(index_dir, "files")):
         # loaded-index memo: repeated incremental builds over unchanged
         # candidates + an unchanged sidecar skip the semi-join probe AND
@@ -349,6 +363,15 @@ def build_index(
     if index_dir:
         from pyspark import StorageLevel
 
+        part_cols: list[str] = []
+        if catalog_buckets > 0:
+            from palletjack_spark.functions.dedup import hash60
+
+            combined = combined.withColumn(
+                "file_bucket",
+                F.pmod(hash60("file"), F.lit(catalog_buckets)).cast("int"),
+            )
+            part_cols = ["file_bucket"]
         combined = combined.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             mode = "append" if incremental else "overwrite"
@@ -357,14 +380,19 @@ def build_index(
             # (files/-first would leave a files entry whose row groups are
             # missing — also rejected, but rg-first keeps the window where
             # a *complete-looking* index exists at zero).
-            combined.where(F.col("kind") == "rg").select(rg_cols).write.mode(
-                mode
-            ).parquet(os.path.join(index_dir, "row_groups"))
-            combined.where(F.col("kind") == "file").select(f_cols).write.mode(
-                mode
-            ).parquet(os.path.join(index_dir, "files"))
+            combined.where(F.col("kind") == "rg").select(
+                rg_cols + part_cols
+            ).write.mode(mode).partitionBy(*part_cols).parquet(
+                os.path.join(index_dir, "row_groups")
+            )
+            combined.where(F.col("kind") == "file").select(
+                f_cols + part_cols
+            ).write.mode(mode).partitionBy(*part_cols).parquet(
+                os.path.join(index_dir, "files")
+            )
         finally:
             combined.unpersist()
+        _write_meta(index_dir, {"catalog_buckets": catalog_buckets})
         return load_index(spark, index_dir)
 
     combined = combined.cache()
@@ -382,6 +410,30 @@ def build_index(
     if use_cache:
         _INDEX_CACHE[cache_key] = idx
     return idx
+
+
+#: sidecar layout metadata (currently just the catalog bucket count)
+_META_NAME = "_pj_meta.json"
+
+
+def _read_meta(index_dir: str) -> dict:
+    import json
+
+    try:
+        with open(os.path.join(index_dir, _META_NAME)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _write_meta(index_dir: str, meta: dict) -> None:
+    import json
+
+    path = os.path.join(index_dir, _META_NAME)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, path)
 
 
 def _sidecar_sig(index_dir: str) -> tuple:
@@ -499,6 +551,7 @@ def load_index(spark: SparkSession, index_dir: str) -> MetadataIndex:
         spark.read.parquet(rg_path),
         spark.read.parquet(f_path),
         index_dir=index_dir,
+        catalog_buckets=int(_read_meta(index_dir).get("catalog_buckets", 0)),
     )
     idx.validate()
     return idx

@@ -168,11 +168,16 @@ class MetadataIndex:
         files: DataFrame,
         index_dir: str | None,
         local_rows: tuple[list, list] | None = None,
+        catalog_buckets: int = 0,
     ):
         self.spark = spark
         self.row_groups = row_groups
         self.files = files
         self.index_dir = index_dir
+        #: sidecar partition count: >0 means row_groups/ and files/ are
+        #: partitioned by ``file_bucket = hash60(file) % buckets`` and a
+        #: file selection prunes to its buckets' partitions
+        self.catalog_buckets = catalog_buckets
         self._files_cache: list | None = None
         self._schemas_cache: dict = {}
         #: driver-resident (rg_rows, file_rows) dicts for small indexes —
@@ -327,7 +332,7 @@ class MetadataIndex:
         else:
             df = self.files
             if files is not None:
-                df = df.where(F.col("file").isin(list(files)))
+                df = self._file_filter(df, files)
             out = sorted(
                 bytes(r["arrow_schema"])
                 for r in df.select("arrow_schema")
@@ -383,6 +388,25 @@ class MetadataIndex:
         )
 
     # -- pruning -------------------------------------------------------------
+
+    def _file_filter(self, df: DataFrame, files: Sequence[str]) -> DataFrame:
+        """Restrict an index DataFrame to a file selection.  On a bucketed
+        sidecar the selection's buckets are computed driver-side (portable
+        md5 hash60, matching the write-side column exactly) and applied
+        FIRST, so the scan partition-prunes to len(buckets)/catalog_buckets
+        of the sidecar before the per-file stats filter runs."""
+        if self.catalog_buckets and "file_bucket" in df.columns:
+            import hashlib
+
+            bks = sorted(
+                {
+                    int(hashlib.md5(f.encode()).hexdigest()[:15], 16)
+                    % self.catalog_buckets
+                    for f in files
+                }
+            )
+            df = df.where(F.col("file_bucket").isin(bks))
+        return df.where(F.col("file").isin(list(files)))
 
     def _prune_condition(self, predicate: Sequence[tuple]) -> Column:
         """Build a row-group *overlap* condition from simple predicates
@@ -479,7 +503,7 @@ class MetadataIndex:
             return
         df = self.files
         if files is not None:
-            df = df.where(F.col("file").isin(list(files)))
+            df = self._file_filter(df, files)
         bad = (
             df.where(F.col("num_row_groups") <= F.lit(hi))
             .select("file", "num_row_groups")
@@ -512,7 +536,7 @@ class MetadataIndex:
         """Filtered view of the row-group index for a selection."""
         rgs = self.row_groups
         if files is not None:
-            rgs = rgs.where(F.col("file").isin(list(files)))
+            rgs = self._file_filter(rgs, files)
         if row_groups is not None:
             for rg in row_groups:
                 if int(rg) < 0:

@@ -579,3 +579,55 @@ def test_pick_chunks_probes_largest_file(tmp_path):
     assert _pick_chunks([small], par=64) == 1
     # many files: one unit per file, no fan-out
     assert _pick_chunks([small] * 100, par=32) == 1
+
+
+def test_catalog_bucketed_sidecar_prunes_partitions(spark, tmp_path):
+    """catalog_buckets > 0: the persisted sidecar partitions by
+    file_bucket = hash60(file) % N, a point-file selection partition-
+    prunes the sidecar scan (PartitionFilters on file_bucket), reads
+    stay correct, and an incremental append inherits the layout."""
+    import hashlib
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from palletjack_spark.index.builder import build_index, load_index
+
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    for t in ("nation", "region", "supplier"):
+        shutil.copy(f"{SF_DIR}/{t}.parquet", f"{data}/{t}.parquet")
+    idx_dir = str(tmp_path / "idx")
+    idx = build_index(spark, data, index_dir=idx_dir, catalog_buckets=4)
+    assert idx.catalog_buckets == 4
+    assert "file_bucket" in idx.row_groups.columns
+
+    target = f"{data}/nation.parquet"
+    want_bucket = int(hashlib.md5(target.encode()).hexdigest()[:15], 16) % 4
+    # spark-side bucket must equal the driver-side portable hash
+    got_bucket = (
+        idx.files.where(F.col("file") == target)
+        .select("file_bucket")
+        .collect()[0][0]
+    )
+    assert got_bucket == want_bucket
+
+    # partition pruning reaches the sidecar scan
+    plan = idx.prune(files=[target])._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "file_bucket" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+
+    # correctness: bucketed read == native read
+    native = spark.read.parquet(target)
+    got = idx.read(files=[target])
+    assert got.count() == native.count()
+    assert idx.read_schema(files=[target]).fieldNames() == native.columns
+
+    # incremental append keeps the layout without re-passing the arg
+    shutil.copy(f"{SF_DIR}/customer.parquet", f"{data}/customer.parquet")
+    idx2 = build_index(spark, data, index_dir=idx_dir, incremental=True)
+    assert idx2.catalog_buckets == 4
+    assert idx2.files.count() == 4
+    idx3 = load_index(spark, idx_dir)
+    assert idx3.catalog_buckets == 4
