@@ -48,6 +48,20 @@ def _stat_repr(v) -> str | None:
     return str(v)
 
 
+def _stat_kind(v) -> str | None:
+    """Tag for what ``_stat_repr`` encoded: 'text' reprs compare
+    lexicographically against string predicates (parquet string min/max
+    order == binary order for the ASCII values we prune on); 'hex' and
+    'num' reprs do not."""
+    if v is None:
+        return None
+    if isinstance(v, str):
+        return "text"
+    if isinstance(v, bytes):
+        return "hex"
+    return "num"
+
+
 def _stat_num(v) -> float | None:
     """Numeric projection of a statistic (for range pruning).  Timestamps
     and dates map to epoch micros / days; strings map to None."""
@@ -147,6 +161,9 @@ def _extract_file_rows(
                     "max_repr": (_stat_repr(st.max) if st and st.has_min_max else None),
                     "min_num": (_stat_num(st.min) if st and st.has_min_max else None),
                     "max_num": (_stat_num(st.max) if st and st.has_min_max else None),
+                    "stats_kind": (
+                        _stat_kind(st.min) if st and st.has_min_max else None
+                    ),
                 }
             )
         rg_rows.append(

@@ -47,6 +47,12 @@ _COLUMN_STAT = T.StructType(
         T.StructField("max_repr", T.StringType()),
         T.StructField("min_num", T.DoubleType()),
         T.StructField("max_num", T.DoubleType()),
+        # what min_repr/max_repr encode: 'text' = the string value itself
+        # (lexicographically comparable), 'hex' = hex of raw bytes, 'num' =
+        # str() of a numeric (use min_num/max_num instead).  NULL on
+        # indexes built before this field existed — pruning then stays
+        # conservative for strings (keep the group).
+        T.StructField("stats_kind", T.StringType()),
     ]
 )
 
@@ -408,11 +414,34 @@ class MetadataIndex:
             df = df.where(F.col("file_bucket").isin(bks))
         return df.where(F.col("file").isin(list(files)))
 
+    def _has_stats_kind(self) -> bool:
+        """Whether the index carries the ``stats_kind`` tag (indexes built
+        before round 5 don't — string pruning then stays conservative)."""
+        try:
+            elem = self.row_groups.schema["columns"].dataType.elementType
+            return "stats_kind" in elem.fieldNames()
+        except Exception:
+            return False
+
+    @staticmethod
+    def _text_prunable(v) -> bool:
+        """String values prune only when ASCII: parquet string min/max
+        order is unsigned-byte lexicographic, which matches Spark/Python
+        string comparison for ASCII but not for all of Unicode (UTF-16
+        code-unit order diverges above the BMP) — non-ASCII conservatively
+        keeps every group."""
+        return isinstance(v, str) and v.isascii()
+
     def _prune_condition(self, predicate: Sequence[tuple]) -> Column:
         """Build a row-group *overlap* condition from simple predicates
-        [(col, op, value)] evaluated against per-column min/max stats.
-        A row group survives unless its stats prove no row can match —
-        missing stats keep the group (conservative, like ParquetFilters)."""
+        [(col, op, value)] evaluated against per-column min/max stats —
+        numeric values against min_num/max_num, ASCII string values
+        against the lexicographic min_repr/max_repr (guarded by the
+        ``stats_kind == 'text'`` tag so hex-of-binary reprs never
+        mis-compare).  A row group survives unless its stats prove no row
+        can match — missing stats keep the group (conservative, like
+        ParquetFilters)."""
+        text_ok = self._has_stats_kind()
         cond = F.lit(True)
         for col_name, op, *vals in predicate:
             if op not in _PRUNE_OPS:
@@ -422,9 +451,25 @@ class MetadataIndex:
             st = F.get(
                 F.filter(F.col("columns"), lambda c: c["name"] == F.lit(col_name)), 0
             )
-            lo, hi = st["min_num"], st["max_num"]
-            has = lo.isNotNull() & hi.isNotNull()
-            v = F.lit(float(vals[0])) if vals else None
+            is_str = bool(vals) and isinstance(vals[0], str)
+            if is_str and (
+                not all(self._text_prunable(x) for x in vals) or not text_ok
+            ):
+                continue  # non-ASCII value or pre-round-5 sidecar: keep all
+            if is_str:
+                lo, hi = st["min_repr"], st["max_repr"]
+                has = (
+                    lo.isNotNull()
+                    & hi.isNotNull()
+                    & (st["stats_kind"] == F.lit("text"))
+                )
+                v = F.lit(vals[0])
+                v2 = F.lit(vals[1]) if op == "between" else None
+            else:
+                lo, hi = st["min_num"], st["max_num"]
+                has = lo.isNotNull() & hi.isNotNull()
+                v = F.lit(float(vals[0])) if vals else None
+                v2 = F.lit(float(vals[1])) if op == "between" else None
             if op in ("=", "=="):
                 keep = (lo <= v) & (hi >= v)
             elif op == "<":
@@ -436,7 +481,6 @@ class MetadataIndex:
             elif op == ">=":
                 keep = hi >= v
             elif op == "between":
-                v2 = F.lit(float(vals[1]))
                 keep = (hi >= v) & (lo <= v2)
             cond = cond & F.when(has, keep).otherwise(F.lit(True))
         return cond
@@ -444,18 +488,30 @@ class MetadataIndex:
     @staticmethod
     def _keep_local(rg: dict, predicate: Sequence[tuple]) -> bool:
         """Python mirror of ``_prune_condition`` for driver-local planning —
-        identical keep semantics: missing column or missing stats keep the
-        row group (conservative)."""
+        identical keep semantics: missing column, missing stats, or a
+        non-ASCII/untagged string value keep the row group (conservative)."""
         for col_name, op, *vals in predicate:
             if op not in _PRUNE_OPS:
                 raise InvalidSelectionError(f"Unsupported prune op: {op}")
             st = next((c for c in rg["columns"] if c["name"] == col_name), None)
             if st is None:
                 continue
-            lo, hi = st["min_num"], st["max_num"]
-            if lo is None or hi is None:
-                continue
-            v = float(vals[0]) if vals else None
+            if vals and isinstance(vals[0], str):
+                if not all(MetadataIndex._text_prunable(x) for x in vals):
+                    continue
+                if st.get("stats_kind") != "text":
+                    continue
+                lo, hi = st["min_repr"], st["max_repr"]
+                if lo is None or hi is None:
+                    continue
+                v = vals[0]
+                v2 = vals[1] if op == "between" else None
+            else:
+                lo, hi = st["min_num"], st["max_num"]
+                if lo is None or hi is None:
+                    continue
+                v = float(vals[0]) if vals else None
+                v2 = float(vals[1]) if op == "between" else None
             if op in ("=", "=="):
                 keep = lo <= v <= hi
             elif op == "<":
@@ -467,7 +523,7 @@ class MetadataIndex:
             elif op == ">=":
                 keep = hi >= v
             else:  # between
-                keep = hi >= v and lo <= float(vals[1])
+                keep = hi >= v and lo <= v2
             if not keep:
                 return False
         return True

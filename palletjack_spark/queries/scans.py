@@ -740,10 +740,13 @@ def q09d(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q03b(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Indexed scan pruned by a STRING predicate (Q03b): row-group min/max
-    stats on BYTE_ARRAY columns skip groups whose [min,max] range can't
-    contain the literal, then the residual filter exacts the match — the
-    same contract as Q03's numeric BETWEEN, proven on the string stats
-    path (binary-ordered min/max, the trickier footer encoding)."""
+    stats on BYTE_ARRAY columns skip groups whose lexicographic
+    [min_repr, max_repr] range can't contain the literal (the round-5
+    ``stats_kind == 'text'`` path — ASCII-guarded so parquet's byte order
+    and the engine's string order agree), then the residual filter exacts
+    the match — the same contract as Q03's numeric BETWEEN, proven on the
+    string stats path in tests/test_index.py::
+    test_string_predicate_prunes_row_groups."""
     idx = build_index(spark, table_path(sf_dir, "orders"))
     return idx.read(
         columns=["o_orderkey", "o_orderpriority"],

@@ -631,3 +631,42 @@ def test_catalog_bucketed_sidecar_prunes_partitions(spark, tmp_path):
     assert idx2.files.count() == 4
     idx3 = load_index(spark, idx_dir)
     assert idx3.catalog_buckets == 4
+
+
+def test_string_predicate_prunes_row_groups(spark, tmp_path):
+    """Round-5: string predicates prune via min_repr/max_repr when the
+    stats_kind tag says the reprs are lexicographic text — on a file
+    sorted by a string key, an equality keeps only the overlapping
+    group(s), and results still equal scan+filter (residual applies)."""
+    import numpy as np
+
+    path = str(tmp_path / "sorted_str.parquet")
+    keys = [f"k{i:04d}" for i in range(100)]
+    t = pa.table({"k": keys, "v": np.arange(100.0)})
+    pq.write_table(t, path, row_group_size=20)  # 5 groups, disjoint k ranges
+
+    idx = build_index(spark, path, use_cache=False)
+    # equality: exactly one of five groups can contain k0042
+    plan = idx.prune(predicate=[("k", "=", "k0042")])
+    assert plan.count() == 1
+    df = idx.read(predicate=[("k", "=", "k0042")])
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["v"] == 42.0
+    # range: k0040..k0059 span exactly one group boundary
+    plan2 = idx.prune(predicate=[("k", "between", "k0035", "k0059")])
+    assert plan2.count() == 2
+    got = sorted(
+        r["k"] for r in idx.read(
+            predicate=[("k", "between", "k0035", "k0059")]
+        ).collect()
+    )
+    assert got == [f"k{i:04d}" for i in range(35, 60)]
+    # non-ASCII value: conservative, keeps every group, still correct
+    assert idx.prune(predicate=[("k", "<", "k00é")]).count() == 5
+    # distributed (non-local) index prunes identically
+    idx2 = build_index(
+        spark, path, use_cache=False, driver_fast_path=False
+    )
+    assert idx2.prune(predicate=[("k", "=", "k0042")]).count() == 1
+    assert idx2.read(predicate=[("k", "=", "k0042")]).count() == 1
+    idx2.unpersist()
