@@ -560,3 +560,19 @@ def test_pj2_decode_fuzz_corruption_never_crashes():
             pass  # typed rejection is the contract
 
     check()
+
+
+def test_pjs1_and_pj2_read_identically(pq_file):
+    """Cross-format invariant: the same file's PJS1 and PJ_2 sidecars
+    must answer every selection with byte-identical spliced metadata —
+    the two formats are interchangeable containers for the same footer."""
+    pjs1 = bytes(generate_metadata_index(pq_file))
+    pj2 = bytes(fs.generate_pj2_index(pq_file))
+    assert pjs1[:4] == b"PJS1" and pj2[:4] == b"PJ_2"
+    for rgs, cols in [([], []), ([2, 0], [1, 3]), ([1], []), ([], [2])]:
+        a = read_metadata(index_data=pjs1, row_groups=rgs, column_indices=cols)
+        b = read_metadata(index_data=pj2, row_groups=rgs, column_indices=cols)
+        assert a.num_rows == b.num_rows
+        assert a.num_columns == b.num_columns
+        assert a.schema.to_arrow_schema() == b.schema.to_arrow_schema()
+        assert a.equals(b), (rgs, cols)
