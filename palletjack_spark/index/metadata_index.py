@@ -26,6 +26,7 @@ from palletjack_spark.errors import IndexFormatError, InvalidSelectionError
 from palletjack_spark.sources.arrow_scan import (
     _TARGET_TASK_BYTES,
     arrow_to_spark_schema,
+    partition_values,
     resolve_columns,
     scan_plan,
     scan_tasks,
@@ -186,6 +187,7 @@ class MetadataIndex:
         self.catalog_buckets = catalog_buckets
         self._files_cache: list | None = None
         self._schemas_cache: dict = {}
+        self._part_keys: list[str] | None = None
         #: driver-resident (rg_rows, file_rows) dicts for small indexes —
         #: validation, schema reads and read-planning then run in plain
         #: Python with zero Spark jobs (the reference's single-process
@@ -414,6 +416,50 @@ class MetadataIndex:
             df = df.where(F.col("file_bucket").isin(bks))
         return df.where(F.col("file").isin(list(files)))
 
+    def partition_keys(self) -> list[str]:
+        """Hive partition keys of the indexed layout, parsed from one file
+        path (standard hive layouts carry the same keys on every file —
+        documented assumption).  One-row driver read, memoized."""
+        if self._part_keys is None:
+            if self._local is not None:
+                path = self._local[1][0]["file"] if self._local[1] else ""
+            else:
+                row = (
+                    self.files.agg(F.min("file").alias("f"))
+                    .toArrow()
+                    .to_pylist()[0]
+                )
+                path = row["f"] or ""
+            self._part_keys = sorted(partition_values(path))
+        return self._part_keys
+
+    def _partition_plan_filter(
+        self, plan: DataFrame, preds: Sequence[tuple]
+    ) -> DataFrame:
+        """File-level partition pruning: for SAFE equality predicates on a
+        partition key (value made only of chars hive never escapes, so the
+        raw path segment equals the logical value), drop plan rows whose
+        path segment differs — those files are never opened.  Every other
+        op/value is left to the residual filter on the attached column,
+        which is exact; this filter is a pure optimization that must agree
+        with it, hence the conservative charset gate."""
+        import re
+
+        keys = set(self.partition_keys())
+        for col_name, op, *vals in preds:
+            if col_name not in keys or op not in ("=", "==") or not vals:
+                continue
+            v = vals[0]
+            if not (
+                isinstance(v, str) and re.fullmatch(r"[A-Za-z0-9._\-]+", v)
+            ):
+                continue
+            seg = F.regexp_extract(
+                F.col("file"), f"(?:^|/){re.escape(col_name)}=([^/]+)/", 1
+            )
+            plan = plan.where(seg == F.lit(v))
+        return plan
+
     def _has_stats_kind(self) -> bool:
         """Whether the index carries the ``stats_kind`` tag (indexes built
         before round 5 don't — string pruning then stays conservative)."""
@@ -621,9 +667,17 @@ class MetadataIndex:
         residual filter is applied to the scanned rows, so results equal a
         full scan + filter — pruning is a pure optimization, as in Spark's
         native source.
+
+        Hive-partitioned layouts: each row gains the file's ``key=value``
+        partition values as string columns (Spark's type-inference-off
+        semantics), predicates on partition keys prune at FILE level
+        (safe-equality path-segment match; everything else via the exact
+        residual on the attached column), and data predicates keep using
+        row-group stats.
         """
         schema = self.arrow_schema(files)
         sel = resolve_columns(schema.names, columns, column_indices)
+        part_keys = self.partition_keys()
 
         if row_groups is not None:
             self._check_row_group_bounds(files, row_groups)
@@ -641,6 +695,25 @@ class MetadataIndex:
                 rg_rows = [r for r in rg_rows if r["row_group"] in want_rg]
             if predicate:
                 rg_rows = [r for r in rg_rows if self._keep_local(r, predicate)]
+                if part_keys:
+                    import re as _re
+
+                    for col_name, op, *vals in predicate:
+                        # same safe-equality gate as the distributed plan
+                        # filter — exactness guaranteed by the residual
+                        if (
+                            col_name in part_keys
+                            and op in ("=", "==")
+                            and vals
+                            and isinstance(vals[0], str)
+                            and _re.fullmatch(r"[A-Za-z0-9._\-]+", vals[0])
+                        ):
+                            rg_rows = [
+                                r
+                                for r in rg_rows
+                                if partition_values(r["file"]).get(col_name)
+                                == vals[0]
+                            ]
             sel_rows = sorted(
                 (r["file"], r["row_group"], r["total_byte_size"]) for r in rg_rows
             )
@@ -660,7 +733,9 @@ class MetadataIndex:
                     span, span_bytes = [], 0
             if span:
                 tasks.append((cur_file, span))
-            df = scan_tasks(self.spark, tasks, schema, sel)
+            df = scan_tasks(
+                self.spark, tasks, schema, sel, partition_keys=part_keys
+            )
         else:
             # distributed catalog: the pruned plan DataFrame drives the scan
             # executor-side — the driver never materializes the row-group
@@ -669,7 +744,11 @@ class MetadataIndex:
             plan = self.prune(
                 files=files, row_groups=row_groups, predicate=predicate
             )
-            df = scan_plan(self.spark, plan, schema, sel)
+            if predicate and part_keys:
+                plan = self._partition_plan_filter(plan, predicate)
+            df = scan_plan(
+                self.spark, plan, schema, sel, partition_keys=part_keys
+            )
         if predicate and apply_residual:
             for col_name, op, *vals in predicate:
                 c = F.col(col_name)

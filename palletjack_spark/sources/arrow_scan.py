@@ -187,13 +187,21 @@ def validate_row_groups(requested: Sequence[int], available: int, path: str) -> 
 
 def expand_paths(paths: str | Iterable[str]) -> list[str]:
     """Expand a path / directory / glob / list thereof into parquet files.
-    Driver-side *listing* only (no footer reads)."""
+    Driver-side *listing* only (no footer reads).  Directories are walked
+    RECURSIVELY, so hive-partitioned layouts (``key=value`` subdirs — the
+    normal shape of a 100 TB dataset) index like flat ones."""
     if isinstance(paths, str):
         paths = [paths]
     out: list[str] = []
     for p in paths:
         if os.path.isdir(p):
-            out.extend(sorted(_glob.glob(os.path.join(p, "*.parquet"))))
+            out.extend(
+                sorted(
+                    _glob.glob(
+                        os.path.join(p, "**", "*.parquet"), recursive=True
+                    )
+                )
+            )
         elif any(ch in p for ch in "*?["):
             out.extend(sorted(_glob.glob(p)))
         else:
@@ -202,6 +210,21 @@ def expand_paths(paths: str | Iterable[str]) -> list[str]:
             out.append(p)
     if not out:
         raise InvalidSelectionError(f"No parquet files found for {paths!r}")
+    return out
+
+
+def partition_values(path: str) -> dict[str, str]:
+    """Hive partition values encoded in a file's path: ``.../key=value/...``
+    segments, URL-decoded like Spark's own partition discovery.  Values
+    stay STRINGS (the ``partitionColumnTypeInference.enabled=false``
+    semantics) — lossless, and identical on every engine."""
+    from urllib.parse import unquote
+
+    out: dict[str, str] = {}
+    for seg in path.split(os.sep)[:-1]:
+        if "=" in seg and not seg.startswith("="):
+            k, _, v = seg.partition("=")
+            out[k] = unquote(v)
     return out
 
 
@@ -263,16 +286,45 @@ def _read_span_batches(
     cols: list[str] | None,
     target: pa.Schema,
     batch_size: int,
+    partition_keys: list[str] | None = None,
 ) -> Iterator[pa.RecordBatch]:
     """Executor-side: one file's selected row groups as normalized record
-    batches — the shared inner loop of every scan flavor."""
+    batches — the shared inner loop of every scan flavor.  With
+    ``partition_keys``, each batch gains the file's hive partition values
+    as constant string columns (parsed from the path — a pure function,
+    so no driver state ships to make it work)."""
     pf = _open_parquet(path)
+    pvals = None
+    if partition_keys:
+        vals = partition_values(path)
+        pvals = [vals.get(k) for k in partition_keys]
     for rb in pf.iter_batches(batch_size=batch_size, row_groups=span, columns=cols):
         if rb.num_rows == 0:
             continue
         if rb.schema != target:
             rb = rb.cast(target, safe=False)
+        if pvals is not None:
+            arrays = list(rb.columns) + [
+                pa.nulls(rb.num_rows, pa.string())
+                if v is None
+                else pa.array([v] * rb.num_rows, type=pa.string())
+                for v in pvals
+            ]
+            rb = pa.RecordBatch.from_arrays(
+                arrays, names=list(rb.schema.names) + list(partition_keys)
+            )
         yield rb
+
+
+def _with_partition_fields(
+    spark_schema: T.StructType, partition_keys: list[str] | None
+) -> T.StructType:
+    if not partition_keys:
+        return spark_schema
+    return T.StructType(
+        list(spark_schema.fields)
+        + [T.StructField(k, T.StringType(), True) for k in partition_keys]
+    )
 
 
 def scan_tasks(
@@ -281,13 +333,16 @@ def scan_tasks(
     schema: pa.Schema,
     columns: list[str] | None,
     batch_size: int = 65536,
+    partition_keys: list[str] | None = None,
 ) -> DataFrame:
     """Run (path, row_groups) scan tasks via mapInArrow."""
     file_schema = schema
     if columns is not None:
         file_schema = pa.schema([schema.field(c) for c in columns])
     target = normalize_arrow_schema(file_schema)
-    spark_schema = arrow_to_spark_schema(file_schema)
+    spark_schema = _with_partition_fields(
+        arrow_to_spark_schema(file_schema), partition_keys
+    )
     cols = list(columns) if columns is not None else None
 
     task_rows = [(p, [int(r) for r in rgs]) for p, rgs in tasks]
@@ -304,7 +359,7 @@ def scan_tasks(
                 if not span:
                     continue
                 yield from _read_span_batches(
-                    path, span, cols, target, batch_size
+                    path, span, cols, target, batch_size, partition_keys
                 )
 
     return tdf.mapInArrow(gen, spark_schema)
@@ -316,6 +371,7 @@ def scan_plan(
     schema: pa.Schema,
     columns: list[str] | None,
     batch_size: int = 65536,
+    partition_keys: list[str] | None = None,
 ) -> DataFrame:
     """Scan the (file, row_group) selection described by a *plan DataFrame*
     — the pruned metadata index — without ever materializing the row-group
@@ -341,7 +397,9 @@ def scan_plan(
     if columns is not None:
         file_schema = pa.schema([schema.field(c) for c in columns])
     target = normalize_arrow_schema(file_schema)
-    spark_schema = arrow_to_spark_schema(file_schema)
+    spark_schema = _with_partition_fields(
+        arrow_to_spark_schema(file_schema), partition_keys
+    )
     cols = list(columns) if columns is not None else None
 
     # bounded driver read: ONE row with two scalars, whatever the selection
@@ -382,7 +440,7 @@ def scan_plan(
                 by_file.setdefault(f, []).append(int(rg))
             for path, span in by_file.items():
                 yield from _read_span_batches(
-                    path, span, cols, target, batch_size
+                    path, span, cols, target, batch_size, partition_keys
                 )
 
     return tdf.mapInArrow(gen, spark_schema)

@@ -670,3 +670,59 @@ def test_string_predicate_prunes_row_groups(spark, tmp_path):
     assert idx2.prune(predicate=[("k", "=", "k0042")]).count() == 1
     assert idx2.read(predicate=[("k", "=", "k0042")]).count() == 1
     idx2.unpersist()
+
+
+def test_hive_partitioned_dataset_indexed_reads(spark, tmp_path):
+    """Round-5 partition awareness: a hive-partitioned layout indexes
+    through the recursive lister, reads re-attach the key=value columns
+    (string-typed, Spark's inference-off semantics), partition-key
+    equality prunes at FILE level, and all results equal the native
+    partitioned read."""
+    from pyspark.sql import functions as F
+
+    from palletjack_spark.index.builder import build_index
+    from palletjack_spark.sources.arrow_scan import partition_values
+
+    data = str(tmp_path / "part_ds")
+    src = spark.read.parquet(f"{SF_DIR}/orders.parquet").withColumn(
+        "opri", F.substring("o_orderpriority", 1, 1)
+    )
+    src.write.partitionBy("opri").mode("overwrite").parquet(data)
+
+    assert partition_values(f"{data}/opri=1/x.parquet") == {"opri": "1"}
+
+    native = spark.read.parquet(data)
+    n_all = native.count()
+
+    for fast in (True, False):
+        idx = build_index(
+            spark, data, use_cache=False, driver_fast_path=fast
+        )
+        assert idx.partition_keys() == ["opri"]
+        got = idx.read()
+        assert "opri" in got.columns
+        assert got.count() == n_all
+        # equality on the partition key: file-level pruning + exact rows
+        sub = idx.read(predicate=[("opri", "=", "1")])
+        want = native.where(F.col("opri") == "1")
+        assert sub.count() == want.count() > 0
+        # value equality row-by-row on a checksum
+        a = sub.agg(F.sum("o_orderkey").alias("s")).collect()[0]["s"]
+        b = want.agg(F.sum("o_orderkey").alias("s")).collect()[0]["s"]
+        assert a == b
+        # data-column predicate still prunes by stats and matches
+        sub2 = idx.read(predicate=[("o_orderkey", "<=", 100.0)])
+        assert sub2.count() == native.where("o_orderkey <= 100").count()
+        idx.unpersist()
+
+    # distributed path: partition equality filters the PLAN to one
+    # partition's files before any footer is opened
+    idx = build_index(spark, data, use_cache=False, driver_fast_path=False)
+    plan = idx.prune()
+    total_files = plan.select("file").distinct().count()
+    filtered = idx._partition_plan_filter(plan, [("opri", "=", "1")])
+    kept_files = filtered.select("file").distinct().count()
+    assert 0 < kept_files < total_files
+    for r in filtered.select("file").distinct().collect():
+        assert "/opri=1/" in r["file"]
+    idx.unpersist()
