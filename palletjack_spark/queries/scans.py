@@ -268,6 +268,52 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q03c_partitioned_indexed_scan",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem WHERE l_returnflag = 'R' AND l_quantity <= 25
+    GROUP BY l_returnflag
+    """,
+)
+def q03c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed scan over a HIVE-PARTITIONED layout (Q03c, round 5): the
+    q09 partitioned dataset is indexed through the recursive lister, the
+    partition-key equality prunes at FILE level before any footer opens
+    (the attached ``l_returnflag`` string column carries the value back
+    into the result), and the data predicate prunes row groups by stats —
+    the composed 100 TB read path: directory pruning × row-group pruning
+    × residual, equal to a plain scan + filter.
+
+    Scale note: the partition filter drops ~2/3 of the catalog's FILES
+    from the plan (never opened), the quantity predicate then skips row
+    groups inside the surviving partition, and both prunings are pure
+    optimizations over the exact residual (differentially pinned in
+    tests/test_index.py::test_hive_partitioned_dataset_indexed_reads)."""
+    out = _tmp("q09_partitioned", sf_dir)
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            t(spark, sf_dir, "lineitem")
+            .select("l_returnflag", "l_quantity", "l_orderkey")
+            .write.mode("overwrite")
+            .partitionBy("l_returnflag")
+            .parquet(out)
+        )
+    idx = build_index(spark, out)
+    df = idx.read(
+        predicate=[("l_returnflag", "=", "R"), ("l_quantity", "<=", 25.0)]
+    )
+    return df.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+@query(
     "q09b_compaction",
     oracle="""
     SELECT COUNT(*) AS n_rows,
