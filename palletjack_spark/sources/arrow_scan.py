@@ -459,12 +459,18 @@ def read_parquet_arrow(
     ``row_groups`` may be a list (applied to every file) or a dict
     ``{path: [ordinals]}``.  As in the reference, pruned row groups are
     renumbered implicitly — the result simply contains the selected groups'
-    rows in file order (test_palletjack.py:87).
+    rows in file order (test_palletjack.py:87).  Hive-partitioned trees
+    re-attach their ``key=value`` values as string columns, matching the
+    indexed read path.
     """
     files = expand_paths(paths)
     tasks, schema = _plan_tasks(files, row_groups)
     sel = resolve_columns(schema.names, columns, column_indices)
-    return scan_tasks(spark, tasks, schema, sel, batch_size=batch_size)
+    part_keys = sorted(partition_values(files[0]))
+    return scan_tasks(
+        spark, tasks, schema, sel, batch_size=batch_size,
+        partition_keys=part_keys,
+    )
 
 
 def read_schema_arrow(

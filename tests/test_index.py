@@ -726,3 +726,21 @@ def test_hive_partitioned_dataset_indexed_reads(spark, tmp_path):
     for r in filtered.select("file").distinct().collect():
         assert "/opri=1/" in r["file"]
     idx.unpersist()
+
+
+def test_read_parquet_arrow_partitioned(spark, tmp_path):
+    """Ad-hoc arrow reads of a partitioned tree re-attach partition
+    columns, matching the indexed read path's behavior."""
+    from pyspark.sql import functions as F
+
+    data = str(tmp_path / "padhoc")
+    spark.read.parquet(f"{SF_DIR}/nation.parquet").withColumn(
+        "rk", F.col("n_regionkey").cast("string")
+    ).write.partitionBy("rk").mode("overwrite").parquet(data)
+    df = read_parquet_arrow(spark, data)
+    assert "rk" in df.columns
+    native = spark.read.parquet(data)
+    assert df.count() == native.count() == 25
+    a = sorted((r["n_nationkey"], r["rk"]) for r in df.collect())
+    b = sorted((r["n_nationkey"], str(r["rk"])) for r in native.collect())
+    assert a == b
