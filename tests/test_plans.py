@@ -712,3 +712,35 @@ def test_fim_split_is_pure_projection(spark):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_tpch_q5_shape_plan(spark):
+    """Q29e: supplier/nation/region broadcast (three BroadcastHashJoins);
+    the date filter reaches the orders scan."""
+    from palletjack_spark.queries import REGISTRY
+
+    df = REGISTRY["q29e_tpch_q5_shape"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    simple = _simple_plan(df)
+    assert simple.count("BroadcastHashJoin") >= 3, simple
+    pushed = [
+        seg.splitlines()[0] for seg in plan.split("PushedFilters:")[1:]
+    ]
+    assert any("o_orderdate" in p for p in pushed), pushed
+
+
+def test_tpch_q10_shape_plan(spark):
+    """Q29f: returnflag + date filters push to the fact scans, nation
+    broadcasts, top-20 is TakeOrderedAndProject."""
+    from palletjack_spark.queries import REGISTRY
+
+    df = REGISTRY["q29f_tpch_q10_shape"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    simple = _simple_plan(df)
+    assert "TakeOrderedAndProject" in simple, simple
+    assert "BroadcastHashJoin" in simple, simple
+    pushed = [
+        seg.splitlines()[0] for seg in plan.split("PushedFilters:")[1:]
+    ]
+    assert any("l_returnflag" in p for p in pushed), pushed
+    assert any("o_orderdate" in p for p in pushed), pushed
