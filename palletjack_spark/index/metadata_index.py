@@ -360,6 +360,11 @@ class MetadataIndex:
         would misread the rest."""
         schemas = self._distinct_schemas(files)
         if not schemas:
+            if files is not None:
+                raise InvalidSelectionError(
+                    "None of the selected files are in the index: "
+                    f"{sorted(files)[:3]}"
+                )
             raise IndexFormatError("Empty index")
         if len(schemas) > 1:
             raise InvalidSelectionError(

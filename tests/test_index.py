@@ -744,3 +744,39 @@ def test_read_parquet_arrow_partitioned(spark, tmp_path):
     a = sorted((r["n_nationkey"], r["rk"]) for r in df.collect())
     b = sorted((r["n_nationkey"], str(r["rk"])) for r in native.collect())
     assert a == b
+
+
+def test_snapshot_commit_conflict_and_idempotency(tmp_path):
+    """Round-5 snapshot log semantics: same-version re-commit of identical
+    content is a no-op; a conflicting data_dir for an already-committed
+    version raises instead of silently losing either write."""
+    from palletjack_spark.queries.scans import _snapshot_commit
+
+    table = str(tmp_path / "tbl")
+    os.makedirs(table)
+    _snapshot_commit(table, 1, "/data/v1")
+    _snapshot_commit(table, 1, "/data/v1")  # idempotent retry
+    with pytest.raises(RuntimeError, match="conflict"):
+        _snapshot_commit(table, 1, "/data/other")
+    _snapshot_commit(table, 2, "/data/v2")
+    entries = sorted(os.listdir(os.path.join(table, "_versions")))
+    assert len(entries) == 2
+
+
+def test_bucketed_catalog_unknown_file_errors(spark, tmp_path):
+    """A bucketed catalog still reports unknown files / out-of-range
+    ordinals through the executor-side bounds check."""
+    import shutil
+
+    from palletjack_spark.index.builder import build_index
+
+    data = str(tmp_path / "d")
+    os.makedirs(data)
+    shutil.copy(f"{SF_DIR}/nation.parquet", f"{data}/nation.parquet")
+    idx = build_index(
+        spark, data, index_dir=str(tmp_path / "i"), catalog_buckets=4
+    )
+    with pytest.raises(InvalidSelectionError, match="None of the selected"):
+        idx.read(files=[f"{data}/missing.parquet"], row_groups=[0]).count()
+    with pytest.raises(InvalidSelectionError, match="out of range"):
+        idx.read(row_groups=[99]).count()
