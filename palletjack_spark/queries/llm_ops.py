@@ -2244,3 +2244,82 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
     from palletjack_spark.functions.similarity import contrastive_pairs
 
     return contrastive_pairs(t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "q135_mixture_plan",
+    oracle="""
+    WITH per_src AS (
+      SELECT source,
+             CAST(CAST(SUBSTR(source, 4) AS INT) % 4 + 1 AS BIGINT)
+               AS target_weight,
+             CAST(SUM(n_chars) AS BIGINT) AS src_chars,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT CAST(SUM(target_weight) AS BIGINT) AS tot_w,
+             CAST(SUM(src_chars) AS BIGINT) AS tot_c
+      FROM per_src)
+    SELECT source, n_docs, src_chars, target_weight,
+           target_weight * 1000000 // tot_w AS target_ppm,
+           src_chars * 1000000 // tot_c AS actual_ppm,
+           LEAST(CAST(1000000 AS BIGINT),
+                 (target_weight * 1000000 // tot_w) * 1000000
+                   // (src_chars * 1000000 // tot_c)) AS sample_ppm,
+           src_chars
+             * LEAST(CAST(1000000 AS BIGINT),
+                     (target_weight * 1000000 // tot_w) * 1000000
+                       // (src_chars * 1000000 // tot_c))
+             // 1000000 AS expected_chars
+    FROM per_src, tot
+    """,
+)
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixture plan (Q135, DoReMi/The-Pile-style): given target
+    mixture weights per source and the corpus's actual per-source masses,
+    compute the per-source downsampling rate that realizes the target
+    mix (capped at keep-everything) and the expected post-sampling mass
+    — the planning table a weighted-mixture sampler (q105/q112) executes.
+
+    All arithmetic is INTEGER parts-per-million (floor divisions), so the
+    plan is bit-identical on any engine and any partitioning — mixture
+    planning with float shares drifts by summation order.  Scale shape:
+    ONE partial-aggregated source rollup (sources ≈ dozens), a one-row
+    totals broadcast, and row-local ppm math; the corpus is read once
+    and never shuffled."""
+    per_src = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").alias("src_chars"), F.count("*").alias("n_docs"))
+        .withColumn(
+            "target_weight",
+            (F.substring("source", 4, 10).cast("int") % 4 + 1).cast("long"),
+        )
+    )
+    tot = per_src.agg(
+        F.sum("target_weight").alias("tot_w"), F.sum("src_chars").alias("tot_c")
+    )
+    j = per_src.join(F.broadcast(tot))
+    target_ppm = F.expr("target_weight * 1000000 div tot_w")
+    actual_ppm = F.expr("src_chars * 1000000 div tot_c")
+    sample_ppm = F.least(
+        F.lit(1000000).cast("long"),
+        F.expr(
+            "(target_weight * 1000000 div tot_w) * 1000000"
+            " div (src_chars * 1000000 div tot_c)"
+        ),
+    )
+    return j.select(
+        "source",
+        "n_docs",
+        "src_chars",
+        "target_weight",
+        target_ppm.alias("target_ppm"),
+        actual_ppm.alias("actual_ppm"),
+        sample_ppm.alias("sample_ppm"),
+        F.expr(
+            "src_chars * least(cast(1000000 as bigint),"
+            " (target_weight * 1000000 div tot_w) * 1000000"
+            " div (src_chars * 1000000 div tot_c)) div 1000000"
+        ).alias("expected_chars"),
+    )
