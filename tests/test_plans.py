@@ -692,6 +692,23 @@ def test_pagerank_iterations_checkpoint_lineage(spark):
     spark.catalog.clearCache()
 
 
+def test_pagerank_outdeg_not_broadcast(spark):
+    """Q130 (round-5 verdict item 2): the out-degree table has one row per
+    distinct source node — O(nodes) — so it must NEVER feed a
+    BroadcastExchange.  It is folded into the cached edge table once,
+    before the loop, via a shuffle-hash join on src whose build side
+    arrives already partitioned from its own groupBy."""
+    from palletjack_spark.queries.analytics import _pagerank_graph
+
+    edges, nodes = _pagerank_graph(spark, SF_DIR)
+    plan = _simple_plan(edges)
+    assert "BroadcastExchange" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    edges.unpersist()
+    nodes.unpersist()
+    spark.catalog.clearCache()
+
+
 def test_vocab_encode_broadcasts_vocab(spark):
     """Q131: two hash exchanges only (token frequency agg + per-doc
     re-assembly); the K-row vocabulary broadcasts back onto the token
