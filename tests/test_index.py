@@ -363,6 +363,58 @@ def test_smart_read_routes_by_selectivity(spark, tmp_path):
     assert d_broad.count() == load_table(spark, SF_DIR, "lineitem").count()
 
 
+def test_smart_read_routing_stats_are_aggregate_only(spark, tmp_path, monkeypatch):
+    """Round-5 verdict item 3: for a catalog-scale (distributed) index the
+    smart_read ROUTING decision must be a one-row aggregate over the index
+    DataFrame — never a per-file or per-row-group driver collect.  Spy on
+    DataFrame.collect/first: every driver read during routing must return
+    O(1) rows regardless of file count, and ``_file_rows`` (full files/
+    rows including arrow-schema blobs) must never be touched."""
+    from pyspark.sql import DataFrame as _DF
+    from pyspark.sql import functions as F
+
+    from palletjack_spark.index import smart_read
+    from palletjack_spark.index.metadata_index import MetadataIndex
+
+    out = str(tmp_path / "many_files")
+    (
+        spark.range(0, 240)
+        .withColumn("val", F.col("id") * 2)
+        .repartition(24)
+        .write.parquet(out)
+    )
+    idx = build_index(spark, out, driver_fast_path=False, use_cache=False)
+    assert idx._local is None, "fixture must exercise the distributed form"
+
+    collected: list[int] = []
+    orig_collect = _DF.collect
+
+    def spy_collect(self):
+        rows = orig_collect(self)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(_DF, "collect", spy_collect)
+    monkeypatch.setattr(
+        MetadataIndex,
+        "_file_rows",
+        lambda self: (_ for _ in ()).throw(
+            AssertionError("smart_read must not collect O(files) rows")
+        ),
+    )
+
+    # selective predicate -> indexed route; keep-all predicate -> native
+    # fallback (which may list O(files) PATH STRINGS via toArrow, but no
+    # full rows and no unbounded collect)
+    d_tight = smart_read(spark, out, predicate=[("id", "<", 3)], index=idx)
+    d_broad = smart_read(spark, out, predicate=[("id", ">=", 0)], index=idx)
+    assert all(n <= 1 for n in collected), collected
+    monkeypatch.undo()
+    assert d_tight.count() == 3
+    assert d_broad.count() == 240
+    idx.unpersist()
+
+
 # ---------------------------------------------------------------------------
 # encrypted parquet (reference test_palletjack.py:334-364) and golden master
 # (:210-248)
