@@ -127,6 +127,61 @@ def _ensure_meta_fixture() -> str:
     return path
 
 
+def _control_probe(path: str, calls: int = 20) -> float:
+    """Interleaved host-load control (round-5 verdict item 1): average
+    seconds/call for a pure-pyarrow full-footer parse — the BASELINE.md
+    51 ms workload.  Run BEFORE the headline loop and every ~10 queries,
+    so a transient load episode mid-run is visible next to the query it
+    polluted (round 5's q29/q30/q43 regression block could not be
+    distinguished from host noise because the only control ran at the
+    very end)."""
+    import pyarrow.parquet as pq
+
+    t0 = time.perf_counter()
+    for _ in range(calls):
+        pq.ParquetFile(path).metadata
+    return (time.perf_counter() - t0) / calls
+
+
+#: warn when a headline query exceeds this multiple of its recorded floor
+FLOOR_FACTOR = 1.5
+
+
+def _load_floors(path: str | None = None) -> dict[str, float]:
+    """Best-known per-query seconds (BENCH_BASELINE.json, committed from
+    the r3–r5 per-round minimums).  Missing file -> no floors."""
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
+        )
+    try:
+        with open(path) as f:
+            return dict(json.load(f).get("floors", {}))
+    except (OSError, ValueError):
+        return {}
+
+
+def _check_floors(
+    times: dict[str, float],
+    floors: dict[str, float],
+    factor: float = FLOOR_FACTOR,
+) -> list[str]:
+    """Round-5 verdict item 9: per-query self-flag.  Returns one warning
+    line per headline query slower than ``factor``× its best-known floor —
+    the q29/q30/q43 episode would have flagged itself.  Pure function so
+    the flag logic is unit-testable without running the bench."""
+    out = []
+    for name, floor in sorted(floors.items()):
+        got = times.get(name)
+        if got is not None and floor > 0 and got > factor * floor:
+            out.append(
+                f"# WARNING {name}: {got:.3f}s is {got / floor:.1f}x its "
+                f"recorded floor {floor:.3f}s — host episode or plan "
+                "regression; re-run on an idle box or root-cause"
+            )
+    return out
+
+
 def bench_metadata(spark) -> dict[str, float]:
     from concurrent.futures import ThreadPoolExecutor
 
@@ -439,22 +494,44 @@ def main() -> None:
         )
     ).count()
 
-    for name in HEADLINE:
+    # interleaved host-load controls: one before the loop, one every ~10
+    # queries, one after — each lands in the JSON next to the queries it
+    # brackets, so a load episode is attributable to a specific block
+    control_path = _ensure_meta_fixture()
+    passes: dict[str, list[float]] = {}
+    controls: dict[str, float] = {}
+
+    def _take_control(tag: str) -> None:
+        c = round(_control_probe(control_path), 6)
+        controls[tag] = c
+        print(f"# control[{tag}]: {c * 1000:.1f} ms/call", file=sys.stderr)
+
+    _take_control("start")
+    for qi, name in enumerate(HEADLINE):
         # best-of-2, the reference harness's min-over-iterations methodology
         # (benchmark_palletjack_metadata.py:159-180 reports min): a single
         # shot after a long query suite can absorb several seconds of JVM
-        # GC/fragmentation noise unrelated to the plan under test
+        # GC/fragmentation noise unrelated to the plan under test.
+        # EVERY pass is recorded ("passes" in the JSON) — min-of-passes
+        # alone cannot prove a regression block was host noise after the
+        # fact (round-5 verdict item 1).
         best, n = float("inf"), 0
+        passes[name] = []
         for _ in range(2):
             t0 = time.perf_counter()
             df = REGISTRY[name].fn(spark, SF_DIR)
             n = df.count()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            passes[name].append(round(dt, 4))
+            best = min(best, dt)
             # drop caches a query may have left (e.g. q91's shingle set) so
             # later measurements aren't skewed by GC/memory pressure
             spark.catalog.clearCache()
         times[name] = round(best, 4)
         print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+        if (qi + 1) % 10 == 0:
+            _take_control(f"after_{qi + 1:02d}_{name}")
+    _take_control("end")
 
     # SF sweep (round-3 verdict item 8): re-run the index/metadata-path
     # queries at a secondary scale factor so one bench line carries BOTH
@@ -490,6 +567,9 @@ def main() -> None:
         times[k] = round(v, 6)
         print(f"# {k}: {v * 1000:.3f} ms/call", file=sys.stderr)
 
+    for warning in _check_floors(times, _load_floors()):
+        print(warning, file=sys.stderr)
+
     total = round(sum(times[q] for q in HEADLINE), 4)
     print(
         json.dumps(
@@ -498,6 +578,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "passes": passes,
+                "controls": controls,
                 "sf": sf,
             }
         )
