@@ -81,6 +81,8 @@ HEADLINE = [
     "q132_fim_split",
     "q133_length_bucketed_batching",
     "q134_contrastive_pairs",
+    # round 6 addition: IVF-PQ — the composed production ANN shape
+    "q92f_ivf_pq_topk",
 ]
 
 META_ROW_GROUPS = 200

@@ -622,6 +622,163 @@ def pq_topk(
     return _exact_rescore_topk(cand, k, exclude_self)
 
 
+def ivf_pq_topk(
+    corpus_df: DataFrame,
+    queries_df: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probes: int = 4,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    shortlist: int = 64,
+    train_rows: int = 512,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-PQ: the production ANN shape at 100 TB (round-5 verdict item
+    8) — ``ivf_topk``'s deterministic coarse cells composed with
+    ``pq_topk``'s ADC code scan, on RESIDUALS (Jégou et al., PAMI 2011
+    §IV: quantize ``x − c(x)``, the classic IVF-ADC decomposition).
+
+    Plan shape: ONE zero-shuffle mapInPandas pass assigns each corpus
+    vector its nearest coarse cell and PQ-encodes the residual, so the
+    stored record is (vec_id, cell, m small ints) — the vector itself is
+    never shuffled and never re-read until the final exact re-score of a
+    broadcast shortlist.  The ADC scan is a second zero-shuffle pass that
+    scores a candidate only when its cell is probed by some query:
+    ``score(q, x) ≈ q·c(x) + Σ_m T[q][m][code_m]`` where the first term
+    is a per-(query, cell) scalar and the lookup tables are broadcast.
+    Cells cut the scanned fraction to ~n_probes/n_centroids; codes cut
+    the bytes per scanned row ~64×; both multiply.
+
+    ``n_probes == n_centroids`` with ``shortlist ≥ corpus`` degenerates
+    to exact brute force (every cell probed, every candidate kept, exact
+    re-score) — the registered driver query runs there so the whole
+    pipeline is hash-checkable; realistic settings are recall-tested in
+    tests/test_llm.py.  Determinism: id-ordered bounded training sample,
+    fixed-init k-means for both quantizers."""
+    spark = corpus_df.sparkSession
+    sample = (
+        corpus_df.select(id_col, vec_col).orderBy(id_col).limit(train_rows).collect()
+    )
+    train = np.array([list(r[1]) for r in sample], dtype="float64")
+    train = train / np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-12)
+    if train.ndim != 2 or len(train) == 0:
+        raise ValueError("ivf_pq_topk requires a non-empty corpus sample")
+    dim = train.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    sub = dim // m_subspaces
+    C = _kmeans_cosine(train, n_centroids)  # (ncells, dim), unit rows
+    resid = train - C[(train @ C.T).argmax(axis=1)]
+    codebooks = np.stack(
+        [
+            _kmeans_l2(resid[:, m * sub : (m + 1) * sub], n_codes)
+            for m in range(m_subspaces)
+        ]
+    )  # (M, K, sub)
+    bC = spark.sparkContext.broadcast(C)
+    bCB = spark.sparkContext.broadcast(codebooks)
+
+    def assign_encode(it):
+        Cl, CB = bC.value, bCB.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.asarray([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            cells = (mat @ Cl.T).argmax(axis=1)
+            r = mat - Cl[cells]
+            codes = np.empty((len(mat), len(CB)), dtype="int32")
+            for m in range(len(CB)):
+                blk = r[:, m * sub : (m + 1) * sub]
+                d2 = ((blk[:, None, :] - CB[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "cell": cells.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    corpus_codes = corpus_df.select(id_col, vec_col).mapInPandas(
+        assign_encode, "vec_id long, cell int, codes array<int>"
+    )
+
+    qids, qmat, qnorm = _collect_queries(queries_df, id_col, vec_col)
+    qn = qmat / qnorm[:, None]
+    probe_cells = np.argsort(-(qn @ C.T), axis=1)[:, :n_probes]  # (Q, P)
+    # ADC tables over the residual codebooks + per-(query, cell) base term
+    T = np.einsum("qms,mjs->qmj", qn.reshape(len(qn), m_subspaces, sub), codebooks)
+    base = qn @ C.T  # (Q, ncells)
+    probed = np.zeros((len(qids), n_centroids), dtype=bool)
+    for qi in range(len(qids)):
+        probed[qi, probe_cells[qi]] = True
+    bT = spark.sparkContext.broadcast(T)
+    bbase = spark.sparkContext.broadcast(base)
+    bprobed = spark.sparkContext.broadcast(probed)
+    bqids = spark.sparkContext.broadcast(qids)
+
+    def adc_scan(it):
+        Tl, basel, probedl, qi = bT.value, bbase.value, bprobed.value, bqids.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())  # (B, M)
+            cells = pdf["cell"].to_numpy()
+            ids = pdf["vec_id"].to_numpy()
+            frames = []
+            for q in range(len(qi)):
+                mask = probedl[q][cells]
+                if not mask.any():
+                    continue
+                c, cd, i = cells[mask], codes[mask], ids[mask]
+                scores = basel[q][c] + Tl[q][
+                    np.arange(cd.shape[1]), cd
+                ].sum(axis=1)
+                keep = min(shortlist, len(scores))
+                top = np.argpartition(-scores, keep - 1)[:keep]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qi[q],
+                            "vec_id": i[top],
+                            "approx_ip": scores[top],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    partial = corpus_codes.mapInPandas(
+        adc_scan, "query_id long, vec_id long, approx_ip double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_ip"), F.asc("vec_id"))
+    short = (
+        partial.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    qvecs = spark.createDataFrame(
+        [(int(qid), [float(x) for x in vec]) for qid, vec in zip(qids, qmat)],
+        "query_id long, qvec array<double>",
+    )
+    cand = (
+        corpus_df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+        .join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.transform("_v", lambda x: x.cast("double")).alias("vec"),
+            "qvec",
+        )
+    )
+    return _exact_rescore_topk(cand, k, exclude_self)
+
+
 def contrastive_pairs(
     corpus_df: DataFrame,
     n_blocks: int = 8,

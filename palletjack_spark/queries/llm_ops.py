@@ -1674,6 +1674,27 @@ def q92e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, queries, k=10, shortlist=1_000_000)
 
 
+@query("q92f_ivf_pq_topk", oracle=_Q92_ORACLE)
+def q92f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via IVF-PQ (functions/similarity.ivf_pq_topk): the
+    production composition of q92d's deterministic coarse cells and
+    q92e's ADC residual codes — probe n cells, scan 8-byte codes within
+    them, exact re-score a broadcast shortlist.  The driver entry runs
+    at full probe with an exhaustive shortlist, which degenerates to
+    exact brute force by construction (every cell probed, every
+    candidate kept, exact re-score) — coarse training, residual
+    codebooks, assignment+encode, ADC tables, and re-score are all
+    hash-checked against the brute-force oracle.  Sub-linear settings
+    (n_probes=4, shortlist=64) are recall-tested in tests/test_llm.py."""
+    from palletjack_spark.functions.similarity import ivf_pq_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_pq_topk(
+        emb, queries, k=10, n_centroids=16, n_probes=16, shortlist=1_000_000
+    )
+
+
 @query(
     "q122_keyword_extraction",
     oracle="""

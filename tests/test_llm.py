@@ -263,6 +263,46 @@ def test_ivf_partial_probe_recall(spark):
     assert sum(recalls) / len(recalls) >= 0.5, recalls
 
 
+def test_ivf_pq_full_probe_exhaustive_shortlist_is_exact(spark):
+    """IVF-PQ at full probe + exhaustive shortlist must reproduce brute
+    force bit-for-bit (the q92f driver contract): every cell probed,
+    every candidate kept, exact re-score."""
+    from palletjack_spark.functions.similarity import ivf_pq_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    full = ivf_pq_topk(
+        emb, queries, k=10, n_centroids=8, n_probes=8, shortlist=1_000_000
+    ).toPandas()
+    bf = cosine_topk(emb, queries, k=10).toPandas()
+    cols = ["query_id", "vec_id", "rank", "cosine"]
+    pd.testing.assert_frame_equal(
+        full[cols].sort_values(cols).reset_index(drop=True),
+        bf[cols].sort_values(cols).reset_index(drop=True),
+    )
+
+
+def test_ivf_pq_realistic_settings_recall(spark):
+    """IVF-PQ at sub-linear settings (probe 6/16 cells, shortlist 64 of a
+    ~6k corpus): scanning ~3/8 of the corpus as 8-byte residual codes
+    must still recall most of the true top-10 after exact re-score."""
+    from palletjack_spark.functions.similarity import ivf_pq_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    approx = ivf_pq_topk(
+        emb, queries, k=10, n_centroids=16, n_probes=6, shortlist=64
+    ).toPandas()
+    exact = cosine_topk(emb, queries, k=10).toPandas()
+    exact_sets = exact.groupby("query_id")["vec_id"].apply(set)
+    approx_sets = approx.groupby("query_id")["vec_id"].apply(set)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets.index
+    ]
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
 def test_nn_graph_matches_brute_force_top1(spark):
     """nn_graph == cosine_topk(k=1) with every vector as its own query."""
     from palletjack_spark.functions.similarity import nn_graph

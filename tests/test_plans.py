@@ -692,6 +692,27 @@ def test_pagerank_iterations_checkpoint_lineage(spark):
     spark.catalog.clearCache()
 
 
+def test_ivf_pq_codes_never_shuffle(spark):
+    """Q92f: assign+encode and the ADC scan are two chained MapInPandas
+    over ONE corpus scan with zero exchange between them — the vectors
+    never shuffle; only the (query × shortlist) candidate list crosses a
+    hash exchange (rank window) and the shortlist/query vectors broadcast
+    back onto the second corpus scan for the exact re-score."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q92f_ivf_pq_topk"].fn(spark, SF_DIR))
+    assert plan.count("MapInPandas") == 2, plan
+    assert plan.count("Scan parquet") == 2, plan
+    # shortlist window + re-score keyed repartition — nothing else
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    # shortlist ids + query vectors ride broadcasts
+    assert plan.count("BroadcastExchange") == 2, plan
+    # zero-shuffle encode->scan chain: the two MapInPandas are adjacent
+    lines = [ln.strip() for ln in plan.splitlines()]
+    scan_i = next(i for i, ln in enumerate(lines) if "adc_scan" in ln)
+    assert "assign_encode" in lines[scan_i + 1], plan
+
+
 def test_pagerank_outdeg_not_broadcast(spark):
     """Q130 (round-5 verdict item 2): the out-degree table has one row per
     distinct source node — O(nodes) — so it must NEVER feed a
