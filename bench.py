@@ -25,7 +25,18 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+# prefer the installed package (pip install -e '.[test]'); fall back to
+# the in-repo checkout when it is absent or resolves elsewhere
+_REPO = os.path.dirname(os.path.abspath(__file__))
+try:
+    import palletjack_spark as _pj
+
+    if not os.path.abspath(os.path.dirname(_pj.__file__)).startswith(_REPO):
+        raise ImportError("installed palletjack_spark is not this checkout")
+except ImportError:
+    sys.path.insert(0, _REPO)
+    for _mod in [m for m in list(sys.modules) if m.startswith("palletjack_spark")]:
+        del sys.modules[_mod]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -127,6 +138,72 @@ def _ensure_meta_fixture() -> str:
     writer.close()
     os.rename(path + ".tmp", path)
     return path
+
+
+#: synthetic many-file catalog (round-5 verdict item 5): the bucketed
+#: sidecar and executor-side planning are 100 TB designs — this fixture
+#: proves them at 10^4 files, where an O(files) driver loop or a
+#: full-sidecar scan would already show superlinear wall time.
+CATALOG_FILES = 10_000
+
+
+def _ensure_catalog_fixture(n_files: int) -> str:
+    """``n_files`` tiny single-row parquet files, generated once and
+    cached in the system tempdir (same discipline as the metadata
+    fixture)."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(tempfile.gettempdir(), f"pjspark_bench_catalog_{n_files}")
+    marker = os.path.join(d, "_PJ_COMPLETE")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    for i in range(n_files):
+        t = pa.table(
+            {
+                "id": pa.array([i], type=pa.int64()),
+                "val": pa.array([float(i) * 0.5], type=pa.float64()),
+            }
+        )
+        pq.write_table(t, os.path.join(d, f"part-{i:05d}.parquet"))
+    with open(marker, "w"):
+        pass
+    return d
+
+
+def bench_catalog(spark) -> dict[str, float]:
+    """10k-file catalog: cold bucketed-sidecar build + point-file metadata
+    selection over the persisted index (reads 1/16 of the sidecar via
+    partition pruning)."""
+    import shutil
+    import tempfile
+
+    from palletjack_spark import build_index
+
+    cat_dir = _ensure_catalog_fixture(CATALOG_FILES)
+    idx_dir = tempfile.mkdtemp(prefix="pjspark_cat_idx_")
+    shutil.rmtree(idx_dir)
+    t0 = time.perf_counter()
+    idx = build_index(
+        spark, cat_dir, index_dir=idx_dir, use_cache=False, catalog_buckets=16
+    )
+    build_s = time.perf_counter() - t0
+    target = os.path.join(cat_dir, "part-04321.parquet")
+    point = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n = idx.prune(files=[target]).count()
+        point = min(point, time.perf_counter() - t0)
+        assert n == 1, n
+    idx.unpersist()
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    return {
+        "meta_catalog_10k_build": build_s,
+        "meta_catalog_10k_point_select": point,
+    }
 
 
 def _control_probe(path: str, calls: int = 20) -> float:
@@ -568,6 +645,10 @@ def main() -> None:
     for k, v in bench_metadata(spark).items():
         times[k] = round(v, 6)
         print(f"# {k}: {v * 1000:.3f} ms/call", file=sys.stderr)
+
+    for k, v in bench_catalog(spark).items():
+        times[k] = round(v, 6)
+        print(f"# {k}: {v:.3f} s", file=sys.stderr)
 
     for warning in _check_floors(times, _load_floors()):
         print(warning, file=sys.stderr)

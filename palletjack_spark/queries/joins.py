@@ -866,3 +866,125 @@ def q29h(spark: SparkSession, sf_dir: str) -> DataFrame:
             "promo_pct"
         ),
     )
+
+
+@query(
+    "q29i_tpch_q17_shape",
+    oracle="""
+    WITH li AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#23'),
+    st AS (
+      SELECT l_partkey, l_quantity, l_extendedprice,
+             SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER (PARTITION BY l_partkey)
+               AS sum_qty,
+             COUNT(*) OVER (PARTITION BY l_partkey) AS cnt
+      FROM li)
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly
+    FROM st
+    WHERE CAST(l_quantity AS DECIMAL(18,6)) * CAST(5 * cnt AS DECIMAL(18,0))
+          < sum_qty
+    """,
+)
+def q29i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    `l_quantity < 0.2 * avg(l_quantity) per part` subquery, decorrelated
+    the Spark-first way — NOT as a second aggregate + self-join (two
+    lineitem passes, two partkey exchanges) but as a window over ONE
+    brand-filtered pass: partitionBy(l_partkey) computes the per-part
+    sum/count next to each row, so the plan is one scan, one exchange.
+
+    Determinism: the 0.2·avg threshold is evaluated divide-free in exact
+    decimals — `qty * 5 * cnt < Σqty` is the same comparison with no
+    float rounding on either engine.  Scale shape: the Brand#23 filter
+    broadcasts (~1/25 of part) and semi-reduces lineitem BEFORE the
+    window's exchange; per-part groups are bounded (order count per
+    part), so the window state never skews."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23").select(
+        "p_partkey"
+    )
+    filtered = li.join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    ).drop("p_partkey")
+    w = Window.partitionBy("l_partkey")
+    qty_dec = F.col("l_quantity").cast("decimal(18,6)")
+    st = filtered.select(
+        "l_quantity",
+        "l_extendedprice",
+        F.sum(qty_dec).over(w).alias("sum_qty"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    small = st.where(
+        qty_dec * (F.lit(5) * F.col("cnt")).cast("decimal(18,0)")
+        < F.col("sum_qty")
+    )
+    return small.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+            / F.lit(7.0)
+        )
+        .cast("double")
+        .alias("avg_yearly")
+    )
+
+
+@query(
+    "q29j_tpch_q19_shape",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q29j(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates): an
+    OR of three (brand, size, quantity) branches across both join sides.
+    The part-only weakening of the disjunction — `p_brand IN (…) AND
+    p_size BETWEEN 1 AND 15` — is applied explicitly before the
+    broadcast (Catalyst does not CNF-extract it from the mixed OR), so
+    the broadcast side shrinks ~8× and the l_quantity weakening
+    (BETWEEN 1 AND 30) pushes into the fact scan; the exact disjunction
+    then filters the joined rows.  One scan, one broadcast, a single
+    partial-aggregated global sum — zero hash exchanges."""
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").between(1, 30)
+    )
+    p = t(spark, sf_dir, "part").where(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")
+        & F.col("p_size").between(1, 15)
+    )
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    joined = li.join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    ).where(branch)
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.agg(
+        F.sum(vol.cast("decimal(18,6)")).cast("double").alias("revenue")
+    )

@@ -767,6 +767,39 @@ def test_tpch_q5_shape_plan(spark):
     assert any("o_orderdate" in p for p in pushed), pushed
 
 
+def test_tpch_q17_shape_plan(spark):
+    """Q29i: the correlated avg subquery decorrelates to a WINDOW over
+    one brand-filtered lineitem pass — one parquet scan of lineitem, one
+    hash exchange (the window's partkey partitioning), part broadcasts.
+    The naive decorrelation (aggregate + self-join) would show two
+    lineitem scans and two exchanges."""
+    from palletjack_spark.queries import REGISTRY
+
+    df = REGISTRY["q29i_tpch_q17_shape"].fn(spark, SF_DIR)
+    simple = _simple_plan(df)
+    assert simple.count("Scan parquet") == 2, simple  # lineitem + part
+    assert simple.count("Exchange hashpartitioning") == 1, simple
+    assert "BroadcastHashJoin" in simple, simple
+    assert "Window" in simple, simple
+
+
+def test_tpch_q19_shape_plan(spark):
+    """Q29j: the disjunction's weakenings reach both scans (quantity
+    bounds push into the fact scan; brand/size shrink the broadcast),
+    and the whole query is one broadcast join + one partial-aggregated
+    global sum — zero hash exchanges."""
+    from palletjack_spark.queries import REGISTRY
+
+    df = REGISTRY["q29j_tpch_q19_shape"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    simple = _simple_plan(df)
+    assert "Exchange hashpartitioning" not in simple, simple
+    assert simple.count("BroadcastHashJoin") == 1, simple
+    pushed = [seg.splitlines()[0] for seg in plan.split("PushedFilters:")[1:]]
+    assert any("l_quantity" in p for p in pushed), pushed
+    assert any("p_brand" in p and "p_size" in p for p in pushed), pushed
+
+
 def test_tpch_q10_shape_plan(spark):
     """Q29f: returnflag + date filters push to the fact scans, nation
     broadcasts, top-20 is TakeOrderedAndProject."""
