@@ -92,8 +92,12 @@ HEADLINE = [
     "q132_fim_split",
     "q133_length_bucketed_batching",
     "q134_contrastive_pairs",
-    # round 6 addition: IVF-PQ — the composed production ANN shape
+    # round 6 additions: IVF-PQ (the composed production ANN shape),
+    # CCNet perplexity terciles, hash-agg argmax, curriculum interleave
     "q92f_ivf_pq_topk",
+    "q136_perplexity_buckets",
+    "q137_groupwise_argmax",
+    "q138_curriculum_schedule",
 ]
 
 META_ROW_GROUPS = 200

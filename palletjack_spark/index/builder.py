@@ -312,10 +312,12 @@ def build_index(
         inc_key = ("inc", index_dir, _sidecar_sig(index_dir)) + cache_key
         if use_cache and inc_key in _INDEX_CACHE:
             return _INDEX_CACHE[inc_key]
-        files = [
-            f for f in files
-            if f not in _already_indexed(spark, files, index_dir)
-        ]
+        # ONE probe job for the whole candidate list — hoisted out of the
+        # filter (a per-file probe inside the comprehension re-ran the
+        # broadcast semi-join O(files) times: 400 s at the 1k-file catalog
+        # fixture, found by tests/test_catalog_scale.py)
+        done = _already_indexed(spark, files, index_dir)
+        files = [f for f in files if f not in done]
         if not files:
             idx = load_index(spark, index_dir)
             if use_cache:

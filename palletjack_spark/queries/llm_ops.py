@@ -2344,3 +2344,241 @@ def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (src_chars * 1000000 div tot_c)) div 1000000"
         ).alias("expected_chars"),
     )
+
+
+@query(
+    "q136_perplexity_buckets",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+            FROM documents)
+      WHERE tok <> ''),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+    scored AS (
+      SELECT tk.doc_id,
+             CAST(LENGTH(bin(total // cnt)) - 1 AS BIGINT) AS bits
+      FROM tk JOIN vocab USING (tok), tot),
+    docs AS (
+      SELECT doc_id,
+             CAST(SUM(bits) * 1000 // COUNT(*) AS BIGINT) AS millibits
+      FROM scored GROUP BY doc_id),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM docs),
+    hist AS (SELECT millibits, COUNT(*) AS c FROM docs GROUP BY millibits),
+    cum AS (
+      SELECT millibits,
+             SUM(c) OVER (ORDER BY millibits
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM hist),
+    th AS (
+      SELECT MIN(CASE WHEN cum * 3 >= n_docs THEN millibits END) AS t1,
+             MIN(CASE WHEN cum * 3 >= 2 * n_docs THEN millibits END) AS t2
+      FROM cum, n)
+    SELECT doc_id, millibits,
+           CAST(CASE WHEN millibits <= t1 THEN 0
+                     WHEN millibits <= t2 THEN 1
+                     ELSE 2 END AS INT) AS bucket,
+           millibits <= t2 AS keep
+    FROM docs, th
+    """,
+)
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity buckets (Q136, Wenzek et al. 2020): score
+    every document with the Q128 integer unigram surprisal, split the
+    corpus into head/middle/tail terciles of the score distribution, and
+    keep head+middle — the standard LM-quality gate before mixing.
+
+    The scale-critical move is WHERE the quantile is computed: never
+    rank the corpus (a global ROW_NUMBER/ntile is a total sort of every
+    document).  Per-doc scores aggregate to an integer milli-bits
+    HISTOGRAM — bounded by the score grid (~thousands of rows at any
+    corpus size), Zipf-independent of document count — and the tercile
+    thresholds come from a running sum over that tiny table; docs then
+    bucket by comparing against the two broadcast threshold scalars.
+    Ties share a bucket (threshold semantics), so the result is
+    deterministic on both engines with no tie-splitting rule.  Plan:
+    the Q128 token exchange + one doc_id exchange + a histogram
+    aggregate whose window sorts thousands of rows, not the corpus."""
+    tk = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    vocab = tk.groupBy("tok").agg(F.count("*").alias("cnt")).cache()
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    docs = (
+        tk.join(vocab, "tok")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            (F.length(F.expr("bin(total div cnt)")) - 1)
+            .cast("long")
+            .alias("bits"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.expr("sum(bits) * 1000 div count(*)")
+            .cast("long")
+            .alias("millibits")
+        )
+        .cache()
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    hist = docs.groupBy("millibits").agg(F.count("*").alias("c"))
+    wcum = Window.orderBy("millibits").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(wcum))
+    th = (
+        cum.join(F.broadcast(n))
+        .agg(
+            F.min(
+                F.when(F.col("cum") * 3 >= F.col("n_docs"), F.col("millibits"))
+            ).alias("t1"),
+            F.min(
+                F.when(
+                    F.col("cum") * 3 >= 2 * F.col("n_docs"), F.col("millibits")
+                )
+            ).alias("t2"),
+        )
+    )
+    return docs.join(F.broadcast(th)).select(
+        "doc_id",
+        "millibits",
+        F.when(F.col("millibits") <= F.col("t1"), 0)
+        .when(F.col("millibits") <= F.col("t2"), 1)
+        .otherwise(2)
+        .cast("int")
+        .alias("bucket"),
+        (F.col("millibits") <= F.col("t2")).alias("keep"),
+    )
+
+
+@query(
+    "q137_groupwise_argmax",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang, source,
+             CAST(length(text) AS BIGINT) * 1000
+               + CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS score
+      FROM documents),
+    g AS (SELECT lang, source, MAX(score) AS best_score,
+                 CAST(COUNT(*) AS BIGINT) AS group_size
+          FROM s GROUP BY lang, source)
+    SELECT g.lang, g.source, g.group_size, g.best_score,
+           MIN(s.doc_id) AS rep_doc_id
+    FROM s JOIN g ON s.lang = g.lang AND s.source = g.source
+                 AND s.score = g.best_score
+    GROUP BY g.lang, g.source, g.group_size, g.best_score
+    """,
+)
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise argmax WITHOUT a window (Q137): per (lang, source)
+    partition, the full best row by an integer quality score (length ×
+    1000 + distinct-token count; ties → lowest doc_id) — the
+    representative-selection primitive used to pick one survivor per
+    dedup cluster or the best response in best-of-n sampling.
+
+    At 100 TB this is the agg-side dual of Q43's window top-k — and the
+    argmax must stay a HASH aggregate: ``max(struct(score, -id))`` falls
+    back to SortAggregate (struct buffers aren't hash-aggregable), so
+    (score, doc_id) packs into ONE BIGINT — ``score·2³¹ + (2³¹-1 −
+    doc_id)`` — whose plain ``max`` partial-aggregates map-side in
+    whole-stage codegen and never sorts a partition (plan-asserted: no
+    SortAggregate).  ONE exchange on the group key, one pass.  Packing
+    is exact while score < 2³² and doc_id < 2³¹ (score here is ≤
+    ~10⁷; a wider id would shift by 2⁶³/score_max instead).  The SQL
+    oracle spells the same argmax as max-join-min (engine-portable);
+    both provably agree because the packed key is an exact integer."""
+    _SHIFT = 1 << 31
+    s = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        (
+            F.length("text").cast("long") * 1000
+            + F.size(F.array_distinct(F.split(F.col("text"), " "))).cast("long")
+        ).alias("score"),
+    )
+    packed = F.col("score") * F.lit(_SHIFT) + (
+        F.lit(_SHIFT - 1) - F.col("doc_id")
+    )
+    return (
+        s.groupBy("lang", "source")
+        .agg(F.count("*").alias("group_size"), F.max(packed).alias("p"))
+        .select(
+            "lang",
+            "source",
+            "group_size",
+            F.expr(f"p div {_SHIFT}").alias("best_score"),
+            (F.lit(_SHIFT - 1) - F.col("p") % F.lit(_SHIFT)).alias(
+                "rep_doc_id"
+            ),
+        )
+    )
+
+
+@query(
+    "q138_curriculum_schedule",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             CAST(substring(source, 4) AS INTEGER) % 3 + 1 AS weight,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+               AS ordinal
+      FROM documents),
+    p AS (
+      SELECT doc_id, source, ordinal,
+             CAST((ordinal - 1) AS BIGINT) * 1000000 // weight AS pos
+      FROM r)
+    SELECT doc_id, source, CAST(ordinal AS BIGINT) AS ordinal,
+           CAST(pos AS BIGINT) AS pos,
+           CAST(ROW_NUMBER() OVER (ORDER BY pos, source, doc_id) AS BIGINT)
+             AS train_order
+    FROM p ORDER BY train_order LIMIT 200
+    """,
+)
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum / mixture-interleave schedule (Q138):
+    assign every document a reproducible global training position such
+    that sources appear in proportion to integer mixture weights
+    (here weight = src-number % 3 + 1, i.e. 1–3×) and within a source
+    the order is stable (doc_id).  The schedule is the low-discrepancy
+    interleave ``pos = (ordinal-1) * 1M div weight`` — source k's n-th
+    document lands at position n/weight_k, so any prefix of the global
+    order holds each source near its target ratio (the property mixture
+    training needs; q135 plans the ratios, this op materializes the
+    order).
+
+    Scale shape: one exchange on source for the per-source ordinal
+    window; ``pos`` is a pure projection.  The declared query takes the
+    first 200 slots via TakeOrderedAndProject (top-k by pos — never a
+    global sort) and ranks ONLY those 200 rows in a post-limit window,
+    so no full-corpus single-partition window ever exists; a full
+    export would instead repartitionByRange(pos) and write shards —
+    the q119 path."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr("cast(substring(source, 4) as int) % 3 + 1").alias("weight"),
+    )
+    wsrc = Window.partitionBy("source").orderBy("doc_id")
+    p = (
+        docs.withColumn("ordinal", F.row_number().over(wsrc).cast("long"))
+        .select(
+            "doc_id",
+            "source",
+            "ordinal",
+            F.expr("(ordinal - 1) * 1000000 div weight")
+            .cast("long")
+            .alias("pos"),
+        )
+    )
+    top = p.orderBy("pos", "source", "doc_id").limit(200)
+    wglob = Window.orderBy("pos", "source", "doc_id")
+    return (
+        top.withColumn("train_order", F.row_number().over(wglob).cast("long"))
+        .orderBy("train_order")
+    )

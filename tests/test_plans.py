@@ -692,6 +692,46 @@ def test_pagerank_iterations_checkpoint_lineage(spark):
     spark.catalog.clearCache()
 
 
+def test_perplexity_buckets_histogram_window_only(spark):
+    """Q136: the tercile split must never rank the corpus — exactly ONE
+    Window exists (the running sum over the milli-bits histogram, whose
+    cardinality is the score grid, not the document count), and the two
+    thresholds ride a broadcast back onto the cached doc scores."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q136_perplexity_buckets"].fn(spark, SF_DIR))
+    assert plan.count("Window") == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    spark.catalog.clearCache()
+
+
+def test_groupwise_argmax_is_hash_aggregate(spark):
+    """Q137: the packed-BIGINT argmax stays a whole-stage-codegen HASH
+    aggregate — no SortAggregate, no Window, one exchange on the group
+    key (the struct-max formulation would sort every partition)."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q137_groupwise_argmax"].fn(spark, SF_DIR))
+    assert "SortAggregate" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_curriculum_schedule_topk_not_global_sort(spark):
+    """Q138: one source exchange for the ordinal window; the 200 schedule
+    slots come from TakeOrderedAndProject (top-k, never a full sort) and
+    only those post-limit rows enter the global-rank window."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q138_curriculum_schedule"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
 def test_ivf_pq_codes_never_shuffle(spark):
     """Q92f: assign+encode and the ADC scan are two chained MapInPandas
     over ONE corpus scan with zero exchange between them — the vectors
