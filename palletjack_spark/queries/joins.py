@@ -988,3 +988,78 @@ def q29j(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.agg(
         F.sum(vol.cast("decimal(18,6)")).cast("double").alias("revenue")
     )
+
+
+@query(
+    "q29k_tpch_q22_shape",
+    oracle="""
+    WITH seg AS (
+      SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DECIMAL(18,6)) AS bal
+      FROM customer
+      WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')),
+    avg_t AS (
+      SELECT CAST(SUM(bal) AS DECIMAL(38,6)) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seg WHERE bal > 0),
+    rich AS (
+      SELECT seg.* FROM seg, avg_t WHERE bal * n > s)
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(bal) AS DOUBLE) AS totacctbal
+    FROM rich
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = rich.c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q29k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-customer relationship): customers in
+    select market segments with above-average balance and no URGENT
+    orders — a scalar correlated-average subquery plus a NOT EXISTS
+    anti-join (the fixture's order table covers every customer, so the
+    priority predicate keeps the anti join selective AND non-empty —
+    203 survivors at sf0.01 — where TPC-H's no-orders-at-all would
+    return zero rows here).
+
+    Scale shape: the segment average is a one-ROW aggregate broadcast
+    back as (Σbal, n) — the threshold compare is divide-free exact
+    decimal ``bal·n > Σbal`` (q29i's discipline; an AVG double would be
+    summation-order-dependent).  The NOT EXISTS decorrelates to a
+    LEFT ANTI hash join on custkey; the orders side projects to the
+    join key only, so the anti join moves keys, not rows.  Final
+    per-segment rollup partial-aggregates map-side."""
+    seg = (
+        t(spark, sf_dir, "customer")
+        .where(
+            F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING", "MACHINERY")
+        )
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.col("c_acctbal").cast("decimal(18,6)").alias("bal"),
+        )
+    )
+    avg_t = seg.where(F.col("bal") > 0).agg(
+        F.sum("bal").alias("s"), F.count("*").alias("n")
+    )
+    rich = seg.join(F.broadcast(avg_t)).where(
+        F.col("bal") * F.col("n") > F.col("s")
+    )
+    o_keys = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    no_orders = rich.join(
+        o_keys, rich.c_custkey == o_keys.o_custkey, "left_anti"
+    )
+    return (
+        no_orders.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum("bal").cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

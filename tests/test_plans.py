@@ -840,6 +840,19 @@ def test_tpch_q19_shape_plan(spark):
     assert any("p_brand" in p and "p_size" in p for p in pushed), pushed
 
 
+def test_tpch_q22_shape_plan(spark):
+    """Q29k: the (Σbal, n) scalar rides a one-row BroadcastNestedLoopJoin,
+    the NOT EXISTS is a LEFT ANTI join (broadcast at fixture scale, hash
+    at 100 TB — never a correlated re-scan), and the only hash exchange
+    is the final segment rollup."""
+    from palletjack_spark.queries import REGISTRY
+
+    simple = _simple_plan(REGISTRY["q29k_tpch_q22_shape"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in simple, simple
+    assert "LeftAnti" in simple, simple
+    assert simple.count("Exchange hashpartitioning") == 1, simple
+
+
 def test_tpch_q10_shape_plan(spark):
     """Q29f: returnflag + date filters push to the fact scans, nation
     broadcasts, top-20 is TakeOrderedAndProject."""
