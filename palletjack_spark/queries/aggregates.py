@@ -134,6 +134,44 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q33b_cube_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q33b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE + grouping_id (Q33b): all four grouping sets of
+    (status, priority) in one pass, with ``grouping_id`` disambiguating
+    a real NULL key from a rolled-up one — the half of the grouping-set
+    surface Q33's ROLLUP doesn't cover.
+
+    Scale shape: Spark plans CUBE as a single Expand (×4 replication)
+    over one scan feeding one partial-aggregated hash exchange — never
+    four scans unioned; the replication factor is the number of
+    grouping sets, not data volume.  ``gid`` is engine-portable:
+    SQL-standard GROUPING() bits composed the same way Spark's
+    grouping_id() composes them."""
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("cnt"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "gid", "cnt", "sum_price"
+        )
+    )
+
+
+@query(
     "q34_having",
     oracle="""
     SELECT o_custkey, COUNT(*) AS order_cnt,

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from palletjack_spark.queries.registry import query, t
@@ -173,4 +173,52 @@ def q47b(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "documents")
         .select("doc_id", "lang", bucket.alias("bucket"))
         .where(F.col("bucket") < rate)
+    )
+
+
+@query(
+    "q47c_fixed_k_per_group_sample",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ksamp'),
+                             1, 4))::BIGINT AS hkey
+      FROM documents),
+    r AS (
+      SELECT doc_id, lang, hkey,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY hkey, doc_id) AS rn
+      FROM h)
+    SELECT doc_id, lang, CAST(hkey AS BIGINT) AS hkey, CAST(rn AS INT) AS rn
+    FROM r WHERE rn <= 7
+    """,
+)
+def q47c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-k-per-group deterministic sample (Q47c): exactly min(k, n)
+    documents per language, chosen by smallest keyed md5 — the "k
+    examples per class" primitive for eval-split and few-shot-pool
+    construction, complementing Q47/Q47b's rate-based sampling (a rate
+    cannot guarantee a count; a count cannot be done scan-local).
+
+    Selection is uniform over each group (md5 of the id is
+    order-independent) and reproducible across engines, partitionings,
+    and reruns.  Scale shape: Spark plans the rank<=k filter as
+    WindowGroupLimit — each map task keeps only its local top-k per
+    group BEFORE the exchange, so the shuffle carries O(groups × k)
+    rows, not the corpus (plan-asserted)."""
+    hkey = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#ksamp"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("lang").orderBy("hkey", "doc_id")
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", hkey.alias("hkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 7)
     )

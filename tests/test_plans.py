@@ -692,6 +692,32 @@ def test_pagerank_iterations_checkpoint_lineage(spark):
     spark.catalog.clearCache()
 
 
+def test_cube_is_single_expand_pass(spark):
+    """Q33b: CUBE plans as ONE Expand (x4 grouping-set replication) over
+    one scan into one partial-aggregated hash exchange — never four
+    unioned scans."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q33b_cube_grouping_sets"].fn(spark, SF_DIR))
+    assert "Expand" in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_fixed_k_sample_uses_window_group_limit(spark):
+    """Q47c: the rank<=k filter plans as WindowGroupLimit with a Partial
+    stage BEFORE the exchange — each map task ships at most k rows per
+    group, so the shuffle is O(groups x k), not the corpus."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(
+        REGISTRY["q47c_fixed_k_per_group_sample"].fn(spark, SF_DIR)
+    )
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_perplexity_buckets_histogram_window_only(spark):
     """Q136: the tercile split must never rank the corpus — exactly ONE
     Window exists (the running sum over the milli-bits histogram, whose
