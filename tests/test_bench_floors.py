@@ -40,6 +40,20 @@ def test_floor_flag_silent_on_clean_run():
     assert b._check_floors({"q999_new": 99.0}, floors) == []
 
 
+def test_headline_names_all_registered():
+    """Every bench HEADLINE entry must be a registered QID — a typo here
+    would crash the driver's per-round bench run at query time."""
+    import sys
+
+    sys.path.insert(0, _ROOT)
+    from palletjack_spark.queries import REGISTRY
+
+    b = _bench()
+    missing = [q for q in b.HEADLINE if q not in REGISTRY]
+    assert missing == [], missing
+    assert len(set(b.HEADLINE)) == len(b.HEADLINE), "duplicate headline"
+
+
 def test_committed_floors_cover_the_regression_block():
     b = _bench()
     floors = b._load_floors()
