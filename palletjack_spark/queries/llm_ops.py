@@ -2582,3 +2582,77 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.withColumn("train_order", F.row_number().over(wglob).cast("long"))
         .orderBy("train_order")
     )
+
+
+@query(
+    "q103b_chunk_with_overlap",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tok,
+             UNNEST(range(0, CAST(GREATEST((n_tok - 16 + 47) // 48, 1)
+                                  AS BIGINT))) AS chunk_ix
+      FROM d),
+    s AS (
+      SELECT c.doc_id, c.chunk_ix, c.n_tok,
+             c.chunk_ix * 48 + 1 AS tok_from,
+             LEAST(c.chunk_ix * 48 + 64, c.n_tok) AS tok_to
+      FROM c)
+    SELECT s.doc_id, CAST(s.chunk_ix AS BIGINT) AS chunk_ix,
+           CAST(s.tok_from AS BIGINT) AS tok_from,
+           CAST(s.tok_to AS BIGINT) AS tok_to,
+           CAST(s.tok_to - s.tok_from + 1 AS BIGINT) AS chunk_tokens,
+           md5(array_to_string(d.toks[s.tok_from:s.tok_to], ' ')) AS chunk_md5
+    FROM s JOIN d USING (doc_id)
+    """,
+)
+def q103b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document chunking with overlap (Q103b): split every document
+    into max-64-token windows with stride 48 (16-token overlap) — the
+    context-window chunking step for training and retrieval indexing;
+    the dual of Q103's packing (packing concatenates short docs, this
+    splits long ones; real pipelines run both).
+
+    Chunks materialize as (doc_id, chunk_ix, token span, md5 of the
+    chunk text) — the md5 stands in for the chunk body so the driver
+    hash-compare never ships full text (q123/q131 array discipline).
+    Scale shape: ``sequence()`` + explode is a zero-shuffle row-local
+    fan-out (output rows ≈ corpus tokens / stride — linear, no join,
+    no window); every chunk keeps provenance for dedup-apply and
+    eval-decontamination downstream.  Chunk count = ceil((n-overlap)/
+    stride) with a 1-chunk floor so empty-ish docs still emit."""
+    MAXLEN, STRIDE = 64, 48
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("toks"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    n_chunks = F.greatest(
+        F.expr(f"(n_tok - {MAXLEN - STRIDE} + {STRIDE - 1}) div {STRIDE}"),
+        F.lit(1),
+    )
+    c = d.select(
+        "doc_id",
+        "toks",
+        "n_tok",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_ix"),
+    )
+    tok_from = (F.col("chunk_ix") * STRIDE + 1).cast("long")
+    tok_to = F.least(
+        F.col("chunk_ix") * STRIDE + MAXLEN, F.col("n_tok")
+    ).cast("long")
+    return c.select(
+        "doc_id",
+        F.col("chunk_ix").cast("long").alias("chunk_ix"),
+        tok_from.alias("tok_from"),
+        tok_to.alias("tok_to"),
+        (tok_to - tok_from + 1).alias("chunk_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), tok_from, tok_to - tok_from + 1)
+            )
+        ).alias("chunk_md5"),
+    )

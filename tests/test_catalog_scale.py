@@ -110,6 +110,31 @@ def test_catalog_10k_point_select_prunes_to_one_bucket(
     assert build_10k / build_1k < 30, (build_10k, build_1k)
 
 
+def test_smart_read_routes_over_10k_catalog(spark, catalog_1k, tmp_path):
+    """smart_read's routing decision must stay a one-row aggregate at
+    catalog scale too: route a selective and a keep-all predicate over
+    the 1k-file bucketed index and verify both return exact rows (the
+    O(1)-collect property is spied in test_index.py; here the point is
+    that the decision itself completes fast over a real catalog)."""
+    import time as _time
+
+    from palletjack_spark.index import smart_read
+
+    idx_dir = str(tmp_path / "idx")
+    idx = build_index(
+        spark, catalog_1k, index_dir=idx_dir, use_cache=False,
+        catalog_buckets=16,
+    )
+    t0 = _time.perf_counter()
+    d_tight = smart_read(
+        spark, catalog_1k, predicate=[("id", "<", 5)], index=idx
+    )
+    routing_s = _time.perf_counter() - t0
+    assert d_tight.count() == 5
+    assert routing_s < 30, routing_s
+    idx.unpersist()
+
+
 def test_catalog_incremental_append_touches_only_new_buckets(
     spark, catalog_1k, tmp_path
 ):

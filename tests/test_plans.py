@@ -692,6 +692,18 @@ def test_pagerank_iterations_checkpoint_lineage(spark):
     spark.catalog.clearCache()
 
 
+def test_chunk_with_overlap_zero_shuffle(spark):
+    """Q103b: chunking is a row-local sequence+explode fan-out — one
+    scan, zero exchanges, zero joins (what a 100 TB rewrite pass must
+    be; the oracle's join formulation is DuckDB-side only)."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q103b_chunk_with_overlap"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
 def test_cube_is_single_expand_pass(spark):
     """Q33b: CUBE plans as ONE Expand (x4 grouping-set replication) over
     one scan into one partial-aggregated hash exchange — never four
