@@ -817,3 +817,122 @@ def q126b(spark: SparkSession, sf_dir: str) -> DataFrame:
         "checked",
         (F.col("violations") == 0).alias("pass"),
     ).orderBy("rule")
+
+
+@query(
+    "q139_triangle_count",
+    oracle="""
+    WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+          FROM os a JOIN os b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_suppkey < b.l_suppkey),
+    t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1
+          JOIN e e2 ON e1.b = e2.a
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    tn AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t
+           UNION ALL SELECT z FROM t),
+    cnt AS (SELECT node, COUNT(*) AS n_tri FROM tn GROUP BY node),
+    deg AS (SELECT node, COUNT(*) AS deg
+            FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+            GROUP BY node)
+    SELECT deg.node, CAST(deg.deg AS BIGINT) AS deg,
+           CAST(COALESCE(cnt.n_tri, 0) AS BIGINT) AS n_triangles
+    FROM deg LEFT JOIN cnt USING (node) ORDER BY node
+    """,
+)
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented triangle counting (Q139): per-node triangle
+    participation in the supplier co-purchase graph (suppliers sharing
+    an order) — the clustering/community primitive next to Q101's CC
+    and Q130's PageRank.
+
+    The scale move is ORIENTATION: every undirected edge points from
+    its lower-(degree, id) endpoint to the higher one, so wedges are
+    enumerated only at their lowest-degree apex — Σ C(outdeg, 2) work
+    instead of Σ C(deg, 2), the node-iterator bound (O(E^1.5) on any
+    graph) that keeps hub nodes from exploding the wedge join.  Plan:
+    distinct edges build with one orderkey join; degrees attach via two
+    hash joins (never an O(nodes) broadcast — the Q130 rule); the wedge
+    self-join hashes on the apex and the closing join hashes on the
+    (v, w) pair.  A triangle is counted exactly once (its apex is
+    unique), so per-node counts are an explode of the three corners.
+    Exact integers end to end; the oracle counts the same triangles by
+    plain a<b<c enumeration."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    os_ = li.distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ed = (
+        edges.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("deg", "deg_u")
+        .join(
+            deg.withColumnRenamed("node", "v").withColumnRenamed(
+                "deg", "deg_v"
+            ),
+            "v",
+        )
+    )
+    lower_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(lower_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias(
+            "deg_dst"
+        ),
+    ).localCheckpoint()
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (
+            (F.col("o1.deg_dst") < F.col("o2.deg_dst"))
+            | (
+                (F.col("o1.deg_dst") == F.col("o2.deg_dst"))
+                & (F.col("o1.dst") < F.col("o2.dst"))
+            )
+        ),
+    ).select(
+        F.col("o1.src").alias("apex"),
+        F.col("o1.dst").alias("x"),
+        F.col("o2.dst").alias("y"),
+    )
+    closing = oriented.select(
+        F.col("src").alias("x"), F.col("dst").alias("y")
+    )
+    triangles = wedges.join(closing, ["x", "y"])
+    corners = (
+        triangles.select(F.col("apex").alias("node"))
+        .unionAll(triangles.select(F.col("x").alias("node")))
+        .unionAll(triangles.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    return (
+        deg.join(corners, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_triangles"),
+        )
+        .orderBy("node")
+    )
