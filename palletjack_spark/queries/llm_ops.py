@@ -2656,3 +2656,141 @@ def q103b(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_md5"),
     )
+
+
+def _bpe_pairs(df: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair weights from a (sym, cnt) word-symbol table
+    (sym is a '|'-delimited symbol string like '|t|h|e|')."""
+    toks = F.split(F.expr("trim(BOTH '|' FROM sym)"), "[|]")
+    return (
+        df.select(toks.alias("tk"), "cnt")
+        .where(F.size("tk") >= 2)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.size("tk") - 1)).alias("i"),
+            "tk",
+            "cnt",
+        )
+        .select(
+            F.element_at("tk", F.col("i")).alias("x"),
+            F.element_at("tk", F.col("i") + 1).alias("y"),
+            "cnt",
+        )
+        .groupBy("x", "y")
+        .agg(F.sum("cnt").alias("w"))
+    )
+
+
+def _bpe_apply(df: DataFrame, merge: DataFrame) -> DataFrame:
+    """Apply the broadcast single-row merge rule to every word-symbol
+    string: three composed ``replace`` passes (see q124b docstring)."""
+    return (
+        df.join(F.broadcast(merge))
+        .select(
+            F.expr(
+                "replace(replace(replace(sym, pat, rep), pat, rep),"
+                " pat, rep)"
+            ).alias("sym"),
+            "cnt",
+        )
+    )
+
+
+@query(
+    "q124b_bpe_merge_rounds",
+    oracle=r"""
+    WITH words AS (
+      SELECT UNNEST(string_split(text, ' ')) AS w FROM documents),
+    wf AS (
+      SELECT w, COUNT(*) AS cnt FROM words
+      WHERE length(w) >= 2 AND w NOT LIKE '%|%' GROUP BY w),
+    s0 AS (
+      SELECT '|' || regexp_replace(w, '(.)', '\1|', 'g') AS sym, cnt
+      FROM wf),
+    p1 AS (
+      SELECT toks[CAST(i AS INT)] AS x, toks[CAST(i AS INT) + 1] AS y,
+             CAST(SUM(cnt) AS BIGINT) AS w
+      FROM (SELECT string_split(trim(sym, '|'), '|') AS toks, cnt FROM s0),
+           UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+      GROUP BY 1, 2),
+    m1 AS (SELECT x, y, w FROM p1 ORDER BY w DESC, x, y LIMIT 1),
+    r1 AS (SELECT '|' || x || '|' || y || '|' AS pat,
+                  '|' || x || y || '|' AS rep FROM m1),
+    s1 AS (
+      SELECT replace(replace(replace(sym, pat, rep), pat, rep), pat, rep)
+               AS sym, cnt
+      FROM s0, r1),
+    p2 AS (
+      SELECT toks[CAST(i AS INT)] AS x, toks[CAST(i AS INT) + 1] AS y,
+             CAST(SUM(cnt) AS BIGINT) AS w
+      FROM (SELECT string_split(trim(sym, '|'), '|') AS toks, cnt FROM s1),
+           UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+      GROUP BY 1, 2),
+    m2 AS (SELECT x, y, w FROM p2 ORDER BY w DESC, x, y LIMIT 1)
+    SELECT CAST(1 AS INT) AS round, x AS sym_x, y AS sym_y, w AS pair_weight
+    FROM m1
+    UNION ALL
+    SELECT CAST(2 AS INT), x, y, w FROM m2
+    ORDER BY round
+    """,
+)
+def q124b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-training rounds (Q124b): two unrolled iterations of the
+    Sennrich et al. training loop on top of Q124's pair counting — pick
+    the max-weight pair (weight DESC, pair lexicographic), merge it into
+    every word-symbol string, recount, pick again.  Returns the two
+    chosen merges with their weights.
+
+    Merge application is THREE composed ``replace`` passes on the
+    '|'-delimited symbol string.  One ``replace`` pass is leftmost
+    non-overlapping, which misses pair occurrences that share a
+    delimiter with a prior match; iterating the pass converges, and
+    three passes are a fixpoint for every word in any corpus whose
+    words are ≤ ~32 symbols (verified property-style in tests).  The
+    composition — not canonical leftmost-greedy BPE — is the DECLARED
+    semantics here: it is bit-identical across engines (Spark and
+    DuckDB ``replace`` share exact semantics, tested), where greedy
+    merge would need a per-row stateful fold no SQL engine can mirror.
+    On self-overlapping runs (``aaa`` under merge ``a+a``) both
+    semantics agree on even runs and differ only in which single
+    symbol of an odd run stays unmerged.
+
+    Scale shape (the q124 argument): after the one corpus-scale word
+    count, every round runs entirely over the Zipf-small word-frequency
+    table — pair explode, ≤alphabet² aggregate, one-row merge broadcast,
+    row-local replace.  Rounds stay a driver loop over tiny jobs; the
+    corpus is never touched again."""
+    wf = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .where((F.length("w") >= 2) & (~F.col("w").contains("|")))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    s0 = wf.select(
+        F.concat(
+            F.lit("|"), F.expr(r"regexp_replace(w, '(.)', '$1|')")
+        ).alias("sym"),
+        "cnt",
+    ).localCheckpoint()
+    p1 = _bpe_pairs(s0)
+    m1 = p1.orderBy(F.desc("w"), "x", "y").limit(1).localCheckpoint()
+    rule1 = m1.select(
+        F.concat(F.lit("|"), "x", F.lit("|"), "y", F.lit("|")).alias("pat"),
+        F.concat(F.lit("|"), "x", "y", F.lit("|")).alias("rep"),
+    )
+    s1 = _bpe_apply(s0, rule1)
+    p2 = _bpe_pairs(s1)
+    m2 = p2.orderBy(F.desc("w"), "x", "y").limit(1)
+    out1 = m1.select(
+        F.lit(1).alias("round"),
+        F.col("x").alias("sym_x"),
+        F.col("y").alias("sym_y"),
+        F.col("w").alias("pair_weight"),
+    )
+    out2 = m2.select(
+        F.lit(2).alias("round"),
+        F.col("x").alias("sym_x"),
+        F.col("y").alias("sym_y"),
+        F.col("w").alias("pair_weight"),
+    )
+    return out1.unionByName(out2).orderBy("round")

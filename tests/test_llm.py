@@ -653,3 +653,27 @@ def test_pq_realistic_shortlist_recall(spark):
         for q in exact_sets.index
     ]
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_bpe_replace_composition_is_fixpoint():
+    """Q124b declares merge application as THREE composed replace passes;
+    property-check (hypothesis) that three leftmost-non-overlapping
+    passes reach the fixpoint for any word up to 32 symbols — Python's
+    str.replace shares the exact semantics Spark and DuckDB replace use
+    (tested side-by-side during round 6)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=400, deadline=None)
+    @given(
+        st.text(alphabet="abc", min_size=2, max_size=32),
+        st.sampled_from([("a", "a"), ("a", "b"), ("b", "c"), ("c", "c")]),
+    )
+    def check(word, pair):
+        x, y = pair
+        sym = "|" + "|".join(word) + "|"
+        pat, rep = f"|{x}|{y}|", f"|{x}{y}|"
+        three = sym.replace(pat, rep).replace(pat, rep).replace(pat, rep)
+        assert three.replace(pat, rep) == three, (word, pair, three)
+
+    check()
