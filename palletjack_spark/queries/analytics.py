@@ -936,3 +936,179 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+@query(
+    "q116c_interval_overlap_join",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_id, ts_us FROM {_E}),
+    f AS (
+      SELECT user_id, ts_us,
+             CASE WHEN LAG(ts_us) OVER w IS NULL
+                       OR ts_us - LAG(ts_us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    s AS (
+      SELECT user_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                               ROWS UNBOUNDED PRECEDING) AS seq,
+             ts_us
+      FROM f),
+    iv AS (SELECT user_id, CAST(seq AS BIGINT) AS seq,
+                  MIN(ts_us) AS lo, MAX(ts_us) AS hi
+           FROM s GROUP BY user_id, seq)
+    SELECT a.user_id AS user_a, a.seq AS seq_a,
+           b.user_id AS user_b, b.seq AS seq_b,
+           LEAST(a.hi, b.hi) - GREATEST(a.lo, b.lo) AS overlap_us
+    FROM iv a JOIN iv b
+      ON a.lo <= b.hi AND b.lo <= a.hi AND a.user_id < b.user_id
+    ORDER BY user_a, seq_a, user_b, seq_b
+    """,
+)
+def q116c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join WITHOUT an equality key (Q116c): which
+    pairs of user sessions were active at the same time — the
+    concurrency/telemetry-correlation shape Q116b's key-equality
+    temporal join cannot express.
+
+    A naive interval×interval join is a nested loop over the table; the
+    scale decomposition buckets time: each session explodes into the
+    1-hour buckets it covers (fan-out = session length / bucket — an
+    inherent, bounded constant), the self-join runs as a plain HASH
+    join on the bucket, and a pair is emitted only in the bucket that
+    contains GREATEST(lo_a, lo_b) — the first shared bucket — so
+    multi-bucket overlaps dedup for free with zero extra shuffle.  The
+    exact overlap predicate stays as a residual (sharing a bucket does
+    not imply overlap).  Per-bucket concurrency bounds the join
+    fan-out; the oracle recomputes the same pairs with the direct
+    (nested-loop) formulation."""
+    B = 3_600_000_000  # 1 h in µs
+    e = t(spark, sf_dir, "events").select("user_id", "event_id", _ts_us())
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    iv = (
+        e.withColumn(
+            "is_new",
+            F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0),
+        )
+        .withColumn(
+            "seq",
+            F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "seq")
+        .agg(F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi"))
+    )
+    bk = iv.select(
+        "user_id",
+        "seq",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(F.expr(f"lo div {B}"), F.expr(f"hi div {B}"))
+        ).alias("bucket"),
+    )
+    a, b = bk.alias("a"), bk.alias("b")
+    first_bucket = F.col("a.bucket") == F.expr(
+        f"greatest(a.lo, b.lo) div {B}"
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.user_id") < F.col("b.user_id"))
+        & (F.col("a.lo") <= F.col("b.hi"))
+        & (F.col("b.lo") <= F.col("a.hi")),
+    ).where(first_bucket)
+    return pairs.select(
+        F.col("a.user_id").alias("user_a"),
+        F.col("a.seq").cast("long").alias("seq_a"),
+        F.col("b.user_id").alias("user_b"),
+        F.col("b.seq").cast("long").alias("seq_b"),
+        (
+            F.least(F.col("a.hi"), F.col("b.hi"))
+            - F.greatest(F.col("a.lo"), F.col("b.lo"))
+        ).alias("overlap_us"),
+    ).orderBy("user_a", "seq_a", "user_b", "seq_b")
+
+
+@query(
+    "q125b_groupwise_regression",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type,
+             (ts_us - 1704067200000000) // 1000000 AS x,
+             CAST(FLOOR(value * 1000) AS BIGINT) AS y
+      FROM {_E}),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM e GROUP BY event_type)
+    SELECT event_type, n,
+           CAST(CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                     - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+                / CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                       - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) AS DOUBLE)
+             AS slope_milli,
+           CAST((CAST(sy AS DOUBLE)
+                 - CAST(CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                             - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+                       / CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                              - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+                        AS DOUBLE)
+                   * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS DOUBLE)
+             AS intercept_milli
+    FROM s ORDER BY event_type
+    """,
+)
+def q125b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise closed-form OLS (Q125b): per event type, the linear
+    trend of value over time — the drift-detection sibling of Q125's
+    z-score flags.  Value is quantized to integer milli-units (FLOOR,
+    the Q125/Q129 discipline) and time centered to the 2024 epoch in
+    whole seconds, so ALL five sufficient statistics (n, Σx, Σy, Σx²,
+    Σxy) are exact int64 sums — order-independent on any executor
+    layout — and the two closed-form combinations widen to DECIMAL(38)
+    only where n·Σx² exceeds int64.  The sole floating-point ops are
+    the final identically-sequenced divisions, so slope/intercept are
+    bit-identical across engines (a plain decimal formulation rounds
+    differently per engine at the 1-ulp level — found by the oracle
+    gate).  Plan: one partial-aggregated exchange on the 5-row group
+    key; closed-form regression at any scale is exactly a multi-sum
+    aggregate (a 100 TB run re-centers x per epoch shard to keep x²
+    bounded)."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        _ts_us(),
+        F.expr("cast(floor(value * 1000) as bigint)").alias("y"),
+    ).select(
+        "event_type",
+        F.expr("(ts_us - 1704067200000000) div 1000000").alias("x"),
+        "y",
+    )
+    s = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    sxd = F.col("sx").cast("decimal(38,0)")
+    num = (nd * F.col("sxy") - sxd * F.col("sy")).cast("double")
+    den = (nd * F.col("sxx") - sxd * F.col("sx")).cast("double")
+    slope = (num / den).cast("double")
+    intercept = (
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n").cast("double")
+    ).cast("double")
+    return s.select(
+        "event_type",
+        "n",
+        slope.alias("slope_milli"),
+        intercept.alias("intercept_milli"),
+    ).orderBy("event_type")
