@@ -874,11 +874,15 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    # cached: referenced three times (both orientation joins + the
+    # final per-node report) — Spark would otherwise re-run the degree
+    # aggregate for each reference
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
+        .cache()
     )
     ed = (
         edges.join(deg.withColumnRenamed("node", "u"), "u")
@@ -999,6 +1003,10 @@ def q116c(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id", "seq")
         .agg(F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi"))
+        # materialized once: both sides of the self-join read the SAME
+        # session table; without this each alias re-derives the whole
+        # sessionization (two event scans + two window passes)
+        .localCheckpoint()
     )
     bk = iv.select(
         "user_id",

@@ -692,6 +692,60 @@ def test_pagerank_iterations_checkpoint_lineage(spark):
     spark.catalog.clearCache()
 
 
+def test_interval_overlap_join_is_hash_not_nested_loop(spark):
+    """Q116c: the keyless interval join must run as ONE equality join on
+    the time bucket (sort-merge/shuffled-hash) — never a
+    BroadcastNestedLoopJoin over raw intervals — with the session table
+    materialized once for both sides."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(
+        REGISTRY["q116c_interval_overlap_join"].fn(spark, SF_DIR)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert joins == 1, plan
+    assert "Generate explode" in plan, plan
+
+
+def test_groupwise_regression_single_aggregate(spark):
+    """Q125b: closed-form OLS is exactly a multi-sum hash aggregate —
+    no join, no window, partial+final HashAggregate pair."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(
+        REGISTRY["q125b_groupwise_regression"].fn(spark, SF_DIR)
+    )
+    assert "HashAggregate" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_triangle_count_all_equality_joins(spark):
+    """Q139: every join (orientation, wedge, closing, report) is an
+    equality hash/sort-merge join — no cartesian and no nested loop,
+    and the O(nodes) degree table never broadcasts."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q139_triangle_count"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") >= 4, plan
+    spark.catalog.clearCache()
+
+
+def test_bpe_rounds_run_over_tiny_table(spark):
+    """Q124b: after the checkpointed word-symbol table, a merge round is
+    one pair-aggregate exchange plus a one-row broadcast merge rule and
+    a TakeOrderedAndProject top-1 — the corpus never re-enters."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q124b_bpe_merge_rounds"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan, plan  # one-row merge rule
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_chunk_with_overlap_zero_shuffle(spark):
     """Q103b: chunking is a row-local sequence+explode fan-out — one
     scan, zero exchanges, zero joins (what a 100 TB rewrite pass must
