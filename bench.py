@@ -93,11 +93,14 @@ HEADLINE = [
     "q133_length_bucketed_batching",
     "q134_contrastive_pairs",
     # round 6 additions: IVF-PQ (the composed production ANN shape),
-    # CCNet perplexity terciles, hash-agg argmax, curriculum interleave
+    # CCNet perplexity terciles, hash-agg argmax, curriculum interleave,
+    # zero-shuffle context-window chunking, bucketized interval overlap
     "q92f_ivf_pq_topk",
     "q136_perplexity_buckets",
     "q137_groupwise_argmax",
     "q138_curriculum_schedule",
+    "q103b_chunk_with_overlap",
+    "q116c_interval_overlap_join",
 ]
 
 META_ROW_GROUPS = 200
@@ -248,15 +251,24 @@ def _check_floors(
     times: dict[str, float],
     floors: dict[str, float],
     factor: float = FLOOR_FACTOR,
+    min_delta: float = 0.15,
 ) -> list[str]:
     """Round-5 verdict item 9: per-query self-flag.  Returns one warning
     line per headline query slower than ``factor``× its best-known floor —
-    the q29/q30/q43 episode would have flagged itself.  Pure function so
-    the flag logic is unit-testable without running the bench."""
+    the q29/q30/q43 episode would have flagged itself.  ``min_delta``
+    (absolute seconds over the floor) keeps sub-second queries from
+    flagging on ~0.1 s scheduler jitter: 1.5× of a 0.2 s floor is noise,
+    1.5× of a 1 s floor is signal.  Pure function so the flag logic is
+    unit-testable without running the bench."""
     out = []
     for name, floor in sorted(floors.items()):
         got = times.get(name)
-        if got is not None and floor > 0 and got > factor * floor:
+        if (
+            got is not None
+            and floor > 0
+            and got > factor * floor
+            and got - floor > min_delta
+        ):
             out.append(
                 f"# WARNING {name}: {got:.3f}s is {got / floor:.1f}x its "
                 f"recorded floor {floor:.3f}s — host episode or plan "

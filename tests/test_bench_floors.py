@@ -40,6 +40,17 @@ def test_floor_flag_silent_on_clean_run():
     assert b._check_floors({"q999_new": 99.0}, floors) == []
 
 
+def test_floor_flag_ignores_subsecond_jitter():
+    """A sub-second query exceeding its floor by ratio but by <0.15s
+    absolute is scheduler jitter, not a regression (the q13 0.325s vs
+    0.209s false positive from the round-6 capture)."""
+    b = _bench()
+    floors = {"q13_pushdown_prune": 0.209}
+    assert b._check_floors({"q13_pushdown_prune": 0.325}, floors) == []
+    # but a real multi-second blowup on the same floor still flags
+    assert len(b._check_floors({"q13_pushdown_prune": 0.9}, floors)) == 1
+
+
 def test_headline_names_all_registered():
     """Every bench HEADLINE entry must be a registered QID — a typo here
     would crash the driver's per-round bench run at query time."""
