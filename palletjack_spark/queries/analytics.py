@@ -1120,3 +1120,70 @@ def q125b(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope_milli"),
         intercept.alias("intercept_milli"),
     ).orderBy("event_type")
+
+
+@query(
+    "q121b_ohlc_rollup",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, value, ts_us,
+             ts_us // 3600000000 AS hour_bucket
+      FROM {_E}),
+    r AS (
+      SELECT user_id, hour_bucket, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, hour_bucket
+                                ORDER BY ts_us, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id, hour_bucket
+                                ORDER BY ts_us DESC, event_id DESC) AS rn_d
+      FROM e)
+    SELECT user_id, CAST(hour_bucket AS BIGINT) AS hour_bucket,
+           MIN(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MIN(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
+    FROM r GROUP BY user_id, hour_bucket
+    """,
+)
+def q121b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC hypertable rollup (Q121b): downsample each user's value
+    stream to hourly open/high/low/close bars plus count and volume —
+    the time-series resampling primitive (continuous-aggregate /
+    candlestick shape) that complements Q121's gap fill and Q42b's
+    range windows.
+
+    Open/close are picked by ROW_NUMBER over the (ts, event_id) total
+    order rather than engine-specific first/last or arg_min (whose tie
+    rules differ across engines); they are SINGLE row values, so no
+    float summation is involved and the doubles are bit-identical.
+    High/low are order-free min/max; volume accumulates in exact
+    decimal.  Plan shape: the two rank windows and the final aggregate
+    all partition on (user_id, hour_bucket) — ONE hash exchange total,
+    with the map-side partial collapsing each bar before it moves."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", _ts_us()
+    ).withColumn("hour_bucket", F.expr("ts_us div 3600000000"))
+    wa = Window.partitionBy("user_id", "hour_bucket").orderBy(
+        "ts_us", "event_id"
+    )
+    wd = Window.partitionBy("user_id", "hour_bucket").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    r = e.select(
+        "user_id",
+        "hour_bucket",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return r.groupBy("user_id", "hour_bucket").agg(
+        F.min(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.min(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("volume"),
+    )

@@ -692,6 +692,20 @@ def test_pagerank_iterations_checkpoint_lineage(spark):
     spark.catalog.clearCache()
 
 
+def test_ohlc_rollup_single_partitioning(spark):
+    """Q121b: both rank windows and the bar aggregate cluster on
+    (user_id, hour_bucket) — at most ONE hash exchange end to end (zero
+    at fixture scale, where the single-partition source already
+    satisfies the clustering), no joins, hash aggregation only."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q121b_ohlc_rollup"].fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert plan.count("Window") == 2, plan
+    assert "SortAggregate" not in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_interval_overlap_join_is_hash_not_nested_loop(spark):
     """Q116c: the keyless interval join must run as ONE equality join on
     the time bucket (sort-merge/shuffled-hash) — never a
