@@ -249,3 +249,76 @@ def q42b(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_10m"),
         F.count("*").over(w).alias("n_10m"),
     )
+
+
+@query(
+    "q42c_ewma_fold",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CAST(FLOOR(value * 1000) AS BIGINT) AS x
+      FROM events),
+    g AS (
+      SELECT user_id,
+             list(x ORDER BY ts_us, event_id) AS xs,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM e GROUP BY user_id)
+    SELECT user_id, n_events,
+           CAST(xs[1] AS BIGINT) AS first_milli,
+           CAST(list_reduce(xs,
+                (acc, x) -> (205 * x + 819 * acc) // 1024) AS BIGINT)
+             AS ewma_milli
+    FROM g
+    """,
+)
+def q42c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA as an exact-integer fold (Q42c): per-user exponentially
+    weighted moving average of value — the recurrence
+    ``ewma' = α·x + (1−α)·ewma`` with α = 205/1024, computed as the
+    integer fold ``(205·x + 819·acc) div 1024`` over the time-ordered
+    stream.  A recurrence has no windowed-aggregate form (each state
+    depends on ALL predecessors), so this is the pattern for running
+    any per-key linear state machine WITHOUT a Python UDF: pack the
+    key's events into a deterministically ordered array and fold with
+    a JVM-side higher-order ``aggregate`` lambda.
+
+    Determinism: value milli-quantized (FLOOR), fold arithmetic is
+    exact integer truncating division, and BOTH engines fold the
+    identically sorted list left-to-right — bit-identical at any
+    parallelism.  Scale shape: ONE exchange on user_id; the per-user
+    array is bounded by events-per-key (the q101/q117 assumption —
+    keys with unbounded streams chunk by epoch first); the fold itself
+    is codegen'd, zero Python.  Q76 is the streaming sibling
+    (applyInPandasWithState); this is the batch backfill."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.expr("cast(floor(value * 1000) as bigint)").alias("x"),
+    )
+    g = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts_us", "event_id", "x"))
+            ).alias("evs"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.expr("transform(evs, s -> s.x)").alias("xs"),
+        )
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        F.expr("xs[0]").cast("long").alias("first_milli"),
+        F.expr(
+            "aggregate(slice(xs, 2, size(xs) - 1), xs[0],"
+            " (acc, x) -> (205 * x + 819 * acc) div 1024)"
+        )
+        .cast("long")
+        .alias("ewma_milli"),
+    )

@@ -692,6 +692,19 @@ def test_pagerank_iterations_checkpoint_lineage(spark):
     spark.catalog.clearCache()
 
 
+def test_ewma_fold_stays_jvm_side(spark):
+    """Q42c: the recurrence folds inside a codegen'd higher-order
+    aggregate — no Python evaluation node anywhere, at most one hash
+    exchange (the user_id collect), no window, no join."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q42c_ewma_fold"].fn(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+
+
 def test_ohlc_rollup_single_partitioning(spark):
     """Q121b: both rank windows and the bar aggregate cluster on
     (user_id, hour_bucket) — at most ONE hash exchange end to end (zero
