@@ -42,7 +42,11 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 try:
     import palletjack_spark as _pj
 
-    if not os.path.abspath(os.path.dirname(_pj.__file__)).startswith(_HERE):
+    # separator-terminated prefix: a sibling dir like /root/repo2 must not
+    # pass a bare startswith("/root/repo") test (round-6 ADVICE)
+    if os.path.commonpath(
+        [os.path.abspath(os.path.dirname(_pj.__file__)), _HERE]
+    ) != _HERE:
         raise ImportError("installed palletjack_spark is not this checkout")
 except ImportError:
     sys.path.insert(0, _HERE)

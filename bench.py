@@ -15,7 +15,15 @@ Two workload families:
    metadata for (row_group 0, column 0) from the in-memory LocalIndex —
    the reference's read_metadata workload (:94-96).
 
-Prints ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+Prints ONE compact JSON line on stdout:
+``{"metric", "value", "unit", "sf", "meta", "detail"}`` — the headline
+wall plus the 17 metadata/catalog floats BASELINE.md's 2x acceptance is
+defined against.  The driver captures only the LAST ~2000 chars of
+stdout (round-6 verdict item 1: the per-query ``passes`` arrays pushed
+the line to ~4.3k chars and BENCH_r06.json recorded ``parsed: null``),
+so the full per-query detail — times, both passes, interleaved controls
+— is written to the committed sidecar named in ``detail``
+(``BENCH_DETAIL_rNN.json``) and echoed to stderr instead.
 """
 
 from __future__ import annotations
@@ -31,7 +39,11 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 try:
     import palletjack_spark as _pj
 
-    if not os.path.abspath(os.path.dirname(_pj.__file__)).startswith(_REPO):
+    # separator-terminated prefix: a sibling dir like /root/repo2 must not
+    # pass a bare startswith("/root/repo") test (round-6 ADVICE)
+    if os.path.commonpath(
+        [os.path.abspath(os.path.dirname(_pj.__file__)), _REPO]
+    ) != _REPO:
         raise ImportError("installed palletjack_spark is not this checkout")
 except ImportError:
     sys.path.insert(0, _REPO)
@@ -96,6 +108,7 @@ HEADLINE = [
     # CCNet perplexity terciles, hash-agg argmax, curriculum interleave,
     # zero-shuffle context-window chunking, bucketized interval overlap
     "q92f_ivf_pq_topk",
+    "q92g_ivf_pq_persisted",
     "q136_perplexity_buckets",
     "q137_groupwise_argmax",
     "q138_curriculum_schedule",
@@ -233,18 +246,26 @@ def _control_probe(path: str, calls: int = 20) -> float:
 FLOOR_FACTOR = 1.5
 
 
-def _load_floors(path: str | None = None) -> dict[str, float]:
-    """Best-known per-query seconds (BENCH_BASELINE.json, committed from
-    the r3–r5 per-round minimums).  Missing file -> no floors."""
+def _load_floors(path: str | None = None, sf: float | None = None) -> dict[str, float]:
+    """Best-known per-query seconds (BENCH_BASELINE.json; driver-context
+    minimums — see the file's _comment for the floor-capture policy).
+    Floors are only meaningful at the scale factor they were captured at
+    (the file's "sf"): an sf0.01 smoke run compared against sf0.1 floors
+    flags fixed-overhead-dominated queries spuriously.  Missing file ->
+    no floors; sf mismatch -> no floors."""
     if path is None:
         path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
         )
     try:
         with open(path) as f:
-            return dict(json.load(f).get("floors", {}))
+            data = json.load(f)
     except (OSError, ValueError):
         return {}
+    floor_sf = data.get("sf")
+    if sf is not None and floor_sf is not None and abs(sf - floor_sf) > 1e-9:
+        return {}
+    return dict(data.get("floors", {}))
 
 
 def _check_floors(
@@ -275,6 +296,87 @@ def _check_floors(
                 "regression; re-run on an idle box or root-cause"
             )
     return out
+
+
+#: hard cap on the final stdout line — the driver's tail capture keeps
+#: ~2000 chars, so anything past this risks a truncated, unparseable
+#: BENCH_rNN.json (exactly what happened in round 6)
+FINAL_LINE_MAX = 1800
+
+
+def _detail_round(root: str | None = None) -> int:
+    """Round number for the detail sidecar: max committed BENCH_rNN + 1
+    (the driver writes BENCH_r{N}.json AFTER this process exits, so the
+    freshest committed file is last round's)."""
+    import glob as _glob
+    import re as _re
+
+    if root is None:
+        root = _REPO
+    rounds = [0]
+    for path in _glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = _re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds) + 1
+
+
+def _write_detail(payload: dict, root: str | None = None) -> str:
+    """Commit-ready sidecar with the full per-query evidence (times, both
+    passes, interleaved controls) that no longer fits on stdout.  Also
+    echoed to stderr so ad-hoc runs keep the data even if the file is
+    never committed.  Returns the basename for the final line's
+    ``detail`` pointer ("" if the write failed — never fatal)."""
+    if root is None:
+        root = _REPO
+    name = f"BENCH_DETAIL_r{_detail_round(root):02d}.json"
+    blob = json.dumps(payload, sort_keys=True)
+    print(f"# detail: {blob}", file=sys.stderr)
+    try:
+        with open(os.path.join(root, name), "w") as f:
+            f.write(blob + "\n")
+    except OSError:
+        return ""
+    return name
+
+
+def _final_line(
+    total: float, sf: float, times: dict[str, float], detail: str
+) -> str:
+    """The single stdout line the driver parses.  Carries the headline
+    wall AND every meta_* float (the only numbers BASELINE.md's 2x
+    acceptance is defined against) in compact JSON; per-query times live
+    in the detail sidecar.  Pure function, size-capped by test."""
+    meta = {
+        k: v
+        for k, v in sorted(times.items())
+        if k.startswith("meta_") or k.startswith("sweep_")
+    }
+    line = json.dumps(
+        {
+            "metric": "headline_queries_wall",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "meta": meta,
+            "detail": detail,
+        },
+        separators=(",", ":"),
+    )
+    if len(line) > FINAL_LINE_MAX:  # drop sweeps first, then give up
+        meta = {k: v for k, v in meta.items() if k.startswith("meta_")}
+        line = json.dumps(
+            {
+                "metric": "headline_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "meta": meta,
+                "detail": detail,
+            },
+            separators=(",", ":"),
+        )
+    return line
 
 
 def bench_metadata(spark) -> dict[str, float]:
@@ -622,6 +724,16 @@ def main() -> None:
             # drop caches a query may have left (e.g. q91's shingle set) so
             # later measurements aren't skewed by GC/memory pressure
             spark.catalog.clearCache()
+            # free the py4j refs to finished plans so the ContextCleaner
+            # can reap localCheckpoint RDDs / broadcasts asynchronously
+            # (q101, q116c, q20b leave executor blocks behind).  Python
+            # gc only — an explicit JVM System.gc() here was measured to
+            # HURT the back half of the suite ~1.3-1.8x (q131-q133,
+            # q103/q103b vs their r6 driver times), consistent with full
+            # GC flushing JIT-compiled whole-stage-codegen classes.
+            import gc
+
+            gc.collect()
         times[name] = round(best, 4)
         print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
         if (qi + 1) % 10 == 0:
@@ -660,29 +772,33 @@ def main() -> None:
 
     for k, v in bench_metadata(spark).items():
         times[k] = round(v, 6)
-        print(f"# {k}: {v * 1000:.3f} ms/call", file=sys.stderr)
+        # ratios are dimensionless; everything else in this family is a
+        # per-call latency (round-6 verdict: the ms/call label on
+        # meta_index_size_ratio was nonsense)
+        unit = "" if k.endswith("_ratio") else " ms/call"
+        scale = 1.0 if k.endswith("_ratio") else 1000.0
+        print(f"# {k}: {v * scale:.3f}{unit}", file=sys.stderr)
 
     for k, v in bench_catalog(spark).items():
         times[k] = round(v, 6)
         print(f"# {k}: {v:.3f} s", file=sys.stderr)
 
-    for warning in _check_floors(times, _load_floors()):
+    for warning in _check_floors(times, _load_floors(sf=sf)):
         print(warning, file=sys.stderr)
 
     total = round(sum(times[q] for q in HEADLINE), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "passes": passes,
-                "controls": controls,
-                "sf": sf,
-            }
-        )
+    detail_name = _write_detail(
+        {
+            "metric": "headline_queries_wall",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "queries": times,
+            "passes": passes,
+            "controls": controls,
+        }
     )
+    print(_final_line(total, sf, times, detail_name))
     spark.stop()
 
 

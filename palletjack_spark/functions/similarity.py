@@ -13,6 +13,8 @@ Two paths, same contract:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -527,6 +529,10 @@ def pq_topk(
         corpus_df.select(id_col, vec_col).orderBy(id_col).limit(train_rows).collect()
     )
     train = np.array([list(r[1]) for r in sample], dtype="float64")
+    # guard BEFORE normalizing: axis=1 on an empty/0-d array raises
+    # numpy AxisError instead of this intended error (round-6 ADVICE)
+    if train.ndim != 2 or len(train) == 0:
+        raise ValueError("pq_topk requires a non-empty corpus sample")
     train = train / np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-12)
     dim = train.shape[1]
     if dim % m_subspaces:
@@ -622,6 +628,154 @@ def pq_topk(
     return _exact_rescore_topk(cand, k, exclude_self)
 
 
+def _train_ivf_pq(
+    corpus_df: DataFrame,
+    n_centroids: int,
+    m_subspaces: int,
+    n_codes: int,
+    train_rows: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic IVF-PQ quantizer training: id-ordered bounded
+    sample, fixed-init cosine k-means for the coarse cells, fixed-init
+    L2 k-means per subspace over the RESIDUALS.  Returns ``(C,
+    codebooks)`` with shapes ``(n_centroids, dim)`` / ``(m, k, sub)``."""
+    sample = (
+        corpus_df.select(id_col, vec_col).orderBy(id_col).limit(train_rows).collect()
+    )
+    train = np.array([list(r[1]) for r in sample], dtype="float64")
+    # guard BEFORE normalizing: axis=1 on an empty/0-d array raises
+    # numpy AxisError instead of this intended error (round-6 ADVICE)
+    if train.ndim != 2 or len(train) == 0:
+        raise ValueError("ivf_pq_topk requires a non-empty corpus sample")
+    train = train / np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-12)
+    dim = train.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    sub = dim // m_subspaces
+    C = _kmeans_cosine(train, n_centroids)  # (ncells, dim), unit rows
+    resid = train - C[(train @ C.T).argmax(axis=1)]
+    codebooks = np.stack(
+        [
+            _kmeans_l2(resid[:, m * sub : (m + 1) * sub], n_codes)
+            for m in range(m_subspaces)
+        ]
+    )  # (M, K, sub)
+    return C, codebooks
+
+
+#: on-disk format version of the persisted ANN quantizer sidecar
+_ANN_FORMAT_VERSION = 1
+_ANN_META_NAME = "_ann_meta.json"
+
+
+def save_ann_index(
+    corpus_df: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    train_rows: int = 512,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Train IVF-PQ quantizers once and persist them as a versioned
+    sidecar dataset (round-6 verdict item 7: the metadata index's
+    build-once/read-many discipline, applied to the ANN family).
+
+    Layout: ``path/quantizers`` is a tiny parquet dataset of tagged rows
+    — ``(kind='centroid', i=cell, j=0, vec)`` and ``(kind='code', i=m,
+    j=code, vec)`` — plus ``path/_ann_meta.json`` recording the format
+    version and training parameters, so a loader can validate before
+    trusting the artifact (the q09e snapshot-manifest discipline).  The
+    whole artifact is a few KB: ``n_centroids·dim + m·k·sub`` doubles.
+    Returns the loaded index dict (same shape as :func:`load_ann_index`).
+    """
+    import json
+
+    spark = corpus_df.sparkSession
+    C, codebooks = _train_ivf_pq(
+        corpus_df,
+        n_centroids=n_centroids,
+        m_subspaces=m_subspaces,
+        n_codes=n_codes,
+        train_rows=train_rows,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    rows = [
+        ("centroid", int(i), 0, [float(x) for x in C[i]])
+        for i in range(len(C))
+    ] + [
+        ("code", int(m), int(j), [float(x) for x in codebooks[m, j]])
+        for m in range(codebooks.shape[0])
+        for j in range(codebooks.shape[1])
+    ]
+    spark.createDataFrame(
+        rows, "kind string, i int, j int, vec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "quantizers")
+    )
+    meta = {
+        "format_version": _ANN_FORMAT_VERSION,
+        "n_centroids": n_centroids,
+        "m_subspaces": m_subspaces,
+        "n_codes": n_codes,
+        "sub_dim": int(codebooks.shape[2]),
+        "dim": int(C.shape[1]),
+        "train_rows": train_rows,
+    }
+    tmp = os.path.join(path, _ANN_META_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, _ANN_META_NAME))
+    return {"centroids": C, "codebooks": codebooks, "meta": meta}
+
+
+def load_ann_index(spark, path: str) -> dict:
+    """Load a persisted IVF-PQ quantizer sidecar written by
+    :func:`save_ann_index`; validates the format version and declared
+    shapes before returning ``{"centroids", "codebooks", "meta"}``.
+
+    The read is one bounded collect of ``n_centroids + m·k`` rows (a few
+    hundred) — never a recompute: no corpus scan, no k-means, no
+    training jobs.  Doubles round-trip parquet exactly, so a query over
+    the loaded index is bit-identical to one over the in-memory
+    quantizers it was saved from (tested)."""
+    import json
+
+    with open(os.path.join(path, _ANN_META_NAME)) as f:
+        meta = json.load(f)
+    if meta.get("format_version") != _ANN_FORMAT_VERSION:
+        raise ValueError(
+            f"unsupported ANN index format_version {meta.get('format_version')}"
+            f" at {path} (supported: {_ANN_FORMAT_VERSION})"
+        )
+    rows = spark.read.parquet(os.path.join(path, "quantizers")).collect()
+    C = np.zeros((meta["n_centroids"], meta["dim"]), dtype="float64")
+    codebooks = np.zeros(
+        (meta["m_subspaces"], meta["n_codes"], meta["sub_dim"]), dtype="float64"
+    )
+    seen_c, seen_k = 0, 0
+    for r in rows:
+        if r["kind"] == "centroid":
+            C[r["i"]] = r["vec"]
+            seen_c += 1
+        else:
+            codebooks[r["i"], r["j"]] = r["vec"]
+            seen_k += 1
+    if seen_c != meta["n_centroids"] or seen_k != (
+        meta["m_subspaces"] * meta["n_codes"]
+    ):
+        raise ValueError(
+            f"ANN index at {path} is torn: {seen_c} centroid rows / "
+            f"{seen_k} code rows vs declared {meta['n_centroids']} / "
+            f"{meta['m_subspaces'] * meta['n_codes']}"
+        )
+    return {"centroids": C, "codebooks": codebooks, "meta": meta}
+
+
 def ivf_pq_topk(
     corpus_df: DataFrame,
     queries_df: DataFrame,
@@ -635,6 +789,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    ann_index: dict | None = None,
 ) -> DataFrame:
     """IVF-PQ: the production ANN shape at 100 TB (round-5 verdict item
     8) — ``ivf_topk``'s deterministic coarse cells composed with
@@ -657,27 +812,36 @@ def ivf_pq_topk(
     re-score) — the registered driver query runs there so the whole
     pipeline is hash-checkable; realistic settings are recall-tested in
     tests/test_llm.py.  Determinism: id-ordered bounded training sample,
-    fixed-init k-means for both quantizers."""
+    fixed-init k-means for both quantizers.
+
+    ``ann_index`` (from :func:`load_ann_index`) supplies pre-trained
+    coarse centroids + residual codebooks and skips training entirely —
+    the build-once/read-many contract (round-6 verdict item 7): at
+    100 TB the quantizers are a versioned sidecar artifact, not a
+    per-query recompute."""
     spark = corpus_df.sparkSession
-    sample = (
-        corpus_df.select(id_col, vec_col).orderBy(id_col).limit(train_rows).collect()
-    )
-    train = np.array([list(r[1]) for r in sample], dtype="float64")
-    train = train / np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-12)
-    if train.ndim != 2 or len(train) == 0:
-        raise ValueError("ivf_pq_topk requires a non-empty corpus sample")
-    dim = train.shape[1]
-    if dim % m_subspaces:
-        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
-    sub = dim // m_subspaces
-    C = _kmeans_cosine(train, n_centroids)  # (ncells, dim), unit rows
-    resid = train - C[(train @ C.T).argmax(axis=1)]
-    codebooks = np.stack(
-        [
-            _kmeans_l2(resid[:, m * sub : (m + 1) * sub], n_codes)
-            for m in range(m_subspaces)
-        ]
-    )  # (M, K, sub)
+    if ann_index is not None:
+        C = ann_index["centroids"]
+        codebooks = ann_index["codebooks"]
+        if len(C) != n_centroids or codebooks.shape[:2] != (m_subspaces, n_codes):
+            raise ValueError(
+                "ann_index shape mismatch: index has "
+                f"{len(C)} centroids / {codebooks.shape[0]}x"
+                f"{codebooks.shape[1]} codebooks, query asked for "
+                f"{n_centroids} / {m_subspaces}x{n_codes}"
+            )
+        m_subspaces, sub = codebooks.shape[0], codebooks.shape[2]
+    else:
+        C, codebooks = _train_ivf_pq(
+            corpus_df,
+            n_centroids=n_centroids,
+            m_subspaces=m_subspaces,
+            n_codes=n_codes,
+            train_rows=train_rows,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        sub = codebooks.shape[2]
     bC = spark.sparkContext.broadcast(C)
     bCB = spark.sparkContext.broadcast(codebooks)
 

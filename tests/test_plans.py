@@ -872,6 +872,23 @@ def test_ivf_pq_codes_never_shuffle(spark):
     assert "assign_encode" in lines[scan_i + 1], plan
 
 
+def test_ivf_pq_persisted_same_plan_shape(spark):
+    """Q92g: swapping the trained quantizers for the persisted sidecar
+    must not change the execution plan — the quantizer load is a bounded
+    driver-side read BEFORE the plan is built (never a per-row lookup or
+    an extra join), so the query plan is exactly q92f's: two chained
+    MapInPandas over two corpus scans, two hash exchanges, two
+    broadcasts, and NO scan of the quantizer sidecar inside the plan."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q92g_ivf_pq_persisted"].fn(spark, SF_DIR))
+    assert plan.count("MapInPandas") == 2, plan
+    assert plan.count("Scan parquet") == 2, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("BroadcastExchange") == 2, plan
+    assert "annidx" not in plan, plan  # sidecar never scanned at query time
+
+
 def test_pagerank_outdeg_not_broadcast(spark):
     """Q130 (round-5 verdict item 2): the out-degree table has one row per
     distinct source node — O(nodes) — so it must NEVER feed a
