@@ -114,6 +114,15 @@ HEADLINE = [
     "q138_curriculum_schedule",
     "q103b_chunk_with_overlap",
     "q116c_interval_overlap_join",
+    # round 7 additions: bounded-round k-core peeling, Misra-Gries
+    # heavy hitters with exact recount, symmetric-delete fuzzy linkage,
+    # integer-quantized BM25, skyline sweep, co-occurrence pair mining
+    "q140_kcore_decomposition",
+    "q141_heavy_hitters",
+    "q142_symdelete_join",
+    "q143_bm25_topk",
+    "q144_skyline",
+    "q147_copurchase_pairs",
 ]
 
 META_ROW_GROUPS = 200

@@ -21,6 +21,7 @@ from palletjack_spark.queries import (  # noqa: F401,E402
     llm_ops,
     streaming_queries,
     analytics,
+    retrieval,
 )
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

@@ -1038,3 +1038,44 @@ def q09f(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.o_totalprice").alias("new_price"),
         )
     )
+
+
+@query(
+    "q08c_binaryfile_source",
+    # the correctness gate always pairs oracles with sf0.01 (driver
+    # contract), so the raw-file glob pins that fixture explicitly —
+    # read_blob has no table-view indirection to ride on
+    oracle="""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           CAST(size AS BIGINT) AS length,
+           md5(hex(content)) AS content_md5
+    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    """,
+)
+def q08c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary-file source [north-star util]: ingest a directory of
+    raw files as (name, length, fingerprint) rows via Spark's built-in
+    ``binaryFile`` source — the front door of every multimodal pipeline
+    (images/audio/video land as bytes FIRST; the q94 codec family then
+    decodes them).  The source is distributed and streaming-capable
+    (same DataSource V2 listing as parquet: one task per file, no driver
+    materialization of content), and the fingerprint is computed
+    executor-side so the driver never sees the bytes.
+
+    Fingerprint portability: Spark md5 hashes raw bytes but DuckDB's
+    md5 only accepts VARCHAR (its BLOB→VARCHAR cast escapes
+    non-printable bytes, corrupting the digest), so both engines hash
+    the UPPERCASE HEX of the content — hex() agrees byte-for-byte
+    across the engines and keeps the oracle exact.  The oracle's
+    ``read_blob`` glob reads the same files; paths normalize to
+    basenames on both sides."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+    )
+    return df.select(
+        F.regexp_extract(F.col("path"), "([^/]+)$", 1).alias("file_name"),
+        F.col("length").cast("long").alias("length"),
+        F.md5(F.hex(F.col("content"))).alias("content_md5"),
+    )

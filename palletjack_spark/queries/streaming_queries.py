@@ -173,6 +173,51 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q77b_stream_outer_join",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_id AS click_id, user_id AS cu, ts AS cts
+      FROM {_E} e WHERE event_type = 'click'),
+    v AS (
+      SELECT event_id AS view_id, user_id AS vu, ts AS vts
+      FROM {_E} e WHERE event_type = 'view'),
+    wm AS (
+      SELECT LEAST((SELECT MAX(cts) FROM c), (SELECT MAX(vts) FROM v))
+               - INTERVAL 10 MINUTE AS w),
+    j AS (
+      SELECT c.click_id, v.view_id, c.cu, c.cts, v.vts
+      FROM c LEFT JOIN v
+        ON cu = vu AND vts >= cts AND vts <= cts + INTERVAL 10 MINUTE)
+    SELECT click_id, view_id, cu AS user_id,
+           cts AS click_ts, vts AS view_ts
+    FROM j, wm
+    WHERE view_id IS NOT NULL OR cts + INTERVAL 10 MINUTE <= w
+    """,
+)
+def q77b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join [north-star]: q77's
+    click⋈view join, but every click with NO view inside its 10-minute
+    window is also emitted, null-padded, once the window provably closes
+    — the shape behind "send a nudge if the user didn't follow up".
+
+    Outer emission timing is watermark-determined, and the oracle
+    encodes it EXACTLY (not approximately): matched pairs emit eagerly
+    (≡ the inner join), and an unmatched click emits iff its window end
+    is at or below the final query watermark
+    ``least(max(click_ts), max(view_ts)) - 10min`` — the MIN-combined
+    two-input watermark Structured Streaming itself maintains.  A
+    trailing click whose window never closes is withheld by BOTH the
+    stream and the oracle, so the replayed availableNow run equals the
+    SQL row-for-row (verified: 6 matched + 1999 closed at sf0.01, with
+    exactly one open click withheld).  State stays bounded by the
+    10-minute window on both sides, identical to q77."""
+    return run_stream_to_table(
+        click_view_stream_join(events_stream(spark, sf_dir), "leftOuter"),
+        "append",
+    )
+
+
+@query(
     "q76_custom_stateful",
     oracle=f"""
     SELECT user_id, COUNT(*) AS n_events,

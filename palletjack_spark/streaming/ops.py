@@ -190,12 +190,22 @@ def running_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
-def click_view_stream_join(events: DataFrame) -> DataFrame:
-    """Q77: stream-stream interval join — clicks matched to the same user's
-    views within the following 10 minutes.  Both sides carry watermarks, so
-    join state is bounded: a buffered click can be evicted once the view
-    watermark passes its 10-minute window (the property that makes
-    stream-stream joins feasible at unbounded input)."""
+def click_view_stream_join(events: DataFrame, how: str = "inner") -> DataFrame:
+    """Q77/Q77b: stream-stream interval join — clicks matched to the same
+    user's views within the following 10 minutes.  Both sides carry
+    watermarks, so join state is bounded: a buffered click can be evicted
+    once the view watermark passes its 10-minute window (the property that
+    makes stream-stream joins feasible at unbounded input).
+
+    ``how="leftOuter"`` (Q77b) additionally emits each unmatched click
+    exactly once, null-padded, WHEN its join window closes — i.e. when the
+    query watermark (the MIN of both sides' watermarks) passes
+    ``click_ts + 10 minutes``.  Matched pairs still emit eagerly.  That
+    timing rule is part of the declared semantics: the batch oracle is the
+    left interval join restricted to matched rows plus unmatched clicks
+    whose window closed under the FINAL watermark
+    ``least(max(click_ts), max(view_ts)) - 10 minutes`` — verified to
+    reproduce the streamed result row-for-row."""
     clicks = (
         events.where(F.col("event_type") == "click")
         .select(
@@ -219,6 +229,7 @@ def click_view_stream_join(events: DataFrame) -> DataFrame:
         (F.col("cu") == F.col("vu"))
         & (F.col("vts") >= F.col("cts"))
         & (F.col("vts") <= F.col("cts") + F.expr("INTERVAL 10 MINUTES")),
+        how,
     ).select(
         "click_id",
         "view_id",

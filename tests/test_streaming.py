@@ -224,3 +224,61 @@ def test_streaming_curation_dedups_across_batches(spark, tmp_path):
         streaming_curation_counts(stream), "complete"
     ).toPandas()
     assert out.set_index("source")["n_docs"].to_dict() == {"srcA": 2}
+
+
+def test_outer_stream_join_emits_closed_windows_only(spark):
+    """Q77b: the left-outer stream-stream join must emit every matched
+    pair plus each unmatched click whose 10-minute window closed under
+    the final min-combined watermark — and must WITHHOLD unmatched
+    clicks whose window is still open at end of stream (they may yet
+    match in a longer stream).  Verified against the batch left join
+    with the closure predicate applied."""
+    from palletjack_spark.streaming.ops import (
+        click_view_stream_join,
+        events_stream,
+        run_stream_to_table,
+        stage_events_us,
+    )
+
+    streamed = run_stream_to_table(
+        click_view_stream_join(events_stream(spark, SF_DIR), "leftOuter"),
+        "append",
+    ).toPandas()
+
+    ev = spark.read.parquet(stage_events_us(spark, SF_DIR))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").cast("timestamp").alias("cts"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("vu"),
+        F.col("ts").cast("timestamp").alias("vts"),
+    )
+    batch = clicks.join(
+        views,
+        (F.col("cu") == F.col("vu"))
+        & (F.col("vts") >= F.col("cts"))
+        & (F.col("vts") <= F.col("cts") + F.expr("INTERVAL 10 MINUTES")),
+        "leftOuter",
+    ).toPandas()
+    import pandas as _pd
+
+    wm = min(
+        batch["cts"].max(), views.agg(F.max("vts")).collect()[0][0]
+    ) - _pd.Timedelta(minutes=10)
+    matched = batch[batch.view_id.notna()]
+    closed = batch[
+        batch.view_id.isna()
+        & (batch.cts + _pd.Timedelta(minutes=10) <= wm)
+    ]
+    withheld = batch[
+        batch.view_id.isna()
+        & (batch.cts + _pd.Timedelta(minutes=10) > wm)
+    ]
+    assert len(streamed) == len(matched) + len(closed)
+    assert len(withheld) >= 1, "fixture must exercise the open-window case"
+    streamed_ids = set(streamed["click_id"])
+    assert set(withheld["click_id"]).isdisjoint(streamed_ids)
+    assert set(closed["click_id"]) <= streamed_ids
