@@ -235,6 +235,27 @@ def bench_catalog(spark) -> dict[str, float]:
     }
 
 
+def _steal_jiffies() -> tuple[int, int] | None:
+    """(steal, total) cumulative jiffies from /proc/stat — None where the
+    file is unavailable (non-Linux).  Steal is the hypervisor giving this
+    VM's vCPUs to a neighbor: it slows every PARALLEL Spark stage while
+    leaving the single-threaded pyarrow control probe untouched, so the
+    round-7 host episode (2-10x on multicore queries, quiet controls,
+    21.7% steal measured under load) was invisible to the existing
+    controls.  Sampled at every control point; the per-segment steal
+    fraction lands in the detail sidecar and the whole-run fraction on
+    the final line as ``meta_host_steal_pct`` — the machine-readable
+    "the host was being robbed" signal a floor warning should be read
+    against."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        return vals[7] if len(vals) > 7 else 0, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def _control_probe(path: str, calls: int = 20) -> float:
     """Interleaved host-load control (round-5 verdict item 1): average
     seconds/call for a pure-pyarrow full-footer parse — the BASELINE.md
@@ -707,10 +728,23 @@ def main() -> None:
     passes: dict[str, list[float]] = {}
     controls: dict[str, float] = {}
 
+    steal_samples: dict[str, tuple[int, int]] = {}
+
     def _take_control(tag: str) -> None:
         c = round(_control_probe(control_path), 6)
         controls[tag] = c
+        sj = _steal_jiffies()
+        if sj is not None:
+            steal_samples[tag] = sj
         print(f"# control[{tag}]: {c * 1000:.1f} ms/call", file=sys.stderr)
+
+    def _steal_pct(a: str, b: str) -> float | None:
+        """CPU-steal percentage between two control points — the
+        hypervisor-contention reading for that block of queries."""
+        if a not in steal_samples or b not in steal_samples:
+            return None
+        (s0, t0), (s1, t1) = steal_samples[a], steal_samples[b]
+        return round(100.0 * (s1 - s0) / max(1, t1 - t0), 2)
 
     _take_control("start")
     for qi, name in enumerate(HEADLINE):
@@ -792,8 +826,27 @@ def main() -> None:
         times[k] = round(v, 6)
         print(f"# {k}: {v:.3f} s", file=sys.stderr)
 
-    for warning in _check_floors(times, _load_floors(sf=sf)):
+    run_steal = _steal_pct("start", "end")
+    if run_steal is not None:
+        times["meta_host_steal_pct"] = run_steal
+    warnings = _check_floors(times, _load_floors(sf=sf))
+    for warning in warnings:
         print(warning, file=sys.stderr)
+    if warnings and run_steal is not None and run_steal >= 3.0:
+        print(
+            f"# NOTE: whole-run CPU steal was {run_steal:.1f}% — the floor "
+            "warnings above are most likely a hypervisor-contention episode "
+            "(parallel stages slow, single-thread controls quiet), not a "
+            "plan regression; re-run when meta_host_steal_pct drops under 1",
+            file=sys.stderr,
+        )
+
+    # per-block steal between consecutive control points, for the sidecar
+    ordered = [t for t in controls if t in steal_samples]
+    steal_blocks = {
+        f"{a}->{b}": _steal_pct(a, b)
+        for a, b in zip(ordered, ordered[1:])
+    }
 
     total = round(sum(times[q] for q in HEADLINE), 4)
     detail_name = _write_detail(
@@ -805,6 +858,7 @@ def main() -> None:
             "queries": times,
             "passes": passes,
             "controls": controls,
+            "steal_pct": steal_blocks,
         }
     )
     print(_final_line(total, sf, times, detail_name))

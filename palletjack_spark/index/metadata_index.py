@@ -88,7 +88,7 @@ FILES_SCHEMA = T.StructType(
 )
 
 #: predicate ops supported by stats pruning
-_PRUNE_OPS = {"<", "<=", ">", ">=", "=", "==", "between"}
+_PRUNE_OPS = {"<", "<=", ">", ">=", "=", "==", "between", "is_null", "not_null"}
 
 
 class LocalIndex:
@@ -493,9 +493,12 @@ class MetadataIndex:
         numeric values against min_num/max_num, ASCII string values
         against the lexicographic min_repr/max_repr (guarded by the
         ``stats_kind == 'text'`` tag so hex-of-binary reprs never
-        mis-compare).  A row group survives unless its stats prove no row
-        can match — missing stats keep the group (conservative, like
-        ParquetFilters)."""
+        mis-compare), and NULL predicates against the per-chunk
+        ``null_count`` (``is_null`` prunes groups whose chunk holds zero
+        nulls; ``not_null`` prunes all-null chunks via
+        ``null_count == num_rows``).  A row group survives unless its
+        stats prove no row can match — missing stats keep the group
+        (conservative, like ParquetFilters)."""
         text_ok = self._has_stats_kind()
         cond = F.lit(True)
         for col_name, op, *vals in predicate:
@@ -506,6 +509,22 @@ class MetadataIndex:
             st = F.get(
                 F.filter(F.col("columns"), lambda c: c["name"] == F.lit(col_name)), 0
             )
+            if op in ("is_null", "not_null"):
+                # a file that lacks the column reads as all-NULL, so a
+                # missing stat struct must KEEP for is_null and would be
+                # prunable for not_null — but distinguishing "column
+                # absent" from "pre-null_count sidecar" isn't possible
+                # here, so both stay conservative (keep).
+                nc = st["null_count"]
+                keep = (
+                    (nc > 0)
+                    if op == "is_null"
+                    else (nc < F.col("num_rows"))
+                )
+                cond = cond & F.when(
+                    st.isNotNull() & nc.isNotNull(), keep
+                ).otherwise(F.lit(True))
+                continue
             is_str = bool(vals) and isinstance(vals[0], str)
             if is_str and (
                 not all(self._text_prunable(x) for x in vals) or not text_ok
@@ -550,6 +569,19 @@ class MetadataIndex:
                 raise InvalidSelectionError(f"Unsupported prune op: {op}")
             st = next((c for c in rg["columns"] if c["name"] == col_name), None)
             if st is None:
+                continue
+            if op in ("is_null", "not_null"):
+                nc = st.get("null_count")
+                if nc is None:
+                    continue  # pre-null_count sidecar: keep
+                if op == "is_null" and nc == 0:
+                    return False
+                if (
+                    op == "not_null"
+                    and rg.get("num_rows") is not None
+                    and nc >= rg["num_rows"]
+                ):
+                    return False
                 continue
             if vals and isinstance(vals[0], str):
                 if not all(MetadataIndex._text_prunable(x) for x in vals):
@@ -773,4 +805,8 @@ class MetadataIndex:
                     df = df.where(c >= vals[0])
                 elif op == "between":
                     df = df.where(c.between(vals[0], vals[1]))
+                elif op == "is_null":
+                    df = df.where(c.isNull())
+                elif op == "not_null":
+                    df = df.where(c.isNotNull())
         return df

@@ -99,6 +99,11 @@ _TERM = re.compile(
 
 _FLIP = {">": "<", "<": ">", ">=": "<=", "<=": ">=", "=": "=", "==": "="}
 
+_NULL_TERM = re.compile(
+    r"^\(*\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s+IS\s+(?P<not>NOT\s+)?NULL\s*\)*$",
+    re.IGNORECASE,
+)
+
 #: the AND inside "x BETWEEN a AND b" is part of the term, not a conjunction
 _BETWEEN_SPAN = re.compile(
     r"\bBETWEEN\s+-?\d+(?:\.\d+)?\s+AND\b", re.IGNORECASE
@@ -133,7 +138,11 @@ def _split_conjuncts(text: str) -> list[str] | None:
                 return None
         elif depth <= 1 and upper[i : i + 4] == " OR ":
             return None
-        elif upper[i : i + 5] == " NOT " or upper.startswith("NOT ", i) and i == 0:
+        elif (
+            upper[i : i + 5] == " NOT " or upper.startswith("NOT ", i) and i == 0
+        ) and upper[i - 3 : i + 10] != " IS NOT NULL " and not upper.endswith(
+            " IS NOT NULL", 0, i + 9
+        ):
             return None
         elif depth <= 1 and upper[i : i + 5] == " AND " and not in_between(i + 1):
             parts.append(text[start:i])
@@ -181,8 +190,13 @@ def _parse_prefix(text: str) -> list[tuple] | None:
                 return None
             terms.extend(part)
         return terms or None
+    if op in ("isNull", "isnull", "isNotNull", "isnotnull"):
+        if len(args) != 1 or not _IDENT.match(args[0].strip()):
+            return None
+        kind = "is_null" if op.lower() == "isnull" else "not_null"
+        return [(args[0].strip(), kind)]
     if op not in _FLIP:
-        return None  # or/not/isnull/udf/... — not safely routable
+        return None  # or/not/udf/... — not safely routable
     if len(args) != 2:
         return None
     a, b = args[0].strip(), args[1].strip()
@@ -219,6 +233,12 @@ def parse_condition(condition) -> list[tuple] | None:
                 float(lo) if "." in lo else int(lo),
                 float(hi) if "." in hi else int(hi),
             ))
+            continue
+        n = _NULL_TERM.match(part.strip())
+        if n:
+            out.append(
+                (n.group("col"), "not_null" if n.group("not") else "is_null")
+            )
             continue
         m = _TERM.match(part.strip())
         if not m:

@@ -48,6 +48,10 @@ def _apply_predicate(df: DataFrame, predicate: Sequence[tuple]) -> DataFrame:
             df = df.where(c >= vals[0])
         elif op == "between":
             df = df.where(c.between(vals[0], vals[1]))
+        elif op == "is_null":
+            df = df.where(c.isNull())
+        elif op == "not_null":
+            df = df.where(c.isNotNull())
         else:
             raise ValueError(f"Unsupported predicate op: {op}")
     return df

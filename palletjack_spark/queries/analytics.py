@@ -1523,3 +1523,124 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("support"))
     )
     return pairs.orderBy(F.desc("support"), "s1", "s2").limit(100)
+
+
+@query(
+    "q126c_histogram_drift",
+    oracle=f"""
+    WITH e AS (SELECT event_type, ts_us FROM {_E}),
+    mid AS (
+      SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS tmid FROM e),
+    g AS (
+      SELECT event_type,
+             CAST(COUNT(*) FILTER (WHERE ts_us < tmid) AS BIGINT) AS cnt_a,
+             CAST(COUNT(*) FILTER (WHERE ts_us >= tmid) AS BIGINT) AS cnt_b
+      FROM e, mid GROUP BY event_type),
+    tot AS (
+      SELECT CAST(SUM(cnt_a) AS BIGINT) AS na,
+             CAST(SUM(cnt_b) AS BIGINT) AS nb FROM g)
+    SELECT event_type,
+           1000000 * cnt_a // na AS ppm_a,
+           1000000 * cnt_b // nb AS ppm_b,
+           ABS(1000000 * cnt_a // na - 1000000 * cnt_b // nb) AS drift_ppm
+    FROM g, tot
+    """,
+)
+def q126c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (Q126c): the event-type mix of the
+    first half of the time range vs the second, as parts-per-million
+    shares with an L1 drift score per class — the data-quality alarm
+    that catches a pipeline silently changing its input mix (the
+    practical core of PSI/KL monitors, in exact integers: log-based
+    scores are ulp-unstable across engines, per-class |Δppm| ranks
+    drift identically and hash-matches — the q135 ppm discipline).
+
+    One corpus scan: the split point is a (min+max)/2 global aggregate
+    (map-side partial, 1-row broadcast back — never a sort/median), the
+    class histogram is ONE conditional-count hash aggregate, and the
+    totals row is a second broadcast of the already-tiny class table.
+    At 100 TB: two 1-row broadcasts + one exchange on event_type."""
+    e = t(spark, sf_dir, "events").select("event_type", _ts_us())
+    mid = e.agg(
+        F.expr("CAST((min(ts_us) + max(ts_us)) div 2 AS BIGINT)").alias("tmid")
+    )
+    g = (
+        e.crossJoin(F.broadcast(mid))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("ts_us") < F.col("tmid"), 1)).alias("cnt_a"),
+            F.count(F.when(F.col("ts_us") >= F.col("tmid"), 1)).alias("cnt_b"),
+        )
+        .localCheckpoint()
+    )
+    tot = g.agg(
+        F.sum("cnt_a").cast("long").alias("na"),
+        F.sum("cnt_b").cast("long").alias("nb"),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        F.expr("1000000 * cnt_a div na").alias("ppm_a"),
+        F.expr("1000000 * cnt_b div nb").alias("ppm_b"),
+        F.expr(
+            "abs(1000000 * cnt_a div na - 1000000 * cnt_b div nb)"
+        ).alias("drift_ppm"),
+    )
+
+
+@query(
+    "q148_seasonal_baseline",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, event_type, value,
+             (ts_us // 3600000000) % 168 AS how
+      FROM {_E}),
+    base AS (
+      SELECT event_type, how,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS baseline
+      FROM e GROUP BY event_type, how)
+    SELECT e.event_id, e.event_type, e.how, e.value, base.baseline,
+           e.value - base.baseline AS deviation
+    FROM e JOIN base ON e.event_type = base.event_type AND e.how = base.how
+    ORDER BY ABS(e.value - base.baseline) DESC, e.event_id LIMIT 50
+    """,
+)
+def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection (Q148): each event's value
+    against the mean of its (event type, hour-of-week) cohort, top-50 by
+    absolute deviation — the "is this Tuesday-9am spike actually
+    abnormal for Tuesday 9am" monitor that a global z-score (q125)
+    cannot express.
+
+    Hour-of-week is epoch-aligned integer arithmetic
+    (``ts_us div 3600e6 mod 168`` — declared semantics; both engines
+    compute the identical bucket with no calendar/locale dependence).
+    Baselines are exact-decimal means (order-independent, q125b
+    discipline), deviations are single IEEE subtractions of identical
+    operands, and the top-50 carries the (|deviation|, event_id) total
+    order via TakeOrderedAndProject.  Scale shape: the 840-row baseline
+    grid (5 types × 168 hours) aggregates in one exchange and
+    BROADCASTS back onto the unshuffled event stream — the corpus is
+    read once and never re-partitioned."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", _ts_us()
+    ).withColumn("how", F.expr("(ts_us div 3600000000) % 168"))
+    base = e.groupBy("event_type", "how").agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("baseline")
+    )
+    return (
+        e.join(F.broadcast(base), ["event_type", "how"])
+        .select(
+            "event_id",
+            "event_type",
+            "how",
+            "value",
+            "baseline",
+            (F.col("value") - F.col("baseline")).alias("deviation"),
+        )
+        .orderBy(F.abs(F.col("deviation")).desc(), "event_id")
+        .limit(50)
+    )

@@ -2856,3 +2856,104 @@ def q124b(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").alias("pair_weight"),
     )
     return out1.unionByName(out2).orderBy("round")
+
+
+@query(
+    "q92h_filtered_ann",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+    ),
+    corpus AS (
+      SELECT c.vec_id, c.embedding FROM embeddings c
+      JOIN documents d ON c.vec_id = d.doc_id
+      WHERE d.lang = 'en'
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) /
+             sqrt(SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+             sqrt(SUM(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) AS cosine
+      FROM q, corpus c,
+           UNNEST(generate_series(1, len(c.embedding))) AS s(i)
+      WHERE c.vec_id != q.query_id
+      GROUP BY q.query_id, c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, ROUND(cosine, 4) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ROUND(cosine, 4) DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def q92h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (Q92h): top-k cosine neighbours among ONLY
+    the corpus vectors whose joined document satisfies a metadata
+    predicate (lang='en') — the retrieval shape every RAG/vector-store
+    deployment actually runs ("nearest English docs", "nearest docs from
+    this tenant").
+
+    PRE-filter semantics, which is the production-correct choice: the
+    metadata predicate joins into the corpus BEFORE scoring, so top-k is
+    exact under the filter.  (Post-filtering an unfiltered top-k loses
+    recall whenever fewer than k survivors remain — the classic filtered-
+    ANN failure mode — and can't be oracle-checked.)  The filter is a
+    broadcast semi-join of doc ids (metadata side is read column-pruned
+    to (doc_id, lang)); scoring reuses q92's brute-force GEMM kernel and
+    inherits its scale story, and the same ``ann_index`` IVF machinery
+    applies unchanged when the filter is coarse (cells are filter-
+    agnostic; only the scanned lists shrink)."""
+    from palletjack_spark.functions.similarity import cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    docs = t(spark, sf_dir, "documents").where(F.col("lang") == "en").select(
+        F.col("doc_id").alias("vec_id")
+    )
+    corpus = emb.join(F.broadcast(docs), "vec_id", "leftsemi")
+    queries = emb.where(F.col("vec_id") < 5)
+    return cosine_topk(corpus, queries, k=10)
+
+
+@query(
+    "q123b_phrase_search",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_occurrences
+      FROM toks, UNNEST(generate_series(1, len(l) - 1)) AS s(i)
+      WHERE l[i] = 'hash' AND l[i + 1] = 'join'
+      GROUP BY doc_id)
+    SELECT doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences FROM hits
+    """,
+)
+def q123b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search (Q123b): documents containing the exact
+    adjacent-token phrase "hash join", with occurrence counts — the
+    positional-postings intersection behind every quoted-phrase query,
+    run as relational ops over q123's inverted-index building blocks.
+
+    Plan shape is the IR-textbook one: tokens posexplode WITH positions,
+    the term filter (token ∈ {hash, join}) cuts the stream to matching
+    postings BEFORE any exchange (the q143 posting-scan discipline), and
+    the phrase constraint is an equi-join on (doc_id, position+1) —
+    positions meet as hash-join keys, never a per-doc scan loop.  At
+    100 TB the joined volume is O(postings of the rarer term), exactly
+    like a real positional index; a k-word phrase chains k-1 such joins.
+    Occurrence counts are exact integers."""
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    first = toks.where(F.col("tok") == "hash").select(
+        "doc_id", F.col("pos").alias("p1")
+    )
+    second = toks.where(F.col("tok") == "join").select(
+        "doc_id", (F.col("pos") - 1).alias("p1")
+    )
+    return (
+        first.join(second, ["doc_id", "p1"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_occurrences"))
+    )

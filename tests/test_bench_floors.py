@@ -138,3 +138,21 @@ def test_committed_floors_cover_the_regression_block():
         floors,
     )
     assert len(warnings) == 3
+
+
+def test_steal_jiffies_readable_on_linux():
+    """The /proc/stat sampler returns (steal, total) with total
+    monotonically increasing — the host-contention control the round-7
+    steal episode (2-10x on parallel stages, quiet single-thread
+    controls, 21.7% measured steal) motivated."""
+    b = _bench()
+    s1 = b._steal_jiffies()
+    if s1 is None:  # non-Linux
+        return
+    steal, total = s1
+    assert steal >= 0 and total > 0
+    import time
+
+    time.sleep(0.05)
+    s2 = b._steal_jiffies()
+    assert s2[1] >= total

@@ -899,3 +899,42 @@ def test_bucketed_catalog_unknown_file_errors(spark, tmp_path):
         idx.read(files=[f"{data}/missing.parquet"], row_groups=[0]).count()
     with pytest.raises(InvalidSelectionError, match="out of range"):
         idx.read(row_groups=[99]).count()
+
+
+def test_null_count_pruning(spark, tmp_path):
+    """is_null / not_null predicates prune on the per-chunk null_count:
+    a row group with zero nulls is skipped for IS NULL, an all-null row
+    group is skipped for IS NOT NULL, and reads equal the native
+    filtered scan either way."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from palletjack_spark.index.builder import build_index
+
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    # rg0: no nulls; rg1: mixed; rg2: all null  (row_group_size=50)
+    v = list(range(50)) + [None if i % 2 else 100 + i for i in range(50)] + [None] * 50
+    k = list(range(150))
+    pq.write_table(
+        pa.table({"k": pa.array(k, type=pa.int64()), "v": pa.array(v, type=pa.int64())}),
+        f"{data}/part.parquet",
+        row_group_size=50,
+    )
+    idx = build_index(spark, data)
+
+    assert idx.prune(predicate=[("v", "is_null")]).count() == 2  # rg1, rg2
+    assert idx.prune(predicate=[("v", "not_null")]).count() == 2  # rg0, rg1
+
+    native = spark.read.parquet(f"{data}/part.parquet")
+    got = sorted(r["k"] for r in idx.read(predicate=[("v", "is_null")]).collect())
+    want = sorted(r["k"] for r in native.where("v IS NULL").collect())
+    assert got == want and len(got) == 75
+    got = sorted(r["k"] for r in idx.read(predicate=[("v", "not_null")]).collect())
+    want = sorted(r["k"] for r in native.where("v IS NOT NULL").collect())
+    assert got == want and len(got) == 75
+    # combined with a stats predicate: nulls never satisfy v >= 100, and
+    # the conjunction prunes to the single mixed row group
+    assert (
+        idx.prune(predicate=[("v", "not_null"), ("v", ">=", 100)]).count() == 1
+    )

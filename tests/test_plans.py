@@ -1154,3 +1154,66 @@ def test_copurchase_degree_cap_not_broadcast(spark):
     assert "BroadcastExchange" not in plan, plan
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_filtered_ann_prefilter_semi_join_pruned_metadata_scan(spark):
+    """Q92h: the metadata predicate joins into the corpus as a broadcast
+    LEFT SEMI before scoring (pre-filter semantics), the documents scan
+    is column-pruned to (doc_id, lang), and scoring is the same single
+    MapInPandas GEMM kernel as q92."""
+    from palletjack_spark.queries import REGISTRY
+
+    df = REGISTRY["q92h_filtered_ann"].fn(spark, SF_DIR)
+    plan = _simple_plan(df)
+    assert plan.count("BroadcastHashJoin") == 1 and "LeftSemi" in plan, plan
+    assert plan.count("MapInPandas") == 1, plan
+    full = _plan(df)
+    doc_schema = [
+        seg.splitlines()[0]
+        for seg in full.split("ReadSchema: ")[1:]
+        if "lang" in seg.splitlines()[0]
+    ]
+    assert doc_schema and all("text" not in s for s in doc_schema), doc_schema
+
+
+def test_phrase_search_positions_meet_in_equi_join(spark):
+    """Q123b: the phrase constraint is an equality join on
+    (doc_id, position) over term-filtered postings — never a cartesian
+    or nested loop over documents."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q123b_phrase_search"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    joins = (
+        plan.count("BroadcastHashJoin")
+        + plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+    )
+    assert joins == 1, plan
+    assert plan.count("Generate") == 2, plan
+
+
+def test_histogram_drift_fully_prematerialized(spark):
+    """Q126c: the returned plan reads the materialized class histogram
+    plus one broadcast totals row — zero exchanges, zero scans; the
+    corpus was touched exactly once inside the checkpointed subtree."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q126c_histogram_drift"].fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "Scan parquet" not in plan, plan
+
+
+def test_seasonal_baseline_broadcast_grid_topk(spark):
+    """Q148: the 840-row baseline grid broadcasts back onto the event
+    stream (no shuffle of the corpus beyond the grid aggregate) and the
+    top-50 runs as TakeOrderedAndProject, not a global sort."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q148_seasonal_baseline"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan

@@ -84,7 +84,14 @@ def test_parse_condition_subset(spark):
     assert parse_condition("NOT a > 5") is None
     assert parse_condition("name = 'x'") is None
     assert parse_condition("a + b > 5") is None
-    assert parse_condition(F.col("x").isNull()) is None
+    # NULL predicates route since null_count pruning landed (round 7)
+    assert parse_condition(F.col("x").isNull()) == [("x", "is_null")]
+    assert parse_condition(F.col("x").isNotNull()) == [("x", "not_null")]
+    assert parse_condition("x IS NULL") == [("x", "is_null")]
+    assert parse_condition("x IS NOT NULL AND y > 2") == [
+        ("x", "not_null"), ("y", ">", 2)
+    ]
+    assert parse_condition("NOT (x IS NULL)") is None
 
 
 def test_selective_filter_reroutes_through_index(spark, sorted_lineitem):
@@ -236,3 +243,23 @@ def test_between_routes(spark, sorted_lineitem):
     finally:
         enable_auto_routing()
     assert routed.count() == expect > 0
+
+
+def test_null_predicate_routes_with_identical_results(spark, sorted_lineitem):
+    """IS NULL / IS NOT NULL conditions route through the index's
+    null_count pruning (round-7 addition) with results identical to the
+    native scan — including the all-rows IS NOT NULL case and the
+    empty IS NULL case on a null-free fixture."""
+    routed_nn = spark.read.parquet(sorted_lineitem).where(
+        "l_orderkey IS NOT NULL"
+    )
+    routed_n = spark.read.parquet(sorted_lineitem).where("l_orderkey IS NULL")
+    disable_auto_routing()
+    try:
+        native = spark.read.parquet(sorted_lineitem)
+        want_nn = native.where("l_orderkey IS NOT NULL").count()
+        want_n = native.where("l_orderkey IS NULL").count()
+    finally:
+        enable_auto_routing()
+    assert routed_nn.count() == want_nn > 0
+    assert routed_n.count() == want_n == 0
