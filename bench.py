@@ -256,6 +256,30 @@ def _steal_jiffies() -> tuple[int, int] | None:
         return None
 
 
+def _membw_probe(mb: int = 256, iters: int = 3) -> float:
+    """Effective single-thread memory bandwidth in GB/s (numpy copy of an
+    LLC-busting buffer, best of ``iters``).  The third host-health axis:
+    a co-tenant hammering the shared LLC/DRAM slows every 32-thread
+    Spark stage 1.5-2x while showing ZERO steal and a quiet CPU-bound
+    footer probe (round-7 episode: q30_hash_agg — untouched since round
+    3 — at 1.9x floor with steal 0.02% and control ratio 0.90).
+    Reported as ``meta_host_membw_gbs``; read floor warnings against
+    it."""
+    import numpy as np
+
+    a = np.empty(mb * 131072, dtype=np.float64)  # mb MiB
+    a[:] = 1.0
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        b = a.copy()
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        del b
+    # copy reads + writes the buffer once each
+    return round(2 * a.nbytes / best / 1e9, 2)
+
+
 def _control_probe(path: str, calls: int = 20) -> float:
     """Interleaved host-load control (round-5 verdict item 1): average
     seconds/call for a pure-pyarrow full-footer parse — the BASELINE.md
@@ -729,6 +753,7 @@ def main() -> None:
     controls: dict[str, float] = {}
 
     steal_samples: dict[str, tuple[int, int]] = {}
+    membw: dict[str, float] = {}
 
     def _take_control(tag: str) -> None:
         c = round(_control_probe(control_path), 6)
@@ -736,7 +761,12 @@ def main() -> None:
         sj = _steal_jiffies()
         if sj is not None:
             steal_samples[tag] = sj
-        print(f"# control[{tag}]: {c * 1000:.1f} ms/call", file=sys.stderr)
+        membw[tag] = _membw_probe()
+        print(
+            f"# control[{tag}]: {c * 1000:.1f} ms/call, "
+            f"membw {membw[tag]:.1f} GB/s",
+            file=sys.stderr,
+        )
 
     def _steal_pct(a: str, b: str) -> float | None:
         """CPU-steal percentage between two control points — the
@@ -829,6 +859,8 @@ def main() -> None:
     run_steal = _steal_pct("start", "end")
     if run_steal is not None:
         times["meta_host_steal_pct"] = run_steal
+    if membw:
+        times["meta_host_membw_gbs"] = min(membw.values())
     warnings = _check_floors(times, _load_floors(sf=sf))
     for warning in warnings:
         print(warning, file=sys.stderr)
@@ -838,6 +870,15 @@ def main() -> None:
             "warnings above are most likely a hypervisor-contention episode "
             "(parallel stages slow, single-thread controls quiet), not a "
             "plan regression; re-run when meta_host_steal_pct drops under 1",
+            file=sys.stderr,
+        )
+    if warnings and membw and min(membw.values()) < 10.0:
+        print(
+            f"# NOTE: host memory bandwidth sagged to "
+            f"{min(membw.values()):.1f} GB/s during the run — shared-LLC/"
+            "DRAM contention from a co-tenant slows parallel stages with "
+            "zero steal and quiet CPU probes; read the floor warnings "
+            "against meta_host_membw_gbs before calling a regression",
             file=sys.stderr,
         )
 
@@ -859,6 +900,7 @@ def main() -> None:
             "passes": passes,
             "controls": controls,
             "steal_pct": steal_blocks,
+            "membw_gbs": membw,
         }
     )
     print(_final_line(total, sf, times, detail_name))

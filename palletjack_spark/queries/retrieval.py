@@ -156,7 +156,6 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(rows × avg_len) small keys instead of comparing O(rows²) pairs;
     both engines compute the identical unit-cost Levenshtein metric."""
     sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    pos = F.col("s_suppkey") % F.length("s_name")
     dirty = sup.select(
         F.col("s_suppkey").alias("dirty_key"),
         F.concat(

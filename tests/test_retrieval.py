@@ -130,3 +130,28 @@ def test_bm25_integer_bounds():
     worst = idf_max * num * 1000
     assert worst < (1 << 63) - 1
     assert dl > 0
+
+
+def test_deletion_signature_candidates_subquadratic():
+    """The q142 scale claim in numbers: on realistic distinct strings the
+    signature join's candidate-pair count stays near-linear in n — it is
+    the quadratic cross join (n²/2 pairs) that the operator avoids.
+    Pure-Python mirror of the join (dict-bucket by signature)."""
+    import random
+
+    rng = random.Random(7)
+    n = 5000
+    strings = {
+        "".join(rng.choice("abcdefgh") for _ in range(12)) for _ in range(n)
+    }
+    buckets: dict[str, list[str]] = {}
+    for s in strings:
+        for sig in _d1(s):
+            buckets.setdefault(sig, []).append(s)
+    pairs = set()
+    for members in buckets.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pairs.add((min(members[i], members[j]), max(members[i], members[j])))
+    n = len(strings)
+    assert len(pairs) < 10 * n, (len(pairs), n * (n - 1) // 2)
