@@ -251,7 +251,10 @@ def _steal_jiffies() -> tuple[int, int] | None:
         with open("/proc/stat") as f:
             parts = f.readline().split()[1:]
         vals = [int(x) for x in parts]
-        return vals[7] if len(vals) > 7 else 0, sum(vals)
+        # guest/guest_nice (fields 9-10) are already included in
+        # user/nice on Linux — summing them double-counts and deflates
+        # the steal percentage (round-7 review)
+        return vals[7] if len(vals) > 7 else 0, sum(vals[:8])
     except (OSError, ValueError, IndexError):
         return None
 
@@ -406,30 +409,20 @@ def _final_line(
         for k, v in sorted(times.items())
         if k.startswith("meta_") or k.startswith("sweep_")
     }
-    line = json.dumps(
-        {
-            "metric": "headline_queries_wall",
-            "value": total,
-            "unit": "sec",
-            "sf": sf,
-            "meta": meta,
-            "detail": detail,
-        },
-        separators=(",", ":"),
-    )
+    payload = {
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "meta": meta,
+        "detail": detail,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
     if len(line) > FINAL_LINE_MAX:  # drop sweeps first, then give up
-        meta = {k: v for k, v in meta.items() if k.startswith("meta_")}
-        line = json.dumps(
-            {
-                "metric": "headline_queries_wall",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "meta": meta,
-                "detail": detail,
-            },
-            separators=(",", ":"),
-        )
+        payload["meta"] = {
+            k: v for k, v in meta.items() if k.startswith("meta_")
+        }
+        line = json.dumps(payload, separators=(",", ":"))
     return line
 
 

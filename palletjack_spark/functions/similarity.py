@@ -830,6 +830,17 @@ def ivf_pq_topk(
                 f"{codebooks.shape[1]} codebooks, query asked for "
                 f"{n_centroids} / {m_subspaces}x{n_codes}"
             )
+        # dimension check (round-7 review): a sidecar trained on
+        # different-dim embeddings passes the count checks above and
+        # would otherwise die as an opaque executor-side numpy shape
+        # error inside assign_encode.  One bounded 1-row job.
+        row = corpus_df.select(F.size(vec_col).alias("d")).limit(1).collect()
+        if row and row[0]["d"] != C.shape[1]:
+            raise ValueError(
+                f"ann_index dimension mismatch: index trained on "
+                f"{C.shape[1]}-dim vectors, corpus '{vec_col}' is "
+                f"{row[0]['d']}-dim"
+            )
         m_subspaces, sub = codebooks.shape[0], codebooks.shape[2]
     else:
         C, codebooks = _train_ivf_pq(

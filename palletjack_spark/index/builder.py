@@ -375,8 +375,15 @@ def build_index(
         # (palletjack.cc:656-678).  The sidecar signature (directory
         # mtimes) invalidates on any append/rewrite.
         inc_key = ("inc", index_dir, _sidecar_sig(index_dir)) + cache_key
-        if use_cache and inc_key in _INDEX_CACHE:
-            return _INDEX_CACHE[inc_key]
+        # NOTE deliberately NO memo short-circuit here: the memo key covers
+        # the sidecar files and the CANDIDATE data files, but a data file
+        # elsewhere in the catalog can be rewritten in place without
+        # touching either, and a memo hit would skip the reconciliation
+        # probes and serve stale stats (round-7 review finding, confirmed
+        # by repro: build [A,B] → incremental(A) → rewrite B →
+        # incremental(A) returned the stale index).  The probes below are
+        # two bounded executor-side jobs; the memo only skips the final
+        # load_index once they come back clean.
         # ONE probe job for the whole candidate list — hoisted out of the
         # filter (a per-file probe inside the comprehension re-ran the
         # broadcast semi-join O(files) times: 400 s at the 1k-file catalog
@@ -394,6 +401,8 @@ def build_index(
                 spark, files, drop, index_dir, catalog_buckets
             )
         if not files:
+            if use_cache and inc_key in _INDEX_CACHE:
+                return _INDEX_CACHE[inc_key]
             idx = load_index(spark, index_dir)
             if use_cache:
                 _INDEX_CACHE[inc_key] = idx

@@ -140,9 +140,9 @@ def _split_conjuncts(text: str) -> list[str] | None:
             return None
         elif (
             upper[i : i + 5] == " NOT " or upper.startswith("NOT ", i) and i == 0
-        ) and upper[i - 3 : i + 10] != " IS NOT NULL " and not upper.endswith(
-            " IS NOT NULL", 0, i + 9
-        ):
+        ) and (i < 3 or upper[i - 3 : i + 9] != " IS NOT NULL"):
+            # the NOT inside "x IS NOT NULL" is a null predicate, not a
+            # boolean negation; any other NOT stays unroutable
             return None
         elif depth <= 1 and upper[i : i + 5] == " AND " and not in_between(i + 1):
             parts.append(text[start:i])

@@ -1537,8 +1537,8 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) FILTER (WHERE ts_us >= tmid) AS BIGINT) AS cnt_b
       FROM e, mid GROUP BY event_type),
     tot AS (
-      SELECT CAST(SUM(cnt_a) AS BIGINT) AS na,
-             CAST(SUM(cnt_b) AS BIGINT) AS nb FROM g)
+      SELECT GREATEST(CAST(SUM(cnt_a) AS BIGINT), 1) AS na,
+             GREATEST(CAST(SUM(cnt_b) AS BIGINT), 1) AS nb FROM g)
     SELECT event_type,
            1000000 * cnt_a // na AS ppm_a,
            1000000 * cnt_b // nb AS ppm_b,
@@ -1573,9 +1573,13 @@ def q126c(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+    # GREATEST(..., 1): a degenerate corpus where every event shares one
+    # timestamp makes one half empty — Spark div would yield NULL rows
+    # while DuckDB // errors, so the declared semantics clamp the
+    # denominator (ppm of an empty half is 0 for every class anyway)
     tot = g.agg(
-        F.sum("cnt_a").cast("long").alias("na"),
-        F.sum("cnt_b").cast("long").alias("nb"),
+        F.greatest(F.sum("cnt_a").cast("long"), F.lit(1)).alias("na"),
+        F.greatest(F.sum("cnt_b").cast("long"), F.lit(1)).alias("nb"),
     )
     return g.crossJoin(F.broadcast(tot)).select(
         "event_type",

@@ -938,3 +938,40 @@ def test_null_count_pruning(spark, tmp_path):
     assert (
         idx.prune(predicate=[("v", "not_null"), ("v", ">=", 100)]).count() == 1
     )
+
+
+def test_incremental_rebuild_sees_rewrite_outside_candidate_roots(spark, tmp_path):
+    """Round-7 review finding (confirmed by repro): the incremental-build
+    memo must not bypass the stale/deleted reconciliation — a file
+    rewritten in place OUTSIDE the candidate roots, with the sidecar and
+    candidate stats unchanged, must still be re-extracted on the next
+    incremental build of a sibling root."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from palletjack_spark.index.builder import build_index
+
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(a_dir)
+    os.makedirs(b_dir)
+    pq.write_table(
+        pa.table({"v": pa.array(range(50), type=pa.int64())}),
+        f"{a_dir}/a.parquet",
+    )
+    pq.write_table(
+        pa.table({"v": pa.array(range(50), type=pa.int64())}),
+        f"{b_dir}/b.parquet",
+    )
+    idx_dir = str(tmp_path / "idx")
+    build_index(spark, [a_dir, b_dir], index_dir=idx_dir)
+    # warm the incremental memo for candidate root A alone
+    build_index(spark, a_dir, index_dir=idx_dir, incremental=True)
+
+    # rewrite B in place: new value range, sidecar and A untouched
+    pq.write_table(
+        pa.table({"v": pa.array(range(100, 150), type=pa.int64())}),
+        f"{b_dir}/b.parquet",
+    )
+    idx = build_index(spark, a_dir, index_dir=idx_dir, incremental=True)
+    got = sorted(r["v"] for r in idx.read(predicate=[("v", ">=", 100)]).collect())
+    assert got == list(range(100, 150)), got[:5]

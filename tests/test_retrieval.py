@@ -20,7 +20,16 @@ from tests.conftest import SF_DIR
 @settings(max_examples=40, deadline=None)
 @given(
     tokens=st.lists(
-        st.sampled_from([f"t{i}" for i in range(12)]), min_size=1, max_size=400
+        # bimodal draw: ~half the mass on 6 head tokens (so true heavy
+        # hitters exist) over a 200-token tail (vocabulary > _MG_M=64 so
+        # the kth-subtraction reduction — the branch the guarantee rests
+        # on — actually fires; round-7 review)
+        st.one_of(
+            st.sampled_from([f"h{i}" for i in range(6)]),
+            st.sampled_from([f"t{i}" for i in range(200)]),
+        ),
+        min_size=1,
+        max_size=400,
     ),
     n_batches=st.integers(min_value=1, max_value=4),
 )
