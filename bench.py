@@ -264,10 +264,12 @@ def _membw_probe(mb: int = 256, iters: int = 3) -> float:
     LLC-busting buffer, best of ``iters``).  The third host-health axis:
     a co-tenant hammering the shared LLC/DRAM slows every 32-thread
     Spark stage 1.5-2x while showing ZERO steal and a quiet CPU-bound
-    footer probe (round-7 episode: q30_hash_agg — untouched since round
-    3 — at 1.9x floor with steal 0.02% and control ratio 0.90).
-    Reported as ``meta_host_membw_gbs``; read floor warnings against
-    it."""
+    footer probe.  Round-7's second episode (q30_hash_agg — untouched
+    since round 3 — at 1.9x floor with steal 0.02% and control ratio
+    0.90) motivated this axis; the metric is recorded every run so
+    future episodes can be attributed or ruled out (this VM's normal
+    single-thread copy is ~6-8 GB/s).  Reported as
+    ``meta_host_membw_gbs``; read floor warnings against it."""
     import numpy as np
 
     a = np.empty(mb * 131072, dtype=np.float64)  # mb MiB
@@ -865,13 +867,14 @@ def main() -> None:
             "plan regression; re-run when meta_host_steal_pct drops under 1",
             file=sys.stderr,
         )
-    if warnings and membw and min(membw.values()) < 10.0:
+    if warnings and membw and min(membw.values()) < 4.0:
         print(
             f"# NOTE: host memory bandwidth sagged to "
-            f"{min(membw.values()):.1f} GB/s during the run — shared-LLC/"
-            "DRAM contention from a co-tenant slows parallel stages with "
-            "zero steal and quiet CPU probes; read the floor warnings "
-            "against meta_host_membw_gbs before calling a regression",
+            f"{min(membw.values()):.1f} GB/s during the run (this VM's "
+            "healthy range is ~6-8) — shared-LLC/DRAM contention slows "
+            "parallel stages with zero steal and quiet CPU probes; read "
+            "the floor warnings against meta_host_membw_gbs before "
+            "calling a regression",
             file=sys.stderr,
         )
 
