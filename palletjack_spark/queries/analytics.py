@@ -1516,7 +1516,11 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degree cap runs once, not once per side
     keep = _hub_capped(e, 64).localCheckpoint()
     a = keep.alias("a")
-    b = keep.alias("b")
+    # shuffle_hash: both sides are the same materialized capped edge set
+    # (build side bounded by cap x customers/partition); hashing skips the
+    # two per-partition sorts a sort-merge join would pay on the pair
+    # stream
+    b = keep.alias("b").hint("shuffle_hash")
     pairs = (
         a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
         .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
