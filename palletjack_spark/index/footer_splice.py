@@ -671,7 +671,10 @@ def metadata_from_footer(footer: bytes) -> pq.FileMetaData:
 
 def _schema_tree(elems: list):
     """parquet schema list → (children adjacency, leaf list).  Elements are
-    decoded SchemaElement structs; tree shape from num_children (fid 5)."""
+    decoded SchemaElement structs; tree shape from num_children (fid 5).
+    A corrupted footer can claim more children than elements exist — that
+    walks ``pos`` past the list and must surface as the typed format
+    error, not an IndexError (fuzz-found, round 7)."""
     n = len(elems)
     children: list[list[int]] = [[] for _ in range(n)]
     leaves: list[int] = []
@@ -681,7 +684,18 @@ def _schema_tree(elems: list):
         nonlocal pos
         i = pos
         pos += 1
+        if i >= n:
+            raise IndexFormatError(
+                f"schema tree overruns its element list "
+                f"(num_children claims exceed {n} elements)"
+            )
         nc = _get(elems[i], 5) or 0
+        if not isinstance(nc, int) or nc < 0 or nc > n:
+            # corruption can re-type field 5 (bytes/bool) or claim an
+            # absurd child count; both are format errors, not crashes
+            raise IndexFormatError(
+                f"invalid num_children {nc!r} in schema element {i}"
+            )
         for _ in range(nc):
             children[i].append(walk(False))
         if nc == 0 and i != 0:
@@ -771,9 +785,20 @@ def _leaf_paths(elems: list) -> list[str]:
         parts = []
         i = leaf
         while i != root:
-            parts.append(
-                names[i].decode() if isinstance(names[i], bytes) else names[i]
-            )
+            nm = names[i]
+            if isinstance(nm, bytes):
+                try:
+                    nm = nm.decode()
+                except UnicodeDecodeError as e:
+                    raise IndexFormatError(
+                        f"undecodable schema element name at {i}"
+                    ) from e
+            if not isinstance(nm, str):
+                # corruption can drop or re-type the name field (fid 4)
+                raise IndexFormatError(
+                    f"schema element {i} has no usable name ({nm!r})"
+                )
+            parts.append(nm)
             i = parent[i]
         paths.append(".".join(reversed(parts)))
     return paths

@@ -551,3 +551,59 @@ def q31b(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("exact_parts_flag") * 0.95, F.col("exact_parts_flag") * 1.05
         ).alias("coarse_within_5pct"),
     )
+
+
+@query(
+    "q37c_winsorize",
+    oracle="""
+    WITH cuts AS (
+      SELECT l_returnflag,
+             quantile_cont(CAST(l_quantity AS DOUBLE), 0.05) AS lo,
+             quantile_cont(CAST(l_quantity AS DOUBLE), 0.95) AS hi
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (
+             WHERE CAST(l_quantity AS DOUBLE) < lo
+                OR CAST(l_quantity AS DOUBLE) > hi) AS BIGINT) AS n_clipped,
+           CAST(SUM(CAST(GREATEST(LEAST(CAST(l_quantity AS DOUBLE), hi), lo)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_winsorized
+    FROM lineitem l JOIN cuts ON l.l_returnflag = cuts.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def q37c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise winsorization (Q37c): clip each value into its group's
+    exact [p05, p95] band and report clipped counts + the winsorized sum
+    — the outlier-robust cleaning step applied before training statistical
+    models on heavy-tailed columns, composed from Q37's machinery.
+
+    The cut table is one row per group (exact interpolated percentiles,
+    Q37's bit-identical cross-engine contract) and BROADCASTS back onto
+    the unshuffled stream — clipping is a row-local GREATEST/LEAST, so
+    the corpus pays one scan for the cuts and one for the clip, never a
+    second shuffle.  The winsorized sum accumulates in exact decimal
+    (order-independent); clip boundaries compare on the same doubles
+    both engines computed, so boundary rows land identically.  At 100 TB
+    the exact-percentile cut table swaps for ``approx_percentile``
+    (Q37b's t-digest regime) with everything downstream unchanged."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("double").alias("q")
+    )
+    cuts = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(q, 0.05D)").alias("lo"),
+        F.expr("percentile(q, 0.95D)").alias("hi"),
+    )
+    clipped = li.join(F.broadcast(cuts), "l_returnflag").select(
+        "l_returnflag",
+        "q",
+        F.greatest(F.least(F.col("q"), F.col("hi")), F.col("lo")).alias("w"),
+        ((F.col("q") < F.col("lo")) | (F.col("q") > F.col("hi"))).alias("clip"),
+    )
+    return clipped.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("clip"), 1)).alias("n_clipped"),
+        F.sum(F.col("w").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_winsorized"),
+    )

@@ -1233,3 +1233,14 @@ def test_item_cf_recommend_windowgrouplimit_no_broadcast_blowup(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "TakeOrderedAndProject" not in plan or True  # no global top-k
     assert plan.count("ShuffledHashJoin") >= 1, plan
+
+
+def test_winsorize_cuts_broadcast_no_second_shuffle(spark):
+    """Q37c: the per-group cut table broadcasts back onto the stream —
+    clipping is row-local, so beyond the two group aggregates there is
+    no data shuffle and no sort-based join."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q37c_winsorize"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
