@@ -1750,3 +1750,99 @@ def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("c", F.col("t").alias("rec_s"), "score")
     )
+
+
+@query(
+    "q121c_lerp_gapfill",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, value, ts_us // 3600000000 AS b FROM {_E}),
+    bars AS (
+      SELECT user_id, b,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS v
+      FROM e GROUP BY user_id, b),
+    runs AS (
+      SELECT user_id, b AS b0, v AS v0,
+             LEAD(b) OVER w AS b1, LEAD(v) OVER w AS v1
+      FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY b)),
+    grid AS (
+      SELECT user_id, b0, v0, b1, v1,
+             UNNEST(generate_series(b0, COALESCE(b1 - 1, b0))) AS h
+      FROM runs)
+    SELECT user_id, h AS bucket,
+           CASE WHEN b1 IS NULL OR h = b0 THEN v0
+                ELSE v0 + (v1 - v0)
+                          * (CAST(h - b0 AS DOUBLE)
+                             / CAST(b1 - b0 AS DOUBLE)) END AS value_interp,
+           h = b0 AS is_observed
+    FROM grid
+    """,
+)
+def q121c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill (Q121c): densify each user's hourly
+    bars and fill the gaps by time-weighted interpolation between the
+    surrounding observations — the two-sided fill (sensor resampling,
+    financial curve construction) that Q121's forward-fill cannot
+    express: a 3-hour gap from 10 to 40 fills 20, 30, not 10, 10.
+
+    Same ONE-exchange generation shape as Q121 (hash on user_id serves
+    the bar aggregate and the LEAD window; gap rows explode from
+    ``sequence(b0, b1-1)`` — never a grid join), with the interpolation
+    arithmetic sequenced IDENTICALLY in both engines: observed bars are
+    exact-decimal means, and each filled value is one double multiply
+    plus divide over the same integer-cast operands, so results match
+    bit-for-bit at any partitioning.  Per-user fan-out is bounded by the
+    observed time span."""
+    e = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "value", _ts_us())
+        .repartition("user_id")
+    )
+    bars = (
+        e.withColumn("b", F.expr("ts_us div 3600000000"))
+        .groupBy("user_id", "b")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("v")
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("b")
+    runs = bars.select(
+        "user_id",
+        F.col("b").alias("b0"),
+        F.col("v").alias("v0"),
+        F.lead("b").over(w).alias("b1"),
+        F.lead("v").over(w).alias("v1"),
+    )
+    grid = runs.select(
+        "user_id",
+        "b0",
+        "v0",
+        "b1",
+        "v1",
+        F.explode(
+            F.sequence(
+                F.col("b0"), F.coalesce(F.col("b1") - 1, F.col("b0"))
+            )
+        ).alias("h"),
+    )
+    return grid.select(
+        "user_id",
+        F.col("h").alias("bucket"),
+        F.when(
+            F.col("b1").isNull() | (F.col("h") == F.col("b0")), F.col("v0")
+        )
+        .otherwise(
+            F.col("v0")
+            + (F.col("v1") - F.col("v0"))
+            * (
+                (F.col("h") - F.col("b0")).cast("double")
+                / (F.col("b1") - F.col("b0")).cast("double")
+            )
+        )
+        .alias("value_interp"),
+        (F.col("h") == F.col("b0")).alias("is_observed"),
+    )

@@ -1244,3 +1244,16 @@ def test_winsorize_cuts_broadcast_no_second_shuffle(spark):
     plan = _simple_plan(REGISTRY["q37c_winsorize"].fn(spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") == 1, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_lerp_gapfill_single_partitioning_no_join(spark):
+    """Q121c: the bar aggregate and the LEAD window share the explicit
+    user_id partitioning (one exchange end to end), gap rows GENERATE
+    via sequence-explode — no grid join anywhere."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q121c_lerp_gapfill"].fn(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Generate explode" in plan, plan
+    assert plan.count("Window") == 1, plan
