@@ -1322,6 +1322,11 @@ _INDEX_BLOB_CACHE_MAX = 16
 def _footer_from_source(
     index_file_path: str | None, index_data, parquet_path: str | None
 ) -> bytes:
+    if isinstance(index_file_path, (bytes, bytearray)):
+        # an in-memory blob passed positionally (path-or-buffer ergonomics,
+        # like pyarrow's own readers) — treating it as a filesystem path
+        # surfaced as a bewildering os.stat ValueError (fuzz-found)
+        index_file_path, index_data = None, index_file_path
     n_sources = sum(
         x is not None for x in (index_file_path, index_data, parquet_path)
     )

@@ -576,3 +576,21 @@ def test_pjs1_and_pj2_read_identically(pq_file):
         assert a.num_columns == b.num_columns
         assert a.schema.to_arrow_schema() == b.schema.to_arrow_schema()
         assert a.equals(b), (rgs, cols)
+
+
+def test_read_metadata_accepts_blob_positionally(pq_file):
+    """Path-or-buffer ergonomics (fuzz-found): an in-memory index blob
+    passed as the first positional argument must route to the blob path
+    — not be os.stat'ed as a filesystem path — and corrupted blobs must
+    still fail with the typed error."""
+    import pytest
+
+    blob = bytes(generate_metadata_index(pq_file))
+    via_kw = fs.read_metadata(index_data=blob)
+    via_pos = fs.read_metadata(blob)
+    assert via_pos.num_rows == via_kw.num_rows
+    assert via_pos.num_row_groups == via_kw.num_row_groups
+    from palletjack_spark.errors import IndexFormatError
+
+    with pytest.raises((IndexFormatError, InvalidSelectionError)):
+        fs.read_metadata(b"\x00")
