@@ -259,7 +259,11 @@ def _steal_jiffies() -> tuple[int, int] | None:
         return None
 
 
-def _membw_probe(mb: int = 256, iters: int = 3) -> float:
+#: run-scoped reusable (src, dst) buffers for _membw_probe
+_MEMBW_BUFS = None
+
+
+def _membw_probe(mb: int = 64, iters: int = 3) -> float:
     """Effective single-thread memory bandwidth in GB/s (numpy copy of an
     LLC-busting buffer, best of ``iters``).  The third host-health axis:
     a co-tenant hammering the shared LLC/DRAM slows every 32-thread
@@ -267,20 +271,34 @@ def _membw_probe(mb: int = 256, iters: int = 3) -> float:
     footer probe.  Round-7's second episode (q30_hash_agg — untouched
     since round 3 — at 1.9x floor with steal 0.02% and control ratio
     0.90) motivated this axis; the metric is recorded every run so
-    future episodes can be attributed or ruled out (this VM's normal
-    single-thread copy is ~6-8 GB/s).  Reported as
-    ``meta_host_membw_gbs``; read floor warnings against it."""
+    future episodes can be attributed or ruled out.  Reported as
+    ``meta_host_membw_gbs``; read floor warnings against it.
+
+    METHODOLOGY (round 8): the probe copies between two RUN-SCOPED
+    preallocated buffers (``np.copyto``), so it measures steady-state
+    DRAM bandwidth, not first-touch page-fault cost — this VM's healthy
+    band is ~15-20 GB/s under the new method (the pre-round-8 ~6-8 GB/s
+    band included per-call allocation faults of ``a.copy()`` and is NOT
+    comparable)."""
     import numpy as np
 
-    a = np.empty(mb * 131072, dtype=np.float64)  # mb MiB
-    a[:] = 1.0
+    # Round-8 ADVICE: allocate the probe buffers ONCE per run and reuse
+    # them across control points — 64 MiB is still LLC-busting (this VM's
+    # LLC is ~32 MiB) but re-allocating + copying 256 MiB at every control
+    # point evicted page cache and added ~512 MiB transient pressure,
+    # perturbing the very measurements the probe contextualizes.
+    global _MEMBW_BUFS
+    if _MEMBW_BUFS is None or _MEMBW_BUFS[0].nbytes != mb * 1048576:
+        src = np.empty(mb * 131072, dtype=np.float64)  # mb MiB
+        src[:] = 1.0
+        _MEMBW_BUFS = (src, np.empty_like(src))
+    a, b = _MEMBW_BUFS
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        b = a.copy()
+        np.copyto(b, a)
         dt = time.perf_counter() - t0
         best = min(best, dt)
-        del b
     # copy reads + writes the buffer once each
     return round(2 * a.nbytes / best / 1e9, 2)
 
@@ -420,9 +438,26 @@ def _final_line(
         "detail": detail,
     }
     line = json.dumps(payload, separators=(",", ":"))
-    if len(line) > FINAL_LINE_MAX:  # drop sweeps first, then give up
+    if len(line) > FINAL_LINE_MAX:  # drop sweeps first
         payload["meta"] = {
             k: v for k, v in meta.items() if k.startswith("meta_")
+        }
+        line = json.dumps(payload, separators=(",", ":"))
+    # Guarantee the cap unconditionally (round-8 ADVICE): progressively
+    # drop meta entries (largest keys last so the acceptance-critical
+    # small meta_* floats survive longest), then fall back to the minimal
+    # parseable payload — an oversized line is the one failure mode this
+    # function exists to prevent (round-6 truncated-tail parsed:null).
+    while len(line) > FINAL_LINE_MAX and payload["meta"]:
+        payload["meta"].pop(sorted(payload["meta"])[-1])
+        line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > FINAL_LINE_MAX:
+        payload = {
+            "metric": "headline_queries_wall",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "detail": detail,
         }
         line = json.dumps(payload, separators=(",", ":"))
     return line
@@ -867,11 +902,12 @@ def main() -> None:
             "plan regression; re-run when meta_host_steal_pct drops under 1",
             file=sys.stderr,
         )
-    if warnings and membw and min(membw.values()) < 4.0:
+    if warnings and membw and min(membw.values()) < 10.0:
         print(
             f"# NOTE: host memory bandwidth sagged to "
             f"{min(membw.values()):.1f} GB/s during the run (this VM's "
-            "healthy range is ~6-8) — shared-LLC/DRAM contention slows "
+            "healthy range is ~15-20 steady-state) — shared-LLC/DRAM "
+            "contention slows "
             "parallel stages with zero steal and quiet CPU probes; read "
             "the floor warnings against meta_host_membw_gbs before "
             "calling a regression",

@@ -34,7 +34,7 @@ from typing import Iterable, Iterator
 import pyarrow as pa
 from pyspark.sql import SparkSession, functions as F, types as T
 
-from palletjack_spark.errors import EncryptedParquetError
+from palletjack_spark.errors import EncryptedParquetError, IndexFormatError
 from palletjack_spark.index.metadata_index import (
     FILES_SCHEMA,
     ROW_GROUPS_SCHEMA,
@@ -123,12 +123,18 @@ def _extract_file_rows(
     cheap, ~35 ms — then walks only row groups ``chunk::n_chunks``).  The
     file-level row is emitted by chunk 0 only.
     """
+    # Stat BEFORE opening the footer (round-8 ADVICE): if the file is
+    # rewritten in place between this stat and the footer parse, we record
+    # the PRE-rewrite (size, mtime_ns) against the post-rewrite stats, so
+    # the next incremental build's _stale_and_deleted sees a mismatch and
+    # re-indexes.  The old order (stat after parse) stored the NEW identity
+    # against the OLD row-group stats — silently stale forever.
+    st_pre = os.stat(path) if chunk == 0 else None
     pf = _open_footer(path)
     md = pf.metadata
     schema = pf.schema_arrow
     file_row = None
     if chunk == 0:
-        st = os.stat(path)
         file_row = {
             "file": path,
             "num_rows": md.num_rows,
@@ -137,8 +143,8 @@ def _extract_file_rows(
             "created_by": md.created_by,
             "format_version": md.format_version,
             "serialized_footer_size": md.serialized_size,
-            "file_size": st.st_size,
-            "mtime_ns": st.st_mtime_ns,
+            "file_size": st_pre.st_size,
+            "mtime_ns": st_pre.st_mtime_ns,
             "column_names": list(schema.names),
             "arrow_schema": schema.serialize().to_pybytes(),
         }
@@ -182,6 +188,19 @@ def _extract_file_rows(
                 "columns": cols,
             }
         )
+    if chunk == 0:
+        # Re-stat after the parse: a mismatch means the file was rewritten
+        # WHILE we were reading it — the rows above may mix bytes from two
+        # versions, so fail the build loudly (the caller retries or the
+        # next incremental build re-indexes) rather than commit torn stats.
+        st_post = os.stat(path)
+        if (st_post.st_size, st_post.st_mtime_ns) != (st_pre.st_size, st_pre.st_mtime_ns):
+            raise IndexFormatError(
+                f"{path} was rewritten during footer extraction "
+                f"(size {st_pre.st_size}->{st_post.st_size}, "
+                f"mtime_ns {st_pre.st_mtime_ns}->{st_post.st_mtime_ns}); "
+                "re-run the index build"
+            )
     return file_row, rg_rows
 
 

@@ -1322,10 +1322,14 @@ _INDEX_BLOB_CACHE_MAX = 16
 def _footer_from_source(
     index_file_path: str | None, index_data, parquet_path: str | None
 ) -> bytes:
-    if isinstance(index_file_path, (bytes, bytearray)):
+    if isinstance(index_file_path, (bytes, bytearray)) and index_data is None:
         # an in-memory blob passed positionally (path-or-buffer ergonomics,
         # like pyarrow's own readers) — treating it as a filesystem path
-        # surfaced as a bewildering os.stat ValueError (fuzz-found)
+        # surfaced as a bewildering os.stat ValueError (fuzz-found).
+        # Only swap when index_data is absent: a bytes-positional PLUS an
+        # explicit index_data is a conflicting-sources call and must fall
+        # through to the n_sources ambiguity error below, not silently
+        # drop one argument (round-8 ADVICE).
         index_file_path, index_data = None, index_file_path
     n_sources = sum(
         x is not None for x in (index_file_path, index_data, parquet_path)

@@ -1711,7 +1711,9 @@ def q92g(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an exhaustive shortlist, so the result is hash-identical to
     q92f and to the brute-force oracle; load-vs-inline bit-equality is
     tested directly."""
+    import hashlib
     import os
+    import shutil
     import tempfile
 
     from palletjack_spark.functions.similarity import (
@@ -1720,13 +1722,34 @@ def q92g(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_ann_index,
         save_ann_index,
     )
+    from palletjack_spark.tables import table_path
 
     emb = t(spark, sf_dir, "embeddings")
-    key = sf_dir.strip("/").replace("/", "_")
-    idx_dir = os.path.join(tempfile.gettempdir(), f"pjspark_{key}_annidx")
+    # Cache key = content fingerprint of the embeddings files (round-8
+    # ADVICE): a regenerated fixture at the same sf_dir path gets a FRESH
+    # sidecar instead of silently reusing stale quantizers, and a changed
+    # dimension can't wedge the query on a /tmp leftover.
+    src = table_path(sf_dir, "embeddings")
+    parts: list[str] = []
+    for root, _dirs, files in sorted(os.walk(src)) or []:
+        for fn in sorted(files):
+            st = os.stat(os.path.join(root, fn))
+            parts.append(f"{root}/{fn}:{st.st_size}:{st.st_mtime_ns}")
+    if not parts:  # single-file table
+        st = os.stat(src)
+        parts.append(f"{src}:{st.st_size}:{st.st_mtime_ns}")
+    fp = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+    idx_dir = os.path.join(tempfile.gettempdir(), f"pjspark_annidx_{fp}")
+    idx = None
     if os.path.exists(os.path.join(idx_dir, _ANN_META_NAME)):
-        idx = load_ann_index(spark, idx_dir)
-    else:
+        try:
+            idx = load_ann_index(spark, idx_dir)
+        except Exception:
+            # corrupt/foreign leftover under the fingerprint path:
+            # rebuild rather than hard-fail (the fingerprint already
+            # guarantees the CONTENT key matches)
+            shutil.rmtree(idx_dir, ignore_errors=True)
+    if idx is None:
         idx = save_ann_index(emb, idx_dir, n_centroids=16)
     queries = emb.where(F.col("vec_id") < 5)
     return ivf_pq_topk(

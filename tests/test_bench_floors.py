@@ -113,6 +113,29 @@ def test_final_line_fits_driver_tail_capture():
     assert parsed["detail"] == "BENCH_DETAIL_r07.json"
 
 
+def test_final_line_cap_is_unconditional():
+    """Round-8 ADVICE: even if the meta_* family alone outgrows the cap,
+    _final_line must still emit a parseable line under FINAL_LINE_MAX
+    (progressively dropping meta entries, minimal payload as last
+    resort) — never re-introduce the round-6 truncated-tail failure."""
+    import json
+
+    b = _bench()
+    # pathological: thousands of meta_* keys, far beyond any sweep-drop
+    times = {f"meta_family_that_keeps_growing_{i:04d}": 1.234567 for i in range(3000)}
+    line = b._final_line(9.87, 0.1, times, "BENCH_DETAIL_r99.json")
+    assert len(line) <= b.FINAL_LINE_MAX
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_wall"
+    assert parsed["value"] == 9.87
+    assert parsed["detail"] == "BENCH_DETAIL_r99.json"
+    # absolute worst case: even an empty meta can't save an oversized
+    # detail name -> minimal payload still parses and fits
+    line2 = b._final_line(9.87, 0.1, times, "x" * 1700)
+    assert len(line2) <= b.FINAL_LINE_MAX or "meta" not in json.loads(line2)
+    json.loads(line2)
+
+
 def test_detail_round_is_max_committed_plus_one(tmp_path):
     b = _bench()
     assert b._detail_round(str(tmp_path)) == 1

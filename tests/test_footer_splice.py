@@ -594,3 +594,8 @@ def test_read_metadata_accepts_blob_positionally(pq_file):
 
     with pytest.raises((IndexFormatError, InvalidSelectionError)):
         fs.read_metadata(b"\x00")
+    # conflicting sources: a bytes-positional PLUS an explicit index_data
+    # must hit the exactly-one-source error, not silently drop one
+    # argument via the positional swap (round-8 ADVICE)
+    with pytest.raises(InvalidSelectionError, match="exactly one"):
+        fs.read_metadata(blob, index_data=blob)

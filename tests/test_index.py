@@ -242,6 +242,44 @@ def test_incremental_build_refreshes_rewritten_file(spark, tmp_path):
     assert got == want and len(got) == 50
 
 
+def test_extract_detects_rewrite_during_footer_parse(tmp_path, monkeypatch):
+    """Round-8 ADVICE (medium): the file identity (size, mtime_ns) must be
+    stat'ed BEFORE the footer parse, and a rewrite that lands DURING the
+    parse must fail loudly instead of committing torn stats under the new
+    identity (which _stale_and_deleted would then never flag)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from palletjack_spark.errors import IndexFormatError
+    from palletjack_spark.index import builder
+
+    path = str(tmp_path / "part.parquet")
+    pq.write_table(pa.table({"v": pa.array(range(10), type=pa.int64())}), path)
+    st_orig = os.stat(path)
+
+    real_open = builder._open_footer
+
+    def rewrite_then_open(p):
+        pf = real_open(p)
+        pq.write_table(
+            pa.table({"v": pa.array(range(100, 120), type=pa.int64())}), p
+        )
+        os.utime(p, ns=(st_orig.st_atime_ns, st_orig.st_mtime_ns + 7))
+        return pf
+
+    monkeypatch.setattr(builder, "_open_footer", rewrite_then_open)
+    with pytest.raises(IndexFormatError, match="rewritten during"):
+        builder._extract_file_rows(path)
+
+    # sanity: without the concurrent rewrite the recorded identity is the
+    # pre-parse stat (the safe direction for _stale_and_deleted)
+    monkeypatch.setattr(builder, "_open_footer", real_open)
+    file_row, _ = builder._extract_file_rows(path)
+    st_now = os.stat(path)
+    assert file_row["file_size"] == st_now.st_size
+    assert file_row["mtime_ns"] == st_now.st_mtime_ns
+
+
 def test_incremental_build_purges_deleted_file(spark, tmp_path):
     """A file deleted since indexing must have its rows purged from both
     sidecar datasets by the next incremental build (round-6 verdict)."""

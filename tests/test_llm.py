@@ -3,6 +3,8 @@ force, SimHash locality, dedup on crafted duplicates, multimodal plumbing."""
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -345,6 +347,48 @@ def test_ann_index_sidecar_validation(spark, tmp_path):
     json.dump(meta, open(meta_path, "w"))
     with pytest.raises(ValueError, match="format_version"):
         sim.load_ann_index(spark, idx_dir)
+
+
+def test_q92g_sidecar_keyed_on_content_fingerprint(spark, tmp_path, monkeypatch):
+    """Round-8 ADVICE: q92g's persisted-quantizer cache must be keyed on a
+    content fingerprint of the embeddings files, not the sf_dir string — a
+    regenerated fixture at the same path gets a fresh sidecar, and a
+    corrupt leftover under the fingerprint path is rebuilt, not an error."""
+    import shutil
+    import tempfile
+
+    import palletjack_spark.functions.similarity as sim
+    from palletjack_spark.queries.registry import REGISTRY
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    shutil.copy(f"{SF_DIR}/embeddings.parquet", f"{sf}/embeddings.parquet")
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+
+    fn = REGISTRY["q92g_ivf_pq_persisted"].fn
+    r1 = fn(spark, sf).toPandas()
+    dirs1 = sorted(p.name for p in tmp_path.glob("pjspark_annidx_*"))
+    assert len(dirs1) == 1
+
+    # same content -> same sidecar reused (no second dir)
+    fn(spark, sf).count()
+    assert sorted(p.name for p in tmp_path.glob("pjspark_annidx_*")) == dirs1
+
+    # regenerated fixture (same path, new mtime) -> NEW sidecar
+    os.utime(f"{sf}/embeddings.parquet")
+    fn(spark, sf).count()
+    dirs2 = sorted(p.name for p in tmp_path.glob("pjspark_annidx_*"))
+    assert len(dirs2) == 2 and dirs1[0] in dirs2
+
+    # corrupt meta under the fingerprint path -> rebuilt, same results
+    newest = [d for d in dirs2 if d not in dirs1][0]
+    (tmp_path / newest / sim._ANN_META_NAME).write_text("{not json")
+    r3 = fn(spark, sf).toPandas()
+    cols = list(r1.columns)
+    pd.testing.assert_frame_equal(
+        r1[cols].sort_values(cols).reset_index(drop=True),
+        r3[cols].sort_values(cols).reset_index(drop=True),
+    )
 
 
 def test_q137_packed_argmax_overflow_fails_loudly(spark, tmp_path):
