@@ -40,6 +40,10 @@ class BpeModel:
 
     merges: list[tuple[str, str, int]]  # (left, right, pair_count)
     words: DataFrame  # columns: w, cnt, syms (array<string>)
+    #: driver round-trips (one pair-count collect per round) the training
+    #: run took — the scale-relevant cost: sequential training is one
+    #: round PER merge; batched training amortizes many merges per round.
+    rounds: int = 0
 
     @property
     def vocab(self) -> DataFrame:
@@ -128,29 +132,111 @@ def train_bpe(
     text_col: str = "text",
     min_count: int = 2,
     checkpoint_every: int = 8,
+    batch: int = 1,
+    exact: bool = True,
 ) -> BpeModel:
     """Learn ``n_merges`` BPE merges from a text corpus.
 
     Ties on pair count break by (a, b) lexicographic order so the merge
     list is deterministic across partitionings and engines.  Training
-    stops early when no pair reaches ``min_count``."""
+    stops early when no pair reaches ``min_count``.
+
+    ``batch`` bounds how many merges one driver round-trip may commit
+    (round-8 verdict item 4 — ``batch=1`` was one Spark action PER merge,
+    32k actions at a realistic 32k-merge vocabulary).  Batched training
+    is EXACTLY equivalent to sequential training, by this argument: a
+    merge of (a, b) only changes the counts of pairs sharing a symbol
+    with it (decreases (x,a)/(b,y)-style neighbours, creates (x,a||b)
+    pairs bounded by the feeder pair's count).  Each round collects the
+    top ``batch * _OVERSAMPLE`` candidates in (count desc, a, b) rank
+    order and accepts the prefix that is (1) pairwise symbol-disjoint —
+    stop at the FIRST overlapping candidate — and (2) strictly above the
+    cutoff count (the first overlapping candidate's count, or the last
+    collected row's count when no overlap was seen but the list may
+    continue).  Every pair a mid-round merge can create or change ranks
+    at-or-below the cutoff (its feeder shares a symbol with an accepted
+    pair, so it cannot precede the break position), hence strictly below
+    every accepted candidate — even count TIES cannot flip the order the
+    sequential argmax would have produced.  The rank-1 candidate is the
+    exact sequential argmax and is always accepted, so each round
+    commits >= 1 merge and the loop terminates.  Equality with
+    ``batch=1`` is property-tested.
+
+    On natural-language corpora the top pairs overlap heavily (t·h,
+    h·e, ...), so the exact cutoff often admits only 1-2 merges per
+    round.  ``exact=False`` switches to the standard greedy variant —
+    apply ALL pairwise symbol-disjoint candidates from the window,
+    SKIPPING conflicts instead of stopping — which commits ~``batch``
+    merges per action.  Its merge list may interleave differently from
+    the sequential order within a window (tokenization fidelity, not
+    sequential fidelity); the fixture test pins how far it drifts."""
     words = _to_symbols(word_frequencies(corpus, text_col)).localCheckpoint()
     merges: list[tuple[str, str, int]] = []
-    for i in range(n_merges):
+    rounds = 0
+    since_checkpoint = 0
+    while len(merges) < n_merges:
+        want = min(batch, n_merges - len(merges))
+        limit = want * _OVERSAMPLE
         top = (
             _pair_counts(words)
             .orderBy(F.desc("pair_count"), "a", "b")
-            .limit(1)
+            .limit(limit)
             .collect()
         )
-        if not top or top[0]["pair_count"] < min_count:
+        rounds += 1
+        exhausted = len(top) < limit
+        top = [r for r in top if r["pair_count"] >= min_count]
+        if not top:
             break
-        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["pair_count"])
-        merges.append((a, b, n))
-        words = _merge_pair(words, a, b)
-        if (i + 1) % checkpoint_every == 0:
+        accepted: list[tuple[str, str, int]] = []
+        if exact:
+            # break position = first candidate sharing a symbol with an
+            # earlier one; everything from there down is rank-suspect
+            used: set[str] = set()
+            p = len(top)
+            for i, r in enumerate(top):
+                if r["a"] in used or r["b"] in used:
+                    p = i
+                    break
+                used.update((r["a"], r["b"]))
+            if p < len(top):
+                cutoff = top[p]["pair_count"]
+            elif not exhausted:
+                # disjoint through the whole collected window, but deeper
+                # (uncollected) pairs may tie with the tail
+                cutoff = top[-1]["pair_count"]
+            else:
+                cutoff = None  # nothing below min_count left to tie with
+            for r in top[:p]:
+                n = int(r["pair_count"])
+                if len(accepted) >= want:
+                    break
+                if cutoff is not None and n <= cutoff and accepted:
+                    break  # rank-1 stays exact even at the cutoff
+                accepted.append((r["a"], r["b"], n))
+        else:
+            # greedy: skip conflicting candidates, keep scanning
+            used = set()
+            for r in top:
+                if len(accepted) >= want:
+                    break
+                if r["a"] in used or r["b"] in used:
+                    continue
+                accepted.append((r["a"], r["b"], int(r["pair_count"])))
+                used.update((r["a"], r["b"]))
+        for a, b, n in accepted:
+            merges.append((a, b, n))
+            words = _merge_pair(words, a, b)
+            since_checkpoint += 1
+        if since_checkpoint >= checkpoint_every:
             words = words.localCheckpoint()
-    return BpeModel(merges=merges, words=words)
+            since_checkpoint = 0
+    return BpeModel(merges=merges, words=words, rounds=rounds)
+
+
+#: candidates collected per batched round, as a multiple of the batch
+#: size — headroom for the disjoint-prefix + count-cutoff truncation
+_OVERSAMPLE = 4
 
 
 def apply_bpe(
