@@ -1,0 +1,189 @@
+"""JVM-side auto-routing: the SparkSessionExtensions production vehicle.
+
+``index/routing.py`` intercepts ``spark.read.parquet`` at the Python
+DataFrame layer — which JVM-only clients (spark-sql, JDBC/Thrift) never
+touch.  SURVEY §4 names a ``SparkSessionExtensions`` optimizer rule as
+the production deployment vehicle for exactly those clients; this module
+ships it: Java sources under ``palletjack_spark/jvm/java`` (compiled on
+demand with the JDK that ships with Spark — no Scala toolchain needed;
+the rule extends Catalyst's ``Rule[LogicalPlan]`` directly), plus this
+bridge that
+
+- compiles/locates the classes (:func:`jvm_classes_dir`),
+- tells a test/driver process how to enable the extension
+  (:func:`pyspark_submit_args` — the classpath and
+  ``spark.sql.extensions`` must be set before the JVM launches), and
+- pushes per-file column stats from a built
+  :class:`~palletjack_spark.index.metadata_index.MetadataIndex` into the
+  JVM registry (:func:`register_index_jvm`), the decision inputs the
+  optimizer rule prunes with.
+
+Division of labour (same inputs, same routing decision as
+``smart_read``): the JVM rule does FILE-level pruning — the half of the
+index consult that is expressible against Spark's native parquet source
+— and keeps the residual filter, so results are identical with or
+without it; row-group pruning inside surviving files is the native
+reader's parquet ``filterPushdown``.  The Python ``smart_read`` path
+remains the full row-group-exact implementation (and the fallback
+wherever the classes aren't on the classpath).
+
+Stats units match Catalyst's internal literal encodings (epoch micros
+for timestamps, days for dates — ``builder._stat_num``'s projection), so
+the Java rule compares doubles directly.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import subprocess
+
+from pyspark.sql import SparkSession, functions as F
+
+from palletjack_spark.errors import PalletJackSparkError
+from palletjack_spark.index.builder import build_index
+from palletjack_spark.index.metadata_index import MetadataIndex
+
+EXTENSION_CLASS = "io.palletjack.spark.PalletJackSparkSessionExtensions"
+
+_JVM_DIR = os.path.join(os.path.dirname(__file__), os.pardir, "jvm")
+
+
+def _spark_jars_dir() -> str:
+    import pyspark
+
+    return os.path.join(os.path.dirname(pyspark.__file__), "jars")
+
+
+def jvm_classes_dir(compile_if_missing: bool = True) -> str:
+    """Directory holding the compiled extension classes, compiling the
+    committed Java sources with ``javac`` against the installed
+    pyspark's jars when needed (build-once: recompiles only when a
+    source is newer than its class file)."""
+    src_dir = os.path.abspath(os.path.join(_JVM_DIR, "java"))
+    out_dir = os.path.abspath(os.path.join(_JVM_DIR, "classes"))
+    sources = sorted(
+        glob.glob(os.path.join(src_dir, "io", "palletjack", "spark", "*.java"))
+    )
+    if not sources:
+        raise PalletJackSparkError(f"no Java sources under {src_dir}")
+    classes = sorted(
+        glob.glob(os.path.join(out_dir, "io", "palletjack", "spark", "*.class"))
+    )
+    fresh = classes and max(os.path.getmtime(s) for s in sources) <= min(
+        os.path.getmtime(c) for c in classes
+    )
+    if fresh:
+        return out_dir
+    if not compile_if_missing:
+        raise PalletJackSparkError(f"compiled classes missing under {out_dir}")
+    os.makedirs(out_dir, exist_ok=True)
+    cmd = [
+        "javac",
+        "-nowarn",
+        "-encoding",
+        "UTF-8",
+        "-cp",
+        os.path.join(_spark_jars_dir(), "*"),
+        "-d",
+        out_dir,
+        *sources,
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise PalletJackSparkError(
+            f"javac failed ({proc.returncode}): {proc.stderr[-2000:]}"
+        )
+    return out_dir
+
+
+def pyspark_submit_args(extra: str = "") -> str:
+    """``PYSPARK_SUBMIT_ARGS`` enabling the extension in a NEW process
+    (the classpath and ``spark.sql.extensions`` bind at JVM launch)."""
+    cp = jvm_classes_dir()
+    return (
+        f"--driver-class-path {cp} "
+        f"--conf spark.sql.extensions={EXTENSION_CLASS} "
+        f"{extra} pyspark-shell"
+    ).strip()
+
+
+def jvm_routing_available(spark: SparkSession) -> bool:
+    """True when the extension classes are loadable in this session's
+    JVM (i.e. the driver was launched with them on the classpath)."""
+    try:
+        spark._jvm.io.palletjack.spark.PalletJackRegistry.size()
+        return True
+    except Exception:
+        return False
+
+
+def _per_file_stats(index: MetadataIndex) -> dict[str, dict[str, list[float]]]:
+    """file -> column -> [min, max] over its row groups, omitting any
+    (file, column) where a row group lacks numeric stats (the rule keeps
+    stats-unknown files, so omission is conservative)."""
+    rg = index.row_groups.select(
+        "file", F.explode("columns").alias("c")
+    ).select(
+        "file",
+        F.col("c.name").alias("name"),
+        F.col("c.min_num").alias("min_num"),
+        F.col("c.max_num").alias("max_num"),
+    )
+    agg = (
+        rg.groupBy("file", "name")
+        .agg(
+            F.min("min_num").alias("mn"),
+            F.max("max_num").alias("mx"),
+            F.sum(
+                (F.col("min_num").isNull() | F.col("max_num").isNull()).cast("int")
+            ).alias("n_missing"),
+        )
+        .collect()
+    )
+    out: dict[str, dict[str, list[float]]] = {}
+    for r in agg:
+        cols = out.setdefault(r["file"], {})
+        if r["n_missing"] == 0 and r["mn"] is not None and r["mx"] is not None:
+            cols[r["name"]] = [float(r["mn"]), float(r["mx"])]
+    return out
+
+
+def register_index_jvm(
+    spark: SparkSession, path: str, index: MetadataIndex | None = None
+) -> int:
+    """Build (or reuse) the metadata index for ``path`` and push its
+    per-file stats into the JVM registry, arming the optimizer rule for
+    every query over that root in this session — including pure
+    ``spark.sql(...)``.  Returns the number of files registered.
+
+    The push is bounded: files × columns × 2 doubles (the aggregated
+    sidecar, not the per-row-group table)."""
+    if not jvm_routing_available(spark):
+        raise PalletJackSparkError(
+            "JVM routing classes are not on the driver classpath; launch "
+            "the session with palletjack_spark.index.jvm_routing."
+            "pyspark_submit_args() (spark.sql.extensions="
+            f"{EXTENSION_CLASS}), or use enable_auto_routing() — the "
+            "Python DataFrame-layer fallback"
+        )
+    if index is None:
+        index = build_index(spark, path)
+    stats = _per_file_stats(index)
+    jvm = spark._jvm
+    gateway = spark.sparkContext._gateway
+    jfiles = jvm.java.util.HashMap()
+    for file, cols in stats.items():
+        jcols = jvm.java.util.HashMap()
+        for name, (mn, mx) in cols.items():
+            arr = gateway.new_array(jvm.double, 2)
+            arr[0] = mn
+            arr[1] = mx
+            jcols.put(name, arr)
+        jfiles.put(file, jcols)
+    jvm.io.palletjack.spark.PalletJackRegistry.register(path, jfiles)
+    return len(stats)
+
+
+def unregister_index_jvm(spark: SparkSession, path: str) -> None:
+    spark._jvm.io.palletjack.spark.PalletJackRegistry.unregister(path)

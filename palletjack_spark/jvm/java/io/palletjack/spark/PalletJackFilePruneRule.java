@@ -1,0 +1,276 @@
+package io.palletjack.spark;
+
+import java.util.ArrayList;
+import java.util.List;
+import java.util.Map;
+
+import org.apache.hadoop.fs.Path;
+import org.apache.spark.sql.SparkSession;
+import org.apache.spark.sql.catalyst.expressions.And;
+import org.apache.spark.sql.catalyst.expressions.AttributeReference;
+import org.apache.spark.sql.catalyst.expressions.Cast;
+import org.apache.spark.sql.catalyst.expressions.EqualTo;
+import org.apache.spark.sql.catalyst.expressions.Expression;
+import org.apache.spark.sql.catalyst.expressions.GreaterThan;
+import org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual;
+import org.apache.spark.sql.catalyst.expressions.LessThan;
+import org.apache.spark.sql.catalyst.expressions.LessThanOrEqual;
+import org.apache.spark.sql.catalyst.expressions.Literal;
+import org.apache.spark.sql.catalyst.plans.logical.Filter;
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan;
+import org.apache.spark.sql.catalyst.rules.Rule;
+import org.apache.spark.sql.execution.datasources.FileStatusCache;
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation;
+import org.apache.spark.sql.execution.datasources.InMemoryFileIndex;
+import org.apache.spark.sql.execution.datasources.LogicalRelation;
+import org.apache.spark.sql.execution.datasources.PartitionSpec;
+import org.apache.spark.sql.types.Decimal;
+import org.apache.spark.sql.types.StructType;
+
+import scala.Option;
+import scala.jdk.javaapi.CollectionConverters;
+
+/**
+ * Catalyst optimizer rule: rewrite Filter(LogicalRelation(parquet)) over
+ * an index-registered root to scan only the files whose per-column
+ * [min, max] (from the metadata-index sidecar, via
+ * {@link PalletJackRegistry}) can satisfy the filter's numeric
+ * conjuncts.  The Filter itself is kept — pruning is a pure
+ * optimization, identical results either way — and anything the rule
+ * cannot prove (disjunctions, non-numeric literals, stats-less columns,
+ * partitioned relations) conservatively falls through untouched.
+ *
+ * <p>This is SURVEY §4's named production vehicle for q16's session
+ * auto-routing: the same decision inputs (registered path, parsed
+ * predicate, per-file stats) as index/routing.py, but applied inside
+ * the optimizer so pure-SQL and JDBC clients — which never touch the
+ * Python DataFrameReader — get index-routed scans too.  File-level
+ * pruning is the JVM-expressible half of smart_read; row-group-level
+ * pruning inside surviving files is Spark's own parquet
+ * filterPushdown's job (the predicate reaches the scan as usual).
+ */
+public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
+    private final SparkSession session;
+
+    public PalletJackFilePruneRule(SparkSession session) {
+        this.session = session;
+    }
+
+    @Override
+    public LogicalPlan apply(LogicalPlan plan) {
+        // manual bottom-up transform (the Java-friendly equivalent of
+        // plan.transformUp)
+        scala.collection.Seq<LogicalPlan> ch = (scala.collection.Seq<LogicalPlan>) plan.children();
+        List<LogicalPlan> rebuilt = new ArrayList<>();
+        boolean changed = false;
+        for (int i = 0; i < ch.size(); i++) {
+            LogicalPlan child = ch.apply(i);
+            LogicalPlan next = apply(child);
+            if (next != child) {
+                changed = true;
+            }
+            rebuilt.add(next);
+        }
+        LogicalPlan cur = plan;
+        if (changed) {
+            cur = (LogicalPlan) plan.withNewChildren(
+                    CollectionConverters.asScala(rebuilt).toSeq());
+        }
+        if (cur instanceof Filter) {
+            Filter f = (Filter) cur;
+            if (f.child() instanceof LogicalRelation) {
+                LogicalPlan rewritten = pruneRelation(f, (LogicalRelation) f.child());
+                if (rewritten != null) {
+                    return rewritten;
+                }
+            }
+        }
+        return cur;
+    }
+
+    private LogicalPlan pruneRelation(Filter f, LogicalRelation lr) {
+        if (!(lr.relation() instanceof HadoopFsRelation)) {
+            return null;
+        }
+        HadoopFsRelation rel = (HadoopFsRelation) lr.relation();
+        if (rel.partitionSchema().length() != 0) {
+            return null; // partitioned roots: Spark's own partition pruning owns this
+        }
+        scala.collection.Seq<Path> roots = (scala.collection.Seq<Path>) rel.location().rootPaths();
+        if (roots.isEmpty()) {
+            return null;
+        }
+        String registered = null;
+        for (int i = 0; i < roots.size(); i++) {
+            String r = PalletJackRegistry.rootFor(roots.apply(i).toString());
+            if (r == null || (registered != null && !r.equals(registered))) {
+                return null; // every root must map to ONE registered index
+            }
+            registered = r;
+        }
+        Map<String, Map<String, double[]>> files = PalletJackRegistry.filesFor(registered);
+        if (files == null || files.isEmpty()) {
+            return null;
+        }
+        List<Conjunct> conjuncts = new ArrayList<>();
+        collectConjuncts(f.condition(), conjuncts);
+        if (conjuncts.isEmpty()) {
+            return null;
+        }
+        List<String> surviving = new ArrayList<>();
+        for (Map.Entry<String, Map<String, double[]>> e : files.entrySet()) {
+            if (fileCanMatch(e.getValue(), conjuncts)) {
+                surviving.add(e.getKey());
+            }
+        }
+        if (surviving.size() >= files.size()) {
+            return null; // nothing pruned (also guarantees fixed-point convergence)
+        }
+        List<Path> paths = new ArrayList<>();
+        for (String s : surviving) {
+            paths.add(new Path(s));
+        }
+        InMemoryFileIndex location = new InMemoryFileIndex(
+                session,
+                CollectionConverters.asScala(paths).toSeq(),
+                rel.options(),
+                Option.apply(rel.dataSchema()),
+                FileStatusCache.getOrCreate(session),
+                Option.<PartitionSpec>empty(),
+                Option.empty());
+        HadoopFsRelation pruned = new HadoopFsRelation(
+                location,
+                new StructType(),
+                rel.dataSchema(),
+                rel.bucketSpec(),
+                rel.fileFormat(),
+                rel.options(),
+                session);
+        // keep the ORIGINAL output attributes: downstream expressions are
+        // bound to their exprIds
+        LogicalRelation newLr = new LogicalRelation(
+                pruned, lr.output(), lr.catalogTable(), lr.isStreaming(), lr.stream());
+        return new Filter(f.condition(), newLr);
+    }
+
+    /** One provable numeric comparison: column op literal. */
+    private static final class Conjunct {
+        final String col;
+        final String op;
+        final double value;
+
+        Conjunct(String col, String op, double value) {
+            this.col = col;
+            this.op = op;
+            this.value = value;
+        }
+    }
+
+    private static void collectConjuncts(Expression e, List<Conjunct> out) {
+        if (e instanceof And) {
+            collectConjuncts(((And) e).left(), out);
+            collectConjuncts(((And) e).right(), out);
+            return;
+        }
+        String op = null;
+        Expression l = null;
+        Expression r = null;
+        if (e instanceof GreaterThanOrEqual) {
+            op = ">=";
+            l = ((GreaterThanOrEqual) e).left();
+            r = ((GreaterThanOrEqual) e).right();
+        } else if (e instanceof GreaterThan) {
+            op = ">";
+            l = ((GreaterThan) e).left();
+            r = ((GreaterThan) e).right();
+        } else if (e instanceof LessThanOrEqual) {
+            op = "<=";
+            l = ((LessThanOrEqual) e).left();
+            r = ((LessThanOrEqual) e).right();
+        } else if (e instanceof LessThan) {
+            op = "<";
+            l = ((LessThan) e).left();
+            r = ((LessThan) e).right();
+        } else if (e instanceof EqualTo) {
+            op = "=";
+            l = ((EqualTo) e).left();
+            r = ((EqualTo) e).right();
+        }
+        if (op == null) {
+            return; // unknown conjunct: prune on the others only (safe)
+        }
+        String col = attrName(l);
+        Double lit = litValue(r);
+        if (col != null && lit != null) {
+            out.add(new Conjunct(col, op, lit));
+            return;
+        }
+        // literal op column: flip
+        col = attrName(r);
+        lit = litValue(l);
+        if (col != null && lit != null) {
+            out.add(new Conjunct(col, flip(op), lit));
+        }
+    }
+
+    private static String flip(String op) {
+        switch (op) {
+            case ">=": return "<=";
+            case ">": return "<";
+            case "<=": return ">=";
+            case "<": return ">";
+            default: return op;
+        }
+    }
+
+    private static String attrName(Expression e) {
+        if (e instanceof Cast) {
+            e = ((Cast) e).child();
+        }
+        if (e instanceof AttributeReference) {
+            return ((AttributeReference) e).name();
+        }
+        return null;
+    }
+
+    private static Double litValue(Expression e) {
+        if (!(e instanceof Literal)) {
+            return null;
+        }
+        Object v = ((Literal) e).value();
+        if (v instanceof Number) {
+            // covers Int/Long/Short/Byte/Double/Float — and Catalyst's
+            // internal Date (days) / Timestamp (micros) encodings, the
+            // same units as the index's numeric stat projection
+            return ((Number) v).doubleValue();
+        }
+        if (v instanceof Decimal) {
+            return ((Decimal) v).toDouble();
+        }
+        return null;
+    }
+
+    private static boolean fileCanMatch(Map<String, double[]> stats, List<Conjunct> cs) {
+        for (Conjunct c : cs) {
+            double[] mm = stats.get(c.col);
+            if (mm == null) {
+                continue; // stats-unknown column: cannot prune on it
+            }
+            double min = mm[0];
+            double max = mm[1];
+            boolean possible;
+            switch (c.op) {
+                case ">=": possible = max >= c.value; break;
+                case ">": possible = max > c.value; break;
+                case "<=": possible = min <= c.value; break;
+                case "<": possible = min < c.value; break;
+                case "=": possible = min <= c.value && c.value <= max; break;
+                default: possible = true; break;
+            }
+            if (!possible) {
+                return false;
+            }
+        }
+        return true;
+    }
+}
