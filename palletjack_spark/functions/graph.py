@@ -1,0 +1,57 @@
+"""Iterative graph primitives that run to a data-dependent fixpoint.
+
+The declared bench queries pin finite unrollings for oracle
+determinism (q140 = 3 k-core rounds, q130 = 2 PageRank rounds); this
+module holds the loop-to-convergence forms — the q101
+connected-components discipline (localCheckpoint per round to cut
+lineage, one bounded driver scalar per round to test the stop
+condition) applied to the peeling family."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def kcore_peel(
+    edges: DataFrame, k: int, max_rounds: int | None = None
+) -> tuple[DataFrame, int]:
+    """Peel the undirected edge list (columns ``u``, ``v``) to its
+    k-core: repeatedly drop nodes of degree < k and their incident
+    edges until no node changes (``max_rounds=None``) or the round
+    budget runs out.  Returns ``(core_edges, rounds_run)``.
+
+    Each round is one union+hash-aggregate exchange for degrees plus
+    two LEFT SEMI ``shuffle_hash`` joins for the survivor filter (never
+    a broadcast — the survivor set is O(nodes)), then a localCheckpoint
+    so round r+1 plans from materialized data.  The stop test is a
+    single count() per round — peeling strictly shrinks the edge set
+    until the fixpoint, so equal counts imply convergence (the filter
+    can only remove rows), and the loop terminates in at most
+    |nodes| rounds.
+    """
+    # late import: analytics imports this module's caller-side helpers
+    from palletjack_spark.queries.analytics import _kcore_round
+
+    cur = edges.localCheckpoint()
+    n_edges = cur.count()
+    rounds = 0
+    while max_rounds is None or rounds < max_rounds:
+        nxt = _kcore_round(cur, k).localCheckpoint()
+        n_next = nxt.count()
+        rounds += 1
+        if n_next == n_edges:
+            return nxt, rounds  # nothing removed: fixpoint reached
+        cur, n_edges = nxt, n_next
+        if n_edges == 0:
+            return cur, rounds
+    return cur, rounds
+
+
+def kcore_nodes(core_edges: DataFrame) -> DataFrame:
+    """(node, deg) over a peeled edge set — q140's output shape."""
+    return (
+        core_edges.select(F.col("u").alias("node"))
+        .unionAll(core_edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )

@@ -162,3 +162,46 @@ def test_bpe_pair_counts_match_bruteforce(spark):
     floor = pdf["pair_count"].min()
     bigger = sum(1 for v in counts.values() if v > floor)
     assert bigger <= len(pdf)
+
+
+def test_kcore_full_convergence_matches_duckdb_unrolling(spark, duck):
+    """Round-8 verdict item 8: the loop-to-fixpoint form of q140's
+    peeling (kcore_peel with max_rounds=None) terminates on the fixture
+    graph and matches a DuckDB unrolling of the same number of rounds —
+    closing the "bounded rounds only" caveat without touching the
+    benched 3-round contract."""
+    from palletjack_spark.functions.graph import kcore_nodes, kcore_peel
+    from palletjack_spark.queries.analytics import (
+        _KCORE_EDGE_SQL,
+        _bipartite_edges,
+        _kcore_round,
+        _kcore_round_sql,
+    )
+    from tests.conftest import SF_DIR
+
+    k = 24
+    edges = _bipartite_edges(spark, SF_DIR)
+    core, rounds = kcore_peel(edges, k, max_rounds=None)
+    assert rounds >= 2, "fixture graph must actually iterate"
+
+    got = {
+        (r["node"], r["deg"]) for r in kcore_nodes(core).collect()
+    }
+    # fixpoint property: every surviving node has degree >= k, and one
+    # more round removes nothing
+    assert all(deg >= k for _, deg in got) or not got
+    again = _kcore_round(core, k)
+    assert again.count() == core.count()
+
+    # DuckDB oracle: unroll exactly `rounds` CTE rounds
+    unrolled = ",\n".join(_kcore_round_sql(r, k) for r in range(rounds))
+    sql = f"""
+    WITH {_KCORE_EDGE_SQL},
+    e0 AS (SELECT u, v FROM edges),
+    {unrolled}
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+      SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+    GROUP BY node
+    """
+    want = {(int(r[0]), int(r[1])) for r in duck.execute(sql).fetchall()}
+    assert got == want
