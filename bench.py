@@ -123,6 +123,9 @@ HEADLINE = [
     "q143_bm25_topk",
     "q144_skyline",
     "q147_copurchase_pairs",
+    # round 8 addition: PMI collocation mining — one map-side-combined
+    # corpus exchange, integer likelihood-ratio ranking
+    "q150_pmi_collocations",
 ]
 
 META_ROW_GROUPS = 200

@@ -1063,3 +1063,103 @@ def q29k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+def _q21_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q29l's corpus reduction: the DISTINCT (order, supplier) pair table
+    for finished orders, each pair flagged with whether that supplier
+    EVER shipped late on the order.  Exposed un-checkpointed so the plan
+    test can pin the shape: the single corpus-sized exchange carries
+    map-side partial-combined (ok, sk) pairs — never raw lineitems, and
+    never a COUNT-DISTINCT Expand."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_suppkey").alias("sk"),
+            (F.datediff("l_shipdate", "o_orderdate") > 90).alias("late"),
+        )
+        .groupBy("ok", "sk")
+        .agg(F.bool_or("late").alias("late"))
+    )
+
+
+@query(
+    "q29l_tpch_q21_shape",
+    oracle="""
+    WITH lo AS (
+      SELECT l_orderkey AS ok, l_suppkey AS sk,
+             (datediff('day', o_orderdate, l_shipdate) > 90) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'),
+    po AS (
+      SELECT ok, COUNT(DISTINCT sk) AS n_supp,
+             COUNT(DISTINCT CASE WHEN late THEN sk END) AS n_late
+      FROM lo GROUP BY ok),
+    cand AS (SELECT DISTINCT ok, sk FROM lo WHERE late),
+    w AS (
+      SELECT cand.sk FROM cand JOIN po USING (ok)
+      WHERE po.n_supp > 1 AND po.n_late = 1)
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM w JOIN supplier ON sk = s_suppkey
+    WHERE s_nationkey < 13
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+)
+def q29l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for finished
+    orders, find the supplier who was the SOLE late shipper on a
+    multi-supplier order — the benchmark's hardest correlated-subquery
+    topology (EXISTS another supplier + NOT EXISTS another late
+    supplier), here with ship-lag > 90 days standing in for the fixture's
+    missing receipt/commit dates.
+
+    Scale shape — the standard decorrelation, ONE corpus-sized shuffle
+    total: both EXISTS collapse into per-order counts over the DISTINCT
+    (order, supplier) pair table.  The flagged lineitem stream (orders
+    dim broadcast into it) is reduced to that pair table by a single
+    ``groupBy(ok, sk).agg(bool_or(late))`` — map-side partial combine,
+    so the one corpus exchange carries combined pairs, and the
+    distinct-count Expand shape (which would double the corpus before
+    ITS exchange) never appears.  The pair table is localCheckpointed
+    (it is what every consumer needs; checkpointed scans re-exchange,
+    so materialize AFTER the reduction, never before): the per-order
+    counts, the late-candidate filter (row-local, no distinct needed —
+    the table is already distinct), and their shuffle_hash join on ok
+    all pay only pair-table-sized exchanges.  A correlated rewrite
+    would re-scan lineitem once per subquery.  The supplier dimension
+    is a broadcast; the final per-supplier count partial-aggregates
+    map-side.  Top-100 carries a (numwait DESC, s_name) total order
+    for the driver."""
+    per_pair = _q21_pair_table(spark, sf_dir).localCheckpoint()
+    po = per_pair.groupBy("ok").agg(
+        F.count("*").alias("n_supp"),
+        F.count_if("late").alias("n_late"),
+    )
+    w = per_pair.where("late").join(
+        po.where((F.col("n_supp") > 1) & (F.col("n_late") == 1)).hint(
+            "shuffle_hash"
+        ),
+        "ok",
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") < 13)
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        w.join(F.broadcast(s), w.sk == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )

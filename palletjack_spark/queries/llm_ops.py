@@ -2980,3 +2980,103 @@ def q123b(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_occurrences"))
     )
+
+
+def _bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q150's corpus reduction: word-bigram counts over ``documents``.
+    The adjacent-pair explode is a zero-shuffle executor-side Generate
+    feeding the (a, b) hash aggregate directly, so the one corpus-sized
+    exchange carries map-side partial-combined counts.  Exposed
+    un-checkpointed so the plan test can pin that shape."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(F.split(F.col("text"), " ").alias("ws"))
+        .where(F.size("ws") >= 2)
+    )
+    bg = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(element_at(ws, i) AS a,"
+                    "             element_at(ws, i + 1) AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .where((F.length("a") >= 1) & (F.length("b") >= 1))
+    )
+    return bg.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+
+
+@query(
+    "q150_pmi_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS ws FROM documents),
+    bg AS (
+      SELECT ws[CAST(i AS INT)] AS a, ws[CAST(i AS INT) + 1] AS b
+      FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)),
+    bgf AS (SELECT a, b FROM bg WHERE length(a) >= 1 AND length(b) >= 1),
+    cnt AS (SELECT a, b, COUNT(*) AS c_ab FROM bgf GROUP BY a, b),
+    n AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_pairs FROM cnt),
+    la AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM cnt GROUP BY a),
+    rb AS (SELECT b, CAST(SUM(c_ab) AS BIGINT) AS c_b FROM cnt GROUP BY b)
+    SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab, c_a, c_b,
+           (CAST(c_ab AS BIGINT) * n_pairs * 1000) // (c_a * c_b) AS pmi_q
+    FROM cnt JOIN la USING (a) JOIN rb USING (b) CROSS JOIN n
+    WHERE c_ab >= 5
+    ORDER BY pmi_q DESC, a, b LIMIT 50
+    """,
+)
+def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (Q150): rank word bigrams by pointwise
+    mutual information — PMI = log p(a,b)/(p(a)·p(b)) with all
+    probabilities as marginals OF the bigram table — the classic
+    collocation/multi-word-expression extractor (Church & Hanks 1990)
+    every corpus-analysis pipeline runs before tokenizer or phrase-table
+    construction.
+
+    Determinism discipline: the log is monotone, so ranking by the RAW
+    likelihood ratio c_ab·N/(c_a·c_b) is ranking by PMI — quantized to
+    integer thousandths via truncating division (Spark ``div`` ≡ DuckDB
+    ``//``), keeping the output all-integer and hash-identical across
+    engines (no float log anywhere).
+
+    Scale shape: ONE corpus-sized pass — the adjacent-pair explode is
+    zero-shuffle executor-side and feeds the (a, b) hash aggregate
+    directly, so the only corpus-sized exchange carries MAP-SIDE
+    PARTIAL-COMBINED bigram counts (Zipf-heavy corpora shrink ~10x in
+    the combine; a repartition before the groupBy would push raw
+    bigrams over the wire instead).  The combined bigram table is
+    localCheckpointed — every downstream aggregate and join reads the
+    materialized table instead of re-running the corpus explode 3x,
+    and all further exchanges are bigram-table-sized, never corpus.
+    Marginal tables are O(vocab) — ~10M rows at web scale, too big to
+    broadcast blindly — so both marginal joins pin ``shuffle_hash``,
+    and each marginal's own aggregate output already satisfies its
+    join-key distribution (zero extra exchanges on the marginal side).
+    The scalar N joins as a 1-row broadcast.  The min-count gate
+    (c_ab >= 5, the published practice for PMI's low-frequency
+    instability) shrinks candidates BEFORE the joins; marginals are
+    computed before the gate, so probabilities stay exact."""
+    cnt = _bigram_counts(spark, sf_dir).localCheckpoint()
+    n = cnt.agg(F.sum("c_ab").alias("n_pairs"))
+    la = cnt.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    rb = cnt.groupBy("b").agg(F.sum("c_ab").alias("c_b"))
+    return (
+        cnt.where(F.col("c_ab") >= 5)
+        .join(la.hint("shuffle_hash"), "a")
+        .join(rb.hint("shuffle_hash"), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.expr("(c_ab * n_pairs * 1000) div (c_a * c_b)").alias("pmi_q"),
+        )
+        .orderBy(F.desc("pmi_q"), "a", "b")
+        .limit(50)
+    )

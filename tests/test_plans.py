@@ -1257,3 +1257,73 @@ def test_lerp_gapfill_single_partitioning_no_join(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Generate explode" in plan, plan
     assert plan.count("Window") == 1, plan
+
+
+def test_tpch_q21_pair_table_one_combined_exchange_no_expand(spark):
+    """Q29l's corpus reduction: the ONLY corpus-sized exchange carries
+    map-side partial-combined (ok, sk) pairs — the partial HashAggregate
+    sits BELOW the exchange, orders broadcasts into lineitem, and the
+    COUNT-DISTINCT Expand shape (which doubles the corpus before its
+    exchange) never appears."""
+    from palletjack_spark.queries.joins import _q21_pair_table
+
+    plan = _simple_plan(_q21_pair_table(spark, SF_DIR))
+    assert "Expand" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    below = plan.split("Exchange hashpartitioning")[1]
+    # Catalyst rewrites bool_or to max(boolean) — assert the partial
+    # (map-side combine) aggregate sits below the exchange
+    assert "partial_max" in below, plan
+
+
+def test_tpch_q21_shape_pair_table_costs_only_downstream(spark):
+    """Q29l's visible plan (pair table checkpointed): no Expand, no
+    sort-based join, the sole-late/multi-supplier join is shuffle_hash
+    on ok, supplier broadcasts, top-100 is TakeOrderedAndProject, and
+    every exchange is pair-table-sized (two on ok + the final s_name
+    rollup)."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q29l_tpch_q21_shape"].fn(spark, SF_DIR))
+    assert "Expand" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("ShuffledHashJoin") == 1, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_pmi_bigram_counts_combine_below_single_exchange(spark):
+    """Q150's corpus reduction: the adjacent-pair explode is a
+    zero-shuffle Generate feeding the (a, b) aggregate directly — ONE
+    exchange, with the partial (map-side combine) HashAggregate below
+    it, and no join anywhere in the corpus pass."""
+    from palletjack_spark.queries.llm_ops import _bigram_counts
+
+    plan = _simple_plan(_bigram_counts(spark, SF_DIR))
+    assert "Generate explode" in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    below = plan.split("Exchange hashpartitioning")[1]
+    assert "partial_count" in below, plan
+
+
+def test_pmi_collocations_marginals_shuffle_hash_scalar_broadcast(spark):
+    """Q150's visible plan (bigram table checkpointed): both marginal
+    joins are shuffle_hash (vocab-sized marginals must never broadcast
+    blindly), each marginal's own aggregate output satisfies its
+    join-key distribution (no extra exchange on the marginal side), the
+    scalar N rides a 1-row broadcast, and top-50 is
+    TakeOrderedAndProject."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q150_pmi_collocations"].fn(spark, SF_DIR))
+    assert plan.count("ShuffledHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # cnt re-exchanges on a then b, each marginal aggregate exchanges
+    # once; nothing else shuffles
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
