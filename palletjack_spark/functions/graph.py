@@ -55,3 +55,47 @@ def kcore_nodes(core_edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
     )
+
+
+def pagerank_converge(
+    edges: DataFrame,
+    nodes: DataFrame,
+    tol: int = 1_000_000,
+    max_rounds: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Run Q130's damped integer power iteration to a data-dependent
+    fixpoint: iterate until the largest per-node rank change is
+    ``<= tol`` trillionths (or the round budget runs out).  Returns
+    ``(ranks, rounds_run)``.
+
+    ``edges`` must carry (src, dst, deg) and ``nodes`` (node) — the
+    shapes :func:`palletjack_spark.queries.analytics._pagerank_graph`
+    produces.  Each round is the same single edges⋈ranks hash join +
+    per-node aggregate as the declared 2-round q130, localCheckpointed
+    to cut lineage; the stop test is one bounded MAX(|Δrank|) scalar
+    per round.  Damping contracts real-valued PageRank by 0.85/round,
+    so Δ falls below any tol > the integer-truncation noise floor
+    (±in-degree quantums per node) in O(log(Δ0/tol)) rounds — tol=0
+    is NOT guaranteed to terminate (truncation can oscillate inside
+    the noise band), which is why the default is a relative 1e-6 of
+    the 1e12 total rank mass."""
+    from palletjack_spark.queries.analytics import _pagerank_round
+
+    n_nodes = nodes.count()
+    base = 1_000_000_000_000 // n_nodes
+    teleport = 150_000_000_000 // n_nodes
+    ranks = nodes.withColumn("rank", F.lit(base)).localCheckpoint()
+    rounds = 0
+    while max_rounds is None or rounds < max_rounds:
+        nxt = _pagerank_round(edges, nodes, ranks, teleport).localCheckpoint()
+        rounds += 1
+        delta = (
+            nxt.withColumnRenamed("rank", "r_new")
+            .join(ranks, "node")
+            .agg(F.max(F.abs(F.col("r_new") - F.col("rank"))).alias("d"))
+            .first()["d"]
+        )
+        ranks = nxt
+        if delta is None or delta <= tol:
+            return ranks, rounds
+    return ranks, rounds

@@ -1066,3 +1066,47 @@ def contrastive_pairs(
         F.col("cosine").alias("neg_cos"),
     )
     return pos.join(neg, "vec_id")
+
+
+def kmeans_converge(
+    spark: SparkSession,
+    qv: DataFrame,
+    k: int = 8,
+    max_rounds: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Run Q129's grid-quantized Lloyd's iteration to a data-dependent
+    fixpoint: update centroids and reassign until NO vector changes
+    cluster (or the round budget runs out).  Returns
+    ``(assignments, rounds_run)`` where ``rounds_run`` counts centroid
+    updates — the returned assignment is against the ``rounds_run``-th
+    updated centroids, i.e. ``m{rounds_run + 1}`` in the unrolled-CTE
+    numbering of ``queries.llm_ops._km_round_sql``.
+
+    ``qv`` must carry (vec_id, qv: array<bigint>) — the grid-quantized
+    shape q129 builds.  Each round is the same broadcast-centroids
+    assignment + bounded k×d driver-side update as the declared 1-round
+    q129, with assignments localCheckpointed; the stop test is one
+    changed-assignment count per round.  Integer Lloyd's converges on
+    real corpora in a handful of rounds (cost is non-increasing up to
+    centroid-truncation noise), but truncation CAN in principle cycle —
+    callers wanting a hard guarantee pass ``max_rounds``."""
+    from palletjack_spark.queries.llm_ops import _km_assign, _km_update
+
+    init = qv.where(F.col("vec_id") < k).orderBy("vec_id").collect()
+    centroids = [(int(r["vec_id"]), list(r["qv"])) for r in init]
+    assign = _km_assign(spark, qv, centroids).localCheckpoint()
+    rounds = 0
+    while max_rounds is None or rounds < max_rounds:
+        centroids = _km_update(assign, qv)
+        nxt = _km_assign(spark, qv, centroids).localCheckpoint()
+        rounds += 1
+        changed = (
+            nxt.select("vec_id", F.col("cid").alias("c_new"))
+            .join(assign, "vec_id")
+            .where(F.col("c_new") != F.col("cid"))
+            .count()
+        )
+        assign = nxt
+        if changed == 0:
+            return assign, rounds
+    return assign, rounds

@@ -698,24 +698,63 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
     teleport = 150_000_000_000 // n_nodes
     ranks = nodes.withColumn("rank", F.lit(base))
     for _ in range(2):
-        contrib = (
-            edges.join(ranks.withColumnRenamed("node", "src"), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.expr("rank div deg")).alias("contrib"))
-            .withColumnRenamed("dst", "node")
-        )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.expr("85 * coalesce(contrib, 0) div 100")
-                ).alias("rank"),
-            )
-            .localCheckpoint()
-        )
+        ranks = _pagerank_round(edges, nodes, ranks, teleport).localCheckpoint()
     return ranks.orderBy(F.desc("rank"), "node").limit(50)
+
+
+def _pagerank_round(
+    edges: DataFrame, nodes: DataFrame, ranks: DataFrame, teleport: int
+) -> DataFrame:
+    """One damped integer power-iteration round (Q130's loop body,
+    factored so ``functions.graph.pagerank_converge`` can run it to a
+    data-dependent fixpoint): edges⋈ranks hash join on src, per-dst
+    contribution aggregate, teleport + 85% damping in exact integer
+    arithmetic."""
+    contrib = (
+        edges.join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy("dst")
+        .agg(F.sum(F.expr("rank div deg")).alias("contrib"))
+        .withColumnRenamed("dst", "node")
+    )
+    return nodes.join(contrib, "node", "left").select(
+        "node",
+        (
+            F.lit(teleport) + F.expr("85 * coalesce(contrib, 0) div 100")
+        ).alias("rank"),
+    )
+
+
+def _pagerank_round_sql(r: int) -> str:
+    """The DuckDB CTE pair for unrolled PageRank round ``r`` → ``r+1``
+    (matches :func:`_pagerank_round` exactly — ``//`` truncates like
+    Spark's ``div``); the convergence test chains these to whatever
+    round count the Spark loop actually ran.  MATERIALIZED because
+    DuckDB inlines plain CTEs and a deep unrolled chain re-expands its
+    prefix exponentially (the q129 unrolling lesson)."""
+    return f"""c{r + 1} AS MATERIALIZED (
+      SELECT e.dst AS node, SUM(r{r}.rank // o.deg) AS contrib
+      FROM edges e JOIN r{r} ON e.src = r{r}.node
+                   JOIN outdeg o ON e.src = o.src
+      GROUP BY e.dst),
+    r{r + 1} AS MATERIALIZED (
+      SELECT nodes.node,
+             (CAST(150000000000 AS BIGINT) // n_nodes)
+               + 85 * COALESCE(c{r + 1}.contrib, 0) // 100 AS rank
+      FROM nodes LEFT JOIN c{r + 1} ON nodes.node = c{r + 1}.node, n)"""
+
+
+#: the shared edge/node/outdeg CTE prefix for unrolled PageRank oracles
+#: (identical to q130's oracle preamble).
+_PAGERANK_GRAPH_SQL = """edges AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    n AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+    r0 AS (
+      SELECT node, CAST(1000000000000 AS BIGINT) // n_nodes AS rank
+      FROM nodes, n)"""
 
 
 @query(

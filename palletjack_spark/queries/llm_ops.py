@@ -2006,6 +2006,77 @@ def _km_assign(spark: SparkSession, qv: DataFrame, centroids: list) -> DataFrame
     )
 
 
+def _km_update(assign: DataFrame, qv: DataFrame) -> list:
+    """Lloyd's centroid update (Q129's loop body, factored so
+    ``functions.similarity.kmeans_converge`` can run it to a
+    data-dependent fixpoint): one k×d-row partial aggregate collected
+    driver-side (bounded, like the q92e codebook training), integer
+    truncating-toward-zero means so every engine computes bit-identical
+    centroids; empty clusters drop exactly as they vanish from the
+    oracle's GROUP BY."""
+    sums = (
+        assign.join(qv, "vec_id")
+        .select("cid", F.posexplode("qv").alias("d", "v"))
+        .groupBy("cid", "d")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    by_cid: dict[int, dict[int, int]] = {}
+    for r in sums:
+        s, n = int(r["s"]), int(r["n"])
+        by_cid.setdefault(int(r["cid"]), {})[int(r["d"])] = (
+            s // n if s >= 0 else -((-s) // n)
+        )
+    return [
+        (cid, [dims[d] for d in sorted(dims)])
+        for cid, dims in sorted(by_cid.items())
+    ]
+
+
+def _km_round_sql(r: int) -> str:
+    """The DuckDB CTE triple for unrolled Lloyd's round ``r``: centroid
+    update c{r} from assignment m{r}, then distances d{r+1} and the
+    deterministic (dist, cid)-tiebroken reassignment m{r+1} — matches
+    :func:`_km_update` + :func:`_km_assign` exactly (``//`` truncates
+    like the Python update).  The CTEs are MATERIALIZED: DuckDB inlines
+    plain CTEs, and a deep unrolled chain re-expands its prefix
+    exponentially (13 rounds ran minutes inlined, sub-second
+    materialized)."""
+    return f"""c{r} AS MATERIALIZED (
+      SELECT m{r}.cid, qv.d, SUM(qv.v) // COUNT(*) AS v
+      FROM m{r} JOIN qv USING (vec_id) GROUP BY m{r}.cid, qv.d),
+    d{r + 1} AS MATERIALIZED (
+      SELECT qv.vec_id, c{r}.cid,
+             SUM((qv.v - c{r}.v) * (qv.v - c{r}.v)) AS dist
+      FROM qv JOIN c{r} USING (d) GROUP BY qv.vec_id, c{r}.cid),
+    m{r + 1} AS MATERIALIZED (
+      SELECT vec_id, cid, dist FROM (
+        SELECT vec_id, cid, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM d{r + 1}) WHERE rn = 1)"""
+
+
+#: the shared quantized-vector + init-assignment CTE prefix for unrolled
+#: k-means oracles (identical to q129's oracle preamble through m1).
+_KM_GRAPH_SQL = f"""q AS (
+      SELECT vec_id, UNNEST(embedding) AS e,
+             generate_subscripts(embedding, 1) AS d
+      FROM embeddings),
+    qv AS (SELECT vec_id, d, CAST(FLOOR(e * {_KM_SCALE}) AS BIGINT) AS v
+           FROM q),
+    c0 AS (SELECT vec_id AS cid, d, v FROM qv WHERE vec_id < {_KM_K}),
+    d1 AS (
+      SELECT qv.vec_id, c0.cid, SUM((qv.v - c0.v) * (qv.v - c0.v)) AS dist
+      FROM qv JOIN c0 USING (d) GROUP BY qv.vec_id, c0.cid),
+    m1 AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT vec_id, cid, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM d1) WHERE rn = 1)"""
+
+
 @query(
     "q129_kmeans_quantized",
     oracle=f"""
@@ -2070,22 +2141,7 @@ def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = [(int(r["vec_id"]), list(r["qv"])) for r in init]
     assign = _km_assign(spark, qv, centroids)
     for _ in range(1):
-        sums = (
-            assign.join(qv, "vec_id")
-            .select("cid", F.posexplode("qv").alias("d", "v"))
-            .groupBy("cid", "d")
-            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
-            .collect()
-        )
-        by_cid: dict[int, dict[int, int]] = {}
-        for r in sums:
-            by_cid.setdefault(int(r["cid"]), {})[int(r["d"])] = int(
-                r["s"]
-            ) // int(r["n"]) if int(r["s"]) >= 0 else -((-int(r["s"])) // int(r["n"]))
-        centroids = [
-            (cid, [dims[d] for d in sorted(dims)])
-            for cid, dims in sorted(by_cid.items())
-        ]
+        centroids = _km_update(assign, qv)
         assign = _km_assign(spark, qv, centroids)
     return assign.select(
         "vec_id",
