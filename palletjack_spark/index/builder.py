@@ -129,7 +129,13 @@ def _extract_file_rows(
     # the next incremental build's _stale_and_deleted sees a mismatch and
     # re-indexes.  The old order (stat after parse) stored the NEW identity
     # against the OLD row-group stats — silently stale forever.
-    st_pre = os.stat(path) if chunk == 0 else None
+    # EVERY chunk captures its own identity (round-9 ADVICE): with
+    # n_chunks > 1 each task re-parses the footer independently, so a
+    # rewrite landing during ANY chunk's parse — not just chunk 0's —
+    # can tear that chunk's rows; each chunk re-stats after its parse
+    # and stamps the observed identity on its rows so the driver can
+    # additionally assert all chunks of a file saw the SAME version.
+    st_pre = os.stat(path)
     pf = _open_footer(path)
     md = pf.metadata
     schema = pf.schema_arrow
@@ -186,21 +192,27 @@ def _extract_file_rows(
                 "total_byte_size": rg.total_byte_size,
                 "total_compressed_size": sum(c["total_compressed_size"] for c in cols),
                 "columns": cols,
+                # observed file identity, carried in the combined union's
+                # shared slots so the driver can verify every chunk of
+                # this file parsed the same version (never written to the
+                # row_groups/ sidecar — stripped by the rg_cols select)
+                "file_size": st_pre.st_size,
+                "mtime_ns": st_pre.st_mtime_ns,
             }
         )
-    if chunk == 0:
-        # Re-stat after the parse: a mismatch means the file was rewritten
-        # WHILE we were reading it — the rows above may mix bytes from two
-        # versions, so fail the build loudly (the caller retries or the
-        # next incremental build re-indexes) rather than commit torn stats.
-        st_post = os.stat(path)
-        if (st_post.st_size, st_post.st_mtime_ns) != (st_pre.st_size, st_pre.st_mtime_ns):
-            raise IndexFormatError(
-                f"{path} was rewritten during footer extraction "
-                f"(size {st_pre.st_size}->{st_post.st_size}, "
-                f"mtime_ns {st_pre.st_mtime_ns}->{st_post.st_mtime_ns}); "
-                "re-run the index build"
-            )
+    # Re-stat after the parse — in EVERY chunk: a mismatch means the file
+    # was rewritten WHILE this task was reading it — the rows above may
+    # mix bytes from two versions, so fail the build loudly (the caller
+    # retries or the next incremental build re-indexes) rather than
+    # commit torn stats.
+    st_post = os.stat(path)
+    if (st_post.st_size, st_post.st_mtime_ns) != (st_pre.st_size, st_pre.st_mtime_ns):
+        raise IndexFormatError(
+            f"{path} was rewritten during footer extraction "
+            f"(size {st_pre.st_size}->{st_post.st_size}, "
+            f"mtime_ns {st_pre.st_mtime_ns}->{st_post.st_mtime_ns}); "
+            "re-run the index build"
+        )
     return file_row, rg_rows
 
 
@@ -369,6 +381,11 @@ def build_index(
         for p in files:
             frow, rgs = _extract_file_rows(p)
             file_rows.append(frow)
+            for r in rgs:
+                # single-chunk parse: the per-task pre/post stat guard
+                # already covers it; keep rg rows on ROW_GROUPS_SCHEMA
+                r.pop("file_size", None)
+                r.pop("mtime_ns", None)
             rg_rows.extend(rgs)
         # LocalRelations — already driver-resident, so no .cache(): caching
         # would only pay InMemoryRelation codegen for the nested schema
@@ -445,6 +462,12 @@ def build_index(
             part_cols = ["file_bucket"]
         combined = combined.persist(StorageLevel.MEMORY_AND_DISK)
         try:
+            # validate BEFORE committing bytes to the sidecar: the same
+            # one-job invariant check the in-memory path runs, including
+            # the round-9 cross-chunk identity compare — a file rewritten
+            # between footer-chunk parses fails here instead of
+            # committing mixed-version row-group stats.
+            _validate_combined(combined)
             mode = "append" if incremental else "overwrite"
             # row_groups/ first: a crash between the two writes then leaves
             # orphaned row-group rows, which validate() rejects loudly
@@ -554,13 +577,22 @@ def _refresh_sidecar(
     f_cols = [f.name for f in FILES_SCHEMA.fields]
     rg_df = old_rg.select(rg_cols)
     files_df = old_f.select(f_cols)
+    fresh = None
     if extract_files:
-        combined = _extract_combined(spark, extract_files)
+        from pyspark import StorageLevel
+
+        # persist: the frame feeds two writes (it used to re-parse every
+        # footer twice), and the pre-commit validation below adds a third
+        # consumer — one extraction pays for all three
+        fresh = _extract_combined(spark, extract_files).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _validate_combined(fresh)  # incl. round-9 cross-chunk identity
         rg_df = rg_df.unionByName(
-            combined.where(F.col("kind") == "rg").select(rg_cols)
+            fresh.where(F.col("kind") == "rg").select(rg_cols)
         )
         files_df = files_df.unionByName(
-            combined.where(F.col("kind") == "file").select(f_cols)
+            fresh.where(F.col("kind") == "file").select(f_cols)
         )
 
     part_cols: list[str] = []
@@ -586,6 +618,8 @@ def _refresh_sidecar(
         os.rename(live, gc)
         os.rename(live + "__stage", live)
         shutil.rmtree(gc, ignore_errors=True)
+    if fresh is not None:
+        fresh.unpersist()
     _write_meta(index_dir, {"catalog_buckets": catalog_buckets})
     return load_index(spark, index_dir)
 
@@ -684,9 +718,26 @@ def _validate_combined(combined) -> None:
             F.count(F.when(is_file, 1)).alias("file_entries"),
             F.min(F.when(is_file, F.col("num_row_groups"))).alias("decl_rgs"),
             F.min(F.when(is_file, F.col("num_rows"))).alias("decl_rows"),
+            # every row (file AND rg, from every footer chunk) carries the
+            # (size, mtime_ns) its task observed; min != max means two
+            # chunks parsed DIFFERENT versions of the file (a rewrite
+            # landed between their parses) — the per-chunk pre/post stat
+            # guard can't see that, only this cross-chunk compare can
+            # (round-9 ADVICE).  Plain min/max keeps the agg a codegen'd
+            # HashAggregate (count_distinct would add an expand).
+            F.min("file_size").alias("min_fs"),
+            F.max("file_size").alias("max_fs"),
+            F.min("mtime_ns").alias("min_mt"),
+            F.max("mtime_ns").alias("max_mt"),
+        )
+        .withColumn(
+            "identity_torn",
+            (F.col("min_fs") != F.col("max_fs"))
+            | (F.col("min_mt") != F.col("max_mt")),
         )
         .where(
-            (F.col("file_entries") != F.lit(1))
+            F.col("identity_torn")
+            | (F.col("file_entries") != F.lit(1))
             | (F.col("indexed_rgs") != F.col("decl_rgs"))
             | (
                 F.coalesce(F.col("indexed_rows"), F.lit(0))
@@ -703,6 +754,11 @@ def _validate_combined(combined) -> None:
                     "decl_rgs",
                     "indexed_rows",
                     "decl_rows",
+                    "identity_torn",
+                    "min_fs",
+                    "max_fs",
+                    "min_mt",
+                    "max_mt",
                 )
             ).alias("example"),
         )
@@ -710,6 +766,14 @@ def _validate_combined(combined) -> None:
     )
     if summary["n_bad"]:
         r = summary["example"]
+        if r["identity_torn"]:
+            raise IndexFormatError(
+                f"Index inconsistent for {r['file']}: footer chunks "
+                f"observed different file versions (size "
+                f"{r['min_fs']}/{r['max_fs']}, mtime_ns "
+                f"{r['min_mt']}/{r['max_mt']}) — the file was rewritten "
+                "between chunk parses; re-run the index build"
+            )
         if r["file_entries"] == 0:
             raise IndexFormatError(
                 f"Index inconsistent for {r['file']}: row-group rows "

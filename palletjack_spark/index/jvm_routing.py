@@ -35,6 +35,7 @@ the Java rule compares doubles directly.
 from __future__ import annotations
 
 import glob
+import math
 import os
 import subprocess
 
@@ -145,8 +146,25 @@ def _per_file_stats(index: MetadataIndex) -> dict[str, dict[str, list[float]]]:
     for r in agg:
         cols = out.setdefault(r["file"], {})
         if r["n_missing"] == 0 and r["mn"] is not None and r["mx"] is not None:
-            cols[r["name"]] = [float(r["mn"]), float(r["mx"])]
+            cols[r["name"]] = [_double_floor(r["mn"]), _double_ceil(r["mx"])]
     return out
+
+
+def _double_floor(v) -> float:
+    """Largest double <= v.  ``float(int)`` rounds to NEAREST, so an
+    int64 min above 2^53 can round UP past a literal that sits between
+    the true and rounded bound — the JVM rule would then wrongly prune
+    the file (round-9 ADVICE).  Rounding the min DOWN (and max UP) keeps
+    the pushed [min, max] a superset of the true range: pruning stays
+    sound, at worst one extra file survives."""
+    f = float(v)
+    return math.nextafter(f, -math.inf) if f > v else f
+
+
+def _double_ceil(v) -> float:
+    """Smallest double >= v (see :func:`_double_floor`)."""
+    f = float(v)
+    return math.nextafter(f, math.inf) if f < v else f
 
 
 def register_index_jvm(

@@ -24,6 +24,9 @@ import org.apache.spark.sql.execution.datasources.HadoopFsRelation;
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex;
 import org.apache.spark.sql.execution.datasources.LogicalRelation;
 import org.apache.spark.sql.execution.datasources.PartitionSpec;
+import org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex;
+import org.apache.spark.sql.types.DataType;
+import org.apache.spark.sql.types.DataTypes;
 import org.apache.spark.sql.types.Decimal;
 import org.apache.spark.sql.types.StructType;
 
@@ -38,7 +41,11 @@ import scala.jdk.javaapi.CollectionConverters;
  * conjuncts.  The Filter itself is kept — pruning is a pure
  * optimization, identical results either way — and anything the rule
  * cannot prove (disjunctions, non-numeric literals, stats-less columns,
- * partitioned relations) conservatively falls through untouched.
+ * unit- or value-changing casts) conservatively falls through
+ * untouched.  Hive-partitioned roots are supported: the rebuilt file
+ * index keeps the original partition spec, so Spark's own scan-time
+ * partition pruning composes with this rule's stats-based file pruning
+ * within partitions.
  *
  * <p>This is SURVEY §4's named production vehicle for q16's session
  * auto-routing: the same decision inputs (registered path, parsed
@@ -93,8 +100,23 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
             return null;
         }
         HadoopFsRelation rel = (HadoopFsRelation) lr.relation();
+        // Hive-partitioned roots (round-9: the common production layout):
+        // keep the ORIGINAL partition spec on the rebuilt file index, so
+        // Spark's own scan-time partition pruning (partition-key
+        // equality at directory level) still applies on top of this
+        // rule's stats-based file pruning within partitions — the same
+        // division of labour as Q03c's Python path.  Conjuncts on
+        // partition columns have no registry stats and safely fall
+        // through to Spark's pruning.
+        Option<PartitionSpec> partSpec = Option.empty();
+        StructType partSchema = new StructType();
         if (rel.partitionSchema().length() != 0) {
-            return null; // partitioned roots: Spark's own partition pruning owns this
+            if (!(rel.location() instanceof PartitioningAwareFileIndex)) {
+                return null; // can't recover the spec: fall through unpruned
+            }
+            partSpec = Option.apply(
+                    ((PartitioningAwareFileIndex) rel.location()).partitionSpec());
+            partSchema = rel.partitionSchema();
         }
         scala.collection.Seq<Path> roots = (scala.collection.Seq<Path>) rel.location().rootPaths();
         if (roots.isEmpty()) {
@@ -136,11 +158,11 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
                 rel.options(),
                 Option.apply(rel.dataSchema()),
                 FileStatusCache.getOrCreate(session),
-                Option.<PartitionSpec>empty(),
+                partSpec,
                 Option.empty());
         HadoopFsRelation pruned = new HadoopFsRelation(
                 location,
-                new StructType(),
+                partSchema,
                 rel.dataSchema(),
                 rel.bucketSpec(),
                 rel.fileFormat(),
@@ -225,12 +247,55 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
 
     private static String attrName(Expression e) {
         if (e instanceof Cast) {
-            e = ((Cast) e).child();
+            Cast c = (Cast) e;
+            // The registry's stats are in the COLUMN's native values and
+            // units (int64 as-is, dates as DAYS, timestamps as MICROS),
+            // while the literal on the other side is in the CAST TARGET's
+            // encoding.  Unwrapping is therefore sound only when
+            // cast(x) == x numerically for every possible x — i.e. exact,
+            // order-preserving numeric widenings.  Catalyst rewrites
+            // `date_col > TIMESTAMP '...'` as
+            // Cast(date_col AS timestamp) > micros-literal: unwrapping
+            // that compares micros against day-unit stats and wrongly
+            // prunes EVERY file (max_days > 1.6e15 is always false) —
+            // silent wrong results.  Same for narrowing casts like
+            // CAST(bigint_col AS INT), which are non-injective.  Anything
+            // not provably exact falls through unpruned (round-9 ADVICE).
+            if (!castPreservesStats(c.child().dataType(), c.dataType())) {
+                return null;
+            }
+            e = c.child();
         }
         if (e instanceof AttributeReference) {
             return ((AttributeReference) e).name();
         }
         return null;
+    }
+
+    /**
+     * True only for casts where every source value maps to exactly its
+     * own numeric value in the target type: integral widenings, small
+     * integrals into float/double (byte/short fit float's 24-bit
+     * mantissa; int fits double's 53), and float→double.  int→float and
+     * long→double ROUND (non-injective: a literal between x and
+     * round(x) flips the comparison), date↔timestamp changes units, and
+     * decimal/string casts change representation — all excluded.
+     */
+    private static boolean castPreservesStats(DataType from, DataType to) {
+        if (from.equals(DataTypes.ByteType) || from.equals(DataTypes.ShortType)) {
+            return to.equals(DataTypes.ShortType)
+                    || to.equals(DataTypes.IntegerType)
+                    || to.equals(DataTypes.LongType)
+                    || to.equals(DataTypes.FloatType)
+                    || to.equals(DataTypes.DoubleType);
+        }
+        if (from.equals(DataTypes.IntegerType)) {
+            return to.equals(DataTypes.LongType) || to.equals(DataTypes.DoubleType);
+        }
+        if (from.equals(DataTypes.FloatType)) {
+            return to.equals(DataTypes.DoubleType);
+        }
+        return false;
     }
 
     private static Double litValue(Expression e) {

@@ -91,6 +91,82 @@ def main(tmp: str) -> None:
     out["files_eq"] = len(_lr_input_files(eq))
     out["n_rows_eq"] = eq.count()
 
+    # --- cast soundness (round-9 ADVICE high) -------------------------
+    # Catalyst rewrites `date_col > TIMESTAMP '...'` as
+    # Cast(d AS timestamp) > micros-literal; the registry's date stats
+    # are in DAYS, so unwrapping that cast would compare micros against
+    # day-units and wrongly prune EVERY file.  The rule must fall
+    # through unpruned (all 4 files) and return the right rows.
+    import datetime
+
+    ddata = os.path.join(tmp, "dates")
+    os.makedirs(ddata)
+    base = datetime.date(2020, 1, 1)
+    for i in range(4):
+        days = [base + datetime.timedelta(days=i * 100 + j) for j in range(100)]
+        pq.write_table(
+            pa.table({"d": pa.array(days, type=pa.date32()),
+                      "w": pa.array(range(i * 100, i * 100 + 100), type=pa.int32())}),
+            os.path.join(ddata, f"part-{i}.parquet"),
+        )
+    register_index_jvm(spark, ddata)
+    ts = spark.sql(
+        f"SELECT d FROM parquet.`{ddata}` "
+        "WHERE d > TIMESTAMP '2020-09-01 00:00:00'"
+    )
+    out["files_date_ts"] = len(_lr_input_files(ts))
+    out["n_rows_date_ts"] = ts.count()  # days 245..399 -> 155 rows
+    # a native date literal stays prunable (same units as the stats)
+    dl = spark.sql(
+        f"SELECT d FROM parquet.`{ddata}` WHERE d >= DATE '2020-09-01'"
+    )
+    out["files_date_lit"] = len(_lr_input_files(dl))
+    out["n_rows_date_lit"] = dl.count()
+    # a narrowing cast (int32 -> short) is non-injective: never unwrap
+    nar = spark.sql(
+        f"SELECT w FROM parquet.`{ddata}` WHERE CAST(w AS SHORT) >= 250"
+    )
+    out["files_narrowing"] = len(_lr_input_files(nar))
+    out["n_rows_narrowing"] = nar.count()
+    # an exact widening (int32 -> bigint) is still unwrapped and pruned
+    wid = spark.sql(
+        f"SELECT w FROM parquet.`{ddata}` WHERE w >= CAST(250 AS BIGINT)"
+    )
+    out["files_widening"] = len(_lr_input_files(wid))
+    out["n_rows_widening"] = wid.count()
+
+    # --- hive-partitioned root (round-8 verdict item 3) ---------------
+    pdata = os.path.join(tmp, "part")
+    for i in range(4):
+        os.makedirs(os.path.join(pdata, f"p={i}"))
+        pq.write_table(
+            pa.table({"v": pa.array(range(i * 100, i * 100 + 100), type=pa.int64())}),
+            os.path.join(pdata, f"p={i}", "part-0.parquet"),
+        )
+    register_index_jvm(spark, pdata)
+    pp = spark.sql(f"SELECT v, p FROM parquet.`{pdata}` WHERE v >= 250")
+    pfiles = _lr_input_files(pp)
+    out["files_partitioned"] = len(pfiles)
+    out["kept_partitions"] = sorted(
+        {f.rsplit("/", 2)[-2] for f in pfiles}
+    )
+    prows = sorted((r["v"], r["p"]) for r in pp.collect())
+    out["n_rows_partitioned"] = len(prows)
+    out["partitioned_values_ok"] = prows == [(v, v // 100) for v in range(250, 400)]
+    # partition-key + data-column conjunction: Spark prunes directories,
+    # the rule prunes files by stats — composed result stays exact
+    both = spark.sql(
+        f"SELECT v, p FROM parquet.`{pdata}` WHERE p = 3 AND v >= 250"
+    )
+    out["n_rows_part_conj"] = both.count()
+    sm_part = sorted(
+        (r["v"],)
+        for r in smart_read(spark, pdata, predicate=[("v", ">=", 250)])
+        .select("v")
+        .collect()
+    )
+    out["smart_read_partitioned_equal"] = sm_part == [(v,) for v in range(250, 400)]
+
     print("RESULT:" + json.dumps(out))
     spark.stop()
 

@@ -130,10 +130,15 @@ def test_final_line_cap_is_unconditional():
     assert parsed["value"] == 9.87
     assert parsed["detail"] == "BENCH_DETAIL_r99.json"
     # absolute worst case: even an empty meta can't save an oversized
-    # detail name -> minimal payload still parses and fits
+    # detail name -> minimal payload truncates detail and STILL fits
+    # (round-9 ADVICE: the cap is unconditional, no escape hatch)
     line2 = b._final_line(9.87, 0.1, times, "x" * 1700)
-    assert len(line2) <= b.FINAL_LINE_MAX or "meta" not in json.loads(line2)
+    assert len(line2) <= b.FINAL_LINE_MAX
     json.loads(line2)
+    # and a detail whose JSON escaping inflates it (quotes/backslashes)
+    line3 = b._final_line(9.87, 0.1, times, '"\\' * 1200)
+    assert len(line3) <= b.FINAL_LINE_MAX
+    json.loads(line3)
 
 
 def test_detail_round_is_max_committed_plus_one(tmp_path):

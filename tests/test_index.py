@@ -280,6 +280,71 @@ def test_extract_detects_rewrite_during_footer_parse(tmp_path, monkeypatch):
     assert file_row["mtime_ns"] == st_now.st_mtime_ns
 
 
+def test_chunked_extract_detects_rewrites(spark, tmp_path, monkeypatch):
+    """Round-9 ADVICE (medium): with n_chunks > 1 EVERY chunk must guard
+    its own parse (pre/post stat), and a rewrite landing BETWEEN two
+    chunks' parses — each individually clean — must be caught by the
+    driver-side cross-chunk identity compare before rows are committed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from palletjack_spark.errors import IndexFormatError
+    from palletjack_spark.index import builder
+
+    path = str(tmp_path / "multi.parquet")
+
+    def write_orig():
+        pq.write_table(
+            pa.table({"v": pa.array(range(100), type=pa.int64())}),
+            path,
+            row_group_size=25,
+        )
+
+    write_orig()
+    st_orig = os.stat(path)
+    real_open = builder._open_footer
+
+    def rewrite_then_open(p):
+        pf = real_open(p)
+        pq.write_table(
+            pa.table({"v": pa.array(range(50), type=pa.int64())}),
+            p,
+            row_group_size=25,
+        )
+        os.utime(p, ns=(st_orig.st_atime_ns, st_orig.st_mtime_ns + 7))
+        return pf
+
+    # (a) a rewrite during a NON-ZERO chunk's parse fails that task loudly
+    # (pre-fix only chunk 0 carried the guard)
+    monkeypatch.setattr(builder, "_open_footer", rewrite_then_open)
+    with pytest.raises(IndexFormatError, match="rewritten during"):
+        builder._extract_file_rows(path, chunk=1, n_chunks=4)
+    monkeypatch.setattr(builder, "_open_footer", real_open)
+
+    # (b) a rewrite BETWEEN chunk parses: both tasks pass their own
+    # pre/post guard but observe different identities — _validate_combined
+    # must reject the mixed-version rows
+    write_orig()
+    frow, rgs0 = builder._extract_file_rows(path, chunk=0, n_chunks=2)
+    _, rgs1 = builder._extract_file_rows(path, chunk=1, n_chunks=2)
+    frow["kind"] = "file"
+    rows = [frow]
+    for r in rgs0 + rgs1:
+        r["kind"] = "rg"
+        rows.append(r)
+    for r in rgs1:  # as if chunk 1 parsed a version rewritten in place
+        r["mtime_ns"] += 99
+    combined = spark.createDataFrame(rows, builder._COMBINED_SCHEMA)
+    with pytest.raises(IndexFormatError, match="different file versions"):
+        builder._validate_combined(combined)
+    # same rows with agreeing identities validate clean
+    for r in rgs1:
+        r["mtime_ns"] -= 99
+    builder._validate_combined(
+        spark.createDataFrame(rows, builder._COMBINED_SCHEMA)
+    )
+
+
 def test_incremental_build_purges_deleted_file(spark, tmp_path):
     """A file deleted since indexing must have its rows purged from both
     sidecar datasets by the next incremental build (round-6 verdict)."""

