@@ -9,8 +9,16 @@ from palletjack_spark.functions.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
+    cross_doc_dupgrams,
+    dup_span_excise,
 )
-from palletjack_spark.functions.similarity import cosine_topk, lsh_bucket_topk
+from palletjack_spark.functions.similarity import (
+    cosine_topk,
+    lsh_bucket_topk,
+    kmeans_converge,
+)
+from palletjack_spark.functions.graph import kcore_peel, pagerank_converge
+from palletjack_spark.functions.fusion import rrf_fuse
 from palletjack_spark.functions.text import (
     text_stats,
     language_id,
@@ -34,8 +42,14 @@ __all__ = [
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash",
+    "cross_doc_dupgrams",
+    "dup_span_excise",
     "cosine_topk",
     "lsh_bucket_topk",
+    "kmeans_converge",
+    "kcore_peel",
+    "pagerank_converge",
+    "rrf_fuse",
     "text_stats",
     "language_id",
     "quality_score",

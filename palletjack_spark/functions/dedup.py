@@ -782,3 +782,129 @@ def cross_doc_dupgrams(
             (dup_frac <= F.lit(max_frac)).alias("keep"),
         )
     )
+
+
+def dup_span_excise(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = DUPGRAM_N,
+) -> DataFrame:
+    """Exact substring dedup at SPAN granularity — Lee et al. 2022's
+    actual dedup-and-remove operator ("Deduplicating Training Data Makes
+    Language Models Better", §3 ExactSubstr): find every maximal run of
+    word positions covered by some ``n``-gram that also appears in
+    another document, and rewrite the text with those spans excised.
+    This upgrades :func:`cross_doc_dupgrams`'s per-doc duplicated
+    FRACTION into the span-level removal a corpus pipeline actually
+    applies.
+
+    Returns one row per document with ≥1 duplicated span: ``(id,
+    n_spans, covered_tokens, spans_str, clean_text)`` where ``spans_str``
+    is the comma-joined ``start-end`` list (1-based token positions,
+    inclusive) and ``clean_text`` the document with covered tokens
+    removed.
+
+    Scale shape (q110's discipline — the text column moves ONCE):
+
+    1. grams hash row-side to 60-bit longs; the gram-frequency exchange
+       carries (id, start, gh) long triples, never text or gram strings;
+    2. duplicated-gram hits explode to covered (id, position) pairs —
+       two-long rows, bounded by n x hits;
+    3. span merging is the gaps-and-islands window partitioned by doc
+       (positions of one doc are co-located after the distinct);
+    4. the original text joins ONCE at the end, on id, against the
+       per-doc span summary (inner join: only duplicated docs move), and
+       the rewrite is a row-local filter/transform over the token array.
+
+    A 100 TB corpus therefore shuffles O(token-count) 24 B rows plus one
+    text-sized exchange RESTRICTED to the duplicated docs — the same
+    order as the minhash pass, not corpus bytes x passes.
+    """
+    from palletjack_spark.functions.curation import _check_reserved
+
+    _check_reserved(
+        {"toks", "gram", "gh", "s", "s0", "p", "isl", "ndocs",
+         "span_start", "span_end", "spans", "n_spans", "covered_tokens",
+         "spans_str", "clean_text"},
+        id_col=id_col, text_col=text_col,
+    )
+    df = _spread(df)
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("toks")
+    )
+    gram = " || ' ' || ".join(f"element_at(toks, i + {j})" for j in range(n))
+    grams_expr = (
+        f"CASE WHEN size(toks) < {n} THEN array() ELSE "
+        f"transform(sequence(1, size(toks) - {n - 1}), i -> {gram}) END"
+    )
+    # (id, start, gh) — posexplode keeps the gram's 1-based start so a
+    # duplicated hash maps straight back to its covered positions
+    g = (
+        toks.where(F.size("toks") >= n)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.expr(grams_expr)).alias("s0", "gram"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("s0") + 1).alias("s"),
+            hash60(F.col("gram")).alias("gh"),
+        )
+    )
+    dup = (
+        g.select(id_col, "gh")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count("*").alias("ndocs"))
+        .where(F.col("ndocs") >= 2)
+        .select("gh")
+    )
+    hits = g.join(dup, "gh").select(id_col, "s")
+    covered = hits.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("s"), F.col("s") + (n - 1))).alias("p"),
+    ).distinct()
+    # gaps-and-islands: consecutive covered positions share p - row_number
+    w = Window.partitionBy(id_col).orderBy("p")
+    islands = (
+        covered.withColumn("isl", F.col("p") - F.row_number().over(w))
+        .groupBy(id_col, "isl")
+        .agg(
+            F.min("p").alias("span_start"),
+            F.max("p").alias("span_end"),
+        )
+    )
+    per_doc = (
+        islands.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("covered_tokens"),
+            F.array_sort(
+                F.collect_list(F.struct("span_start", "span_end"))
+            ).alias("spans"),
+        )
+        .withColumn(
+            "spans_str",
+            F.expr(
+                "array_join(transform(spans,"
+                " x -> concat(x.span_start, '-', x.span_end)), ',')"
+            ),
+        )
+    )
+    # the only text-bearing exchange: inner join on id, duplicated docs
+    # only; the excision is a row-local indexed transform + filter
+    return toks.join(per_doc, id_col).select(
+        F.col(id_col),
+        "n_spans",
+        "covered_tokens",
+        "spans_str",
+        F.expr(
+            "array_join(filter(transform(toks, (t, i) -> CASE WHEN "
+            "exists(spans, sp -> i + 1 >= sp.span_start"
+            " AND i + 1 <= sp.span_end) "
+            "THEN NULL ELSE t END), t -> t IS NOT NULL), ' ')"
+        ).alias("clean_text"),
+    )

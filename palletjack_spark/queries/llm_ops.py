@@ -1321,6 +1321,67 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q152_dup_span_excise",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, s,
+             ('0x' || substr(md5(array_to_string(toks[s:s+3], ' ')), 1, 15))::BIGINT
+               AS gh
+      FROM d, UNNEST(generate_series(1, len(toks) - 3)) AS t(s)
+      WHERE len(toks) >= 4),
+    dup AS (
+      SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g)
+      GROUP BY gh HAVING COUNT(*) >= 2),
+    covered AS (
+      SELECT DISTINCT g.doc_id, u.p
+      FROM g JOIN dup USING (gh),
+           UNNEST(generate_series(g.s, g.s + 3)) AS u(p)),
+    isl AS (
+      SELECT doc_id, p,
+             p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+      FROM covered),
+    spans AS (
+      SELECT doc_id, MIN(p) AS span_start, MAX(p) AS span_end
+      FROM isl GROUP BY doc_id, grp),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(span_end - span_start + 1) AS BIGINT) AS covered_tokens,
+             string_agg(span_start || '-' || span_end, ',' ORDER BY span_start)
+               AS spans_str
+      FROM spans GROUP BY doc_id),
+    toks_pos AS (
+      SELECT d.doc_id, u.p, d.toks[u.p] AS tok
+      FROM d, UNNEST(generate_series(1, len(d.toks))) AS u(p)),
+    clean AS (
+      SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.p) AS clean_text
+      FROM toks_pos tp
+      LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.p = c.p
+      WHERE c.p IS NULL
+      GROUP BY tp.doc_id)
+    SELECT pd.doc_id, pd.n_spans, pd.covered_tokens, pd.spans_str,
+           COALESCE(cl.clean_text, '') AS clean_text
+    FROM per_doc pd LEFT JOIN clean cl ON pd.doc_id = cl.doc_id
+    ORDER BY pd.doc_id
+    """,
+)
+def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup with SPAN REMOVAL (Q152) — Lee et al.
+    2022's dedup-and-excise operator, upgrading q110's per-doc
+    duplicated fraction to the span-level rewrite a training-corpus
+    pipeline actually applies: maximal runs of word positions covered
+    by any cross-doc-duplicated 4-gram are reported as ``start-end``
+    spans and removed from the text
+    (functions/dedup.py:dup_span_excise).  Grams stay 60-bit longs on
+    the wire; the only text-bearing exchange is the final per-doc join
+    restricted to duplicated docs (plan pinned in tests/test_plans.py)."""
+    from palletjack_spark.functions.dedup import dup_span_excise
+
+    docs = t(spark, sf_dir, "documents")
+    return dup_span_excise(docs, "text", "doc_id").orderBy("doc_id")
+
+
+@query(
     "q111_semantic_dedup",
     oracle="""
     WITH v AS (

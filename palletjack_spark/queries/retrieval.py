@@ -302,3 +302,86 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("score"), "doc_id").limit(20)
+
+
+#: the q151 oracle re-uses q143's CTE chain verbatim (everything before
+#: its final SELECT — rindex finds the last one), so the BM25 leg of the
+#: fusion is character-identical to the already-certified q143 oracle
+_BM25_CTES = _BM25_SQL[: _BM25_SQL.rindex("SELECT doc_id")]
+
+_RRF_SQL = (
+    _BM25_CTES
+    + """,
+    bm25 AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT)
+               AS bm25_rank
+      FROM scored ORDER BY score DESC, doc_id LIMIT 20),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    ann_scored AS (
+      SELECT c.vec_id,
+             SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) /
+             sqrt(SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+             sqrt(SUM(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) AS cosine
+      FROM q, embeddings c,
+           UNNEST(generate_series(1, len(c.embedding))) AS s(i)
+      WHERE c.vec_id != 0
+      GROUP BY c.vec_id),
+    ann AS (
+      SELECT vec_id, CAST(rn AS INT) AS ann_rank FROM (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY ROUND(cosine, 4) DESC, vec_id) AS rn
+        FROM ann_scored)
+      WHERE rn <= 20),
+    fused AS (
+      SELECT COALESCE(b.doc_id, a.vec_id) AS doc_id,
+             COALESCE(b.bm25_rank, 0) AS bm25_rank,
+             COALESCE(a.ann_rank, 0) AS ann_rank,
+             CAST(COALESCE(1000000 // (60 + b.bm25_rank), 0)
+                + COALESCE(1000000 // (60 + a.ann_rank), 0) AS BIGINT)
+               AS rrf_score
+      FROM bm25 b FULL OUTER JOIN ann a ON b.doc_id = a.vec_id)
+    SELECT doc_id, bm25_rank, ann_rank, rrf_score
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+"""
+)
+
+
+@query("q151_rrf_fusion", oracle=_RRF_SQL)
+def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Q151): fuse q143's
+    integer BM25 lexical shortlist with a cosine-ANN semantic shortlist
+    (the q92 leg, query = the vec_id-0 embedding over the shared
+    doc_id/vec_id id space) with ``1e6 div (60 + rank)`` integer rank
+    arithmetic — the standard hybrid-retrieval head every RAG /
+    data-curation pipeline runs on top of the two legs
+    (functions/fusion.py:rrf_fuse; Cormack et al., SIGIR'09).
+
+    Both legs are exactly reproducible (q143's fixed-point BM25 and
+    q92's rounded cosine ranking are each already hash-certified), and
+    only their integer RANKS enter the fusion, so the fused score is
+    hash-checkable against DuckDB.  Scale shape: the legs bound the
+    candidate sets (top-20 each) BEFORE fusion; the fusion itself is one
+    full-outer join co-partitioned on doc_id over O(shortlist) rows —
+    corpus-sized data never reaches the fusion exchange."""
+    from pyspark.sql import Window
+
+    from palletjack_spark.functions.fusion import rrf_fuse
+    from palletjack_spark.functions.similarity import cosine_topk
+
+    # lexical leg: q143's top-20, ranked by its own total order
+    bm25_top = q143(spark, sf_dir)
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    bm25 = bm25_top.select(
+        "doc_id", F.row_number().over(w).alias("rank")
+    )
+
+    # semantic leg: exact cosine top-20 neighbors of the query vector
+    emb = t(spark, sf_dir, "embeddings")
+    ann = (
+        cosine_topk(emb, emb.where(F.col("vec_id") == 0), k=20)
+        .select(F.col("vec_id").alias("doc_id"), "rank")
+    )
+
+    fused = rrf_fuse({"bm25": bm25, "ann": ann}, "doc_id")
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(10)

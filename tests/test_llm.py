@@ -870,3 +870,45 @@ def test_kmeans_full_convergence_matches_duckdb_unrolling(spark, duck):
     """
     want = {int(r[0]): (int(r[1]), int(r[2])) for r in duck.execute(sql).fetchall()}
     assert got == want
+
+
+def test_dup_span_excise_planted(spark):
+    """Q152 (Lee et al. span removal) on planted duplicates: shared runs
+    merge into maximal spans (overlapping 4-grams coalesce), clean_text
+    drops exactly the covered positions, unique docs emit no row, and a
+    fully-duplicated doc rewrites to the empty string."""
+    from palletjack_spark.functions.dedup import dup_span_excise
+
+    df = spark.createDataFrame(
+        [
+            (1, "u1 u2 A B C D E u3 u4"),   # shared run at positions 3-7
+            (2, "w1 A B C D E w2 w3 w4 w5"),  # same run at positions 2-6
+            (3, "x1 x2 x3 x4 x5"),          # unique -> no row
+            (4, "P Q R S m1 m2 m3 m4 T U V W"),  # two separated shared runs
+            (5, "P Q R S n1 n2 n3 n4 T U V W"),
+            (6, "F G H I"),                 # exact dup pair, fully covered
+            (7, "F G H I"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dup_span_excise(df, "text", "doc_id").collect()}
+    assert set(out) == {1, 2, 4, 5, 6, 7}
+
+    # overlapping 4-grams of the 5-token run merge into ONE span
+    assert out[1]["spans_str"] == "3-7"
+    assert out[1]["n_spans"] == 1 and out[1]["covered_tokens"] == 5
+    assert out[1]["clean_text"] == "u1 u2 u3 u4"
+    assert out[2]["spans_str"] == "2-6"
+    assert out[2]["clean_text"] == "w1 w2 w3 w4 w5"
+
+    # two separated shared runs stay two spans, numerically ordered
+    for d, mids in ((4, "m1 m2 m3 m4"), (5, "n1 n2 n3 n4")):
+        assert out[d]["spans_str"] == "1-4,9-12"
+        assert out[d]["n_spans"] == 2 and out[d]["covered_tokens"] == 8
+        assert out[d]["clean_text"] == mids
+
+    # fully-covered docs rewrite to ''
+    for d in (6, 7):
+        assert out[d]["spans_str"] == "1-4"
+        assert out[d]["covered_tokens"] == 4
+        assert out[d]["clean_text"] == ""

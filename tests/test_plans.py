@@ -1327,3 +1327,36 @@ def test_pmi_collocations_marginals_shuffle_hash_scalar_broadcast(spark):
     # cnt re-exchanges on a then b, each marginal aggregate exchanges
     # once; nothing else shuffles
     assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
+def test_rrf_fusion_legs_bounded_before_join(spark):
+    """Q151: both shortlists must be rank-bounded BEFORE the fusion join
+    — the ANN leg's rank<=k plans as WindowGroupLimit (per-map-task
+    truncation) and the final fused top-10 is TakeOrderedAndProject, so
+    corpus-sized data never reaches the fusion exchange."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q151_rrf_fusion"].fn(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_dup_span_excise_text_never_in_gram_exchanges(spark):
+    """Q152: like Q110, every hash exchange in the gram/coverage stages
+    must carry only long projections (gram hashes, positions) — the
+    document text and raw gram strings stay map-side; the text joins
+    exactly once at the end, against the per-doc span summary."""
+    from palletjack_spark.functions.dedup import dup_span_excise
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(dup_span_excise(docs, "text", "doc_id"))
+    lines = plan.splitlines()
+    hash_exchange_inputs = []
+    for i, line in enumerate(lines):
+        if ") Exchange" in line and i + 2 < len(lines):
+            if "hashpartitioning" in lines[i + 2]:
+                hash_exchange_inputs.append(lines[i + 1])
+    assert hash_exchange_inputs, plan
+    for inp in hash_exchange_inputs:
+        assert "text#" not in inp and "gram#" not in inp, inp
+        assert "toks#" not in inp, inp

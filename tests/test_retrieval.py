@@ -164,3 +164,63 @@ def test_deletion_signature_candidates_subquadratic():
                 pairs.add((min(members[i], members[j]), max(members[i], members[j])))
     n = len(strings)
     assert len(pairs) < 10 * n, (len(pairs), n * (n - 1) // 2)
+
+
+# ---------------------------------------------------------------------------
+# Q151: RRF fusion semantics
+
+
+def test_rrf_fuse_integer_scores_and_absent_legs(spark):
+    """A candidate in both legs sums both reciprocals; a candidate in
+    one leg gets rank 0 for the other and only its own contribution —
+    all in exact int64 (1e6 div (60+rank)), never floats."""
+    from palletjack_spark.functions.fusion import rrf_fuse
+
+    bm25 = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank int"
+    )
+    ann = spark.createDataFrame(
+        [(20, 1), (40, 2)], "doc_id long, rank int"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in rrf_fuse({"bm25": bm25, "ann": ann}, "doc_id").collect()
+    }
+    assert set(out) == {10, 20, 30, 40}
+    # both legs: bm25 rank 2 + ann rank 1 -> 1e6//62 + 1e6//61
+    assert out[20]["rrf_score"] == 1_000_000 // 62 + 1_000_000 // 61
+    assert (out[20]["bm25_rank"], out[20]["ann_rank"]) == (2, 1)
+    # single-leg candidates: absent leg contributes 0 and ranks as 0
+    assert out[10]["rrf_score"] == 1_000_000 // 61
+    assert (out[10]["bm25_rank"], out[10]["ann_rank"]) == (1, 0)
+    assert out[40]["rrf_score"] == 1_000_000 // 62
+    assert (out[40]["bm25_rank"], out[40]["ann_rank"]) == (0, 2)
+    # dtypes: ranks int, score long (the hash-comparability contract)
+    schema = {
+        f.name: f.dataType.simpleString()
+        for f in rrf_fuse({"bm25": bm25, "ann": ann}, "doc_id").schema.fields
+    }
+    assert schema == {
+        "doc_id": "bigint",
+        "bm25_rank": "int",
+        "ann_rank": "int",
+        "rrf_score": "bigint",
+    }
+
+
+def test_rrf_fuse_three_legs(spark):
+    """N-leg generality: a third leg folds into the same id-co-grouped
+    join chain and the score sums all present reciprocals."""
+    from palletjack_spark.functions.fusion import rrf_fuse
+
+    legs = {
+        "a": spark.createDataFrame([(1, 1)], "doc_id long, rank int"),
+        "b": spark.createDataFrame([(1, 2)], "doc_id long, rank int"),
+        "c": spark.createDataFrame([(1, 3), (2, 1)], "doc_id long, rank int"),
+    }
+    rows = {r["doc_id"]: r for r in rrf_fuse(legs, "doc_id").collect()}
+    assert rows[1]["rrf_score"] == (
+        1_000_000 // 61 + 1_000_000 // 62 + 1_000_000 // 63
+    )
+    assert rows[2]["rrf_score"] == 1_000_000 // 61
+    assert (rows[2]["a_rank"], rows[2]["b_rank"], rows[2]["c_rank"]) == (0, 0, 1)
