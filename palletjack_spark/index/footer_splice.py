@@ -1266,28 +1266,62 @@ def _deserialize_index(blob: bytes) -> tuple[bytes, list, list]:
             "Not a palletjack_spark footer index (bad magic; expected "
             "PJS1 or PJ_2)"
         )
+    # PJS1 container: decode-cap discipline (the reference's rule,
+    # palletjack.cc:82-83, already applied to the PJ_2 path; round-9
+    # deep fuzz found truncated/corrupted PJS1 blobs surfacing as raw
+    # struct.error instead of the typed rejection) — every unpack is
+    # bounds-checked, every count is capped by the bytes that could
+    # hold it, and the parse must consume the blob exactly.
     pos = 4
-    (flen,) = struct.unpack_from("<I", blob, pos)
-    pos += 4
+
+    def _take(fmt: str, size: int, what: str):
+        nonlocal pos
+        if pos + size > len(blob):
+            raise InvalidSelectionError(
+                f"Corrupt PJS1 index: truncated {what} at offset {pos} "
+                f"(need {size} bytes, have {len(blob) - pos})"
+            )
+        out = struct.unpack_from(fmt, blob, pos)
+        pos += size
+        return out
+
+    (flen,) = _take("<I", 4, "footer length")
+    if flen > len(blob) - pos:
+        raise InvalidSelectionError(
+            f"Corrupt PJS1 index: declared footer length {flen} exceeds "
+            f"the {len(blob) - pos} bytes remaining"
+        )
     footer = bytes(blob[pos : pos + flen])
     pos += flen
-    (n_top,) = struct.unpack_from("<I", blob, pos)
-    pos += 4
-    fields = []
-    for _ in range(n_top):
-        fields.append(struct.unpack_from("<4q", blob, pos))
-        pos += 32
-    (n_rg,) = struct.unpack_from("<I", blob, pos)
-    pos += 4
+    (n_top,) = _take("<I", 4, "top-level field count")
+    if n_top > (len(blob) - pos) // 32:
+        raise InvalidSelectionError(
+            f"Corrupt PJS1 index: {n_top} top-level fields declared, "
+            f"only {(len(blob) - pos) // 32} could fit"
+        )
+    fields = [_take("<4q", 32, "top-level field span") for _ in range(n_top)]
+    (n_rg,) = _take("<I", 4, "row-group count")
+    if n_rg > (len(blob) - pos) // 4:
+        raise InvalidSelectionError(
+            f"Corrupt PJS1 index: {n_rg} row groups declared, "
+            f"only {(len(blob) - pos) // 4} could fit"
+        )
     rg_elems = []
     for _ in range(n_rg):
-        (nf,) = struct.unpack_from("<I", blob, pos)
-        pos += 4
-        rgf = []
-        for _ in range(nf):
-            rgf.append(struct.unpack_from("<4q", blob, pos))
-            pos += 32
-        rg_elems.append(rgf)
+        (nf,) = _take("<I", 4, "row-group span count")
+        if nf > (len(blob) - pos) // 32:
+            raise InvalidSelectionError(
+                f"Corrupt PJS1 index: {nf} row-group spans declared, "
+                f"only {(len(blob) - pos) // 32} could fit"
+            )
+        rg_elems.append(
+            [_take("<4q", 32, "row-group span") for _ in range(nf)]
+        )
+    if pos != len(blob):
+        raise InvalidSelectionError(
+            f"Corrupt PJS1 index: {len(blob) - pos} trailing bytes after "
+            "the span table"
+        )
     # seed the span cache so splices skip the walk entirely
     if len(_SPAN_CACHE) >= _SPAN_CACHE_MAX:
         _SPAN_CACHE.pop(next(iter(_SPAN_CACHE)))
@@ -1391,13 +1425,26 @@ def read_metadata(
     # an extension over the reference's Cython signature, which defaults
     # every selection to [] and would TypeError on None (palletjack's
     # `cdef vector[uint32_t] crow_groups = row_groups` conversion)
-    pruned = splice_footer(
-        footer,
-        row_groups=list(row_groups or ()),
-        column_indices=list(column_indices or ()) or None,
-        column_names=list(column_names or ()) or None,
-    )
-    return metadata_from_footer(pruned)
+    try:
+        pruned = splice_footer(
+            footer,
+            row_groups=list(row_groups or ()),
+            column_indices=list(column_indices or ()) or None,
+            column_names=list(column_names or ()) or None,
+        )
+        return metadata_from_footer(pruned)
+    except (InvalidSelectionError, IndexFormatError):
+        raise
+    except Exception as e:
+        # Decode-cap discipline, splice layer (round-9 deep fuzz): a PJS1
+        # container can be structurally valid while its EMBEDDED footer
+        # bytes are corrupt — the stored spans then point at garbage and
+        # the varint walk / pyarrow thrift parse fails with an untyped
+        # IndexError / ArrowInvalid / OSError.  A corrupt index must
+        # always surface as the library's typed rejection.
+        raise InvalidSelectionError(
+            f"Corrupt index: spliced footer does not parse ({e})"
+        ) from e
 
 
 def read_schema(

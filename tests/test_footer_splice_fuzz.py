@@ -110,3 +110,79 @@ def test_spliced_read_equals_direct(case):
         [table.select(names).slice(r * chunk, chunk) for r in rgs]
     )
     assert got.equals(want), (kinds, codec, use_dict, stats, rgs, col_idx)
+
+
+def test_pjs1_corruption_never_crashes(tmp_path):
+    """Round-9 deep fuzz: any byte corruption/truncation of a PJS1 blob
+    — container fields OR the embedded footer the stored spans point
+    into — must fail with the library's typed errors, never a raw
+    struct.error / IndexError / pyarrow ArrowInvalid escaping through
+    read_metadata.  (The PJ_2 path had this decode-cap contract from
+    round 7; the PJS1 path and the splice layer gained it here after a
+    2500-example sweep found six untyped crash classes.)"""
+    from hypothesis import given
+
+    from palletjack_spark.errors import IndexFormatError, InvalidSelectionError
+    from palletjack_spark.index.footer_splice import (
+        generate_metadata_index,
+        read_metadata,
+    )
+
+    rng = np.random.default_rng(7)
+    path = str(tmp_path / "f.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "a": pa.array(rng.integers(0, 2**40, 200), type=pa.int64()),
+                "b": pa.array([f"s{i % 17}" for i in range(200)]),
+                "c": pa.array(rng.random(200)),
+            }
+        ),
+        path,
+        row_group_size=40,
+    )
+    blob = bytes(generate_metadata_index(path))
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        edits=st.lists(
+            st.tuples(st.integers(0, len(blob) - 1), st.integers(0, 255)),
+            min_size=1,
+            max_size=12,
+        ),
+        truncate=st.integers(0, len(blob)),
+        rgs=st.lists(st.integers(0, 4), max_size=5, unique=True),
+        cols=st.lists(st.integers(0, 2), max_size=3, unique=True),
+    )
+    def check(edits, truncate, rgs, cols):
+        b = bytearray(blob)
+        for pos, val in edits:
+            b[pos] = val
+        b = bytes(b[:truncate]) if truncate < len(b) else bytes(b)
+        try:
+            read_metadata(index_data=b, row_groups=rgs, column_indices=cols)
+        except (InvalidSelectionError, IndexFormatError):
+            pass  # typed rejection is the contract
+
+    check()
+
+    # the six fuzz-found falsifying shapes, pinned as regressions
+    import pytest
+
+    for edits, truncate in [
+        ([(4, 0)], 4),      # truncated footer-length field
+        ([(4, 0)], 8),      # flen edit -> top-count read past the end
+        ([(4, 0)], 1548),   # flen edit -> span table truncated
+        ([(6, 0)], 1967),   # truncated row-group count
+        ([(6, 0)], 1971),   # truncated span count
+        ([(6, 0)], 1975),   # truncated span entry
+    ]:
+        b = bytearray(blob)
+        for pos, val in edits:
+            b[pos] = val
+        with pytest.raises((InvalidSelectionError, IndexFormatError)):
+            read_metadata(index_data=bytes(b[:truncate]))
+
+    # a clean blob still reads exactly after the hardening
+    md = read_metadata(index_data=blob, row_groups=[1], column_indices=[0, 2])
+    assert md.num_rows == 40 and md.num_columns == 2
