@@ -127,9 +127,12 @@ HEADLINE = [
     # corpus exchange, integer likelihood-ratio ranking
     "q150_pmi_collocations",
     # round 9 additions: RRF hybrid retrieval (BM25 + ANN shortlists,
-    # integer rank arithmetic), Lee-et-al span-level substring dedup
+    # integer rank arithmetic), Lee-et-al span-level substring dedup,
+    # best-quality cluster representatives, MinHash fuzzy decontamination
     "q151_rrf_fusion",
     "q152_dup_span_excise",
+    "q153_cluster_representative",
+    "q154_fuzzy_decontaminate",
 ]
 
 META_ROW_GROUPS = 200

@@ -11,6 +11,8 @@ from palletjack_spark.functions.dedup import (
     simhash,
     cross_doc_dupgrams,
     dup_span_excise,
+    cluster_representatives,
+    fuzzy_decontaminate,
 )
 from palletjack_spark.functions.similarity import (
     cosine_topk,
@@ -44,6 +46,8 @@ __all__ = [
     "simhash",
     "cross_doc_dupgrams",
     "dup_span_excise",
+    "cluster_representatives",
+    "fuzzy_decontaminate",
     "cosine_topk",
     "lsh_bucket_topk",
     "kmeans_converge",

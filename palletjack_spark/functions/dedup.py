@@ -908,3 +908,141 @@ def dup_span_excise(
             "THEN NULL ELSE t END), t -> t IS NOT NULL), ' ')"
         ).alias("clean_text"),
     )
+
+
+#: packs (quality, id) into ONE bigint so the per-cluster argmax stays a
+#: codegen'd HashAggregate (``max(struct(...))`` falls back to
+#: SortAggregate); quality <= 3000 and id < 2^50 keep the pack in int64
+_REPR_PACK = 1 << 50
+
+
+def cluster_representatives(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Keep-best-per-cluster near-dup dedup (Q153): connected components
+    over the exact n-gram Jaccard pairs (:func:`ngram_jaccard_pairs` →
+    :func:`connected_components`), then keep the HIGHEST-QUALITY member
+    of each cluster — ties to the lowest id — instead of the arbitrary
+    min-id.  This is the representative-selection policy production
+    curation pipelines apply after near-dup clustering (drop the
+    boilerplate copy, keep the cleanest one).
+
+    Returns (id, component, quality, keep) for every clustered document;
+    unclustered documents are implicitly kept (no row).  Quality is an
+    exact integer composite — length band (100–2000 chars) + token band
+    (20–500) + milli type-token ratio — so the argmax is engine-exact.
+
+    Scale shape: quality is a zero-shuffle row-local projection; the
+    argmax packs (quality, id) into one BIGINT and runs as ONE hash
+    aggregate on component plus a same-key join back (the exchange on
+    ``component`` is reused by both — no extra shuffle).
+    """
+    pairs = ngram_jaccard_pairs(df, text_col, id_col, block_col, threshold)
+    comp = connected_components(pairs)
+
+    toks = F.split(F.col(text_col), " ")
+    quality = (
+        F.when(F.length(text_col).between(100, 2000), F.lit(1000)).otherwise(0)
+        + F.when(F.size(toks).between(20, 500), F.lit(1000)).otherwise(0)
+        + F.expr(
+            f"(1000 * size(array_distinct(split({text_col}, ' '))))"
+            f" div size(split({text_col}, ' '))"
+        )
+    ).cast("long")
+    q = df.select(F.col(id_col), quality.alias("quality"))
+
+    member = comp.join(q, comp["node"] == q[id_col]).select(
+        F.col(id_col),
+        "component",
+        "quality",
+        (
+            F.col("quality") * F.lit(_REPR_PACK)
+            + (F.lit(_REPR_PACK - 1) - F.col(id_col))
+        ).alias("pack"),
+    )
+    winners = member.groupBy("component").agg(
+        (F.lit(_REPR_PACK - 1) - F.max("pack") % F.lit(_REPR_PACK)).alias(
+            "keeper_id"
+        )
+    )
+    return member.join(winners, "component").select(
+        F.col(id_col),
+        "component",
+        "quality",
+        (F.col(id_col) == F.col("keeper_id")).alias("keep"),
+    )
+
+
+def fuzzy_decontaminate(
+    train: DataFrame,
+    ev: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_milli: int = 500,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination (Q154): flag training documents
+    MinHash-near-duplicate to any eval/benchmark document — the
+    similarity upgrade of exact n-gram decontamination (Q102), the
+    GPT-3/PaLM-style "remove train docs overlapping the test set even
+    after light edits" pass.
+
+    Returns (id, eval_id, jaccard_milli) for every cross-corpus pair
+    whose banded-LSH candidate survives EXACT shingle-Jaccard
+    verification at ``threshold_milli`` (integer milli-Jaccard via
+    truncating div — engine-exact, the q143/q151 fixed-point rule).
+    Banding only generates candidates; precision is 1.0 and recall
+    follows the q91 banding curve.
+
+    Scale shape (the eval side is a benchmark — tiny vs a 100 TB
+    corpus): signatures are zero-shuffle per-document projections on
+    BOTH sides; the eval band table and eval shingle sets BROADCAST, so
+    the train corpus is never shuffled at all — candidates and verify
+    are map-side joins, one distinct on the (train, eval) candidate
+    pairs bounded by banding collisions."""
+    sig_t = _signatures_one_shuffle(train, text_col, id_col, k=k)
+    sig_e = _signatures_one_shuffle(ev, text_col, id_col, k=k)
+    bh_t = band_hashes(sig_t, id_col, bands=bands, rows=rows)
+    bh_e = band_hashes(
+        sig_e.withColumnRenamed(id_col, "eval_id"), "eval_id",
+        bands=bands, rows=rows,
+    )
+    cand = (
+        bh_t.join(F.broadcast(bh_e), ["band", "band_hash"])
+        .select(id_col, "eval_id")
+        .distinct()
+    )
+    sets_t = sig_t.select(F.col(id_col), "n_sh", "sh_set")
+    sets_e = sig_e.select(
+        F.col(id_col).alias("eval_id"),
+        F.col("n_sh").alias("ne"),
+        F.col("sh_set").alias("eset"),
+    )
+    jm = "(1000 * common) div (n_sh + ne - common)"
+    # broadcast the CANDIDATE list into the train sets (bounded by eval
+    # size x banding collisions), never the reverse: the train shingle
+    # sets are corpus-sized WIDE rows and must not shuffle — the verify
+    # stays map-side over the train scan
+    return (
+        sets_t.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(sets_e), "eval_id")
+        .select(
+            F.col(id_col),
+            F.col("eval_id"),
+            F.size(F.array_intersect("sh_set", "eset")).cast("long").alias("common"),
+            "n_sh",
+            "ne",
+        )
+        .select(
+            F.col(id_col),
+            "eval_id",
+            F.expr(jm).cast("long").alias("jaccard_milli"),
+        )
+        .where(F.col("jaccard_milli") >= threshold_milli)
+    )

@@ -1045,6 +1045,79 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+#: q153 packs (quality, doc_id) into ONE bigint so the per-cluster argmax
+#: stays a codegen'd HashAggregate (max(struct(...)) falls back to
+#: SortAggregate — the q137 lesson); quality <= 3000 and doc_id < 2^50
+#: keep the pack far inside int64
+_Q153_PACK = 1 << 50
+
+
+@query(
+    "q153_cluster_representative",
+    oracle=f"""
+    WITH RECURSIVE
+    {_Q101_PAIRS_SQL},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS node, LEAST(a, MIN(b)) AS component
+      FROM reach GROUP BY a
+    ),
+    q AS (
+      SELECT doc_id,
+             CAST(CASE WHEN len(text) BETWEEN 100 AND 2000
+                       THEN 1000 ELSE 0 END
+                + CASE WHEN len(ts) BETWEEN 20 AND 500
+                       THEN 1000 ELSE 0 END
+                + (1000 * len(list_distinct(ts))) // len(ts)
+                  AS BIGINT) AS quality
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS ts
+            FROM documents)
+    ),
+    member AS (
+      SELECT c.node AS doc_id, c.component, q.quality,
+             q.quality * {_Q153_PACK} + ({_Q153_PACK} - 1 - c.node) AS pack
+      FROM comp c JOIN q ON q.doc_id = c.node
+    ),
+    winners AS (
+      SELECT component,
+             {_Q153_PACK} - 1 - (MAX(pack) % {_Q153_PACK}) AS keeper_id
+      FROM member GROUP BY component
+    )
+    SELECT m.doc_id, m.component, m.quality,
+           m.doc_id = w.keeper_id AS keep
+    FROM member m JOIN winners w ON m.component = w.component
+    ORDER BY m.doc_id
+    """,
+)
+def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative near-dup dedup (Q153): within each Q101
+    connected component keep the HIGHEST-QUALITY member (ties to the
+    lowest doc_id) instead of the arbitrary min-id — the
+    keep-best-per-cluster policy production curation pipelines apply
+    after near-dup clustering.  Quality is an exact integer composite
+    (length band + token band + milli type-token ratio, each engine
+    computing identical int arithmetic), and the per-cluster argmax
+    packs (quality, doc_id) into one BIGINT so it plans as a codegen'd
+    HashAggregate, never a SortAggregate (plan pinned in
+    tests/test_plans.py).  Scale shape: components are O(clustered
+    docs); quality is a zero-shuffle row-local projection; the argmax is
+    one hash aggregate on component plus a same-key join back."""
+    from palletjack_spark.functions.dedup import cluster_representatives
+
+    docs = t(spark, sf_dir, "documents")
+    return cluster_representatives(
+        docs, "text", "doc_id", "source", threshold=0.2
+    ).orderBy("doc_id")
+
+
 def _decontam_oracle(n: int = 4, eval_mod: int = 25) -> str:
     """Q102 oracle — generated from the same gram length / eval-slice
     constants as the Spark pipeline (the q91 generated-oracle discipline)."""
@@ -1078,6 +1151,92 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = docs.where(F.col("doc_id") % 25 == 0)
     train = docs.where(F.col("doc_id") % 25 != 0)
     return decontaminate(train, ev, "text", "doc_id", n=4)
+
+
+def _fuzzy_decontam_oracle(eval_mod: int = 25, thr_milli: int = 500) -> str:
+    """Q154 oracle — the q91 generated-minhash discipline applied
+    cross-corpus: identical md5 shingle hashes, identical k universal
+    permutations, identical banding, then the exact integer
+    milli-Jaccard verify on the candidate pairs."""
+    n = SHINGLE_LEN
+    sig_cols = ",\n         ".join(
+        ["COUNT(*) AS n_sh"]
+        + [
+            f"MIN(({a} * (h & {_H30_MASK}) + {b}) % {MINHASH_P}) AS s{i}"
+            for i, (a, b) in enumerate(minhash_coeffs(MINHASH_K))
+        ]
+    )
+    band_selects = []
+    for b in range(LSH_BANDS):
+        cols = ", ".join(
+            f"CAST(s{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols}))"
+            " AS band_hash FROM sig"
+        )
+    bands_sql = "\n      UNION ALL\n      ".join(band_selects)
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             {_sql_hash60(f'substr(text, i, {n})')} AS h
+      FROM documents,
+           UNNEST(generate_series(1, greatest(length(text) - {n - 1}, 1))) AS s(i)
+    ),
+    sig AS (
+      SELECT doc_id,
+         {sig_cols}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {bands_sql}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS tid, b.doc_id AS eid
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+      WHERE a.doc_id % {eval_mod} <> 0 AND b.doc_id % {eval_mod} = 0
+    ),
+    common AS (
+      SELECT c.tid, c.eid, COUNT(*) AS common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.tid
+      JOIN sh sb ON sb.doc_id = c.eid AND sb.h = sa.h
+      GROUP BY c.tid, c.eid
+    )
+    SELECT m.tid AS doc_id, m.eid AS eval_id,
+           CAST((1000 * m.common) // (za.n_sh + zb.n_sh - m.common)
+                AS BIGINT) AS jaccard_milli
+    FROM common m
+    JOIN sig za ON za.doc_id = m.tid
+    JOIN sig zb ON zb.doc_id = m.eid
+    WHERE (1000 * m.common) // (za.n_sh + zb.n_sh - m.common) >= {thr_milli}
+    ORDER BY doc_id, eval_id
+    """
+
+
+@query("q154_fuzzy_decontaminate", oracle=_fuzzy_decontam_oracle())
+def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination (Q154): MinHash-near-duplicate
+    matching between the training slice and the eval slice (doc_id % 25
+    == 0, q102's split) — the similarity upgrade of q102's exact n-gram
+    pass, catching test-set leaks that survive light edits (the
+    GPT-3/PaLM-style decontamination sweep).  LSH banding generates
+    candidates, exact integer milli-Jaccard verifies (precision 1.0;
+    both engines run the identical deterministic md5 minhash, so the
+    candidate set — not just the verified output — is engine-exact).
+    The eval side broadcasts everywhere (benchmarks are tiny vs a
+    100 TB corpus): the train corpus is never shuffled
+    (functions/dedup.py:fuzzy_decontaminate; plan pinned in
+    tests/test_plans.py)."""
+    from palletjack_spark.functions.dedup import fuzzy_decontaminate
+
+    docs = t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 25 == 0)
+    train = docs.where(F.col("doc_id") % 25 != 0)
+    return fuzzy_decontaminate(train, ev, "text", "doc_id").orderBy(
+        "doc_id", "eval_id"
+    )
 
 
 @query(

@@ -912,3 +912,62 @@ def test_dup_span_excise_planted(spark):
         assert out[d]["spans_str"] == "1-4"
         assert out[d]["covered_tokens"] == 4
         assert out[d]["clean_text"] == ""
+
+
+def test_cluster_representative_prefers_quality_over_min_id(spark):
+    """Q153: the keeper is the highest-QUALITY cluster member (ties to
+    the lowest id) — the policy difference vs q101's min-id convention.
+    Doc 9 (clean) must beat doc 1 (same content + repetition lowering
+    its type-token ratio) despite the higher id; identical-text ties
+    keep the lowest id; unclustered docs emit no row."""
+    from palletjack_spark.functions.dedup import cluster_representatives
+
+    common = " ".join(f"word{i:02d}" for i in range(24))  # 167 chars, 24 toks
+    df = spark.createDataFrame(
+        [
+            (1, common + " xx xx xx xx xx xx", "s"),  # ttr 25/30 -> 2833
+            (9, common, "s"),                         # ttr 1.0   -> 3000
+            (20, common + " tail20 tail21", "t"),     # tie pair in block t
+            (21, common + " tail20 tail21", "t"),
+            (30, "zz " * 40 + "unique solo", "s"),    # no near-dup -> no row
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in cluster_representatives(df, "text", "doc_id", "source").collect()
+    }
+    assert set(out) == {1, 9, 20, 21}
+    assert out[9]["keep"] and not out[1]["keep"]          # quality wins
+    assert out[9]["quality"] == 3000 and out[1]["quality"] < 3000
+    assert out[1]["component"] == out[9]["component"] == 1
+    assert out[20]["keep"] and not out[21]["keep"]        # tie -> lowest id
+    assert out[20]["quality"] == out[21]["quality"]
+
+
+def test_fuzzy_decontaminate_planted(spark):
+    """Q154: a train doc that is a light edit of an eval doc is flagged
+    with its exact milli-Jaccard; unrelated train docs are not; the
+    exact verify keeps precision 1.0 even when banding collides."""
+    from palletjack_spark.functions.dedup import fuzzy_decontaminate
+
+    base = " ".join(f"tok{i:03d}" for i in range(60))
+    edited = base.replace("tok030", "EDIT") + " suffix"
+    train = spark.createDataFrame(
+        [(1, edited), (2, "completely different content " * 10)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in fuzzy_decontaminate(train, ev, "text", "doc_id").collect()
+    }
+    assert set(out) == {1}
+    assert out[1]["eval_id"] == 100
+    assert 500 <= out[1]["jaccard_milli"] < 1000
+    # raising the bar above the pair's true Jaccard drops it — the
+    # threshold gates on the EXACT score, not the banding collision
+    none = fuzzy_decontaminate(
+        train, ev, "text", "doc_id", threshold_milli=1000
+    ).collect()
+    assert none == []

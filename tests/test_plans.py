@@ -1360,3 +1360,33 @@ def test_dup_span_excise_text_never_in_gram_exchanges(spark):
     for inp in hash_exchange_inputs:
         assert "text#" not in inp and "gram#" not in inp, inp
         assert "toks#" not in inp, inp
+
+
+def test_cluster_representative_argmax_is_hash_aggregate(spark):
+    """Q153: the per-cluster quality argmax must plan as a codegen'd
+    HashAggregate over the packed (quality, id) bigint — max(struct())
+    would silently fall back to SortAggregate (the q137 lesson) — and
+    the winners join must reuse the component exchange."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q153_cluster_representative"].fn(spark, SF_DIR))
+    assert "SortAggregate" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_fuzzy_decontaminate_train_side_never_shuffles_wide_rows(spark):
+    """Q154: the eval band table, the candidate list, and the eval
+    shingle sets all BROADCAST — every hash exchange carries only
+    narrow (id, id) or band projections, never the corpus-sized train
+    shingle-set arrays or text."""
+    from palletjack_spark.queries import REGISTRY
+
+    df = REGISTRY["q154_fuzzy_decontaminate"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("BroadcastExchange") >= 3, plan
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if ") Exchange" in line and i + 2 < len(lines):
+            if "hashpartitioning" in lines[i + 2]:
+                inp = lines[i + 1]
+                assert "sh_set#" not in inp and "text#" not in inp, inp
