@@ -1163,3 +1163,195 @@ def q29l(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+@query(
+    "q29m_tpch_q9_shape",
+    oracle="""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey  = l_partkey
+    JOIN supplier ON s_suppkey  = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY n_name, o_year DESC
+    """,
+)
+def q29m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year, minus the
+    fixture-absent partsupp supplycost term): name-filtered part ⋈
+    lineitem ⋈ supplier ⋈ nation ⋈ orders → profit per (nation, year).
+    Scale shape: the LIKE filter pushes to the part scan and that pruned
+    part side BROADCASTS (parts matching a name pattern are a fraction
+    of an already-dimension-sized table), as do supplier and nation —
+    lineitem, the fact table, is never shuffled before the final
+    (nation, year) aggregate, which map-side combines to ~nations×years
+    rows.  Decimal(18,6) accumulation keeps the sum order-independent
+    and engine-exact (the q29b discipline)."""
+    p = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("profit")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "q29n_tpch_q4_shape",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q29n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): one-quarter order
+    window, EXISTS-decorrelated to a LEFT SEMI join against lineitems
+    that shipped more than 60 days after the order date (the fixture
+    lacks commit/receipt dates, so late shipment stands in for the
+    spec's late-commit condition — same correlated-EXISTS shape).
+    Scale shape: the date window pushes to the orders scan; the
+    EXISTS is ONE semi join on orderkey (never a count + filter), so
+    each order contributes at most one row regardless of lineitem
+    fan-out; the priority rollup map-side combines to 5 rows."""
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAY")),
+            "left_semi",
+        )
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q29o_tpch_q8_shape",
+    oracle="""
+    WITH all_sales AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             n2.n_name AS supp_nation,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+               AS volume
+      FROM lineitem
+      JOIN part     ON p_partkey   = l_partkey
+      JOIN supplier ON s_suppkey   = l_suppkey
+      JOIN orders   ON o_orderkey  = l_orderkey
+      JOIN customer ON c_custkey   = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_7'
+                         THEN volume ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM all_sales
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q29o(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): PROMO-part sales into the
+    ASIA customer market, NATION_7's supplier share of volume per year.
+    Scale shape: part (type-filtered), supplier, customer's
+    nation⋈region scope, and both nation legs all BROADCAST — lineitem
+    joins orders on orderkey (the only fact-fact shuffle) and the
+    two-level aggregate (conditional sum over the same rows) is ONE
+    map-side-combined pass, never two scans.  Both volume sums
+    accumulate in decimal(18,6); the share is a SINGLE double division
+    of two engine-identical sums (the q125b sequencing rule), so the
+    float result is bit-equal across engines."""
+    p = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = t(spark, sf_dir, "lineitem")
+    asia_cust = c.join(
+        F.broadcast(n1), c.c_nationkey == n1.n_nationkey
+    ).join(F.broadcast(r), n1.n_regionkey == r.r_regionkey).select("c_custkey")
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    sales = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(asia_cust), o.o_custkey == F.col("c_custkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            F.col("supp_nation"),
+            volume.alias("volume"),
+        )
+    )
+    return (
+        sales.groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == "NATION_7", F.col("volume")
+                    ).otherwise(F.lit(0).cast("decimal(18,6)"))
+                ).cast("double")
+                / F.sum("volume").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )

@@ -1390,3 +1390,34 @@ def test_fuzzy_decontaminate_train_side_never_shuffles_wide_rows(spark):
             if "hashpartitioning" in lines[i + 2]:
                 inp = lines[i + 1]
                 assert "sh_set#" not in inp and "text#" not in inp, inp
+
+
+def test_tpch_q9_shape_dimensions_broadcast(spark):
+    """Q29m: part (LIKE-filtered), supplier, and nation all broadcast —
+    lineitem is never shuffled before the (nation, year) aggregate; the
+    only fact-fact exchange is the orders join on orderkey."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q29m_tpch_q9_shape"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q4_shape_exists_is_one_semi_join(spark):
+    """Q29n: the correlated EXISTS decorrelates to exactly one LEFT SEMI
+    join — never an aggregate-count + filter over the lineitem fan-out."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q29n_tpch_q4_shape"].fn(spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+
+
+def test_tpch_q8_shape_share_is_one_pass(spark):
+    """Q29o: the market-share numerator and denominator are conditional
+    sums in ONE aggregate over one scan of the joined sales (never two
+    scans), and every dimension leg broadcasts."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q29o_tpch_q8_shape"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "CartesianProduct" not in plan, plan
