@@ -1421,3 +1421,14 @@ def test_tpch_q8_shape_share_is_one_pass(spark):
     plan = _simple_plan(REGISTRY["q29o_tpch_q8_shape"].fn(spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 4, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q15_shape_scalar_broadcast(spark):
+    """Q29p: the revenue view's MAX rides a 1-row broadcast and the
+    supplier dimension broadcasts — the only exchange is the revenue
+    aggregate's suppkey shuffle."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q29p_tpch_q15_shape"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
