@@ -1,0 +1,311 @@
+"""Dictionary-page row-group pruning for equality predicates.
+
+Min/max stats cannot prune an equality predicate on a high-cardinality
+column whose values interleave across row groups — every row group's
+[min, max] spans the literal even though most contain no matching row.
+Parquet already stores the exact answer in a tiny place: the column
+chunk's DICTIONARY PAGE.  When a chunk is *fully* dictionary-encoded,
+the dictionary is the complete value set of the chunk, so
+``literal not in dictionary`` is a PROOF the row group holds no match.
+
+This module reads ONLY the dictionary-page bytes
+(``[dictionary_page_offset, data_page_offset)`` — typically a few KB)
+of row groups that survive stats pruning, using the same compact-thrift
+span machinery as the footer splice (:mod:`footer_splice`):
+
+1. *Soundness evidence*: ``ColumnMetaData.encoding_stats`` (field 13)
+   must show every DATA_PAGE/DATA_PAGE_V2 encoded as
+   PLAIN_DICTIONARY/RLE_DICTIONARY.  A chunk that fell back to PLAIN
+   mid-write (dictionary overflow) holds values OUTSIDE the dictionary,
+   so pruning would be wrong — such chunks, and writers that omit
+   encoding_stats, conservatively return "unknown" and are kept.
+2. *Probe*: parse the dictionary PageHeader (compact thrift), decompress
+   the page with the chunk's codec, PLAIN-decode the values
+   (length-prefixed for BYTE_ARRAY, fixed-width for INT32/INT64/
+   FLOAT/DOUBLE), and test membership.
+
+Every parse/IO failure degrades to "unknown" (keep) — pruning is a pure
+optimization and must never change results; the residual filter always
+applies downstream.
+
+Scale shape: the probe I/O is bounded by (surviving row groups ×
+dictionary page size), reads no data pages, and is embarrassingly
+parallel per chunk.  The driver-local read path (≤ 32 files) probes on
+the driver with per-(file, offset) memoization; catalog-scale plans can
+ship the same probe into the scan tasks — the plan rows already carry
+every offset it needs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from palletjack_spark.index.footer_splice import (
+    _decode_value,
+    _list_elem_spans,
+    _span_get,
+    _struct_field_spans,
+    footer_spans,
+    read_footer_bytes,
+)
+
+#: parquet PageType enum
+_PAGE_DATA, _PAGE_INDEX, _PAGE_DICT, _PAGE_DATA_V2 = 0, 1, 2, 3
+#: parquet Encoding enum members that mean "values live in the dictionary"
+_ENC_PLAIN = 0
+_ENC_PLAIN_DICT = 2
+_ENC_RLE_DICT = 8
+#: parquet CompressionCodec enum -> pyarrow codec name (None = uncompressed;
+#: LZO (3) has no pyarrow codec and maps to unsupported)
+_CODEC_NAMES = {1: "snappy", 2: "gzip", 4: "brotli", 5: "lz4", 6: "zstd", 7: "lz4_raw"}
+
+
+def _column_meta_fields(footer: bytes, rg_idx: int, col_idx: int):
+    """Span list of ColumnMetaData fields for (row group, column), or
+    None when the ordinals are out of range or the layout is unexpected."""
+    try:
+        _fields, rg_elems = footer_spans(footer)
+        if not (0 <= rg_idx < len(rg_elems)):
+            return None
+        cols_span = _span_get(rg_elems[rg_idx], 1)  # RowGroup.columns
+        if cols_span is None:
+            return None
+        _etype, spans, _ = _list_elem_spans(footer, cols_span[1])
+        if not (0 <= col_idx < len(spans)):
+            return None
+        cc_fields, _ = _struct_field_spans(footer, spans[col_idx][0])
+        md_span = _span_get(cc_fields, 3)  # ColumnChunk.meta_data
+        if md_span is None:
+            return None
+        md_fields, _ = _struct_field_spans(footer, md_span[1])
+        return md_fields
+    except Exception:
+        return None
+
+
+def fully_dict_encoded(footer: bytes, rg_idx: int, col_idx: int) -> bool | None:
+    """True when encoding_stats PROVES every data page of the chunk is
+    dictionary-encoded; False when a data page provably is not; None when
+    the writer omitted encoding_stats (or the footer doesn't parse) —
+    callers must treat None as "cannot prune"."""
+    md_fields = _column_meta_fields(footer, rg_idx, col_idx)
+    if md_fields is None:
+        return None
+    es_span = _span_get(md_fields, 13)  # ColumnMetaData.encoding_stats
+    if es_span is None:
+        return None
+    try:
+        _etype, spans, _ = _list_elem_spans(footer, es_span[1])
+        n_data_pages = 0
+        for s, _e in spans:
+            pes, _ = _struct_field_spans(footer, s)
+            page_type = _decode_value(footer, *_need(pes, 1))[0]
+            encoding = _decode_value(footer, *_need(pes, 2))[0]
+            if page_type in (_PAGE_DATA, _PAGE_DATA_V2):
+                n_data_pages += 1
+                if encoding not in (_ENC_PLAIN_DICT, _ENC_RLE_DICT):
+                    return False
+        return True if n_data_pages > 0 else None
+    except Exception:
+        return None
+
+
+def _need(fields, fid):
+    span = _span_get(fields, fid)
+    if span is None:
+        raise KeyError(fid)
+    return span[1], span[0]
+
+
+def read_dictionary(
+    path: str,
+    dictionary_page_offset: int,
+    data_page_offset: int,
+    codec: str,
+    physical_type: str,
+) -> list | None:
+    """Decode a column chunk's dictionary values, or None when the page
+    is absent, the codec/type is unsupported, or anything fails to parse.
+
+    The read is exactly ``data_page_offset - dictionary_page_offset``
+    bytes — the dictionary page (header + payload) and nothing else.
+    """
+    if (
+        dictionary_page_offset is None
+        or data_page_offset is None
+        or not (0 <= dictionary_page_offset < data_page_offset)
+    ):
+        return None
+    try:
+        with open(path, "rb") as f:
+            f.seek(dictionary_page_offset)
+            raw = f.read(data_page_offset - dictionary_page_offset)
+        header, payload_start = _struct_field_spans(raw, 0)
+        page_type = _decode_value(raw, *_need(header, 1))[0]
+        uncompressed = _decode_value(raw, *_need(header, 2))[0]
+        compressed = _decode_value(raw, *_need(header, 3))[0]
+        if page_type != _PAGE_DICT:
+            return None
+        dph_span = _span_get(header, 7)  # PageHeader.dictionary_page_header
+        if dph_span is None:
+            return None
+        dph, _ = _struct_field_spans(raw, dph_span[1])
+        num_values = _decode_value(raw, *_need(dph, 1))[0]
+        dict_encoding = _decode_value(raw, *_need(dph, 2))[0]
+        if dict_encoding not in (_ENC_PLAIN, _ENC_PLAIN_DICT):
+            return None
+        page = raw[payload_start : payload_start + compressed]
+        if len(page) != compressed:
+            return None
+        codec = (codec or "UNCOMPRESSED").upper()
+        if codec == "UNCOMPRESSED":
+            buf = bytes(page)
+        else:
+            import pyarrow as pa
+
+            name = _CODEC_NAMES.get(
+                {"SNAPPY": 1, "GZIP": 2, "BROTLI": 4, "LZ4": 5, "ZSTD": 6,
+                 "LZ4_RAW": 7}.get(codec, -1)
+            )
+            if name is None:
+                return None
+            buf = pa.Codec(name).decompress(page, uncompressed)
+            buf = buf.to_pybytes() if hasattr(buf, "to_pybytes") else bytes(buf)
+        return _plain_decode(buf, num_values, physical_type)
+    except Exception:
+        return None
+
+
+def _plain_decode(buf: bytes, n: int, physical_type: str) -> list | None:
+    t = (physical_type or "").upper()
+    try:
+        if t == "BYTE_ARRAY":
+            out, pos = [], 0
+            for _ in range(n):
+                (ln,) = struct.unpack_from("<I", buf, pos)
+                pos += 4
+                if pos + ln > len(buf):
+                    return None
+                out.append(buf[pos : pos + ln])
+                pos += ln
+            return out
+        if t in ("INT32", "INT64", "FLOAT", "DOUBLE"):
+            fmt = {"INT32": "<i", "INT64": "<q", "FLOAT": "<f", "DOUBLE": "<d"}[t]
+            size = struct.calcsize(fmt)
+            if size * n > len(buf):
+                return None
+            return [struct.unpack_from(fmt, buf, i * size)[0] for i in range(n)]
+        return None  # FIXED_LEN_BYTE_ARRAY / INT96 / BOOLEAN: not worth probing
+    except Exception:
+        return None
+
+
+def _probe_value(value, physical_type: str):
+    """The dictionary-representation of a predicate literal, or None when
+    the literal's type can't be compared against this physical type."""
+    t = (physical_type or "").upper()
+    if t == "BYTE_ARRAY":
+        if isinstance(value, str):
+            return value.encode("utf-8")
+        if isinstance(value, (bytes, bytearray)):
+            return bytes(value)
+        return None
+    if t in ("INT32", "INT64"):
+        # bool is an int subclass but BOOLEAN has its own physical type
+        return value if isinstance(value, int) and not isinstance(value, bool) else None
+    if t in ("FLOAT", "DOUBLE"):
+        return float(value) if isinstance(value, (int, float)) else None
+    return None
+
+
+class DictionaryProber:
+    """Memoizing prober for one planning pass: footers, encoding
+    verdicts, and decoded dictionaries are each read at most once per
+    (file, chunk), so a multi-row-group file costs one footer read plus
+    one tiny page read per surviving chunk."""
+
+    def __init__(self) -> None:
+        self._footers: dict[str, bytes | None] = {}
+        self._dicts: dict[tuple, object] = {}
+        self._complete: dict[tuple, bool | None] = {}
+
+    def _footer(self, path: str) -> bytes | None:
+        if path not in self._footers:
+            try:
+                self._footers[path] = read_footer_bytes(path)
+            except Exception:
+                self._footers[path] = None
+        return self._footers[path]
+
+    def can_match(
+        self, path: str, rg_idx: int, col_idx: int, col_meta: dict, value
+    ) -> bool | None:
+        """False = the row group PROVABLY contains no row equal to
+        ``value`` (safe to skip); True/None = keep."""
+        probe = _probe_value(value, col_meta.get("physical_type"))
+        if probe is None:
+            return None
+        ckey = (path, rg_idx, col_idx)
+        if ckey not in self._complete:
+            footer = self._footer(path)
+            self._complete[ckey] = (
+                fully_dict_encoded(footer, rg_idx, col_idx)
+                if footer is not None
+                else None
+            )
+        if self._complete[ckey] is not True:
+            return None
+        dkey = (path, col_meta.get("dictionary_page_offset"))
+        if dkey not in self._dicts:
+            self._dicts[dkey] = read_dictionary(
+                path,
+                col_meta.get("dictionary_page_offset"),
+                col_meta.get("data_page_offset"),
+                col_meta.get("codec"),
+                col_meta.get("physical_type"),
+            )
+            if self._dicts[dkey] is not None:
+                self._dicts[dkey] = set(self._dicts[dkey])
+        d = self._dicts[dkey]
+        if d is None:
+            return None
+        return probe in d
+
+
+def dict_prune_rows(
+    rg_rows: list[dict], predicate, prober: DictionaryProber | None = None
+) -> list[dict]:
+    """Drop row-group rows whose dictionaries PROVE an equality conjunct
+    can't match.  Non-equality conjuncts, unknown columns, and every
+    "unknown" verdict keep the row — identical results either way."""
+    eq = [
+        (col, vals[0])
+        for col, op, *vals in predicate
+        if op in ("=", "==") and vals
+    ]
+    if not eq:
+        return rg_rows
+    prober = prober or DictionaryProber()
+    out = []
+    for r in rg_rows:
+        keep = True
+        for col_name, value in eq:
+            col_idx = next(
+                (
+                    i
+                    for i, c in enumerate(r["columns"])
+                    if c["name"] == col_name
+                ),
+                None,
+            )
+            if col_idx is None:
+                continue
+            verdict = prober.can_match(
+                r["file"], r["row_group"], col_idx, r["columns"][col_idx], value
+            )
+            if verdict is False:
+                keep = False
+                break
+        if keep:
+            out.append(r)
+    return out

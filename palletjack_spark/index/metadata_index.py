@@ -699,6 +699,7 @@ class MetadataIndex:
         column_indices: Sequence[int] | None = None,
         predicate: Sequence[tuple] | None = None,
         apply_residual: bool = True,
+        dictionary_prune: bool = True,
     ) -> DataFrame:
         """Read exactly the selected row groups × columns.
 
@@ -708,6 +709,17 @@ class MetadataIndex:
         residual filter is applied to the scanned rows, so results equal a
         full scan + filter — pruning is a pure optimization, as in Spark's
         native source.
+
+        ``dictionary_prune`` (driver-local indexes): after stats pruning,
+        EQUALITY conjuncts additionally probe each surviving chunk's
+        dictionary page — when ``encoding_stats`` proves the chunk fully
+        dictionary-encoded and the literal is absent from the dictionary,
+        the row group provably holds no match and is skipped
+        (:mod:`palletjack_spark.index.dictprune`).  This is the pruning
+        tier min/max can't reach: high-cardinality columns whose values
+        interleave across row groups.  Probe I/O is bounded by the
+        surviving chunks' dictionary-page bytes; every unknown verdict
+        keeps the row group, so results are identical either way.
 
         Hive-partitioned layouts: each row gains the file's ``key=value``
         partition values as string columns (Spark's type-inference-off
@@ -755,6 +767,10 @@ class MetadataIndex:
                                 if partition_values(r["file"]).get(col_name)
                                 == vals[0]
                             ]
+                if dictionary_prune:
+                    from palletjack_spark.index.dictprune import dict_prune_rows
+
+                    rg_rows = dict_prune_rows(rg_rows, predicate)
             sel_rows = sorted(
                 (r["file"], r["row_group"], r["total_byte_size"]) for r in rg_rows
             )

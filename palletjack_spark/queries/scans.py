@@ -1079,3 +1079,60 @@ def q08c(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("long").alias("length"),
         F.md5(F.hex(F.col("content"))).alias("content_md5"),
     )
+
+
+@query(
+    "q03e_dictionary_pruned_scan",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority
+    FROM orders WHERE o_orderkey = 123
+    """,
+)
+def q03e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-page row-group pruning (Q03e, round 9): point lookup on
+    a high-cardinality STRING key whose values interleave across row
+    groups — [min, max] spans the literal in EVERY row group, so stats
+    pruning keeps everything; the dictionary probe
+    (index/dictprune.py) reads only each surviving chunk's
+    dictionary-page bytes and keeps exactly the row group whose
+    dictionary contains the literal, gated on ``encoding_stats``
+    proving full dictionary encoding (fallback/unknown chunks are
+    conservatively kept — results are identical with pruning off,
+    which is the oracle's check here; the pruning itself is pinned by
+    tests/test_dictprune.py).
+
+    The fixture interleaves orders by ``o_orderkey % 8`` into 8-row-group
+    files so each group's key range spans the table — the adversarial
+    layout for min/max, the natural one for dictionaries."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = _tmp("q03e_dictfix", sf_dir) + ".parquet"
+    if not os.path.exists(out):
+        t0 = pq.read_table(
+            table_path(sf_dir, "orders"),
+            columns=["o_orderkey", "o_orderpriority"],
+        )
+        okey = t0["o_orderkey"].to_pylist()
+        order = sorted(range(len(okey)), key=lambda i: (okey[i] % 8, okey[i]))
+        prio = t0["o_orderpriority"].to_pylist()
+        tagged = pa.table(
+            {
+                "okey_tag": pa.array([f"k{okey[i]}" for i in order]),
+                "o_orderkey": pa.array(
+                    [okey[i] for i in order], type=pa.int64()
+                ),
+                "o_orderpriority": pa.array([prio[i] for i in order]),
+            }
+        )
+        rg = max(1, -(-len(okey) // 8))
+        pq.write_table(tagged, out + ".tmp", row_group_size=rg)
+        os.rename(out + ".tmp", out)
+    idx = build_index(spark, out)
+    return idx.read(
+        columns=["okey_tag", "o_orderkey", "o_orderpriority"],
+        predicate=[("okey_tag", "=", "k123")],
+    ).select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderpriority",
+    )

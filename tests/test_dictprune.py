@@ -1,0 +1,216 @@
+"""Dictionary-page row-group pruning (round 9): equality predicates on
+high-cardinality columns whose values interleave across row groups —
+the case min/max stats provably cannot prune — are pruned by probing
+the chunks' dictionary pages, with soundness gated on encoding_stats
+proving full dictionary encoding.  Every unknown verdict keeps the row
+group, so results are identical with pruning on or off."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tests.conftest import SF_DIR  # noqa: F401  (session fixture import)
+
+
+def _interleaved(tmp_path, compression="snappy", use_dictionary=True):
+    """400 rows in 4 row groups; row i lives in rg i%4, so every rg's
+    [min, max] spans nearly the whole value range while its dictionary
+    holds exactly its own 100 values."""
+    path = str(tmp_path / "inter.parquet")
+    order = sorted(range(400), key=lambda i: (i % 4, i))
+    pq.write_table(
+        pa.table(
+            {
+                "tag": pa.array([f"user_{i:04d}" for i in order]),
+                "n": pa.array(order, type=pa.int64()),
+            }
+        ),
+        path,
+        row_group_size=100,
+        compression=compression,
+        use_dictionary=use_dictionary,
+    )
+    return path
+
+
+def test_fully_dict_encoded_verdicts(tmp_path):
+    from palletjack_spark.index.dictprune import fully_dict_encoded
+    from palletjack_spark.index.footer_splice import read_footer_bytes
+
+    path = _interleaved(tmp_path)
+    footer = read_footer_bytes(path)
+    assert fully_dict_encoded(footer, 0, 0) is True
+    assert fully_dict_encoded(footer, 0, 1) is True
+    # out-of-range ordinals are unknown, never a crash
+    assert fully_dict_encoded(footer, 99, 0) is None
+    assert fully_dict_encoded(footer, 0, 99) is None
+
+    # a chunk that FELL BACK to plain encoding (tiny dictionary budget)
+    # must report False — pruning on its partial dictionary would be wrong
+    fb = str(tmp_path / "fallback.parquet")
+    pq.write_table(
+        pa.table({"tag": pa.array([f"v{i:06d}" for i in range(5000)])}),
+        fb,
+        row_group_size=5000,
+        dictionary_pagesize_limit=1024,
+        data_page_size=1024,
+    )
+    ffb = read_footer_bytes(fb)
+    assert fully_dict_encoded(ffb, 0, 0) is False
+
+
+def test_read_dictionary_decodes_both_types(tmp_path):
+    from palletjack_spark.index.dictprune import read_dictionary
+
+    path = _interleaved(tmp_path)
+    md = pq.ParquetFile(path).metadata
+    for col_idx, probe in ((0, b"user_0004"), (1, 4)):
+        cc = md.row_group(0).column(col_idx)
+        d = read_dictionary(
+            path,
+            cc.dictionary_page_offset,
+            cc.data_page_offset,
+            cc.compression,
+            cc.physical_type,
+        )
+        assert d is not None and len(d) == 100
+        assert probe in d  # i=4 -> 4%4==0 -> rg0
+    # absent dictionary page -> None
+    nd = str(tmp_path / "nodict.parquet")
+    pq.write_table(
+        pa.table({"tag": pa.array(["a", "b"])}), nd, use_dictionary=False
+    )
+    cc = pq.ParquetFile(nd).metadata.row_group(0).column(0)
+    assert read_dictionary(
+        nd, cc.dictionary_page_offset, cc.data_page_offset,
+        cc.compression, cc.physical_type,
+    ) is None
+
+
+def test_dict_prune_skips_provably_absent_row_groups(spark, tmp_path):
+    """The headline property: stats keep 4/4 row groups (interleaving
+    defeats min/max) but the dictionary probe keeps exactly the one
+    row group that holds the literal — and the scanned rows are
+    identical with pruning disabled."""
+    from palletjack_spark.index.builder import build_index
+    from palletjack_spark.index.dictprune import dict_prune_rows
+
+    path = _interleaved(tmp_path)
+    idx = build_index(spark, path)
+    pred = [("tag", "=", "user_0005")]  # 5 % 4 == 1 -> rg1 only
+    rows = idx._local[0]
+    stats_kept = [r for r in rows if idx._keep_local(r, pred)]
+    assert len(stats_kept) == 4  # min/max can't prune interleaved values
+    dict_kept = dict_prune_rows(stats_kept, pred)
+    assert [r["row_group"] for r in dict_kept] == [1]
+
+    got = sorted(
+        (r["tag"], r["n"])
+        for r in idx.read(columns=["tag", "n"], predicate=pred).collect()
+    )
+    off = sorted(
+        (r["tag"], r["n"])
+        for r in idx.read(
+            columns=["tag", "n"], predicate=pred, dictionary_prune=False
+        ).collect()
+    )
+    assert got == off == [("user_0005", 5)]
+
+    # integer equality probes the INT64 dictionary the same way
+    int_kept = dict_prune_rows(stats_kept, [("n", "=", 7)])
+    assert [r["row_group"] for r in int_kept] == [3]
+
+    # a present value keeps its row group (and only pruning of OTHERS
+    # happens); non-equality conjuncts are untouched
+    assert len(dict_prune_rows(stats_kept, [("tag", ">=", "user_0000")])) == 4
+
+
+def test_dict_prune_conservative_on_unprobeable_chunks(spark, tmp_path):
+    """No dictionary page, fallback-encoded chunks, unknown columns, and
+    corrupt page bytes all yield 'unknown' — row groups are kept and
+    results never change."""
+    from palletjack_spark.index.builder import build_index
+    from palletjack_spark.index.dictprune import (
+        DictionaryProber,
+        dict_prune_rows,
+        read_dictionary,
+    )
+
+    nd = str(tmp_path / "nodict.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "tag": pa.array([f"user_{i:04d}" for i in range(200)]),
+                "n": pa.array(range(200), type=pa.int64()),
+            }
+        ),
+        nd,
+        row_group_size=50,
+        use_dictionary=False,
+    )
+    idx = build_index(spark, nd)
+    rows = idx._local[0]
+    pred = [("tag", "=", "user_0199")]
+    kept = [r for r in rows if idx._keep_local(r, pred)]
+    # plain-encoded chunks: nothing prunable beyond stats, nothing lost
+    assert dict_prune_rows(kept, pred) == kept
+    got = idx.read(columns=["tag"], predicate=pred).collect()
+    assert [r["tag"] for r in got] == ["user_0199"]
+
+    # corrupt dictionary-page bytes -> None (typed failure is the splice
+    # layer's job; the prober must simply keep the row group)
+    path = _interleaved(tmp_path)
+    cc = pq.ParquetFile(path).metadata.row_group(0).column(0)
+    with open(path, "r+b") as f:
+        f.seek(cc.dictionary_page_offset)
+        f.write(b"\xff\xff\xff\xff")
+    assert read_dictionary(
+        path, cc.dictionary_page_offset, cc.data_page_offset,
+        cc.compression, cc.physical_type,
+    ) is None
+    prober = DictionaryProber()
+    assert (
+        prober.can_match(path, 0, 0, {
+            "physical_type": cc.physical_type,
+            "dictionary_page_offset": cc.dictionary_page_offset,
+            "data_page_offset": cc.data_page_offset,
+            "codec": cc.compression,
+        }, "user_0005")
+        is None
+    )
+
+
+def test_dict_prune_memoizes_footer_and_dictionary_reads(tmp_path):
+    """One planning pass reads each footer and each dictionary page at
+    most once, however many row groups or conjuncts probe them."""
+    from palletjack_spark.index import dictprune
+    from palletjack_spark.index.dictprune import DictionaryProber
+
+    path = _interleaved(tmp_path)
+    md = pq.ParquetFile(path).metadata
+    cc = md.row_group(0).column(0)
+    meta = {
+        "physical_type": cc.physical_type,
+        "dictionary_page_offset": cc.dictionary_page_offset,
+        "data_page_offset": cc.data_page_offset,
+        "codec": cc.compression,
+    }
+    calls = {"n": 0}
+    real = dictprune.read_dictionary
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    prober = DictionaryProber()
+    try:
+        dictprune.read_dictionary = counting
+        for v in ("user_0004", "user_0008", "user_0012", "user_0005"):
+            prober.can_match(path, 0, 0, meta, v)
+    finally:
+        dictprune.read_dictionary = real
+    assert calls["n"] == 1
