@@ -309,3 +309,92 @@ def dict_prune_rows(
         if keep:
             out.append(r)
     return out
+
+
+def dict_prune_plan(plan, predicate):
+    """Catalog-scale variant: filter a pruned PLAN DataFrame (file,
+    row_group, total_byte_size, columns) by probing dictionaries
+    EXECUTOR-side — the selection never touches the driver, matching
+    ``scan_plan``'s contract.  Each task's prober memoizes footers and
+    dictionary pages, and the scan that follows re-opens the same files,
+    so the probe's footer read is amortized against work the scan pays
+    anyway; the page reads are the tiny price for skipping whole row
+    groups.  Returns a plan with the same (file, row_group,
+    total_byte_size) columns; without equality conjuncts it is the
+    input, untouched."""
+    from pyspark.sql import functions as F
+
+    eq = [
+        (col, vals[0])
+        for col, op, *vals in predicate
+        if op in ("=", "==") and vals
+    ]
+    if not eq:
+        return plan
+
+    import pyarrow as pa
+
+    meta_cols = []
+    for i, (col_name, _value) in enumerate(eq):
+        match = F.element_at(
+            F.filter("columns", lambda c: c["name"] == F.lit(col_name)), 1
+        )
+        meta_cols.extend(
+            [
+                match["dictionary_page_offset"].alias(f"pj_dpo_{i}"),
+                match["data_page_offset"].alias(f"pj_dao_{i}"),
+                match["codec"].alias(f"pj_codec_{i}"),
+                match["physical_type"].alias(f"pj_ptype_{i}"),
+                (
+                    F.array_position(
+                        F.transform("columns", lambda c: c["name"]),
+                        col_name,
+                    )
+                    - 1
+                ).alias(f"pj_cix_{i}"),
+            ]
+        )
+    sel = plan.select("file", "row_group", "total_byte_size", *meta_cols)
+    out_schema = "file string, row_group int, total_byte_size long"
+    out_arrow = pa.schema(
+        [("file", pa.string()), ("row_group", pa.int32()),
+         ("total_byte_size", pa.int64())]
+    )
+    values = [v for _c, v in eq]
+
+    def probe(batches):
+        prober = DictionaryProber()
+        for b in batches:
+            rows = b.to_pylist()
+            kept = []
+            for r in rows:
+                keep = True
+                for i, value in enumerate(values):
+                    cix = r[f"pj_cix_{i}"]
+                    if cix is None or cix < 0:
+                        continue
+                    meta = {
+                        "dictionary_page_offset": r[f"pj_dpo_{i}"],
+                        "data_page_offset": r[f"pj_dao_{i}"],
+                        "codec": r[f"pj_codec_{i}"],
+                        "physical_type": r[f"pj_ptype_{i}"],
+                    }
+                    if (
+                        prober.can_match(
+                            r["file"], r["row_group"], int(cix), meta, value
+                        )
+                        is False
+                    ):
+                        keep = False
+                        break
+                if keep:
+                    kept.append(
+                        {
+                            "file": r["file"],
+                            "row_group": r["row_group"],
+                            "total_byte_size": r["total_byte_size"],
+                        }
+                    )
+            yield pa.RecordBatch.from_pylist(kept, schema=out_arrow)
+
+    return sel.mapInArrow(probe, out_schema)

@@ -803,6 +803,14 @@ class MetadataIndex:
             )
             if predicate and part_keys:
                 plan = self._partition_plan_filter(plan, predicate)
+            if predicate and dictionary_prune:
+                # executor-side dictionary probe: the plan rows carry the
+                # chunk offsets, so equality conjuncts drop provably
+                # non-matching row groups without the selection ever
+                # touching the driver (dictprune.dict_prune_plan)
+                from palletjack_spark.index.dictprune import dict_prune_plan
+
+                plan = dict_prune_plan(plan, predicate)
             df = scan_plan(
                 self.spark, plan, schema, sel, partition_keys=part_keys
             )

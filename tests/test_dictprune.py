@@ -214,3 +214,40 @@ def test_dict_prune_memoizes_footer_and_dictionary_reads(tmp_path):
     finally:
         dictprune.read_dictionary = real
     assert calls["n"] == 1
+
+
+def test_dict_prune_plan_executor_side(spark, tmp_path):
+    """Catalog-scale path: the probe rides the PLAN DataFrame via
+    mapInArrow — 4 plan rows in, exactly the matching row group out,
+    with (file, row_group, total_byte_size) preserved for scan_plan —
+    and the full read through the persisted (non-local) index equals
+    the pruning-off read."""
+    from palletjack_spark.index.builder import build_index
+    from palletjack_spark.index.dictprune import dict_prune_plan
+
+    path = _interleaved(tmp_path)
+    idx = build_index(spark, path, index_dir=str(tmp_path / "idx"))
+    assert idx._local is None  # persisted sidecar -> distributed planning
+    pred = [("tag", "=", "user_0005")]
+    plan = idx.prune(predicate=pred)
+    assert plan.count() == 4  # stats can't prune the interleaved layout
+    pruned = dict_prune_plan(plan, pred)
+    rows = pruned.collect()
+    assert [r["row_group"] for r in rows] == [1]
+    assert dict(pruned.dtypes) == {
+        "file": "string", "row_group": "int", "total_byte_size": "bigint",
+    }
+    got = sorted(
+        (r["tag"], r["n"])
+        for r in idx.read(columns=["tag", "n"], predicate=pred).collect()
+    )
+    off = sorted(
+        (r["tag"], r["n"])
+        for r in idx.read(
+            columns=["tag", "n"], predicate=pred, dictionary_prune=False
+        ).collect()
+    )
+    assert got == off == [("user_0005", 5)]
+    # no equality conjuncts -> the plan is returned untouched
+    rng = [("tag", ">=", "user_0000")]
+    assert dict_prune_plan(idx.prune(predicate=rng), rng).count() == 4
