@@ -336,8 +336,12 @@ def dict_prune_plan(plan, predicate):
 
     meta_cols = []
     for i, (col_name, _value) in enumerate(eq):
-        match = F.element_at(
-            F.filter("columns", lambda c: c["name"] == F.lit(col_name)), 1
+        # F.get, not element_at: a conjunct on a PARTITION key (or any
+        # column absent from the file schema) filters to an EMPTY array,
+        # and ANSI element_at throws on it — get() yields NULL, which the
+        # probe treats as "unknown -> keep"
+        match = F.get(
+            F.filter("columns", lambda c: c["name"] == F.lit(col_name)), 0
         )
         meta_cols.extend(
             [

@@ -251,3 +251,20 @@ def test_dict_prune_plan_executor_side(spark, tmp_path):
     # no equality conjuncts -> the plan is returned untouched
     rng = [("tag", ">=", "user_0000")]
     assert dict_prune_plan(idx.prune(predicate=rng), rng).count() == 4
+
+
+def test_dict_prune_plan_tolerates_absent_columns(spark, tmp_path):
+    """A conjunct on a column that is NOT in the file schema (e.g. a
+    hive partition key) filters to an empty match — the plan probe must
+    treat it as unknown and keep every row group, not throw ANSI
+    element_at errors (the q03c partitioned-read regression)."""
+    from palletjack_spark.index.builder import build_index
+    from palletjack_spark.index.dictprune import dict_prune_plan
+
+    path = _interleaved(tmp_path)
+    idx = build_index(spark, path, index_dir=str(tmp_path / "idx"))
+    pred = [("not_a_column", "=", "x"), ("tag", "=", "user_0005")]
+    plan = idx.prune(predicate=pred)
+    rows = dict_prune_plan(plan, pred).collect()
+    # unknown conjunct keeps; the tag conjunct still prunes to rg1
+    assert [r["row_group"] for r in rows] == [1]
