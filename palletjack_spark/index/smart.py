@@ -80,7 +80,22 @@ def smart_read(
         if idx._local is not None:
             rg_rows = idx._local[0]
             total = len(rg_rows)
-            kept = sum(1 for r in rg_rows if MetadataIndex._keep_local(r, predicate))
+            stats_kept = [
+                r for r in rg_rows if MetadataIndex._keep_local(r, predicate)
+            ]
+            kept = len(stats_kept)
+            if total > 0 and kept / total > keep_fraction_threshold and any(
+                op in ("=", "==") for _c, op, *_v in predicate
+            ):
+                # stats alone say "scan everything" — but an equality
+                # predicate may still prune via dictionary pages (q03e:
+                # interleaved high-cardinality keys defeat min/max while
+                # dictionaries stay exact).  The probe costs one footer +
+                # one dict page per surviving chunk, driver-local only —
+                # exactly the scale where the probe is cheapest.
+                from palletjack_spark.index.dictprune import dict_prune_rows
+
+                kept = len(dict_prune_rows(stats_kept, predicate))
         else:
             # catalog-scale index: the routing decision is ONE one-row
             # aggregate job over the index DataFrame — never a per-file or

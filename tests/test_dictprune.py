@@ -268,3 +268,29 @@ def test_dict_prune_plan_tolerates_absent_columns(spark, tmp_path):
     rows = dict_prune_plan(plan, pred).collect()
     # unknown conjunct keeps; the tag conjunct still prunes to rg1
     assert [r["row_group"] for r in rows] == [1]
+
+
+def test_smart_read_routes_to_indexed_scan_via_dictionary(spark, tmp_path):
+    """smart_read's routing decision is dictionary-aware: stats keep 4/4
+    row groups for an interleaved point lookup (which alone would route
+    native), but the dictionary probe proves 1/4 — the indexed scan
+    wins, and the rows match the native path either way."""
+    from palletjack_spark.index.builder import build_index
+    from palletjack_spark.index.smart import smart_read
+
+    path = _interleaved(tmp_path)
+    idx = build_index(spark, path)
+    got = sorted(
+        (r["tag"], r["n"])
+        for r in smart_read(
+            spark, path, predicate=[("tag", "=", "user_0005")], index=idx
+        ).collect()
+    )
+    assert got == [("user_0005", 5)]
+    # the routing decision itself: kept/total via dictionaries = 1/4,
+    # under the 0.5 threshold -> indexed (observable as the mapInArrow
+    # scan rather than the native FileScan)
+    plan = smart_read(
+        spark, path, predicate=[("tag", "=", "user_0005")], index=idx
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan or "mapInArrow" in plan or "PythonMapInArrow" in plan, plan
