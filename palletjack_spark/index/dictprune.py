@@ -272,24 +272,34 @@ class DictionaryProber:
         return probe in d
 
 
+def _equality_conjuncts(predicate) -> list[tuple[str, list]]:
+    """(column, candidate values) per conjunct the dictionary can decide:
+    ``=`` has one candidate; ``in`` has its member list — the row group
+    prunes only when EVERY candidate is provably absent."""
+    eq: list[tuple[str, list]] = []
+    for col, op, *vals in predicate:
+        if op in ("=", "==") and vals:
+            eq.append((col, [vals[0]]))
+        elif op == "in" and vals and list(vals[0]):
+            eq.append((col, list(vals[0])))
+    return eq
+
+
 def dict_prune_rows(
     rg_rows: list[dict], predicate, prober: DictionaryProber | None = None
 ) -> list[dict]:
-    """Drop row-group rows whose dictionaries PROVE an equality conjunct
-    can't match.  Non-equality conjuncts, unknown columns, and every
-    "unknown" verdict keep the row — identical results either way."""
-    eq = [
-        (col, vals[0])
-        for col, op, *vals in predicate
-        if op in ("=", "==") and vals
-    ]
+    """Drop row-group rows whose dictionaries PROVE an equality/IN
+    conjunct can't match.  Non-equality conjuncts, unknown columns, and
+    every "unknown" verdict keep the row — identical results either
+    way."""
+    eq = _equality_conjuncts(predicate)
     if not eq:
         return rg_rows
     prober = prober or DictionaryProber()
     out = []
     for r in rg_rows:
         keep = True
-        for col_name, value in eq:
+        for col_name, values in eq:
             col_idx = next(
                 (
                     i
@@ -300,10 +310,14 @@ def dict_prune_rows(
             )
             if col_idx is None:
                 continue
-            verdict = prober.can_match(
-                r["file"], r["row_group"], col_idx, r["columns"][col_idx], value
-            )
-            if verdict is False:
+            if all(
+                prober.can_match(
+                    r["file"], r["row_group"], col_idx,
+                    r["columns"][col_idx], v,
+                )
+                is False
+                for v in values
+            ):
                 keep = False
                 break
         if keep:
@@ -324,18 +338,14 @@ def dict_prune_plan(plan, predicate):
     input, untouched."""
     from pyspark.sql import functions as F
 
-    eq = [
-        (col, vals[0])
-        for col, op, *vals in predicate
-        if op in ("=", "==") and vals
-    ]
+    eq = _equality_conjuncts(predicate)
     if not eq:
         return plan
 
     import pyarrow as pa
 
     meta_cols = []
-    for i, (col_name, _value) in enumerate(eq):
+    for i, (col_name, _values) in enumerate(eq):
         # F.get, not element_at: a conjunct on a PARTITION key (or any
         # column absent from the file schema) filters to an EMPTY array,
         # and ANSI element_at throws on it — get() yields NULL, which the
@@ -364,7 +374,7 @@ def dict_prune_plan(plan, predicate):
         [("file", pa.string()), ("row_group", pa.int32()),
          ("total_byte_size", pa.int64())]
     )
-    values = [v for _c, v in eq]
+    values = [vs for _c, vs in eq]
 
     def probe(batches):
         prober = DictionaryProber()
@@ -373,7 +383,7 @@ def dict_prune_plan(plan, predicate):
             kept = []
             for r in rows:
                 keep = True
-                for i, value in enumerate(values):
+                for i, cand in enumerate(values):
                     cix = r[f"pj_cix_{i}"]
                     if cix is None or cix < 0:
                         continue
@@ -383,11 +393,12 @@ def dict_prune_plan(plan, predicate):
                         "codec": r[f"pj_codec_{i}"],
                         "physical_type": r[f"pj_ptype_{i}"],
                     }
-                    if (
+                    if all(
                         prober.can_match(
-                            r["file"], r["row_group"], int(cix), meta, value
+                            r["file"], r["row_group"], int(cix), meta, v
                         )
                         is False
+                        for v in cand
                     ):
                         keep = False
                         break

@@ -88,7 +88,7 @@ FILES_SCHEMA = T.StructType(
 )
 
 #: predicate ops supported by stats pruning
-_PRUNE_OPS = {"<", "<=", ">", ">=", "=", "==", "between", "is_null", "not_null"}
+_PRUNE_OPS = {"<", "<=", ">", ">=", "=", "==", "between", "in", "is_null", "not_null"}
 
 
 class LocalIndex:
@@ -525,6 +525,37 @@ class MetadataIndex:
                     st.isNotNull() & nc.isNotNull(), keep
                 ).otherwise(F.lit(True))
                 continue
+            if op == "in":
+                in_vals = list(vals[0]) if vals else []
+                if not in_vals:
+                    # empty IN list matches nothing anywhere
+                    cond = cond & F.lit(False)
+                    continue
+                if all(isinstance(x, str) for x in in_vals):
+                    if not text_ok or not all(
+                        self._text_prunable(x) for x in in_vals
+                    ):
+                        continue
+                    lo, hi = st["min_repr"], st["max_repr"]
+                    has = (
+                        lo.isNotNull()
+                        & hi.isNotNull()
+                        & (st["stats_kind"] == F.lit("text"))
+                    )
+                elif all(
+                    isinstance(x, (int, float)) and not isinstance(x, bool)
+                    for x in in_vals
+                ):
+                    lo, hi = st["min_num"], st["max_num"]
+                    has = lo.isNotNull() & hi.isNotNull()
+                    in_vals = [float(x) for x in in_vals]
+                else:
+                    continue  # mixed/unsupported member types: keep
+                keep = F.lit(False)
+                for x in in_vals:
+                    keep = keep | ((lo <= F.lit(x)) & (hi >= F.lit(x)))
+                cond = cond & F.when(has, keep).otherwise(F.lit(True))
+                continue
             is_str = bool(vals) and isinstance(vals[0], str)
             if is_str and (
                 not all(self._text_prunable(x) for x in vals) or not text_ok
@@ -581,6 +612,31 @@ class MetadataIndex:
                     and rg.get("num_rows") is not None
                     and nc >= rg["num_rows"]
                 ):
+                    return False
+                continue
+            if op == "in":
+                in_vals = list(vals[0]) if vals else []
+                if not in_vals:
+                    return False  # empty IN matches nothing
+                if all(isinstance(x, str) for x in in_vals):
+                    if not all(
+                        MetadataIndex._text_prunable(x) for x in in_vals
+                    ):
+                        continue
+                    if st.get("stats_kind") != "text":
+                        continue
+                    lo, hi = st["min_repr"], st["max_repr"]
+                elif all(
+                    isinstance(x, (int, float)) and not isinstance(x, bool)
+                    for x in in_vals
+                ):
+                    lo, hi = st["min_num"], st["max_num"]
+                    in_vals = [float(x) for x in in_vals]
+                else:
+                    continue
+                if lo is None or hi is None:
+                    continue
+                if not any(lo <= x <= hi for x in in_vals):
                     return False
                 continue
             if vals and isinstance(vals[0], str):
@@ -829,6 +885,8 @@ class MetadataIndex:
                     df = df.where(c >= vals[0])
                 elif op == "between":
                     df = df.where(c.between(vals[0], vals[1]))
+                elif op == "in":
+                    df = df.where(c.isin(list(vals[0]) if vals else []))
                 elif op == "is_null":
                     df = df.where(c.isNull())
                 elif op == "not_null":

@@ -294,3 +294,65 @@ def test_smart_read_routes_to_indexed_scan_via_dictionary(spark, tmp_path):
         spark, path, predicate=[("tag", "=", "user_0005")], index=idx
     )._jdf.queryExecution().executedPlan().toString()
     assert "MapInArrow" in plan or "mapInArrow" in plan or "PythonMapInArrow" in plan, plan
+
+
+def test_in_predicate_prunes_stats_and_dictionaries(spark, tmp_path):
+    """The ``in`` op joins the predicate mini-language end to end:
+    stats prune when NO member overlaps [min, max]; the dictionary probe
+    prunes a row group only when EVERY member is provably absent; the
+    residual keeps exactly the member rows; and the distributed plan
+    path agrees."""
+    from palletjack_spark.index.builder import build_index
+    from palletjack_spark.index.dictprune import dict_prune_plan, dict_prune_rows
+
+    path = _interleaved(tmp_path)
+    idx = build_index(spark, path)
+    pred = [("tag", "in", ["user_0005", "user_0006"])]  # rgs 1 and 2
+    rows = idx._local[0]
+    stats_kept = [r for r in rows if idx._keep_local(r, pred)]
+    assert len(stats_kept) == 4  # interleaving defeats min/max
+    dict_kept = dict_prune_rows(stats_kept, pred)
+    assert sorted(r["row_group"] for r in dict_kept) == [1, 2]
+
+    got = sorted(
+        (r["tag"], r["n"])
+        for r in idx.read(columns=["tag", "n"], predicate=pred).collect()
+    )
+    assert got == [("user_0005", 5), ("user_0006", 6)]
+
+    # stats CAN prune an in-list wholly outside a sorted file's ranges
+    srt = str(tmp_path / "sorted.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "tag": pa.array([f"user_{i:04d}" for i in range(400)]),
+                "n": pa.array(range(400), type=pa.int64()),
+            }
+        ),
+        srt,
+        row_group_size=100,
+    )
+    sidx = build_index(spark, srt)
+    skept = [
+        r
+        for r in sidx._local[0]
+        if sidx._keep_local(r, [("n", "in", [5, 7])])
+    ]
+    assert [r["row_group"] for r in skept] == [0]
+    # empty IN matches nothing
+    assert (
+        sidx.read(columns=["n"], predicate=[("n", "in", [])]).count() == 0
+    )
+
+    # distributed plan path agrees
+    didx = build_index(spark, path, index_dir=str(tmp_path / "idx"))
+    plan = didx.prune(predicate=pred)
+    assert plan.count() == 4
+    assert sorted(
+        r["row_group"] for r in dict_prune_plan(plan, pred).collect()
+    ) == [1, 2]
+    dgot = sorted(
+        (r["tag"], r["n"])
+        for r in didx.read(columns=["tag", "n"], predicate=pred).collect()
+    )
+    assert dgot == got
