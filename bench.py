@@ -925,7 +925,13 @@ def main() -> None:
             "(parallel stages slow, single-thread controls quiet), not a "
             "plan regression; re-run when meta_host_steal_pct drops under 1"
         )
-    if warnings and membw and min(membw.values()) < 10.0:
+    # threshold 13 (round-9): the healthy steady-state band is ~15-20, so
+    # any control point under 13 is evidence of shared-LLC/DRAM
+    # contention worth attributing — the old <10 bar left mild sags
+    # (e.g. 12.6 at run start) producing floor warnings with a null
+    # host_note, exactly the unattributed-breach gap the round-8 verdict
+    # flagged
+    if warnings and membw and min(membw.values()) < 13.0:
         host_notes.append(
             f"host memory bandwidth sagged to "
             f"{min(membw.values()):.1f} GB/s during the run (this VM's "

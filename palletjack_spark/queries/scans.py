@@ -1107,7 +1107,14 @@ def q03e(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    out = _tmp("q03e_dictfix", sf_dir) + ".parquet"
+    # fingerprint the SOURCE in the fixture name (the q92g round-8
+    # lesson): a regenerated sf_dir gets a fresh fixture, never a stale
+    # /tmp leftover silently serving old rows
+    src_st = os.stat(table_path(sf_dir, "orders"))
+    out = (
+        _tmp("q03e_dictfix", sf_dir)
+        + f"_{src_st.st_size}_{src_st.st_mtime_ns}.parquet"
+    )
     if not os.path.exists(out):
         t0 = pq.read_table(
             table_path(sf_dir, "orders"),
