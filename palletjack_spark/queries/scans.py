@@ -1143,3 +1143,31 @@ def q03e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("long").alias("o_orderkey"),
         "o_orderpriority",
     )
+
+
+@query(
+    "q16b_python_datasource",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderkey BETWEEN 100 AND 200
+    """,
+)
+def q16b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-routed scan through Spark's OWN reader surface (Q16b): the
+    Spark 4 Python DataSource — ``spark.read.format("palletjack")`` —
+    with 4.1 filter pushdown.  Catalyst hands the reader its conjuncts
+    as typed Filter objects; the reader translates them into the index
+    mini-language, plans partitions from row-group stats + the q03e
+    dictionary probe, and yields Arrow batches per span, while EVERY
+    filter stays residual so results are exact regardless of pruning
+    (sources/python_datasource.py; pruning evidence pinned in
+    tests/test_python_datasource.py)."""
+    from palletjack_spark.sources.python_datasource import register_datasource
+
+    register_datasource(spark)
+    return (
+        spark.read.format("palletjack")
+        .load(table_path(sf_dir, "orders"))
+        .where((F.col("o_orderkey") >= 100) & (F.col("o_orderkey") <= 200))
+        .select("o_orderkey", "o_totalprice")
+    )

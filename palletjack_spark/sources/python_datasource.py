@@ -1,0 +1,197 @@
+"""``spark.read.format("palletjack")`` — the Spark 4 Python DataSource
+integration surface.
+
+The DataFrame interception (``index/routing.py``), the JVM optimizer rule
+(``index/jvm_routing.py``), and ``smart_read`` all require the caller to
+opt in through palletjack entry points.  The Python DataSource API (Spark
+4.0+, filter pushdown 4.1+) plugs the index into Spark's OWN reader
+surface instead: after one ``register_datasource(spark)``, any
+``spark.read.format("palletjack").load(path)`` — including from code that
+has never imported this package — plans its scan from the metadata index:
+
+- ``pushFilters`` receives Catalyst's conjunctive filters as typed
+  objects (EqualTo/GreaterThan/LessThan/In/IsNull/...), translates the
+  single-column scalar ones into the index predicate mini-language, and
+  returns EVERY filter as residual — row-group pruning is approximate,
+  so Spark must keep evaluating the originals; identical results with
+  or without the source, as everywhere else in the index stack.
+- ``partitions`` plans DRIVER-side from the index: stats pruning +
+  dictionary-page probing (q03e) + ~128 MB span chunking — the same plan
+  `MetadataIndex.read` produces, delivered through Spark's partition
+  planning instead of a mapInArrow stage.
+- ``read`` runs executor-side and yields Arrow record batches for one
+  (file, row-group span), the ``arrow_scan`` fast path.
+
+Scale note: like every Python DataSource, ``partitions()`` runs on the
+driver — appropriate for the ≤``DRIVER_BUILD_MAX_FILES`` driver-local
+index shape; catalog-scale reads should keep using ``smart_read`` /
+``MetadataIndex.read``, whose planning stays distributed.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+FORMAT_NAME = "palletjack"
+
+#: mirror of arrow_scan's span sizing (import-free so the reader object
+#: stays trivially picklable)
+_TARGET_TASK_BYTES = 128 * 1024 * 1024
+
+
+def _translate(f: Filter):
+    """One Catalyst Filter -> one index mini-language conjunct, or None
+    when the filter shape (nested column, non-scalar value) is outside
+    the mini-language.  ``attribute`` is the dataclass field carrying
+    the column path tuple; length > 1 means a nested field — skip."""
+    col = getattr(f, "attribute", None)
+    if col is None or len(col) != 1:
+        return None
+    name = col[0]
+    if isinstance(f, EqualTo):
+        return (name, "=", f.value)
+    if isinstance(f, GreaterThan):
+        return (name, ">", f.value)
+    if isinstance(f, GreaterThanOrEqual):
+        return (name, ">=", f.value)
+    if isinstance(f, LessThan):
+        return (name, "<", f.value)
+    if isinstance(f, LessThanOrEqual):
+        return (name, "<=", f.value)
+    if isinstance(f, In):
+        return (name, "in", list(f.value))
+    if isinstance(f, IsNull):
+        return (name, "is_null")
+    if isinstance(f, IsNotNull):
+        return (name, "not_null")
+    return None
+
+
+class PalletJackDataSource(DataSource):
+    """``format("palletjack")``: options ``path`` (file, directory, or
+    comma-separated list; required)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def _paths(self) -> list[str]:
+        path = self.options.get("path")
+        if not path:
+            from palletjack_spark.errors import InvalidSelectionError
+
+            raise InvalidSelectionError(
+                "format('palletjack') needs .load(path) or .option('path', ...)"
+            )
+        return [p for p in str(path).split(",") if p]
+
+    def schema(self) -> StructType:
+        from palletjack_spark.index.footer_splice import read_schema
+        from palletjack_spark.sources.arrow_scan import (
+            arrow_to_spark_schema,
+            expand_paths,
+        )
+
+        files = expand_paths(self._paths())
+        # metadata-only: ONE footer's schema (homogeneous-dataset
+        # assumption, same as spark.read.parquet without mergeSchema)
+        return arrow_to_spark_schema(read_schema(parquet_path=files[0]))
+
+    def reader(self, schema: StructType) -> "PalletJackReader":
+        return PalletJackReader(self._paths(), schema)
+
+
+class PalletJackReader(DataSourceReader):
+    def __init__(self, paths: list[str], schema: StructType) -> None:
+        self._paths = paths
+        self._schema = schema
+        self._predicate: list[tuple] = []
+
+    def pushFilters(self, filters):  # noqa: N802 (API name)
+        for f in filters:
+            conjunct = _translate(f)
+            if conjunct is not None:
+                self._predicate.append(conjunct)
+            # EVERY filter stays residual: pruning is row-group-approximate
+            yield f
+
+    def partitions(self):
+        # Driver-side plan: a fresh local SparkSession handle is not
+        # available here, but the driver-local index path never needs
+        # one past the build — parse footers directly.
+        from palletjack_spark.index.builder import _extract_file_rows
+        from palletjack_spark.index.dictprune import dict_prune_rows
+        from palletjack_spark.index.metadata_index import MetadataIndex
+        from palletjack_spark.sources.arrow_scan import expand_paths
+
+        files = expand_paths(self._paths)
+        rg_rows = []
+        for p in files:
+            _frow, rgs = _extract_file_rows(p)
+            for r in rgs:
+                r.pop("file_size", None)
+                r.pop("mtime_ns", None)
+            rg_rows.extend(rgs)
+        if self._predicate:
+            rg_rows = [
+                r
+                for r in rg_rows
+                if MetadataIndex._keep_local(r, self._predicate)
+            ]
+            rg_rows = dict_prune_rows(rg_rows, self._predicate)
+        sel = sorted(
+            (r["file"], r["row_group"], r["total_byte_size"]) for r in rg_rows
+        )
+        parts: list[InputPartition] = []
+        cur_file, span, span_bytes = None, [], 0
+        for f, rg, nbytes in sel:
+            if f != cur_file and span:
+                parts.append(InputPartition((cur_file, span)))
+                span, span_bytes = [], 0
+            cur_file = f
+            span.append(rg)
+            span_bytes += nbytes or 0
+            if span_bytes >= _TARGET_TASK_BYTES:
+                parts.append(InputPartition((cur_file, span)))
+                span, span_bytes = [], 0
+        if span:
+            parts.append(InputPartition((cur_file, span)))
+        # Spark requires >= 1 partition; an empty selection reads nothing
+        return parts or [InputPartition((None, []))]
+
+    def read(self, partition: InputPartition) -> Iterator:
+        from palletjack_spark.sources.arrow_scan import (
+            _read_span_batches,
+            normalize_arrow_schema,
+        )
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        path, span = partition.value
+        if path is None or not span:
+            return
+        target = normalize_arrow_schema(to_arrow_schema(self._schema))
+        yield from _read_span_batches(path, list(span), None, target, 65536)
+
+
+def register_datasource(spark) -> None:
+    """Arm ``format("palletjack")`` for this session (and enable Python
+    data-source filter pushdown, which Spark 4.1 gates behind a conf —
+    without it a reader implementing ``pushFilters`` refuses to plan)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PalletJackDataSource)
