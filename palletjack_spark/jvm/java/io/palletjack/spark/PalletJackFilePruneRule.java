@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.EqualTo;
 import org.apache.spark.sql.catalyst.expressions.Expression;
 import org.apache.spark.sql.catalyst.expressions.GreaterThan;
 import org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual;
+import org.apache.spark.sql.catalyst.expressions.In;
 import org.apache.spark.sql.catalyst.expressions.LessThan;
 import org.apache.spark.sql.catalyst.expressions.LessThanOrEqual;
 import org.apache.spark.sql.catalyst.expressions.Literal;
@@ -175,16 +176,26 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
         return new Filter(f.condition(), newLr);
     }
 
-    /** One provable numeric comparison: column op literal. */
+    /** One provable numeric comparison: column op literal(s) — a single
+     *  value for the binary ops, the member list for "in". */
     private static final class Conjunct {
         final String col;
         final String op;
         final double value;
+        final double[] values;
 
         Conjunct(String col, String op, double value) {
             this.col = col;
             this.op = op;
             this.value = value;
+            this.values = null;
+        }
+
+        Conjunct(String col, double[] values) {
+            this.col = col;
+            this.op = "in";
+            this.value = 0;
+            this.values = values;
         }
     }
 
@@ -192,6 +203,30 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
         if (e instanceof And) {
             collectConjuncts(((And) e).left(), out);
             collectConjuncts(((And) e).right(), out);
+            return;
+        }
+        if (e instanceof In) {
+            // IN over all-literal members: a file survives when ANY member
+            // can fall inside [min, max].  Non-literal members or an
+            // unresolvable column fall through unpruned.  (Catalyst turns
+            // long lists into InSet, which this rule deliberately leaves
+            // unknown — safe either way.)
+            In in = (In) e;
+            String col = attrName(in.value());
+            if (col == null) {
+                return;
+            }
+            scala.collection.Seq<Expression> list =
+                    (scala.collection.Seq<Expression>) in.list();
+            double[] vs = new double[list.size()];
+            for (int i = 0; i < list.size(); i++) {
+                Double v = litValue(list.apply(i));
+                if (v == null) {
+                    return;
+                }
+                vs[i] = v;
+            }
+            out.add(new Conjunct(col, vs));
             return;
         }
         String op = null;
@@ -323,6 +358,19 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
             }
             double min = mm[0];
             double max = mm[1];
+            if ("in".equals(c.op)) {
+                boolean any = false;
+                for (double v : c.values) {
+                    if (min <= v && v <= max) {
+                        any = true;
+                        break;
+                    }
+                }
+                if (!any) {
+                    return false;
+                }
+                continue;
+            }
             boolean possible;
             switch (c.op) {
                 case ">=": possible = max >= c.value; break;

@@ -91,6 +91,11 @@ def main(tmp: str) -> None:
     out["files_eq"] = len(_lr_input_files(eq))
     out["n_rows_eq"] = eq.count()
 
+    # IN over literals prunes to exactly the member files (round 9)
+    inq = spark.sql(f"SELECT v FROM parquet.`{data}` WHERE v IN (123, 305)")
+    out["files_in"] = len(_lr_input_files(inq))
+    out["n_rows_in"] = inq.count()
+
     # --- cast soundness (round-9 ADVICE high) -------------------------
     # Catalyst rewrites `date_col > TIMESTAMP '...'` as
     # Cast(d AS timestamp) > micros-literal; the registry's date stats

@@ -76,6 +76,9 @@ def test_pure_sql_scan_is_file_pruned_and_hash_equal(tmp_path):
     # point predicate routes to exactly one file
     assert out["files_eq"] == 1
     assert out["n_rows_eq"] == 1
+    # IN over literals keeps exactly the member files (round 9)
+    assert out["files_in"] == 2
+    assert out["n_rows_in"] == 2
 
     # round-9 ADVICE (high): date col vs TIMESTAMP literal.  This
     # Spark's optimizer normalizes the comparison into day units before
