@@ -36,6 +36,7 @@ from pyspark.sql import SparkSession, functions as F, types as T
 
 from palletjack_spark.errors import EncryptedParquetError, IndexFormatError
 from palletjack_spark.index.metadata_index import (
+    _COLUMN_STAT,
     FILES_SCHEMA,
     ROW_GROUPS_SCHEMA,
     MetadataIndex,
@@ -66,23 +67,85 @@ def _stat_kind(v) -> str | None:
     return "num"
 
 
-def _stat_num(v) -> float | None:
-    """Numeric projection of a statistic (for range pruning).  Timestamps
-    and dates map to epoch micros / days; strings map to None."""
+def _stat_num_base(v) -> int | float | None:
+    """Exact numeric projection of a statistic (for range pruning).
+    Timestamps and dates map to epoch micros / days — computed in INT
+    arithmetic so the only rounding is the final float conversion, which
+    :func:`_stat_num_floor` / :func:`_stat_num_ceil` direction-control.
+    Strings map to None."""
     import datetime
 
     if v is None:
         return None
     if isinstance(v, bool):
-        return float(v)
+        return int(v)
     if isinstance(v, (int, float)):
-        return float(v)
+        return v
     if isinstance(v, datetime.datetime):
         epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-        return (v - epoch).total_seconds() * 1e6
+        d = v - epoch
+        return (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
     if isinstance(v, datetime.date):
-        return float((v - datetime.date(1970, 1, 1)).days)
+        return (v - datetime.date(1970, 1, 1)).days
     return None
+
+
+def _stat_num_floor(v) -> float | None:
+    """Largest double <= the exact statistic value.  ``float(int)`` rounds
+    to NEAREST, so an int64 min above 2^53 could round UP past a literal
+    between the true and rounded bound, and a strict ``>``/``<`` range
+    test against the rounded stat would wrongly prune a matching row
+    group (round-10 ADVICE; same hazard the JVM feed fixed in round 9).
+    Rounding mins DOWN and maxes UP keeps every stored [min_num, max_num]
+    a SUPERSET of the true range: pruning stays sound, at worst one extra
+    row group survives to the residual filter."""
+    import math
+
+    b = _stat_num_base(v)
+    if b is None:
+        return None
+    f = float(b)
+    return math.nextafter(f, -math.inf) if f > b else f
+
+
+def _stat_num_ceil(v) -> float | None:
+    """Smallest double >= the exact statistic value (see
+    :func:`_stat_num_floor`)."""
+    import math
+
+    b = _stat_num_base(v)
+    if b is None:
+        return None
+    f = float(b)
+    return math.nextafter(f, math.inf) if f < b else f
+
+
+def _logical_tag(column_schema) -> str | None:
+    """Canonical tag of a leaf column's parquet LOGICAL type annotation,
+    recorded so value-level probes (dictionary pruning) can refuse
+    columns whose raw physical encoding is NOT the predicate literal's
+    value space — e.g. DECIMAL stored as INT32/INT64 unscaled (Spark's
+    default layout for precision <= 18: literal 5.0, stored 500) or
+    unsigned ints reinterpreted as signed (round-10 ADVICE, high).
+
+    Tags: ``"NONE"`` (no annotation — raw IS the value), ``"STRING"``,
+    ``"INT(32,true)"``-style for annotated ints, and the bare
+    pyarrow type name (``"DECIMAL"``, ``"DATE"``, ...) otherwise.  None
+    when pyarrow exposes no logical type (treated as unknown → no
+    value-level pruning)."""
+    import re
+
+    try:
+        lt = column_schema.logical_type
+        t = (lt.type or "").upper()
+    except Exception:
+        return None
+    if t == "INT":
+        m = re.search(r"bitWidth=(\d+), isSigned=(true|false)", str(lt))
+        if not m:
+            return "INT"
+        return f"INT({m.group(1)},{m.group(2)})"
+    return t or None
 
 
 def _open_footer(path: str):
@@ -154,6 +217,11 @@ def _extract_file_rows(
             "column_names": list(schema.names),
             "arrow_schema": schema.serialize().to_pybytes(),
         }
+    # leaf-column logical types, in physical (column-chunk) order — one
+    # probe per file, shared by every row group
+    logical_tags = [
+        _logical_tag(pf.schema.column(j)) for j in range(md.num_columns)
+    ]
     rg_rows = []
     for i in range(chunk, md.num_row_groups, n_chunks):
         rg = md.row_group(i)
@@ -161,10 +229,22 @@ def _extract_file_rows(
         for j in range(rg.num_columns):
             cc = rg.column(j)
             st = cc.statistics
+            # pyarrow raises ArrowNotImplementedError extracting min/max
+            # for some logical types it can't map back to values (e.g.
+            # DECIMAL stored as INT64 unscaled — Spark's default layout);
+            # stats then degrade to "unknown" (no pruning on the column)
+            # instead of failing the whole file's index build
+            try:
+                has_mm = bool(st and st.has_min_max)
+                st_min = st.min if has_mm else None
+                st_max = st.max if has_mm else None
+            except Exception:
+                st_min = st_max = None
             cols.append(
                 {
                     "name": ".".join(cc.path_in_schema.split(".")),
                     "physical_type": cc.physical_type,
+                    "logical_type": logical_tags[j],
                     "codec": cc.compression,
                     "num_values": cc.num_values,
                     "total_compressed_size": cc.total_compressed_size,
@@ -175,13 +255,11 @@ def _extract_file_rows(
                     "distinct_count": (
                         st.distinct_count if st and st.has_distinct_count else None
                     ),
-                    "min_repr": (_stat_repr(st.min) if st and st.has_min_max else None),
-                    "max_repr": (_stat_repr(st.max) if st and st.has_min_max else None),
-                    "min_num": (_stat_num(st.min) if st and st.has_min_max else None),
-                    "max_num": (_stat_num(st.max) if st and st.has_min_max else None),
-                    "stats_kind": (
-                        _stat_kind(st.min) if st and st.has_min_max else None
-                    ),
+                    "min_repr": _stat_repr(st_min),
+                    "max_repr": _stat_repr(st_max),
+                    "min_num": _stat_num_floor(st_min),
+                    "max_num": _stat_num_ceil(st_max),
+                    "stats_kind": _stat_kind(st_min),
                 }
             )
         rg_rows.append(
@@ -460,6 +538,20 @@ def build_index(
                 F.pmod(hash60("file"), F.lit(catalog_buckets)).cast("int"),
             )
             part_cols = ["file_bucket"]
+        rg_live = os.path.join(index_dir, "row_groups")
+        if incremental and os.path.exists(rg_live):
+            # appending into an existing sidecar: its nested column-stat
+            # layout wins — a pre-round-10 sidecar lacks ``logical_type``,
+            # and mixing two struct shapes in one parquet dataset would
+            # make reads schema-dependent on which footer Spark samples
+            existing = (
+                spark.read.parquet(rg_live)
+                .schema["columns"]
+                .dataType.elementType
+            )
+            combined = _align_columns_struct(
+                combined, list(existing.fieldNames())
+            )
         combined = combined.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             # validate BEFORE committing bytes to the sidecar: the same
@@ -504,6 +596,33 @@ def build_index(
     if use_cache:
         _INDEX_CACHE[cache_key] = idx
     return idx
+
+
+def _align_columns_struct(df, target_fields: list[str]):
+    """Rebuild the nested ``columns`` array so its struct holds exactly
+    ``target_fields`` (missing ones as typed NULLs) — sidecar layout
+    compatibility: appending rows carrying the round-10 ``logical_type``
+    field into a pre-round-10 sidecar (or unioning old sidecar rows with
+    fresh extracts) must not mix two nested schemas in one parquet
+    dataset.  Fields absent from the source struct come out NULL, which
+    every consumer already treats as "unknown → conservative"."""
+    elem = df.schema["columns"].dataType.elementType
+    have = set(elem.fieldNames())
+    if list(elem.fieldNames()) == list(target_fields):
+        return df
+    types = {f.name: f.dataType for f in _COLUMN_STAT.fields}
+
+    def rebuild(c):
+        return F.struct(
+            *[
+                (c[name] if name in have else F.lit(None).cast(types[name])).alias(
+                    name
+                )
+                for name in target_fields
+            ]
+        )
+
+    return df.withColumn("columns", F.transform("columns", rebuild))
 
 
 #: sidecar layout metadata (currently just the catalog bucket count)
@@ -568,7 +687,12 @@ def _refresh_sidecar(
     drop_df = F.broadcast(
         spark.createDataFrame([(p,) for p in sorted(drop)], "file string")
     )
-    old_rg = spark.read.parquet(rg_path).join(drop_df, "file", "left_anti")
+    # the refresh rewrites the whole sidecar, so old rows UPGRADE to the
+    # current column-stat layout (absent fields — e.g. pre-round-10
+    # logical_type — become NULLs, which consumers treat conservatively)
+    old_rg = _align_columns_struct(
+        spark.read.parquet(rg_path), [f.name for f in _COLUMN_STAT.fields]
+    ).join(drop_df, "file", "left_anti")
     old_f = spark.read.parquet(f_path).join(drop_df, "file", "left_anti")
     if "mtime_ns" not in old_f.columns:  # pre-mtime sidecar layout
         old_f = old_f.withColumn("mtime_ns", F.lit(None).cast("long"))

@@ -200,10 +200,32 @@ def _plain_decode(buf: bytes, n: int, physical_type: str) -> list | None:
         return None
 
 
-def _probe_value(value, physical_type: str):
+#: logical-type tags (builder._logical_tag) under which the RAW decoded
+#: dictionary value IS the predicate literal's value space, per physical
+#: type.  Anything else — DECIMAL stored as INT32/INT64 unscaled (literal
+#: 5.0, stored 500), unsigned ints reinterpreted as signed, DATE/TIME/
+#: TIMESTAMP re-encodings, ENUM/JSON/BSON blobs — must NOT be probed:
+#: the literal would never be found and the row group would be wrongly
+#: pruned, silently losing rows (round-10 ADVICE, high).  A missing tag
+#: (None: index built before the field existed, or pyarrow exposed no
+#: logical type) is unknown → no pruning.
+_IDENTITY_LOGICAL = {
+    "BYTE_ARRAY": {"NONE", "STRING"},
+    "INT32": {"NONE", "INT(32,true)"},
+    "INT64": {"NONE", "INT(64,true)"},
+    "FLOAT": {"NONE"},
+    "DOUBLE": {"NONE"},
+}
+
+
+def _probe_value(value, physical_type: str, logical_type: str | None):
     """The dictionary-representation of a predicate literal, or None when
-    the literal's type can't be compared against this physical type."""
+    the literal's type can't be compared against this physical type — or
+    when the column's logical annotation means the raw physical values
+    are NOT the literal's value space (``_IDENTITY_LOGICAL``)."""
     t = (physical_type or "").upper()
+    if logical_type not in _IDENTITY_LOGICAL.get(t, ()):
+        return None
     if t == "BYTE_ARRAY":
         if isinstance(value, str):
             return value.encode("utf-8")
@@ -214,7 +236,16 @@ def _probe_value(value, physical_type: str):
         # bool is an int subclass but BOOLEAN has its own physical type
         return value if isinstance(value, int) and not isinstance(value, bool) else None
     if t in ("FLOAT", "DOUBLE"):
-        return float(value) if isinstance(value, (int, float)) else None
+        import math
+
+        if not isinstance(value, (int, float)):
+            return None
+        # NaN never probes: Spark treats NaN = NaN as TRUE, but a Python
+        # set-membership test says nan != nan — pruning on it would drop
+        # row groups whose NaN rows DO match the predicate
+        if isinstance(value, float) and math.isnan(value):
+            return None
+        return float(value)
     return None
 
 
@@ -242,9 +273,19 @@ class DictionaryProber:
     ) -> bool | None:
         """False = the row group PROVABLY contains no row equal to
         ``value`` (safe to skip); True/None = keep."""
-        probe = _probe_value(value, col_meta.get("physical_type"))
+        probe = _probe_value(
+            value, col_meta.get("physical_type"), col_meta.get("logical_type")
+        )
         if probe is None:
             return None
+        d = self._dictionary(path, rg_idx, col_idx, col_meta)
+        if d is None:
+            return None
+        return probe in d
+
+    def _dictionary(self, path: str, rg_idx: int, col_idx: int, col_meta: dict):
+        """The chunk's decoded dictionary as a set, or None when the chunk
+        isn't provably fully dictionary-encoded or the page can't be read."""
         ckey = (path, rg_idx, col_idx)
         if ckey not in self._complete:
             footer = self._footer(path)
@@ -266,10 +307,30 @@ class DictionaryProber:
             )
             if self._dicts[dkey] is not None:
                 self._dicts[dkey] = set(self._dicts[dkey])
-        d = self._dicts[dkey]
+        return self._dicts[dkey]
+
+    def all_excluded(
+        self, path: str, rg_idx: int, col_idx: int, col_meta: dict, values
+    ) -> bool | None:
+        """True = EVERY value in the chunk's dictionary is in ``values``
+        (so no row can satisfy ``!= v`` / ``NOT IN (values)`` — NULL rows
+        don't satisfy them either); False/None = keep.
+
+        Sound even with unused dictionary entries: every data value IS
+        some dictionary entry, so "all entries excluded" covers every row
+        a writer could have referenced."""
+        probes = [
+            _probe_value(
+                v, col_meta.get("physical_type"), col_meta.get("logical_type")
+            )
+            for v in values
+        ]
+        if any(p is None for p in probes):
+            return None
+        d = self._dictionary(path, rg_idx, col_idx, col_meta)
         if d is None:
             return None
-        return probe in d
+        return d.issubset(set(probes))
 
 
 def _equality_conjuncts(predicate) -> list[tuple[str, list]]:
@@ -285,21 +346,55 @@ def _equality_conjuncts(predicate) -> list[tuple[str, list]]:
     return eq
 
 
+def _exclusion_conjuncts(predicate) -> list[tuple[str, list]]:
+    """(column, excluded values) per ``!=``/``<>``/``not_in`` conjunct —
+    the row group prunes when the dictionary is provably a SUBSET of the
+    excluded values (single-value dictionary chunks are common in log
+    data, where a whole file carries one constant)."""
+    ex: list[tuple[str, list]] = []
+    for col, op, *vals in predicate:
+        if op in ("!=", "<>") and vals:
+            ex.append((col, [vals[0]]))
+        elif op == "not_in" and vals and list(vals[0]):
+            ex.append((col, list(vals[0])))
+    return ex
+
+
+def _dict_conjuncts(predicate) -> list[tuple[str, list, str]]:
+    """All conjuncts the dictionary can decide, as (column, values, mode):
+    mode ``'eq'`` prunes when EVERY candidate is provably absent; mode
+    ``'ex'`` prunes when the dictionary is provably a subset of the
+    excluded values."""
+    return [(c, v, "eq") for c, v in _equality_conjuncts(predicate)] + [
+        (c, v, "ex") for c, v in _exclusion_conjuncts(predicate)
+    ]
+
+
+def _conjunct_prunes(prober, path, rg_idx, col_idx, col_meta, values, mode):
+    """True when this single conjunct PROVES the row group matchless."""
+    if mode == "eq":
+        return all(
+            prober.can_match(path, rg_idx, col_idx, col_meta, v) is False
+            for v in values
+        )
+    return prober.all_excluded(path, rg_idx, col_idx, col_meta, values) is True
+
+
 def dict_prune_rows(
     rg_rows: list[dict], predicate, prober: DictionaryProber | None = None
 ) -> list[dict]:
     """Drop row-group rows whose dictionaries PROVE an equality/IN
-    conjunct can't match.  Non-equality conjuncts, unknown columns, and
-    every "unknown" verdict keep the row — identical results either
-    way."""
-    eq = _equality_conjuncts(predicate)
-    if not eq:
+    conjunct can't match, or an exclusion (!=/NOT IN) conjunct excludes
+    the whole dictionary.  Other conjuncts, unknown columns, and every
+    "unknown" verdict keep the row — identical results either way."""
+    conj = _dict_conjuncts(predicate)
+    if not conj:
         return rg_rows
     prober = prober or DictionaryProber()
     out = []
     for r in rg_rows:
         keep = True
-        for col_name, values in eq:
+        for col_name, values, mode in conj:
             col_idx = next(
                 (
                     i
@@ -310,13 +405,9 @@ def dict_prune_rows(
             )
             if col_idx is None:
                 continue
-            if all(
-                prober.can_match(
-                    r["file"], r["row_group"], col_idx,
-                    r["columns"][col_idx], v,
-                )
-                is False
-                for v in values
+            if _conjunct_prunes(
+                prober, r["file"], r["row_group"], col_idx,
+                r["columns"][col_idx], values, mode,
             ):
                 keep = False
                 break
@@ -338,14 +429,23 @@ def dict_prune_plan(plan, predicate):
     input, untouched."""
     from pyspark.sql import functions as F
 
-    eq = _equality_conjuncts(predicate)
-    if not eq:
+    conj = _dict_conjuncts(predicate)
+    if not conj:
         return plan
 
     import pyarrow as pa
 
+    # sidecars written before the logical_type field existed can't prove
+    # the identity mapping — ship NULL, which the probe treats as
+    # "unknown -> keep" (no value-level pruning on old indexes)
+    try:
+        elem = plan.schema["columns"].dataType.elementType
+        has_ltype = "logical_type" in elem.fieldNames()
+    except Exception:
+        has_ltype = False
+
     meta_cols = []
-    for i, (col_name, _values) in enumerate(eq):
+    for i, (col_name, _values, _mode) in enumerate(conj):
         # F.get, not element_at: a conjunct on a PARTITION key (or any
         # column absent from the file schema) filters to an EMPTY array,
         # and ANSI element_at throws on it — get() yields NULL, which the
@@ -359,6 +459,11 @@ def dict_prune_plan(plan, predicate):
                 match["data_page_offset"].alias(f"pj_dao_{i}"),
                 match["codec"].alias(f"pj_codec_{i}"),
                 match["physical_type"].alias(f"pj_ptype_{i}"),
+                (
+                    match["logical_type"]
+                    if has_ltype
+                    else F.lit(None).cast("string")
+                ).alias(f"pj_ltype_{i}"),
                 (
                     F.array_position(
                         F.transform("columns", lambda c: c["name"]),
@@ -374,7 +479,7 @@ def dict_prune_plan(plan, predicate):
         [("file", pa.string()), ("row_group", pa.int32()),
          ("total_byte_size", pa.int64())]
     )
-    values = [vs for _c, vs in eq]
+    values = [(vs, mode) for _c, vs, mode in conj]
 
     def probe(batches):
         prober = DictionaryProber()
@@ -383,7 +488,7 @@ def dict_prune_plan(plan, predicate):
             kept = []
             for r in rows:
                 keep = True
-                for i, cand in enumerate(values):
+                for i, (cand, mode) in enumerate(values):
                     cix = r[f"pj_cix_{i}"]
                     if cix is None or cix < 0:
                         continue
@@ -392,13 +497,11 @@ def dict_prune_plan(plan, predicate):
                         "data_page_offset": r[f"pj_dao_{i}"],
                         "codec": r[f"pj_codec_{i}"],
                         "physical_type": r[f"pj_ptype_{i}"],
+                        "logical_type": r[f"pj_ltype_{i}"],
                     }
-                    if all(
-                        prober.can_match(
-                            r["file"], r["row_group"], int(cix), meta, v
-                        )
-                        is False
-                        for v in cand
+                    if _conjunct_prunes(
+                        prober, r["file"], r["row_group"], int(cix),
+                        meta, cand, mode,
                     ):
                         keep = False
                         break

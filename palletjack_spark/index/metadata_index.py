@@ -54,6 +54,13 @@ _COLUMN_STAT = T.StructType(
         # indexes built before this field existed — pruning then stays
         # conservative for strings (keep the group).
         T.StructField("stats_kind", T.StringType()),
+        # canonical parquet logical-type tag (builder._logical_tag):
+        # value-level probes (dictionary pruning) only run when this is an
+        # IDENTITY mapping for the physical type — DECIMAL-as-INT unscaled
+        # or unsigned-as-signed raw values must never be compared against
+        # predicate literals (round-10 ADVICE, high).  NULL on indexes
+        # built before this field existed — those never dictionary-prune.
+        T.StructField("logical_type", T.StringType()),
     ]
 )
 
@@ -87,8 +94,26 @@ FILES_SCHEMA = T.StructType(
     ]
 )
 
-#: predicate ops supported by stats pruning
-_PRUNE_OPS = {"<", "<=", ">", ">=", "=", "==", "between", "in", "is_null", "not_null"}
+#: predicate ops supported by stats pruning.  The exclusion ops
+#: (``!=``/``<>``/``not_in``) prune a row group only when its stats prove
+#: it SINGLE-VALUED on an excluded value (common in log data: a constant
+#: column per file); the dictionary tier additionally prunes when the
+#: whole dictionary is excluded (dictprune).
+_PRUNE_OPS = {
+    "<", "<=", ">", ">=", "=", "==", "between", "in", "is_null", "not_null",
+    "!=", "<>", "not_in",
+}
+
+
+def _nan_free(values) -> bool:
+    """A NaN literal must never drive pruning: Spark/DuckDB treat
+    ``NaN = NaN`` as TRUE (NaN sorts greatest), but parquet min/max stats
+    omit NaN and a Python set-membership probe says ``nan != nan`` — both
+    would prune groups whose NaN rows DO match.  Conjuncts carrying a NaN
+    keep every group; the residual filter stays exact."""
+    import math
+
+    return not any(isinstance(x, float) and math.isnan(x) for x in values)
 
 
 class LocalIndex:
@@ -479,6 +504,30 @@ class MetadataIndex:
             return False
 
     @staticmethod
+    def _lit_floor(x) -> float:
+        """Largest double <= the (possibly int64) predicate literal.
+        ``float(x)`` rounds to NEAREST, so a literal above 2^53 can round
+        UP past a row group's true max and a ``hi > lit`` test would
+        wrongly prune a matching group (round-10 ADVICE: the same hazard
+        as the stats side, on the literal side).  Lower-bound tests use
+        the floored literal, upper-bound tests the ceiled one — the
+        comparison is always at-least-as-permissive as the exact one, and
+        the residual filter stays exact."""
+        import math
+
+        f = float(x)
+        return math.nextafter(f, -math.inf) if f > x else f
+
+    @staticmethod
+    def _lit_ceil(x) -> float:
+        """Smallest double >= the predicate literal (see
+        :meth:`_lit_floor`)."""
+        import math
+
+        f = float(x)
+        return math.nextafter(f, math.inf) if f < x else f
+
+    @staticmethod
     def _text_prunable(v) -> bool:
         """String values prune only when ASCII: parquet string min/max
         order is unsigned-byte lexicographic, which matches Spark/Python
@@ -546,14 +595,65 @@ class MetadataIndex:
                     isinstance(x, (int, float)) and not isinstance(x, bool)
                     for x in in_vals
                 ):
+                    if not _nan_free(in_vals):
+                        continue  # NaN member: keep (Spark NaN = NaN is true)
                     lo, hi = st["min_num"], st["max_num"]
                     has = lo.isNotNull() & hi.isNotNull()
-                    in_vals = [float(x) for x in in_vals]
+                    # lower-bound tests use the ceiled literal, upper-bound
+                    # the floored one: superset semantics for int64 members
+                    # above 2^53 (_lit_floor docstring)
+                    in_vals = [
+                        (self._lit_floor(x), self._lit_ceil(x)) for x in in_vals
+                    ]
                 else:
                     continue  # mixed/unsupported member types: keep
                 keep = F.lit(False)
                 for x in in_vals:
-                    keep = keep | ((lo <= F.lit(x)) & (hi >= F.lit(x)))
+                    x_dn, x_up = x if isinstance(x, tuple) else (x, x)
+                    keep = keep | ((lo <= F.lit(x_up)) & (hi >= F.lit(x_dn)))
+                cond = cond & F.when(has, keep).otherwise(F.lit(True))
+                continue
+            if op in ("!=", "<>", "not_in"):
+                ex_vals = (
+                    list(vals[0])
+                    if op == "not_in" and vals
+                    else [vals[0]] if vals else []
+                )
+                if not ex_vals:
+                    continue  # excluding nothing prunes nothing
+                if all(isinstance(x, str) for x in ex_vals):
+                    if not text_ok or not all(
+                        self._text_prunable(x) for x in ex_vals
+                    ):
+                        continue
+                    lo, hi = st["min_repr"], st["max_repr"]
+                    has = (
+                        lo.isNotNull()
+                        & hi.isNotNull()
+                        & (st["stats_kind"] == F.lit("text"))
+                    )
+                elif all(
+                    isinstance(x, (int, float)) and not isinstance(x, bool)
+                    for x in ex_vals
+                ):
+                    if not _nan_free(ex_vals):
+                        continue
+                    # only exactly-representable literals can equal a
+                    # single-valued chunk's double stat: lo == hi implies
+                    # (by the floor/ceil superset rounding) the true value
+                    # IS that double, so a non-representable int64 literal
+                    # never excludes it
+                    ex_vals = [float(x) for x in ex_vals if float(x) == x]
+                    if not ex_vals:
+                        continue
+                    lo, hi = st["min_num"], st["max_num"]
+                    has = lo.isNotNull() & hi.isNotNull()
+                else:
+                    continue  # mixed/unsupported member types: keep
+                # prune only a provably SINGLE-VALUED chunk whose one value
+                # is excluded — then no row satisfies != / NOT IN (NULL
+                # rows don't satisfy them either, so nulls don't matter)
+                keep = ~((lo == hi) & lo.isin(ex_vals))
                 cond = cond & F.when(has, keep).otherwise(F.lit(True))
                 continue
             is_str = bool(vals) and isinstance(vals[0], str)
@@ -571,22 +671,32 @@ class MetadataIndex:
                 v = F.lit(vals[0])
                 v2 = F.lit(vals[1]) if op == "between" else None
             else:
+                if not _nan_free(vals[:2] if op == "between" else vals[:1]):
+                    continue  # NaN literal: keep (Spark NaN = NaN is true)
                 lo, hi = st["min_num"], st["max_num"]
                 has = lo.isNotNull() & hi.isNotNull()
-                v = F.lit(float(vals[0])) if vals else None
-                v2 = F.lit(float(vals[1])) if op == "between" else None
+                # direction-aware literal rounding (_lit_floor docstring):
+                # v_up feeds lower-bound tests, v_dn upper-bound tests
+                v = v2 = v_dn = v_up = None
+                if vals:
+                    v_dn = F.lit(self._lit_floor(vals[0]))
+                    v_up = F.lit(self._lit_ceil(vals[0]))
+                if op == "between":
+                    v2 = F.lit(self._lit_ceil(vals[1]))
+            if v is not None:  # string branch: exact literals
+                v_dn = v_up = v
             if op in ("=", "=="):
-                keep = (lo <= v) & (hi >= v)
+                keep = (lo <= v_up) & (hi >= v_dn)
             elif op == "<":
-                keep = lo < v
+                keep = lo < v_up
             elif op == "<=":
-                keep = lo <= v
+                keep = lo <= v_up
             elif op == ">":
-                keep = hi > v
+                keep = hi > v_dn
             elif op == ">=":
-                keep = hi >= v
+                keep = hi >= v_dn
             elif op == "between":
-                keep = (hi >= v) & (lo <= v2)
+                keep = (hi >= v_dn) & (lo <= v2)
             cond = cond & F.when(has, keep).otherwise(F.lit(True))
         return cond
 
@@ -630,13 +740,60 @@ class MetadataIndex:
                     isinstance(x, (int, float)) and not isinstance(x, bool)
                     for x in in_vals
                 ):
+                    if not _nan_free(in_vals):
+                        continue  # NaN member: keep (Spark NaN = NaN true)
                     lo, hi = st["min_num"], st["max_num"]
-                    in_vals = [float(x) for x in in_vals]
+                    # superset literal rounding (_lit_floor docstring)
+                    in_vals = [
+                        (MetadataIndex._lit_floor(x), MetadataIndex._lit_ceil(x))
+                        for x in in_vals
+                    ]
                 else:
                     continue
                 if lo is None or hi is None:
                     continue
-                if not any(lo <= x <= hi for x in in_vals):
+                if not any(
+                    lo <= (x[1] if isinstance(x, tuple) else x)
+                    and (x[0] if isinstance(x, tuple) else x) <= hi
+                    for x in in_vals
+                ):
+                    return False
+                continue
+            if op in ("!=", "<>", "not_in"):
+                ex_vals = (
+                    list(vals[0])
+                    if op == "not_in" and vals
+                    else [vals[0]] if vals else []
+                )
+                if not ex_vals:
+                    continue  # excluding nothing prunes nothing
+                if all(isinstance(x, str) for x in ex_vals):
+                    if not all(
+                        MetadataIndex._text_prunable(x) for x in ex_vals
+                    ):
+                        continue
+                    if st.get("stats_kind") != "text":
+                        continue
+                    lo, hi = st["min_repr"], st["max_repr"]
+                elif all(
+                    isinstance(x, (int, float)) and not isinstance(x, bool)
+                    for x in ex_vals
+                ):
+                    if not _nan_free(ex_vals):
+                        continue
+                    # only exactly-representable literals can equal a
+                    # single-valued chunk's double stat (_prune_condition)
+                    ex_vals = [float(x) for x in ex_vals if float(x) == x]
+                    if not ex_vals:
+                        continue
+                    lo, hi = st["min_num"], st["max_num"]
+                else:
+                    continue
+                if lo is None or hi is None:
+                    continue
+                # prune only a provably single-valued chunk on an excluded
+                # value (NULL rows don't satisfy != / NOT IN either)
+                if lo == hi and lo in ex_vals:
                     return False
                 continue
             if vals and isinstance(vals[0], str):
@@ -650,23 +807,31 @@ class MetadataIndex:
                 v = vals[0]
                 v2 = vals[1] if op == "between" else None
             else:
+                if not _nan_free(vals[:2] if op == "between" else vals[:1]):
+                    continue  # NaN literal: keep (Spark NaN = NaN is true)
                 lo, hi = st["min_num"], st["max_num"]
                 if lo is None or hi is None:
                     continue
-                v = float(vals[0]) if vals else None
-                v2 = float(vals[1]) if op == "between" else None
+                # direction-aware literal rounding (_lit_floor docstring)
+                v = v2 = None
+                v_dn = MetadataIndex._lit_floor(vals[0]) if vals else None
+                v_up = MetadataIndex._lit_ceil(vals[0]) if vals else None
+                if op == "between":
+                    v2 = MetadataIndex._lit_ceil(vals[1])
+            if v is not None:  # string branch: exact literals
+                v_dn = v_up = v
             if op in ("=", "=="):
-                keep = lo <= v <= hi
+                keep = lo <= v_up and v_dn <= hi
             elif op == "<":
-                keep = lo < v
+                keep = lo < v_up
             elif op == "<=":
-                keep = lo <= v
+                keep = lo <= v_up
             elif op == ">":
-                keep = hi > v
+                keep = hi > v_dn
             elif op == ">=":
-                keep = hi >= v
+                keep = hi >= v_dn
             else:  # between
-                keep = hi >= v and lo <= v2
+                keep = hi >= v_dn and lo <= v2
             if not keep:
                 return False
         return True
@@ -887,6 +1052,10 @@ class MetadataIndex:
                     df = df.where(c.between(vals[0], vals[1]))
                 elif op == "in":
                     df = df.where(c.isin(list(vals[0]) if vals else []))
+                elif op in ("!=", "<>"):
+                    df = df.where(c != vals[0])
+                elif op == "not_in":
+                    df = df.where(~c.isin(list(vals[0]) if vals else []))
                 elif op == "is_null":
                     df = df.where(c.isNull())
                 elif op == "not_null":

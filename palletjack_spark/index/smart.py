@@ -50,6 +50,10 @@ def _apply_predicate(df: DataFrame, predicate: Sequence[tuple]) -> DataFrame:
             df = df.where(c.between(vals[0], vals[1]))
         elif op == "in":
             df = df.where(c.isin(list(vals[0]) if vals else []))
+        elif op in ("!=", "<>"):
+            df = df.where(c != vals[0])
+        elif op == "not_in":
+            df = df.where(~c.isin(list(vals[0]) if vals else []))
         elif op == "is_null":
             df = df.where(c.isNull())
         elif op == "not_null":
@@ -70,8 +74,8 @@ def smart_read(
     """Read parquet, letting the metadata index choose the scan strategy.
 
     ``predicate`` uses the index mini-language ``[(col, op, value...)]``
-    (ops: <, <=, >, >=, =, between, in, is_null, not_null).  Returns the
-    same rows either way;
+    (ops: <, <=, >, >=, =, !=, <>, between, in, not_in, is_null,
+    not_null).  Returns the same rows either way;
     only the physical strategy differs.  ``keep_fraction_threshold``: route
     to the indexed scan when stats keep at most this fraction of row
     groups.
@@ -88,7 +92,8 @@ def smart_read(
             ]
             kept = len(stats_kept)
             if total > 0 and kept / total > keep_fraction_threshold and any(
-                op in ("=", "==", "in") for _c, op, *_v in predicate
+                op in ("=", "==", "in", "!=", "<>", "not_in")
+                for _c, op, *_v in predicate
             ):
                 # stats alone say "scan everything" — but an equality
                 # predicate may still prune via dictionary pages (q03e:

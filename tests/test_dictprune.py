@@ -176,6 +176,7 @@ def test_dict_prune_conservative_on_unprobeable_chunks(spark, tmp_path):
     assert (
         prober.can_match(path, 0, 0, {
             "physical_type": cc.physical_type,
+            "logical_type": "STRING",
             "dictionary_page_offset": cc.dictionary_page_offset,
             "data_page_offset": cc.data_page_offset,
             "codec": cc.compression,
@@ -195,6 +196,7 @@ def test_dict_prune_memoizes_footer_and_dictionary_reads(tmp_path):
     cc = md.row_group(0).column(0)
     meta = {
         "physical_type": cc.physical_type,
+        "logical_type": "STRING",
         "dictionary_page_offset": cc.dictionary_page_offset,
         "data_page_offset": cc.data_page_offset,
         "codec": cc.compression,
@@ -356,3 +358,133 @@ def test_in_predicate_prunes_stats_and_dictionaries(spark, tmp_path):
         for r in didx.read(columns=["tag", "n"], predicate=pred).collect()
     )
     assert dgot == got
+
+
+def test_logical_type_gate_refuses_non_identity_probes():
+    """Value-level probes run ONLY when the raw physical encoding IS the
+    literal's value space (round-10 ADVICE, high): DECIMAL stored as
+    INT32/INT64 unscaled (literal 5, stored 500), unsigned-as-signed,
+    and time re-encodings must all refuse — a miss would wrongly prune
+    row groups that DO match, silently losing rows."""
+    from palletjack_spark.index.dictprune import _probe_value
+
+    # identity mappings probe
+    assert _probe_value("x", "BYTE_ARRAY", "STRING") == b"x"
+    assert _probe_value("x", "BYTE_ARRAY", "NONE") == b"x"
+    assert _probe_value(5, "INT64", "NONE") == 5
+    assert _probe_value(5, "INT32", "INT(32,true)") == 5
+    assert _probe_value(5, "INT64", "INT(64,true)") == 5
+    assert _probe_value(1.5, "DOUBLE", "NONE") == 1.5
+    # non-identity / unknown annotations refuse (keep)
+    assert _probe_value(5, "INT64", "DECIMAL") is None
+    assert _probe_value(5, "INT32", "DECIMAL") is None
+    assert _probe_value(5, "INT32", "INT(32,false)") is None
+    assert _probe_value(5, "INT64", "INT(64,false)") is None
+    assert _probe_value(5, "INT64", "TIMESTAMP") is None
+    assert _probe_value(5, "INT32", "DATE") is None
+    assert _probe_value(5, "INT64", None) is None  # pre-round-10 sidecar
+    assert _probe_value("x", "BYTE_ARRAY", "JSON") is None
+    # NaN never probes: Spark treats NaN = NaN as TRUE, set probes don't
+    assert _probe_value(float("nan"), "DOUBLE", "NONE") is None
+
+
+def test_unsigned_column_not_wrongly_pruned(spark, tmp_path):
+    """uint32 3e9 stores raw as its SIGNED reinterpretation; before the
+    logical-type gate the dictionary probe looked up the logical value,
+    missed, and wrongly pruned the row group holding the match."""
+    from palletjack_spark.index.builder import build_index
+    from palletjack_spark.index.dictprune import dict_prune_rows
+
+    path = str(tmp_path / "u.parquet")
+    pq.write_table(
+        pa.table({"u": pa.array([5, 3_000_000_000], type=pa.uint32())}),
+        path,
+    )
+    idx = build_index(spark, path)
+    rg = idx._local[0][0]
+    col = rg["columns"][0]
+    assert col["logical_type"] == "INT(32,false)"
+    pred = [("u", "=", 3_000_000_000)]
+    assert idx._keep_local(rg, pred)  # stats keep (value in range)
+    # the gate refuses the probe -> the row group SURVIVES
+    assert [r["row_group"] for r in dict_prune_rows([rg], pred)] == [0]
+
+
+def test_spark_decimal_column_indexes_and_reads(spark, tmp_path):
+    """Spark stores decimal(15,2) as INT64 unscaled (logical DECIMAL);
+    pyarrow raises ArrowNotImplementedError extracting its min/max — the
+    build must degrade that column's stats to unknown instead of failing
+    the file, record the DECIMAL tag, and an equality read must return
+    the matching row (the ADVICE wrong-prune scenario: literal 5 vs
+    stored 500)."""
+    import decimal
+    import glob
+
+    from palletjack_spark.index.builder import build_index
+
+    df = spark.createDataFrame(
+        [(decimal.Decimal("1.00"),), (decimal.Decimal("5.00",),)],
+        "d decimal(15,2)",
+    )
+    out = str(tmp_path / "dec")
+    df.coalesce(1).write.parquet(out)
+    f = sorted(glob.glob(out + "/*.parquet"))[0]
+    idx = build_index(spark, f)
+    col = idx._local[0][0]["columns"][0]
+    assert col["logical_type"] == "DECIMAL"
+    assert col["min_num"] is None and col["min_repr"] is None
+    got = [r["d"] for r in idx.read(predicate=[("d", "=", 5)]).collect()]
+    assert got == [decimal.Decimal("5.00")]
+
+
+def test_exclusion_ops_prune_stats_and_dictionaries(spark, tmp_path):
+    """!= / not_in complete the equality family: the stats tier prunes a
+    provably single-valued chunk on an excluded value; the dictionary
+    tier prunes when the WHOLE dictionary is excluded (single-/few-value
+    dictionary chunks — constant columns in log data); results equal the
+    pruning-off read."""
+    from palletjack_spark.index.builder import build_index
+    from palletjack_spark.index.dictprune import dict_prune_plan, dict_prune_rows
+
+    path = str(tmp_path / "ex.parquet")
+    ks = ["a", "b"] * 50 + ["b", "c"] * 50  # rg0 dict {a,b}, rg1 {b,c}
+    pq.write_table(
+        pa.table({"k": pa.array(ks), "n": pa.array(range(200), pa.int64())}),
+        path,
+        row_group_size=100,
+    )
+    idx = build_index(spark, path)
+    rows = idx._local[0]
+    pred = [("k", "not_in", ["a", "b"])]
+    stats_kept = [r for r in rows if idx._keep_local(r, pred)]
+    assert len(stats_kept) == 2  # neither rg is single-valued
+    dict_kept = dict_prune_rows(stats_kept, pred)
+    assert [r["row_group"] for r in dict_kept] == [1]  # {a,b} excluded
+    got = sorted(
+        (r["k"], r["n"]) for r in idx.read(predicate=pred).collect()
+    )
+    assert got == [("c", n) for n in range(101, 200, 2)]
+    off = sorted(
+        (r["k"], r["n"])
+        for r in idx.read(predicate=pred, dictionary_prune=False).collect()
+    )
+    assert got == off
+
+    # stats tier alone prunes a single-valued chunk on != (no dict read)
+    cpath = str(tmp_path / "const.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array(["a"] * 100 + ["b"] * 100)}),
+        cpath,
+        row_group_size=100,
+    )
+    cidx = build_index(spark, cpath)
+    ckept = [
+        r for r in cidx._local[0] if cidx._keep_local(r, [("k", "!=", "a")])
+    ]
+    assert [r["row_group"] for r in ckept] == [1]
+    assert [r["k"] for r in cidx.read(predicate=[("k", "!=", "a")]).collect()] == ["b"] * 100
+
+    # distributed plan path agrees
+    pidx = build_index(spark, path, index_dir=str(tmp_path / "idx"))
+    plan = pidx.prune(predicate=pred)
+    assert [r["row_group"] for r in dict_prune_plan(plan, pred).collect()] == [1]

@@ -1078,3 +1078,100 @@ def test_incremental_rebuild_sees_rewrite_outside_candidate_roots(spark, tmp_pat
     idx = build_index(spark, a_dir, index_dir=idx_dir, incremental=True)
     got = sorted(r["v"] for r in idx.read(predicate=[("v", ">=", 100)]).collect())
     assert got == list(range(100, 150)), got[:5]
+
+
+def test_stat_superset_rounding_above_2_53(spark, tmp_path):
+    """int64 stats above 2^53 round to-nearest under float(); mins must
+    round DOWN and maxes UP (and predicate literals the opposite way) so
+    strict </> pruning stays a superset of the true range (round-10
+    ADVICE, medium).  Both hazards below wrongly pruned before the fix."""
+    from palletjack_spark.index.builder import build_index
+    from palletjack_spark.index.metadata_index import MetadataIndex
+
+    big = 2**53
+    # hazard 1: true max big+1 used to STORE as big -> ('x','>',big) pruned
+    p1 = str(tmp_path / "b1.parquet")
+    pq.write_table(pa.table({"x": pa.array([big + 1], pa.int64())}), p1)
+    idx1 = build_index(spark, p1)
+    col = idx1._local[0][0]["columns"][0]
+    assert col["min_num"] <= big + 1 <= col["max_num"]
+    assert MetadataIndex._keep_local(idx1._local[0][0], [("x", ">", big)])
+    assert [r["x"] for r in idx1.read(predicate=[("x", ">", big)]).collect()] == [big + 1]
+
+    # hazard 2: the LITERAL big+3 rounds UP to big+4 == the true max ->
+    # ('x','>',big+3) used to prune the group holding big+4
+    p2 = str(tmp_path / "b2.parquet")
+    pq.write_table(pa.table({"x": pa.array([big + 4], pa.int64())}), p2)
+    idx2 = build_index(spark, p2)
+    assert MetadataIndex._keep_local(idx2._local[0][0], [("x", ">", big + 3)])
+    assert [r["x"] for r in idx2.read(predicate=[("x", ">", big + 3)]).collect()] == [big + 4]
+
+    # the distributed condition agrees with the local mirror
+    pruned = idx2.prune(predicate=[("x", ">", big + 3)])
+    assert pruned.count() == 1
+
+
+def test_old_sidecar_layout_append_and_refresh(spark, tmp_path):
+    """Sidecars written before the logical_type field existed must stay
+    readable: an incremental append adopts the OLD nested layout (one
+    schema per dataset), and a refresh (file rewritten in place) UPGRADES
+    every surviving row to the new layout — either way reads stay exact
+    and dictionary pruning simply stays off for legacy rows (NULL tag)."""
+    from pyspark.sql import functions as F
+
+    from palletjack_spark.index.builder import (
+        _COLUMN_STAT,
+        _align_columns_struct,
+        build_index,
+        load_index,
+    )
+
+    root = str(tmp_path / "data")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table({"v": pa.array(range(50), pa.int64())}), f"{root}/a.parquet"
+    )
+    idx_dir = str(tmp_path / "idx")
+    build_index(spark, root, index_dir=idx_dir)
+
+    # simulate a pre-round-10 sidecar: rewrite row_groups/ without the
+    # logical_type field
+    rg_path = os.path.join(idx_dir, "row_groups")
+    old_fields = [f.name for f in _COLUMN_STAT.fields if f.name != "logical_type"]
+    old = _align_columns_struct(spark.read.parquet(rg_path), old_fields)
+    old.write.mode("overwrite").parquet(rg_path + "__old")
+    import shutil
+
+    shutil.rmtree(rg_path)
+    os.rename(rg_path + "__old", rg_path)
+
+    # append a new file incrementally: the OLD layout must win (one
+    # nested schema in the dataset), and the loaded index reads both
+    pq.write_table(
+        pa.table({"v": pa.array(range(50, 100), pa.int64())}),
+        f"{root}/b.parquet",
+    )
+    idx = build_index(spark, root, index_dir=idx_dir, incremental=True)
+    elem = idx.row_groups.schema["columns"].dataType.elementType
+    assert "logical_type" not in elem.fieldNames()
+    got = sorted(r["v"] for r in idx.read(predicate=[("v", ">=", 40)]).collect())
+    assert got == list(range(40, 100))
+
+    # rewrite a file in place -> the refresh path upgrades the layout
+    pq.write_table(
+        pa.table({"v": pa.array(range(200, 250), pa.int64())}),
+        f"{root}/a.parquet",
+    )
+    idx = build_index(spark, root, index_dir=idx_dir, incremental=True)
+    elem = idx.row_groups.schema["columns"].dataType.elementType
+    assert "logical_type" in elem.fieldNames()
+    # legacy-surviving rows carry NULL tags; refreshed rows carry real ones
+    tags = {
+        r["t"]
+        for r in idx.row_groups.select(
+            F.explode("columns").alias("c")
+        ).select(F.col("c.logical_type").alias("t")).collect()
+    }
+    assert tags == {None, "NONE"}
+    got = sorted(r["v"] for r in idx.read(predicate=[("v", ">=", 60)]).collect())
+    assert got == list(range(60, 100)) + list(range(200, 250))
