@@ -955,14 +955,31 @@ def cluster_representatives(
     ).cast("long")
     q = df.select(F.col(id_col), quality.alias("quality"))
 
+    # the pack is only injective for 0 <= id < 2^50 — an id outside that
+    # range would silently corrupt the argmax (wrong keeper/keep flags),
+    # so violations raise EXECUTOR-side on the data path (zero extra
+    # jobs; the guard is a row-local projection, the argmax stays a
+    # codegen'd HashAggregate)
+    packed = F.when(
+        F.col(id_col).between(0, _REPR_PACK - 1),
+        F.col("quality") * F.lit(_REPR_PACK)
+        + (F.lit(_REPR_PACK - 1) - F.col(id_col)),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "cluster_representatives requires 0 <= id < 2^50 "
+                    "(argmax pack range); got id="
+                ),
+                F.col(id_col).cast("string"),
+            )
+        )
+    )
     member = comp.join(q, comp["node"] == q[id_col]).select(
         F.col(id_col),
         "component",
         "quality",
-        (
-            F.col("quality") * F.lit(_REPR_PACK)
-            + (F.lit(_REPR_PACK - 1) - F.col(id_col))
-        ).alias("pack"),
+        packed.alias("pack"),
     )
     winners = member.groupBy("component").agg(
         (F.lit(_REPR_PACK - 1) - F.max("pack") % F.lit(_REPR_PACK)).alias(

@@ -84,8 +84,20 @@ def _translate(f: Filter):
 
 
 class PalletJackDataSource(DataSource):
-    """``format("palletjack")``: options ``path`` (file, directory, or
-    comma-separated list; required)."""
+    """``format("palletjack")``: options
+
+    - ``path`` (file, directory, or comma-separated list; required);
+    - ``columns`` (comma-separated, optional): read ONLY these columns.
+      Spark's Python DataSource API has no column-pruning pushdown (a
+      ``.select()`` above the source still decodes every column), so
+      narrow projections over wide tables should name their columns here
+      — the option reaches the parquet decoder itself.
+
+    Hive-partitioned roots: ``key=value`` path segments surface as
+    string partition columns APPENDED after the file columns (Spark's
+    type-inference-off semantics, matching ``MetadataIndex.read``), safe
+    equality predicates on them prune whole files, and every predicate
+    stays exact via Spark's residual evaluation."""
 
     @classmethod
     def name(cls) -> str:
@@ -101,26 +113,73 @@ class PalletJackDataSource(DataSource):
             )
         return [p for p in str(path).split(",") if p]
 
+    def _columns(self) -> list[str] | None:
+        cols = self.options.get("columns")
+        if not cols:
+            return None
+        return [c.strip() for c in str(cols).split(",") if c.strip()]
+
     def schema(self) -> StructType:
         from palletjack_spark.index.footer_splice import read_schema
         from palletjack_spark.sources.arrow_scan import (
             arrow_to_spark_schema,
             expand_paths,
+            partition_values,
+            resolve_columns,
         )
+        from pyspark.sql.types import StringType, StructField
 
         files = expand_paths(self._paths())
         # metadata-only: ONE footer's schema (homogeneous-dataset
-        # assumption, same as spark.read.parquet without mergeSchema)
-        return arrow_to_spark_schema(read_schema(parquet_path=files[0]))
+        # assumption, same as spark.read.parquet without mergeSchema);
+        # hive partition keys parsed from one path (standard layouts
+        # carry the same keys on every file — MetadataIndex.partition_keys
+        # documents the same assumption)
+        base = arrow_to_spark_schema(read_schema(parquet_path=files[0]))
+        part_keys = [
+            k for k in sorted(partition_values(files[0]))
+            if k not in base.fieldNames()
+        ]
+        sel = resolve_columns(
+            list(base.fieldNames()) + part_keys, self._columns(), None
+        )
+        if sel is None:
+            file_fields = list(base.fields)
+            out_keys = part_keys
+        else:
+            file_fields = [base[c] for c in sel if c in base.fieldNames()]
+            out_keys = [k for k in part_keys if k in sel]
+        return StructType(
+            file_fields
+            + [StructField(k, StringType(), True) for k in out_keys]
+        )
 
     def reader(self, schema: StructType) -> "PalletJackReader":
-        return PalletJackReader(self._paths(), schema)
+        from palletjack_spark.sources.arrow_scan import (
+            expand_paths,
+            partition_values,
+        )
+
+        part_keys = sorted(partition_values(expand_paths(self._paths())[0]))
+        return PalletJackReader(self._paths(), schema, part_keys)
 
 
 class PalletJackReader(DataSourceReader):
-    def __init__(self, paths: list[str], schema: StructType) -> None:
+    def __init__(
+        self,
+        paths: list[str],
+        schema: StructType,
+        part_keys: list[str] | None = None,
+    ) -> None:
         self._paths = paths
         self._schema = schema
+        #: hive partition keys of the layout (may include keys the
+        #: columns option dropped from the output schema)
+        self._part_keys = list(part_keys or [])
+        #: partition keys that ARE in the output schema, in schema order
+        self._out_keys = [
+            f.name for f in schema.fields if f.name in set(self._part_keys)
+        ]
         self._predicate: list[tuple] = []
 
     def pushFilters(self, filters):  # noqa: N802 (API name)
@@ -135,12 +194,35 @@ class PalletJackReader(DataSourceReader):
         # Driver-side plan: a fresh local SparkSession handle is not
         # available here, but the driver-local index path never needs
         # one past the build — parse footers directly.
+        import re
+
         from palletjack_spark.index.builder import _extract_file_rows
         from palletjack_spark.index.dictprune import dict_prune_rows
         from palletjack_spark.index.metadata_index import MetadataIndex
-        from palletjack_spark.sources.arrow_scan import expand_paths
+        from palletjack_spark.sources.arrow_scan import (
+            expand_paths,
+            partition_values,
+        )
 
         files = expand_paths(self._paths)
+        # file-level partition pruning for SAFE equality conjuncts on a
+        # partition key (same conservative charset gate as
+        # MetadataIndex._partition_plan_filter; everything else stays
+        # exact via Spark's residual evaluation of the original filters)
+        pk = set(self._part_keys)
+        for col_name, op, *vals in self._predicate:
+            if (
+                col_name in pk
+                and op in ("=", "==")
+                and vals
+                and isinstance(vals[0], str)
+                and re.fullmatch(r"[A-Za-z0-9._\-]+", vals[0])
+            ):
+                files = [
+                    f
+                    for f in files
+                    if partition_values(f).get(col_name) == vals[0]
+                ]
         rg_rows = []
         for p in files:
             _frow, rgs = _extract_file_rows(p)
@@ -181,12 +263,21 @@ class PalletJackReader(DataSourceReader):
             normalize_arrow_schema,
         )
         from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType
 
         path, span = partition.value
         if path is None or not span:
             return
-        target = normalize_arrow_schema(to_arrow_schema(self._schema))
-        yield from _read_span_batches(path, list(span), None, target, 65536)
+        # decode ONLY the file columns of the (possibly columns-pruned)
+        # output schema; partition-key columns attach as constant strings
+        out_keys = set(self._out_keys)
+        file_fields = [f for f in self._schema.fields if f.name not in out_keys]
+        cols = [f.name for f in file_fields]
+        target = normalize_arrow_schema(to_arrow_schema(StructType(file_fields)))
+        yield from _read_span_batches(
+            path, list(span), cols, target, 65536,
+            partition_keys=self._out_keys or None,
+        )
 
 
 def register_datasource(spark) -> None:

@@ -1175,3 +1175,23 @@ def test_old_sidecar_layout_append_and_refresh(spark, tmp_path):
     assert tags == {None, "NONE"}
     got = sorted(r["v"] for r in idx.read(predicate=[("v", ">=", 60)]).collect())
     assert got == list(range(60, 100)) + list(range(200, 250))
+
+
+def test_q03e_fixture_gc_unlinks_stale_fingerprints(spark):
+    """The q03e derived fixture is fingerprint-keyed to its source; a
+    create must garbage-collect fixtures keyed to SUPERSEDED fingerprints
+    so a long-lived host holds exactly one (round-9 verdict)."""
+    import glob
+
+    from palletjack_spark.queries import REGISTRY
+    from palletjack_spark.queries.scans import _tmp
+
+    prefix = _tmp("q03e_dictfix", SF_DIR)
+    for f in glob.glob(prefix + "_*.parquet"):
+        os.unlink(f)  # force a create
+    stale = prefix + "_1_1.parquet"
+    with open(stale, "wb") as fh:
+        fh.write(b"not a fixture")
+    REGISTRY["q03e_dictionary_pruned_scan"].fn(spark, SF_DIR).collect()
+    left = glob.glob(prefix + "_*.parquet")
+    assert len(left) == 1 and left[0] != stale

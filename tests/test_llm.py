@@ -971,3 +971,20 @@ def test_fuzzy_decontaminate_planted(spark):
         train, ev, "text", "doc_id", threshold_milli=1000
     ).collect()
     assert none == []
+
+
+def test_cluster_representative_rejects_out_of_range_ids(spark):
+    """The (quality, id) bigint pack is only injective for ids in
+    [0, 2^50); out-of-range ids must raise loudly instead of silently
+    corrupting the argmax (round-10 ADVICE)."""
+    import pytest
+
+    from palletjack_spark.functions.dedup import cluster_representatives
+
+    common = " ".join(f"word{i:02d}" for i in range(24))
+    df = spark.createDataFrame(
+        [(2**50, common, "s"), (-3, common + " x", "s")],
+        "doc_id long, text string, source string",
+    )
+    with pytest.raises(Exception, match="2\\^50"):
+        cluster_representatives(df, "text", "doc_id", "source").collect()

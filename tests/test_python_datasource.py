@@ -99,3 +99,87 @@ def test_unsupported_filters_fall_through(spark, tmp_path):
     df = spark.read.format("palletjack").load(path)
     got = df.where(F.col("tag").contains("_0005")).collect()
     assert [(x["tag"], x["n"]) for x in got] == [("user_0005", 5)]
+
+
+def test_columns_option_prunes_decode_schema(spark, tmp_path):
+    """Spark's Python DataSource API has no column-pruning pushdown, so
+    ``.option("columns", ...)`` reaches the parquet decoder directly:
+    the source schema (and the Arrow batches it reads) carry ONLY the
+    named columns."""
+    import pytest
+
+    from palletjack_spark.errors import InvalidSelectionError
+    from palletjack_spark.sources.python_datasource import register_datasource
+
+    register_datasource(spark)
+    path = table_path(SF_DIR, "orders")
+    wide = spark.read.format("palletjack").load(path)
+    narrow = (
+        spark.read.format("palletjack")
+        .option("columns", "o_orderkey,o_totalprice")
+        .load(path)
+    )
+    assert len(wide.schema.fields) > 2
+    assert narrow.schema.fieldNames() == ["o_orderkey", "o_totalprice"]
+    a = sorted(tuple(r) for r in narrow.limit(50).collect())
+    b = sorted(
+        tuple(r)
+        for r in spark.read.parquet(path)
+        .select("o_orderkey", "o_totalprice")
+        .limit(50)
+        .collect()
+    )
+    assert len(a) == 50 and {x[0] for x in a} <= {
+        r["o_orderkey"] for r in spark.read.parquet(path).collect()
+    }
+    # unknown names fail loudly at schema time
+    with pytest.raises(Exception, match="Unknown column"):
+        spark.read.format("palletjack").option(
+            "columns", "o_orderkey,nope"
+        ).load(path).schema
+
+
+def test_hive_partitioned_root_matches_native_reader(spark, tmp_path):
+    """Hive layouts: partition keys surface as string columns (appended
+    after file columns), predicates on them prune whole files at plan
+    time, and rows equal spark.read.parquet's (modulo the documented
+    string-typed partition values)."""
+    from pyspark.sql import functions as F
+
+    from palletjack_spark.sources.python_datasource import (
+        PalletJackReader,
+        register_datasource,
+    )
+
+    register_datasource(spark)
+    root = tmp_path / "hive"
+    for region, lo in (("emea", 0), ("apac", 100)):
+        d = root / f"region={region}"
+        d.mkdir(parents=True)
+        pq.write_table(
+            pa.table({"v": pa.array(range(lo, lo + 50), pa.int64())}),
+            str(d / "part.parquet"),
+        )
+    df = spark.read.format("palletjack").load(str(root))
+    assert df.schema.fieldNames() == ["v", "region"]
+    assert dict(df.dtypes)["region"] == "string"
+    got = sorted(
+        (r["region"], r["v"])
+        for r in df.where(F.col("region") == "apac").collect()
+    )
+    assert got == [("apac", v) for v in range(100, 150)]
+
+    # plan-time file pruning: the apac equality plans ONE file
+    r = PalletJackReader([str(root)], df.schema, ["region"])
+    r._predicate = [("region", "=", "apac")]
+    parts = [p.value for p in r.partitions()]
+    assert len(parts) == 1 and "region=apac" in parts[0][0]
+
+    # mixed partition-key + data predicates stay exact
+    both = sorted(
+        r["v"]
+        for r in df.where(
+            (F.col("region") == "emea") & (F.col("v") >= 40)
+        ).collect()
+    )
+    assert both == list(range(40, 50))
