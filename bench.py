@@ -269,6 +269,64 @@ def _steal_jiffies() -> tuple[int, int] | None:
         return None
 
 
+#: don't start the measured run while a load burst sees steal above this
+STEAL_GATE_PCT = 2.0
+
+
+def _steal_burst_pct(seconds: float = 2.0, threads: int | None = None) -> float | None:
+    """CPU-steal percentage measured UNDER a full-width thread burst.
+    Idle sampling can't see steal — the hypervisor only takes vCPUs that
+    are in use — so the probe spins numpy sums (GIL-releasing) on every
+    core for ~2 s and reads the /proc/stat delta, the same methodology
+    as the round-9 clean-capture protocol (PLANS.md gated retry)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    s0 = _steal_jiffies()
+    if s0 is None:
+        return None
+    try:
+        n = threads or min(32, max(1, int(CPUS)))
+    except ValueError:
+        n = threads or 8
+    stop = time.perf_counter() + seconds
+    buf = np.ones(1 << 16)
+
+    def spin(_):
+        while time.perf_counter() < stop:
+            float(buf.sum())
+        return 0
+
+    with ThreadPoolExecutor(n) as pool:
+        list(pool.map(spin, range(n)))
+    s1 = _steal_jiffies()
+    if s1 is None:
+        return None
+    return round(100.0 * (s1[0] - s0[0]) / max(1, s1[1] - s0[1]), 2)
+
+
+def _steal_gate(max_wait_s: float = 90.0) -> float | None:
+    """Hold the measured run until a burst probe sees steal under
+    ``STEAL_GATE_PCT`` (round-9 verdict item 2: the committed end-of-round
+    capture ran during a steal episode and recorded 68.9 s for a 53.0 s
+    engine).  Bounded wait — a host that stays contended past
+    ``max_wait_s`` proceeds anyway and the run self-documents via
+    ``host_degraded`` on the parsed line.  Returns the last probe."""
+    waited = 0.0
+    pct = _steal_burst_pct()
+    while pct is not None and pct >= STEAL_GATE_PCT and waited < max_wait_s:
+        print(
+            f"# steal gate: burst probe saw {pct:.1f}% steal "
+            f"(gate {STEAL_GATE_PCT}%) — waiting 15s for a quiet window",
+            file=sys.stderr,
+        )
+        time.sleep(15.0)
+        waited += 15.0
+        pct = _steal_burst_pct()
+    return pct
+
+
 #: run-scoped reusable (src, dst) buffers for _membw_probe
 _MEMBW_BUFS = None
 
@@ -339,7 +397,14 @@ def _load_floors(path: str | None = None, sf: float | None = None) -> dict[str, 
     Floors are only meaningful at the scale factor they were captured at
     (the file's "sf"): an sf0.01 smoke run compared against sf0.1 floors
     flags fixed-overhead-dominated queries spuriously.  Missing file ->
-    no floors; sf mismatch -> no floors."""
+    no floors; sf mismatch -> headline floors dropped.
+
+    The ``meta_floors`` map guards the metadata/catalog microbench
+    (round-9 verdict item 1: the flagship catalog build swung 3x in a
+    contended run and nothing fired because only headline queries were
+    floored).  Those workloads are SF-INDEPENDENT by construction (fixed
+    synthetic fixtures), so they merge in regardless of sf — captured at
+    local[32]; smoke runs at fewer cpus read the warnings as advisory."""
     if path is None:
         path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
@@ -349,10 +414,11 @@ def _load_floors(path: str | None = None, sf: float | None = None) -> dict[str, 
             data = json.load(f)
     except (OSError, ValueError):
         return {}
+    out = dict(data.get("meta_floors", {}))
     floor_sf = data.get("sf")
-    if sf is not None and floor_sf is not None and abs(sf - floor_sf) > 1e-9:
-        return {}
-    return dict(data.get("floors", {}))
+    if sf is None or floor_sf is None or abs(sf - floor_sf) <= 1e-9:
+        out.update(data.get("floors", {}))
+    return out
 
 
 def _check_floors(
@@ -366,16 +432,21 @@ def _check_floors(
     the q29/q30/q43 episode would have flagged itself.  ``min_delta``
     (absolute seconds over the floor) keeps sub-second queries from
     flagging on ~0.1 s scheduler jitter: 1.5× of a 0.2 s floor is noise,
-    1.5× of a 1 s floor is signal.  Pure function so the flag logic is
-    unit-testable without running the bench."""
+    1.5× of a 1 s floor is signal.  ``meta_*`` per-call latencies sit in
+    the 1-100 ms band where 0.15 s absolute would mask any breach, so
+    they use a 10 ms gate instead (meta workloads are min-of-passes over
+    20-100 calls — far quieter than one headline query shot).  Pure
+    function so the flag logic is unit-testable without running the
+    bench."""
     out = []
     for name, floor in sorted(floors.items()):
         got = times.get(name)
+        delta = min(min_delta, 0.01) if name.startswith("meta_") and floor < 0.5 else min_delta
         if (
             got is not None
             and floor > 0
             and got > factor * floor
-            and got - floor > min_delta
+            and got - floor > delta
         ):
             out.append(
                 f"# WARNING {name}: {got:.3f}s is {got / floor:.1f}x its "
@@ -428,12 +499,20 @@ def _write_detail(payload: dict, root: str | None = None) -> str:
 
 
 def _final_line(
-    total: float, sf: float, times: dict[str, float], detail: str
+    total: float,
+    sf: float,
+    times: dict[str, float],
+    detail: str,
+    host_degraded: bool = False,
 ) -> str:
     """The single stdout line the driver parses.  Carries the headline
     wall AND every meta_* float (the only numbers BASELINE.md's 2x
     acceptance is defined against) in compact JSON; per-query times live
-    in the detail sidecar.  Pure function, size-capped by test."""
+    in the detail sidecar.  ``host_degraded`` is the machine-readable
+    mirror of the sidecar's host_note (round-9 verdict item 2): a
+    cross-round comparer must be able to skip steal/membw-contaminated
+    captures without tribal knowledge.  Pure function, size-capped by
+    test."""
     meta = {
         k: v
         for k, v in sorted(times.items())
@@ -444,6 +523,7 @@ def _final_line(
         "value": total,
         "unit": "sec",
         "sf": sf,
+        "host_degraded": host_degraded,
         "meta": meta,
         "detail": detail,
     }
@@ -467,6 +547,7 @@ def _final_line(
             "value": total,
             "unit": "sec",
             "sf": sf,
+            "host_degraded": host_degraded,
             "detail": detail,
         }
         line = json.dumps(payload, separators=(",", ":"))
@@ -825,6 +906,13 @@ def main() -> None:
         (s0, t0), (s1, t1) = steal_samples[a], steal_samples[b]
         return round(100.0 * (s1 - s0) / max(1, t1 - t0), 2)
 
+    # gated start (round-9 verdict item 2): don't begin the measured run
+    # mid-steal-episode; a bounded wait, then proceed and self-document
+    gate_pct = _steal_gate()
+    if gate_pct is not None:
+        times["meta_host_steal_gate_pct"] = gate_pct
+        print(f"# steal gate passed at {gate_pct:.2f}%", file=sys.stderr)
+
     _take_control("start")
     for qi, name in enumerate(HEADLINE):
         # best-of-2, the reference harness's min-over-iterations methodology
@@ -943,6 +1031,14 @@ def main() -> None:
     host_note = " | ".join(host_notes) if host_notes else None
     for note in host_notes:
         print(f"# NOTE: {note}", file=sys.stderr)
+    # machine-readable degradation verdict, mirrored onto the parsed line:
+    # any host-note, run-level steal >= the gate, or a membw sag marks the
+    # capture as not comparable across rounds
+    host_degraded = bool(
+        host_notes
+        or (run_steal is not None and run_steal >= STEAL_GATE_PCT)
+        or (membw and min(membw.values()) < 13.0)
+    )
 
     # per-block steal between consecutive control points, for the sidecar
     ordered = [t for t in controls if t in steal_samples]
@@ -965,9 +1061,10 @@ def main() -> None:
             "membw_gbs": membw,
             "warnings": warnings,
             "host_note": host_note,
+            "host_degraded": host_degraded,
         }
     )
-    print(_final_line(total, sf, times, detail_name))
+    print(_final_line(total, sf, times, detail_name, host_degraded))
     spark.stop()
 
 

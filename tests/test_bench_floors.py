@@ -79,9 +79,82 @@ def test_floors_scoped_to_their_capture_sf(tmp_path):
     # legacy file without an sf field keeps working at any sf
     p.write_text(json.dumps({"floors": {"q30_hash_agg": 0.275}}))
     assert b._load_floors(str(p), sf=0.01) == {"q30_hash_agg": 0.275}
+    # meta_floors guard SF-INDEPENDENT microbench workloads: merged in
+    # regardless of sf, while headline floors stay sf-scoped (round-10)
+    p.write_text(
+        json.dumps(
+            {
+                "sf": 0.1,
+                "floors": {"q30_hash_agg": 0.275},
+                "meta_floors": {"meta_catalog_10k_build": 8.6},
+            }
+        )
+    )
+    assert b._load_floors(str(p), sf=0.1) == {
+        "q30_hash_agg": 0.275,
+        "meta_catalog_10k_build": 8.6,
+    }
+    assert b._load_floors(str(p), sf=0.01) == {"meta_catalog_10k_build": 8.6}
     # the committed file declares its capture sf
     assert b._load_floors(sf=0.1) != {}
-    assert b._load_floors(sf=0.01) == {}
+    assert all(k.startswith("meta_") for k in b._load_floors(sf=0.01))
+
+
+def test_round10_floor_coverage_and_meta_gate():
+    """Round-9 verdict item 1: the 4 round-9 headline queries and the
+    flagship meta_* workloads all have committed floors; a contended-run
+    swing like r9's catalog build (8.6s -> 28.6s) or indexed e2e read
+    (25ms -> 43ms) now fires a warning."""
+    b = _bench()
+    floors = b._load_floors(sf=0.1)
+    for q in (
+        "q151_rrf_fusion",
+        "q152_dup_span_excise",
+        "q153_cluster_representative",
+        "q154_fuzzy_decontaminate",
+        "meta_catalog_10k_build",
+        "meta_e2e_rg0_read_indexed",
+        "meta_index_build_spark",
+    ):
+        assert q in floors and floors[q] > 0, q
+    # every headline query is now floored — no number a regression could
+    # hide in (floors may cover more than the current headline list)
+    assert set(b.HEADLINE) <= set(floors)
+    # the r9 contended values flag against the committed floors
+    warnings = b._check_floors(
+        {"meta_catalog_10k_build": 28.6, "meta_e2e_rg0_read_indexed": 0.043},
+        floors,
+    )
+    assert len(warnings) == 2, warnings
+    # ...but per-call ms jitter under the 10ms meta gate stays silent
+    assert (
+        b._check_floors({"meta_e2e_rg0_read_indexed": 0.034}, floors) == []
+    )
+
+
+def test_final_line_carries_host_degraded_flag():
+    """Round-9 verdict item 2: the parsed line carries a machine-readable
+    degraded flag so a cross-round comparer can skip contaminated
+    captures (BENCH_r09 recorded 68.9s for a 53.0s engine)."""
+    import json
+
+    b = _bench()
+    line = b._final_line(9.87, 0.1, {"meta_x": 1.0}, "d.json", host_degraded=True)
+    assert json.loads(line)["host_degraded"] is True
+    line = b._final_line(9.87, 0.1, {"meta_x": 1.0}, "d.json")
+    assert json.loads(line)["host_degraded"] is False
+    # survives even the minimal oversized-detail fallback
+    line = b._final_line(9.87, 0.1, {}, "x" * 1700, host_degraded=True)
+    assert len(line) <= b.FINAL_LINE_MAX
+    assert json.loads(line)["host_degraded"] is True
+
+
+def test_steal_burst_probe_returns_percentage():
+    b = _bench()
+    pct = b._steal_burst_pct(seconds=0.2, threads=2)
+    if pct is None:  # non-Linux
+        return
+    assert 0.0 <= pct <= 100.0
 
 
 def test_final_line_fits_driver_tail_capture():
