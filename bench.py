@@ -133,6 +133,9 @@ HEADLINE = [
     "q152_dup_span_excise",
     "q153_cluster_representative",
     "q154_fuzzy_decontaminate",
+    # round 10 addition: corpus-scale BPE apply — exchange-free encode
+    # side, broadcast merge rules, md5-digested token streams
+    "q155_bpe_encode",
 ]
 
 META_ROW_GROUPS = 200

@@ -3356,3 +3356,178 @@ def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_q"), "a", "b")
         .limit(50)
     )
+
+
+def _replace3(s, pat, rep):
+    """Three composed literal ``replace`` passes — the q124b fixpoint
+    application of one merge rule (bit-identical in Spark, DuckDB and
+    Python; three passes reach the pair-merge fixpoint for words of
+    <= ~32 symbols)."""
+    out = s
+    for _ in range(3):
+        out = F.replace(out, pat, rep)
+    return out
+
+
+@query(
+    "q155_bpe_encode",
+    oracle=r"""
+    WITH words AS (
+      SELECT UNNEST(string_split(text, ' ')) AS w FROM documents),
+    wf AS (
+      SELECT w, COUNT(*) AS cnt FROM words
+      WHERE length(w) >= 2 AND w NOT LIKE '%|%' GROUP BY w),
+    s0 AS (
+      SELECT '|' || regexp_replace(w, '(.)', '\1|', 'g') AS sym, cnt
+      FROM wf),
+    p1 AS (
+      SELECT toks[CAST(i AS INT)] AS x, toks[CAST(i AS INT) + 1] AS y,
+             CAST(SUM(cnt) AS BIGINT) AS w
+      FROM (SELECT string_split(trim(sym, '|'), '|') AS toks, cnt FROM s0),
+           UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+      GROUP BY 1, 2),
+    m1 AS (SELECT x, y FROM p1 ORDER BY w DESC, x, y LIMIT 1),
+    r1 AS (SELECT '|' || x || '|' || y || '|' AS pat,
+                  '|' || x || y || '|' AS rep FROM m1),
+    s1 AS (
+      SELECT replace(replace(replace(sym, pat, rep), pat, rep), pat, rep)
+               AS sym, cnt
+      FROM s0, r1),
+    p2 AS (
+      SELECT toks[CAST(i AS INT)] AS x, toks[CAST(i AS INT) + 1] AS y,
+             CAST(SUM(cnt) AS BIGINT) AS w
+      FROM (SELECT string_split(trim(sym, '|'), '|') AS toks, cnt FROM s1),
+           UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+      GROUP BY 1, 2),
+    m2 AS (SELECT x, y FROM p2 ORDER BY w DESC, x, y LIMIT 1),
+    r2 AS (SELECT '|' || x || '|' || y || '|' AS pat,
+                  '|' || x || y || '|' AS rep FROM m2),
+    docw AS (
+      SELECT doc_id, s.i AS ord, ws[CAST(s.i AS INT)] AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           UNNEST(generate_series(1, len(ws))) AS s(i)
+      WHERE ws[CAST(s.i AS INT)] <> ''
+        AND ws[CAST(s.i AS INT)] NOT LIKE '%|%'),
+    encw AS (
+      SELECT doc_id, ord,
+             list_filter(
+               string_split(
+                 replace(replace(replace(
+                   replace(replace(replace(
+                     '|' || regexp_replace(w, '(.)', '\1|', 'g'),
+                   r1.pat, r1.rep), r1.pat, r1.rep), r1.pat, r1.rep),
+                 r2.pat, r2.rep), r2.pat, r2.rep), r2.pat, r2.rep),
+               '|'),
+               t -> t <> '') AS toks
+      FROM docw, r1, r2),
+    enc AS (
+      SELECT doc_id, flatten(list(toks ORDER BY ord)) AS all_toks
+      FROM encw GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(len(all_toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(all_toks, t -> length(t) >= 2)) AS BIGINT)
+             AS n_merged,
+           md5(array_to_string(all_toks, ',')) AS toks_md5
+    FROM enc
+    """,
+)
+def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale BPE APPLY (Q155): encode every document into its
+    subword token stream using a trained merge table — the missing half
+    of the tokenizer story (q124/q124b trains merges, q131 encodes
+    word-level ids; THIS is what a pretraining pipeline actually runs
+    over 100 TB before packing/sharding, Sennrich et al. 2016 §3).
+
+    The merge table here is two sequential q124b training rounds (exact
+    argmax per round, weight DESC / pair-lex ties), so the oracle can
+    re-derive it; application is the q124b THREE-PASS literal ``replace``
+    per merge IN TRAINING ORDER — bit-identical across Spark, DuckDB and
+    Python (the declared fixpoint semantics, not per-row stateful greedy)
+    — and tokens ship as an md5 digest of the ordered stream (the
+    q131/q123 posting-list discipline: driver rows stay small while
+    pinning every element and its order).
+
+    Scale shape: the ONLY corpus-sized exchange is the training side's
+    word-frequency aggregate, which carries (word, count) — never
+    document text — and Zipf keeps it sublinear in corpus size.  The
+    ENCODE side is exchange-free: each document's word array is
+    transformed row-locally, the two merge rules arrive as single-row
+    BROADCASTS, and there is no per-token explode or per-doc re-aggregate
+    (the token stream never leaves its row).  Encoding covers every
+    non-empty word (including length-1 words training skips — they
+    cannot host a pair); '|'-bearing words are excluded on both sides
+    (the delimiter would corrupt the symbol string; none exist in the
+    corpus).  A real deployment passes a pre-trained merge list and
+    skips the training jobs entirely (functions/bpe.apply_bpe is the
+    arbitrary-merge-list form)."""
+    docs = t(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .where((F.length("w") >= 2) & (~F.col("w").contains("|")))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    s0 = wf.select(
+        F.concat(
+            F.lit("|"), F.expr(r"regexp_replace(w, '(.)', '$1|')")
+        ).alias("sym"),
+        "cnt",
+    ).localCheckpoint()
+    m1 = _bpe_pairs(s0).orderBy(F.desc("w"), "x", "y").limit(1).localCheckpoint()
+    rule1 = m1.select(
+        F.concat(F.lit("|"), "x", F.lit("|"), "y", F.lit("|")).alias("pat"),
+        F.concat(F.lit("|"), "x", "y", F.lit("|")).alias("rep"),
+    )
+    s1 = _bpe_apply(s0, rule1)
+    m2 = _bpe_pairs(s1).orderBy(F.desc("w"), "x", "y").limit(1).localCheckpoint()
+    rule_cols = m1.select(
+        F.concat(F.lit("|"), "x", F.lit("|"), "y", F.lit("|")).alias("pat1"),
+        F.concat(F.lit("|"), "x", "y", F.lit("|")).alias("rep1"),
+    )
+    rule2_cols = m2.select(
+        F.concat(F.lit("|"), "x", F.lit("|"), "y", F.lit("|")).alias("pat2"),
+        F.concat(F.lit("|"), "x", "y", F.lit("|")).alias("rep2"),
+    )
+
+    words = F.filter(
+        F.split(F.col("text"), " "),
+        lambda w: (w != F.lit("")) & (~w.contains("|")),
+    )
+    syms = F.transform(
+        words,
+        lambda w: F.concat(
+            F.lit("|"), F.regexp_replace(w, "(.)", r"$1|")
+        ),
+    )
+    enc = (
+        docs.select("doc_id", syms.alias("syms"))
+        .join(F.broadcast(rule_cols))
+        .join(F.broadcast(rule2_cols))
+        .select(
+            "doc_id",
+            F.transform(
+                "syms",
+                lambda s: _replace3(
+                    _replace3(s, F.col("pat1"), F.col("rep1")),
+                    F.col("pat2"),
+                    F.col("rep2"),
+                ),
+            ).alias("syms"),
+        )
+    )
+    toks = F.flatten(
+        F.transform(
+            "syms",
+            lambda s: F.filter(
+                F.split(s, "[|]"), lambda x: x != F.lit("")
+            ),
+        )
+    )
+    return enc.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: F.length(x) >= 2))
+        .cast("long")
+        .alias("n_merged"),
+        F.md5(F.array_join(toks, ",")).alias("toks_md5"),
+    )

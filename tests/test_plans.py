@@ -1432,3 +1432,19 @@ def test_tpch_q15_shape_scalar_broadcast(spark):
     plan = _simple_plan(REGISTRY["q29p_tpch_q15_shape"].fn(spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bpe_encode_side_is_exchange_free(spark):
+    """Q155: the ENCODE side is exchange-free — each document's token
+    stream is computed row-locally and the two merge rules arrive as
+    single-row broadcasts; the final plan contains NO hash exchange at
+    all (the training side's word-frequency aggregate runs behind a
+    localCheckpoint and never appears in the returned plan), no
+    per-token explode, and no per-doc re-aggregate."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["q155_bpe_encode"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode on the encode side
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan, plan
