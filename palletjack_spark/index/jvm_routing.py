@@ -167,8 +167,104 @@ def _double_ceil(v) -> float:
     return math.nextafter(f, math.inf) if f < v else f
 
 
+def _digest_hash64(canon: str) -> int:
+    """First 8 big-endian bytes of MD5 over the canonical UTF-8 string,
+    as a SIGNED 64-bit int — must match the Java side's ``hash64``."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.md5(canon.encode("utf-8")).digest()[:8], "big", signed=True
+    )
+
+
+#: (physical type -> logical tags) whose raw dictionary values
+#: canonicalize losslessly into the Java rule's literal space (ints ->
+#: decimal text, UTF8 strings -> text).  Float/double literals have an
+#: engine-ambiguous text form and raw-binary BYTE_ARRAY isn't UTF-8 —
+#: both excluded; this is the identity gate of
+#: dictprune._IDENTITY_LOGICAL narrowed to digest-safe types.
+_DIGEST_LOGICAL = {
+    "INT32": {"NONE", "INT(32,true)"},
+    "INT64": {"NONE", "INT(64,true)"},
+    "BYTE_ARRAY": {"STRING"},
+}
+
+
+def _per_file_digests(
+    index: MetadataIndex,
+    columns: list[str],
+    max_values: int = 65536,
+) -> dict[str, dict[str, bytes]]:
+    """file -> column -> big-endian-packed sorted 64-bit value hashes,
+    built from dictionary pages (the q03e probe, lifted to FILE scope).
+
+    A (file, column) gets a digest only when EVERY row group's chunk is
+    provably fully dictionary-encoded, the physical+logical mapping is
+    an identity (a DECIMAL-as-INT or unsigned column must never be
+    probed — round-10 ADVICE), every dictionary page decodes, and the
+    file-wide value-set stays under ``max_values``.  Anything else is
+    simply absent — the rule then keeps the file, so digests are a pure
+    optimization.
+
+    Scale shape: one footer + one tiny dictionary page read per
+    surviving (file, chunk) on the driver — the ≤32-file driver-local
+    registration shape (matching the bounded stats push above);
+    catalog-scale roots should keep routing through smart_read /
+    MetadataIndex.read, whose dictionary probing runs executor-side."""
+    import struct
+
+    from palletjack_spark.index.dictprune import DictionaryProber
+
+    want = set(columns)
+    local = index.local()
+    prober = DictionaryProber()
+    values: dict[tuple[str, str], set] = {}
+    complete: dict[tuple[str, str], bool] = {}
+    for (file, rg_idx), rg in sorted(local.row_groups.items()):
+        for col_idx, col in enumerate(rg["columns"]):
+            name = col["name"]
+            if name not in want:
+                continue
+            key = (file, name)
+            if not complete.get(key, True):
+                continue
+            pt = (col.get("physical_type") or "").upper()
+            if col.get("logical_type") not in _DIGEST_LOGICAL.get(pt, ()):
+                complete[key] = False
+                continue
+            d = prober._dictionary(file, rg_idx, col_idx, col)
+            if d is None:
+                complete[key] = False
+                continue
+            vals = values.setdefault(key, set())
+            vals.update(d)
+            if len(vals) > max_values:
+                complete[key] = False
+            else:
+                complete[key] = True
+    out: dict[str, dict[str, bytes]] = {}
+    for (file, name), vals in sorted(values.items()):
+        if not complete.get((file, name)):
+            continue
+        try:
+            hashes = sorted(
+                _digest_hash64(
+                    v.decode("utf-8") if isinstance(v, bytes) else str(v)
+                )
+                for v in vals
+            )
+        except UnicodeDecodeError:
+            continue  # not actually UTF-8: no digest, file always kept
+        out.setdefault(file, {})[name] = struct.pack(f">{len(hashes)}q", *hashes)
+    return out
+
+
 def register_index_jvm(
-    spark: SparkSession, path: str, index: MetadataIndex | None = None
+    spark: SparkSession,
+    path: str,
+    index: MetadataIndex | None = None,
+    digest_columns: list[str] | None = None,
+    digest_max_values: int = 65536,
 ) -> int:
     """Build (or reuse) the metadata index for ``path`` and push its
     per-file stats into the JVM registry, arming the optimizer rule for
@@ -176,7 +272,17 @@ def register_index_jvm(
     ``spark.sql(...)``.  Returns the number of files registered.
 
     The push is bounded: files × columns × 2 doubles (the aggregated
-    sidecar, not the per-row-group table)."""
+    sidecar, not the per-row-group table).
+
+    ``digest_columns`` additionally pushes per-(file, column) MEMBERSHIP
+    digests (sorted 64-bit hashes of each file's complete dictionary
+    value set, :func:`_per_file_digests`) for the named columns: pure-SQL
+    equality/IN point lookups then prune files whose [min, max] spans the
+    literal but whose dictionaries provably lack it — the q03e
+    interleaved-key layout, where min/max pruning keeps everything.
+    Digest-eligible columns are identity-typed INT32/INT64/BYTE_ARRAY
+    with fully-dictionary-encoded chunks; everything else silently gets
+    no digest (kept conservatively, results identical)."""
     if not jvm_routing_available(spark):
         raise PalletJackSparkError(
             "JVM routing classes are not on the driver classpath; launch "
@@ -200,6 +306,17 @@ def register_index_jvm(
             jcols.put(name, arr)
         jfiles.put(file, jcols)
     jvm.io.palletjack.spark.PalletJackRegistry.register(path, jfiles)
+    if digest_columns:
+        digests = _per_file_digests(
+            index, list(digest_columns), digest_max_values
+        )
+        jdig = jvm.java.util.HashMap()
+        for file, cols in digests.items():
+            jcols = jvm.java.util.HashMap()
+            for name, packed in cols.items():
+                jcols.put(name, packed)
+            jdig.put(file, jcols)
+        jvm.io.palletjack.spark.PalletJackRegistry.registerDigests(path, jdig)
     return len(stats)
 
 

@@ -140,9 +140,13 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
         if (conjuncts.isEmpty()) {
             return null;
         }
+        Map<String, Map<String, long[]>> digests =
+                PalletJackRegistry.digestsFor(registered);
         List<String> surviving = new ArrayList<>();
         for (Map.Entry<String, Map<String, double[]>> e : files.entrySet()) {
-            if (fileCanMatch(e.getValue(), conjuncts)) {
+            Map<String, long[]> dig =
+                    digests == null ? null : digests.get(e.getKey());
+            if (fileCanMatch(e.getValue(), dig, conjuncts)) {
                 surviving.add(e.getKey());
             }
         }
@@ -176,26 +180,38 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
         return new Filter(f.condition(), newLr);
     }
 
-    /** One provable numeric comparison: column op literal(s) — a single
-     *  value for the binary ops, the member list for "in". */
+    /** One provable comparison: column op literal(s) — a single value
+     *  for the binary ops, the member list for "in".  {@code value}/
+     *  {@code values} carry the numeric (min/max-comparable) form when
+     *  one exists; {@code canon}/{@code canons} the exact canonical
+     *  string form (integers as decimal text, strings as-is) the
+     *  membership digests hash — present only for =/in, and for string
+     *  literals it is the ONLY evidence (strings have no numeric
+     *  stats). */
     private static final class Conjunct {
         final String col;
         final String op;
-        final double value;
+        final Double value;
         final double[] values;
+        final String canon;
+        final String[] canons;
 
-        Conjunct(String col, String op, double value) {
+        Conjunct(String col, String op, Double value, String canon) {
             this.col = col;
             this.op = op;
             this.value = value;
             this.values = null;
+            this.canon = canon;
+            this.canons = null;
         }
 
-        Conjunct(String col, double[] values) {
+        Conjunct(String col, double[] values, String[] canons) {
             this.col = col;
             this.op = "in";
-            this.value = 0;
+            this.value = null;
             this.values = values;
+            this.canon = null;
+            this.canons = canons;
         }
     }
 
@@ -207,10 +223,11 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
         }
         if (e instanceof In) {
             // IN over all-literal members: a file survives when ANY member
-            // can fall inside [min, max].  Non-literal members or an
-            // unresolvable column fall through unpruned.  (Catalyst turns
-            // long lists into InSet, which this rule deliberately leaves
-            // unknown — safe either way.)
+            // can fall inside [min, max] — and, when a membership digest
+            // exists, only when at least one member's hash is present.
+            // Non-literal members or an unresolvable column fall through
+            // unpruned.  (Catalyst turns long lists into InSet, which this
+            // rule deliberately leaves unknown — safe either way.)
             In in = (In) e;
             String col = attrName(in.value());
             if (col == null) {
@@ -219,14 +236,25 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
             scala.collection.Seq<Expression> list =
                     (scala.collection.Seq<Expression>) in.list();
             double[] vs = new double[list.size()];
+            String[] cs = new String[list.size()];
+            boolean allNum = true;
+            boolean allCanon = true;
             for (int i = 0; i < list.size(); i++) {
                 Double v = litValue(list.apply(i));
                 if (v == null) {
-                    return;
+                    allNum = false;
+                } else {
+                    vs[i] = v;
                 }
-                vs[i] = v;
+                cs[i] = litCanon(list.apply(i));
+                if (cs[i] == null) {
+                    allCanon = false;
+                }
             }
-            out.add(new Conjunct(col, vs));
+            if (!allNum && !allCanon) {
+                return;
+            }
+            out.add(new Conjunct(col, allNum ? vs : null, allCanon ? cs : null));
             return;
         }
         String op = null;
@@ -258,15 +286,17 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
         }
         String col = attrName(l);
         Double lit = litValue(r);
-        if (col != null && lit != null) {
-            out.add(new Conjunct(col, op, lit));
+        String canon = "=".equals(op) ? litCanon(r) : null;
+        if (col != null && (lit != null || canon != null)) {
+            out.add(new Conjunct(col, op, lit, canon));
             return;
         }
         // literal op column: flip
         col = attrName(r);
         lit = litValue(l);
-        if (col != null && lit != null) {
-            out.add(new Conjunct(col, flip(op), lit));
+        canon = "=".equals(op) ? litCanon(l) : null;
+        if (col != null && (lit != null || canon != null)) {
+            out.add(new Conjunct(col, flip(op), lit, canon));
         }
     }
 
@@ -333,6 +363,43 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
         return false;
     }
 
+    /**
+     * The literal's canonical string form for digest hashing — integral
+     * values as decimal text, strings as-is — or null for types whose
+     * canonical form is ambiguous across engines (floats, decimals,
+     * dates/timestamps: the Python digest builder hashes RAW dictionary
+     * values, which for those types live in a different value space;
+     * such columns simply never get a digest, and min/max still applies).
+     */
+    private static String litCanon(Expression e) {
+        if (!(e instanceof Literal)) {
+            return null;
+        }
+        Object v = ((Literal) e).value();
+        if (v instanceof Integer || v instanceof Long
+                || v instanceof Short || v instanceof Byte) {
+            return String.valueOf(((Number) v).longValue());
+        }
+        if (v instanceof org.apache.spark.unsafe.types.UTF8String) {
+            return v.toString();
+        }
+        return null;
+    }
+
+    /** First 8 big-endian bytes of MD5 over the canonical UTF-8 string,
+     *  as a signed long — identical to the Python digest builder; null
+     *  when hashing is unavailable (callers must then KEEP the file:
+     *  a fabricated absent hash would wrongly prune). */
+    private static Long hash64(String canon) {
+        try {
+            byte[] d = java.security.MessageDigest.getInstance("MD5")
+                    .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8));
+            return java.nio.ByteBuffer.wrap(d).getLong();
+        } catch (java.security.NoSuchAlgorithmException ex) {
+            return null; // MD5 is a mandatory JDK algorithm, but stay sound
+        }
+    }
+
     private static Double litValue(Expression e) {
         if (!(e instanceof Literal)) {
             return null;
@@ -350,15 +417,47 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
         return null;
     }
 
-    private static boolean fileCanMatch(Map<String, double[]> stats, List<Conjunct> cs) {
+    private static boolean fileCanMatch(
+            Map<String, double[]> stats,
+            Map<String, long[]> digests,
+            List<Conjunct> cs) {
         for (Conjunct c : cs) {
+            // membership-digest tier (round-10): for =/IN, a digest is
+            // the file's COMPLETE value set for the column — every
+            // literal provably absent means the file cannot match, even
+            // when its [min, max] spans the literal (interleaved
+            // high-cardinality keys, the q03e layout)
+            long[] dig = digests == null ? null : digests.get(c.col);
+            if (dig != null) {
+                if ("=".equals(c.op) && c.canon != null) {
+                    Long h = hash64(c.canon);
+                    if (h != null && java.util.Arrays.binarySearch(dig, h) < 0) {
+                        return false;
+                    }
+                } else if ("in".equals(c.op) && c.canons != null) {
+                    boolean any = false;
+                    for (String canon : c.canons) {
+                        Long h = hash64(canon);
+                        if (h == null || java.util.Arrays.binarySearch(dig, h) >= 0) {
+                            any = true;
+                            break;
+                        }
+                    }
+                    if (!any) {
+                        return false;
+                    }
+                }
+            }
             double[] mm = stats.get(c.col);
             if (mm == null) {
-                continue; // stats-unknown column: cannot prune on it
+                continue; // stats-unknown column: no range evidence
             }
             double min = mm[0];
             double max = mm[1];
             if ("in".equals(c.op)) {
+                if (c.values == null) {
+                    continue; // non-numeric members: digest tier only
+                }
                 boolean any = false;
                 for (double v : c.values) {
                     if (min <= v && v <= max) {
@@ -370,6 +469,9 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
                     return false;
                 }
                 continue;
+            }
+            if (c.value == null) {
+                continue; // string equality: digest tier only
             }
             boolean possible;
             switch (c.op) {

@@ -26,6 +26,22 @@ public final class PalletJackRegistry {
     private static final Map<String, Map<String, Map<String, double[]>>> ROOTS =
             new ConcurrentHashMap<>();
 
+    /**
+     * Optional per-(file, column) membership digests: sorted arrays of
+     * 64-bit value hashes (first 8 big-endian bytes of MD5 over the
+     * value's canonical UTF-8 string — integers as their decimal form,
+     * strings as-is; the Python side hashes identically).  Built from
+     * dictionary pages at registration, so a digest is the COMPLETE
+     * value set of its column in that file: an equality/IN literal whose
+     * hash is absent PROVES the file holds no match (round-10: the
+     * point-lookup tier min/max can't reach — q03e's interleaved
+     * high-cardinality keys — now prunes from pure SQL too).  Hash
+     * collisions only ever KEEP a file; a true member's hash is always
+     * present, so pruning is sound.
+     */
+    private static final Map<String, Map<String, Map<String, long[]>>> DIGESTS =
+            new ConcurrentHashMap<>();
+
     private PalletJackRegistry() {}
 
     public static String canon(String path) {
@@ -45,10 +61,42 @@ public final class PalletJackRegistry {
 
     public static void unregister(String root) {
         ROOTS.remove(canon(root));
+        DIGESTS.remove(canon(root));
     }
 
     public static void clear() {
         ROOTS.clear();
+        DIGESTS.clear();
+    }
+
+    /**
+     * Register membership digests for {@code root}: file -&gt; column -&gt;
+     * big-endian-packed 64-bit hashes (the py4j-efficient wire form; a
+     * 64k-value digest is one 512 KB byte[] instead of 64k boxed calls).
+     * Arrays are unpacked and sorted here for binary-search membership.
+     */
+    public static void registerDigests(
+            String root, Map<String, Map<String, byte[]>> files) {
+        Map<String, Map<String, long[]>> out = new ConcurrentHashMap<>();
+        for (Map.Entry<String, Map<String, byte[]>> f : files.entrySet()) {
+            Map<String, long[]> cols = new ConcurrentHashMap<>();
+            for (Map.Entry<String, byte[]> c : f.getValue().entrySet()) {
+                byte[] packed = c.getValue();
+                long[] hashes = new long[packed.length / 8];
+                java.nio.ByteBuffer bb = java.nio.ByteBuffer.wrap(packed);
+                for (int i = 0; i < hashes.length; i++) {
+                    hashes[i] = bb.getLong();
+                }
+                java.util.Arrays.sort(hashes);
+                cols.put(c.getKey(), hashes);
+            }
+            out.put(f.getKey(), cols);
+        }
+        DIGESTS.put(canon(root), out);
+    }
+
+    public static Map<String, Map<String, long[]>> digestsFor(String root) {
+        return DIGESTS.get(canon(root));
     }
 
     public static int size() {

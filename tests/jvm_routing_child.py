@@ -172,6 +172,51 @@ def main(tmp: str) -> None:
     )
     out["smart_read_partitioned_equal"] = sm_part == [(v,) for v in range(250, 400)]
 
+    # --- membership digests (round-10 verdict item 5) ------------------
+    # high-cardinality keys interleaved ACROSS FILES: every file's
+    # [min, max] spans every literal, so stats keep all 4 files — the
+    # q03e adversarial layout, at file scope.  With digest_columns
+    # registered, pure-SQL equality/IN prunes to the owning file(s).
+    idata = os.path.join(tmp, "inter")
+    os.makedirs(idata)
+    for i in range(4):
+        keys = [k for k in range(400) if k % 4 == i]
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array(keys, type=pa.int64()),
+                    "tag": pa.array([f"u{k:04d}" for k in keys]),
+                }
+            ),
+            os.path.join(idata, f"part-{i}.parquet"),
+        )
+    register_index_jvm(spark, idata, digest_columns=["k", "tag"])
+    ieq = spark.sql(f"SELECT k, tag FROM parquet.`{idata}` WHERE k = 123")
+    out["files_digest_int"] = len(_lr_input_files(ieq))
+    irows = sorted((r["k"], r["tag"]) for r in ieq.collect())
+    out["rows_digest_int"] = irows
+    # string point lookup: strings have NO numeric stats — before digests
+    # the rule could never prune on them at all
+    seq_ = spark.sql(f"SELECT k FROM parquet.`{idata}` WHERE tag = 'u0123'")
+    out["files_digest_str"] = len(_lr_input_files(seq_))
+    out["n_rows_digest_str"] = seq_.count()
+    # IN whose members live in two different files
+    iin = spark.sql(f"SELECT k FROM parquet.`{idata}` WHERE k IN (123, 202)")
+    out["files_digest_in"] = len(_lr_input_files(iin))
+    out["n_rows_digest_in"] = iin.count()
+    # a literal in NO file's dictionary: zero files opened, zero rows
+    none = spark.sql(f"SELECT k FROM parquet.`{idata}` WHERE tag = 'nope'")
+    out["files_digest_none"] = len(_lr_input_files(none))
+    out["n_rows_digest_none"] = none.count()
+    # hash-equal to smart_read (the Python dictionary-probing path)
+    smi = sorted(
+        (r["k"], r["tag"])
+        for r in smart_read(
+            spark, idata, predicate=[("k", "=", 123)]
+        ).collect()
+    )
+    out["digest_smart_equal"] = smi == irows
+
     print("RESULT:" + json.dumps(out))
     spark.stop()
 

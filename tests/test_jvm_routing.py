@@ -109,3 +109,73 @@ def test_pure_sql_scan_is_file_pruned_and_hash_equal(tmp_path):
     assert out["partitioned_values_ok"] is True
     assert out["n_rows_part_conj"] == 100
     assert out["smart_read_partitioned_equal"] is True
+
+    # round-10 verdict item 5: membership digests give pure-SQL point
+    # lookups the pruning tier min/max can't reach — the interleaved
+    # layout keeps 4/4 by stats, the dictionary digests prove ownership
+    assert out["files_digest_int"] == 1
+    assert out["rows_digest_int"] == [[123, "u0123"]]
+    assert out["files_digest_str"] == 1
+    assert out["n_rows_digest_str"] == 1
+    assert out["files_digest_in"] == 2
+    assert out["n_rows_digest_in"] == 2
+    assert out["files_digest_none"] == 0
+    assert out["n_rows_digest_none"] == 0
+    assert out["digest_smart_equal"] is True
+
+
+def test_per_file_digests_soundness_gates(spark, tmp_path):
+    """The digest builder refuses non-identity logical types (unsigned,
+    decimal-as-int), dict-overflow chunks, raw-binary columns, and
+    value sets beyond the cap — absence means 'keep', so every refusal
+    is conservative."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from palletjack_spark.index.builder import build_index
+    from palletjack_spark.index.jvm_routing import (
+        _digest_hash64,
+        _per_file_digests,
+    )
+
+    p = str(tmp_path / "d.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([5, 9], type=pa.int64()),
+                "tag": pa.array(["a", "b"]),
+                "u": pa.array([5, 9], type=pa.uint32()),
+                "raw": pa.array([b"\xff\xfe", b"\x00"], type=pa.binary()),
+            }
+        ),
+        p,
+    )
+    idx = build_index(spark, p)
+    digests = _per_file_digests(idx, ["k", "tag", "u", "raw"])
+    assert set(digests) == {p}
+    cols = digests[p]
+    # identity columns digest; unsigned and raw-binary refuse
+    assert set(cols) == {"k", "tag"}
+    import struct
+
+    k_hashes = struct.unpack(f">{len(cols['k']) // 8}q", cols["k"])
+    assert _digest_hash64("5") in k_hashes
+    assert _digest_hash64("9") in k_hashes
+    assert _digest_hash64("7") not in k_hashes
+    tag_hashes = struct.unpack(f">{len(cols['tag']) // 8}q", cols["tag"])
+    assert _digest_hash64("a") in tag_hashes and _digest_hash64("b") in tag_hashes
+
+    # a dict-overflow (plain-page fallback) column never digests
+    fb = str(tmp_path / "fb.parquet")
+    pq.write_table(
+        pa.table({"tag": pa.array([f"v{i:06d}" for i in range(5000)])}),
+        fb,
+        row_group_size=5000,
+        dictionary_pagesize_limit=1024,
+        data_page_size=1024,
+    )
+    fidx = build_index(spark, fb)
+    assert _per_file_digests(fidx, ["tag"]) == {}
+
+    # the value-set cap: above max_values the digest is dropped
+    assert _per_file_digests(idx, ["k"], max_values=1) == {}
