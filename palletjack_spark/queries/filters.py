@@ -222,3 +222,52 @@ def q47c(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 7)
     )
+
+
+@query(
+    "q47d_group_holdout_split",
+    oracle="""
+    SELECT doc_id, source,
+           CASE
+             WHEN ('0x' || substr(md5(source || '#split'), 1, 4))::BIGINT
+                  % 100 < 80 THEN 'train'
+             WHEN ('0x' || substr(md5(source || '#split'), 1, 4))::BIGINT
+                  % 100 < 90 THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+)
+def q47d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe group holdout split (Q47d) [north-star util]: assign
+    every document to train/val/test by hashing its GROUP key (source
+    domain), not its own id — all documents from one domain land in the
+    same split, so near-duplicates and templated boilerplate within a
+    domain can never straddle the train/eval boundary (the standard
+    contamination guard row-level random splits silently violate;
+    Dodge et al. 2021's C4 analysis is the cautionary tale).
+
+    80/10/10 by md5 bucket of the group key — reproducible across
+    engines, partitionings and reruns (the Q47 contract), and a pure
+    row-local projection: zero shuffles, zero UDFs, pipelines into the
+    scan (the split of a 100 TB corpus costs one pass).  Domain-level
+    proportions converge to 80/10/10 only in the many-domains limit —
+    the price of the leakage guard, by design."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("source"), F.lit("#split"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -1410,3 +1410,364 @@ def q29p(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "q29q_tpch_q6_shape",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q29q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the canonical
+    scan-filter-aggregate — no join at all; the whole query is how much
+    the scan can skip.  Scale shape: all three predicates push into the
+    parquet scan (PushedFilters), the single sum partial-aggregates
+    map-side to one row per task, and the exact decimal accumulation
+    casts once to double (the q29b rule)."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@query(
+    "q29r_tpch_q2_shape",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS supplycost
+      FROM lineitem GROUP BY 1, 2),
+    eu AS (
+      SELECT partkey, suppkey, supplycost, s_acctbal, s_name, n_name
+      FROM ps
+      JOIN supplier ON suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    mn AS (SELECT partkey, MIN(supplycost) AS min_cost FROM eu GROUP BY 1)
+    SELECT s_acctbal, s_name, n_name, p_partkey,
+           CAST(eu.supplycost AS DOUBLE) AS supplycost
+    FROM eu
+    JOIN mn ON eu.partkey = mn.partkey AND eu.supplycost = mn.min_cost
+    JOIN part ON eu.partkey = p_partkey
+    WHERE p_size = 15 AND p_type = 'LARGE'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q29r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): the correlated scalar
+    subquery — for each part, keep only the region suppliers matching
+    that part's MINIMUM supply cost.  The testdata has no partsupp
+    table, so the (part, supplier, cost) relation derives from lineitem
+    (min extendedprice per pair) — same topology: derived bridge,
+    3-dim snowflake filter, per-group min, equality join back.
+
+    Scale shape: the bridge aggregate is the only corpus-sized exchange;
+    supplier/nation/region and the filtered part dim all broadcast; cost
+    equality is exact decimal (no double compare).  ``eu`` — the bridge
+    joined to the region suppliers — is localCheckpointed because it
+    feeds both the per-part min and the equality join-back (Spark
+    re-executes shared subtrees otherwise), and past the checkpoint both
+    consumers re-partition only the SMALL region-filtered pair table,
+    never lineitem again."""
+    li = t(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(
+        F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("supplycost")
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(t(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t(spark, sf_dir, "region")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eu = ps.join(
+        F.broadcast(s), F.col("suppkey") == F.col("s_suppkey")
+    ).select(
+        "partkey", "suppkey", "supplycost", "s_acctbal", "s_name", "n_name"
+    ).localCheckpoint()
+    # mn derives FROM eu, so its key is renamed to keep the equality
+    # join self-join-unambiguous
+    mn = (
+        eu.groupBy("partkey")
+        .agg(F.min("supplycost").alias("min_cost"))
+        .withColumnRenamed("partkey", "mn_partkey")
+    )
+    p = (
+        t(spark, sf_dir, "part")
+        .where((F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey")
+    )
+    return (
+        eu.join(
+            mn,
+            (F.col("partkey") == F.col("mn_partkey"))
+            & (F.col("supplycost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), F.col("partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.col("supplycost").cast("double").alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q29s_tpch_q11_shape",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey AS partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY 1),
+    tot AS (SELECT SUM(value) AS total FROM v)
+    SELECT partkey, CAST(value AS DOUBLE) AS value
+    FROM v, tot
+    WHERE value * 1000 > total
+    ORDER BY value DESC, partkey
+    LIMIT 100
+    """,
+)
+def q29s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): per-part value
+    among one nation's suppliers, kept only when it exceeds a FRACTION
+    of the global total — the scalar-subquery-in-HAVING topology.  The
+    partsupp value (supplycost × availqty) derives from lineitem
+    (extendedprice sums per part) — same shape, available columns.
+
+    Scale shape: one corpus exchange (the per-part aggregate, filtered
+    map-side by the broadcast nation-suppliers semi-join); the global
+    total is a 1-row broadcast; the threshold compare is integer-scaled
+    DECIMAL (value×1000 > total) — no cross-engine double rounding on
+    the cut line.  ``v`` is localCheckpointed (feeds total + filter)."""
+    s7 = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(t(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name") == "NATION_7")
+        .select("s_suppkey")
+    )
+    li = t(spark, sf_dir, "lineitem").join(
+        F.broadcast(s7), F.col("l_suppkey") == F.col("s_suppkey"), "leftsemi"
+    )
+    v = (
+        li.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("value")
+        )
+        .localCheckpoint()
+    )
+    tot = v.agg(F.sum("value").alias("total"))
+    return (
+        v.join(F.broadcast(tot))
+        .where(F.col("value") * 1000 > F.col("total"))
+        .select("partkey", F.col("value").cast("double").alias("value"))
+        .orderBy(F.desc("value"), "partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q29t_tpch_q12_shape",
+    oracle="""
+    SELECT l_returnflag AS mode,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q29t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority mix): the fact-fact join
+    whose aggregate buckets order priority with CASE'd conditional sums
+    per mode — one pass, never two scans.  The testdata has no
+    l_shipmode/commitdate/receiptdate, so the mode column is
+    l_returnflag and the date window is on shipdate — same topology.
+
+    Scale shape: the date filter pushes to the lineitem scan BEFORE the
+    orderkey join (the join input shrinks to one year); both CASE sums
+    share one HashAggregate pass that partial-aggregates map-side; the
+    orders side carries only (orderkey, priority)."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_orderkey", "l_returnflag")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("l_returnflag").alias("mode"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("mode")
+    )
+
+
+@query(
+    "q29u_tpch_q16_shape",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+      FROM lineitem)
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps JOIN part ON partkey = p_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 23)
+      AND suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 100
+    """,
+)
+def q29u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier-part relationship count): distinct
+    suppliers per (brand, type, size) over a filtered part set, with a
+    NOT IN subquery excluding flagged suppliers (no s_comment in the
+    testdata, so the complaint filter becomes s_acctbal < 0) and the
+    partsupp bridge derived from lineitem — same topology: dim filters,
+    set-exclusion subquery, grouped COUNT(DISTINCT).
+
+    Scale shape: the bridge DISTINCT hash-partitions on (partkey,
+    suppkey) once; the filtered part dim broadcasts; the exclusion is a
+    broadcast ANTI join (s_suppkey is never null, so NOT IN ≡ anti
+    join); the count-distinct runs partial per partition before the
+    (brand, type, size) exchange."""
+    ps = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .distinct()
+    )
+    p = t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 23)
+    )
+    bad = t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("suppkey")
+    )
+    return (
+        ps.join(F.broadcast(p), F.col("partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), "suppkey", "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(100)
+    )
+
+
+@query(
+    "q29v_tpch_q20_shape",
+    oracle="""
+    WITH q96 AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty96
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1, 2),
+    q95 AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty95
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY 1, 2),
+    excess AS (
+      SELECT DISTINCT q96.suppkey
+      FROM q96
+      JOIN q95 ON q96.partkey = q95.partkey AND q96.suppkey = q95.suppkey
+      WHERE q96.partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'red%')
+        AND q96.qty96 * 2 > q95.qty95)
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT suppkey FROM excess)
+    ORDER BY s_name
+    """,
+)
+def q29v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers whose
+    shipments of the promoted parts GREW — nested IN subqueries with a
+    correlated half-of-sum threshold.  The partsupp availqty becomes
+    the pair's 1996 shipped quantity compared against half of its 1995
+    baseline (pairs with no baseline are out, by the inner join — the
+    declared adaptation); the part filter is the canonical p_name LIKE.
+
+    Scale shape: the two year-windowed (partkey, suppkey) aggregates
+    hash-partition identically, so their join is exchange-reusing; the
+    promoted-part filter is a broadcast semi-join; the quantity
+    threshold is integer-scaled DECIMAL (qty96×2 > qty95 — exact); the
+    final supplier lookup is a broadcast semi-join into the dim."""
+    li = t(spark, sf_dir, "lineitem")
+
+    def year_qty(lo: str, hi: str, alias: str) -> DataFrame:
+        return (
+            li.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+            .groupBy(
+                F.col("l_partkey").alias("partkey"),
+                F.col("l_suppkey").alias("suppkey"),
+            )
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias(alias))
+        )
+
+    q96 = year_qty("1996-01-01", "1997-01-01", "qty96")
+    q95 = year_qty("1995-01-01", "1996-01-01", "qty95")
+    red = t(spark, sf_dir, "part").where(F.col("p_name").like("red%")).select(
+        F.col("p_partkey").alias("partkey")
+    )
+    excess = (
+        q96.join(q95, ["partkey", "suppkey"])
+        .join(F.broadcast(red), "partkey", "leftsemi")
+        .where(F.col("qty96") * 2 > F.col("qty95"))
+        .select("suppkey")
+        .distinct()
+    )
+    return (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(t(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(excess, F.col("s_suppkey") == F.col("suppkey"), "leftsemi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )

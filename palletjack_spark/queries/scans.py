@@ -1156,6 +1156,68 @@ def q03e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q03f_dictionary_notin_scan",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           's' || CAST(o_orderkey % 8 AS VARCHAR) AS shard
+    FROM orders
+    WHERE ('s' || CAST(o_orderkey % 8 AS VARCHAR))
+          NOT IN ('s0', 's1', 's2', 's3', 's4', 's5')
+    """,
+)
+def q03f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exclusion-predicate row-group pruning (Q03f, round 10): a
+    ``NOT IN`` over a low-cardinality shard column whose values cluster
+    per row group.  Min/max stats can only prune a PROVABLY single-valued
+    chunk; here each row group holds two shard values, so the stats tier
+    keeps everything — but each chunk's dictionary is its complete value
+    set, and a dictionary that is a SUBSET of the excluded values proves
+    no row can survive (index/dictprune.py exclusion tier, the !=/NOT IN
+    completion of the round-9 equality family; mechanics pinned in
+    tests/test_dictprune.py).  Results are identical with pruning off —
+    the oracle's check; NULLs need no care since they fail NOT IN in
+    both engines.
+
+    The fixture sorts orders by (o_orderkey %% 8, o_orderkey) into 4
+    row groups, so row groups 0-2 carry only excluded shards — the
+    natural log-data layout where a constant-ish column rides along."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src_st = os.stat(table_path(sf_dir, "orders"))
+    prefix = _tmp("q03f_shardfix", sf_dir)
+    out = prefix + f"_{src_st.st_size}_{src_st.st_mtime_ns}.parquet"
+    if not os.path.exists(out):
+        import glob as _glob
+
+        for stale in _glob.glob(prefix + "_*.parquet"):
+            if stale != out:
+                try:
+                    os.unlink(stale)
+                except OSError:
+                    pass
+        t0 = pq.read_table(table_path(sf_dir, "orders"), columns=["o_orderkey"])
+        okey = t0["o_orderkey"].to_pylist()
+        order = sorted(range(len(okey)), key=lambda i: (okey[i] % 8, okey[i]))
+        tagged = pa.table(
+            {
+                "o_orderkey": pa.array(
+                    [okey[i] for i in order], type=pa.int64()
+                ),
+                "shard": pa.array([f"s{okey[i] % 8}" for i in order]),
+            }
+        )
+        rg = max(1, -(-len(okey) // 4))
+        pq.write_table(tagged, out + ".tmp", row_group_size=rg)
+        os.rename(out + ".tmp", out)
+    idx = build_index(spark, out)
+    return idx.read(
+        columns=["o_orderkey", "shard"],
+        predicate=[("shard", "not_in", ["s0", "s1", "s2", "s3", "s4", "s5"])],
+    ).select(F.col("o_orderkey").cast("long").alias("o_orderkey"), "shard")
+
+
+@query(
     "q16b_python_datasource",
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders

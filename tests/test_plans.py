@@ -1448,3 +1448,93 @@ def test_bpe_encode_side_is_exchange_free(spark):
     assert "hashpartitioning" not in plan, plan
     assert "Generate" not in plan, plan  # no explode on the encode side
     assert "HashAggregate" not in plan and "SortAggregate" not in plan, plan
+
+
+def test_group_holdout_split_is_scan_local(spark):
+    """Q47d: the leakage-safe split is a pure row-local projection — no
+    exchange, no UDF, no aggregate; the whole 100 TB split costs one
+    pipelined pass over the scan."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["q47d_group_holdout_split"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_tpch_q6_shape_filters_reach_the_scan(spark):
+    """Q29q: all three predicates push into the parquet scan and the
+    single sum partial-aggregates — no join, no wide exchange."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q29q_tpch_q6_shape"].fn(spark, SF_DIR))
+    assert "PushedFilters: [" in plan and "IsNotNull(l_shipdate)" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_tpch_q2_shape_min_cost_join_reuses_exchange(spark):
+    """Q29r: the filtered part dim broadcasts (the supplier/nation/
+    region snowflake broadcasts upstream of the checkpointed bridge) and
+    the min-cost equality join never degenerates to a cartesian
+    product."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q29r_tpch_q2_shape"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tpch_q11_shape_single_corpus_exchange(spark):
+    """Q29s: past the checkpointed per-part value table, the global
+    total arrives as a 1-row BROADCAST (never a second lineitem pass),
+    the threshold filter is row-local (zero hash exchanges), and the
+    top-100 plans as TakeOrderedAndProject.  The pre-checkpoint semi-join
+    shape (nation filter BEFORE the aggregate) is pinned by the
+    upstream builder below."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q29s_tpch_q11_shape"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+    # the pre-checkpoint subtree: corpus semi-joins the broadcast nation
+    # suppliers BEFORE its one aggregate exchange
+    s7 = (
+        load_table(spark, SF_DIR, "supplier")
+        .join(
+            F.broadcast(load_table(spark, SF_DIR, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .where(F.col("n_name") == "NATION_7")
+        .select("s_suppkey")
+    )
+    v = (
+        load_table(spark, SF_DIR, "lineitem")
+        .join(F.broadcast(s7), F.col("l_suppkey") == F.col("s_suppkey"), "leftsemi")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("value"))
+    )
+    vplan = _simple_plan(v)
+    assert "LeftSemi" in vplan, vplan
+    assert vplan.count("hashpartitioning") == 1, vplan
+
+
+def test_tpch_q16_shape_exclusion_is_broadcast_anti(spark):
+    """Q29u: the NOT IN supplier exclusion plans as a broadcast ANTI
+    join; the filtered part dim broadcasts."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q29u_tpch_q16_shape"].fn(spark, SF_DIR))
+    assert "LeftAnti" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_tpch_q20_shape_year_aggregates_copartition(spark):
+    """Q29v: the two year-windowed (partkey, suppkey) aggregates join
+    without a THIRD exchange (identical hash partitioning on both
+    sides), and the part/nation/supplier legs broadcast."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q29v_tpch_q20_shape"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan, plan
