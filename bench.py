@@ -217,33 +217,46 @@ def _ensure_catalog_fixture(n_files: int) -> str:
 
 
 def bench_catalog(spark) -> dict[str, float]:
-    """10k-file catalog: cold bucketed-sidecar build + point-file metadata
+    """10k-file catalog: bucketed-sidecar build + point-file metadata
     selection over the persisted index (reads 1/16 of the sidecar via
-    partition pruning)."""
+    partition pruning).
+
+    The build runs TWICE and reports the min (the reference harness's
+    min-over-iterations methodology, already used by every other
+    workload here): the first build after the 10k-file fixture falls out
+    of page cache pays ~4x in cold file opens (round-10: 35.2 s cold vs
+    7.2 s warm on an idle host — the r10 'regression' that was actually
+    eviction), so a single-shot number is bimodal on page-cache state
+    and unfloorable.  The first pass is recorded separately as
+    ``meta_catalog_10k_build_cold`` so the cold cost stays visible."""
     import shutil
     import tempfile
 
     from palletjack_spark import build_index
 
     cat_dir = _ensure_catalog_fixture(CATALOG_FILES)
-    idx_dir = tempfile.mkdtemp(prefix="pjspark_cat_idx_")
-    shutil.rmtree(idx_dir)
-    t0 = time.perf_counter()
-    idx = build_index(
-        spark, cat_dir, index_dir=idx_dir, use_cache=False, catalog_buckets=16
-    )
-    build_s = time.perf_counter() - t0
-    target = os.path.join(cat_dir, "part-04321.parquet")
+    builds = []
     point = float("inf")
-    for _ in range(3):
+    for _ in range(2):
+        idx_dir = tempfile.mkdtemp(prefix="pjspark_cat_idx_")
+        shutil.rmtree(idx_dir)
         t0 = time.perf_counter()
-        n = idx.prune(files=[target]).count()
-        point = min(point, time.perf_counter() - t0)
-        assert n == 1, n
-    idx.unpersist()
-    shutil.rmtree(idx_dir, ignore_errors=True)
+        idx = build_index(
+            spark, cat_dir, index_dir=idx_dir, use_cache=False,
+            catalog_buckets=16,
+        )
+        builds.append(time.perf_counter() - t0)
+        target = os.path.join(cat_dir, "part-04321.parquet")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n = idx.prune(files=[target]).count()
+            point = min(point, time.perf_counter() - t0)
+            assert n == 1, n
+        idx.unpersist()
+        shutil.rmtree(idx_dir, ignore_errors=True)
     return {
-        "meta_catalog_10k_build": build_s,
+        "meta_catalog_10k_build": min(builds),
+        "meta_catalog_10k_build_cold": builds[0],
         "meta_catalog_10k_point_select": point,
     }
 
@@ -996,7 +1009,14 @@ def main() -> None:
         times[k] = round(v, 6)
         print(f"# {k}: {v:.3f} s", file=sys.stderr)
 
-    run_steal = _steal_pct("start", "end")
+    # the metadata/catalog workloads run AFTER the headline loop's "end"
+    # control — without this sample, contention landing during them is
+    # invisible to the whole-run steal number (round-10: the catalog
+    # build warning fired with a quiet-looking host_note because the
+    # episode started past "end")
+    _take_control("post_meta")
+
+    run_steal = _steal_pct("start", "post_meta")
     if run_steal is not None:
         times["meta_host_steal_pct"] = run_steal
     if membw:
@@ -1009,12 +1029,33 @@ def main() -> None:
     # BENCH_DETAIL_rNN.json alone must be able to attribute every floor
     # breach without re-running the bench.
     host_notes = []
+    # per-block steal between consecutive control points — computed here
+    # (not only for the sidecar) because an episode confined to ONE block
+    # can breach floors while the whole-run average stays quiet
+    # (round-10 run: 5.5% steal in the first block, 1.8% whole-run, three
+    # unattributed warnings)
+    ordered = [t for t in controls if t in steal_samples]
+    steal_blocks = {
+        f"{a}->{b}": _steal_pct(a, b)
+        for a, b in zip(ordered, ordered[1:])
+    }
+    max_block = max(
+        (v for v in steal_blocks.values() if v is not None), default=None
+    )
     if warnings and run_steal is not None and run_steal >= 3.0:
         host_notes.append(
             f"whole-run CPU steal was {run_steal:.1f}% — the floor "
             "warnings are most likely a hypervisor-contention episode "
             "(parallel stages slow, single-thread controls quiet), not a "
             "plan regression; re-run when meta_host_steal_pct drops under 1"
+        )
+    elif warnings and max_block is not None and max_block >= 3.0:
+        blk = max(steal_blocks, key=lambda k: steal_blocks[k] or 0.0)
+        host_notes.append(
+            f"CPU steal hit {max_block:.1f}% during block {blk} (whole-run "
+            f"{run_steal:.1f}%) — floor warnings for queries in that block "
+            "are most likely the episode, not a plan regression; compare "
+            "steal_pct against the warning list before root-causing"
         )
     # threshold 13 (round-9): the healthy steady-state band is ~15-20, so
     # any control point under 13 is evidence of shared-LLC/DRAM
@@ -1040,15 +1081,9 @@ def main() -> None:
     host_degraded = bool(
         host_notes
         or (run_steal is not None and run_steal >= STEAL_GATE_PCT)
+        or (max_block is not None and max_block >= 3.0)
         or (membw and min(membw.values()) < 13.0)
     )
-
-    # per-block steal between consecutive control points, for the sidecar
-    ordered = [t for t in controls if t in steal_samples]
-    steal_blocks = {
-        f"{a}->{b}": _steal_pct(a, b)
-        for a, b in zip(ordered, ordered[1:])
-    }
 
     total = round(sum(times[q] for q in HEADLINE), 4)
     detail_name = _write_detail(
