@@ -488,3 +488,76 @@ def test_exclusion_ops_prune_stats_and_dictionaries(spark, tmp_path):
     pidx = build_index(spark, path, index_dir=str(tmp_path / "idx"))
     plan = pidx.prune(predicate=pred)
     assert [r["row_group"] for r in dict_prune_plan(plan, pred).collect()] == [1]
+
+
+def test_dictionary_corruption_never_crashes_probes(tmp_path):
+    """Round-10 deep fuzz (committed at a bounded example count; the
+    2500-example sweep ran clean): arbitrary byte corruption of the
+    dictionary-page region must leave BOTH probe directions — equality
+    ``can_match`` and exclusion ``all_excluded`` — returning a tri-state
+    verdict, never raising through the prober (every parse failure is
+    'unknown -> keep')."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from palletjack_spark.index.dictprune import DictionaryProber
+
+    rng = np.random.default_rng(7)
+    path = str(tmp_path / "f.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "a": pa.array(rng.integers(0, 2**40, 200), type=pa.int64()),
+                "b": pa.array([f"s{i % 17}" for i in range(200)]),
+            }
+        ),
+        path,
+        row_group_size=40,
+    )
+    md = pq.ParquetFile(path).metadata
+    raw = open(path, "rb").read()
+    metas = []
+    for j, lt in ((0, "NONE"), (1, "STRING")):
+        cc = md.row_group(0).column(j)
+        metas.append(
+            {
+                "physical_type": cc.physical_type,
+                "logical_type": lt,
+                "dictionary_page_offset": cc.dictionary_page_offset,
+                "data_page_offset": cc.data_page_offset,
+                "codec": cc.compression,
+            }
+        )
+    lo = min(m["dictionary_page_offset"] for m in metas)
+    hi = max(m["data_page_offset"] for m in metas)
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        edits=st.lists(
+            st.tuples(st.integers(lo, hi - 1), st.integers(0, 255)),
+            min_size=1,
+            max_size=12,
+        ),
+        col=st.integers(0, 1),
+        probe=st.one_of(
+            st.integers(-(2**62), 2**62),
+            st.text(max_size=8),
+            st.floats(allow_nan=True),
+        ),
+        mode=st.booleans(),
+    )
+    def check(edits, col, probe, mode):
+        p2 = str(tmp_path / "edit.parquet")
+        b = bytearray(raw)
+        for pos, val in edits:
+            b[pos] = val
+        with open(p2, "wb") as f:
+            f.write(bytes(b))
+        prober = DictionaryProber()
+        if mode:
+            r = prober.can_match(p2, 0, col, metas[col], probe)
+        else:
+            r = prober.all_excluded(p2, 0, col, metas[col], [probe])
+        assert r in (True, False, None)
+
+    check()
