@@ -3531,3 +3531,102 @@ def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_merged"),
         F.md5(F.array_join(toks, ",")).alias("toks_md5"),
     )
+
+
+@query(
+    "q92i_mrl_two_stage",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+    ),
+    tsc AS (
+      SELECT q.query_id, c.vec_id,
+             SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) /
+             sqrt(SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+             sqrt(SUM(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) AS tcos
+      FROM q, embeddings c,
+           UNNEST(generate_series(1, 32)) AS s(i)
+      WHERE c.vec_id != q.query_id
+      GROUP BY 1, 2),
+    short AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ROUND(tcos, 4) DESC, vec_id) AS trank
+      FROM tsc),
+    cand AS (SELECT query_id, vec_id FROM short WHERE trank <= 30),
+    resc AS (
+      SELECT cand.query_id, cand.vec_id,
+             SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) /
+             sqrt(SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+             sqrt(SUM(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) AS cosine
+      FROM cand
+      JOIN q ON cand.query_id = q.query_id
+      JOIN embeddings c ON cand.vec_id = c.vec_id,
+           UNNEST(generate_series(1, len(c.embedding))) AS s(i)
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT query_id, vec_id, ROUND(cosine, 4) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ROUND(cosine, 4) DESC, vec_id) AS rank
+      FROM resc)
+    SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def q92i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-stage retrieval (Q92i, Kusupati et al. 2022): scan
+    with the embeddings TRUNCATED to their first 32 of 64 dims (MRL
+    training makes prefixes usable representations), shortlist top-30
+    per query, then re-rank ONLY the shortlist with exact full-dim
+    cosine — the production funnel that cuts the scan's bytes and FLOPs
+    by the truncation ratio while the final ranking stays full-fidelity.
+
+    Scale shape: stage 1 reuses q92's GEMM kernel on half-width vectors
+    (at realistic 1536→256 MRL dims the dominant scan cost drops ~6×,
+    and the same IVF/PQ machinery composes on the truncated space);
+    stage 2 touches only queries × 30 candidate rows — the broadcast
+    query vectors join the shortlist, the candidate vectors arrive via
+    one keyed join, and the 64-dim dot is a row-local zip_with/aggregate
+    fold (sequential, matching the oracle's per-group sum order)."""
+    from palletjack_spark.functions.similarity import cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qfull = emb.where(F.col("vec_id") < 5)
+
+    def trunc(df):
+        return df.select(
+            "vec_id", F.slice("embedding", 1, 32).alias("embedding")
+        )
+
+    short = cosine_topk(trunc(emb), trunc(qfull), k=30).select(
+        "query_id", "vec_id"
+    )
+    qe = qfull.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    ce = emb.select("vec_id", F.col("embedding").alias("ce"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cos = (
+        dot(F.col("qe"), F.col("ce"))
+        / F.sqrt(dot(F.col("ce"), F.col("ce")))
+        / F.sqrt(dot(F.col("qe"), F.col("qe")))
+    )
+    from pyspark.sql import Window as W
+
+    scored = (
+        short.join(F.broadcast(qe), "query_id")
+        .join(ce, "vec_id")
+        .select("query_id", "vec_id", F.round(cos, 4).alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 10)
+    )

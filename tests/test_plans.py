@@ -1538,3 +1538,15 @@ def test_tpch_q20_shape_year_aggregates_copartition(spark):
     plan = _simple_plan(REGISTRY["q29v_tpch_q20_shape"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "LeftSemi" in plan, plan
+
+
+def test_mrl_two_stage_rerank_broadcasts_queries(spark):
+    """Q92i: the exact re-rank stage joins the SHORTLIST — query vectors
+    broadcast, the truncated-stage shortlist is WindowGroupLimit-bounded
+    before any exchange, and no cartesian product appears."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q92i_mrl_two_stage"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
