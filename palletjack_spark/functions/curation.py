@@ -168,6 +168,77 @@ def pack_sequences(
     )
 
 
+def pack_boundaries(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    part_col: str,
+    capacity: int = PACK_CAPACITY,
+) -> DataFrame:
+    """Per-chunk document BOUNDARIES for packed pretraining (Q103c): the
+    local start offset of every document inside its chunk — exactly the
+    metadata a block-diagonal attention mask (or position-id reset) needs
+    so packed documents don't attend across their neighbours.  Same
+    concat-then-chunk layout as :func:`pack_sequences` (a document
+    belongs to the chunk its first token lands in).
+
+    Returns (part, chunk_id, n_docs, n_tokens, boundaries_md5) where
+    boundaries_md5 digests the doc_id-ordered comma-joined local offsets
+    (the q131 array-shipping discipline — the driver row stays small and
+    hashable while pinning every boundary and its order).
+
+    Scale shape: identical to pack_sequences — ONE shuffle (the per-shard
+    cumsum window), with the (part, chunk) aggregate reusing that
+    partitioning exchange-free; the boundary digest is a row-local
+    projection folded into the same HashAggregate."""
+    _check_reserved(
+        {"part", "n_tok", "start_offset", "chunk_id", "local_start"},
+        _identity={"part_col": "part"},
+        id_col=id_col, part_col=part_col, text_col=text_col,
+    )
+    n_tokens: Column = F.size(F.split(F.col(text_col), " ")).cast("long")
+    w = (
+        Window.partitionBy("part")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_offset = df.select(
+        F.col(part_col).alias("part"),
+        F.col(id_col),
+        n_tokens.alias("n_tok"),
+    ).select(
+        "part",
+        F.col(id_col),
+        "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start_offset"),
+    )
+    chunked = with_offset.select(
+        "part",
+        F.col(id_col),
+        "n_tok",
+        "start_offset",
+        F.floor(F.col("start_offset") / capacity).alias("chunk_id"),
+    ).withColumn(
+        "local_start",
+        F.col("start_offset") - F.col("chunk_id") * capacity,
+    )
+    return chunked.groupBy("part", "chunk_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(id_col, "local_start"))
+                    ),
+                    lambda st: st["local_start"].cast("string"),
+                ),
+                ",",
+            )
+        ).alias("boundaries_md5"),
+    )
+
+
 def redact_pii(df: DataFrame, text_col: str) -> DataFrame:
     """Scrub emails and phone numbers: adds ``n_emails``, ``n_phones``, and
     ``clean_text`` (matches replaced by <EMAIL>/<PHONE> tokens).  Pure

@@ -3630,3 +3630,50 @@ def q92i(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= 10)
     )
+
+
+@query(
+    "q103c_packed_boundaries",
+    oracle="""
+    WITH d AS (
+      SELECT source AS part, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    o AS (
+      SELECT part, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY part ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS start_offset
+      FROM d
+    ),
+    c AS (
+      SELECT part, doc_id, n_tok, start_offset,
+             start_offset // 512 AS chunk_id,
+             start_offset - (start_offset // 512) * 512 AS local_start
+      FROM o
+    )
+    SELECT part, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           md5(array_to_string(list(CAST(local_start AS VARCHAR)
+                                    ORDER BY doc_id), ',')) AS boundaries_md5
+    FROM c GROUP BY part, chunk_id
+    """,
+)
+def q103c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-attention boundaries (Q103c): for every 512-token training
+    chunk, the doc_id-ordered LOCAL start offsets of the documents packed
+    into it — the metadata a block-diagonal attention mask / position-id
+    reset consumes so packed neighbours don't attend across document
+    boundaries (the packing-correctness companion of q103's chunk stats;
+    boundaries ship as an ordered md5 digest, the q131 discipline).
+
+    Scale shape: identical to q103 — one per-shard cumsum window
+    exchange, the (part, chunk) aggregate reusing it exchange-free, and
+    the digest folded into the same HashAggregate
+    (functions/curation.py:pack_boundaries)."""
+    from palletjack_spark.functions.curation import pack_boundaries
+
+    return pack_boundaries(
+        t(spark, sf_dir, "documents"), "text", "doc_id", "source", capacity=512
+    )

@@ -1550,3 +1550,14 @@ def test_mrl_two_stage_rerank_broadcasts_queries(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_packed_boundaries_single_exchange(spark):
+    """Q103c: the per-chunk boundary digest shares q103's one-exchange
+    shape — the (part, chunk) aggregate reuses the cumsum window's
+    partitioning, and the digest folds into a HashAggregate (no
+    SortAggregate fallback)."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q103c_packed_boundaries"].fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
