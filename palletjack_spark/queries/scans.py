@@ -1249,3 +1249,90 @@ def q16b(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("o_orderkey") >= 100) & (F.col("o_orderkey") <= 200))
         .select("o_orderkey", "o_totalprice")
     )
+
+
+@query(
+    "q126d_index_reconciliation_audit",
+    oracle=f"""
+    WITH decl AS (
+      SELECT 'orders.parquet' AS file_name, num_rows AS declared_rows
+      FROM parquet_file_metadata('{_SF001_DIR}/orders.parquet')
+      UNION ALL
+      SELECT 'documents.parquet', num_rows
+      FROM parquet_file_metadata('{_SF001_DIR}/documents.parquet')),
+    idx AS (
+      SELECT 'orders.parquet' AS file_name,
+             CAST(SUM(row_group_num_rows) AS BIGINT) AS indexed_rows,
+             CAST(COUNT(*) AS BIGINT) AS indexed_rgs
+      FROM (SELECT DISTINCT row_group_id, row_group_num_rows
+            FROM parquet_metadata('{_SF001_DIR}/orders.parquet'))
+      UNION ALL
+      SELECT 'documents.parquet',
+             CAST(SUM(row_group_num_rows) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT)
+      FROM (SELECT DISTINCT row_group_id, row_group_num_rows
+            FROM parquet_metadata('{_SF001_DIR}/documents.parquet'))),
+    actual AS (
+      SELECT 'orders.parquet' AS file_name,
+             CAST(COUNT(*) AS BIGINT) AS actual_rows FROM orders
+      UNION ALL
+      SELECT 'documents.parquet', CAST(COUNT(*) AS BIGINT) FROM documents)
+    SELECT decl.file_name, declared_rows, indexed_rows, indexed_rgs,
+           actual_rows,
+           (declared_rows = indexed_rows AND indexed_rows = actual_rows)
+             AS consistent
+    FROM decl JOIN idx USING (file_name) JOIN actual USING (file_name)
+    ORDER BY file_name
+    """,
+)
+def q126d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index↔data reconciliation audit (Q126d): per file, cross-check the
+    header's DECLARED row count, the metadata index's row-group SUM, and
+    the ACTUAL scanned count — the lake-operator audit that catches torn
+    sidecar writes, stale indexes after in-place rewrites, and corrupt
+    footers (the reference's validate() contract, palletjack.cc:239-310,
+    surfaced as a queryable operator instead of only a build-time guard;
+    DuckDB's own footer parser is the oracle's metadata source).
+
+    Scale shape: the declared and indexed counts come from the index
+    sidecar alone (zero data I/O — files × row-group rows); only the
+    actual-count leg scans data, as a count-star that partial-aggregates
+    map-side, and a production run samples or scopes that leg (the
+    cheap two-way declared-vs-indexed check needs no data at all —
+    MetadataIndex.validate runs it on every build/load already)."""
+    files = [table_path(sf_dir, "orders"), table_path(sf_dir, "documents")]
+    idx = build_index(spark, files)
+    base = F.regexp_extract(F.col("file"), r"([^/]+)$", 1)
+    decl = idx.files.select(
+        base.alias("file_name"), F.col("num_rows").alias("declared_rows")
+    )
+    rgs = idx.row_groups.groupBy(base.alias("file_name")).agg(
+        F.sum("num_rows").alias("indexed_rows"),
+        F.count("*").alias("indexed_rgs"),
+    )
+    actual = None
+    for p in files:
+        a = (
+            spark.read.parquet(p)
+            .agg(F.count("*").alias("actual_rows"))
+            .select(
+                F.lit(os.path.basename(p)).alias("file_name"), "actual_rows"
+            )
+        )
+        actual = a if actual is None else actual.unionByName(a)
+    return (
+        decl.join(rgs, "file_name")
+        .join(actual, "file_name")
+        .select(
+            "file_name",
+            "declared_rows",
+            "indexed_rows",
+            "indexed_rgs",
+            "actual_rows",
+            (
+                (F.col("declared_rows") == F.col("indexed_rows"))
+                & (F.col("indexed_rows") == F.col("actual_rows"))
+            ).alias("consistent"),
+        )
+        .orderBy("file_name")
+    )
