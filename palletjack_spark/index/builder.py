@@ -549,9 +549,7 @@ def build_index(
                 .schema["columns"]
                 .dataType.elementType
             )
-            combined = _align_columns_struct(
-                combined, list(existing.fieldNames())
-            )
+            combined = _align_columns_struct(combined, list(existing.fields))
         combined = combined.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             # validate BEFORE committing bytes to the sidecar: the same
@@ -598,19 +596,25 @@ def build_index(
     return idx
 
 
-def _align_columns_struct(df, target_fields: list[str]):
+def _align_columns_struct(df, target_fields):
     """Rebuild the nested ``columns`` array so its struct holds exactly
     ``target_fields`` (missing ones as typed NULLs) — sidecar layout
     compatibility: appending rows carrying the round-10 ``logical_type``
     field into a pre-round-10 sidecar (or unioning old sidecar rows with
     fresh extracts) must not mix two nested schemas in one parquet
     dataset.  Fields absent from the source struct come out NULL, which
-    every consumer already treats as "unknown → conservative"."""
+    every consumer already treats as "unknown → conservative".
+
+    ``target_fields`` is a list of ``StructField`` — NULL fill types come
+    from the TARGET layout, so a sidecar written by a newer build whose
+    column-stat field this version doesn't know still aligns (with that
+    field's own type) instead of raising KeyError (round-10 ADVICE)."""
     elem = df.schema["columns"].dataType.elementType
     have = set(elem.fieldNames())
-    if list(elem.fieldNames()) == list(target_fields):
+    names = [f.name for f in target_fields]
+    if list(elem.fieldNames()) == names:
         return df
-    types = {f.name: f.dataType for f in _COLUMN_STAT.fields}
+    types = {f.name: f.dataType for f in target_fields}
 
     def rebuild(c):
         return F.struct(
@@ -618,7 +622,7 @@ def _align_columns_struct(df, target_fields: list[str]):
                 (c[name] if name in have else F.lit(None).cast(types[name])).alias(
                     name
                 )
-                for name in target_fields
+                for name in names
             ]
         )
 
@@ -691,7 +695,7 @@ def _refresh_sidecar(
     # current column-stat layout (absent fields — e.g. pre-round-10
     # logical_type — become NULLs, which consumers treat conservatively)
     old_rg = _align_columns_struct(
-        spark.read.parquet(rg_path), [f.name for f in _COLUMN_STAT.fields]
+        spark.read.parquet(rg_path), list(_COLUMN_STAT.fields)
     ).join(drop_df, "file", "left_anti")
     old_f = spark.read.parquet(f_path).join(drop_df, "file", "left_anti")
     if "mtime_ns" not in old_f.columns:  # pre-mtime sidecar layout

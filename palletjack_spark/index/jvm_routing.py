@@ -120,16 +120,21 @@ def jvm_routing_available(spark: SparkSession) -> bool:
 
 
 def _per_file_stats(index: MetadataIndex) -> dict[str, dict[str, list[float]]]:
-    """file -> column -> [min, max] over its row groups, omitting any
-    (file, column) where a row group lacks numeric stats (the rule keeps
-    stats-unknown files, so omission is conservative)."""
+    """file -> column -> [min, max, null_count, num_rows] over its row
+    groups.  A slot is NaN when any row group lacks that statistic —
+    string columns e.g. carry null counts but no numeric range — and the
+    rule treats NaN as "unknown: keep".  (file, column) entries where
+    NOTHING is known are omitted entirely."""
+    nan = float("nan")
     rg = index.row_groups.select(
-        "file", F.explode("columns").alias("c")
+        "file", F.col("num_rows"), F.explode("columns").alias("c")
     ).select(
         "file",
+        "num_rows",
         F.col("c.name").alias("name"),
         F.col("c.min_num").alias("min_num"),
         F.col("c.max_num").alias("max_num"),
+        F.col("c.null_count").alias("null_count"),
     )
     agg = (
         rg.groupBy("file", "name")
@@ -139,14 +144,26 @@ def _per_file_stats(index: MetadataIndex) -> dict[str, dict[str, list[float]]]:
             F.sum(
                 (F.col("min_num").isNull() | F.col("max_num").isNull()).cast("int")
             ).alias("n_missing"),
+            F.sum("null_count").alias("nulls"),
+            F.sum(F.col("null_count").isNull().cast("int")).alias("nc_missing"),
+            F.sum("num_rows").alias("rows"),
         )
         .collect()
     )
     out: dict[str, dict[str, list[float]]] = {}
     for r in agg:
-        cols = out.setdefault(r["file"], {})
-        if r["n_missing"] == 0 and r["mn"] is not None and r["mx"] is not None:
-            cols[r["name"]] = [_double_floor(r["mn"]), _double_ceil(r["mx"])]
+        range_ok = (
+            r["n_missing"] == 0 and r["mn"] is not None and r["mx"] is not None
+        )
+        nulls_ok = r["nc_missing"] == 0 and r["nulls"] is not None
+        if not range_ok and not nulls_ok:
+            continue
+        out.setdefault(r["file"], {})[r["name"]] = [
+            _double_floor(r["mn"]) if range_ok else nan,
+            _double_ceil(r["mx"]) if range_ok else nan,
+            float(r["nulls"]) if nulls_ok else nan,
+            float(r["rows"]) if nulls_ok and r["rows"] is not None else nan,
+        ]
     return out
 
 
@@ -299,10 +316,10 @@ def register_index_jvm(
     jfiles = jvm.java.util.HashMap()
     for file, cols in stats.items():
         jcols = jvm.java.util.HashMap()
-        for name, (mn, mx) in cols.items():
-            arr = gateway.new_array(jvm.double, 2)
-            arr[0] = mn
-            arr[1] = mx
+        for name, vals in cols.items():
+            arr = gateway.new_array(jvm.double, len(vals))
+            for i, v in enumerate(vals):
+                arr[i] = v
             jcols.put(name, arr)
         jfiles.put(file, jcols)
     jvm.io.palletjack.spark.PalletJackRegistry.register(path, jfiles)

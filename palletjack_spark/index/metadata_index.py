@@ -647,7 +647,18 @@ class MetadataIndex:
                     if not ex_vals:
                         continue
                     lo, hi = st["min_num"], st["max_num"]
-                    has = lo.isNotNull() & hi.isNotNull()
+                    # FLOAT/DOUBLE chunks never exclusion-prune: parquet
+                    # writers compute min/max IGNORING NaN, so a chunk
+                    # holding {5.0, NaN} reports lo == hi == 5.0 while its
+                    # NaN rows DO satisfy ``col != 5.0`` (Spark/DuckDB
+                    # treat NaN as ordered-largest; NaN != x is TRUE) —
+                    # pruning would silently drop them (round-10 ADVICE).
+                    # NULL physical_type (pre-field sidecar) keeps too.
+                    has = (
+                        lo.isNotNull()
+                        & hi.isNotNull()
+                        & ~st["physical_type"].isin("FLOAT", "DOUBLE")
+                    )
                 else:
                     continue  # mixed/unsupported member types: keep
                 # prune only a provably SINGLE-VALUED chunk whose one value
@@ -780,6 +791,11 @@ class MetadataIndex:
                     for x in ex_vals
                 ):
                     if not _nan_free(ex_vals):
+                        continue
+                    # FLOAT/DOUBLE chunks never exclusion-prune: stats
+                    # ignore NaN, and NaN rows satisfy != / NOT IN
+                    # (_prune_condition's NaN-data gate, round-10 ADVICE)
+                    if st.get("physical_type") in (None, "FLOAT", "DOUBLE"):
                         continue
                     # only exactly-representable literals can equal a
                     # single-valued chunk's double stat (_prune_condition)

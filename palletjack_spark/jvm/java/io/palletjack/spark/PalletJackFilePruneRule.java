@@ -14,9 +14,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression;
 import org.apache.spark.sql.catalyst.expressions.GreaterThan;
 import org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual;
 import org.apache.spark.sql.catalyst.expressions.In;
+import org.apache.spark.sql.catalyst.expressions.IsNotNull;
+import org.apache.spark.sql.catalyst.expressions.IsNull;
 import org.apache.spark.sql.catalyst.expressions.LessThan;
 import org.apache.spark.sql.catalyst.expressions.LessThanOrEqual;
 import org.apache.spark.sql.catalyst.expressions.Literal;
+import org.apache.spark.sql.catalyst.expressions.Not;
 import org.apache.spark.sql.catalyst.plans.logical.Filter;
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan;
 import org.apache.spark.sql.catalyst.rules.Rule;
@@ -195,23 +198,35 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
         final double[] values;
         final String canon;
         final String[] canons;
+        /** every literal is an integral Catalyst type (Int/Long/Short/
+         *  Byte — incl. internal Date days and Timestamp micros).  The
+         *  exclusion stats tier requires this: post-analysis a FLOAT/
+         *  DOUBLE column always faces a float-typed literal, so an
+         *  integral literal proves the column can hold no NaN — parquet
+         *  float stats ignore NaN, and NaN rows DO satisfy != / NOT IN
+         *  (they'd be silently dropped by a min==max prune). */
+        final boolean integral;
 
-        Conjunct(String col, String op, Double value, String canon) {
+        Conjunct(String col, String op, Double value, String canon,
+                 boolean integral) {
             this.col = col;
             this.op = op;
             this.value = value;
             this.values = null;
             this.canon = canon;
             this.canons = null;
+            this.integral = integral;
         }
 
-        Conjunct(String col, double[] values, String[] canons) {
+        Conjunct(String col, String op, double[] values, String[] canons,
+                 boolean integral) {
             this.col = col;
-            this.op = "in";
+            this.op = op;
             this.value = null;
             this.values = values;
             this.canon = null;
             this.canons = canons;
+            this.integral = integral;
         }
     }
 
@@ -222,39 +237,45 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
             return;
         }
         if (e instanceof In) {
-            // IN over all-literal members: a file survives when ANY member
-            // can fall inside [min, max] — and, when a membership digest
-            // exists, only when at least one member's hash is present.
-            // Non-literal members or an unresolvable column fall through
-            // unpruned.  (Catalyst turns long lists into InSet, which this
-            // rule deliberately leaves unknown — safe either way.)
-            In in = (In) e;
-            String col = attrName(in.value());
-            if (col == null) {
-                return;
+            addInConjunct((In) e, "in", out);
+            return;
+        }
+        if (e instanceof Not) {
+            // Catalyst keeps != as Not(EqualTo) and NOT IN as Not(In)
+            // through optimization (round-10 verdict item 3: the digests
+            // prove a file's COMPLETE value set, so a file wholly inside
+            // the excluded set cannot satisfy the exclusion).  Other
+            // Not-wrapped shapes (ranges) are normalized away by
+            // BooleanSimplification before this rule runs; anything left
+            // falls through unpruned.
+            Expression inner = ((Not) e).child();
+            if (inner instanceof EqualTo) {
+                EqualTo eq = (EqualTo) inner;
+                addBinaryConjunct("!=", eq.left(), eq.right(), out);
+            } else if (inner instanceof In) {
+                addInConjunct((In) inner, "not_in", out);
             }
-            scala.collection.Seq<Expression> list =
-                    (scala.collection.Seq<Expression>) in.list();
-            double[] vs = new double[list.size()];
-            String[] cs = new String[list.size()];
-            boolean allNum = true;
-            boolean allCanon = true;
-            for (int i = 0; i < list.size(); i++) {
-                Double v = litValue(list.apply(i));
-                if (v == null) {
-                    allNum = false;
-                } else {
-                    vs[i] = v;
-                }
-                cs[i] = litCanon(list.apply(i));
-                if (cs[i] == null) {
-                    allCanon = false;
-                }
+            return;
+        }
+        if (e instanceof IsNull) {
+            // no cast unwrap: a (non-ANSI) cast can turn a NON-null into
+            // NULL, so IsNull(cast(x)) is weaker than IsNull(x) and a
+            // nulls==0 prune on x would be unsound
+            Expression c = ((IsNull) e).child();
+            if (c instanceof AttributeReference) {
+                out.add(new Conjunct(((AttributeReference) c).name(),
+                        "is_null", (Double) null, (String) null, false));
             }
-            if (!allNum && !allCanon) {
-                return;
+            return;
+        }
+        if (e instanceof IsNotNull) {
+            // cast unwrap IS sound here: cast(x) non-null requires x
+            // non-null, so an all-null x still proves no row matches
+            String col = attrName(((IsNotNull) e).child());
+            if (col != null) {
+                out.add(new Conjunct(
+                        col, "not_null", (Double) null, (String) null, false));
             }
-            out.add(new Conjunct(col, allNum ? vs : null, allCanon ? cs : null));
             return;
         }
         String op = null;
@@ -284,20 +305,70 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
         if (op == null) {
             return; // unknown conjunct: prune on the others only (safe)
         }
+        addBinaryConjunct(op, l, r, out);
+    }
+
+    private static void addBinaryConjunct(
+            String op, Expression l, Expression r, List<Conjunct> out) {
+        boolean eqish = "=".equals(op) || "!=".equals(op);
         String col = attrName(l);
         Double lit = litValue(r);
-        String canon = "=".equals(op) ? litCanon(r) : null;
+        String canon = eqish ? litCanon(r) : null;
         if (col != null && (lit != null || canon != null)) {
-            out.add(new Conjunct(col, op, lit, canon));
+            out.add(new Conjunct(col, op, lit, canon, litIntegral(r)));
             return;
         }
         // literal op column: flip
         col = attrName(r);
         lit = litValue(l);
-        canon = "=".equals(op) ? litCanon(l) : null;
+        canon = eqish ? litCanon(l) : null;
         if (col != null && (lit != null || canon != null)) {
-            out.add(new Conjunct(col, flip(op), lit, canon));
+            out.add(new Conjunct(col, flip(op), lit, canon, litIntegral(l)));
         }
+    }
+
+    /**
+     * IN / NOT IN over all-literal members.  For "in": a file survives
+     * when ANY member can fall inside [min, max] — and, when a
+     * membership digest exists, only when at least one member's hash is
+     * present.  For "not_in": a file is pruned only when its digest is
+     * a SUBSET of the member hashes (its complete value set is wholly
+     * excluded).  Non-literal members or an unresolvable column fall
+     * through unpruned.  (Catalyst turns long lists into InSet, which
+     * this rule deliberately leaves unknown — safe either way.)
+     */
+    private static void addInConjunct(In in, String op, List<Conjunct> out) {
+        String col = attrName(in.value());
+        if (col == null) {
+            return;
+        }
+        scala.collection.Seq<Expression> list =
+                (scala.collection.Seq<Expression>) in.list();
+        double[] vs = new double[list.size()];
+        String[] cs = new String[list.size()];
+        boolean allNum = true;
+        boolean allCanon = true;
+        boolean allIntegral = true;
+        for (int i = 0; i < list.size(); i++) {
+            Double v = litValue(list.apply(i));
+            if (v == null) {
+                allNum = false;
+            } else {
+                vs[i] = v;
+            }
+            cs[i] = litCanon(list.apply(i));
+            if (cs[i] == null) {
+                allCanon = false;
+            }
+            if (!litIntegral(list.apply(i))) {
+                allIntegral = false;
+            }
+        }
+        if (!allNum && !allCanon) {
+            return;
+        }
+        out.add(new Conjunct(col, op, allNum ? vs : null,
+                allCanon ? cs : null, allIntegral));
     }
 
     private static String flip(String op) {
@@ -400,6 +471,18 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
         }
     }
 
+    /** Whether the literal's Catalyst type is integral (Int/Long/Short/
+     *  Byte — incl. internal Date/Timestamp encodings); see
+     *  {@link Conjunct#integral}. */
+    private static boolean litIntegral(Expression e) {
+        if (!(e instanceof Literal)) {
+            return false;
+        }
+        Object v = ((Literal) e).value();
+        return v instanceof Integer || v instanceof Long
+                || v instanceof Short || v instanceof Byte;
+    }
+
     private static Double litValue(Expression e) {
         if (!(e instanceof Literal)) {
             return null;
@@ -422,11 +505,14 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
             Map<String, long[]> digests,
             List<Conjunct> cs) {
         for (Conjunct c : cs) {
-            // membership-digest tier (round-10): for =/IN, a digest is
-            // the file's COMPLETE value set for the column — every
+            // membership-digest tier (round-10): a digest is the file's
+            // COMPLETE value set for the column.  For =/IN, every
             // literal provably absent means the file cannot match, even
             // when its [min, max] spans the literal (interleaved
-            // high-cardinality keys, the q03e layout)
+            // high-cardinality keys, the q03e layout).  For !=/NOT IN
+            // (round-11), the dual: a digest wholly CONTAINED in the
+            // excluded hash set means no row can satisfy the exclusion
+            // (NULL rows don't satisfy != / NOT IN either).
             long[] dig = digests == null ? null : digests.get(c.col);
             if (dig != null) {
                 if ("=".equals(c.op) && c.canon != null) {
@@ -446,16 +532,64 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
                     if (!any) {
                         return false;
                     }
+                } else if (("!=".equals(c.op) && c.canon != null)
+                        || ("not_in".equals(c.op) && c.canons != null)) {
+                    String[] ex = c.canons != null
+                            ? c.canons : new String[]{c.canon};
+                    if (dig.length <= ex.length) {
+                        long[] exh = new long[ex.length];
+                        boolean ok = true;
+                        for (int i = 0; i < ex.length; i++) {
+                            Long h = hash64(ex[i]);
+                            if (h == null) {
+                                ok = false;
+                                break;
+                            }
+                            exh[i] = h;
+                        }
+                        if (ok) {
+                            java.util.Arrays.sort(exh);
+                            boolean subset = true;
+                            for (long d : dig) {
+                                if (java.util.Arrays.binarySearch(exh, d) < 0) {
+                                    subset = false;
+                                    break;
+                                }
+                            }
+                            if (subset) {
+                                return false;
+                            }
+                        }
+                    }
                 }
             }
             double[] mm = stats.get(c.col);
             if (mm == null) {
                 continue; // stats-unknown column: no range evidence
             }
+            // layout: [min, max] or [min, max, nullCount, numRows]
+            // (round-11); NaN slots mean "unknown" — sourced e.g. from
+            // string columns that now carry null counts but no numeric
+            // range.  Java NaN comparisons are all false, so every test
+            // below must gate on !isNaN explicitly or it would PRUNE.
             double min = mm[0];
             double max = mm[1];
+            boolean range = !Double.isNaN(min) && !Double.isNaN(max);
+            if ("is_null".equals(c.op) || "not_null".equals(c.op)) {
+                if (mm.length < 4
+                        || Double.isNaN(mm[2]) || Double.isNaN(mm[3])) {
+                    continue; // null counts unknown: keep
+                }
+                if ("is_null".equals(c.op) && mm[2] == 0.0) {
+                    return false; // zero nulls: IS NULL matches nothing
+                }
+                if ("not_null".equals(c.op) && mm[2] >= mm[3]) {
+                    return false; // all rows null: IS NOT NULL matches nothing
+                }
+                continue;
+            }
             if ("in".equals(c.op)) {
-                if (c.values == null) {
+                if (c.values == null || !range) {
                     continue; // non-numeric members: digest tier only
                 }
                 boolean any = false;
@@ -470,7 +604,29 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
                 }
                 continue;
             }
-            if (c.value == null) {
+            if ("!=".equals(c.op) || "not_in".equals(c.op)) {
+                // stats tier: a provably SINGLE-VALUED file whose one
+                // value is excluded.  min == max survives the superset
+                // rounding only when the true value IS that double, and
+                // the integral-literal gate proves a NaN-free column
+                // (parquet float stats ignore NaN; NaN satisfies !=).
+                if (!range || !c.integral || min != max) {
+                    continue;
+                }
+                double[] ex = c.values != null
+                        ? c.values
+                        : (c.value != null ? new double[]{c.value} : null);
+                if (ex == null) {
+                    continue;
+                }
+                for (double v : ex) {
+                    if (min == v) {
+                        return false;
+                    }
+                }
+                continue;
+            }
+            if (c.value == null || !range) {
                 continue; // string equality: digest tier only
             }
             boolean possible;

@@ -9,12 +9,17 @@ import java.util.concurrent.ConcurrentHashMap;
  * out of the metadata-index sidecar.
  *
  * <p>Layout: root path (no trailing slash, no "file:" scheme) -&gt;
- * { file path -&gt; { column name -&gt; double[]{min, max} } }.  The values
- * are the index's numeric stat projection (epoch micros for timestamps,
- * days for dates — the same units Catalyst literals use internally), so
+ * { file path -&gt; { column name -&gt;
+ * double[]{min, max, nullCount, numRows} } }.  min/max are the index's
+ * numeric stat projection (epoch micros for timestamps, days for dates —
+ * the same units Catalyst literals use internally), so
  * {@link PalletJackFilePruneRule} can compare them directly against
- * literal values.  A file present in the map with no entry for a queried
- * column is kept (stats-unknown is never pruned).
+ * literal values; nullCount/numRows (round-11) drive IS [NOT] NULL
+ * pruning.  Any slot may be NaN = unknown (e.g. string columns carry
+ * null counts but no numeric range), and length-2 arrays from older
+ * pushes still work (null counts then read as unknown).  A file present
+ * in the map with no entry for a queried column is kept (stats-unknown
+ * is never pruned).
  *
  * <p>This is the JVM production vehicle for the routing the Python
  * stand-in (index/routing.py) does at the DataFrame layer — SURVEY §4's
@@ -35,9 +40,15 @@ public final class PalletJackRegistry {
      * value set of its column in that file: an equality/IN literal whose
      * hash is absent PROVES the file holds no match (round-10: the
      * point-lookup tier min/max can't reach — q03e's interleaved
-     * high-cardinality keys — now prunes from pure SQL too).  Hash
-     * collisions only ever KEEP a file; a true member's hash is always
-     * present, so pruning is sound.
+     * high-cardinality keys — now prunes from pure SQL too), and a
+     * digest wholly CONTAINED in an exclusion literal set proves no row
+     * can satisfy != / NOT IN (round-11).  Hash collisions on the
+     * equality side only ever KEEP a file (a true member's hash is
+     * always present).  On the exclusion side a collision could in
+     * principle mis-prove containment; with 64-bit MD5-prefix hashes
+     * the chance is bounded by |dictionary| * |literals| * 2^-64 —
+     * vanishing even at 100 TB catalog scale, and the digest builder
+     * caps |dictionary| at 65536.
      */
     private static final Map<String, Map<String, Map<String, long[]>>> DIGESTS =
             new ConcurrentHashMap<>();
@@ -56,6 +67,12 @@ public final class PalletJackRegistry {
     }
 
     public static void register(String root, Map<String, Map<String, double[]>> files) {
+        // Drop any previously pushed membership digests for this root:
+        // re-registering after the data changed (without digest_columns)
+        // must not leave stale digests that could wrongly prune files
+        // whose NEW values weren't in the OLD dictionary set (round-10
+        // ADVICE).  registerDigests() re-pushes them when requested.
+        DIGESTS.remove(canon(root));
         ROOTS.put(canon(root), files);
     }
 

@@ -217,6 +217,83 @@ def main(tmp: str) -> None:
     )
     out["digest_smart_equal"] = smi == irows
 
+    # --- exclusion + IS [NOT] NULL parity (round-11 verdict item 3) ----
+    # file i: k single-valued i, tag single-valued f"g{i}"; n is all-null
+    # in file 0, null-free in file 1, half-null in files 2 and 3
+    xdata = os.path.join(tmp, "excl")
+    os.makedirs(xdata)
+    for i in range(4):
+        if i == 0:
+            n_vals = [None] * 100
+        elif i == 1:
+            n_vals = list(range(100))
+        else:
+            n_vals = [None if j % 2 else j for j in range(100)]
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array([i] * 100, type=pa.int64()),
+                    "tag": pa.array([f"g{i}"] * 100),
+                    "n": pa.array(n_vals, type=pa.int64()),
+                }
+            ),
+            os.path.join(xdata, f"part-{i}.parquet"),
+        )
+    register_index_jvm(spark, xdata, digest_columns=["k", "tag"])
+    # != on int: single-valued file 2 pruned (stats tier + digest subset)
+    ne = spark.sql(f"SELECT k FROM parquet.`{xdata}` WHERE k != 2")
+    out["files_ne_int"] = len(_lr_input_files(ne))
+    out["n_rows_ne_int"] = ne.count()
+    # != on string: only the digest tier can prove this (no numeric stats)
+    nes = spark.sql(f"SELECT tag FROM parquet.`{xdata}` WHERE tag != 'g3'")
+    out["files_ne_str"] = len(_lr_input_files(nes))
+    out["n_rows_ne_str"] = nes.count()
+    # NOT IN whose members wholly cover two files' value sets
+    nin = spark.sql(
+        f"SELECT tag FROM parquet.`{xdata}` WHERE tag NOT IN ('g0', 'g1')"
+    )
+    out["files_notin_str"] = len(_lr_input_files(nin))
+    out["n_rows_notin_str"] = nin.count()
+    # IS NULL prunes the null-free file; IS NOT NULL prunes the all-null
+    isn = spark.sql(f"SELECT k FROM parquet.`{xdata}` WHERE n IS NULL")
+    out["files_is_null"] = len(_lr_input_files(isn))
+    out["n_rows_is_null"] = isn.count()
+    inn = spark.sql(f"SELECT n FROM parquet.`{xdata}` WHERE n IS NOT NULL")
+    out["files_not_null"] = len(_lr_input_files(inn))
+    out["n_rows_not_null"] = inn.count()
+    # hash-equal to smart_read (the Python paths) on the exclusion shape
+    sm_ne = sorted(
+        r["tag"]
+        for r in smart_read(
+            spark, xdata, predicate=[("tag", "not_in", ["g0", "g1"])]
+        ).select("tag").collect()
+    )
+    out["excl_smart_equal"] = sm_ne == sorted(
+        r["tag"] for r in nin.collect()
+    )
+
+    # --- stale digests cleared on re-register (round-10 ADVICE) --------
+    # rewrite one file with values OUTSIDE the old dictionary set, then
+    # re-register WITHOUT digest_columns: the old digests must not
+    # survive and wrongly prune the rewritten file's new values
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([999] * 100, type=pa.int64()),
+                "tag": pa.array(["fresh"] * 100),
+                "n": pa.array(list(range(100)), type=pa.int64()),
+            }
+        ),
+        os.path.join(xdata, "part-3.parquet"),
+    )
+    register_index_jvm(spark, xdata)
+    fresh = spark.sql(f"SELECT k FROM parquet.`{xdata}` WHERE tag = 'fresh'")
+    out["n_rows_fresh"] = fresh.count()
+    out["digests_cleared"] = (
+        spark._jvm.io.palletjack.spark.PalletJackRegistry.digestsFor(xdata)
+        is None
+    )
+
     print("RESULT:" + json.dumps(out))
     spark.stop()
 

@@ -490,6 +490,55 @@ def test_exclusion_ops_prune_stats_and_dictionaries(spark, tmp_path):
     assert [r["row_group"] for r in dict_prune_plan(plan, pred).collect()] == [1]
 
 
+def test_exclusion_never_prunes_float_chunks_with_nan(spark, tmp_path):
+    """Round-10 ADVICE (medium): parquet writers compute float/double
+    min/max IGNORING NaN, so a chunk holding {5.0, NaN} reports
+    lo == hi == 5.0 — but its NaN rows DO satisfy ``x != 5.0`` (Spark
+    orders NaN above every double; NaN != 5.0 is TRUE).  The lo == hi
+    exclusion prune must therefore never fire on FLOAT/DOUBLE chunks;
+    integer chunks keep pruning."""
+    from palletjack_spark.index.builder import build_index
+    from palletjack_spark.index.metadata_index import MetadataIndex
+
+    path = str(tmp_path / "nan.parquet")
+    pq.write_table(
+        pa.table(
+            {"x": pa.array([5.0, float("nan")] * 50 + [7.0] * 100,
+                           type=pa.float64())}
+        ),
+        path,
+        row_group_size=100,
+    )
+    idx = build_index(spark, path)
+    rows = idx._local[0]
+    # rg0 stats: min=max=5.0 (NaN ignored) — must be KEPT for != 5.0
+    st = next(c for c in rows[0]["columns"] if c["name"] == "x")
+    assert st["min_num"] == st["max_num"] == 5.0
+    for pred in ([("x", "!=", 5.0)], [("x", "not_in", [5.0, 9.0])]):
+        assert MetadataIndex._keep_local(rows[0], pred)
+        assert idx.prune(predicate=pred).count() == 2
+        got = [r["x"] for r in idx.read(predicate=pred).collect()]
+        import math
+
+        assert sum(1 for v in got if math.isnan(v)) == 50
+        assert sum(1 for v in got if v == 7.0) == 100
+
+    # integer chunks still exclusion-prune (the gate is float-specific)
+    ipath = str(tmp_path / "int.parquet")
+    pq.write_table(
+        pa.table({"x": pa.array([5] * 100 + [7] * 100, type=pa.int64())}),
+        ipath,
+        row_group_size=100,
+    )
+    iidx = build_index(spark, ipath)
+    ikept = [
+        r for r in iidx._local[0]
+        if MetadataIndex._keep_local(r, [("x", "!=", 5)])
+    ]
+    assert [r["row_group"] for r in ikept] == [1]
+    assert iidx.prune(predicate=[("x", "!=", 5)]).count() == 1
+
+
 def test_dictionary_corruption_never_crashes_probes(tmp_path):
     """Round-10 deep fuzz (committed at a bounded example count; the
     2500-example sweep ran clean): arbitrary byte corruption of the

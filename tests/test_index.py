@@ -1137,7 +1137,7 @@ def test_old_sidecar_layout_append_and_refresh(spark, tmp_path):
     # simulate a pre-round-10 sidecar: rewrite row_groups/ without the
     # logical_type field
     rg_path = os.path.join(idx_dir, "row_groups")
-    old_fields = [f.name for f in _COLUMN_STAT.fields if f.name != "logical_type"]
+    old_fields = [f for f in _COLUMN_STAT.fields if f.name != "logical_type"]
     old = _align_columns_struct(spark.read.parquet(rg_path), old_fields)
     old.write.mode("overwrite").parquet(rg_path + "__old")
     import shutil

