@@ -420,7 +420,15 @@ def _load_floors(path: str | None = None, sf: float | None = None) -> dict[str, 
     contended run and nothing fired because only headline queries were
     floored).  Those workloads are SF-INDEPENDENT by construction (fixed
     synthetic fixtures), so they merge in regardless of sf — captured at
-    local[32]; smoke runs at fewer cpus read the warnings as advisory."""
+    local[32]; smoke runs at fewer cpus read the warnings as advisory.
+
+    ``meta_catalog_10k_build_cold`` is deliberately UNFLOORED (round-11
+    verdict item 7): it runs the identical code path as the floored warm
+    build and differs only in page-cache state (35.2 s evicted vs 7.2 s
+    warm back-to-back on an idle host), so its wall time is bimodal on
+    cache state, not on code — and any code regression on that path
+    (e.g. footer re-reads creeping back) multiplies the WARM build too,
+    firing the existing meta_catalog_10k_build floor."""
     if path is None:
         path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
