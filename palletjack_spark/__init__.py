@@ -32,6 +32,7 @@ from palletjack_spark.errors import (
 from palletjack_spark.session import get_spark, tune_session
 from palletjack_spark.tables import TABLES, load_table, table_path
 from palletjack_spark.index import (
+    add_bloom_filters,
     build_index,
     load_index,
     MetadataIndex,
@@ -53,6 +54,7 @@ __all__ = [
     "TABLES",
     "load_table",
     "table_path",
+    "add_bloom_filters",
     "build_index",
     "load_index",
     "MetadataIndex",

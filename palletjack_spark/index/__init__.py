@@ -1,3 +1,4 @@
+from palletjack_spark.index.bloomprune import add_bloom_filters
 from palletjack_spark.index.builder import build_index, load_index
 from palletjack_spark.index.footer_splice import (
     generate_metadata_index,
@@ -15,6 +16,7 @@ from palletjack_spark.index.routing import (
 from palletjack_spark.index.smart import smart_read
 
 __all__ = [
+    "add_bloom_filters",
     "build_index",
     "load_index",
     "MetadataIndex",

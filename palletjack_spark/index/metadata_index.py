@@ -947,16 +947,22 @@ class MetadataIndex:
         full scan + filter — pruning is a pure optimization, as in Spark's
         native source.
 
-        ``dictionary_prune`` (driver-local indexes): after stats pruning,
-        EQUALITY conjuncts additionally probe each surviving chunk's
-        dictionary page — when ``encoding_stats`` proves the chunk fully
-        dictionary-encoded and the literal is absent from the dictionary,
-        the row group provably holds no match and is skipped
-        (:mod:`palletjack_spark.index.dictprune`).  This is the pruning
-        tier min/max can't reach: high-cardinality columns whose values
-        interleave across row groups.  Probe I/O is bounded by the
-        surviving chunks' dictionary-page bytes; every unknown verdict
-        keeps the row group, so results are identical either way.
+        ``dictionary_prune``: after stats pruning, EQUALITY conjuncts
+        additionally probe each surviving chunk's dictionary page — when
+        ``encoding_stats`` proves the chunk fully dictionary-encoded and
+        the literal is absent from the dictionary, the row group provably
+        holds no match and is skipped
+        (:mod:`palletjack_spark.index.dictprune`) — and, where the
+        dictionary OVERFLOWED to plain pages (the high-cardinality
+        point-lookup layout the dictionary gate correctly refuses), the
+        chunk's split-block BLOOM filter, when present
+        (:mod:`palletjack_spark.index.bloomprune`, q03g).  These are the
+        pruning tiers min/max can't reach: high-cardinality columns whose
+        values interleave across row groups.  Probe I/O is bounded by the
+        surviving chunks' dictionary-page/bitset bytes; every unknown
+        verdict keeps the row group, so results are identical either way.
+        Driver-local indexes probe on the driver; catalog-scale plans
+        probe executor-side in one combined pass (``value_prune_plan``).
 
         Hive-partitioned layouts: each row gains the file's ``key=value``
         partition values as string columns (Spark's type-inference-off
@@ -1005,9 +1011,16 @@ class MetadataIndex:
                                 == vals[0]
                             ]
                 if dictionary_prune:
+                    from palletjack_spark.index.bloomprune import (
+                        bloom_prune_rows,
+                    )
                     from palletjack_spark.index.dictprune import dict_prune_rows
 
                     rg_rows = dict_prune_rows(rg_rows, predicate)
+                    # bloom tier (q03g): equality point lookups on
+                    # dict-OVERFLOW high-cardinality chunks, where the
+                    # encoding_stats gate above correctly refused
+                    rg_rows = bloom_prune_rows(rg_rows, predicate)
             sel_rows = sorted(
                 (r["file"], r["row_group"], r["total_byte_size"]) for r in rg_rows
             )
@@ -1041,13 +1054,14 @@ class MetadataIndex:
             if predicate and part_keys:
                 plan = self._partition_plan_filter(plan, predicate)
             if predicate and dictionary_prune:
-                # executor-side dictionary probe: the plan rows carry the
-                # chunk offsets, so equality conjuncts drop provably
-                # non-matching row groups without the selection ever
-                # touching the driver (dictprune.dict_prune_plan)
-                from palletjack_spark.index.dictprune import dict_prune_plan
+                # executor-side dictionary + bloom probes in ONE pass:
+                # the plan rows carry the chunk offsets/types, so
+                # equality/exclusion conjuncts drop provably non-matching
+                # row groups without the selection ever touching the
+                # driver (bloomprune.value_prune_plan)
+                from palletjack_spark.index.bloomprune import value_prune_plan
 
-                plan = dict_prune_plan(plan, predicate)
+                plan = value_prune_plan(plan, predicate)
             df = scan_plan(
                 self.spark, plan, schema, sel, partition_keys=part_keys
             )

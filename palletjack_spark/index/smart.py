@@ -98,12 +98,19 @@ def smart_read(
                 # stats alone say "scan everything" — but an equality
                 # predicate may still prune via dictionary pages (q03e:
                 # interleaved high-cardinality keys defeat min/max while
-                # dictionaries stay exact).  The probe costs one footer +
-                # one dict page per surviving chunk, driver-local only —
-                # exactly the scale where the probe is cheapest.
+                # dictionaries stay exact) or, where dictionaries
+                # overflowed, via split-block bloom filters (q03g).  The
+                # probes cost one footer + one tiny page/bitset per
+                # surviving chunk, driver-local only — exactly the scale
+                # where they are cheapest.
+                from palletjack_spark.index.bloomprune import bloom_prune_rows
                 from palletjack_spark.index.dictprune import dict_prune_rows
 
-                kept = len(dict_prune_rows(stats_kept, predicate))
+                kept = len(
+                    bloom_prune_rows(
+                        dict_prune_rows(stats_kept, predicate), predicate
+                    )
+                )
         else:
             # catalog-scale index: the routing decision is ONE one-row
             # aggregate job over the index DataFrame — never a per-file or

@@ -1218,6 +1218,84 @@ def q03f(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q03g_bloom_pruned_scan",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority
+    FROM orders WHERE o_orderkey = 421
+    """,
+)
+def q03g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-block bloom-filter row-group pruning (Q03g, round 11): a
+    point lookup on a high-cardinality key whose DICTIONARY OVERFLOWED —
+    the one layout rounds 9-10 still couldn't prune.  Values interleave
+    across row groups ([min, max] spans the literal everywhere, stats
+    keep all), and the chunks are plain-encoded (q03e's
+    ``encoding_stats`` gate correctly refuses to dictionary-prune), so
+    only the chunk's bloom filter — xxh64 of the plain-encoded value,
+    one 32-byte block, 8 salted bits — can prove absence
+    (index/bloomprune.py; the reference codec models the footer offsets
+    at parquet_types_palletjack.h:2012-2148 but never prunes with them).
+    A miss is a proof, a hit keeps, unknown keeps: results are identical
+    with pruning off — the oracle's check; the pruning itself (exactly
+    one of 8 row groups survives) is pinned in tests/test_bloomprune.py.
+
+    Neither pyarrow 16 nor DuckDB 1.0 can WRITE bloom filters, so the
+    fixture exercises the module's own writer: ``add_bloom_filters``
+    appends standard bitsets after the data and splices the offsets into
+    the footer — PalletJack-style metadata surgery, zero data pages
+    rewritten.  parquet-mr/Spark read and bloom-filter the same file
+    natively (interop pinned in tests), which is also the 100 TB story:
+    a catalog at rest gains point-lookup pruning in place."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from palletjack_spark.index.bloomprune import add_bloom_filters
+
+    src_st = os.stat(table_path(sf_dir, "orders"))
+    prefix = _tmp("q03g_bloomfix", sf_dir)
+    out = prefix + f"_{src_st.st_size}_{src_st.st_mtime_ns}.parquet"
+    if not os.path.exists(out):
+        import glob as _glob
+
+        for stale in _glob.glob(prefix + "_*.parquet"):
+            if stale != out:
+                try:
+                    os.unlink(stale)
+                except OSError:
+                    pass
+        t0 = pq.read_table(
+            table_path(sf_dir, "orders"),
+            columns=["o_orderkey", "o_orderpriority"],
+        )
+        okey = t0["o_orderkey"].to_pylist()
+        order = sorted(range(len(okey)), key=lambda i: (okey[i] % 8, okey[i]))
+        prio = t0["o_orderpriority"].to_pylist()
+        tagged = pa.table(
+            {
+                "okey_tag": pa.array([f"h{okey[i]}" for i in order]),
+                "o_orderkey": pa.array(
+                    [okey[i] for i in order], type=pa.int64()
+                ),
+                "o_orderpriority": pa.array([prio[i] for i in order]),
+            }
+        )
+        rg = max(1, -(-len(okey) // 8))
+        # plain-encoded chunks: the dict-overflow layout, made explicit
+        pq.write_table(tagged, out + ".tmp", row_group_size=rg,
+                       use_dictionary=False)
+        add_bloom_filters(out + ".tmp", ["okey_tag", "o_orderkey"])
+        os.rename(out + ".tmp", out)
+    idx = build_index(spark, out)
+    return idx.read(
+        columns=["okey_tag", "o_orderkey", "o_orderpriority"],
+        predicate=[("okey_tag", "=", "h421")],
+    ).select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderpriority",
+    )
+
+
+@query(
     "q16b_python_datasource",
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders

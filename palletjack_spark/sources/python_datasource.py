@@ -270,12 +270,16 @@ class PalletJackReader(DataSourceReader):
                 r.pop("mtime_ns", None)
             rg_rows.extend(rgs)
         if self._predicate:
+            from palletjack_spark.index.bloomprune import bloom_prune_rows
+
             rg_rows = [
                 r
                 for r in rg_rows
                 if MetadataIndex._keep_local(r, self._predicate)
             ]
             rg_rows = dict_prune_rows(rg_rows, self._predicate)
+            # bloom tier (q03g): point lookups on dict-overflow chunks
+            rg_rows = bloom_prune_rows(rg_rows, self._predicate)
         sel = sorted(
             (r["file"], r["row_group"], r["total_byte_size"]) for r in rg_rows
         )
