@@ -1063,3 +1063,225 @@ def fuzzy_decontaminate(
         )
         .where(F.col("jaccard_milli") >= threshold_milli)
     )
+
+
+# --------------------------------------------------------------------------
+# incremental near-dup dedup against a persisted signature store (Q156)
+# --------------------------------------------------------------------------
+
+#: signature-store manifest (the q92g/_ann_meta discipline: versioned,
+#: parameter-stamped, fingerprintable)
+_SIG_META_NAME = "_sig_meta.json"
+
+
+def _sig_meta(id_col: str, k: int, bands: int, rows: int) -> dict:
+    return {
+        "format": "pjspark-sigstore",
+        "version": 1,
+        "id_col": id_col,
+        "k": k,
+        "bands": bands,
+        "rows": rows,
+        "shingle_len": SHINGLE_LEN,
+        "minhash_p": MINHASH_P,
+    }
+
+
+def save_signature_store(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    store_dir: str,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """Build and persist the MinHash signature store for an ingested
+    corpus: one row per document — (id, n_sh, s0..s{k-1}, sh_set), the
+    complete record near-dup matching needs, ~200 B + the hashed-shingle
+    set per doc, so the corpus TEXT never has to be rescanned by later
+    batches.  Signatures are zero-shuffle per-document projections
+    (``_signatures_one_shuffle``); the write is the only job.
+
+    The store is a parquet dataset plus a versioned ``_sig_meta.json``
+    manifest stamping the minhash parameters — a store built under
+    different k/banding/shingle settings must never silently mix
+    (:func:`load_signature_store` validates)."""
+    import json
+    import os
+
+    sig = _signatures_one_shuffle(df, text_col, id_col, k=k)
+    sig.write.mode("overwrite").parquet(os.path.join(store_dir, "signatures"))
+    with open(os.path.join(store_dir, _SIG_META_NAME), "w") as f:
+        json.dump(_sig_meta(id_col, k, bands, rows), f)
+    return sig
+
+
+def load_signature_store(
+    spark,
+    store_dir: str,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """Open a persisted signature store, validating that its manifest
+    was written under the SAME minhash parameters (mixed-parameter
+    signatures compare garbage — hard error, not a wrong answer)."""
+    import json
+    import os
+
+    from palletjack_spark.errors import IndexFormatError
+
+    try:
+        with open(os.path.join(store_dir, _SIG_META_NAME)) as f:
+            meta = json.load(f)
+    except (OSError, ValueError) as e:
+        raise IndexFormatError(f"not a signature store: {store_dir}") from e
+    want = _sig_meta(meta.get("id_col", ""), k, bands, rows)
+    for key in ("format", "k", "bands", "rows", "shingle_len", "minhash_p"):
+        if meta.get(key) != want[key]:
+            raise IndexFormatError(
+                f"signature store {store_dir} was built with {key}="
+                f"{meta.get(key)!r}, this session expects {want[key]!r}"
+            )
+    return spark.read.parquet(os.path.join(store_dir, "signatures"))
+
+
+def append_signatures(sig_df: DataFrame, store_dir: str) -> int:
+    """Append a batch's ACCEPTED signatures to the store and bump the
+    manifest version — the ingest commit of the incremental-dedup loop.
+    Returns the new version number."""
+    import json
+    import os
+
+    from palletjack_spark.errors import IndexFormatError
+
+    path = os.path.join(store_dir, _SIG_META_NAME)
+    try:
+        with open(path) as f:
+            meta = json.load(f)
+    except (OSError, ValueError) as e:
+        raise IndexFormatError(f"not a signature store: {store_dir}") from e
+    sig_df.write.mode("append").parquet(os.path.join(store_dir, "signatures"))
+    meta["version"] = int(meta.get("version", 1)) + 1
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, path)
+    return meta["version"]
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    store_sig: DataFrame,
+    threshold_milli: int = 500,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against a persisted signature store — without
+    rescanning the ingested corpus (Q156, the production incremental
+    shape: every current batch operator, q91/q101/q106/q153/q154, is
+    single-corpus).
+
+    A new document is REJECTED when it has an exact-Jaccard-verified
+    near-dup (``jaccard_milli >= threshold_milli``) in the STORE, or a
+    verified near-dup with a SMALLER id within its own batch (the q90
+    keep-first discipline — deterministic, order-free, and independent
+    of the smaller doc's own verdict, so the rule is a pure function of
+    the union corpus).  Returns ``(decisions, accepted_sigs)``:
+
+    - ``decisions``: one row per new doc — (id, accepted,
+      dup_of = MIN matching id or -1, jaccard_milli = MAX verified
+      milli-Jaccard or -1); plain min/max aggregates keep both columns
+      engine-exact.
+    - ``accepted_sigs``: the accepted docs' signature rows, ready for
+      :func:`append_signatures` — ingest commits signatures, never text.
+
+    Scale shape (batch ≪ store, the whole point): the new batch's
+    signatures are zero-shuffle row-local projections, cached once; its
+    band table, candidate list, and shingle sets all BROADCAST, so the
+    STORE side never exchanges at all — candidate generation and verify
+    are map-side joins over one scan each of the store's (narrow) band
+    projection and (wide) signature rows, and old×old pairs are never
+    generated (the store never self-joins).  The only exchanges in the
+    whole plan carry the new batch's own narrow rows."""
+    sid = "pj_store_id"
+    new_sig = _signatures_one_shuffle(new_df, text_col, id_col, k=k)
+    # referenced three times (bands, verify, accepted) — cache the small
+    # batch table, never the store
+    new_sig = new_sig.localCheckpoint(eager=False)
+    bh_new = band_hashes(new_sig, id_col, bands=bands, rows=rows)
+    bh_store = band_hashes(
+        store_sig.withColumnRenamed(id_col, sid), sid,
+        bands=bands, rows=rows,
+    )
+    cand_store = (
+        bh_store.join(F.broadcast(bh_new), ["band", "band_hash"])
+        .select(F.col(id_col), F.col(sid).alias("pj_oid"))
+    )
+    # within-batch keep-first: match strictly-smaller ids only
+    a, b = bh_new.alias("a"), bh_new.alias("b")
+    cand_new = a.join(
+        F.broadcast(b),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
+    ).select(F.col(f"a.{id_col}").alias(id_col), F.col(f"b.{id_col}").alias("pj_oid"))
+    cand = cand_store.unionByName(cand_new).distinct()
+
+    # verify: the matched side's sets come from store ∪ batch; the
+    # candidate list and the batch's sets broadcast into that scan, so
+    # the wide store rows stay map-side (the q154 verify discipline)
+    sets_other = store_sig.select(
+        F.col(id_col).alias("pj_oid"),
+        F.col("n_sh").alias("no"),
+        F.col("sh_set").alias("oset"),
+    ).unionByName(
+        new_sig.select(
+            F.col(id_col).alias("pj_oid"),
+            F.col("n_sh").alias("no"),
+            F.col("sh_set").alias("oset"),
+        )
+    )
+    sets_new = new_sig.select(F.col(id_col), "n_sh", "sh_set")
+    jm = "(1000 * common) div (n_sh + no - common)"
+    matches = (
+        sets_other.join(F.broadcast(cand), "pj_oid")
+        .join(F.broadcast(sets_new), id_col)
+        .select(
+            F.col(id_col),
+            "pj_oid",
+            F.size(F.array_intersect("sh_set", "oset")).cast("long").alias("common"),
+            "n_sh",
+            "no",
+        )
+        .select(
+            F.col(id_col),
+            "pj_oid",
+            F.expr(jm).cast("long").alias("jaccard_milli"),
+        )
+        .where(F.col("jaccard_milli") >= threshold_milli)
+    )
+    best = matches.groupBy(id_col).agg(
+        F.min("pj_oid").alias("dup_of"),
+        F.max("jaccard_milli").alias("jaccard_milli"),
+    )
+    decisions = (
+        new_sig.select(id_col)
+        .join(F.broadcast(best), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("dup_of").isNull().alias("accepted"),
+            F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("dup_of"),
+            F.coalesce(F.col("jaccard_milli"), F.lit(-1))
+            .cast("long")
+            .alias("jaccard_milli"),
+        )
+    )
+    accepted_sigs = new_sig.join(
+        F.broadcast(best.select(id_col)), id_col, "left_anti"
+    )
+    return decisions, accepted_sigs

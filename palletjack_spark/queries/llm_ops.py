@@ -3677,3 +3677,141 @@ def q103c(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_boundaries(
         t(spark, sf_dir, "documents"), "text", "doc_id", "source", capacity=512
     )
+
+
+def _incremental_dedup_oracle(new_mod: int = 5, thr_milli: int = 500) -> str:
+    """Q156 oracle — batch recompute over the UNION corpus (the q154
+    exactness trick): identical md5 shingle hashes, identical k
+    universal permutations, identical banding in DuckDB, then the exact
+    integer milli-Jaccard verify; a new doc (doc_id % new_mod == 0) is
+    rejected iff it matches the old corpus or a smaller-id new doc."""
+    n = SHINGLE_LEN
+    sig_cols = ",\n         ".join(
+        ["COUNT(*) AS n_sh"]
+        + [
+            f"MIN(({a} * (h & {_H30_MASK}) + {b}) % {MINHASH_P}) AS s{i}"
+            for i, (a, b) in enumerate(minhash_coeffs(MINHASH_K))
+        ]
+    )
+    band_selects = []
+    for b in range(LSH_BANDS):
+        cols = ", ".join(
+            f"CAST(s{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols}))"
+            " AS band_hash FROM sig"
+        )
+    bands_sql = "\n      UNION ALL\n      ".join(band_selects)
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             {_sql_hash60(f'substr(text, i, {n})')} AS h
+      FROM documents,
+           UNNEST(generate_series(1, greatest(length(text) - {n - 1}, 1))) AS s(i)
+    ),
+    sig AS (
+      SELECT doc_id,
+         {sig_cols}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {bands_sql}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS nid, b.doc_id AS oid
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+      WHERE a.doc_id % {new_mod} = 0
+        AND (b.doc_id % {new_mod} <> 0 OR b.doc_id < a.doc_id)
+    ),
+    common AS (
+      SELECT c.nid, c.oid, COUNT(*) AS common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.nid
+      JOIN sh sb ON sb.doc_id = c.oid AND sb.h = sa.h
+      GROUP BY c.nid, c.oid
+    ),
+    matches AS (
+      SELECT m.nid, m.oid,
+             (1000 * m.common) // (za.n_sh + zb.n_sh - m.common) AS jm
+      FROM common m
+      JOIN sig za ON za.doc_id = m.nid
+      JOIN sig zb ON zb.doc_id = m.oid
+      WHERE (1000 * m.common) // (za.n_sh + zb.n_sh - m.common)
+            >= {thr_milli}
+    ),
+    best AS (
+      SELECT nid, MIN(oid) AS dup_of, MAX(jm) AS jaccard_milli
+      FROM matches GROUP BY nid
+    )
+    SELECT d.doc_id,
+           b.nid IS NULL AS accepted,
+           CAST(COALESCE(b.dup_of, -1) AS BIGINT) AS dup_of,
+           CAST(COALESCE(b.jaccard_milli, -1) AS BIGINT) AS jaccard_milli
+    FROM documents d LEFT JOIN best b ON b.nid = d.doc_id
+    WHERE d.doc_id % {new_mod} = 0
+    ORDER BY d.doc_id
+    """
+
+
+@query("q156_incremental_dedup", oracle=_incremental_dedup_oracle())
+def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup against a PERSISTED signature store
+    (Q156, round 11): production pipelines dedup each NEW crawl batch
+    against the existing corpus without rescanning it — every prior
+    dedup operator (q91/q101/q106/q153/q154) is single-corpus batch.
+    The ingested corpus (doc_id % 5 != 0) persists MinHash band
+    signatures once as a versioned sidecar
+    (functions/dedup.save_signature_store — the q92g fingerprint-keyed
+    manifest discipline); the new batch (doc_id % 5 == 0) joins ONLY its
+    own signatures against the store, exact-Jaccard verifies every
+    banded candidate, and the accepted signatures are what ingest
+    appends back (append_signatures; exercised in tests — the query
+    itself never mutates the shared fixture store).
+
+    Keep-first semantics: a new doc is rejected iff it near-dups the
+    store or a smaller-id batch sibling (deterministic, order-free).
+    Oracle = batch recompute over the UNION corpus in DuckDB — same
+    md5 minhash, banding, and integer milli-Jaccard, so the candidate
+    set itself is engine-exact (the q154 trick).
+
+    Scale shape: the store side never exchanges — the batch's band
+    table, candidate list, and shingle sets broadcast into one scan of
+    the store's signatures; old×old pairs are never generated (plan
+    pinned in tests/test_plans.py)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from palletjack_spark.functions.dedup import (
+        _SIG_META_NAME,
+        incremental_dedup,
+        load_signature_store,
+        save_signature_store,
+    )
+    from palletjack_spark.tables import table_path
+
+    docs = t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+
+    src = table_path(sf_dir, "documents")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    store_dir = os.path.join(tempfile.gettempdir(), f"pjspark_sigstore_{fp}")
+    store = None
+    if os.path.exists(os.path.join(store_dir, _SIG_META_NAME)):
+        try:
+            store = load_signature_store(spark, store_dir)
+        except Exception:
+            import shutil
+
+            shutil.rmtree(store_dir, ignore_errors=True)
+    if store is None:
+        save_signature_store(old, "text", "doc_id", store_dir)
+        store = load_signature_store(spark, store_dir)
+    decisions, _accepted = incremental_dedup(new, "text", "doc_id", store)
+    return decisions.orderBy("doc_id")

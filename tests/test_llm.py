@@ -988,3 +988,68 @@ def test_cluster_representative_rejects_out_of_range_ids(spark):
     )
     with pytest.raises(Exception, match="2\\^50"):
         cluster_representatives(df, "text", "doc_id", "source").collect()
+
+
+def test_incremental_dedup_store_lifecycle(spark, tmp_path):
+    """Q156's full ingest loop: save store -> dedup batch 1 -> append
+    accepted -> dedup batch 2 against the GROWN store.  Decisions match
+    a keep-first batch recompute over the union; the manifest versions;
+    parameter-mismatched stores are refused."""
+    import pytest as _pytest
+
+    from palletjack_spark.errors import IndexFormatError
+    from palletjack_spark.functions.dedup import (
+        append_signatures,
+        incremental_dedup,
+        load_signature_store,
+        save_signature_store,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank "
+    rows = [
+        (10, base * 4),
+        (11, "completely different content about spark engines " * 5),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    store_dir = str(tmp_path / "store")
+    save_signature_store(corpus, "text", "doc_id", store_dir)
+    store = load_signature_store(spark, store_dir)
+    assert store.count() == 2
+
+    # batch 1: one near-dup of doc 10 (light edit), one novel, one
+    # within-batch dup of the novel doc (keep-first: 21 keeps, 22 drops)
+    b1 = spark.createDataFrame(
+        [
+            (20, base * 4 + "extra tail words"),
+            (21, "fresh unseen prose about metadata indexes " * 5),
+            (22, "fresh unseen prose about metadata indexes " * 5 + "x"),
+        ],
+        "doc_id long, text string",
+    )
+    dec1, acc1 = incremental_dedup(b1, "text", "doc_id", store)
+    got1 = {r["doc_id"]: (r["accepted"], r["dup_of"]) for r in dec1.collect()}
+    assert got1[20] == (False, 10)
+    assert got1[21] == (True, -1)
+    assert got1[22] == (False, 21)
+    assert sorted(r["doc_id"] for r in acc1.collect()) == [21]
+
+    # append accepted, version bumps, store grows by exactly the accepted
+    assert append_signatures(acc1, store_dir) == 2
+    store2 = load_signature_store(spark, store_dir)
+    assert store2.count() == 3
+
+    # batch 2: a near-dup of batch-1's ACCEPTED doc now rejects against
+    # the grown store — the incremental loop closes
+    b2 = spark.createDataFrame(
+        [(30, "fresh unseen prose about metadata indexes " * 5 + " tail")],
+        "doc_id long, text string",
+    )
+    dec2, _ = incremental_dedup(b2, "text", "doc_id", store2)
+    (r30,) = dec2.collect()
+    assert (r30["accepted"], r30["dup_of"]) == (False, 21)
+
+    # a store written under different banding is refused, not misread
+    with _pytest.raises(IndexFormatError, match="bands"):
+        load_signature_store(spark, store_dir, bands=4, rows=4)
+    with _pytest.raises(IndexFormatError, match="not a signature store"):
+        load_signature_store(spark, str(tmp_path / "nope"))

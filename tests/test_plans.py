@@ -1561,3 +1561,33 @@ def test_packed_boundaries_single_exchange(spark):
 
     plan = _simple_plan(REGISTRY["q103c_packed_boundaries"].fn(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_incremental_dedup_store_side_never_exchanges(spark):
+    """Q156: the persisted signature store is scanned (bands leg +
+    verify leg) but NEVER exchanged and never self-joined — the batch's
+    band table, candidate list, and shingle sets broadcast into the
+    store scans, so every hash exchange carries only the new batch's
+    narrow rows (no sh_set arrays, no text)."""
+    from palletjack_spark.queries import REGISTRY
+
+    df = REGISTRY["q156_incremental_dedup"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    # batch side broadcasts: bands into the store, candidates + batch
+    # sets into the verify, best into the decisions join
+    assert plan.count("BroadcastExchange") >= 4, plan
+    # store scans: one for the band projection, one for the verify sets
+    # (and none beyond — a store self-join would add two more)
+    simple = _simple_plan(df)
+    n_store_scans = sum(
+        1 for line in simple.splitlines()
+        if "Scan parquet" in line and "pjspark_sigstore_" in line
+    )
+    assert n_store_scans == 2, simple
+    # no hash exchange ever carries wide rows (store sh_set / corpus text)
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if ") Exchange" in line and i + 2 < len(lines):
+            if "hashpartitioning" in lines[i + 2]:
+                inp = lines[i + 1]
+                assert "sh_set#" not in inp and "text#" not in inp, inp
