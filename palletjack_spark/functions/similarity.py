@@ -1110,3 +1110,146 @@ def kmeans_converge(
         if changed == 0:
             return assign, rounds
     return assign, rounds
+
+
+# --------------------------------------------------------------------------
+# SQ8 scalar quantization (Q92j)
+# --------------------------------------------------------------------------
+
+
+def sq8_scales(
+    corpus_df: DataFrame, vec_col: str, dim: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension (lo, hi) over the corpus — ONE JVM-side aggregate
+    (2×dim codegen'd min/max expressions, map-side combined, one-row
+    result), the q129 deterministic-grid discipline: the quantizer is a
+    pure function of the corpus, no sampling, no RNG."""
+    aggs = [
+        F.min(F.get(F.col(vec_col), i)).alias(f"lo{i}") for i in range(dim)
+    ] + [F.max(F.get(F.col(vec_col), i)).alias(f"hi{i}") for i in range(dim)]
+    row = corpus_df.agg(*aggs).first()
+    lo = np.array([row[f"lo{i}"] for i in range(dim)], dtype="float64")
+    hi = np.array([row[f"hi{i}"] for i in range(dim)], dtype="float64")
+    return lo, hi
+
+
+def _sq8_encode(mat: np.ndarray, lo: np.ndarray, scale: np.ndarray) -> np.ndarray:
+    """uint8 codes: floor((v - lo) * scale), clipped to [0, 255] — FLOOR,
+    not round-half (the cross-engine quantization rule), though here both
+    engines never see the codes: stage 2 re-ranks in full float."""
+    return np.clip(np.floor((mat - lo[None, :]) * scale[None, :]), 0, 255).astype(
+        "int32"
+    )
+
+
+def sq8_topk(
+    corpus_df: DataFrame,
+    queries_df: DataFrame,
+    k: int = 10,
+    shortlist: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ANN top-k via SQ8 scalar quantization + exact re-rank (Q92j) —
+    the most common production ANN memory tier: int8 per dimension, 4×
+    less scan bandwidth than float32, sitting between q92's full-float
+    GEMM and q92e's PQ codes (and composing with q92i's Matryoshka
+    truncation: quantize the truncated prefix for a 4×·ratio saving).
+
+    Stage 1 is the SQ8 scan: per-dim (lo, hi) from :func:`sq8_scales`
+    broadcast to every task, corpus rows quantized batch-locally to
+    uint8 codes (the 4× bandwidth tier — at rest the codes column IS
+    the stored form), then scored the FAISS-SQ way: dequantize
+    ``code / scale + lo`` and cosine against the dequantized queries —
+    the proxy differs from true cosine only by quantization error, so
+    small shortlists recall well (a raw integer code dot would be an
+    affine-distorted, unnormalized proxy and rank garbage).  Per-batch
+    top-``shortlist`` per query (a superset of the global top-shortlist
+    under any batching, so the result is partitioning-independent),
+    then one narrow global WindowGroupLimit.  Stage 2 joins the
+    shortlist ids back to the full-float vectors and re-ranks exactly
+    (:func:`_exact_rescore_topk`).
+
+    With ``shortlist`` >= corpus size stage 1 keeps everything and the
+    result is hash-identical to :func:`cosine_topk` — the driver
+    entry's exactness pin; realistic shortlists are recall-tested in
+    tests/test_llm.py."""
+    spark = corpus_df.sparkSession
+    qids, qmat, _qnorm = _collect_queries(queries_df, id_col, vec_col)
+    dim = qmat.shape[1]
+    lo, hi = sq8_scales(corpus_df, vec_col, dim)
+    span = hi - lo
+    scale = np.where(span > 0, 255.0 / np.where(span > 0, span, 1.0), 0.0)
+    inv = np.where(scale > 0, 1.0 / np.where(scale > 0, scale, 1.0), 0.0)
+
+    def _deq(codes: np.ndarray) -> np.ndarray:
+        return codes.astype("float64") * inv[None, :] + lo[None, :]
+
+    qdeq = _deq(_sq8_encode(qmat, lo, scale))
+    qnorm = np.sqrt((qdeq * qdeq).sum(axis=1))
+    qnorm[qnorm == 0] = 1.0
+    blo = spark.sparkContext.broadcast(lo)
+    bscale = spark.sparkContext.broadcast(scale)
+    binv = spark.sparkContext.broadcast(inv)
+    bqids = spark.sparkContext.broadcast(qids)
+    bqdeq = spark.sparkContext.broadcast(qdeq / qnorm[:, None])
+
+    def scan(it):
+        for pdf in it:
+            ids = pdf[id_col].to_numpy()
+            if len(ids) == 0:
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+            )
+            codes = _sq8_encode(mat, blo.value, bscale.value)
+            deq = codes.astype("float64") * binv.value[None, :] + blo.value[None, :]
+            norms = np.sqrt((deq * deq).sum(axis=1))
+            norms[norms == 0] = 1.0
+            scores = (deq @ bqdeq.value.T) / norms[:, None]
+            n_keep = min(shortlist, len(ids))
+            out_q, out_v, out_s = [], [], []
+            for qi, qid in enumerate(bqids.value):
+                col = scores[:, qi]
+                if n_keep < len(ids):
+                    part = np.argpartition(-col, n_keep - 1)[:n_keep]
+                else:
+                    part = np.arange(len(ids))
+                out_q.append(np.full(len(part), qid, dtype="int64"))
+                out_v.append(ids[part])
+                out_s.append(col[part])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "qscore": np.concatenate(out_s),
+                }
+            )
+
+    batch_top = corpus_df.select(id_col, vec_col).mapInPandas(
+        scan, "query_id long, vec_id long, qscore double"
+    )
+    if exclude_self:
+        batch_top = batch_top.where(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qscore").desc(), F.col("vec_id")
+    )
+    cand_ids = (
+        batch_top.select(
+            "query_id", "vec_id", F.row_number().over(w).alias("pj_r")
+        )
+        .where(F.col("pj_r") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    qvecs = queries_df.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    # the shortlist (n_q × shortlist narrow rows) broadcasts into one
+    # more scan of the corpus — the wide float vectors never shuffle
+    cand = (
+        corpus_df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+        .join(F.broadcast(cand_ids), "vec_id")
+        .join(F.broadcast(qvecs), "query_id")
+    )
+    return _exact_rescore_topk(cand, k, exclude_self)

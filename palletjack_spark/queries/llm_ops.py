@@ -3815,3 +3815,25 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
         store = load_signature_store(spark, store_dir)
     decisions, _accepted = incremental_dedup(new, "text", "doc_id", store)
     return decisions.orderBy("doc_id")
+
+
+@query("q92j_sq8_topk", oracle=_Q92_ORACLE)
+def q92j(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via SQ8 scalar quantization + exact re-rank (Q92j,
+    round 11): the most common production ANN memory tier — int8 per
+    dimension, 4× less scan bandwidth than float32 — between q92's
+    full-float GEMM and q92e's PQ codes, composing with q92i's
+    Matryoshka truncation.  Per-dim (lo, hi) come from ONE map-side
+    combined aggregate (deterministic grid, q129 discipline — no
+    sampling, no RNG); stage 1 scans integer codes only and keeps a
+    per-query shortlist; stage 2 re-ranks the shortlist in full float.
+    The driver entry pins the shortlist exhaustive, so the result is
+    hash-identical to the brute-force oracle while every SQ8 stage —
+    scale aggregate, batch-local encode, integer scoring, shortlist
+    window — still executes; realistic shortlists are recall-tested in
+    tests/test_llm.py (functions/similarity.py:sq8_topk)."""
+    from palletjack_spark.functions.similarity import sq8_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return sq8_topk(emb, queries, k=10, shortlist=1_000_000)

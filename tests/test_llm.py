@@ -1053,3 +1053,37 @@ def test_incremental_dedup_store_lifecycle(spark, tmp_path):
         load_signature_store(spark, store_dir, bands=4, rows=4)
     with _pytest.raises(IndexFormatError, match="not a signature store"):
         load_signature_store(spark, str(tmp_path / "nope"))
+
+
+def test_sq8_topk_exact_at_full_shortlist_and_recall_realistic(spark):
+    """Q92j: with an exhaustive shortlist the SQ8 path is hash-identical
+    to brute force (quantization only gates the SHORTLIST; stage 2
+    re-ranks in full float); at a realistic shortlist (2-6x k) the
+    dequantized-cosine proxy recalls >= 0.95 on the synthetic
+    embeddings.  Constant dimensions (span 0) must not produce NaNs."""
+    from pyspark.sql import functions as F
+
+    from palletjack_spark.functions.similarity import cosine_topk, sq8_topk
+    from palletjack_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    exact_rows = cosine_topk(emb, q, k=10).collect()
+    exact = {(r["query_id"], r["vec_id"]) for r in exact_rows}
+
+    full = sq8_topk(emb, q, k=10, shortlist=1_000_000).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, exact_rows))
+
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in sq8_topk(emb, q, k=10, shortlist=32).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.95
+
+    # constant-dim robustness: append a constant dimension to every row
+    emb2 = emb.withColumn(
+        "embedding", F.concat("embedding", F.array(F.lit(3.5)))
+    )
+    q2 = emb2.where(F.col("vec_id") < 3)
+    got = sq8_topk(emb2, q2, k=5, shortlist=1_000_000).collect()
+    assert len(got) == 15 and all(r["cosine"] == r["cosine"] for r in got)
