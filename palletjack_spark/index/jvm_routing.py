@@ -276,12 +276,90 @@ def _per_file_digests(
     return out
 
 
+#: physical-type tag bytes of the packed bloom push (must match
+#: PalletJackRegistry.BloomEntry's decoding)
+_BLOOM_PTYPE_TAG = {"INT32": 0, "INT64": 1, "BYTE_ARRAY": 2}
+
+
+def _per_file_blooms(
+    index: MetadataIndex, columns: list[str]
+) -> dict[str, dict[str, bytes]]:
+    """file -> column -> packed per-chunk split-block bloom bitsets
+    (layout documented on PalletJackRegistry.BLOOMS), built from the
+    files' STANDARD parquet bloom filters (index/bloomprune.py readers).
+
+    A (file, column) is pushed only when the physical+logical mapping is
+    an identity (same gate as the digests — a DECIMAL-as-INT or unsigned
+    column's raw hash input is not the literal's value space) and EVERY
+    row group's chunk carries a readable BLOCK/XXHASH/UNCOMPRESSED
+    filter; anything else is absent → the rule keeps the file.  This is
+    the point-lookup evidence for exactly the files the digest builder
+    refuses: dict-OVERFLOW high-cardinality columns.
+
+    Scale shape: one footer + one bitset read per (file, chunk) on the
+    driver — the same ≤32-file registration shape as the stats push."""
+    import struct
+
+    from palletjack_spark.index.bloomprune import bloom_offsets, read_bloom
+    from palletjack_spark.index.footer_splice import read_footer_bytes
+
+    want = set(columns)
+    local = index.local()
+    chunks: dict[tuple[str, str], list[bytes]] = {}
+    tags: dict[tuple[str, str], int] = {}
+    complete: dict[tuple[str, str], bool] = {}
+    footers: dict[str, bytes | None] = {}
+    for (file, rg_idx), rg in sorted(local.row_groups.items()):
+        for col_idx, col in enumerate(rg["columns"]):
+            name = col["name"]
+            if name not in want:
+                continue
+            key = (file, name)
+            if complete.get(key) is False:
+                continue
+            pt = (col.get("physical_type") or "").upper()
+            if (
+                pt not in _BLOOM_PTYPE_TAG
+                or col.get("logical_type") not in _DIGEST_LOGICAL.get(pt, ())
+            ):
+                complete[key] = False
+                continue
+            if file not in footers:
+                try:
+                    footers[file] = read_footer_bytes(file)
+                except Exception:
+                    footers[file] = None
+            footer = footers[file]
+            off = bloom_offsets(footer, rg_idx, col_idx) if footer else None
+            words = read_bloom(file, off[0], off[1]) if off else None
+            if words is None:
+                complete[key] = False
+                continue
+            tags[key] = _BLOOM_PTYPE_TAG[pt]
+            chunks.setdefault(key, []).append(
+                struct.pack(">I", len(words) * 4)
+                + struct.pack(f"<{len(words)}I", *words)
+            )
+            complete[key] = True
+    out: dict[str, dict[str, bytes]] = {}
+    for (file, name), parts in sorted(chunks.items()):
+        if not complete.get((file, name)):
+            continue
+        out.setdefault(file, {})[name] = (
+            bytes([tags[(file, name)]])
+            + struct.pack(">I", len(parts))
+            + b"".join(parts)
+        )
+    return out
+
+
 def register_index_jvm(
     spark: SparkSession,
     path: str,
     index: MetadataIndex | None = None,
     digest_columns: list[str] | None = None,
     digest_max_values: int = 65536,
+    bloom_columns: list[str] | None = None,
 ) -> int:
     """Build (or reuse) the metadata index for ``path`` and push its
     per-file stats into the JVM registry, arming the optimizer rule for
@@ -299,7 +377,16 @@ def register_index_jvm(
     interleaved-key layout, where min/max pruning keeps everything.
     Digest-eligible columns are identity-typed INT32/INT64/BYTE_ARRAY
     with fully-dictionary-encoded chunks; everything else silently gets
-    no digest (kept conservatively, results identical)."""
+    no digest (kept conservatively, results identical).
+
+    ``bloom_columns`` (round 11) pushes the files' STANDARD parquet
+    split-block bloom filters (:func:`_per_file_blooms`) — the
+    point-lookup evidence for exactly the columns the digests refuse:
+    dict-OVERFLOW high-cardinality keys.  A file is pruned for an
+    equality/IN literal only when EVERY chunk's filter misses it (a
+    bloom miss is a proof of absence; hits and absent filters keep).
+    Typically produced by ``bloomprune.add_bloom_filters`` on data at
+    rest, or any parquet-mr writer."""
     if not jvm_routing_available(spark):
         raise PalletJackSparkError(
             "JVM routing classes are not on the driver classpath; launch "
@@ -334,6 +421,15 @@ def register_index_jvm(
                 jcols.put(name, packed)
             jdig.put(file, jcols)
         jvm.io.palletjack.spark.PalletJackRegistry.registerDigests(path, jdig)
+    if bloom_columns:
+        blooms = _per_file_blooms(index, list(bloom_columns))
+        jblm = jvm.java.util.HashMap()
+        for file, cols in blooms.items():
+            jcols = jvm.java.util.HashMap()
+            for name, packed in cols.items():
+                jcols.put(name, packed)
+            jblm.put(file, jcols)
+        jvm.io.palletjack.spark.PalletJackRegistry.registerBlooms(path, jblm)
     return len(stats)
 
 

@@ -145,11 +145,15 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
         }
         Map<String, Map<String, long[]>> digests =
                 PalletJackRegistry.digestsFor(registered);
+        Map<String, Map<String, PalletJackRegistry.BloomEntry>> blooms =
+                PalletJackRegistry.bloomsFor(registered);
         List<String> surviving = new ArrayList<>();
         for (Map.Entry<String, Map<String, double[]>> e : files.entrySet()) {
             Map<String, long[]> dig =
                     digests == null ? null : digests.get(e.getKey());
-            if (fileCanMatch(e.getValue(), dig, conjuncts)) {
+            Map<String, PalletJackRegistry.BloomEntry> blm =
+                    blooms == null ? null : blooms.get(e.getKey());
+            if (fileCanMatch(e.getValue(), dig, blm, conjuncts)) {
                 surviving.add(e.getKey());
             }
         }
@@ -500,9 +504,137 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
         return null;
     }
 
+    // the split-block algorithm's 8 salts (parquet format spec)
+    private static final int[] SALT = {
+        0x47b6137b, 0x44974d91, 0x8824ad5b, 0xa2b7289d,
+        0x705495c7, 0x2df1424b, 0x9efc4947, 0x5c6bfb31,
+    };
+
+    /** XXH64 seed 0 — the spec-mandated bloom hash (Java long arithmetic
+     *  wraps mod 2^64, matching the reference algorithm directly). */
+    private static long xxh64(byte[] d) {
+        final long P1 = 0x9E3779B185EBCA87L, P2 = 0xC2B2AE3D27D4EB4FL,
+                P3 = 0x165667B19E3779F9L, P4 = 0x85EBCA77C2B2AE63L,
+                P5 = 0x27D4EB2F165667C5L;
+        int n = d.length;
+        int i = 0;
+        long h;
+        if (n >= 32) {
+            long v1 = P1 + P2, v2 = P2, v3 = 0, v4 = -P1;
+            while (i + 32 <= n) {
+                v1 = Long.rotateLeft(v1 + le64(d, i) * P2, 31) * P1;
+                v2 = Long.rotateLeft(v2 + le64(d, i + 8) * P2, 31) * P1;
+                v3 = Long.rotateLeft(v3 + le64(d, i + 16) * P2, 31) * P1;
+                v4 = Long.rotateLeft(v4 + le64(d, i + 24) * P2, 31) * P1;
+                i += 32;
+            }
+            h = Long.rotateLeft(v1, 1) + Long.rotateLeft(v2, 7)
+                    + Long.rotateLeft(v3, 12) + Long.rotateLeft(v4, 18);
+            h = (h ^ (Long.rotateLeft(v1 * P2, 31) * P1)) * P1 + P4;
+            h = (h ^ (Long.rotateLeft(v2 * P2, 31) * P1)) * P1 + P4;
+            h = (h ^ (Long.rotateLeft(v3 * P2, 31) * P1)) * P1 + P4;
+            h = (h ^ (Long.rotateLeft(v4 * P2, 31) * P1)) * P1 + P4;
+        } else {
+            h = P5;
+        }
+        h += n;
+        while (i + 8 <= n) {
+            h ^= Long.rotateLeft(le64(d, i) * P2, 31) * P1;
+            h = Long.rotateLeft(h, 27) * P1 + P4;
+            i += 8;
+        }
+        if (i + 4 <= n) {
+            h ^= (le32(d, i) & 0xFFFFFFFFL) * P1;
+            h = Long.rotateLeft(h, 23) * P2 + P3;
+            i += 4;
+        }
+        while (i < n) {
+            h ^= (d[i] & 0xFFL) * P5;
+            h = Long.rotateLeft(h, 11) * P1;
+            i++;
+        }
+        h ^= h >>> 33;
+        h *= P2;
+        h ^= h >>> 29;
+        h *= P3;
+        h ^= h >>> 32;
+        return h;
+    }
+
+    private static long le64(byte[] d, int i) {
+        long v = 0;
+        for (int j = 7; j >= 0; j--) {
+            v = (v << 8) | (d[i + j] & 0xFFL);
+        }
+        return v;
+    }
+
+    private static int le32(byte[] d, int i) {
+        return (d[i] & 0xFF) | ((d[i + 1] & 0xFF) << 8)
+                | ((d[i + 2] & 0xFF) << 16) | ((d[i + 3] & 0xFF) << 24);
+    }
+
+    private static boolean bloomMightContain(int[] words, long h) {
+        int nblocks = words.length >> 3;
+        int base = ((int) (((h >>> 32) * nblocks) >>> 32)) << 3;
+        int hl = (int) h;
+        for (int i = 0; i < 8; i++) {
+            int bit = (hl * SALT[i]) >>> 27;
+            if (((words[base + i] >>> bit) & 1) == 0) {
+                return false;
+            }
+        }
+        return true;
+    }
+
+    /** The literal's plain-encoded bloom-hash input for this column's
+     *  physical type, or null when it can't be encoded (keep). */
+    private static byte[] bloomBytes(String canon, int ptype) {
+        try {
+            if (ptype == 2) {
+                return canon.getBytes(java.nio.charset.StandardCharsets.UTF_8);
+            }
+            long v = Long.parseLong(canon);
+            if (ptype == 0) {
+                if (v < Integer.MIN_VALUE || v > Integer.MAX_VALUE) {
+                    return null; // out of range: stats' job, keep here
+                }
+                return new byte[]{
+                    (byte) v, (byte) (v >>> 8), (byte) (v >>> 16),
+                    (byte) (v >>> 24),
+                };
+            }
+            byte[] out = new byte[8];
+            for (int j = 0; j < 8; j++) {
+                out[j] = (byte) (v >>> (8 * j));
+            }
+            return out;
+        } catch (NumberFormatException ex) {
+            return null; // a string canon against an int column: keep
+        }
+    }
+
+    /** True when EVERY chunk's bloom filter misses the literal — a proof
+     *  the file holds no equal value. */
+    private static boolean bloomProvesAbsent(
+            PalletJackRegistry.BloomEntry e, String canon) {
+        byte[] input = bloomBytes(canon, e.ptype);
+        if (input == null) {
+            return false;
+        }
+        long h = xxh64(input);
+        for (int[] words : e.chunks) {
+            if (bloomMightContain(words, h)) {
+                return false;
+            }
+        }
+        return true;
+    }
+
     private static boolean fileCanMatch(
             Map<String, double[]> stats,
             Map<String, long[]> digests,
+            Map<String, PalletJackRegistry.BloomEntry> blooms,
             List<Conjunct> cs) {
         for (Conjunct c : cs) {
             // membership-digest tier (round-10): a digest is the file's
@@ -560,6 +692,30 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
                                 return false;
                             }
                         }
+                    }
+                }
+            }
+            // bloom tier (round-11): the point-lookup evidence for
+            // dict-OVERFLOW columns, where the digest tier above has
+            // nothing.  Equality/IN only — a bloom can never prove its
+            // column holds ONLY excluded values.
+            PalletJackRegistry.BloomEntry blm =
+                    blooms == null ? null : blooms.get(c.col);
+            if (blm != null) {
+                if ("=".equals(c.op) && c.canon != null) {
+                    if (bloomProvesAbsent(blm, c.canon)) {
+                        return false;
+                    }
+                } else if ("in".equals(c.op) && c.canons != null) {
+                    boolean all = c.canons.length > 0;
+                    for (String canon : c.canons) {
+                        if (!bloomProvesAbsent(blm, canon)) {
+                            all = false;
+                            break;
+                        }
+                    }
+                    if (all) {
+                        return false;
                     }
                 }
             }

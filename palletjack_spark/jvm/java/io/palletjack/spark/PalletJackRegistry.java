@@ -53,6 +53,37 @@ public final class PalletJackRegistry {
     private static final Map<String, Map<String, Map<String, long[]>>> DIGESTS =
             new ConcurrentHashMap<>();
 
+    /**
+     * Optional per-(file, column) split-block BLOOM filters (round-11):
+     * the point-lookup tier for columns whose dictionaries OVERFLOWED —
+     * exactly where the membership digests above must refuse.  The
+     * Python side reads each chunk's standard parquet bloom filter and
+     * packs, per (file, column):
+     *
+     * <pre>[1B ptype: 0=INT32 1=INT64 2=UTF8-bytes]
+     * [4B BE chunk count] then per chunk [4B BE numBytes][bitset]</pre>
+     *
+     * A file is prunable for an equality/IN literal only when EVERY
+     * chunk's filter misses it (xxHash64 over the plain-encoded value,
+     * the format-spec hash) — a miss is a proof of absence, any hit or
+     * parse surprise keeps.  Per-file presence is all-or-nothing: the
+     * Python side only pushes files where every chunk carried a
+     * readable filter.
+     */
+    private static final Map<String, Map<String, Map<String, BloomEntry>>> BLOOMS =
+            new ConcurrentHashMap<>();
+
+    /** Parsed (ptype, per-chunk word arrays) for one (file, column). */
+    public static final class BloomEntry {
+        public final int ptype;
+        public final int[][] chunks;
+
+        BloomEntry(int ptype, int[][] chunks) {
+            this.ptype = ptype;
+            this.chunks = chunks;
+        }
+    }
+
     private PalletJackRegistry() {}
 
     public static String canon(String path) {
@@ -67,23 +98,27 @@ public final class PalletJackRegistry {
     }
 
     public static void register(String root, Map<String, Map<String, double[]>> files) {
-        // Drop any previously pushed membership digests for this root:
-        // re-registering after the data changed (without digest_columns)
-        // must not leave stale digests that could wrongly prune files
-        // whose NEW values weren't in the OLD dictionary set (round-10
-        // ADVICE).  registerDigests() re-pushes them when requested.
+        // Drop any previously pushed membership digests/blooms for this
+        // root: re-registering after the data changed (without
+        // digest_columns/bloom_columns) must not leave stale value
+        // evidence that could wrongly prune files whose NEW values
+        // weren't in the OLD sets (round-10 ADVICE).  registerDigests()/
+        // registerBlooms() re-push them when requested.
         DIGESTS.remove(canon(root));
+        BLOOMS.remove(canon(root));
         ROOTS.put(canon(root), files);
     }
 
     public static void unregister(String root) {
         ROOTS.remove(canon(root));
         DIGESTS.remove(canon(root));
+        BLOOMS.remove(canon(root));
     }
 
     public static void clear() {
         ROOTS.clear();
         DIGESTS.clear();
+        BLOOMS.clear();
     }
 
     /**
@@ -114,6 +149,56 @@ public final class PalletJackRegistry {
 
     public static Map<String, Map<String, long[]>> digestsFor(String root) {
         return DIGESTS.get(canon(root));
+    }
+
+    /** Register packed bloom filters (layout documented on BLOOMS). */
+    public static void registerBlooms(
+            String root, Map<String, Map<String, byte[]>> files) {
+        Map<String, Map<String, BloomEntry>> out = new ConcurrentHashMap<>();
+        for (Map.Entry<String, Map<String, byte[]>> f : files.entrySet()) {
+            Map<String, BloomEntry> cols = new ConcurrentHashMap<>();
+            for (Map.Entry<String, byte[]> c : f.getValue().entrySet()) {
+                BloomEntry e = parseBloomEntry(c.getValue());
+                if (e != null) {
+                    cols.put(c.getKey(), e);
+                }
+            }
+            out.put(f.getKey(), cols);
+        }
+        BLOOMS.put(canon(root), out);
+    }
+
+    private static BloomEntry parseBloomEntry(byte[] packed) {
+        try {
+            java.nio.ByteBuffer bb = java.nio.ByteBuffer.wrap(packed);
+            int ptype = bb.get();
+            int n = bb.getInt();
+            if (ptype < 0 || ptype > 2 || n <= 0 || n > 1 << 20) {
+                return null;
+            }
+            int[][] chunks = new int[n][];
+            for (int i = 0; i < n; i++) {
+                int numBytes = bb.getInt();
+                if (numBytes < 32 || (numBytes & 31) != 0
+                        || numBytes > bb.remaining()) {
+                    return null;
+                }
+                int[] words = new int[numBytes >> 2];
+                bb.order(java.nio.ByteOrder.LITTLE_ENDIAN);
+                for (int w = 0; w < words.length; w++) {
+                    words[w] = bb.getInt();
+                }
+                bb.order(java.nio.ByteOrder.BIG_ENDIAN);
+                chunks[i] = words;
+            }
+            return new BloomEntry(ptype, chunks);
+        } catch (RuntimeException ex) {
+            return null; // malformed push: no bloom evidence (keep)
+        }
+    }
+
+    public static Map<String, Map<String, BloomEntry>> bloomsFor(String root) {
+        return BLOOMS.get(canon(root));
     }
 
     public static int size() {

@@ -294,6 +294,64 @@ def main(tmp: str) -> None:
         is None
     )
 
+    # --- bloom-filter file pruning (round-11): dict-overflow columns ---
+    # interleaved high-cardinality keys in PLAIN (dictionary-less)
+    # chunks: stats keep 4/4 and the digest builder refuses (no
+    # dictionary pages) — only the pushed standard bloom filters can
+    # prune pure-SQL point lookups
+    from palletjack_spark.index.bloomprune import add_bloom_filters
+
+    bdata = os.path.join(tmp, "bloom")
+    os.makedirs(bdata)
+    for i in range(4):
+        keys = [k for k in range(400) if k % 4 == i]
+        p = os.path.join(bdata, f"part-{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array(keys, type=pa.int64()),
+                    "tag": pa.array([f"b{k:04d}" for k in keys]),
+                }
+            ),
+            p,
+            use_dictionary=False,
+        )
+        # fpp 1e-4 keeps this 100-value fixture's probe outcomes exact
+        # (everything is deterministic — hash, values, sizes — so the
+        # parent can pin file counts; a bloom HIT only ever keeps)
+        add_bloom_filters(p, ["k", "tag"], fpp=1e-4)
+    register_index_jvm(
+        spark, bdata, digest_columns=["k", "tag"], bloom_columns=["k", "tag"]
+    )
+    out["blooms_pushed"] = (
+        spark._jvm.io.palletjack.spark.PalletJackRegistry.bloomsFor(bdata)
+        is not None
+    )
+    # digests genuinely absent on this layout (the gap blooms close)
+    jd = spark._jvm.io.palletjack.spark.PalletJackRegistry.digestsFor(bdata)
+    out["digests_empty_on_overflow"] = jd is None or all(
+        jd.get(f).isEmpty() for f in jd.keySet().toArray()
+    )
+    beq = spark.sql(f"SELECT k, tag FROM parquet.`{bdata}` WHERE k = 123")
+    out["files_bloom_int"] = len(_lr_input_files(beq))
+    out["rows_bloom_int"] = sorted((r["k"], r["tag"]) for r in beq.collect())
+    bs = spark.sql(f"SELECT k FROM parquet.`{bdata}` WHERE tag = 'b0123'")
+    out["files_bloom_str"] = len(_lr_input_files(bs))
+    out["n_rows_bloom_str"] = bs.count()
+    bin_ = spark.sql(f"SELECT k FROM parquet.`{bdata}` WHERE k IN (123, 202)")
+    out["files_bloom_in"] = len(_lr_input_files(bin_))
+    out["n_rows_bloom_in"] = bin_.count()
+    bnone = spark.sql(f"SELECT k FROM parquet.`{bdata}` WHERE tag = 'nope'")
+    out["files_bloom_none"] = len(_lr_input_files(bnone))
+    out["n_rows_bloom_none"] = bnone.count()
+    smb = sorted(
+        (r["k"], r["tag"])
+        for r in smart_read(
+            spark, bdata, predicate=[("k", "=", 123)]
+        ).collect()
+    )
+    out["bloom_smart_equal"] = smb == out["rows_bloom_int"]
+
     print("RESULT:" + json.dumps(out))
     spark.stop()
 

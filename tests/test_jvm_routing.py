@@ -147,6 +147,22 @@ def test_pure_sql_scan_is_file_pruned_and_hash_equal(tmp_path):
     assert out["n_rows_fresh"] == 100
     assert out["digests_cleared"] is True
 
+    # round-11: bloom-filter file pruning for dict-OVERFLOW columns —
+    # the layout where the digest builder provably has nothing (no
+    # dictionary pages), pure-SQL point lookups prune via the pushed
+    # standard bloom filters (Java XXH64 probe)
+    assert out["blooms_pushed"] is True
+    assert out["digests_empty_on_overflow"] is True
+    assert out["files_bloom_int"] == 1
+    assert out["rows_bloom_int"] == [[123, "b0123"]]
+    assert out["files_bloom_str"] == 1
+    assert out["n_rows_bloom_str"] == 1
+    assert out["files_bloom_in"] == 2
+    assert out["n_rows_bloom_in"] == 2
+    assert out["files_bloom_none"] == 0
+    assert out["n_rows_bloom_none"] == 0
+    assert out["bloom_smart_equal"] is True
+
 
 def test_per_file_digests_soundness_gates(spark, tmp_path):
     """The digest builder refuses non-identity logical types (unsigned,
