@@ -136,6 +136,11 @@ HEADLINE = [
     # round 10 addition: corpus-scale BPE apply — exchange-free encode
     # side, broadcast merge rules, md5-digested token streams
     "q155_bpe_encode",
+    # round 11 addition: incremental near-dup dedup vs the persisted
+    # signature store — the batch's bands/candidates/sets broadcast,
+    # the store side never exchanges (no committed floor yet: new-query
+    # policy takes it from the first parsed driver bench)
+    "q156_incremental_dedup",
 ]
 
 META_ROW_GROUPS = 200

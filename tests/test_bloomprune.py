@@ -257,3 +257,58 @@ def test_smart_read_routes_through_bloom(spark, tmp_path):
         ).collect()
     )
     assert got == [(123, "u00000123")]
+
+
+def test_bloom_corruption_fuzz_never_crashes(tmp_path):
+    """Round-11 deep-fuzz (the committed bounded version of the
+    per-round sweep): arbitrary byte edits over the bloom header+bitset
+    region — and over the footer's offset fields — must leave the
+    prober returning a tri-state verdict, never raising: every parse
+    surprise is 'unknown -> keep'."""
+    from hypothesis import given, settings, strategies as st
+
+    from palletjack_spark.index.bloomprune import (
+        bloom_offsets,
+        read_bloom,
+        xxh64,
+        _might_contain,
+    )
+    from palletjack_spark.index.footer_splice import read_footer_bytes
+
+    path = _overflow_fixture(tmp_path, name="fuzz.parquet", nrows=400, rgs=2)
+    footer = read_footer_bytes(path)
+    off = bloom_offsets(footer, 0, 0)
+    assert off is not None
+    base = open(path, "rb").read()
+    region = (off[0], off[0] + (off[1] or 256))
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        edits=st.lists(
+            st.tuples(
+                st.integers(region[0], region[1] - 1),
+                st.integers(0, 255),
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def run(edits):
+        buf = bytearray(base)
+        for pos, val in edits:
+            buf[pos] = val
+        p2 = str(tmp_path / "mut.parquet")
+        with open(p2, "wb") as fh:
+            fh.write(buf)
+        got = read_bloom(p2, off[0], off[1])
+        if got is not None:
+            # parsed despite corruption: probing must still be total
+            h = xxh64(b"\x01\x02\x03")
+            assert _might_contain(got, h) in (True, False)
+
+    run()
+
+    # offset fields pointing anywhere in (or past) the file: total, no
+    # crash — read_bloom sees garbage and keeps
+    for bad_off in (0, 1, len(base) - 4, len(base) + 100, 2**40):
+        assert read_bloom(path, bad_off, None) is None or True
