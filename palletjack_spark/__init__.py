@@ -33,6 +33,7 @@ from palletjack_spark.session import get_spark, tune_session
 from palletjack_spark.tables import TABLES, load_table, table_path
 from palletjack_spark.index import (
     add_bloom_filters,
+    add_bloom_filters_dataset,
     build_index,
     load_index,
     MetadataIndex,
@@ -55,6 +56,7 @@ __all__ = [
     "load_table",
     "table_path",
     "add_bloom_filters",
+    "add_bloom_filters_dataset",
     "build_index",
     "load_index",
     "MetadataIndex",

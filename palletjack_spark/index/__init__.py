@@ -1,4 +1,7 @@
-from palletjack_spark.index.bloomprune import add_bloom_filters
+from palletjack_spark.index.bloomprune import (
+    add_bloom_filters,
+    add_bloom_filters_dataset,
+)
 from palletjack_spark.index.builder import build_index, load_index
 from palletjack_spark.index.footer_splice import (
     generate_metadata_index,
@@ -17,6 +20,7 @@ from palletjack_spark.index.smart import smart_read
 
 __all__ = [
     "add_bloom_filters",
+    "add_bloom_filters_dataset",
     "build_index",
     "load_index",
     "MetadataIndex",

@@ -70,8 +70,10 @@ from palletjack_spark.index.footer_splice import (
 __all__ = [
     "BloomProber",
     "add_bloom_filters",
+    "add_bloom_filters_dataset",
     "bloom_prune_plan",
     "bloom_prune_rows",
+    "value_prune_plan",
     "xxh64",
 ]
 
@@ -825,3 +827,27 @@ def add_bloom_filters(
 
 
 from palletjack_spark.errors import InvalidSelectionError  # noqa: E402
+
+
+def add_bloom_filters_dataset(
+    spark, paths, columns: list[str], fpp: float = 0.01
+) -> int:
+    """Distributed :func:`add_bloom_filters` over a whole dataset: ship
+    the file list to executors and let each enrich its files in place —
+    the 100 TB story for data at rest: every file gains point-lookup
+    pruning without a single data page moving over the network or being
+    rewritten.  (A rare legitimate RDD use: per-file imperative footer
+    surgery, no dataframe semantics to express.)  Returns the total
+    number of (row group, column) chunks enriched."""
+    from palletjack_spark.sources.arrow_scan import expand_paths
+
+    files = expand_paths(paths)
+    if not files:
+        return 0
+    sc = spark.sparkContext
+    cols = list(columns)
+    return (
+        sc.parallelize(files, min(len(files), sc.defaultParallelism))
+        .map(lambda p: add_bloom_filters(p, cols, fpp))
+        .sum()
+    )

@@ -312,3 +312,35 @@ def test_bloom_corruption_fuzz_never_crashes(tmp_path):
     # crash — read_bloom sees garbage and keeps
     for bad_off in (0, 1, len(base) - 4, len(base) + 100, 2**40):
         assert read_bloom(path, bad_off, None) is None or True
+
+
+def test_dataset_enrichment_distributed(spark, tmp_path):
+    """add_bloom_filters_dataset enriches every file of a directory
+    executor-side; a point lookup through smart_read then opens only
+    the owning file's row group, and re-running is a no-op."""
+    from palletjack_spark.index.bloomprune import (
+        add_bloom_filters_dataset,
+        bloom_prune_rows,
+    )
+    from palletjack_spark.index.builder import _extract_file_rows
+    from palletjack_spark.index.smart import smart_read
+
+    root = tmp_path / "cat"
+    root.mkdir()
+    for i in range(6):
+        keys = [k for k in range(600) if k % 6 == i]
+        pq.write_table(
+            pa.table({"k": pa.array(keys, pa.int64())}),
+            str(root / f"part-{i}.parquet"),
+            use_dictionary=False,
+        )
+    assert add_bloom_filters_dataset(spark, str(root), ["k"]) == 6
+    assert add_bloom_filters_dataset(spark, str(root), ["k"]) == 0  # no-op
+
+    rgs = []
+    for i in range(6):
+        rgs.extend(_extract_file_rows(str(root / f"part-{i}.parquet"))[1])
+    kept = bloom_prune_rows(rgs, [("k", "=", 123)])
+    assert [os.path.basename(r["file"]) for r in kept] == ["part-3.parquet"]
+    got = smart_read(spark, str(root), predicate=[("k", "=", 123)]).collect()
+    assert [r["k"] for r in got] == [123]
