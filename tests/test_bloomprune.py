@@ -344,3 +344,48 @@ def test_dataset_enrichment_distributed(spark, tmp_path):
     assert [os.path.basename(r["file"]) for r in kept] == ["part-3.parquet"]
     got = smart_read(spark, str(root), predicate=[("k", "=", 123)]).collect()
     assert [r["k"] for r in got] == [123]
+
+
+def test_splice_and_datasource_interplay_with_enriched_files(spark, tmp_path):
+    """Enriched footers stay first-class citizens of the rest of the
+    stack: the PJ_2 splice (row-group-subset FileMetaData) preserves the
+    bloom offsets (absolute into the unchanged data file), and
+    format("palletjack") plans bloom-pruned partitions from Spark's own
+    pushFilters."""
+    import pyarrow.parquet as pq_  # noqa: F401
+
+    from palletjack_spark.index.bloomprune import bloom_offsets
+    from palletjack_spark.index.footer_splice import (
+        generate_metadata_index,
+        read_footer_bytes,
+        read_metadata,
+    )
+    from palletjack_spark.sources.python_datasource import (
+        PalletJackReader,
+        register_datasource,
+    )
+
+    path = _overflow_fixture(tmp_path, name="inter.parquet")
+
+    # splice: a 2-row-group subset FileMetaData from the PJ_2 index of
+    # the ENRICHED file reads fine, and the full footer still carries
+    # usable bloom offsets (positions are absolute in the file)
+    idx_path = str(tmp_path / "inter.index")
+    generate_metadata_index(path, idx_path)
+    md = read_metadata(idx_path, row_groups=[1, 3])
+    assert md.num_row_groups == 2
+    assert md.num_rows == 2000
+    full = read_footer_bytes(path)
+    keep_off = bloom_offsets(full, 3, 0)
+    assert keep_off is not None
+
+    # DataSource: Spark's own pushFilters -> bloom-pruned partitions
+    register_datasource(spark)
+    df = spark.read.format("palletjack").load(path)
+    r = PalletJackReader([path], df.schema)
+    from pyspark.sql.datasource import EqualTo
+
+    list(r.pushFilters([EqualTo(("tag",), "u00000123")]))
+    assert [p.value for p in r.partitions()] == [(path, [3])]
+    got = df.where("tag = 'u00000123'").collect()
+    assert [(x["k"], x["tag"]) for x in got] == [(123, "u00000123")]
