@@ -119,9 +119,10 @@ def test_round10_floor_coverage_and_meta_gate():
         assert q in floors and floors[q] > 0, q
     # every headline query is now floored — no number a regression could
     # hide in (floors may cover more than the current headline list).
-    # Queries INTRODUCED this round are exempt: the committed floor
-    # policy takes their floor from their first parsed driver bench.
-    new_this_round = {"q155_bpe_encode"}
+    # Queries INTRODUCED in the current round are exempt until their first
+    # parsed bench lands a committed floor; as of round 11 the set is empty
+    # (q155's floor landed from BENCH_r10, q156's from BENCH_CLEAN_r11).
+    new_this_round = set()
     assert set(b.HEADLINE) - new_this_round <= set(floors)
     # the r9 contended values flag against the committed floors
     warnings = b._check_floors(
