@@ -138,8 +138,7 @@ HEADLINE = [
     "q155_bpe_encode",
     # round 11 addition: incremental near-dup dedup vs the persisted
     # signature store — the batch's bands/candidates/sets broadcast,
-    # the store side never exchanges (no committed floor yet: new-query
-    # policy takes it from the first parsed driver bench)
+    # the store side never exchanges (floor 0.8724 from BENCH_CLEAN_r11)
     "q156_incremental_dedup",
 ]
 

@@ -537,13 +537,16 @@ def bloom_prune_plan(plan, predicate):
 def value_prune_plan(plan, predicate):
     """Combined executor-side value-level pruning in ONE mapInArrow pass:
     the dictionary tier (equality + exclusion —
-    :mod:`palletjack_spark.index.dictprune`) and the bloom tier
-    (equality on dict-overflow chunks, this module).  One pass instead
-    of two keeps the catalog plan a single pipelined stage, and the two
-    probers share the per-task footer reads through the footer cache.
-    Same contract as both single-tier variants: unknown keeps, the
-    selection never touches the driver, output columns are (file,
-    row_group, total_byte_size)."""
+    :mod:`palletjack_spark.index.dictprune`), the bloom tier (equality
+    on dict-overflow chunks, this module), and the page-index tier
+    (per-page min/max envelope gaps —
+    :mod:`palletjack_spark.index.pageprune`, which also probes RANGE
+    conjuncts the first two tiers can't).  One pass instead of three
+    keeps the catalog plan a single pipelined stage, and the probers
+    share the per-task footer reads through the footer cache.  Same
+    contract as the single-tier variants: unknown keeps, the selection
+    never touches the driver, output columns are (file, row_group,
+    total_byte_size)."""
     from pyspark.sql import functions as F
 
     from palletjack_spark.index.dictprune import (
@@ -551,9 +554,20 @@ def value_prune_plan(plan, predicate):
         _conjunct_prunes as _dict_conjunct_prunes,
         _dict_conjuncts,
     )
+    from palletjack_spark.index.pageprune import (
+        _EXCLUDE_OPS,
+        _NULL_OPS,
+        _VALUE_OPS,
+        PageProber,
+    )
 
-    conj = _dict_conjuncts(predicate)
-    if not conj:
+    conj = _dict_conjuncts(predicate or ())
+    page_ops = _VALUE_OPS | _EXCLUDE_OPS | _NULL_OPS
+    page_cols: list[str] = []
+    for col_name, op, *_vals in predicate or ():
+        if op in page_ops and col_name not in page_cols:
+            page_cols.append(col_name)
+    if not conj and not page_cols:
         return plan
 
     import pyarrow as pa
@@ -589,17 +603,48 @@ def value_prune_plan(plan, predicate):
                 ).alias(f"pj_cix_{i}"),
             ]
         )
-    sel = plan.select("file", "row_group", "total_byte_size", *meta_cols)
+    for j, col_name in enumerate(page_cols):
+        match = F.get(
+            F.filter("columns", lambda c: c["name"] == F.lit(col_name)), 0
+        )
+        meta_cols.extend(
+            [
+                match["physical_type"].alias(f"pg_ptype_{j}"),
+                (
+                    match["logical_type"]
+                    if has_ltype
+                    else F.lit(None).cast("string")
+                ).alias(f"pg_ltype_{j}"),
+                (
+                    F.array_position(
+                        F.transform("columns", lambda c: c["name"]),
+                        col_name,
+                    )
+                    - 1
+                ).alias(f"pg_cix_{j}"),
+            ]
+        )
+    has_nrows = "num_rows" in plan.columns
+    nrows_col = (
+        [F.col("num_rows").alias("pg_nrows")]
+        if has_nrows
+        else [F.lit(None).cast("long").alias("pg_nrows")]
+    )
+    sel = plan.select(
+        "file", "row_group", "total_byte_size", *nrows_col, *meta_cols
+    )
     out_schema = "file string, row_group int, total_byte_size long"
     out_arrow = pa.schema(
         [("file", pa.string()), ("row_group", pa.int32()),
          ("total_byte_size", pa.int64())]
     )
     values = [(vs, mode) for _c, vs, mode in conj]
+    pred_list = [tuple(p) for p in predicate]
 
     def probe(batches):
         dict_prober = DictionaryProber()
         bloom_prober = BloomProber()
+        page_prober = PageProber()
         for b in batches:
             kept = []
             for r in b.to_pylist():
@@ -627,6 +672,26 @@ def value_prune_plan(plan, predicate):
                     ):
                         keep = False
                         break
+                if keep and page_cols:
+                    page_meta = {
+                        c: (r[f"pg_cix_{j}"], {
+                            "physical_type": r[f"pg_ptype_{j}"],
+                            "logical_type": r[f"pg_ltype_{j}"],
+                        })
+                        for j, c in enumerate(page_cols)
+                    }
+
+                    def look(col_name):
+                        got = page_meta.get(col_name)
+                        if got is None or got[0] is None or got[0] < 0:
+                            return None
+                        return int(got[0]), got[1]
+
+                    if not page_prober.rg_can_match(
+                        r["file"], r["row_group"], r["pg_nrows"],
+                        pred_list, look,
+                    ):
+                        keep = False
                 if keep:
                     kept.append(
                         {

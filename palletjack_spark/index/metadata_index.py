@@ -1015,12 +1015,19 @@ class MetadataIndex:
                         bloom_prune_rows,
                     )
                     from palletjack_spark.index.dictprune import dict_prune_rows
+                    from palletjack_spark.index.pageprune import (
+                        page_prune_rows,
+                    )
 
                     rg_rows = dict_prune_rows(rg_rows, predicate)
                     # bloom tier (q03g): equality point lookups on
                     # dict-OVERFLOW high-cardinality chunks, where the
                     # encoding_stats gate above correctly refused
                     rg_rows = bloom_prune_rows(rg_rows, predicate)
+                    # page-index tier (q03h): per-page min/max envelopes
+                    # prove ENVELOPE-GAP row groups empty — values the
+                    # row-group envelope covers but no page does
+                    rg_rows = page_prune_rows(rg_rows, predicate)
             sel_rows = sorted(
                 (r["file"], r["row_group"], r["total_byte_size"]) for r in rg_rows
             )

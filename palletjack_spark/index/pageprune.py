@@ -1,0 +1,572 @@
+"""Page-index (ColumnIndex / OffsetIndex) row-group pruning.
+
+The fourth value-level pruning tier, below row-group stats (round 5),
+dictionaries (round 9, :mod:`palletjack_spark.index.dictprune`) and
+bloom filters (round 11, :mod:`palletjack_spark.index.bloomprune`):
+per-PAGE min/max envelopes from the parquet page index (format spec
+``PageIndex.md``; the reference's generated codec models the structs —
+``ColumnIndex``/``OffsetIndex``/``PageLocation``,
+parquet_types_palletjack.h — as offsets it splices but never probes).
+
+What pages reach that row-group stats can't: the ENVELOPE-GAP layout.
+A row group's [min, max] is the union envelope of its pages; data that
+clusters per page (time-ordered appends compacted from multiple
+streams, multi-tenant batches, re-bucketed writes) leaves value GAPS
+between pages that the row-group envelope hides.  A literal in such a
+gap passes stats, has no dictionary (plain-encoded high-cardinality
+chunk), may have no bloom filter — yet every page's envelope provably
+excludes it, so the whole row group is skippable from a few hundred
+footer-adjacent bytes.
+
+Layout (public parquet-format spec):
+
+- ``ColumnChunk.column_index_offset/length`` (fields 6/7) point at a
+  compact-thrift ``ColumnIndex``: null_pages (1, list<bool>),
+  min_values (2, list<binary>, PLAIN-encoded per physical type),
+  max_values (3), boundary_order (4), null_counts (5, optional).
+- ``ColumnChunk.offset_index_offset/length`` (fields 4/5) point at an
+  ``OffsetIndex``: page_locations (1, list<PageLocation{offset (1),
+  compressed_page_size (2), first_row_index (3)}>) — first_row_index
+  is the page's first row ordinal WITHIN the row group.
+
+Soundness contract (same as every other tier — unknown always keeps,
+results are identical with pruning off because the residual filter
+applies downstream):
+
+- byte-array min/max may be TRUNCATED: min is a prefix of (hence <=)
+  the true min, max is spec-required >= the true max — both remain
+  valid envelope bounds as-is; a single-valued-page proof (lo == hi)
+  survives truncation (max >= true max and max a prefix of true min
+  forces equality).
+- the IDENTITY logical-type gate of the dictionary/bloom probes
+  (round-10 ADVICE): DECIMAL-as-unscaled-INT, unsigned-as-signed and
+  date/time re-encodings never probe — decoded bytes would order
+  differently from the user literal's value space.
+- FLOAT/DOUBLE: range/equality envelopes prune (Spark's own parquet
+  pushdown and DuckDB's zone maps share parquet's NaN-dropping stats
+  behavior — engine-parity doctrine, PLANS round 11), NaN literals and
+  NaN bounds never prune, and exclusion (``!=``/``not_in``) NEVER
+  prunes float pages (a page holding {5.0, NaN} reports lo == hi ==
+  5.0 while its NaN rows satisfy ``col != 5.0``).
+- ``null_pages[i]`` true = page i is all-NULL: it provably fails every
+  value conjunct (including exclusions — NULL fails those too) and
+  ``not_null``, and provably passes ``is_null``.
+
+Granularities served:
+
+- :func:`page_prune_rows` / the page leg of
+  ``bloomprune.value_prune_plan``: drop a ROW GROUP when, for some
+  conjunct column, every page fails — or, when every conjunct column
+  also carries an OffsetIndex, when the per-column surviving row-range
+  unions have an EMPTY intersection (multi-column envelope gaps).
+- :meth:`PageProber.surviving_ranges`: the row-granular selection
+  [(start, end)) within a row group, for callers that restrict decoded
+  batches (q03h pins the 4-rg fixture to 1 surviving row group and 1
+  of its 4 pages).
+
+Probe I/O is the footer (cached) plus one ``column_index_length`` (+
+optionally ``offset_index_length``) read per (chunk, conjunct column)
+— typically a few hundred bytes, adjacent in the file since writers
+emit the page index as one contiguous block before the footer.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+from palletjack_spark.index.dictprune import _IDENTITY_LOGICAL
+from palletjack_spark.index.footer_splice import (
+    _decode_value,
+    _list_elem_spans,
+    _span_get,
+    _struct_field_spans,
+    footer_spans,
+    read_footer_bytes,
+)
+
+__all__ = [
+    "PageProber",
+    "page_index_offsets",
+    "page_prune_rows",
+    "read_column_index",
+    "read_offset_index",
+]
+
+#: predicate ops the page tier understands (mirror of the stats tier's
+#: mini-language; unsupported ops simply keep)
+_VALUE_OPS = {"=", "==", "in", "<", "<=", ">", ">=", "between"}
+_EXCLUDE_OPS = {"!=", "<>", "not_in"}
+_NULL_OPS = {"is_null", "not_null"}
+
+
+def _column_chunk_fields(footer: bytes, rg_idx: int, col_idx: int):
+    """Span list of ColumnChunk fields (NOT ColumnMetaData — the page
+    index offsets live one level up) for (row group, column), or None
+    on any layout surprise."""
+    try:
+        _fields, rg_elems = footer_spans(footer)
+        if not (0 <= rg_idx < len(rg_elems)):
+            return None
+        cols_span = _span_get(rg_elems[rg_idx], 1)  # RowGroup.columns
+        if cols_span is None:
+            return None
+        _etype, spans, _ = _list_elem_spans(footer, cols_span[1])
+        if not (0 <= col_idx < len(spans)):
+            return None
+        cc_fields, _ = _struct_field_spans(footer, spans[col_idx][0])
+        return cc_fields
+    except Exception:
+        return None
+
+
+def _int_field(footer: bytes, fields, fid: int) -> int | None:
+    span = _span_get(fields, fid)
+    if span is None:
+        return None
+    try:
+        v = _decode_value(footer, span[1], span[0])[0]
+        return v if isinstance(v, int) and v >= 0 else None
+    except Exception:
+        return None
+
+
+def page_index_offsets(
+    footer: bytes, rg_idx: int, col_idx: int
+) -> tuple[int, int, int | None, int | None] | None:
+    """(column_index_offset, column_index_length, offset_index_offset,
+    offset_index_length) of one column chunk — the last two None when
+    the writer omitted the OffsetIndex — or None when there is no
+    ColumnIndex at all (absence must KEEP)."""
+    cc = _column_chunk_fields(footer, rg_idx, col_idx)
+    if cc is None:
+        return None
+    ci_off = _int_field(footer, cc, 6)
+    ci_len = _int_field(footer, cc, 7)
+    if ci_off is None or ci_len is None or ci_len <= 0:
+        return None
+    oi_off = _int_field(footer, cc, 4)
+    oi_len = _int_field(footer, cc, 5)
+    if oi_len is not None and oi_len <= 0:
+        oi_off = oi_len = None
+    return ci_off, ci_len, oi_off, oi_len
+
+
+#: sanity cap on one page-index read (far above any real writer's output)
+_MAX_INDEX = 16 * 1024 * 1024
+
+
+def _decode_stat(raw: bytes, physical_type: str):
+    """PLAIN-decoded bound value, or None when undecodable.  BYTE_ARRAY
+    bounds stay raw bytes (possibly truncated — still valid envelope
+    bounds, see module docstring); numerics must be exactly sized."""
+    t = (physical_type or "").upper()
+    try:
+        if t == "BYTE_ARRAY":
+            return bytes(raw)
+        if t == "INT32":
+            return struct.unpack("<i", raw)[0] if len(raw) == 4 else None
+        if t == "INT64":
+            return struct.unpack("<q", raw)[0] if len(raw) == 8 else None
+        if t == "FLOAT":
+            if len(raw) != 4:
+                return None
+            v = struct.unpack("<f", raw)[0]
+            return None if math.isnan(v) else v
+        if t == "DOUBLE":
+            if len(raw) != 8:
+                return None
+            v = struct.unpack("<d", raw)[0]
+            return None if math.isnan(v) else v
+        return None  # BOOLEAN / INT96 / FIXED_LEN_BYTE_ARRAY: not probed
+    except Exception:
+        return None
+
+
+def read_column_index(
+    path: str, offset: int, length: int, physical_type: str
+) -> dict | None:
+    """Parse one ColumnIndex into {'null_pages', 'mins', 'maxs',
+    'null_counts'} (bounds decoded per physical type; an undecodable
+    bound becomes None so that page keeps), or None when anything about
+    the layout surprises — unknown always keeps."""
+    if not (0 < length <= _MAX_INDEX):
+        return None
+    try:
+        with open(path, "rb") as fh:
+            fh.seek(offset)
+            raw = fh.read(length)
+        if len(raw) != length:
+            return None
+        fields, _ = _struct_field_spans(raw, 0)
+
+        def _list(fid):
+            span = _span_get(fields, fid)
+            if span is None:
+                return None
+            etype, spans, _ = _list_elem_spans(raw, span[1])
+            return [(etype, s, e) for s, e in spans]
+
+        nulls = _list(1)
+        mins = _list(2)
+        maxs = _list(3)
+        if nulls is None or mins is None or maxs is None:
+            return None
+        if not (len(nulls) == len(mins) == len(maxs)) or not nulls:
+            return None
+        null_pages = [
+            bool(_decode_value(raw, s, et)[0]) for et, s, _e in nulls
+        ]
+        dec = []
+        for vals in (mins, maxs):
+            out = []
+            for et, s, e in vals:
+                if et != 8:  # binary
+                    return None
+                b = _decode_value(raw, s, et)[0]
+                out.append(_decode_stat(b, physical_type))
+            dec.append(out)
+        ncs = _list(5)
+        null_counts = None
+        if ncs is not None and len(ncs) == len(nulls):
+            null_counts = [
+                _decode_value(raw, s, et)[0] for et, s, _e in ncs
+            ]
+        return {
+            "null_pages": null_pages,
+            "mins": dec[0],
+            "maxs": dec[1],
+            "null_counts": null_counts,
+        }
+    except Exception:
+        return None
+
+
+def read_offset_index(path: str, offset: int, length: int) -> list | None:
+    """The page first-row ordinals (within the row group) from one
+    OffsetIndex, or None on any surprise."""
+    if not (0 < length <= _MAX_INDEX):
+        return None
+    try:
+        with open(path, "rb") as fh:
+            fh.seek(offset)
+            raw = fh.read(length)
+        if len(raw) != length:
+            return None
+        fields, _ = _struct_field_spans(raw, 0)
+        span = _span_get(fields, 1)  # OffsetIndex.page_locations
+        if span is None:
+            return None
+        _etype, spans, _ = _list_elem_spans(raw, span[1])
+        firsts = []
+        for s, _e in spans:
+            pl, _ = _struct_field_spans(raw, s)
+            fr = _span_get(pl, 3)  # PageLocation.first_row_index
+            if fr is None:
+                return None
+            v = _decode_value(raw, fr[1], fr[0])[0]
+            if not isinstance(v, int) or v < 0:
+                return None
+            firsts.append(v)
+        if firsts != sorted(firsts) or (firsts and firsts[0] != 0):
+            return None
+        return firsts
+    except Exception:
+        return None
+
+
+# --------------------------------------------------------------------------
+# per-page envelope tests
+# --------------------------------------------------------------------------
+
+
+def _coerce_literal(value, physical_type: str):
+    """The literal in the decoded bound's comparison space, or None when
+    it can't be compared (keep).  Strings compare as UTF-8 bytes —
+    Spark's UTF8String and parquet's BYTE_ARRAY ordering are both
+    unsigned byte-wise, so the orders agree for ANY string."""
+    t = (physical_type or "").upper()
+    if t == "BYTE_ARRAY":
+        if isinstance(value, str):
+            return value.encode("utf-8")
+        if isinstance(value, (bytes, bytearray)):
+            return bytes(value)
+        return None
+    if t in ("INT32", "INT64"):
+        # ints compare exactly; a float literal compares fine against
+        # python ints too (both exact here — bounds decode to int)
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            return None
+        if isinstance(value, float):
+            return None if math.isnan(value) else value
+        return value
+    if t in ("FLOAT", "DOUBLE"):
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            return None
+        v = float(value)
+        return None if math.isnan(v) else v
+    return None
+
+
+def _page_passes(op, vals, lo, hi, null_page: bool, null_count) -> bool:
+    """True when page MAY hold a matching row (conservative); False is a
+    proof it can't.  ``lo``/``hi`` are decoded bounds (None = unknown),
+    ``vals`` already coerced to the comparison space."""
+    if op in _NULL_OPS:
+        if op == "is_null":
+            if null_page:
+                return True
+            if null_count is not None and null_count == 0:
+                return False
+            return True
+        return not null_page  # not_null: only an all-NULL page fails
+    if null_page:
+        return False  # no non-NULL value: fails =/in/ranges/exclusions
+    if op in _EXCLUDE_OPS:
+        # prune only a provably single-valued page whose value is
+        # excluded (float pages never reach here — gated by caller)
+        if lo is None or hi is None:
+            return True
+        return not (lo == hi and lo in vals)
+    if lo is None or hi is None:
+        return True
+    if op == "in":
+        return any(lo <= v <= hi for v in vals)
+    v = vals[0]
+    if op in ("=", "=="):
+        return lo <= v <= hi
+    if op == "<":
+        return lo < v
+    if op == "<=":
+        return lo <= v
+    if op == ">":
+        return hi > v
+    if op == ">=":
+        return hi >= v
+    if op == "between":
+        return hi >= v and lo <= vals[1]
+    return True
+
+
+def _conjunct_page_mask(ci: dict, op, raw_vals, physical_type) -> list | None:
+    """Per-page pass/fail for one conjunct, or None when the conjunct
+    can't probe this column (keep everything)."""
+    t = (physical_type or "").upper()
+    if op in _NULL_OPS:
+        vals = []
+    else:
+        if op in ("in", "not_in"):
+            cand = list(raw_vals[0]) if raw_vals else []
+            if op == "in" and not cand:
+                return [False] * len(ci["null_pages"])  # empty IN: nothing
+            if not cand:
+                return None  # excluding nothing prunes nothing
+        else:
+            cand = [raw_vals[0]] if raw_vals else []
+            if op == "between":
+                cand = list(raw_vals[:2])
+            if not cand:
+                return None
+        if op in _EXCLUDE_OPS and t in ("FLOAT", "DOUBLE"):
+            return None  # NaN-data hazard: float pages never exclude
+        vals = [_coerce_literal(v, t) for v in cand]
+        if any(v is None for v in vals):
+            return None  # uncomparable / NaN literal: keep
+    ncs = ci["null_counts"]
+    return [
+        _page_passes(
+            op,
+            vals,
+            ci["mins"][i],
+            ci["maxs"][i],
+            ci["null_pages"][i],
+            ncs[i] if ncs is not None else None,
+        )
+        for i in range(len(ci["null_pages"]))
+    ]
+
+
+# --------------------------------------------------------------------------
+# prober + pruning
+# --------------------------------------------------------------------------
+
+
+class PageProber:
+    """Memoizing prober for one planning pass: footers, ColumnIndexes
+    and OffsetIndexes are each read at most once per (file, chunk)."""
+
+    def __init__(self) -> None:
+        self._footers: dict[str, bytes | None] = {}
+        self._cis: dict[tuple, dict | None] = {}
+        self._ois: dict[tuple, list | None] = {}
+
+    def _footer(self, path: str) -> bytes | None:
+        if path not in self._footers:
+            try:
+                self._footers[path] = read_footer_bytes(path)
+            except Exception:
+                self._footers[path] = None
+        return self._footers[path]
+
+    def _index(self, path: str, rg_idx: int, col_idx: int, ptype: str):
+        """(ColumnIndex dict | None, first_row_index list | None)."""
+        key = (path, rg_idx, col_idx)
+        if key not in self._cis:
+            footer = self._footer(path)
+            offs = (
+                page_index_offsets(footer, rg_idx, col_idx)
+                if footer is not None
+                else None
+            )
+            if offs is None:
+                self._cis[key] = None
+                self._ois[key] = None
+            else:
+                ci_off, ci_len, oi_off, oi_len = offs
+                ci = read_column_index(path, ci_off, ci_len, ptype)
+                oi = (
+                    read_offset_index(path, oi_off, oi_len)
+                    if oi_off is not None and oi_len is not None
+                    else None
+                )
+                if (
+                    ci is not None
+                    and oi is not None
+                    and len(oi) != len(ci["null_pages"])
+                ):
+                    oi = None  # inconsistent writer output: ranges unusable
+                self._cis[key] = ci
+                self._ois[key] = oi
+        return self._cis[key], self._ois[key]
+
+    def _masks(self, path, rg_idx, predicate, col_lookup):
+        """[(mask, first_rows | None)] per probeable conjunct, or None
+        entries skipped.  ``col_lookup(col_name)`` -> (col_idx, meta)
+        or None."""
+        out = []
+        for col_name, op, *vals in predicate:
+            if op not in _VALUE_OPS | _EXCLUDE_OPS | _NULL_OPS:
+                continue
+            got = col_lookup(col_name)
+            if got is None:
+                continue
+            col_idx, meta = got
+            ptype = meta.get("physical_type")
+            ltype = meta.get("logical_type")
+            t = (ptype or "").upper()
+            if op not in _NULL_OPS and ltype not in _IDENTITY_LOGICAL.get(
+                t, ()
+            ):
+                continue  # non-identity logical re-encoding: never probe
+            ci, oi = self._index(path, rg_idx, col_idx, ptype)
+            if ci is None:
+                continue
+            mask = _conjunct_page_mask(ci, op, vals, ptype)
+            if mask is None:
+                continue
+            out.append((mask, oi))
+        return out
+
+    def rg_can_match(
+        self, path: str, rg_idx: int, num_rows, predicate, col_lookup
+    ) -> bool:
+        """False = the page index PROVES no row of the row group can
+        satisfy ``predicate`` (safe to skip); True = maybe."""
+        masks = self._masks(path, rg_idx, predicate, col_lookup)
+        survive = None  # intersected row-range set across conjuncts
+        for mask, firsts in masks:
+            if not any(mask):
+                return False  # every page fails one conjunct
+            if firsts is None or num_rows is None:
+                continue  # no row granularity: this conjunct only vetoes
+            rngs = _mask_ranges(mask, firsts, num_rows)
+            survive = rngs if survive is None else _intersect(survive, rngs)
+            if survive == []:
+                return False  # multi-column envelope gap: ranges disjoint
+        return True
+
+    def surviving_ranges(
+        self, path: str, rg_idx: int, num_rows: int, predicate, col_lookup
+    ) -> list | None:
+        """Intersected surviving [(start, end)) row ranges within the
+        row group, or None when any probeable conjunct lacks an
+        OffsetIndex (row granularity unknown — caller keeps all rows).
+        An empty list is a PROOF no row matches."""
+        masks = self._masks(path, rg_idx, predicate, col_lookup)
+        if not masks:
+            return None
+        survive = [(0, num_rows)]
+        for mask, firsts in masks:
+            if not any(mask):
+                return []
+            if firsts is None:
+                return None
+            survive = _intersect(survive, _mask_ranges(mask, firsts, num_rows))
+            if not survive:
+                return []
+        return survive
+
+
+def _mask_ranges(mask, firsts, num_rows: int) -> list:
+    """Surviving-page row ranges [(start, end)), coalescing adjacent
+    survivors."""
+    out = []
+    for i, keep in enumerate(mask):
+        if not keep:
+            continue
+        start = firsts[i]
+        end = firsts[i + 1] if i + 1 < len(firsts) else num_rows
+        if out and out[-1][1] == start:
+            out[-1] = (out[-1][0], end)
+        else:
+            out.append((start, end))
+    return out
+
+
+def _intersect(a: list, b: list) -> list:
+    out = []
+    i = j = 0
+    while i < len(a) and j < len(b):
+        lo = max(a[i][0], b[j][0])
+        hi = min(a[i][1], b[j][1])
+        if lo < hi:
+            out.append((lo, hi))
+        if a[i][1] <= b[j][1]:
+            i += 1
+        else:
+            j += 1
+    return out
+
+
+def _row_lookup(rg_row: dict):
+    """col_lookup over an index-sidecar row's ``columns`` array."""
+
+    def look(col_name):
+        for i, c in enumerate(rg_row["columns"]):
+            if c["name"] == col_name:
+                return i, c
+        return None
+
+    return look
+
+
+def page_prune_rows(
+    rg_rows: list[dict], predicate, prober: PageProber | None = None
+) -> list[dict]:
+    """Drop row-group rows whose page index PROVES the predicate can't
+    match — the envelope-gap tier.  Unknown verdicts keep the row;
+    results are identical either way (residual filter downstream)."""
+    if not predicate:
+        return rg_rows
+    prober = prober or PageProber()
+    out = []
+    for r in rg_rows:
+        if prober.rg_can_match(
+            r["file"],
+            r["row_group"],
+            r.get("num_rows"),
+            predicate,
+            _row_lookup(r),
+        ):
+            out.append(r)
+    return out

@@ -1296,6 +1296,112 @@ def q03g(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q03h_page_index_scan",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority
+    FROM orders
+    WHERE o_orderkey = (SELECT o_orderkey FROM orders
+                        ORDER BY o_orderkey LIMIT 1 OFFSET 5632)
+    """,
+)
+def q03h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-index (ColumnIndex) row-group pruning (Q03h, round 11): the
+    ENVELOPE-GAP layout no earlier tier can prune.  Each row group holds
+    several page-aligned value BANDS far apart (time-ordered appends
+    compacted from interleaved streams), so the row-group [min, max]
+    envelope covers the probe literal in EVERY row group while no
+    individual page does: stats keep all, the chunks are plain-encoded
+    (dictionary tier refuses), no bloom filters exist — only the
+    parquet page index's per-page min/max (format spec ``PageIndex.md``;
+    the reference codec models ColumnIndex/OffsetIndex structs but
+    never probes them) can prove three of the four row groups empty
+    (index/pageprune.py).  Unknown keeps, the residual filter applies —
+    results are identical with pruning off, which is the oracle's
+    check; the 4-row-groups-to-1 prune (and the 1-of-4-pages surviving
+    row range) is pinned in tests/test_pageprune.py.
+
+    The fixture writes orders rank-banded: band b = the b-th 1024-row
+    slice of the key order, row group r = bands ≡ r (mod 4), pages
+    forced to band boundaries (write_batch_size=1024 + 1-byte
+    data_page_size) with ``write_page_index=True``.  The probe key is
+    the rank-5632 key (band 5, center) — present in row group 1 only;
+    at a scale too small for rank 5632 the query returns empty, exactly
+    like the oracle's NULL-scalar comparison."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src_st = os.stat(table_path(sf_dir, "orders"))
+    prefix = _tmp("q03h_pagefix", sf_dir)
+    out = prefix + f"_{src_st.st_size}_{src_st.st_mtime_ns}.parquet"
+    if not os.path.exists(out):
+        import glob as _glob
+
+        for stale in _glob.glob(prefix + "_*.parquet"):
+            if stale != out:
+                try:
+                    os.unlink(stale)
+                except OSError:
+                    pass
+        t0 = pq.read_table(
+            table_path(sf_dir, "orders"),
+            columns=["o_orderkey", "o_orderpriority"],
+        )
+        okey = t0["o_orderkey"].to_pylist()
+        prio = t0["o_orderpriority"].to_pylist()
+        rank = sorted(range(len(okey)), key=lambda i: okey[i])
+        nbands = -(-len(rank) // 1024)
+        by_rg: list[list[int]] = [[], [], [], []]
+        for b in range(nbands):
+            by_rg[b % 4].extend(rank[b * 1024 : (b + 1) * 1024])
+        schema = pa.schema(
+            [("o_orderkey", pa.int64()), ("o_orderpriority", pa.string())]
+        )
+        w = pq.ParquetWriter(
+            out + ".tmp",
+            schema,
+            use_dictionary=False,  # plain chunks: dictionary tier refuses
+            write_page_index=True,
+            data_page_size=1,  # with write_batch_size: page per band
+            write_batch_size=1024,
+        )
+        for rows in by_rg:
+            if rows:
+                w.write_table(
+                    pa.table(
+                        {
+                            "o_orderkey": pa.array(
+                                [okey[i] for i in rows], type=pa.int64()
+                            ),
+                            "o_orderpriority": pa.array(
+                                [prio[i] for i in rows]
+                            ),
+                        },
+                        schema=schema,
+                    ),
+                    row_group_size=len(rows),
+                )
+        w.close()
+        os.rename(out + ".tmp", out)
+    idx = build_index(spark, out)
+    ranked = sorted(
+        pq.read_table(out, columns=["o_orderkey"])["o_orderkey"].to_pylist()
+    )
+    if len(ranked) > 5632:
+        df = idx.read(
+            columns=["o_orderkey", "o_orderpriority"],
+            predicate=[("o_orderkey", "=", ranked[5632])],
+        )
+    else:
+        df = idx.read(columns=["o_orderkey", "o_orderpriority"]).where(
+            F.lit(False)
+        )
+    return df.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderpriority",
+    )
+
+
+@query(
     "q16b_python_datasource",
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders

@@ -271,6 +271,7 @@ class PalletJackReader(DataSourceReader):
             rg_rows.extend(rgs)
         if self._predicate:
             from palletjack_spark.index.bloomprune import bloom_prune_rows
+            from palletjack_spark.index.pageprune import page_prune_rows
 
             rg_rows = [
                 r
@@ -280,6 +281,9 @@ class PalletJackReader(DataSourceReader):
             rg_rows = dict_prune_rows(rg_rows, self._predicate)
             # bloom tier (q03g): point lookups on dict-overflow chunks
             rg_rows = bloom_prune_rows(rg_rows, self._predicate)
+            # page-index tier (q03h): per-page envelope gaps, incl. the
+            # range conjuncts the first two tiers can't probe
+            rg_rows = page_prune_rows(rg_rows, self._predicate)
         sel = sorted(
             (r["file"], r["row_group"], r["total_byte_size"]) for r in rg_rows
         )
