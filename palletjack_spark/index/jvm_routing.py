@@ -353,6 +353,128 @@ def _per_file_blooms(
     return out
 
 
+#: numeric physical types whose raw page-stat values ARE the Catalyst
+#: literal's value space (identity logical tags only — a DECIMAL-as-INT,
+#: unsigned, or date/time re-encoding must never push intervals)
+_INTERVAL_LOGICAL = {
+    "INT32": {"NONE", "INT(32,true)"},
+    "INT64": {"NONE", "INT(64,true)"},
+    "FLOAT": {"NONE"},
+    "DOUBLE": {"NONE"},
+}
+
+
+def _per_file_intervals(
+    index: MetadataIndex,
+    columns: list[str],
+    max_intervals: int = 4096,
+) -> dict[str, dict[str, bytes]]:
+    """file -> column -> packed page-envelope interval set (the q03h
+    page-index tier lifted to FILE scope): the union of the file's
+    per-page [min, max] envelopes from its parquet ColumnIndexes, merged
+    to disjoint lo-sorted intervals and packed as
+    ``[4B BE count][count x (8B BE double lo, 8B BE double hi)]``.
+
+    A (file, column) is pushed only when the physical+logical mapping is
+    a numeric identity and EVERY row group carries a readable
+    ColumnIndex whose every non-NULL page decodes; all-NULL pages add no
+    interval (value conjuncts can't match them), so an all-NULL column
+    pushes a valid EMPTY set.  Bounds round min-down/max-up into doubles
+    (``_double_floor``/``_double_ceil``) so int64 beyond 2^53 stays a
+    superset.  Sets larger than ``max_intervals`` coarsen by merging the
+    smallest inter-interval gaps — still a superset, never unsound.
+    Anything else is simply absent → the rule keeps the file.
+
+    Scale shape: one footer + one ColumnIndex read per (file, chunk) on
+    the driver — the same ≤32-file registration shape as the stats push."""
+    import struct
+
+    from palletjack_spark.index.footer_splice import read_footer_bytes
+    from palletjack_spark.index.pageprune import (
+        page_index_offsets,
+        read_column_index,
+    )
+
+    want = set(columns)
+    local = index.local()
+    spans: dict[tuple[str, str], list] = {}
+    complete: dict[tuple[str, str], bool] = {}
+    footers: dict[str, bytes | None] = {}
+    for (file, rg_idx), rg in sorted(local.row_groups.items()):
+        for col_idx, col in enumerate(rg["columns"]):
+            name = col["name"]
+            if name not in want:
+                continue
+            key = (file, name)
+            if complete.get(key) is False:
+                continue
+            pt = (col.get("physical_type") or "").upper()
+            if col.get("logical_type") not in _INTERVAL_LOGICAL.get(pt, ()):
+                complete[key] = False
+                continue
+            if file not in footers:
+                try:
+                    footers[file] = read_footer_bytes(file)
+                except Exception:
+                    footers[file] = None
+            footer = footers[file]
+            offs = (
+                page_index_offsets(footer, rg_idx, col_idx)
+                if footer is not None
+                else None
+            )
+            ci = (
+                read_column_index(file, offs[0], offs[1], pt)
+                if offs is not None
+                else None
+            )
+            if ci is None:
+                complete[key] = False
+                continue
+            ok = True
+            got = spans.setdefault(key, [])
+            for i, null_page in enumerate(ci["null_pages"]):
+                if null_page:
+                    continue  # no non-NULL values: no interval
+                lo, hi = ci["mins"][i], ci["maxs"][i]
+                if lo is None or hi is None:
+                    ok = False  # undecodable bound: no evidence at all
+                    break
+                got.append((_double_floor(lo), _double_ceil(hi)))
+            complete[key] = ok
+    out: dict[str, dict[str, bytes]] = {}
+    for (file, name), pairs in sorted(spans.items()):
+        if not complete.get((file, name)):
+            continue
+        pairs.sort()
+        merged: list[list[float]] = []
+        for lo, hi in pairs:
+            if merged and lo <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], hi)
+            else:
+                merged.append([lo, hi])
+        if len(merged) > max_intervals:
+            # coarsen: close the smallest gaps first — the result stays
+            # a superset of the true value set
+            gaps = sorted(
+                (merged[i + 1][0] - merged[i][1], i)
+                for i in range(len(merged) - 1)
+            )
+            close = {i for _g, i in gaps[: len(merged) - max_intervals]}
+            coarse: list[list[float]] = []
+            for i, iv in enumerate(merged):
+                if coarse and (i - 1) in close:
+                    coarse[-1][1] = max(coarse[-1][1], iv[1])
+                else:
+                    coarse.append(iv)
+            merged = coarse
+        flat = [v for iv in merged for v in iv]
+        out.setdefault(file, {})[name] = struct.pack(
+            f">I{len(flat)}d", len(merged), *flat
+        )
+    return out
+
+
 def register_index_jvm(
     spark: SparkSession,
     path: str,
@@ -360,6 +482,7 @@ def register_index_jvm(
     digest_columns: list[str] | None = None,
     digest_max_values: int = 65536,
     bloom_columns: list[str] | None = None,
+    page_columns: list[str] | None = None,
 ) -> int:
     """Build (or reuse) the metadata index for ``path`` and push its
     per-file stats into the JVM registry, arming the optimizer rule for
@@ -386,7 +509,15 @@ def register_index_jvm(
     equality/IN literal only when EVERY chunk's filter misses it (a
     bloom miss is a proof of absence; hits and absent filters keep).
     Typically produced by ``bloomprune.add_bloom_filters`` on data at
-    rest, or any parquet-mr writer."""
+    rest, or any parquet-mr writer.
+
+    ``page_columns`` (round 11) pushes per-(file, column) PAGE-ENVELOPE
+    interval sets from the files' parquet page indexes
+    (:func:`_per_file_intervals`) — the q03h envelope-gap tier at file
+    scope: pure-SQL point lookups, IN lists, and conjunct-intersected
+    RANGE boxes prune files whose overall [min, max] spans the literal
+    but whose per-page value bands provably miss it.  The one file-level
+    evidence that serves range predicates beyond plain min/max."""
     if not jvm_routing_available(spark):
         raise PalletJackSparkError(
             "JVM routing classes are not on the driver classpath; launch "
@@ -430,6 +561,15 @@ def register_index_jvm(
                 jcols.put(name, packed)
             jblm.put(file, jcols)
         jvm.io.palletjack.spark.PalletJackRegistry.registerBlooms(path, jblm)
+    if page_columns:
+        intervals = _per_file_intervals(index, list(page_columns))
+        jiv = jvm.java.util.HashMap()
+        for file, cols in intervals.items():
+            jcols = jvm.java.util.HashMap()
+            for name, packed in cols.items():
+                jcols.put(name, packed)
+            jiv.put(file, jcols)
+        jvm.io.palletjack.spark.PalletJackRegistry.registerIntervals(path, jiv)
     return len(stats)
 
 

@@ -147,13 +147,17 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
                 PalletJackRegistry.digestsFor(registered);
         Map<String, Map<String, PalletJackRegistry.BloomEntry>> blooms =
                 PalletJackRegistry.bloomsFor(registered);
+        Map<String, Map<String, double[]>> intervals =
+                PalletJackRegistry.intervalsFor(registered);
         List<String> surviving = new ArrayList<>();
         for (Map.Entry<String, Map<String, double[]>> e : files.entrySet()) {
             Map<String, long[]> dig =
                     digests == null ? null : digests.get(e.getKey());
             Map<String, PalletJackRegistry.BloomEntry> blm =
                     blooms == null ? null : blooms.get(e.getKey());
-            if (fileCanMatch(e.getValue(), dig, blm, conjuncts)) {
+            Map<String, double[]> iv =
+                    intervals == null ? null : intervals.get(e.getKey());
+            if (fileCanMatch(e.getValue(), dig, blm, iv, conjuncts)) {
                 surviving.add(e.getKey());
             }
         }
@@ -631,11 +635,139 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
         return true;
     }
 
+    /** True when some pushed page-envelope interval intersects the
+     *  closed box [lo, hi].  Intervals are disjoint and lo-sorted, so
+     *  only the LAST interval whose lo <= hi can still reach lo — one
+     *  binary search per test. */
+    private static boolean intervalsIntersect(double[] iv, double lo, double hi) {
+        int n = iv.length / 2;
+        int a = 0;
+        int b = n; // first interval with iv_lo > hi
+        while (a < b) {
+            int m = (a + b) >>> 1;
+            if (iv[2 * m] <= hi) {
+                a = m + 1;
+            } else {
+                b = m;
+            }
+        }
+        return a > 0 && iv[2 * a - 1] >= lo;
+    }
+
+    /** Page-envelope interval tier (round-11, the q03h layout at file
+     *  scope): prune when the conjuncts' intersected numeric range box
+     *  (or every IN member / the exclusion's degenerate-interval dual)
+     *  provably misses every interval of a pushed column.  Strict
+     *  bounds are tested as closed (a superset — may keep one extra
+     *  file, never prunes wrongly). */
+    private static boolean intervalsCanMatch(
+            Map<String, double[]> intervals, List<Conjunct> cs) {
+        java.util.HashMap<String, double[]> box = new java.util.HashMap<>();
+        for (Conjunct c : cs) {
+            double[] iv = intervals.get(c.col);
+            if (iv == null) {
+                continue;
+            }
+            if ("in".equals(c.op) && c.values != null) {
+                boolean any = false;
+                for (double v : c.values) {
+                    if (!Double.isNaN(v) && intervalsIntersect(iv, v, v)) {
+                        any = true;
+                        break;
+                    }
+                }
+                if (!any) {
+                    return false;
+                }
+                continue;
+            }
+            if ("!=".equals(c.op) || "not_in".equals(c.op)) {
+                // dual proof: EVERY interval is a single excluded value
+                // (degenerate intervals only; the integral-literal gate
+                // proves a NaN-free column, as in the stats tier) —
+                // then no non-NULL row can satisfy the exclusion, and
+                // NULL rows never do
+                if (!c.integral) {
+                    continue;
+                }
+                double[] ex = c.values != null
+                        ? c.values
+                        : (c.value != null ? new double[]{c.value} : null);
+                if (ex == null || iv.length == 0) {
+                    continue; // no literals, or an all-NULL column
+                              // (conservatively kept: cheap and rare)
+                }
+                boolean allExcluded = true;
+                for (int i = 0; allExcluded && i < iv.length / 2; i++) {
+                    if (iv[2 * i] != iv[2 * i + 1]) {
+                        allExcluded = false;
+                        break;
+                    }
+                    boolean hit = false;
+                    for (double v : ex) {
+                        if (iv[2 * i] == v) {
+                            hit = true;
+                            break;
+                        }
+                    }
+                    allExcluded = hit;
+                }
+                if (allExcluded) {
+                    return false;
+                }
+                continue;
+            }
+            Double v = c.value;
+            if (v == null || Double.isNaN(v)) {
+                continue;
+            }
+            double[] bx = box.computeIfAbsent(
+                    c.col,
+                    k -> new double[]{
+                        Double.NEGATIVE_INFINITY, Double.POSITIVE_INFINITY,
+                    });
+            switch (c.op) {
+                case "=":
+                    bx[0] = Math.max(bx[0], v);
+                    bx[1] = Math.min(bx[1], v);
+                    break;
+                case ">":
+                case ">=":
+                    bx[0] = Math.max(bx[0], v);
+                    break;
+                case "<":
+                case "<=":
+                    bx[1] = Math.min(bx[1], v);
+                    break;
+                default:
+                    break;
+            }
+        }
+        for (Map.Entry<String, double[]> e : box.entrySet()) {
+            double[] bx = e.getValue();
+            if (bx[0] == Double.NEGATIVE_INFINITY
+                    && bx[1] == Double.POSITIVE_INFINITY) {
+                continue;
+            }
+            if (bx[0] > bx[1]) {
+                return false; // contradictory conjuncts: nothing matches
+            }
+            if (!intervalsIntersect(intervals.get(e.getKey()), bx[0], bx[1])) {
+                return false;
+            }
+        }
+        return true;
+    }
+
     private static boolean fileCanMatch(
             Map<String, double[]> stats,
             Map<String, long[]> digests,
             Map<String, PalletJackRegistry.BloomEntry> blooms,
+            Map<String, double[]> intervals,
             List<Conjunct> cs) {
+        if (intervals != null && !intervalsCanMatch(intervals, cs)) {
+            return false;
+        }
         for (Conjunct c : cs) {
             // membership-digest tier (round-10): a digest is the file's
             // COMPLETE value set for the column.  For =/IN, every

@@ -84,6 +84,23 @@ public final class PalletJackRegistry {
         }
     }
 
+    /**
+     * Optional per-(file, column) PAGE-ENVELOPE interval sets (round-11,
+     * the q03h tier at file scope): disjoint, lo-sorted [lo, hi] value
+     * intervals merged from the file's parquet page index (ColumnIndex
+     * per-page min/max), pushed as flattened double pairs.  They encode
+     * the value-GAP structure the single [min, max] hides: a literal (or
+     * a conjunct-intersected range box) that intersects NO interval
+     * proves the file holds no matching non-NULL value — even though it
+     * sits inside the file's overall [min, max].  An EMPTY interval set
+     * is a valid proof too (every page all-NULL: no non-NULL values at
+     * all).  Numeric identity-typed columns only; bounds are pushed with
+     * the same floor/ceil double rounding as the stats, so pruning stays
+     * sound past 2^53.  Absence keeps, as with every other tier.
+     */
+    private static final Map<String, Map<String, Map<String, double[]>>> INTERVALS =
+            new ConcurrentHashMap<>();
+
     private PalletJackRegistry() {}
 
     public static String canon(String path) {
@@ -106,6 +123,7 @@ public final class PalletJackRegistry {
         // registerBlooms() re-push them when requested.
         DIGESTS.remove(canon(root));
         BLOOMS.remove(canon(root));
+        INTERVALS.remove(canon(root));
         ROOTS.put(canon(root), files);
     }
 
@@ -113,12 +131,14 @@ public final class PalletJackRegistry {
         ROOTS.remove(canon(root));
         DIGESTS.remove(canon(root));
         BLOOMS.remove(canon(root));
+        INTERVALS.remove(canon(root));
     }
 
     public static void clear() {
         ROOTS.clear();
         DIGESTS.clear();
         BLOOMS.clear();
+        INTERVALS.clear();
     }
 
     /**
@@ -199,6 +219,56 @@ public final class PalletJackRegistry {
 
     public static Map<String, Map<String, BloomEntry>> bloomsFor(String root) {
         return BLOOMS.get(canon(root));
+    }
+
+    /**
+     * Register page-envelope interval sets for {@code root}: file -&gt;
+     * column -&gt; packed [4B BE count][count x (8B BE double lo,
+     * 8B BE double hi)].  Pairs are stored flattened; a malformed or
+     * unsorted/overlapping push is dropped (no evidence: keep).
+     */
+    public static void registerIntervals(
+            String root, Map<String, Map<String, byte[]>> files) {
+        Map<String, Map<String, double[]>> out = new ConcurrentHashMap<>();
+        for (Map.Entry<String, Map<String, byte[]>> f : files.entrySet()) {
+            Map<String, double[]> cols = new ConcurrentHashMap<>();
+            for (Map.Entry<String, byte[]> c : f.getValue().entrySet()) {
+                double[] iv = parseIntervals(c.getValue());
+                if (iv != null) {
+                    cols.put(c.getKey(), iv);
+                }
+            }
+            out.put(f.getKey(), cols);
+        }
+        INTERVALS.put(canon(root), out);
+    }
+
+    private static double[] parseIntervals(byte[] packed) {
+        try {
+            java.nio.ByteBuffer bb = java.nio.ByteBuffer.wrap(packed);
+            int n = bb.getInt();
+            if (n < 0 || n > 1 << 20 || bb.remaining() != 16L * n) {
+                return null;
+            }
+            double[] iv = new double[2 * n];
+            for (int i = 0; i < 2 * n; i++) {
+                iv[i] = bb.getDouble();
+            }
+            for (int i = 0; i < n; i++) {
+                if (Double.isNaN(iv[2 * i]) || Double.isNaN(iv[2 * i + 1])
+                        || iv[2 * i] > iv[2 * i + 1]
+                        || (i > 0 && iv[2 * i] <= iv[2 * i - 1])) {
+                    return null; // NaN / inverted / unsorted-overlapping
+                }
+            }
+            return iv;
+        } catch (RuntimeException ex) {
+            return null; // malformed push: no interval evidence (keep)
+        }
+    }
+
+    public static Map<String, Map<String, double[]>> intervalsFor(String root) {
+        return INTERVALS.get(canon(root));
     }
 
     public static int size() {

@@ -352,6 +352,70 @@ def main(tmp: str) -> None:
     )
     out["bloom_smart_equal"] = smb == out["rows_bloom_int"]
 
+    # --- page-envelope intervals (round-11, q03h at file scope) --------
+    # each file holds two page-aligned value BANDS far apart, so every
+    # file's [min, max] spans the probe values while the per-page
+    # envelopes leave provable gaps: stats keep 4/4, the chunks are
+    # PLAIN (no digests), no blooms — only the pushed interval sets can
+    # prune, including for RANGE predicates (which neither digests nor
+    # blooms can probe at all)
+    gdata = os.path.join(tmp, "gaps")
+    os.makedirs(gdata)
+    allv = list(range(8 * 1024))
+    for i in range(4):
+        rows = allv[i * 1024 : (i + 1) * 1024] + allv[(i + 4) * 1024 : (i + 5) * 1024]
+        w = pq.ParquetWriter(
+            os.path.join(gdata, f"part-{i}.parquet"),
+            pa.schema([("k", pa.int64())]),
+            use_dictionary=False,
+            write_page_index=True,
+            data_page_size=1,
+            write_batch_size=1024,
+        )
+        w.write_table(
+            pa.table({"k": pa.array(rows, pa.int64())}), row_group_size=2048
+        )
+        w.close()
+    register_index_jvm(spark, gdata, page_columns=["k"])
+    out["intervals_pushed"] = (
+        spark._jvm.io.palletjack.spark.PalletJackRegistry.intervalsFor(gdata)
+        is not None
+    )
+    # 4608 = band 4 -> file 0 only (every file's [min,max] spans it)
+    geq = spark.sql(f"SELECT k FROM parquet.`{gdata}` WHERE k = 4608")
+    out["files_interval_eq"] = len(_lr_input_files(geq))
+    out["n_rows_interval_eq"] = geq.count()
+    # two-sided range inside band 5 -> file 1 only: the box pass
+    grange = spark.sql(
+        f"SELECT k FROM parquet.`{gdata}` WHERE k >= 5220 AND k <= 5280"
+    )
+    out["files_interval_range"] = len(_lr_input_files(grange))
+    out["n_rows_interval_range"] = grange.count()
+    # IN across two bands -> their two owning files
+    gin = spark.sql(f"SELECT k FROM parquet.`{gdata}` WHERE k IN (4608, 5632)")
+    out["files_interval_in"] = len(_lr_input_files(gin))
+    out["n_rows_interval_in"] = gin.count()
+    # a value in nobody's band: zero files
+    gnone = spark.sql(f"SELECT k FROM parquet.`{gdata}` WHERE k = 99999")
+    out["files_interval_none"] = len(_lr_input_files(gnone))
+    out["n_rows_interval_none"] = gnone.count()
+    # hash-equal to smart_read (whose q03h page tier prunes row groups)
+    smg = sorted(
+        r["k"]
+        for r in smart_read(
+            spark, gdata, predicate=[("k", ">=", 5220), ("k", "<=", 5280)]
+        ).collect()
+    )
+    out["interval_smart_equal"] = smg == sorted(
+        r["k"] for r in grange.collect()
+    )
+    # re-register without page_columns: stale intervals must clear
+    register_index_jvm(spark, gdata)
+    out["intervals_cleared"] = (
+        spark._jvm.io.palletjack.spark.PalletJackRegistry.intervalsFor(gdata)
+        is None
+    )
+
     print("RESULT:" + json.dumps(out))
     spark.stop()
 

@@ -163,6 +163,25 @@ def test_pure_sql_scan_is_file_pruned_and_hash_equal(tmp_path):
     assert out["n_rows_bloom_none"] == 0
     assert out["bloom_smart_equal"] is True
 
+    # round-11 q03h at file scope: page-envelope interval sets prune
+    # the ENVELOPE-GAP layout from pure SQL — every file's [min, max]
+    # spans the literal, chunks are PLAIN (no digests), no blooms; only
+    # the pushed intervals prove three files empty, including for a
+    # two-sided RANGE (which digests and blooms can't probe at all)
+    assert out["intervals_pushed"] is True
+    assert out["files_interval_eq"] == 1
+    assert out["n_rows_interval_eq"] == 1
+    assert out["files_interval_range"] == 1
+    assert out["n_rows_interval_range"] == 61
+    assert out["files_interval_in"] == 2
+    assert out["n_rows_interval_in"] == 2
+    assert out["files_interval_none"] == 0
+    assert out["n_rows_interval_none"] == 0
+    assert out["interval_smart_equal"] is True
+    # re-registration without page_columns clears stale intervals (the
+    # same staleness contract as digests/blooms)
+    assert out["intervals_cleared"] is True
+
 
 def test_per_file_digests_soundness_gates(spark, tmp_path):
     """The digest builder refuses non-identity logical types (unsigned,
@@ -219,3 +238,101 @@ def test_per_file_digests_soundness_gates(spark, tmp_path):
 
     # the value-set cap: above max_values the digest is dropped
     assert _per_file_digests(idx, ["k"], max_values=1) == {}
+
+
+def test_per_file_intervals_soundness_gates(spark, tmp_path):
+    """The interval builder refuses non-identity logical types, files
+    without a page index, and undecodable bounds; all-NULL pages add no
+    interval; oversize sets coarsen by closing the smallest gaps (still
+    a superset).  Absence means 'keep', so every refusal is safe."""
+    import struct
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from palletjack_spark.index.builder import build_index
+    from palletjack_spark.index.jvm_routing import _per_file_intervals
+
+    # banded fixture with identity + non-identity columns
+    p = str(tmp_path / "iv.parquet")
+    n = 2048
+    w = pq.ParquetWriter(
+        p,
+        pa.schema([("k", pa.int64()), ("u", pa.uint32())]),
+        use_dictionary=False,
+        write_page_index=True,
+        data_page_size=1,
+        write_batch_size=1024,
+    )
+    # two pages: bands [0, 1023] and [100000, 101023] — one gap
+    vals = list(range(1024)) + list(range(100000, 101024))
+    w.write_table(
+        pa.table(
+            {
+                "k": pa.array(vals, pa.int64()),
+                "u": pa.array(range(n), pa.uint32()),
+            }
+        ),
+        row_group_size=n,
+    )
+    w.close()
+    idx = build_index(spark, p)
+    got = _per_file_intervals(idx, ["k", "u"])
+    assert set(got) == {p} and set(got[p]) == {"k"}  # unsigned refuses
+    count = struct.unpack(">I", got[p]["k"][:4])[0]
+    flat = struct.unpack(f">{2 * count}d", got[p]["k"][4:])
+    assert count == 2
+    assert flat == (0.0, 1023.0, 100000.0, 101023.0)
+
+    # no page index -> no intervals at all
+    p2 = str(tmp_path / "noidx.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array(range(100), pa.int64())}),
+        p2,
+        write_page_index=False,
+    )
+    idx2 = build_index(spark, p2)
+    assert _per_file_intervals(idx2, ["k"]) == {}
+
+    # oversize sets coarsen: 8 disjoint bands forced through a cap of 3
+    p3 = str(tmp_path / "many.parquet")
+    w = pq.ParquetWriter(
+        p3,
+        pa.schema([("k", pa.int64())]),
+        use_dictionary=False,
+        write_page_index=True,
+        data_page_size=1,
+        write_batch_size=1024,
+    )
+    vals3 = [b * 10000 + j for b in range(8) for j in range(1024)]
+    w.write_table(
+        pa.table({"k": pa.array(vals3, pa.int64())}), row_group_size=len(vals3)
+    )
+    w.close()
+    idx3 = build_index(spark, p3)
+    got3 = _per_file_intervals(idx3, ["k"], max_intervals=3)
+    count3 = struct.unpack(">I", got3[p3]["k"][:4])[0]
+    flat3 = struct.unpack(f">{2 * count3}d", got3[p3]["k"][4:])
+    assert count3 == 3
+    # superset check: every true value still falls inside some interval
+    ivs = [(flat3[2 * i], flat3[2 * i + 1]) for i in range(count3)]
+    assert all(any(lo <= v <= hi for lo, hi in ivs) for v in vals3)
+
+    # all-NULL pages add no interval (an all-NULL column -> empty set)
+    p4 = str(tmp_path / "nulls.parquet")
+    w = pq.ParquetWriter(
+        p4,
+        pa.schema([("k", pa.int64())]),
+        use_dictionary=False,
+        write_page_index=True,
+        data_page_size=1,
+        write_batch_size=1024,
+    )
+    w.write_table(
+        pa.table({"k": pa.array([None] * 1024, pa.int64())}),
+        row_group_size=1024,
+    )
+    w.close()
+    idx4 = build_index(spark, p4)
+    got4 = _per_file_intervals(idx4, ["k"])
+    assert struct.unpack(">I", got4[p4]["k"][:4])[0] == 0
