@@ -100,12 +100,17 @@ _EXCLUDE_OPS = {"!=", "<>", "not_in"}
 _NULL_OPS = {"is_null", "not_null"}
 
 
-def _column_chunk_fields(footer: bytes, rg_idx: int, col_idx: int):
+def _column_chunk_fields(
+    footer: bytes, rg_idx: int, col_idx: int, rg_elems=None
+):
     """Span list of ColumnChunk fields (NOT ColumnMetaData — the page
     index offsets live one level up) for (row group, column), or None
-    on any layout surprise."""
+    on any layout surprise.  ``rg_elems`` may carry a pre-parsed
+    ``footer_spans`` result: the prober parses each footer once and
+    reuses it across every (row group, column) probe."""
     try:
-        _fields, rg_elems = footer_spans(footer)
+        if rg_elems is None:
+            _fields, rg_elems = footer_spans(footer)
         if not (0 <= rg_idx < len(rg_elems)):
             return None
         cols_span = _span_get(rg_elems[rg_idx], 1)  # RowGroup.columns
@@ -132,13 +137,13 @@ def _int_field(footer: bytes, fields, fid: int) -> int | None:
 
 
 def page_index_offsets(
-    footer: bytes, rg_idx: int, col_idx: int
+    footer: bytes, rg_idx: int, col_idx: int, rg_elems=None
 ) -> tuple[int, int, int | None, int | None] | None:
     """(column_index_offset, column_index_length, offset_index_offset,
     offset_index_length) of one column chunk — the last two None when
     the writer omitted the OffsetIndex — or None when there is no
     ColumnIndex at all (absence must KEEP)."""
-    cc = _column_chunk_fields(footer, rg_idx, col_idx)
+    cc = _column_chunk_fields(footer, rg_idx, col_idx, rg_elems)
     if cc is None:
         return None
     ci_off = _int_field(footer, cc, 6)
@@ -397,6 +402,7 @@ class PageProber:
 
     def __init__(self) -> None:
         self._footers: dict[str, bytes | None] = {}
+        self._spans: dict[str, object] = {}
         self._cis: dict[tuple, dict | None] = {}
         self._ois: dict[tuple, list | None] = {}
 
@@ -408,14 +414,29 @@ class PageProber:
                 self._footers[path] = None
         return self._footers[path]
 
+    def _rg_elems(self, path: str, footer: bytes):
+        """Pre-parsed footer_spans row-group elements, once per file —
+        a many-row-group footer would otherwise re-parse per (row
+        group, column) probe."""
+        if path not in self._spans:
+            try:
+                _fields, rg_elems = footer_spans(footer)
+                self._spans[path] = rg_elems
+            except Exception:
+                self._spans[path] = None
+        return self._spans[path]
+
     def _index(self, path: str, rg_idx: int, col_idx: int, ptype: str):
         """(ColumnIndex dict | None, first_row_index list | None)."""
         key = (path, rg_idx, col_idx)
         if key not in self._cis:
             footer = self._footer(path)
+            rg_elems = (
+                self._rg_elems(path, footer) if footer is not None else None
+            )
             offs = (
-                page_index_offsets(footer, rg_idx, col_idx)
-                if footer is not None
+                page_index_offsets(footer, rg_idx, col_idx, rg_elems)
+                if footer is not None and rg_elems is not None
                 else None
             )
             if offs is None:
