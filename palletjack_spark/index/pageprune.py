@@ -87,6 +87,8 @@ from palletjack_spark.index.footer_splice import (
 
 __all__ = [
     "PageProber",
+    "add_page_index",
+    "add_page_index_dataset",
     "page_index_offsets",
     "page_prune_rows",
     "read_column_index",
@@ -591,3 +593,339 @@ def page_prune_rows(
         ):
             out.append(r)
     return out
+
+
+# --------------------------------------------------------------------------
+# writer: enrich an existing file with a standard page index
+# --------------------------------------------------------------------------
+
+#: parquet Type enum -> physical type name (format spec)
+_TYPE_NAMES = {
+    0: "BOOLEAN", 1: "INT32", 2: "INT64", 3: "INT96",
+    4: "FLOAT", 5: "DOUBLE", 6: "BYTE_ARRAY", 7: "FIXED_LEN_BYTE_ARRAY",
+}
+
+#: byte-array bound truncation window (parquet-cpp's default)
+_TRUNCATE = 64
+
+
+def _walk_data_pages(path: str, col_meta: dict):
+    """[(absolute page offset, total page size incl. header, row count)]
+    for every DATA page of one column chunk, from the page headers alone
+    (headers are never compressed; payloads are skipped by size).  For
+    non-nested columns v1 ``num_values`` IS the row count; v2 carries
+    ``num_rows`` explicitly.  Raises on any surprise — enrichment is
+    explicit (unlike the probe paths, a failed WRITE must be loud)."""
+    from palletjack_spark.errors import InvalidSelectionError as _ISE
+
+    start = col_meta.get("dictionary_page_offset")
+    if start is None:
+        start = col_meta["data_page_offset"]
+    total = col_meta["total_compressed_size"]
+    with open(path, "rb") as fh:
+        fh.seek(start)
+        raw = fh.read(total)
+    if len(raw) != total:
+        raise _ISE("column chunk truncated during page walk")
+    pages = []
+    pos = 0
+    while pos < len(raw):
+        header, payload = _struct_field_spans(raw, pos)
+        ptype_span = _span_get(header, 1)
+        size_span = _span_get(header, 3)
+        if ptype_span is None or size_span is None:
+            raise _ISE("unparseable page header during page walk")
+        page_type = _decode_value(raw, ptype_span[1], ptype_span[0])[0]
+        compressed = _decode_value(raw, size_span[1], size_span[0])[0]
+        total_size = (payload - pos) + compressed
+        if page_type == 0:  # DATA_PAGE v1
+            dph_span = _span_get(header, 5)
+            if dph_span is None:
+                raise _ISE("v1 data page without DataPageHeader")
+            dph, _ = _struct_field_spans(raw, dph_span[1])
+            nv = _span_get(dph, 1)
+            rows = _decode_value(raw, nv[1], nv[0])[0]
+            pages.append((start + pos, total_size, rows))
+        elif page_type == 3:  # DATA_PAGE_V2
+            dph_span = _span_get(header, 8)
+            if dph_span is None:
+                raise _ISE("v2 data page without DataPageHeaderV2")
+            dph, _ = _struct_field_spans(raw, dph_span[1])
+            nr = _span_get(dph, 3)
+            rows = _decode_value(raw, nr[1], nr[0])[0]
+            pages.append((start + pos, total_size, rows))
+        pos = payload + compressed
+    if pos != len(raw):
+        raise _ISE("page walk overran the column chunk")
+    return pages
+
+
+def _plain_bound(value, physical_type: str) -> bytes:
+    t = physical_type.upper()
+    if t == "BYTE_ARRAY":
+        return value.encode("utf-8") if isinstance(value, str) else bytes(value)
+    if t == "INT32":
+        return struct.pack("<i", value)
+    if t == "INT64":
+        return struct.pack("<q", value)
+    if t == "FLOAT":
+        return struct.pack("<f", value)
+    return struct.pack("<d", value)
+
+
+def _truncated_bounds(lo: bytes, hi: bytes) -> tuple[bytes, bytes]:
+    """Spec-conform truncation for byte-array bounds: min becomes a
+    prefix (<= true min); max becomes an INCREMENTED prefix (>= true
+    max), falling back to the full value when every prefix byte is
+    0xFF."""
+    if len(lo) > _TRUNCATE:
+        lo = lo[:_TRUNCATE]
+    if len(hi) > _TRUNCATE:
+        cut = bytearray(hi[:_TRUNCATE])
+        for i in range(len(cut) - 1, -1, -1):
+            if cut[i] != 0xFF:
+                cut[i] += 1
+                del cut[i + 1 :]
+                break
+        else:
+            return lo, hi  # un-incrementable prefix: keep the full max
+        hi = bytes(cut)
+    return lo, hi
+
+
+def _page_stats(values: list, physical_type: str):
+    """(null_page, null_count, min_bytes, max_bytes) for one page's
+    decoded values — parquet convention: bounds ignore NULLs and NaN."""
+    t = physical_type.upper()
+    nulls = sum(1 for v in values if v is None)
+    nn = [v for v in values if v is not None]
+    if t in ("FLOAT", "DOUBLE"):
+        nn = [float(v) for v in nn if not math.isnan(float(v))]
+    if not nn:
+        return True, nulls, b"", b""
+    if t == "BYTE_ARRAY":
+        enc = [
+            v.encode("utf-8") if isinstance(v, str) else bytes(v) for v in nn
+        ]
+        lo, hi = _truncated_bounds(min(enc), max(enc))
+        return False, nulls, lo, hi
+    return (
+        False,
+        nulls,
+        _plain_bound(min(nn), t),
+        _plain_bound(max(nn), t),
+    )
+
+
+def add_page_index(path: str, columns: list[str] | None = None) -> int:
+    """Enrich an existing parquet file with a standard page index
+    (ColumnIndex + OffsetIndex) for ``columns`` (default: every leaf
+    column), in place: the structs append after the data and
+    ``ColumnChunk.column_index_offset/length`` /
+    ``offset_index_offset/length`` splice into the footer — the same
+    memcpy footer surgery as :func:`bloomprune.add_bloom_filters`.
+    Files stay fully standard: parquet-mr (Spark) applies its OWN
+    page-level filtering over the enriched file, and every
+    :mod:`pageprune` tier probes it.  Chunks that already carry a
+    ColumnIndex are skipped.  Returns the number of (row group, column)
+    chunks enriched.
+
+    Exists for data ALREADY at rest: pyarrow only writes page indexes
+    at write time (``write_page_index=True``), so a 100 TB catalog
+    would otherwise need a full rewrite to gain envelope-gap pruning.
+    Per-page stats come from one in-memory decode of each enriched
+    column (the same read any index build performs); page boundaries
+    and sizes come from the page headers alone."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from palletjack_spark.errors import InvalidSelectionError as _ISE
+    from palletjack_spark.index.footer_splice import (
+        _encode_field_header,
+        _encode_value,
+        _write_zigzag,
+    )
+
+    footer = read_footer_bytes(path)
+    file_size = os.path.getsize(path)
+    footer_start = file_size - 8 - len(footer)
+    _fields, rg_elems = footer_spans(footer)
+
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    names = [
+        md.row_group(0).column(j).path_in_schema
+        for j in range(md.num_columns)
+    ]
+    if columns is None:
+        columns = [
+            n
+            for j, n in enumerate(names)
+            if pf.schema.column(j).max_repetition_level == 0
+            and md.row_group(0).column(j).physical_type in (
+                "INT32", "INT64", "FLOAT", "DOUBLE", "BYTE_ARRAY",
+            )
+        ]
+    targets = []
+    for c in columns:
+        if c not in names:
+            raise _ISE(f"Unknown column for page index: {c!r}")
+        j = names.index(c)
+        if pf.schema.column(j).max_repetition_level != 0:
+            raise _ISE(f"page index unsupported for nested column {c!r}")
+        pt = md.row_group(0).column(j).physical_type
+        if pt not in ("INT32", "INT64", "FLOAT", "DOUBLE", "BYTE_ARRAY"):
+            raise _ISE(f"page index unsupported for physical type {pt}")
+        targets.append((j, c, pt))
+
+    # build ColumnIndex/OffsetIndex blobs per enriched chunk
+    appendix = bytearray()
+    #: (rg, col) -> [ci_rel, ci_len, oi_rel, oi_len]
+    placed: dict[tuple[int, int], list[int]] = {}
+    blobs: dict[tuple[int, int], tuple[bytes, bytes]] = {}
+    for rg_idx in range(md.num_row_groups):
+        for col_idx, col_name, pt in targets:
+            if page_index_offsets(footer, rg_idx, col_idx) is not None:
+                continue  # already enriched
+            cmeta = {
+                "dictionary_page_offset": (
+                    md.row_group(rg_idx).column(col_idx).dictionary_page_offset
+                ),
+                "data_page_offset": (
+                    md.row_group(rg_idx).column(col_idx).data_page_offset
+                ),
+                "total_compressed_size": (
+                    md.row_group(rg_idx).column(col_idx).total_compressed_size
+                ),
+            }
+            pages = _walk_data_pages(path, cmeta)
+            if sum(p[2] for p in pages) != md.row_group(rg_idx).num_rows:
+                raise _ISE("page row counts disagree with the row group")
+            vals = pf.read_row_group(rg_idx, columns=[col_name]).column(
+                0
+            ).to_pylist()
+            null_pages, mins, maxs, null_counts = [], [], [], []
+            at = 0
+            for _off, _sz, rows in pages:
+                np_, nc, lo, hi = _page_stats(vals[at : at + rows], pt)
+                null_pages.append(np_)
+                null_counts.append(nc)
+                mins.append(lo)
+                maxs.append(hi)
+                at += rows
+            ci = bytearray()
+            _encode_field_header(ci, 1, 9, 0)  # null_pages list<bool>
+            _encode_value(ci, 9, (1, null_pages))
+            _encode_field_header(ci, 2, 9, 1)  # min_values list<binary>
+            _encode_value(ci, 9, (8, mins))
+            _encode_field_header(ci, 3, 9, 2)  # max_values list<binary>
+            _encode_value(ci, 9, (8, maxs))
+            _encode_field_header(ci, 4, 5, 3)  # boundary_order i32
+            _write_zigzag(ci, 0)  # UNORDERED (safe; probes don't use it)
+            _encode_field_header(ci, 5, 9, 4)  # null_counts list<i64>
+            _encode_value(ci, 9, (6, null_counts))
+            ci.append(0)  # struct STOP
+            oi = bytearray()
+            _encode_field_header(oi, 1, 9, 0)  # page_locations list<struct>
+            locs = []
+            first = 0
+            for off, sz, rows in pages:
+                locs.append(
+                    [(1, 6, off), (2, 5, sz), (3, 6, first)]
+                )
+                first += rows
+            _encode_value(oi, 9, (12, locs))
+            oi.append(0)
+            blobs[(rg_idx, col_idx)] = (bytes(ci), bytes(oi))
+    if not blobs:
+        return 0
+    # spec file ordering: all ColumnIndexes, then all OffsetIndexes
+    for key in sorted(blobs):
+        ci, _oi = blobs[key]
+        placed[key] = [len(appendix), len(ci), 0, 0]
+        appendix += ci
+    for key in sorted(blobs):
+        _ci, oi = blobs[key]
+        placed[key][2] = len(appendix)
+        placed[key][3] = len(oi)
+        appendix += oi
+
+    # splice offsets into each enriched ColumnChunk (fields 4-7)
+    edits = []
+    for (rg_idx, col_idx), (ci_rel, ci_len, oi_rel, oi_len) in placed.items():
+        cols_span = _span_get(rg_elems[rg_idx], 1)
+        _etype, spans, _ = _list_elem_spans(footer, cols_span[1])
+        cc_start = spans[col_idx][0]
+        cc_fields, cc_end = _struct_field_spans(footer, cc_start)
+        new = bytearray()
+        prev = 0
+        emitted = False
+
+        def _emit(out, prev_fid):
+            _encode_field_header(out, 4, 6, prev_fid)  # offset_index_offset
+            _write_zigzag(out, footer_start + oi_rel)
+            _encode_field_header(out, 5, 5, 4)  # offset_index_length
+            _write_zigzag(out, oi_len)
+            _encode_field_header(out, 6, 6, 5)  # column_index_offset
+            _write_zigzag(out, footer_start + ci_rel)
+            _encode_field_header(out, 7, 5, 6)  # column_index_length
+            _write_zigzag(out, ci_len)
+            return 7
+
+        for fid, ctype, s, e in cc_fields:
+            if fid in (4, 5, 6, 7):
+                continue  # replaced (shouldn't exist: skipped above)
+            if fid > 7 and not emitted:
+                prev = _emit(new, prev)
+                emitted = True
+            _encode_field_header(new, fid, ctype, prev)
+            if ctype not in (1, 2):
+                new += footer[s:e]
+            prev = fid
+        if not emitted:
+            prev = _emit(new, prev)
+        new.append(0)  # struct STOP
+        edits.append((cc_start, cc_end, bytes(new)))
+
+    edits.sort()
+    out_footer = bytearray()
+    pos = 0
+    for s, e, rep in edits:
+        out_footer += footer[pos:s]
+        out_footer += rep
+        pos = e
+    out_footer += footer[pos:]
+
+    with open(path, "r+b") as fh:
+        fh.seek(footer_start)
+        fh.write(appendix)
+        fh.write(out_footer)
+        fh.write(struct.pack("<I", len(out_footer)))
+        fh.write(b"PAR1")
+        fh.truncate()
+    return len(placed)
+
+
+def add_page_index_dataset(
+    spark, paths, columns: list[str] | None = None
+) -> int:
+    """Distributed :func:`add_page_index` over a whole dataset — the
+    100 TB story for data at rest: every file gains envelope-gap
+    pruning (ours AND parquet-mr's own page filtering) without a data
+    page moving or being rewritten.  Same shape as
+    ``bloomprune.add_bloom_filters_dataset``: per-file imperative
+    footer surgery, a rare legitimate RDD use.  Returns the total
+    number of (row group, column) chunks enriched."""
+    from palletjack_spark.sources.arrow_scan import expand_paths
+
+    files = expand_paths(paths)
+    if not files:
+        return 0
+    sc = spark.sparkContext
+    cols = list(columns) if columns is not None else None
+    return (
+        sc.parallelize(files, min(len(files), sc.defaultParallelism))
+        .map(lambda p: add_page_index(p, cols))
+        .sum()
+    )

@@ -402,3 +402,256 @@ def test_smart_read_routes_through_page_tier(spark, tmp_path):
         spark, path, columns=["k", "tag"], predicate=[("k", "=", 5632)]
     ).collect()
     assert [(r["k"], r["tag"]) for r in got] == [(5632, "t0005632")]
+
+
+# --------------------------------------------------------------------------
+# writer: add_page_index (enrichment of data at rest)
+# --------------------------------------------------------------------------
+
+
+def _plain_banded(tmp_path, name="plain.parquet", with_index=False):
+    """The gap fixture WITHOUT a page index (pyarrow default) — the
+    data-at-rest layout add_page_index exists for."""
+    path = str(tmp_path / name)
+    N = 16 * 1024
+    vals = list(range(N))
+    rows = []
+    for r in range(4):
+        for b in (r, r + 4, r + 8, r + 12):
+            rows.extend(vals[b * 1024 : (b + 1) * 1024])
+    t = pa.table(
+        {
+            "k": pa.array(rows, pa.int64()),
+            "tag": [f"t{v:07d}" for v in rows],
+        }
+    )
+    w = pq.ParquetWriter(
+        path,
+        t.schema,
+        use_dictionary=False,
+        data_page_size=1,
+        write_batch_size=1024,
+        write_page_index=with_index,
+    )
+    for r in range(4):
+        w.write_table(t.slice(r * 4096, 4096), row_group_size=4096)
+    w.close()
+    return path
+
+
+def test_writer_roundtrip_and_pinned_bounds(tmp_path):
+    """add_page_index on a page-index-less file: our reader parses the
+    written structs with the exact band bounds, pyarrow still reads the
+    file, verdicts match the pyarrow-written fixture, and a second call
+    enriches nothing."""
+    from palletjack_spark.index.footer_splice import read_footer_bytes
+    from palletjack_spark.index.pageprune import (
+        PageProber,
+        add_page_index,
+        page_index_offsets,
+        read_column_index,
+        read_offset_index,
+    )
+
+    path = _plain_banded(tmp_path)
+    assert page_index_offsets(read_footer_bytes(path), 0, 0) is None
+    assert add_page_index(path) == 8  # 4 rgs x 2 columns
+    fb = read_footer_bytes(path)
+    offs = page_index_offsets(fb, 0, 0)
+    ci = read_column_index(path, offs[0], offs[1], "INT64")
+    assert ci["mins"] == [0, 4096, 8192, 12288]
+    assert ci["maxs"] == [1023, 5119, 9215, 13311]
+    assert ci["null_counts"] == [0] * 4
+    assert read_offset_index(path, offs[2], offs[3]) == [0, 1024, 2048, 3072]
+    t = pq.read_table(path)
+    assert t.num_rows == 16 * 1024
+    assert sorted(t["k"].to_pylist()) == list(range(16 * 1024))
+    prober = PageProber()
+    meta = {"physical_type": "INT64", "logical_type": "NONE"}
+    look = lambda n: (0, meta) if n == "k" else None  # noqa: E731
+    verdicts = [
+        prober.rg_can_match(path, rg, 4096, [("k", "=", 5632)], look)
+        for rg in range(4)
+    ]
+    assert verdicts == [False, True, False, False]
+    assert add_page_index(path) == 0  # idempotent
+
+
+def test_writer_spark_interop_and_bloom_composition(spark, tmp_path):
+    """parquet-mr reads (and page-filters) the enriched file natively;
+    bloom enrichment composes on the same file via a second footer
+    surgery, and both probes keep working."""
+    from pyspark.sql import functions as F
+
+    from palletjack_spark.index.bloomprune import BloomProber, add_bloom_filters
+    from palletjack_spark.index.footer_splice import read_footer_bytes
+    from palletjack_spark.index.pageprune import (
+        PageProber,
+        add_page_index,
+        page_index_offsets,
+    )
+
+    path = _plain_banded(tmp_path, name="interop.parquet")
+    add_page_index(path)
+    df = spark.read.parquet(path)
+    got = df.where(F.col("k") == 5632).select("k", "tag").collect()
+    assert [(r["k"], r["tag"]) for r in got] == [(5632, "t0005632")]
+    assert df.count() == 16 * 1024
+    assert df.where((F.col("k") >= 4100) & (F.col("k") <= 4200)).count() == 101
+
+    assert add_bloom_filters(path, ["k"]) == 4
+    fb = read_footer_bytes(path)
+    assert page_index_offsets(fb, 0, 0) is not None  # survives the splice
+    meta = {"physical_type": "INT64", "logical_type": "NONE"}
+    bp = BloomProber()
+    assert bp.can_match(path, 1, 0, meta, 5632) is True
+    assert bp.can_match(path, 1, 0, meta, 10**9) is False
+    pp = PageProber()
+    look = lambda n: (0, meta) if n == "k" else None  # noqa: E731
+    assert pp.rg_can_match(path, 1, 4096, [("k", "=", 5632)], look) is True
+    df2 = spark.read.parquet(path)
+    assert df2.count() == 16 * 1024
+    assert df2.where(F.col("k") == 5632).count() == 1
+
+
+def test_writer_truncates_long_byte_arrays_soundly(tmp_path):
+    """Bounds past the 64-byte window: written min is a prefix (<= true
+    min), written max >= true max — stored values keep, outsiders
+    prune."""
+    from palletjack_spark.index.footer_splice import read_footer_bytes
+    from palletjack_spark.index.pageprune import (
+        add_page_index,
+        page_index_offsets,
+        page_prune_rows,
+        read_column_index,
+    )
+    from palletjack_spark.index.builder import _extract_file_rows
+
+    path = str(tmp_path / "long.parquet")
+    prefix = "x" * 70
+    vals = [f"{prefix}{i:05d}" for i in range(2048)]
+    w = pq.ParquetWriter(
+        path,
+        pa.schema([("s", pa.string())]),
+        use_dictionary=False,
+        data_page_size=1,
+        write_batch_size=1024,
+    )
+    w.write_table(pa.table({"s": pa.array(vals)}), row_group_size=2048)
+    w.close()
+    assert add_page_index(path) == 1
+    fb = read_footer_bytes(path)
+    offs = page_index_offsets(fb, 0, 0)
+    ci = read_column_index(path, offs[0], offs[1], "BYTE_ARRAY")
+    for i in (0, 1):
+        assert len(ci["mins"][i]) <= 64 and len(ci["maxs"][i]) <= 64
+        assert ci["maxs"][i] >= max(vals).encode()[: len(ci["maxs"][i])]
+    _f, rgs = _extract_file_rows(path)
+    for probe in (vals[0], vals[1024], vals[2047]):
+        assert len(page_prune_rows(rgs, [("s", "=", probe)])) == 1
+    assert page_prune_rows(rgs, [("s", "=", "a")]) == []
+
+
+def test_writer_handles_v2_pages_nulls_and_rejects(spark, tmp_path):
+    """DataPageHeaderV2 row counts, all-NULL pages, and the explicit
+    rejection contract (unknown and nested columns)."""
+    import pytest
+
+    from palletjack_spark.errors import InvalidSelectionError
+    from palletjack_spark.index.builder import _extract_file_rows
+    from palletjack_spark.index.footer_splice import read_footer_bytes
+    from palletjack_spark.index.pageprune import (
+        add_page_index,
+        page_index_offsets,
+        page_prune_rows,
+        read_column_index,
+    )
+
+    path = str(tmp_path / "v2.parquet")
+    col = list(range(1024)) + [None] * 1024 + list(range(4096, 5120))
+    w = pq.ParquetWriter(
+        path,
+        pa.schema([("k", pa.int64())]),
+        use_dictionary=False,
+        data_page_size=1,
+        write_batch_size=1024,
+        data_page_version="2.0",
+    )
+    w.write_table(
+        pa.table({"k": pa.array(col, pa.int64())}), row_group_size=len(col)
+    )
+    w.close()
+    assert add_page_index(path) == 1
+    offs = page_index_offsets(read_footer_bytes(path), 0, 0)
+    ci = read_column_index(path, offs[0], offs[1], "INT64")
+    # v2 merges the zero-byte all-NULL batch into its neighbor: 2 pages,
+    # [0, 1023] and [nulls + 4096..5119] — the v2 num_rows walk is what
+    # this pins (firsts 0/1024, stats NULL-aware)
+    assert ci["null_pages"] == [False, False]
+    assert ci["null_counts"] == [0, 1024]
+    assert ci["mins"] == [0, 4096] and ci["maxs"] == [1023, 5119]
+    _f, rgs = _extract_file_rows(path)
+    assert page_prune_rows(rgs, [("k", "=", 2000)]) == []
+    assert len(page_prune_rows(rgs, [("k", "is_null")])) == 1
+
+    with pytest.raises(InvalidSelectionError):
+        add_page_index(path, ["nope"])
+    nested = str(tmp_path / "nested.parquet")
+    pq.write_table(
+        pa.table({"a": pa.array([[1, 2], [3]], pa.list_(pa.int64()))}),
+        nested,
+    )
+    with pytest.raises(InvalidSelectionError):
+        add_page_index(nested, ["a.list.element"])
+    # default-column selection skips the nested leaf instead of raising
+    assert add_page_index(nested) == 0
+
+
+def test_writer_feeds_jvm_interval_push(spark, tmp_path):
+    """A file enriched by OUR writer feeds _per_file_intervals — the
+    at-rest path to pure-SQL envelope-gap pruning, no rewrite."""
+    import struct as _struct
+
+    from palletjack_spark import build_index
+    from palletjack_spark.index.jvm_routing import _per_file_intervals
+    from palletjack_spark.index.pageprune import add_page_index
+
+    path = _plain_banded(tmp_path, name="jvmfeed.parquet")
+    add_page_index(path, ["k"])
+    idx = build_index(spark, path)
+    got = _per_file_intervals(idx, ["k"])
+    packed = got[path]["k"]
+    count = _struct.unpack(">I", packed[:4])[0]
+    flat = _struct.unpack(f">{2 * count}d", packed[4:])
+    # 16 bands merge to 16 disjoint intervals across the 4 row groups
+    assert count == 16
+    assert flat[0] == 0.0 and flat[-1] == 16 * 1024 - 1
+
+
+def test_dataset_enrichment_distributed(spark, tmp_path):
+    from palletjack_spark.index.footer_splice import read_footer_bytes
+    from palletjack_spark.index.pageprune import (
+        add_page_index_dataset,
+        page_index_offsets,
+    )
+
+    root = tmp_path / "ds"
+    root.mkdir()
+    for i in range(6):
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array(
+                        range(i * 100, i * 100 + 100), type=pa.int64()
+                    )
+                }
+            ),
+            str(root / f"part-{i}.parquet"),
+            use_dictionary=False,
+        )
+    n = add_page_index_dataset(spark, str(root), ["k"])
+    assert n == 6
+    for i in range(6):
+        p = str(root / f"part-{i}.parquet")
+        assert page_index_offsets(read_footer_bytes(p), 0, 0) is not None
+    assert add_page_index_dataset(spark, str(root), ["k"]) == 0
