@@ -983,6 +983,7 @@ class MetadataIndex:
             # job before the scan itself — and chunk each file's selection
             # into ~128 MB spans (parity with arrow_scan._plan_tasks)
             rg_rows = self._local[0]
+            row_ranges: dict = {}
             if files is not None:
                 want_f = set(files)
                 rg_rows = [r for r in rg_rows if r["file"] in want_f]
@@ -1016,6 +1017,8 @@ class MetadataIndex:
                     )
                     from palletjack_spark.index.dictprune import dict_prune_rows
                     from palletjack_spark.index.pageprune import (
+                        PageProber,
+                        _row_lookup,
                         page_prune_rows,
                     )
 
@@ -1027,7 +1030,28 @@ class MetadataIndex:
                     # page-index tier (q03h): per-page min/max envelopes
                     # prove ENVELOPE-GAP row groups empty — values the
                     # row-group envelope covers but no page does
-                    rg_rows = page_prune_rows(rg_rows, predicate)
+                    prober = PageProber()
+                    rg_rows = page_prune_rows(rg_rows, predicate, prober)
+                    # ...and, within surviving row groups, restrict the
+                    # scan to the surviving page ROW RANGES (OffsetIndex
+                    # granularity): rows the page index proves
+                    # non-matching never enter Spark.  Pure superset
+                    # restriction — the residual filter still applies,
+                    # results identical; the prober's footer/index
+                    # caches make this a re-read-free second pass.
+                    row_ranges = {}
+                    for r in rg_rows:
+                        nrows = r.get("num_rows")
+                        if not nrows:
+                            continue
+                        rngs = prober.surviving_ranges(
+                            r["file"], r["row_group"], nrows,
+                            predicate, _row_lookup(r),
+                        )
+                        if rngs is not None and (
+                            sum(e - s for s, e in rngs) < nrows
+                        ):
+                            row_ranges[(r["file"], r["row_group"])] = rngs
             sel_rows = sorted(
                 (r["file"], r["row_group"], r["total_byte_size"]) for r in rg_rows
             )
@@ -1048,7 +1072,8 @@ class MetadataIndex:
             if span:
                 tasks.append((cur_file, span))
             df = scan_tasks(
-                self.spark, tasks, schema, sel, partition_keys=part_keys
+                self.spark, tasks, schema, sel, partition_keys=part_keys,
+                row_ranges=row_ranges or None,
             )
         else:
             # distributed catalog: the pruned plan DataFrame drives the scan

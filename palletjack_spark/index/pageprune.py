@@ -60,9 +60,11 @@ Granularities served:
   also carries an OffsetIndex, when the per-column surviving row-range
   unions have an EMPTY intersection (multi-column envelope gaps).
 - :meth:`PageProber.surviving_ranges`: the row-granular selection
-  [(start, end)) within a row group, for callers that restrict decoded
-  batches (q03h pins the 4-rg fixture to 1 surviving row group and 1
-  of its 4 pages).
+  [(start, end)) within a row group.  The driver-local read path WIRES
+  it into the scan: surviving row groups slice zero-copy to these
+  ranges before any row enters Spark (``arrow_scan.scan_tasks``
+  ``row_ranges=``) — q03h's fixture drops from 4096 to 1024
+  pre-residual rows while residual-on results stay identical.
 
 Probe I/O is the footer (cached) plus one ``column_index_length`` (+
 optionally ``offset_index_length``) read per (chunk, conjunct column)

@@ -92,23 +92,34 @@ def smart_read(
             ]
             kept = len(stats_kept)
             if total > 0 and kept / total > keep_fraction_threshold and any(
-                op in ("=", "==", "in", "!=", "<>", "not_in")
+                op
+                in (
+                    "=", "==", "in", "!=", "<>", "not_in",
+                    "<", "<=", ">", ">=", "between",
+                )
                 for _c, op, *_v in predicate
             ):
                 # stats alone say "scan everything" — but an equality
                 # predicate may still prune via dictionary pages (q03e:
                 # interleaved high-cardinality keys defeat min/max while
-                # dictionaries stay exact) or, where dictionaries
-                # overflowed, via split-block bloom filters (q03g).  The
-                # probes cost one footer + one tiny page/bitset per
-                # surviving chunk, driver-local only — exactly the scale
-                # where they are cheapest.
+                # dictionaries stay exact), via split-block bloom filters
+                # where dictionaries overflowed (q03g), or — including for
+                # RANGE predicates, which neither of those can probe — via
+                # the page index's per-page envelopes (q03h: value gaps
+                # the row-group envelope hides).  The probes cost one
+                # footer + one tiny page/bitset/index per surviving
+                # chunk, driver-local only — exactly the scale where they
+                # are cheapest.
                 from palletjack_spark.index.bloomprune import bloom_prune_rows
                 from palletjack_spark.index.dictprune import dict_prune_rows
+                from palletjack_spark.index.pageprune import page_prune_rows
 
                 kept = len(
-                    bloom_prune_rows(
-                        dict_prune_rows(stats_kept, predicate), predicate
+                    page_prune_rows(
+                        bloom_prune_rows(
+                            dict_prune_rows(stats_kept, predicate), predicate
+                        ),
+                        predicate,
                     )
                 )
         else:

@@ -607,3 +607,183 @@ def q37c(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_winsorized"),
     )
+
+
+@query(
+    "q37d_kll_quantile_rollup",
+    # q31b's pinning contract, for quantiles: a Datasketches KLL binary
+    # can't hash-match another engine, so the row carries EXACT medians
+    # at both aggregation levels plus booleans asserting each
+    # sketch-derived estimate landed inside the exact ±5%-RANK window
+    # (quantile error in KLL is a rank guarantee, not a value one).
+    # The oracle emits TRUE unconditionally.
+    oracle="""
+    WITH fine AS (
+      SELECT l_returnflag, l_linestatus,
+             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5)
+               AS exact_median
+      FROM lineitem GROUP BY l_returnflag, l_linestatus),
+    coarse AS (
+      SELECT l_returnflag,
+             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5)
+               AS exact_median_flag
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT f.l_returnflag, f.l_linestatus, f.exact_median,
+           c.exact_median_flag,
+           TRUE AS fine_in_rank_window,
+           TRUE AS coarse_in_rank_window
+    FROM fine f JOIN coarse c USING (l_returnflag)
+    """,
+)
+def q37d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL quantile-sketch rollup (Q37d): build a Datasketches
+    KLL per (returnflag, linestatus), then re-aggregate to per-flag
+    medians by MERGING THE SKETCHES — no second pass over raw data, the
+    same one-scan/N-granularities cube shape as Q31b's HLL rollup but
+    for ORDER statistics: the one production aggregate family (p50/p95
+    latencies, price distributions, length histograms at 100 TB) that
+    exact sort-based percentiles can't serve incrementally.
+    ``kll_sketch_agg_double`` partials combine map-side like any
+    aggregate; ``kll_merge_agg_double`` makes coarser levels a
+    sketch-sized re-aggregation.  KLL's guarantee is a RANK bound, so
+    the driver row pins each estimate inside the exact [p45, p55] value
+    window (k=400 gives ~1.3% normalized rank error — 5% leaves margin
+    at every sf) and carries exact medians for the value hash."""
+    li = t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    # sketches are computed ONCE: the fine table is referenced twice
+    # (directly and under the coarse merge), and without the lineage cut
+    # Spark would re-execute the whole scan+aggregate subtree per
+    # reference — the opposite of what a sketch rollup is for
+    fine = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.kll_sketch_agg_double(price, F.lit(400)).alias("sketch"),
+        F.expr(
+            "percentile(CAST(l_extendedprice AS DOUBLE),"
+            " array(0.45D, 0.5D, 0.55D))"
+        ).alias("win"),
+    ).localCheckpoint()
+    coarse = fine.groupBy("l_returnflag").agg(
+        F.kll_merge_agg_double("sketch").alias("flag_sketch")
+    )
+    exact_coarse = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile(CAST(l_extendedprice AS DOUBLE),"
+            " array(0.45D, 0.5D, 0.55D))"
+        ).alias("flag_win")
+    )
+    est = F.kll_sketch_get_quantile_double("sketch", F.lit(0.5))
+    est_c = F.kll_sketch_get_quantile_double("flag_sketch", F.lit(0.5))
+    return (
+        fine.join(coarse, "l_returnflag")
+        .join(exact_coarse, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("win")[1].alias("exact_median"),
+            F.col("flag_win")[1].alias("exact_median_flag"),
+            est.between(F.col("win")[0], F.col("win")[2]).alias(
+                "fine_in_rank_window"
+            ),
+            est_c.between(F.col("flag_win")[0], F.col("flag_win")[2]).alias(
+                "coarse_in_rank_window"
+            ),
+        )
+    )
+
+
+@query(
+    "q31c_theta_sketch_setops",
+    # Theta sketches add what HLL can't: SET OPERATIONS on distinct
+    # sets.  Same pinning contract as q31b — exact counts (computable in
+    # both engines) carry the hash, booleans assert each sketch estimate
+    # within 5% of exact, the oracle emits TRUE unconditionally.
+    oracle="""
+    WITH per_flag AS (
+      SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+    r AS (SELECT l_partkey FROM per_flag WHERE l_returnflag = 'R'),
+    a AS (SELECT l_partkey FROM per_flag WHERE l_returnflag = 'A')
+    SELECT
+      (SELECT COUNT(*) FROM (SELECT l_partkey FROM r
+                             UNION SELECT l_partkey FROM a))
+        AS exact_union,
+      (SELECT COUNT(*) FROM (SELECT l_partkey FROM r
+                             INTERSECT SELECT l_partkey FROM a))
+        AS exact_intersection,
+      (SELECT COUNT(*) FROM (SELECT l_partkey FROM r
+                             EXCEPT SELECT l_partkey FROM a))
+        AS exact_difference,
+      TRUE AS union_within_5pct,
+      TRUE AS intersection_within_5pct,
+      TRUE AS difference_within_5pct
+    """,
+)
+def q31c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set operations (Q31c): per-flag distinct-part
+    sketches combined with ``theta_union`` / ``theta_intersection`` /
+    ``theta_difference`` — the audience-overlap shape ("distinct users
+    in A AND B / A but not B") that HLL fundamentally cannot answer and
+    that exact computation needs a full re-shuffle of both sides for.
+    Sketches build in ONE scan (map-side combined), set algebra then
+    runs on sketch-sized values.  Driver row: exact counts via one
+    distinct-pairs aggregate (the verification side), booleans pinning
+    each estimate (q31b discipline; below ~4k distincts the sketch is
+    in exact mode and the estimates are exact).  Theta's error bound is
+    relative to the UNION, not to the result set — a 2-element
+    difference between two 20k-element sets can't be estimated to 5%
+    relative — so intersection/difference pin to an absolute
+    ``0.05 x union`` band while the union itself pins relatively."""
+    li = t(spark, sf_dir, "lineitem")
+    flags = li.where(F.col("l_returnflag").isin("R", "A"))
+    # one scan builds both sketches; the lineage cut keeps the 1-row
+    # sketch table from re-executing under the cross join
+    sk = (
+        flags.groupBy("l_returnflag")
+        .agg(F.theta_sketch_agg("l_partkey").alias("sk"))
+        .groupBy()
+        .pivot("l_returnflag", ["R", "A"])
+        .agg(F.first("sk"))
+        .localCheckpoint()
+    )
+    est = sk.select(
+        F.theta_sketch_estimate(F.theta_union("R", "A")).alias("u"),
+        F.theta_sketch_estimate(F.theta_intersection("R", "A")).alias("i"),
+        F.theta_sketch_estimate(F.theta_difference("R", "A")).alias("d"),
+    )
+    # exact side: one distinct (flag, part) aggregate -> set cardinalities
+    pairs = (
+        flags.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.collect_set("l_returnflag").alias("fs"))
+        .select(
+            F.array_contains("fs", "R").alias("in_r"),
+            F.array_contains("fs", "A").alias("in_a"),
+        )
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("exact_union"),
+            F.sum((F.col("in_r") & F.col("in_a")).cast("long")).alias(
+                "exact_intersection"
+            ),
+            F.sum((F.col("in_r") & ~F.col("in_a")).cast("long")).alias(
+                "exact_difference"
+            ),
+        )
+    )
+    band = F.col("exact_union") * 0.05  # theta error scales with UNION
+    abs_tol = lambda est_c, exact: (  # noqa: E731
+        F.abs(est_c.cast("double") - F.col(exact)) <= band
+    )
+    return pairs.crossJoin(est).select(
+        "exact_union",
+        "exact_intersection",
+        "exact_difference",
+        F.col("u")
+        .cast("double")
+        .between(F.col("exact_union") * 0.95, F.col("exact_union") * 1.05)
+        .alias("union_within_5pct"),
+        abs_tol(F.col("i"), "exact_intersection").alias(
+            "intersection_within_5pct"
+        ),
+        abs_tol(F.col("d"), "exact_difference").alias("difference_within_5pct"),
+    )

@@ -287,20 +287,30 @@ def _read_span_batches(
     target: pa.Schema,
     batch_size: int,
     partition_keys: list[str] | None = None,
+    ranges_by_rg: dict[int, list[tuple[int, int]]] | None = None,
 ) -> Iterator[pa.RecordBatch]:
     """Executor-side: one file's selected row groups as normalized record
     batches — the shared inner loop of every scan flavor.  With
     ``partition_keys``, each batch gains the file's hive partition values
     as constant string columns (parsed from the path — a pure function,
-    so no driver state ships to make it work)."""
+    so no driver state ships to make it work).
+
+    ``ranges_by_rg`` (q03h's page tier, row granularity): row groups
+    with an entry are read whole but SLICED to the surviving
+    [start, end) page row-ranges before anything downstream sees them —
+    a pure-superset restriction (the residual filter still applies), so
+    results are identical with or without it; rows the page index
+    proves non-matching just never enter Spark.  Row groups without an
+    entry stream through ``iter_batches`` unchanged, in maximal runs."""
     pf = _open_parquet(path)
     pvals = None
     if partition_keys:
         vals = partition_values(path)
         pvals = [vals.get(k) for k in partition_keys]
-    for rb in pf.iter_batches(batch_size=batch_size, row_groups=span, columns=cols):
+
+    def _attach(rb: pa.RecordBatch) -> pa.RecordBatch | None:
         if rb.num_rows == 0:
-            continue
+            return None
         if rb.schema != target:
             rb = rb.cast(target, safe=False)
         if pvals is not None:
@@ -313,7 +323,31 @@ def _read_span_batches(
             rb = pa.RecordBatch.from_arrays(
                 arrays, names=list(rb.schema.names) + list(partition_keys)
             )
-        yield rb
+        return rb
+
+    ranges_by_rg = ranges_by_rg or {}
+    run: list[int] = []
+    for rg in span + [None]:  # sentinel flushes the final run
+        if rg is not None and rg not in ranges_by_rg:
+            run.append(rg)
+            continue
+        if run:
+            for rb in pf.iter_batches(
+                batch_size=batch_size, row_groups=run, columns=cols
+            ):
+                out = _attach(rb)
+                if out is not None:
+                    yield out
+            run = []
+        if rg is None:
+            continue
+        tbl = pf.read_row_group(rg, columns=cols)
+        for start, end in ranges_by_rg[rg]:
+            piece = tbl.slice(start, end - start)  # zero-copy
+            for rb in piece.to_batches(max_chunksize=batch_size):
+                out = _attach(rb)
+                if out is not None:
+                    yield out
 
 
 def _with_partition_fields(
@@ -334,8 +368,14 @@ def scan_tasks(
     columns: list[str] | None,
     batch_size: int = 65536,
     partition_keys: list[str] | None = None,
+    row_ranges: dict[tuple[str, int], list[tuple[int, int]]] | None = None,
 ) -> DataFrame:
-    """Run (path, row_groups) scan tasks via mapInArrow."""
+    """Run (path, row_groups) scan tasks via mapInArrow.
+
+    ``row_ranges`` maps (path, row_group) to surviving [start, end) row
+    ranges from the page index (q03h tier, row granularity): those row
+    groups are sliced to the ranges before rows enter Spark — a pure
+    superset restriction, identical results with the residual filter."""
     file_schema = schema
     if columns is not None:
         file_schema = pa.schema([schema.field(c) for c in columns])
@@ -345,21 +385,40 @@ def scan_tasks(
     )
     cols = list(columns) if columns is not None else None
 
-    task_rows = [(p, [int(r) for r in rgs]) for p, rgs in tasks]
+    row_ranges = row_ranges or {}
+    task_rows = [
+        (
+            p,
+            [int(r) for r in rgs],
+            [
+                [int(rg), int(s), int(e)]
+                for rg in rgs
+                for s, e in row_ranges.get((p, int(rg)), ())
+            ],
+        )
+        for p, rgs in tasks
+    ]
     n_part = max(1, min(len(task_rows), spark.sparkContext.defaultParallelism * 2))
     tdf = spark.createDataFrame(
-        task_rows, "pj_path string, pj_row_groups array<int>"
+        task_rows,
+        "pj_path string, pj_row_groups array<int>,"
+        " pj_ranges array<array<bigint>>",
     ).repartition(n_part)
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             paths = b.column("pj_path").to_pylist()
             spans = b.column("pj_row_groups").to_pylist()
-            for path, span in zip(paths, spans):
+            rangelists = b.column("pj_ranges").to_pylist()
+            for path, span, triples in zip(paths, spans, rangelists):
                 if not span:
                     continue
+                by_rg: dict[int, list[tuple[int, int]]] = {}
+                for rg, s, e in triples or ():
+                    by_rg.setdefault(int(rg), []).append((int(s), int(e)))
                 yield from _read_span_batches(
-                    path, span, cols, target, batch_size, partition_keys
+                    path, span, cols, target, batch_size, partition_keys,
+                    by_rg,
                 )
 
     return tdf.mapInArrow(gen, spark_schema)

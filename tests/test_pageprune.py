@@ -391,17 +391,27 @@ def test_datasource_plans_through_page_tier(spark, tmp_path):
 
 
 def test_smart_read_routes_through_page_tier(spark, tmp_path):
-    """The auto-routed surface reaches the page tier: a smart_read
-    point lookup over the gap fixture returns exactly the true rows."""
+    """smart_read's routing estimate counts the page tier: equality AND
+    pure-range predicates over the gap layout (where stats keep 4/4 and
+    there are no dictionaries or blooms to probe) route to the INDEXED
+    scan — plan-asserted, not just row-equal — and return exact rows."""
     from palletjack_spark import build_index
     from palletjack_spark.index.smart import smart_read
 
     path = _gap_fixture(tmp_path, name="route.parquet")
     build_index(spark, path)
-    got = smart_read(
-        spark, path, columns=["k", "tag"], predicate=[("k", "=", 5632)]
-    ).collect()
-    assert [(r["k"], r["tag"]) for r in got] == [(5632, "t0005632")]
+    for pred, expect in (
+        ([("k", "=", 5632)], [(5632, "t0005632")]),
+        (
+            [("k", ">=", 5630), ("k", "<=", 5633)],
+            [(v, f"t{v:07d}") for v in range(5630, 5634)],
+        ),
+    ):
+        df = smart_read(spark, path, columns=["k", "tag"], predicate=pred)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInArrow" in plan or "ArrowEvalPython" in plan, plan[:800]
+        got = sorted((r["k"], r["tag"]) for r in df.collect())
+        assert got == expect, pred
 
 
 # --------------------------------------------------------------------------
@@ -655,3 +665,32 @@ def test_dataset_enrichment_distributed(spark, tmp_path):
         p = str(root / f"part-{i}.parquet")
         assert page_index_offsets(read_footer_bytes(p), 0, 0) is not None
     assert add_page_index_dataset(spark, str(root), ["k"]) == 0
+
+
+def test_row_range_slicing_restricts_scan_rows(spark, tmp_path):
+    """The OffsetIndex row-granular selection DRIVES the scan: with the
+    residual off, only the surviving page's rows enter Spark (1024 of a
+    4096-row row group); with it on, results equal pruning-off exactly.
+    Ordinal (no-predicate) selections are untouched."""
+    from palletjack_spark import build_index
+
+    path = _gap_fixture(tmp_path, name="slice.parquet")
+    idx = build_index(spark, path)
+    pred = [("k", "=", 5632)]
+    assert [
+        (r["k"], r["tag"])
+        for r in idx.read(columns=["k", "tag"], predicate=pred).collect()
+    ] == [(5632, "t0005632")]
+    # pre-residual row count: 1 page of the 1 surviving row group
+    assert (
+        idx.read(columns=["k"], predicate=pred, apply_residual=False).count()
+        == 1024
+    )
+    rng = [("k", ">=", 4100), ("k", "<=", 4200)]
+    assert (
+        idx.read(columns=["k"], predicate=rng, apply_residual=False).count()
+        == 1024
+    )
+    assert idx.read(columns=["k"], predicate=rng).count() == 101
+    assert idx.read(columns=["k"]).count() == 16 * 1024
+    assert idx.read(columns=["k"], row_groups=[0]).count() == 4096

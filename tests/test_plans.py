@@ -1591,3 +1591,32 @@ def test_incremental_dedup_store_side_never_exchanges(spark):
             if "hashpartitioning" in lines[i + 2]:
                 inp = lines[i + 1]
                 assert "sh_set#" not in inp and "text#" not in inp, inp
+
+
+def test_kll_rollup_merges_sketches_not_rows(spark):
+    """Q37d: sketches compute ONCE behind a lineage cut; the coarse
+    level re-aggregates SKETCH VALUES (kll_merge_agg over the
+    checkpointed fine table), so the only raw scan left in the plan is
+    the exact verification side — and no Python in the loop."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["q37d_kll_quantile_rollup"].fn(spark, SF_DIR))
+    # formatted mode names each node in the tree AND the details
+    # section: one real scan node == exactly 2 string occurrences
+    assert plan.count("Scan parquet") + plan.count("Scan arrow") <= 2, plan
+    assert "kll_merge_agg" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_theta_setops_single_scan_per_side(spark):
+    """Q31c: the sketch side is a checkpointed 1-row table (one scan
+    paid at build), the exact verification side scans once; the set
+    algebra itself runs on sketch-sized scalars under a broadcast cross
+    join, never on re-shuffled raw rows."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["q31c_theta_sketch_setops"].fn(spark, SF_DIR))
+    assert "theta_union" in plan and "theta_intersection" in plan, plan
+    # one real scan node (the exact side) == 2 formatted occurrences
+    assert plan.count("Scan parquet") + plan.count("Scan arrow") <= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
