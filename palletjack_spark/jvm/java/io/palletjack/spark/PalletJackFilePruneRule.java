@@ -508,6 +508,42 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
         return null;
     }
 
+    private static final double TWO_53 = 9007199254740992.0; // 2^53
+
+    /** Whether a stored stat double denotes a UNIQUE long: integral and
+     *  |d| < 2^53.  At and beyond 2^53 several longs round onto the same
+     *  double, so a degenerate min==max (or lo==hi interval) no longer
+     *  proves a single-valued chunk and an exclusion prune on it would
+     *  silently drop matching rows.  NaN fails the self-equality test. */
+    private static boolean denotesUniqueLong(double d) {
+        return d == Math.rint(d) && Math.abs(d) < TWO_53;
+    }
+
+    /** The exclusion conjunct's literals as EXACT longs, parsed from the
+     *  canonical decimal text ({@link #litCanon}) — {@link #litValue}'s
+     *  doubleValue() rounds longs beyond 2^53 onto neighboring stored
+     *  values, which would make the == exclusion test wrongly prune
+     *  (e.g. col != 9007199254740993 vs a stored 9007199254740992).
+     *  Null when any literal lacks an integral canon (no exact
+     *  evidence: callers keep the file). */
+    private static long[] exclusionLongs(Conjunct c) {
+        String[] ex = c.canons != null
+                ? c.canons
+                : (c.canon != null ? new String[]{c.canon} : null);
+        if (ex == null) {
+            return null;
+        }
+        long[] out = new long[ex.length];
+        for (int i = 0; i < ex.length; i++) {
+            try {
+                out[i] = Long.parseLong(ex[i]);
+            } catch (NumberFormatException nfe) {
+                return null;
+            }
+        }
+        return out;
+    }
+
     // the split-block algorithm's 8 salts (parquet format spec)
     private static final int[] SALT = {
         0x47b6137b, 0x44974d91, 0x8824ad5b, 0xa2b7289d,
@@ -671,7 +707,14 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
             if ("in".equals(c.op) && c.values != null) {
                 boolean any = false;
                 for (double v : c.values) {
-                    if (!Double.isNaN(v) && intervalsIntersect(iv, v, v)) {
+                    if (Double.isNaN(v)) {
+                        // NaN member: NaN rows DO satisfy IN under Spark's
+                        // NaN==NaN semantics, and NaN-dropping page stats
+                        // leave no trace of them — no evidence, keep
+                        any = true;
+                        break;
+                    }
+                    if (intervalsIntersect(iv, v, v)) {
                         any = true;
                         break;
                     }
@@ -690,22 +733,26 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
                 if (!c.integral) {
                     continue;
                 }
-                double[] ex = c.values != null
-                        ? c.values
-                        : (c.value != null ? new double[]{c.value} : null);
+                long[] ex = exclusionLongs(c);
                 if (ex == null || iv.length == 0) {
-                    continue; // no literals, or an all-NULL column
+                    continue; // no exact literals, or an all-NULL column
                               // (conservatively kept: cheap and rare)
                 }
                 boolean allExcluded = true;
                 for (int i = 0; allExcluded && i < iv.length / 2; i++) {
-                    if (iv[2 * i] != iv[2 * i + 1]) {
+                    if (iv[2 * i] != iv[2 * i + 1]
+                            || !denotesUniqueLong(iv[2 * i])) {
+                        // not degenerate, or the stored double does not
+                        // denote a unique long (|v| >= 2^53: several longs
+                        // collapse onto one double, so lo==hi no longer
+                        // proves single-valued) — keep
                         allExcluded = false;
                         break;
                     }
+                    long stored = (long) iv[2 * i];
                     boolean hit = false;
-                    for (double v : ex) {
-                        if (iv[2 * i] == v) {
+                    for (long v : ex) {
+                        if (stored == v) {
                             hit = true;
                             break;
                         }
@@ -882,6 +929,13 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
                 }
                 boolean any = false;
                 for (double v : c.values) {
+                    if (Double.isNaN(v)) {
+                        // NaN member: NaN rows satisfy IN under Spark's
+                        // NaN==NaN semantics and leave no trace in
+                        // NaN-dropping stats — no evidence, keep
+                        any = true;
+                        break;
+                    }
                     if (min <= v && v <= max) {
                         any = true;
                         break;
@@ -894,28 +948,38 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
             }
             if ("!=".equals(c.op) || "not_in".equals(c.op)) {
                 // stats tier: a provably SINGLE-VALUED file whose one
-                // value is excluded.  min == max survives the superset
-                // rounding only when the true value IS that double, and
-                // the integral-literal gate proves a NaN-free column
-                // (parquet float stats ignore NaN; NaN satisfies !=).
-                if (!range || !c.integral || min != max) {
+                // value is excluded.  The integral-literal gate proves a
+                // NaN-free column (parquet float stats ignore NaN; NaN
+                // satisfies !=), and the prune additionally requires the
+                // stored double to denote a UNIQUE long (integral,
+                // |v| < 2^53): beyond 2^53 several longs collapse onto
+                // one double, so min==max no longer proves single-valued.
+                // Literals compare as EXACT longs parsed from the canon
+                // text — litValue()'s doubleValue() rounds longs beyond
+                // 2^53 onto neighbors and would wrongly prune files whose
+                // rows DO satisfy the exclusion.
+                if (!range || !c.integral || min != max
+                        || !denotesUniqueLong(min)) {
                     continue;
                 }
-                double[] ex = c.values != null
-                        ? c.values
-                        : (c.value != null ? new double[]{c.value} : null);
+                long[] ex = exclusionLongs(c);
                 if (ex == null) {
                     continue;
                 }
-                for (double v : ex) {
-                    if (min == v) {
+                long stored = (long) min;
+                for (long v : ex) {
+                    if (stored == v) {
                         return false;
                     }
                 }
                 continue;
             }
-            if (c.value == null || !range) {
-                continue; // string equality: digest tier only
+            if (c.value == null || !range || Double.isNaN(c.value)) {
+                // string equality (digest tier only) — or a NaN literal:
+                // under Spark semantics NaN==NaN and NaN sorts greatest,
+                // so e.g. col >= double('nan') matches NaN rows that
+                // NaN-dropping stats cannot see — no evidence, keep
+                continue;
             }
             boolean possible;
             switch (c.op) {

@@ -416,6 +416,94 @@ def main(tmp: str) -> None:
         is None
     )
 
+    # --- round-12 ADVICE: exclusion beyond 2^53 + NaN literals ---------
+    # (a) the exclusion tiers must compare integral literals EXACTLY: a
+    # long beyond 2^53 rounds onto a neighboring double under
+    # litValue()'s doubleValue(), so `k != 9007199254740993` must NOT
+    # prune a file single-valued at 9007199254740992 — ALL of whose rows
+    # satisfy the exclusion.  Both the stats tier (min == max) and the
+    # page-interval tier (degenerate envelopes) see the dangerous shape.
+    two53 = 9007199254740992
+    hdata = os.path.join(tmp, "huge")
+    os.makedirs(hdata)
+    w = pq.ParquetWriter(
+        os.path.join(hdata, "part-0.parquet"),
+        pa.schema([("k", pa.int64())]),
+        use_dictionary=False,
+        write_page_index=True,
+        data_page_size=1,
+        write_batch_size=50,
+    )
+    w.write_table(
+        pa.table({"k": pa.array([two53] * 100, pa.int64())}),
+        row_group_size=100,
+    )
+    w.close()
+    pq.write_table(
+        pa.table({"k": pa.array(range(1, 101), pa.int64())}),
+        os.path.join(hdata, "part-1.parquet"),
+    )
+    register_index_jvm(spark, hdata, page_columns=["k"])
+    hne = spark.sql(f"SELECT k FROM parquet.`{hdata}` WHERE k != {two53 + 1}")
+    out["n_rows_huge_ne"] = hne.count()  # all 200 rows satisfy it
+    hnin = spark.sql(
+        f"SELECT k FROM parquet.`{hdata}` WHERE k NOT IN ({two53 + 1}, 500)"
+    )
+    out["n_rows_huge_notin"] = hnin.count()
+    # the exact boundary literal: conservative keep (several longs
+    # collapse onto 2^53, so min==max no longer proves single-valued),
+    # rows stay exact via Spark's residual filter
+    hexact = spark.sql(f"SELECT k FROM parquet.`{hdata}` WHERE k != {two53}")
+    out["n_rows_huge_exact"] = hexact.count()
+
+    # (b) NaN literals never prune: under Spark's NaN semantics NaN rows
+    # satisfy =, >=, and IN on a NaN literal, while NaN-dropping parquet
+    # stats and page envelopes leave no trace of them.  Spark's own
+    # row-group pushdown shares the blind spot (it drops the row groups
+    # wholesale), so it is disabled here to isolate THIS rule's file
+    # tier — pre-fix the rule pruned the whole FILE and pushdown=off
+    # could not bring the rows back.
+    ndata = os.path.join(tmp, "nanlit")
+    os.makedirs(ndata)
+    w = pq.ParquetWriter(
+        os.path.join(ndata, "part-0.parquet"),
+        pa.schema([("f", pa.float64())]),
+        use_dictionary=False,
+        write_page_index=True,
+    )
+    w.write_table(
+        pa.table(
+            {"f": pa.array([5.0] * 50 + [float("nan")] * 50, pa.float64())}
+        ),
+        row_group_size=100,
+    )
+    w.close()
+    pq.write_table(
+        pa.table({"f": pa.array([100.0 + i for i in range(100)], pa.float64())}),
+        os.path.join(ndata, "part-1.parquet"),
+    )
+    register_index_jvm(spark, ndata, page_columns=["f"])
+    spark.conf.set("spark.sql.parquet.filterPushdown", "false")
+    neq = spark.sql(
+        f"SELECT f FROM parquet.`{ndata}` WHERE f = CAST('NaN' AS DOUBLE)"
+    )
+    out["files_nan_eq"] = len(_lr_input_files(neq))
+    out["n_rows_nan_eq"] = neq.count()
+    nin2 = spark.sql(
+        f"SELECT f FROM parquet.`{ndata}` "
+        "WHERE f IN (CAST('NaN' AS DOUBLE), 150.0)"
+    )
+    out["n_rows_nan_in"] = nin2.count()
+    ngte = spark.sql(
+        f"SELECT f FROM parquet.`{ndata}` WHERE f >= CAST('NaN' AS DOUBLE)"
+    )
+    out["n_rows_nan_gte"] = ngte.count()
+    # control: a clean literal still prunes to one file with exact rows
+    nctl = spark.sql(f"SELECT f FROM parquet.`{ndata}` WHERE f = 150.0")
+    out["files_nan_ctl"] = len(_lr_input_files(nctl))
+    out["n_rows_nan_ctl"] = nctl.count()
+    spark.conf.set("spark.sql.parquet.filterPushdown", "true")
+
     print("RESULT:" + json.dumps(out))
     spark.stop()
 

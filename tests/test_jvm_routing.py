@@ -182,6 +182,27 @@ def test_pure_sql_scan_is_file_pruned_and_hash_equal(tmp_path):
     # same staleness contract as digests/blooms)
     assert out["intervals_cleared"] is True
 
+    # round-12 ADVICE (high): exclusion literals beyond 2^53 compare as
+    # EXACT longs — `!= 2^53+1` must keep the file single-valued at 2^53
+    # (pre-fix litValue() rounded the literal onto the stored double and
+    # both the stats and interval tiers wrongly pruned all 100 rows)
+    assert out["n_rows_huge_ne"] == 200
+    assert out["n_rows_huge_notin"] == 200
+    # at the boundary the stored double no longer proves single-valued:
+    # conservative keep, rows exact via the residual
+    assert out["n_rows_huge_exact"] == 100
+
+    # round-12 ADVICE (low) + stats-tier parity: NaN literals never
+    # prune — NaN rows satisfy =, >=, and IN under Spark's NaN==NaN
+    # semantics while NaN-dropping stats/envelopes cannot see them
+    assert out["files_nan_eq"] == 2  # no evidence: both files kept
+    assert out["n_rows_nan_eq"] == 50
+    assert out["n_rows_nan_in"] == 51
+    assert out["n_rows_nan_gte"] == 50
+    # clean literals still prune on the same fixture
+    assert out["files_nan_ctl"] == 1
+    assert out["n_rows_nan_ctl"] == 1
+
 
 def test_per_file_digests_soundness_gates(spark, tmp_path):
     """The digest builder refuses non-identity logical types (unsigned,
