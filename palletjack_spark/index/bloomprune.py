@@ -880,14 +880,18 @@ def add_bloom_filters(
 
     # rewrite tail: data stays untouched; appendix lands where the old
     # footer began (exactly where bloom offsets point), then the new
-    # footer + length + magic
-    with open(path, "r+b") as fh:
-        fh.seek(footer_start)
-        fh.write(appendix)
-        fh.write(out_footer)
-        fh.write(struct.pack("<I", len(out_footer)))
-        fh.write(b"PAR1")
-        fh.truncate()
+    # footer + length + magic — via the crash-atomic temp-copy + rename
+    # (safe under task retries / speculative re-runs, round-12 ADVICE)
+    from palletjack_spark.index.footer_splice import atomic_tail_rewrite
+
+    atomic_tail_rewrite(
+        path,
+        footer_start,
+        bytes(appendix)
+        + bytes(out_footer)
+        + struct.pack("<I", len(out_footer))
+        + b"PAR1",
+    )
     return len(placed)
 
 

@@ -899,13 +899,19 @@ def add_page_index(path: str, columns: list[str] | None = None) -> int:
         pos = e
     out_footer += footer[pos:]
 
-    with open(path, "r+b") as fh:
-        fh.seek(footer_start)
-        fh.write(appendix)
-        fh.write(out_footer)
-        fh.write(struct.pack("<I", len(out_footer)))
-        fh.write(b"PAR1")
-        fh.truncate()
+    # crash-atomic tail replacement (temp copy + rename): safe under
+    # Spark task retries / speculative re-runs of the same file's
+    # surgery (round-12 ADVICE)
+    from palletjack_spark.index.footer_splice import atomic_tail_rewrite
+
+    atomic_tail_rewrite(
+        path,
+        footer_start,
+        bytes(appendix)
+        + bytes(out_footer)
+        + struct.pack("<I", len(out_footer))
+        + b"PAR1",
+    )
     return len(placed)
 
 

@@ -599,3 +599,60 @@ def test_read_metadata_accepts_blob_positionally(pq_file):
     # argument via the positional swap (round-8 ADVICE)
     with pytest.raises(InvalidSelectionError, match="exactly one"):
         fs.read_metadata(blob, index_data=blob)
+
+
+def test_atomic_tail_rewrite_crash_and_duplicate_safety(tmp_path, monkeypatch):
+    """Round-12 ADVICE (medium): footer surgery must be crash-atomic —
+    a failure at any point (simulated at the final rename) leaves the
+    ORIGINAL file byte-identical with a valid PAR1 tail and no temp
+    debris, and duplicate attempts (Spark task retry / speculation
+    re-running a file's surgery) converge on the same valid file."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from palletjack_spark.index.bloomprune import add_bloom_filters
+    from palletjack_spark.index.footer_splice import atomic_tail_rewrite
+
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array(range(1000), pa.int64())}),
+        p,
+        use_dictionary=False,
+    )
+    original = open(p, "rb").read()
+
+    # crash at the final rename: original untouched, temp cleaned up
+    real_replace = os.replace
+
+    def boom(src, dst):
+        raise OSError("simulated crash at rename")
+
+    monkeypatch.setattr(os, "replace", boom)
+    import pytest
+
+    with pytest.raises(OSError, match="simulated crash"):
+        add_bloom_filters(p, ["k"])
+    assert open(p, "rb").read() == original
+    assert not [f for f in os.listdir(tmp_path) if ".pj-surgery-" in f]
+    monkeypatch.setattr(os, "replace", real_replace)
+
+    # the real surgery lands atomically and stays readable
+    assert add_bloom_filters(p, ["k"]) == 1
+    assert pq.read_table(p).num_rows == 1000
+    assert not [f for f in os.listdir(tmp_path) if ".pj-surgery-" in f]
+
+    # duplicate attempt from the SAME pre-state (a speculative twin that
+    # read the file before the first attempt landed): replay its tail
+    # rewrite directly — the rename wins and the file stays valid
+    enriched = open(p, "rb").read()
+    footer_len = int.from_bytes(enriched[-8:-4], "little")
+    footer_start = len(enriched) - 8 - footer_len
+    atomic_tail_rewrite(p, footer_start, enriched[footer_start:])
+    assert open(p, "rb").read() == enriched
+    assert pq.read_table(p).num_rows == 1000
+
+    # re-running the full surgery on the enriched file is a no-op
+    assert add_bloom_filters(p, ["k"]) == 0
+    assert open(p, "rb").read() == enriched
