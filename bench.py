@@ -511,15 +511,28 @@ def _write_detail(payload: dict, root: str | None = None) -> str:
     """Commit-ready sidecar with the full per-query evidence (times, both
     passes, interleaved controls) that no longer fits on stdout.  Also
     echoed to stderr so ad-hoc runs keep the data even if the file is
-    never committed.  Returns the basename for the final line's
-    ``detail`` pointer ("" if the write failed — never fatal)."""
+    never committed.  Returns the name for the final line's ``detail``
+    pointer ("" if the write failed — never fatal).
+
+    The round-numbered repo sidecar ``BENCH_DETAIL_rNN.json`` is written
+    ONLY when the run is an intended capture (``SPARK_GRAFT_CAPTURE`` set
+    non-empty in the environment).  Any other run — notably the driver's
+    end-of-round bench, which in rounds 10 and 11 kept overwriting the
+    committed capture sidecar in the working tree — writes to a scratch
+    path under /tmp instead and leaves the repo untouched."""
     if root is None:
         root = _REPO
-    name = f"BENCH_DETAIL_r{_detail_round(root):02d}.json"
+    rnd = _detail_round(root)
     blob = json.dumps(payload, sort_keys=True)
     print(f"# detail: {blob}", file=sys.stderr)
+    if os.environ.get("SPARK_GRAFT_CAPTURE"):
+        name = f"BENCH_DETAIL_r{rnd:02d}.json"
+        path = os.path.join(root, name)
+    else:
+        name = f"/tmp/pjspark_bench_detail_r{rnd:02d}_{os.getpid()}.json"
+        path = name
     try:
-        with open(os.path.join(root, name), "w") as f:
+        with open(path, "w") as f:
             f.write(blob + "\n")
     except OSError:
         return ""

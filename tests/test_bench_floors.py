@@ -218,17 +218,42 @@ def test_final_line_cap_is_unconditional():
     json.loads(line3)
 
 
-def test_detail_round_is_max_committed_plus_one(tmp_path):
+def test_detail_round_is_max_committed_plus_one(tmp_path, monkeypatch):
     b = _bench()
     assert b._detail_round(str(tmp_path)) == 1
     (tmp_path / "BENCH_r03.json").write_text("{}")
     (tmp_path / "BENCH_r11.json").write_text("{}")
     assert b._detail_round(str(tmp_path)) == 12
+    # an intended capture (SPARK_GRAFT_CAPTURE set) writes the
+    # round-numbered repo sidecar
+    monkeypatch.setenv("SPARK_GRAFT_CAPTURE", "1")
     name = b._write_detail({"queries": {"q": 1.0}}, str(tmp_path))
     assert name == "BENCH_DETAIL_r12.json"
     import json
 
     assert json.loads((tmp_path / name).read_text())["queries"] == {"q": 1.0}
+
+
+def test_non_capture_run_leaves_committed_sidecar_untouched(
+    tmp_path, monkeypatch
+):
+    """Round-12 hygiene (VERDICT item 6, recurring since round 10): the
+    driver's end-of-round bench run must NOT overwrite the committed
+    BENCH_DETAIL_rNN.json — without the capture flag, detail goes to a
+    scratch path under /tmp."""
+    import json
+    import os
+
+    b = _bench()
+    (tmp_path / "BENCH_r11.json").write_text("{}")
+    committed = tmp_path / "BENCH_DETAIL_r12.json"
+    committed.write_text('{"queries": {"committed": 1.0}}\n')
+    monkeypatch.delenv("SPARK_GRAFT_CAPTURE", raising=False)
+    name = b._write_detail({"queries": {"q": 2.0}}, str(tmp_path))
+    assert name.startswith("/tmp/")
+    assert json.loads(committed.read_text())["queries"] == {"committed": 1.0}
+    assert json.loads(open(name).read())["queries"] == {"q": 2.0}
+    os.unlink(name)
 
 
 def test_committed_floors_cover_the_regression_block():
