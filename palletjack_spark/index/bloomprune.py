@@ -633,10 +633,14 @@ def value_prune_plan(plan, predicate):
     sel = plan.select(
         "file", "row_group", "total_byte_size", *nrows_col, *meta_cols
     )
-    out_schema = "file string, row_group int, total_byte_size long"
+    out_schema = (
+        "file string, row_group int, total_byte_size long,"
+        " pj_ranges array<array<bigint>>"
+    )
     out_arrow = pa.schema(
         [("file", pa.string()), ("row_group", pa.int32()),
-         ("total_byte_size", pa.int64())]
+         ("total_byte_size", pa.int64()),
+         ("pj_ranges", pa.list_(pa.list_(pa.int64())))]
     )
     values = [(vs, mode) for _c, vs, mode in conj]
     pred_list = [tuple(p) for p in predicate]
@@ -672,6 +676,7 @@ def value_prune_plan(plan, predicate):
                     ):
                         keep = False
                         break
+                ranges = None
                 if keep and page_cols:
                     page_meta = {
                         c: (r[f"pg_cix_{j}"], {
@@ -692,12 +697,28 @@ def value_prune_plan(plan, predicate):
                         pred_list, look,
                     ):
                         keep = False
+                    elif r["pg_nrows"]:
+                        # round-12: surviving page ROW RANGES ride the
+                        # plan (same prober — the footer/index caches
+                        # make this a re-read-free second pass), so the
+                        # executor-side scan slices row groups exactly
+                        # like the driver-local path.  None = no row
+                        # granularity / no restriction; [] can't happen
+                        # here (rg_can_match was True on the same masks).
+                        nrows = int(r["pg_nrows"])
+                        rngs = page_prober.surviving_ranges(
+                            r["file"], r["row_group"], nrows,
+                            pred_list, look,
+                        )
+                        if rngs and sum(e - s for s, e in rngs) < nrows:
+                            ranges = [[int(s), int(e)] for s, e in rngs]
                 if keep:
                     kept.append(
                         {
                             "file": r["file"],
                             "row_group": r["row_group"],
                             "total_byte_size": r["total_byte_size"],
+                            "pj_ranges": ranges,
                         }
                     )
             yield pa.RecordBatch.from_pylist(kept, schema=out_arrow)

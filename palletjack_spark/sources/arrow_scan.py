@@ -449,6 +449,13 @@ def scan_plan(
     file-local spans (sorted within the partition).
 
     Requires ``plan`` to carry ``file``, ``row_group``, ``total_byte_size``.
+    An optional ``pj_ranges`` column (``array<array<bigint>>`` of
+    [start, end) pairs, from ``value_prune_plan``'s page tier) slices
+    those row groups to the surviving page row ranges executor-side —
+    the same pure-superset restriction as the driver-local path, so a
+    catalog-scale read of an envelope-gap layout feeds Spark only the
+    rows the page index couldn't disprove (round-12: previously the
+    4x pre-residual row cut reached only driver-local plans).
     """
     from pyspark.sql import functions as F
 
@@ -479,11 +486,14 @@ def scan_plan(
     stride = max(1, _TARGET_TASK_BYTES // avg_rg)
     n_groups = max(1, n_rgs // stride)
     n_part = int(max(min(par, n_rgs), min(n_groups, n_rgs)))
+    has_ranges = "pj_ranges" in plan.columns
+    range_cols = (["pj_ranges"] if has_ranges else [])
     tdf = (
         plan.select(
             "file",
             "row_group",
             F.expr(f"row_group div {int(stride)}").alias("pj_grp"),
+            *range_cols,
         )
         .repartition(n_part, "file", "pj_grp")
         .sortWithinPartitions("file", "row_group")
@@ -494,12 +504,23 @@ def scan_plan(
         for b in batches:
             files = b.column("file").to_pylist()
             rgs = b.column("row_group").to_pylist()
+            rlists = (
+                b.column("pj_ranges").to_pylist()
+                if has_ranges
+                else [None] * len(files)
+            )
             by_file: dict[str, list[int]] = {}
-            for f, rg in zip(files, rgs):
+            by_file_ranges: dict[str, dict[int, list[tuple[int, int]]]] = {}
+            for f, rg, rl in zip(files, rgs, rlists):
                 by_file.setdefault(f, []).append(int(rg))
+                if rl:
+                    by_file_ranges.setdefault(f, {})[int(rg)] = [
+                        (int(s), int(e)) for s, e in rl
+                    ]
             for path, span in by_file.items():
                 yield from _read_span_batches(
-                    path, span, cols, target, batch_size, partition_keys
+                    path, span, cols, target, batch_size, partition_keys,
+                    by_file_ranges.get(path),
                 )
 
     return tdf.mapInArrow(gen, spark_schema)

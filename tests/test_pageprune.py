@@ -694,3 +694,50 @@ def test_row_range_slicing_restricts_scan_rows(spark, tmp_path):
     assert idx.read(columns=["k"], predicate=rng).count() == 101
     assert idx.read(columns=["k"]).count() == 16 * 1024
     assert idx.read(columns=["k"], row_groups=[0]).count() == 4096
+
+
+def test_row_ranges_ride_the_catalog_path(spark, tmp_path):
+    """Round-12 (VERDICT item 2): page row-ranges reach EXECUTOR-side
+    plans — a catalog-scale read (driver_fast_path=False, so planning
+    goes prune() -> value_prune_plan -> scan_plan, never the
+    driver-local branch) of the envelope-gap fixture shows the same 4x
+    pre-residual row cut as the driver-local path, with hash-equal
+    results."""
+    from palletjack_spark import build_index
+    from palletjack_spark.index.bloomprune import value_prune_plan
+
+    path = _gap_fixture(tmp_path, name="catslice.parquet")
+    idx = build_index(spark, path, driver_fast_path=False)
+    assert idx._local is None  # genuinely the catalog branch
+
+    pred = [("k", "=", 5632)]
+    # the plan carries the surviving page row-ranges
+    plan_rows = value_prune_plan(idx.prune(predicate=pred), pred).collect()
+    assert [(r["row_group"], r["pj_ranges"]) for r in plan_rows] == [
+        (1, [[1024, 2048]])
+    ]
+    # pre-residual: only the surviving page's rows enter Spark (1024 of
+    # the surviving row group's 4096)
+    assert (
+        idx.read(columns=["k"], predicate=pred, apply_residual=False).count()
+        == 1024
+    )
+    # exact result, hash-equal to the driver-local path
+    local = build_index(spark, path)
+    for p in (pred, [("k", ">=", 4100), ("k", "<=", 4200)]):
+        got = sorted(
+            map(tuple, idx.read(columns=["k", "tag"], predicate=p).collect())
+        )
+        want = sorted(
+            map(tuple, local.read(columns=["k", "tag"], predicate=p).collect())
+        )
+        assert got == want and got, p
+    # range predicate: same cut on the catalog path
+    rng = [("k", ">=", 4100), ("k", "<=", 4200)]
+    assert (
+        idx.read(columns=["k"], predicate=rng, apply_residual=False).count()
+        == 1024
+    )
+    # no-predicate and ordinal selections untouched
+    assert idx.read(columns=["k"]).count() == 16 * 1024
+    assert idx.read(columns=["k"], row_groups=[0]).count() == 4096
