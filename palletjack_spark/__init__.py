@@ -37,6 +37,8 @@ from palletjack_spark.index import (
     build_index,
     load_index,
     MetadataIndex,
+    prune_explain,
+    prune_explain_counts,
     generate_metadata_index,
     read_metadata,
     read_schema,
@@ -60,6 +62,8 @@ __all__ = [
     "build_index",
     "load_index",
     "MetadataIndex",
+    "prune_explain",
+    "prune_explain_counts",
     "generate_metadata_index",
     "read_metadata",
     "read_schema",

@@ -9,6 +9,10 @@ from palletjack_spark.index.footer_splice import (
     read_metadata,
     read_schema,
 )
+from palletjack_spark.index.explain import (
+    prune_explain,
+    prune_explain_counts,
+)
 from palletjack_spark.index.metadata_index import MetadataIndex
 from palletjack_spark.index.routing import (
     disable_auto_routing,
@@ -24,6 +28,8 @@ __all__ = [
     "build_index",
     "load_index",
     "MetadataIndex",
+    "prune_explain",
+    "prune_explain_counts",
     "smart_read",
     "enable_auto_routing",
     "disable_auto_routing",

@@ -534,7 +534,7 @@ def bloom_prune_plan(plan, predicate):
     return sel.mapInArrow(probe, out_schema)
 
 
-def value_prune_plan(plan, predicate):
+def value_prune_plan(plan, predicate, explain: bool = False):
     """Combined executor-side value-level pruning in ONE mapInArrow pass:
     the dictionary tier (equality + exclusion —
     :mod:`palletjack_spark.index.dictprune`), the bloom tier (equality
@@ -546,7 +546,13 @@ def value_prune_plan(plan, predicate):
     share the per-task footer reads through the footer cache.  Same
     contract as the single-tier variants: unknown keeps, the selection
     never touches the driver, output columns are (file, row_group,
-    total_byte_size)."""
+    total_byte_size, pj_ranges).
+
+    ``explain=True`` (round-12 observability,
+    :func:`palletjack_spark.index.explain.prune_explain_counts`): keep
+    EVERY input row and emit a ``pj_tier`` column instead — the deciding
+    value tier ("dictionary" / "bloom" / "page") for rows the pass would
+    have dropped, "kept" otherwise."""
     from pyspark.sql import functions as F
 
     from palletjack_spark.index.dictprune import (
@@ -568,6 +574,12 @@ def value_prune_plan(plan, predicate):
         if op in page_ops and col_name not in page_cols:
             page_cols.append(col_name)
     if not conj and not page_cols:
+        if explain:
+            from pyspark.sql import functions as _F
+
+            return plan.select(
+                "file", "row_group", "total_byte_size"
+            ).withColumn("pj_tier", _F.lit("kept"))
         return plan
 
     import pyarrow as pa
@@ -633,15 +645,25 @@ def value_prune_plan(plan, predicate):
     sel = plan.select(
         "file", "row_group", "total_byte_size", *nrows_col, *meta_cols
     )
-    out_schema = (
-        "file string, row_group int, total_byte_size long,"
-        " pj_ranges array<array<bigint>>"
-    )
-    out_arrow = pa.schema(
-        [("file", pa.string()), ("row_group", pa.int32()),
-         ("total_byte_size", pa.int64()),
-         ("pj_ranges", pa.list_(pa.list_(pa.int64())))]
-    )
+    if explain:
+        out_schema = (
+            "file string, row_group int, total_byte_size long,"
+            " pj_tier string"
+        )
+        out_arrow = pa.schema(
+            [("file", pa.string()), ("row_group", pa.int32()),
+             ("total_byte_size", pa.int64()), ("pj_tier", pa.string())]
+        )
+    else:
+        out_schema = (
+            "file string, row_group int, total_byte_size long,"
+            " pj_ranges array<array<bigint>>"
+        )
+        out_arrow = pa.schema(
+            [("file", pa.string()), ("row_group", pa.int32()),
+             ("total_byte_size", pa.int64()),
+             ("pj_ranges", pa.list_(pa.list_(pa.int64())))]
+        )
     values = [(vs, mode) for _c, vs, mode in conj]
     pred_list = [tuple(p) for p in predicate]
 
@@ -653,6 +675,7 @@ def value_prune_plan(plan, predicate):
             kept = []
             for r in b.to_pylist():
                 keep = True
+                tier = None
                 for i, (cand, mode) in enumerate(values):
                     cix = r[f"pj_cix_{i}"]
                     if cix is None or cix < 0:
@@ -669,12 +692,14 @@ def value_prune_plan(plan, predicate):
                         meta, cand, mode,
                     ):
                         keep = False
+                        tier = "dictionary"
                         break
                     if mode == "eq" and _conjunct_prunes(
                         bloom_prober, r["file"], r["row_group"], int(cix),
                         meta, cand,
                     ):
                         keep = False
+                        tier = "bloom"
                         break
                 ranges = None
                 if keep and page_cols:
@@ -697,6 +722,7 @@ def value_prune_plan(plan, predicate):
                         pred_list, look,
                     ):
                         keep = False
+                        tier = "page"
                     elif r["pg_nrows"]:
                         # round-12: surviving page ROW RANGES ride the
                         # plan (same prober — the footer/index caches
@@ -712,7 +738,16 @@ def value_prune_plan(plan, predicate):
                         )
                         if rngs and sum(e - s for s, e in rngs) < nrows:
                             ranges = [[int(s), int(e)] for s, e in rngs]
-                if keep:
+                if explain:
+                    kept.append(
+                        {
+                            "file": r["file"],
+                            "row_group": r["row_group"],
+                            "total_byte_size": r["total_byte_size"],
+                            "pj_tier": tier or "kept",
+                        }
+                    )
+                elif keep:
                     kept.append(
                         {
                             "file": r["file"],

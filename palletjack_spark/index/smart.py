@@ -70,6 +70,7 @@ def smart_read(
     predicate: Sequence[tuple] | None = None,
     index: MetadataIndex | None = None,
     keep_fraction_threshold: float = 0.5,
+    explain: bool = False,
 ) -> DataFrame:
     """Read parquet, letting the metadata index choose the scan strategy.
 
@@ -79,10 +80,21 @@ def smart_read(
     only the physical strategy differs.  ``keep_fraction_threshold``: route
     to the indexed scan when stats keep at most this fraction of row
     groups.
+
+    ``explain=True`` (round-12 observability): returns
+    ``(DataFrame, decision)`` where ``decision`` carries the routing
+    verdict and the per-tier survivor counts that produced it —
+    ``{"route": "indexed"|"native", "total": n, "kept": n,
+    "kept_fraction": f, "threshold": t, "tier_kept": {"stats": n,
+    "dictionary": n, "bloom": n, "page": n}}`` (``tier_kept`` holds the
+    tiers the estimate actually probed: all four on the driver-local
+    branch when the value probes ran, stats only otherwise).
     """
     idx = index if index is not None else build_index(spark, paths)
 
     use_indexed = False
+    total = kept = None
+    tier_kept: dict[str, int] = {}
     if predicate:
         if idx._local is not None:
             rg_rows = idx._local[0]
@@ -91,6 +103,7 @@ def smart_read(
                 r for r in rg_rows if MetadataIndex._keep_local(r, predicate)
             ]
             kept = len(stats_kept)
+            tier_kept["stats"] = kept
             if total > 0 and kept / total > keep_fraction_threshold and any(
                 op
                 in (
@@ -114,14 +127,13 @@ def smart_read(
                 from palletjack_spark.index.dictprune import dict_prune_rows
                 from palletjack_spark.index.pageprune import page_prune_rows
 
-                kept = len(
-                    page_prune_rows(
-                        bloom_prune_rows(
-                            dict_prune_rows(stats_kept, predicate), predicate
-                        ),
-                        predicate,
-                    )
-                )
+                after_dict = dict_prune_rows(stats_kept, predicate)
+                after_bloom = bloom_prune_rows(after_dict, predicate)
+                after_page = page_prune_rows(after_bloom, predicate)
+                kept = len(after_page)
+                tier_kept["dictionary"] = len(after_dict)
+                tier_kept["bloom"] = len(after_bloom)
+                tier_kept["page"] = len(after_page)
         else:
             # catalog-scale index: the routing decision is ONE one-row
             # aggregate job over the index DataFrame — never a per-file or
@@ -136,11 +148,28 @@ def smart_read(
             ).first()
             total = int(stats["total"])
             kept = int(stats["kept"] or 0)
+            tier_kept["stats"] = kept
         use_indexed = total > 0 and kept / total <= keep_fraction_threshold
 
+    def _decided(df):
+        if not explain:
+            return df
+        return df, {
+            "route": "indexed" if use_indexed else "native",
+            "total": total,
+            "kept": kept,
+            "kept_fraction": (
+                kept / total if total else None
+            ) if kept is not None else None,
+            "threshold": keep_fraction_threshold,
+            "tier_kept": dict(tier_kept),
+        }
+
     if use_indexed:
-        return idx.read(columns=list(columns) if columns else None,
-                        predicate=predicate)
+        return _decided(
+            idx.read(columns=list(columns) if columns else None,
+                     predicate=predicate)
+        )
 
     # native fallback reads the INDEX'S file list, not the caller's raw
     # paths: both routes must return the same rows (the smart_read
@@ -164,4 +193,4 @@ def smart_read(
         df = _apply_predicate(df, predicate)
     if columns:
         df = df.select(*columns)
-    return df
+    return _decided(df)
