@@ -140,6 +140,10 @@ HEADLINE = [
     # signature store — the batch's bands/candidates/sets broadcast,
     # the store side never exchanges (floor 0.8724 from BENCH_CLEAN_r11)
     "q156_incremental_dedup",
+    # round 12 addition: incremental ANN — append a crawl batch to the
+    # persisted vector store (codes at rest: the query plan has NO
+    # encode pass, one ADC MapInPandas + broadcast re-score)
+    "q92k_ann_store_append",
 ]
 
 META_ROW_GROUPS = 200

@@ -776,6 +776,320 @@ def load_ann_index(spark, path: str) -> dict:
     return {"centroids": C, "codebooks": codebooks, "meta": meta}
 
 
+#: on-disk format version of the ENCODED-VECTOR store (quantizers + the
+#: corpus's (vec_id, cell, codes, vec) rows in versioned batch partitions)
+_STORE_VERSION = 1
+
+
+def encode_vectors(
+    df: DataFrame,
+    ann_index: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ-encode ``df`` against ALREADY-TRAINED quantizers: one
+    zero-shuffle mapInPandas pass over ``df`` ONLY (no corpus scan, no
+    training) producing the at-rest record ``(vec_id, cell, codes,
+    vec)`` — the 4-byte cell + m-byte codes power the ADC scan, the
+    double-cast vector column is touched only for the exact re-score of
+    a broadcast shortlist (parquet column pruning keeps it off the scan
+    path)."""
+    spark = df.sparkSession
+    bC = spark.sparkContext.broadcast(ann_index["centroids"])
+    bCB = spark.sparkContext.broadcast(ann_index["codebooks"])
+
+    def enc(it):
+        Cl, CB = bC.value, bCB.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+            )
+            cells, codes = _assign_encode_np(mat, Cl, CB)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "cell": cells.astype("int32"),
+                    "codes": list(codes),
+                    "vec": [list(map(float, v)) for v in mat],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        enc, "vec_id long, cell int, codes array<int>, vec array<double>"
+    )
+
+
+def save_vector_store(
+    corpus_df: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    train_rows: int = 512,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Train IVF-PQ quantizers on ``corpus_df`` and persist a FULL
+    vector store: the quantizer sidecar (:func:`save_ann_index`) plus
+    the corpus encoded at rest under ``path/vectors/batch=0``.  New
+    crawl batches then land via :func:`append_vectors` with ZERO
+    training jobs, and :func:`vector_store_topk` queries base ∪ appends
+    without ever re-encoding — the symmetric closure of q156's
+    incremental-dedup signature store (round-12 verdict item 4).
+    Returns the loaded quantizer dict."""
+    import json
+
+    spark = corpus_df.sparkSession
+    idx = save_ann_index(
+        corpus_df,
+        path,
+        n_centroids=n_centroids,
+        m_subspaces=m_subspaces,
+        n_codes=n_codes,
+        train_rows=train_rows,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    batch_dir = os.path.join(path, "vectors", "batch=0")
+    encode_vectors(corpus_df, idx, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(batch_dir)
+    n = spark.read.parquet(batch_dir).count()
+    meta = dict(idx["meta"])
+    meta.update(
+        {
+            "store_version": _STORE_VERSION,
+            "n_batches": 1,
+            "n_vectors": [int(n)],
+            "id_col": id_col,
+            "vec_col": vec_col,
+        }
+    )
+    tmp = os.path.join(path, _ANN_META_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, _ANN_META_NAME))
+    idx["meta"] = meta
+    return idx
+
+
+def _store_meta(path: str) -> dict:
+    import json
+
+    with open(os.path.join(path, _ANN_META_NAME)) as f:
+        meta = json.load(f)
+    if "store_version" not in meta:
+        raise ValueError(
+            f"{path} holds a quantizer-only ANN sidecar, not a vector "
+            "store (save_vector_store writes the encoded corpus too)"
+        )
+    if meta["store_version"] != _STORE_VERSION:
+        raise ValueError(
+            f"unsupported vector store version {meta['store_version']} at "
+            f"{path} (supported: {_STORE_VERSION})"
+        )
+    return meta
+
+
+def append_vectors(
+    new_df: DataFrame,
+    path: str,
+    id_col: str | None = None,
+    vec_col: str | None = None,
+) -> int:
+    """Append a new batch of vectors to a persisted store: assign +
+    encode against the PERSISTED codebooks (zero training jobs — no
+    corpus sample, no k-means; the poisoned-trainer test pins it), land
+    the rows under ``path/vectors/batch=N``, then commit the manifest.
+
+    The manifest commit (atomic rename) is the publication point: a
+    crash after the batch write but before it leaves an orphan directory
+    that every reader IGNORES (queries filter ``batch <
+    manifest.n_batches``), and the next append overwrites it.  Column
+    names must match the manifest (the q92g/q156 param-mismatch
+    discipline: a store queried under different columns is a silent
+    wrong answer, so it hard-errors instead).  Single-writer appends,
+    like the q156 signature store.  Returns the appended row count."""
+    import json
+
+    spark = new_df.sparkSession
+    meta = _store_meta(path)
+    id_col = id_col or meta["id_col"]
+    vec_col = vec_col or meta["vec_col"]
+    if id_col != meta["id_col"] or vec_col != meta["vec_col"]:
+        raise ValueError(
+            f"vector store at {path} was built with columns "
+            f"({meta['id_col']!r}, {meta['vec_col']!r}); append asked for "
+            f"({id_col!r}, {vec_col!r})"
+        )
+    idx = load_ann_index(spark, path)
+    row = new_df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if row and row[0]["d"] != idx["centroids"].shape[1]:
+        raise ValueError(
+            f"vector store at {path} holds "
+            f"{idx['centroids'].shape[1]}-dim vectors; batch "
+            f"'{vec_col}' is {row[0]['d']}-dim"
+        )
+    batch = int(meta["n_batches"])
+    batch_dir = os.path.join(path, "vectors", f"batch={batch}")
+    # mode("overwrite"): an unpublished orphan from a crashed append is
+    # garbage by contract (readers never see past the manifest)
+    encode_vectors(new_df, idx, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(batch_dir)
+    n = spark.read.parquet(batch_dir).count()
+    meta["n_batches"] = batch + 1
+    meta["n_vectors"] = list(meta.get("n_vectors", [])) + [int(n)]
+    tmp = os.path.join(path, _ANN_META_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, _ANN_META_NAME))
+    return int(n)
+
+
+def vector_store_topk(
+    spark,
+    path: str,
+    queries_df: DataFrame,
+    k: int = 10,
+    n_probes: int = 4,
+    shortlist: int = 64,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ANN top-k over a persisted vector store, across base ∪ all
+    PUBLISHED appends.  The query plan is ivf_pq_topk's minus the
+    encode pass — the codes already sit at rest, so the first corpus
+    touch IS the ADC scan: one zero-shuffle mapInPandas over
+    ``(vec_id, cell, codes)`` (parquet column pruning keeps the wide
+    ``vec`` column off this scan), a rank-window shortlist, and an
+    exact re-score joining the shortlist back to the store's vectors.
+    Batch partitions beyond the manifest's ``n_batches`` (orphans from
+    a crashed append) are filtered out by partition pruning."""
+    meta = _store_meta(path)
+    idx = load_ann_index(spark, path)
+    vectors = spark.read.parquet(os.path.join(path, "vectors")).where(
+        F.col("batch").cast("int") < int(meta["n_batches"])
+    )
+    short, qids, qmat = _adc_shortlist(
+        spark,
+        vectors.select("vec_id", "cell", "codes"),
+        queries_df,
+        idx["centroids"],
+        idx["codebooks"],
+        n_probes,
+        shortlist,
+        meta["id_col"],
+        meta["vec_col"],
+    )
+    qvecs = spark.createDataFrame(
+        [(int(qid), [float(x) for x in vec]) for qid, vec in zip(qids, qmat)],
+        "query_id long, qvec array<double>",
+    )
+    cand = (
+        vectors.select("vec_id", F.col("vec").alias("_v"))
+        .join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select("query_id", "vec_id", F.col("_v").alias("vec"), "qvec")
+    )
+    return _exact_rescore_topk(cand, k, exclude_self)
+
+
+def _assign_encode_np(
+    mat: np.ndarray, C: np.ndarray, codebooks: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared numpy core of IVF-PQ encoding: normalize, assign each row
+    its nearest coarse cell (cosine), PQ-encode the residual per
+    subspace.  Returns ``(cells, codes)``."""
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    cells = (mat @ C.T).argmax(axis=1)
+    sub = codebooks.shape[2]
+    r = mat - C[cells]
+    codes = np.empty((len(mat), codebooks.shape[0]), dtype="int32")
+    for m in range(codebooks.shape[0]):
+        blk = r[:, m * sub : (m + 1) * sub]
+        d2 = ((blk[:, None, :] - codebooks[m][None, :, :]) ** 2).sum(axis=2)
+        codes[:, m] = d2.argmin(axis=1)
+    return cells, codes
+
+
+def _adc_shortlist(
+    spark,
+    corpus_codes: DataFrame,
+    queries_df: DataFrame,
+    C: np.ndarray,
+    codebooks: np.ndarray,
+    n_probes: int,
+    shortlist: int,
+    id_col: str,
+    vec_col: str,
+):
+    """The query side of IVF-ADC, shared by :func:`ivf_pq_topk` and
+    :func:`vector_store_topk`: collect the bounded query set, build the
+    per-query ADC lookup tables and probed-cell masks, scan the
+    ``(vec_id, cell, codes)`` rows zero-shuffle, and rank a per-query
+    shortlist.  Returns ``(short_df, qids, qmat)`` — the shortlist ids
+    plus the query vectors for the caller's exact re-score."""
+    n_centroids = C.shape[0]
+    m_subspaces, _n_codes, sub = codebooks.shape
+    qids, qmat, qnorm = _collect_queries(queries_df, id_col, vec_col)
+    qn = qmat / qnorm[:, None]
+    probe_cells = np.argsort(-(qn @ C.T), axis=1)[:, :n_probes]  # (Q, P)
+    # ADC tables over the residual codebooks + per-(query, cell) base term
+    T = np.einsum("qms,mjs->qmj", qn.reshape(len(qn), m_subspaces, sub), codebooks)
+    base = qn @ C.T  # (Q, ncells)
+    probed = np.zeros((len(qids), n_centroids), dtype=bool)
+    for qi in range(len(qids)):
+        probed[qi, probe_cells[qi]] = True
+    bT = spark.sparkContext.broadcast(T)
+    bbase = spark.sparkContext.broadcast(base)
+    bprobed = spark.sparkContext.broadcast(probed)
+    bqids = spark.sparkContext.broadcast(qids)
+
+    def adc_scan(it):
+        Tl, basel, probedl, qi = bT.value, bbase.value, bprobed.value, bqids.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())  # (B, M)
+            cells = pdf["cell"].to_numpy()
+            ids = pdf["vec_id"].to_numpy()
+            frames = []
+            for q in range(len(qi)):
+                mask = probedl[q][cells]
+                if not mask.any():
+                    continue
+                c, cd, i = cells[mask], codes[mask], ids[mask]
+                scores = basel[q][c] + Tl[q][
+                    np.arange(cd.shape[1]), cd
+                ].sum(axis=1)
+                keep = min(shortlist, len(scores))
+                top = np.argpartition(-scores, keep - 1)[:keep]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qi[q],
+                            "vec_id": i[top],
+                            "approx_ip": scores[top],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    partial = corpus_codes.mapInPandas(
+        adc_scan, "query_id long, vec_id long, approx_ip double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_ip"), F.asc("vec_id"))
+    short = (
+        partial.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    return short, qids, qmat
+
+
 def ivf_pq_topk(
     corpus_df: DataFrame,
     queries_df: DataFrame,
@@ -841,7 +1155,6 @@ def ivf_pq_topk(
                 f"{C.shape[1]}-dim vectors, corpus '{vec_col}' is "
                 f"{row[0]['d']}-dim"
             )
-        m_subspaces, sub = codebooks.shape[0], codebooks.shape[2]
     else:
         C, codebooks = _train_ivf_pq(
             corpus_df,
@@ -852,7 +1165,6 @@ def ivf_pq_topk(
             id_col=id_col,
             vec_col=vec_col,
         )
-        sub = codebooks.shape[2]
     bC = spark.sparkContext.broadcast(C)
     bCB = spark.sparkContext.broadcast(codebooks)
 
@@ -862,14 +1174,7 @@ def ivf_pq_topk(
             if not len(pdf):
                 continue
             mat = np.asarray([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
-            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            cells = (mat @ Cl.T).argmax(axis=1)
-            r = mat - Cl[cells]
-            codes = np.empty((len(mat), len(CB)), dtype="int32")
-            for m in range(len(CB)):
-                blk = r[:, m * sub : (m + 1) * sub]
-                d2 = ((blk[:, None, :] - CB[m][None, :, :]) ** 2).sum(axis=2)
-                codes[:, m] = d2.argmin(axis=1)
+            cells, codes = _assign_encode_np(mat, Cl, CB)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf[id_col].to_numpy(),
@@ -882,59 +1187,9 @@ def ivf_pq_topk(
         assign_encode, "vec_id long, cell int, codes array<int>"
     )
 
-    qids, qmat, qnorm = _collect_queries(queries_df, id_col, vec_col)
-    qn = qmat / qnorm[:, None]
-    probe_cells = np.argsort(-(qn @ C.T), axis=1)[:, :n_probes]  # (Q, P)
-    # ADC tables over the residual codebooks + per-(query, cell) base term
-    T = np.einsum("qms,mjs->qmj", qn.reshape(len(qn), m_subspaces, sub), codebooks)
-    base = qn @ C.T  # (Q, ncells)
-    probed = np.zeros((len(qids), n_centroids), dtype=bool)
-    for qi in range(len(qids)):
-        probed[qi, probe_cells[qi]] = True
-    bT = spark.sparkContext.broadcast(T)
-    bbase = spark.sparkContext.broadcast(base)
-    bprobed = spark.sparkContext.broadcast(probed)
-    bqids = spark.sparkContext.broadcast(qids)
-
-    def adc_scan(it):
-        Tl, basel, probedl, qi = bT.value, bbase.value, bprobed.value, bqids.value
-        for pdf in it:
-            if not len(pdf):
-                continue
-            codes = np.stack(pdf["codes"].to_numpy())  # (B, M)
-            cells = pdf["cell"].to_numpy()
-            ids = pdf["vec_id"].to_numpy()
-            frames = []
-            for q in range(len(qi)):
-                mask = probedl[q][cells]
-                if not mask.any():
-                    continue
-                c, cd, i = cells[mask], codes[mask], ids[mask]
-                scores = basel[q][c] + Tl[q][
-                    np.arange(cd.shape[1]), cd
-                ].sum(axis=1)
-                keep = min(shortlist, len(scores))
-                top = np.argpartition(-scores, keep - 1)[:keep]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qi[q],
-                            "vec_id": i[top],
-                            "approx_ip": scores[top],
-                        }
-                    )
-                )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
-
-    partial = corpus_codes.mapInPandas(
-        adc_scan, "query_id long, vec_id long, approx_ip double"
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("approx_ip"), F.asc("vec_id"))
-    short = (
-        partial.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= shortlist)
-        .select("query_id", "vec_id")
+    short, qids, qmat = _adc_shortlist(
+        spark, corpus_codes, queries_df, C, codebooks, n_probes, shortlist,
+        id_col, vec_col,
     )
     qvecs = spark.createDataFrame(
         [(int(qid), [float(x) for x in vec]) for qid, vec in zip(qids, qmat)],

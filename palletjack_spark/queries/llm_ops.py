@@ -1915,6 +1915,28 @@ def q92f(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the embeddings table's files (round-8
+    ADVICE): the /tmp cache key for persisted ANN artifacts — a
+    regenerated fixture at the same sf_dir gets a FRESH artifact instead
+    of silently reusing stale quantizers."""
+    import hashlib
+    import os
+
+    from palletjack_spark.tables import table_path
+
+    src = table_path(sf_dir, "embeddings")
+    parts: list[str] = []
+    for root, _dirs, files in sorted(os.walk(src)) or []:
+        for fn in sorted(files):
+            st = os.stat(os.path.join(root, fn))
+            parts.append(f"{root}/{fn}:{st.st_size}:{st.st_mtime_ns}")
+    if not parts:  # single-file table
+        st = os.stat(src)
+        parts.append(f"{src}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+
+
 @query("q92g_ivf_pq_persisted", oracle=_Q92_ORACLE)
 def q92g(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k over PERSISTED quantizers (round-6 verdict item 7):
@@ -1931,7 +1953,6 @@ def q92g(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an exhaustive shortlist, so the result is hash-identical to
     q92f and to the brute-force oracle; load-vs-inline bit-equality is
     tested directly."""
-    import hashlib
     import os
     import shutil
     import tempfile
@@ -1942,23 +1963,13 @@ def q92g(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_ann_index,
         save_ann_index,
     )
-    from palletjack_spark.tables import table_path
 
     emb = t(spark, sf_dir, "embeddings")
     # Cache key = content fingerprint of the embeddings files (round-8
     # ADVICE): a regenerated fixture at the same sf_dir path gets a FRESH
     # sidecar instead of silently reusing stale quantizers, and a changed
     # dimension can't wedge the query on a /tmp leftover.
-    src = table_path(sf_dir, "embeddings")
-    parts: list[str] = []
-    for root, _dirs, files in sorted(os.walk(src)) or []:
-        for fn in sorted(files):
-            st = os.stat(os.path.join(root, fn))
-            parts.append(f"{root}/{fn}:{st.st_size}:{st.st_mtime_ns}")
-    if not parts:  # single-file table
-        st = os.stat(src)
-        parts.append(f"{src}:{st.st_size}:{st.st_mtime_ns}")
-    fp = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+    fp = _emb_fingerprint(sf_dir)
     idx_dir = os.path.join(tempfile.gettempdir(), f"pjspark_annidx_{fp}")
     idx = None
     if os.path.exists(os.path.join(idx_dir, _ANN_META_NAME)):
@@ -1980,6 +1991,60 @@ def q92g(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probes=16,
         shortlist=1_000_000,
         ann_index=idx,
+    )
+
+
+@query("q92k_ann_store_append", oracle=_Q92_ORACLE)
+def q92k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN (round-12 verdict item 4, the vector-side
+    symmetric of q156's incremental dedup): a persisted VECTOR STORE —
+    quantizers PLUS the corpus encoded at rest
+    (functions/similarity.save_vector_store) — absorbs a new crawl
+    batch via ``append_vectors``: the batch is assigned + PQ-encoded
+    against the PERSISTED codebooks with ZERO training jobs (no corpus
+    sample, no k-means — poisoned-trainer asserted in
+    tests/test_llm.py), lands under ``vectors/batch=N``, and the
+    manifest commit publishes it atomically (orphans from a crashed
+    append stay invisible — readers filter batch < n_batches).  The
+    base here is vec_id % 10 != 7; the appended batch is the rest; the
+    query then runs ``vector_store_topk`` across base ∪ append at full
+    probe with an exhaustive shortlist — exact brute force over the
+    WHOLE corpus by construction, hash-identical to the q92 oracle.
+    Query-time plan: the encode pass is GONE (codes sit at rest) — one
+    zero-shuffle ADC mapInPandas + rank-window shortlist + broadcast
+    exact re-score (plan-asserted).  Sub-linear settings are
+    recall-tested in tests/test_llm.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from palletjack_spark.functions.similarity import (
+        _ANN_META_NAME,
+        _store_meta,
+        append_vectors,
+        save_vector_store,
+        vector_store_topk,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    fp = _emb_fingerprint(sf_dir)
+    store = os.path.join(tempfile.gettempdir(), f"pjspark_annstore_{fp}")
+    ready = False
+    if os.path.exists(os.path.join(store, _ANN_META_NAME)):
+        try:
+            ready = _store_meta(store)["n_batches"] == 2
+        except Exception:
+            ready = False
+        if not ready:  # torn/foreign leftover under the content key
+            shutil.rmtree(store, ignore_errors=True)
+    if not ready:
+        save_vector_store(
+            emb.where(F.col("vec_id") % 10 != 7), store, n_centroids=16
+        )
+        append_vectors(emb.where(F.col("vec_id") % 10 == 7), store)
+    queries = emb.where(F.col("vec_id") < 5)
+    return vector_store_topk(
+        spark, store, queries, k=10, n_probes=16, shortlist=1_000_000
     )
 
 

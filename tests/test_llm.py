@@ -1087,3 +1087,143 @@ def test_sq8_topk_exact_at_full_shortlist_and_recall_realistic(spark):
     q2 = emb2.where(F.col("vec_id") < 3)
     got = sq8_topk(emb2, q2, k=5, shortlist=1_000_000).collect()
     assert len(got) == 15 and all(r["cosine"] == r["cosine"] for r in got)
+
+
+def test_vector_store_append_incremental_exact(spark, tmp_path, monkeypatch):
+    """Round-12 verdict item 4 (q92k): a persisted vector store absorbs
+    a new batch with ZERO training jobs (trainers poisoned after the
+    base build), the append touches only the new batch (batch=0 files
+    byte-untouched, one new batch directory), and a full-probe
+    exhaustive-shortlist query across base ∪ append is hash-equal to
+    brute force over the union."""
+    import palletjack_spark.functions.similarity as sim
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.where(F.col("vec_id") % 10 != 7)
+    batch = emb.where(F.col("vec_id") % 10 == 7)
+    store = str(tmp_path / "store")
+    sim.save_vector_store(base, store, n_centroids=8)
+
+    base_files = {
+        p: (os.path.getsize(p), os.path.getmtime(p))
+        for p in sorted(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(os.path.join(store, "vectors", "batch=0"))
+            for f in fs
+        )
+    }
+    assert base_files
+
+    def _poisoned(*a, **k):
+        raise AssertionError("training ran during append")
+
+    monkeypatch.setattr(sim, "_kmeans_cosine", _poisoned)
+    monkeypatch.setattr(sim, "_kmeans_l2", _poisoned)
+    monkeypatch.setattr(sim, "_train_ivf_pq", _poisoned)
+    n = sim.append_vectors(batch, store)
+    assert n == batch.count() and n > 0
+
+    # append touched ONLY the new batch: batch=0 is byte-identical and
+    # exactly one new batch partition appeared
+    assert {
+        p: (os.path.getsize(p), os.path.getmtime(p))
+        for p in sorted(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(os.path.join(store, "vectors", "batch=0"))
+            for f in fs
+        )
+    } == base_files
+    batches = sorted(
+        d for d in os.listdir(os.path.join(store, "vectors"))
+        if d.startswith("batch=")
+    )
+    assert batches == ["batch=0", "batch=1"]
+    meta = sim._store_meta(store)
+    assert meta["n_batches"] == 2 and len(meta["n_vectors"]) == 2
+
+    queries = emb.where(F.col("vec_id") < 3)
+    got = sim.vector_store_topk(
+        spark, store, queries, k=5, n_probes=8, shortlist=1_000_000
+    ).toPandas()
+    bf = cosine_topk(emb, queries, k=5).toPandas()
+    cols = ["query_id", "vec_id", "rank", "cosine"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        bf[cols].sort_values(cols).reset_index(drop=True),
+    )
+
+    # sub-linear settings keep useful recall across base ∪ append
+    approx = sim.vector_store_topk(
+        spark, store, queries, k=5, n_probes=4, shortlist=64
+    ).toPandas()
+    exact_sets = bf.groupby("query_id")["vec_id"].apply(set)
+    approx_sets = approx.groupby("query_id")["vec_id"].apply(set)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets.index
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_vector_store_validation_and_orphan_batches(spark, tmp_path):
+    """The store manifest hard-errors on the q92g/q156 discipline
+    violations (quantizer-only sidecar, column mismatch, dim mismatch),
+    and an unpublished orphan batch — a crashed append — is invisible to
+    queries and overwritten by the next append."""
+    import pytest
+
+    import palletjack_spark.functions.similarity as sim
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.where(F.col("vec_id") % 10 != 7)
+    batch = emb.where(F.col("vec_id") % 10 == 7)
+    queries = emb.where(F.col("vec_id") < 2)
+
+    # a quantizer-only sidecar is not a vector store
+    qonly = str(tmp_path / "qonly")
+    sim.save_ann_index(base, qonly, n_centroids=8)
+    with pytest.raises(ValueError, match="quantizer-only"):
+        sim.append_vectors(batch, qonly)
+    with pytest.raises(ValueError, match="quantizer-only"):
+        sim.vector_store_topk(spark, qonly, queries)
+
+    store = str(tmp_path / "store")
+    sim.save_vector_store(base, store, n_centroids=8)
+    # column mismatch hard-errors (silent wrong answers otherwise)
+    with pytest.raises(ValueError, match="built with columns"):
+        sim.append_vectors(batch, store, id_col="other_id")
+    # dimension mismatch hard-errors before any executor work
+    bad = spark.createDataFrame(
+        [(1_000_000, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dim"):
+        sim.append_vectors(bad, store)
+
+    # an orphan batch dir (crashed append: data written, manifest not
+    # bumped) is ignored by queries...
+    before = sim.vector_store_topk(
+        spark, store, queries, k=5, n_probes=8, shortlist=1_000_000
+    ).toPandas()
+    orphan = os.path.join(store, "vectors", "batch=1")
+    spark.createDataFrame(
+        [(9_999_999, 0, [0] * 8, [0.0] * 64)],
+        "vec_id long, cell int, codes array<int>, vec array<double>",
+    ).write.mode("overwrite").parquet(orphan)
+    after = sim.vector_store_topk(
+        spark, store, queries, k=5, n_probes=8, shortlist=1_000_000
+    ).toPandas()
+    cols = ["query_id", "vec_id", "rank", "cosine"]
+    pd.testing.assert_frame_equal(
+        before[cols].sort_values(cols).reset_index(drop=True),
+        after[cols].sort_values(cols).reset_index(drop=True),
+    )
+    # ...and the next real append overwrites it and publishes
+    n = sim.append_vectors(batch, store)
+    assert n == batch.count()
+    assert sim._store_meta(store)["n_batches"] == 2
+    ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(os.path.join(store, "vectors"))
+        .select("vec_id").collect()
+    }
+    assert 9_999_999 not in ids

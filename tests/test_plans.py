@@ -889,6 +889,25 @@ def test_ivf_pq_persisted_same_plan_shape(spark):
     assert "annidx" not in plan, plan  # sidecar never scanned at query time
 
 
+def test_vector_store_query_has_no_encode_pass(spark):
+    """Q92k (round-12 verdict item 4): the store's codes sit AT REST, so
+    the query plan loses q92f/g's assign_encode pass entirely — ONE
+    zero-shuffle ADC MapInPandas over the (vec_id, cell, codes) columns
+    of the store scan, the rank-window shortlist, and the broadcast
+    exact re-score against the store's vec column (second scan; column
+    pruning keeps the wide vectors off the ADC scan).  The quantizer
+    sidecar is a bounded driver read, never a plan-side scan."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q92k_ann_store_append"].fn(spark, SF_DIR))
+    assert plan.count("MapInPandas") == 1, plan  # encode pass is GONE
+    assert "assign_encode" not in plan, plan
+    assert plan.count("Scan parquet") == 2, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("BroadcastExchange") == 2, plan
+    assert "quantizers" not in plan, plan  # sidecar never scanned
+
+
 def test_pagerank_outdeg_not_broadcast(spark):
     """Q130 (round-5 verdict item 2): the out-degree table has one row per
     distinct source node — O(nodes) — so it must NEVER feed a
