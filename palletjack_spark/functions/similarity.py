@@ -1405,6 +1405,10 @@ def sq8_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    scan_dims: int | None = None,
+    n_centroids: int | None = None,
+    n_probes: int | None = None,
+    train_rows: int = 512,
 ) -> DataFrame:
     """ANN top-k via SQ8 scalar quantization + exact re-rank (Q92j) —
     the most common production ANN memory tier: int8 per dimension, 4×
@@ -1429,10 +1433,51 @@ def sq8_topk(
     With ``shortlist`` >= corpus size stage 1 keeps everything and the
     result is hash-identical to :func:`cosine_topk` — the driver
     entry's exactness pin; realistic shortlists are recall-tested in
-    tests/test_llm.py."""
+    tests/test_llm.py.
+
+    Compositions (round-12 verdict item 7, turning the docstring claims
+    into contracts — both are pure stage-1 restrictions, so at
+    exhaustive settings results stay hash-identical to brute force):
+
+    - ``scan_dims=d`` composes SQ8 with q92i's Matryoshka truncation:
+      stage 1 quantizes and scores only the FIRST ``d`` dimensions (a
+      4×·(d/dim) combined bandwidth cut — int8 codes over the MRL
+      prefix), stage 2 still re-ranks exactly in FULL float dims.
+    - ``n_centroids=c`` (with ``n_probes=p``) composes SQ8 with q92d's
+      IVF cells: deterministic spherical-kmeans cells (ivf_topk's
+      training discipline — id-ordered sample, fixed init), and stage 1
+      scores a row for a query only when its cell is among the query's
+      ``p`` probed cells — the scan fraction drops to ~p/c on top of
+      the 4× code tier.  ``p == c`` probes everything.
+    """
     spark = corpus_df.sparkSession
     qids, qmat, _qnorm = _collect_queries(queries_df, id_col, vec_col)
-    dim = qmat.shape[1]
+    full_dim = qmat.shape[1]
+    if scan_dims is not None and not (0 < scan_dims <= full_dim):
+        raise ValueError(f"scan_dims {scan_dims} not in [1, {full_dim}]")
+    dim = scan_dims if scan_dims is not None else full_dim
+    C = probed = None
+    if n_centroids is not None:
+        sample = (
+            corpus_df.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(train_rows)
+            .collect()
+        )
+        train = np.array([list(r[1]) for r in sample], dtype="float64")
+        train = train / np.maximum(
+            np.linalg.norm(train, axis=1, keepdims=True), 1e-12
+        )
+        C = _kmeans_cosine(train, n_centroids)
+        p = n_probes if n_probes is not None else n_centroids
+        qn_full = qmat / np.maximum(
+            np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12
+        )
+        probe_cells = np.argsort(-(qn_full @ C.T), axis=1)[:, :p]
+        probed = np.zeros((len(qids), n_centroids), dtype=bool)
+        for qi in range(len(qids)):
+            probed[qi, probe_cells[qi]] = True
+    qmat_scan = qmat[:, :dim]
     lo, hi = sq8_scales(corpus_df, vec_col, dim)
     span = hi - lo
     scale = np.where(span > 0, 255.0 / np.where(span > 0, span, 1.0), 0.0)
@@ -1441,7 +1486,7 @@ def sq8_topk(
     def _deq(codes: np.ndarray) -> np.ndarray:
         return codes.astype("float64") * inv[None, :] + lo[None, :]
 
-    qdeq = _deq(_sq8_encode(qmat, lo, scale))
+    qdeq = _deq(_sq8_encode(qmat_scan, lo, scale))
     qnorm = np.sqrt((qdeq * qdeq).sum(axis=1))
     qnorm[qnorm == 0] = 1.0
     blo = spark.sparkContext.broadcast(lo)
@@ -1449,31 +1494,48 @@ def sq8_topk(
     binv = spark.sparkContext.broadcast(inv)
     bqids = spark.sparkContext.broadcast(qids)
     bqdeq = spark.sparkContext.broadcast(qdeq / qnorm[:, None])
+    bC = spark.sparkContext.broadcast(C)
+    bprobed = spark.sparkContext.broadcast(probed)
 
     def scan(it):
         for pdf in it:
             ids = pdf[id_col].to_numpy()
             if len(ids) == 0:
                 continue
-            mat = np.asarray(
+            full = np.asarray(
                 [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
             )
+            cells = None
+            if bC.value is not None:
+                fn = full / np.maximum(
+                    np.linalg.norm(full, axis=1, keepdims=True), 1e-12
+                )
+                cells = (fn @ bC.value.T).argmax(axis=1)
+            mat = full[:, : len(blo.value)]
             codes = _sq8_encode(mat, blo.value, bscale.value)
             deq = codes.astype("float64") * binv.value[None, :] + blo.value[None, :]
             norms = np.sqrt((deq * deq).sum(axis=1))
             norms[norms == 0] = 1.0
             scores = (deq @ bqdeq.value.T) / norms[:, None]
-            n_keep = min(shortlist, len(ids))
             out_q, out_v, out_s = [], [], []
             for qi, qid in enumerate(bqids.value):
-                col = scores[:, qi]
-                if n_keep < len(ids):
+                if cells is not None:
+                    keep_rows = np.nonzero(bprobed.value[qi][cells])[0]
+                    if len(keep_rows) == 0:
+                        continue
+                else:
+                    keep_rows = np.arange(len(ids))
+                col = scores[keep_rows, qi]
+                n_keep = min(shortlist, len(keep_rows))
+                if n_keep < len(keep_rows):
                     part = np.argpartition(-col, n_keep - 1)[:n_keep]
                 else:
-                    part = np.arange(len(ids))
+                    part = np.arange(len(keep_rows))
                 out_q.append(np.full(len(part), qid, dtype="int64"))
-                out_v.append(ids[part])
+                out_v.append(ids[keep_rows[part]])
                 out_s.append(col[part])
+            if not out_q:
+                continue
             yield pd.DataFrame(
                 {
                     "query_id": np.concatenate(out_q),

@@ -1227,3 +1227,64 @@ def test_vector_store_validation_and_orphan_batches(spark, tmp_path):
         .select("vec_id").collect()
     }
     assert 9_999_999 not in ids
+
+
+def test_sq8_composes_with_mrl_truncation_exact(spark):
+    """Round-12 verdict item 7: the q92j docstring's composition claims
+    become contracts.  SQ8 over the 32-dim Matryoshka prefix
+    (scan_dims=32) with an exhaustive shortlist keeps every candidate in
+    stage 1, and the full-dim exact re-rank makes the result
+    hash-identical to brute force — the scan pays 4x (int8) x 2x
+    (truncation) less bandwidth for free at these settings."""
+    from palletjack_spark.functions.similarity import sq8_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    got = sq8_topk(
+        emb, queries, k=5, shortlist=1_000_000, scan_dims=32
+    ).toPandas()
+    bf = cosine_topk(emb, queries, k=5).toPandas()
+    cols = ["query_id", "vec_id", "rank", "cosine"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        bf[cols].sort_values(cols).reset_index(drop=True),
+    )
+    # truncated scan at a realistic shortlist still recalls usefully
+    approx = sq8_topk(emb, queries, k=5, shortlist=32, scan_dims=32).toPandas()
+    exact_sets = bf.groupby("query_id")["vec_id"].apply(set)
+    approx_sets = approx.groupby("query_id")["vec_id"].apply(set)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets.index
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_sq8_composes_with_ivf_cells_exact(spark):
+    """SQ8 x IVF: full probe (n_probes == n_centroids) scores every
+    cell, so the composition is hash-identical to brute force; partial
+    probe restricts the scan to ~p/c of the corpus and still recalls."""
+    from palletjack_spark.functions.similarity import sq8_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    got = sq8_topk(
+        emb, queries, k=5, shortlist=1_000_000,
+        n_centroids=8, n_probes=8,
+    ).toPandas()
+    bf = cosine_topk(emb, queries, k=5).toPandas()
+    cols = ["query_id", "vec_id", "rank", "cosine"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        bf[cols].sort_values(cols).reset_index(drop=True),
+    )
+    approx = sq8_topk(
+        emb, queries, k=5, shortlist=64, n_centroids=8, n_probes=4
+    ).toPandas()
+    exact_sets = bf.groupby("query_id")["vec_id"].apply(set)
+    approx_sets = approx.groupby("query_id")["vec_id"].apply(set)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets.index
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
