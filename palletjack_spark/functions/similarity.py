@@ -949,6 +949,99 @@ def append_vectors(
     return int(n)
 
 
+def delete_vectors(ids_df: DataFrame, path: str, id_col: str | None = None) -> int:
+    """Tombstone vectors in a persisted store — the GDPR/takedown shape:
+    the data pages holding the vectors are NEVER rewritten (at 100 TB a
+    delete that rewrites batches is an outage); instead the ids land
+    under ``path/tombstones/batch=K`` and the manifest commit publishes
+    them atomically (the same orphan-invisible contract as
+    :func:`append_vectors`).  Queries anti-join the published tombstones
+    (broadcast — delete sets are small relative to the corpus; a
+    delete set that ISN'T belongs in :func:`compact_vector_store`).
+    Deleting an id absent from the store is a no-op by construction.
+    Returns the number of tombstone ids written."""
+    import json
+
+    spark = ids_df.sparkSession
+    meta = _store_meta(path)
+    id_col = id_col or meta["id_col"]
+    if id_col != meta["id_col"]:
+        raise ValueError(
+            f"vector store at {path} keys on {meta['id_col']!r}; delete "
+            f"asked for {id_col!r}"
+        )
+    batch = int(meta.get("n_tombstone_batches", 0))
+    out_dir = os.path.join(path, "tombstones", f"batch={batch}")
+    ids_df.select(
+        F.col(id_col).cast("long").alias("vec_id")
+    ).distinct().write.mode("overwrite").parquet(out_dir)
+    n = spark.read.parquet(out_dir).count()
+    meta["n_tombstone_batches"] = batch + 1
+    tmp = os.path.join(path, _ANN_META_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, _ANN_META_NAME))
+    return int(n)
+
+
+def _store_vectors(spark, path: str, meta: dict) -> DataFrame:
+    """The store's LIVE rows: published vector batches minus published
+    tombstones (broadcast LEFT ANTI — the wide ``vec`` column never
+    shuffles; orphan batches of either kind are partition-pruned out)."""
+    vectors = spark.read.parquet(os.path.join(path, "vectors")).where(
+        F.col("batch").cast("int") < int(meta["n_batches"])
+    )
+    n_tomb = int(meta.get("n_tombstone_batches", 0))
+    if n_tomb > 0:
+        tombs = (
+            spark.read.parquet(os.path.join(path, "tombstones"))
+            .where(F.col("batch").cast("int") < n_tomb)
+            .select("vec_id")
+        )
+        vectors = vectors.join(F.broadcast(tombs), "vec_id", "left_anti")
+    return vectors
+
+
+def compact_vector_store(spark, path: str) -> dict:
+    """Physically drop tombstoned rows: rewrite the LIVE rows as a fresh
+    ``batch=0`` under a temp directory, atomically swap it in
+    (``os.replace`` of the vectors/tombstones dirs), and reset the
+    manifest to one batch / zero tombstones.  Quantizers are untouched —
+    codes stay valid because compaction never re-encodes.  Run it when
+    the tombstone set has grown past broadcast comfort; between
+    compactions deletes stay O(tombstones).  Single-writer, like
+    append.  Returns the updated manifest."""
+    import json
+    import shutil
+
+    meta = _store_meta(path)
+    live = _store_vectors(spark, path, meta).select(
+        "vec_id", "cell", "codes", "vec"
+    )
+    tmp_vectors = os.path.join(path, "vectors.compact.tmp")
+    shutil.rmtree(tmp_vectors, ignore_errors=True)
+    live.write.parquet(os.path.join(tmp_vectors, "batch=0"))
+    n = spark.read.parquet(os.path.join(tmp_vectors, "batch=0")).count()
+    old_vectors = os.path.join(path, "vectors.old.tmp")
+    shutil.rmtree(old_vectors, ignore_errors=True)
+    os.replace(os.path.join(path, "vectors"), old_vectors)
+    os.replace(tmp_vectors, os.path.join(path, "vectors"))
+    meta.update(
+        {
+            "n_batches": 1,
+            "n_vectors": [int(n)],
+            "n_tombstone_batches": 0,
+        }
+    )
+    tmpm = os.path.join(path, _ANN_META_NAME + ".tmp")
+    with open(tmpm, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmpm, os.path.join(path, _ANN_META_NAME))
+    shutil.rmtree(old_vectors, ignore_errors=True)
+    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
+    return meta
+
+
 def vector_store_topk(
     spark,
     path: str,
@@ -966,12 +1059,12 @@ def vector_store_topk(
     ``vec`` column off this scan), a rank-window shortlist, and an
     exact re-score joining the shortlist back to the store's vectors.
     Batch partitions beyond the manifest's ``n_batches`` (orphans from
-    a crashed append) are filtered out by partition pruning."""
+    a crashed append) are filtered out by partition pruning, and
+    published tombstones (:func:`delete_vectors`) are anti-joined out
+    broadcast-side before anything is scored."""
     meta = _store_meta(path)
     idx = load_ann_index(spark, path)
-    vectors = spark.read.parquet(os.path.join(path, "vectors")).where(
-        F.col("batch").cast("int") < int(meta["n_batches"])
-    )
+    vectors = _store_vectors(spark, path, meta)
     short, qids, qmat = _adc_shortlist(
         spark,
         vectors.select("vec_id", "cell", "codes"),

@@ -2048,6 +2048,83 @@ def q92k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q92L_ORACLE = """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) /
+             sqrt(SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+             sqrt(SUM(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) AS cosine
+      FROM q, embeddings c,
+           UNNEST(generate_series(1, len(c.embedding))) AS s(i)
+      WHERE c.vec_id != q.query_id AND c.vec_id % 17 != 3
+      GROUP BY q.query_id, c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, ROUND(cosine, 4) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ROUND(cosine, 4) DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+"""
+
+
+@query("q92l_ann_store_delete", oracle=_Q92L_ORACLE)
+def q92l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstoned DELETES from the persisted vector store (round 12 —
+    the GDPR/takedown shape every production ANN corpus eventually
+    needs): ``delete_vectors`` writes the ids under
+    ``tombstones/batch=K`` and commits the manifest atomically — the
+    data pages holding the vectors are NEVER rewritten (at 100 TB a
+    delete that rewrites batches is an outage).  Queries anti-join the
+    published tombstones BROADCAST-side before anything is scored (the
+    wide vec column never shuffles), so a delete is visible the moment
+    its manifest lands; ``compact_vector_store`` physically drops
+    tombstoned rows later, off the query path (atomic directory swap,
+    codes stay valid — compaction never re-encodes; tested).  Here the
+    store holds the whole embeddings table, vec_id % 17 == 3 is
+    deleted, and the exhaustive-settings query is exact brute force
+    over the survivors — the oracle repeats the delete predicate in
+    SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from palletjack_spark.functions.similarity import (
+        _ANN_META_NAME,
+        _store_meta,
+        delete_vectors,
+        save_vector_store,
+        vector_store_topk,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    fp = _emb_fingerprint(sf_dir)
+    store = os.path.join(tempfile.gettempdir(), f"pjspark_annstore_del_{fp}")
+    ready = False
+    if os.path.exists(os.path.join(store, _ANN_META_NAME)):
+        try:
+            m = _store_meta(store)
+            ready = (
+                m["n_batches"] == 1 and m.get("n_tombstone_batches") == 1
+            )
+        except Exception:
+            ready = False
+        if not ready:
+            shutil.rmtree(store, ignore_errors=True)
+    if not ready:
+        save_vector_store(emb, store, n_centroids=16)
+        delete_vectors(emb.where(F.col("vec_id") % 17 == 3), store)
+    queries = emb.where(F.col("vec_id") < 5)
+    return vector_store_topk(
+        spark, store, queries, k=10, n_probes=16, shortlist=1_000_000
+    )
+
+
 @query(
     "q122_keyword_extraction",
     oracle="""

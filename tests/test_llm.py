@@ -1288,3 +1288,78 @@ def test_sq8_composes_with_ivf_cells_exact(spark):
         for q in exact_sets.index
     ]
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_vector_store_delete_and_compact(spark, tmp_path):
+    """q92l: tombstoned deletes are visible the moment the manifest
+    lands (no batch rewritten — byte-checked), equal to brute force over
+    the survivors at exhaustive settings, and compact_vector_store
+    physically drops them (one batch, zero tombstones, same results)."""
+    import palletjack_spark.functions.similarity as sim
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    store = str(tmp_path / "store")
+    sim.save_vector_store(emb, store, n_centroids=8)
+    batch0 = {
+        p: (os.path.getsize(p), os.path.getmtime(p))
+        for p in sorted(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(os.path.join(store, "vectors", "batch=0"))
+            for f in fs
+        )
+    }
+    doomed = emb.where(F.col("vec_id") % 17 == 3)
+    n = sim.delete_vectors(doomed, store)
+    assert n == doomed.count() and n > 0
+    # delete never rewrote a vector batch
+    assert {
+        p: (os.path.getsize(p), os.path.getmtime(p))
+        for p in sorted(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(os.path.join(store, "vectors", "batch=0"))
+            for f in fs
+        )
+    } == batch0
+
+    queries = emb.where(F.col("vec_id") < 3)
+    got = sim.vector_store_topk(
+        spark, store, queries, k=5, n_probes=8, shortlist=1_000_000
+    ).toPandas()
+    survivors = emb.where(F.col("vec_id") % 17 != 3)
+    bf = cosine_topk(survivors, queries, k=5).toPandas()
+    cols = ["query_id", "vec_id", "rank", "cosine"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        bf[cols].sort_values(cols).reset_index(drop=True),
+    )
+    # deleted ids never appear even at partial probe
+    approx = sim.vector_store_topk(
+        spark, store, queries, k=5, n_probes=4, shortlist=64
+    ).toPandas()
+    assert not (approx["vec_id"] % 17 == 3).any()
+
+    # compaction: physically drops tombstoned rows, results unchanged
+    meta = sim.compact_vector_store(spark, store)
+    assert meta["n_batches"] == 1 and meta["n_tombstone_batches"] == 0
+    assert not os.path.exists(os.path.join(store, "tombstones"))
+    live = spark.read.parquet(os.path.join(store, "vectors"))
+    assert live.where(F.col("vec_id") % 17 == 3).count() == 0
+    assert live.count() == survivors.count()
+    after = sim.vector_store_topk(
+        spark, store, queries, k=5, n_probes=8, shortlist=1_000_000
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        after[cols].sort_values(cols).reset_index(drop=True),
+        bf[cols].sort_values(cols).reset_index(drop=True),
+    )
+    # deleting an absent id is a no-op for results
+    sim.delete_vectors(
+        spark.createDataFrame([(987654321,)], "vec_id long"), store
+    )
+    again = sim.vector_store_topk(
+        spark, store, queries, k=5, n_probes=8, shortlist=1_000_000
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        again[cols].sort_values(cols).reset_index(drop=True),
+        bf[cols].sort_values(cols).reset_index(drop=True),
+    )

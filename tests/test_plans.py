@@ -908,6 +908,26 @@ def test_vector_store_query_has_no_encode_pass(spark):
     assert "quantizers" not in plan, plan  # sidecar never scanned
 
 
+def test_vector_store_delete_is_broadcast_anti(spark):
+    """Q92l: tombstoned deletes enter the plan ONLY as broadcast LEFT
+    ANTI joins on the id column (one per store touch: the ADC scan side
+    and the re-score side) — the wide vec column never shuffles, no
+    vector batch is rescanned beyond q92k's two store scans, and the
+    plan keeps q92k's shape otherwise (one ADC MapInPandas, no encode
+    pass, no quantizer scan)."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q92l_ann_store_delete"].fn(spark, SF_DIR))
+    assert plan.count("MapInPandas") == 1, plan
+    assert "assign_encode" not in plan, plan
+    # 2 vector-batch scans (ADC + re-score) + 2 tombstone scans
+    assert plan.count("Scan parquet") == 4, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("LeftAnti") == 2, plan
+    assert plan.count("BroadcastExchange") == 4, plan
+    assert "quantizers" not in plan, plan
+
+
 def test_pagerank_outdeg_not_broadcast(spark):
     """Q130 (round-5 verdict item 2): the out-degree table has one row per
     distinct source node — O(nodes) — so it must NEVER feed a
