@@ -316,3 +316,112 @@ def hashed_linear_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         score.alias("score"),
         (score > 0.0).alias("keep"),
     )
+
+
+def bigram_lm_score(
+    train: DataFrame,
+    score: DataFrame,
+    text_col: str,
+    id_col: str,
+    backoff_bits: int = 2,
+) -> DataFrame:
+    """Stupid-backoff bigram LM scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — the smoothing designed FOR
+    distributed count-based training): train bigram/unigram counts on
+    ``train``, score every adjacent token pair in ``score`` by integer
+    surprisal bits, and return per-document totals.
+
+    Per bigram (w1, w2):
+
+    * seen in training:  ``bits = floor(log2(h1 / c12))`` where ``h1`` is
+      w1's history mass (Σ bigram counts starting at w1), so the ratio is
+      ≥ 1 and the bits are ≥ 0;
+    * unseen: back off to the unigram model with an ``α = 2^-backoff_bits``
+      penalty: ``bits = backoff_bits + floor(log2(total / c2))`` (OOV w2
+      scores as ``c2 = 1``, the integer Laplace floor).
+
+    Integer bits (``length(bin(a div b)) - 1``) rather than float ``-ln p``
+    for the q128 reason: float sums over a document are addition-order
+    dependent and can never hash-match across engines or 1000 executors;
+    integer bits sum exactly in any order, and the single final division
+    is IEEE-deterministic.
+
+    Scale shape: pairing is row-local (``zip_with`` over two slices — no
+    window, no shuffle); the train corpus exchanges ONCE hashed on
+    (w1, w2) for the bigram table, whose re-aggregation by w1 yields the
+    history masses without a second corpus pass; the unigram table is a
+    second, Zipf-sublinear exchange; scoring joins the score-side pairs
+    against the count tables on their own hash keys and the total mass is
+    a one-row broadcast scalar.  No LM table is ever collected to the
+    driver — at 100 TB the bigram table is itself a big (but sublinear)
+    distributed table and the joins shuffle-partition on it.
+    """
+    pairs_expr = (
+        f"explode(zip_with("
+        f" slice(ts, 1, greatest(size(ts) - 1, 0)),"
+        f" slice(ts, 2, greatest(size(ts) - 1, 0)),"
+        f" (a, b) -> struct(a AS w1, b AS w2)))"
+    )
+
+    def _pairs(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col(id_col),
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias(
+                "ts"
+            ),
+        )
+        return toks.select(id_col, F.expr(pairs_expr).alias("bg")).select(
+            id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+        )
+
+    train_pairs = _pairs(train)
+    # the LM tables are cached for the q128 reason: big feeds both the
+    # score-back join and the history re-aggregation, uni feeds both its
+    # join and the total-mass scalar — uncached, Spark re-executes each
+    # subtree, i.e. two extra full-corpus token explosions for one number
+    big = (
+        train_pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12")).cache()
+    )
+    # history mass per w1: re-aggregate the bigram table (sublinear), not
+    # the corpus — h1 = Σ_w2 c12 ≥ any c12, so seen-bits are ≥ 0
+    hist = big.groupBy("w1").agg(F.sum("c12").alias("h1"))
+    uni = (
+        train.select(
+            F.explode(
+                F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("c2"))
+        .cache()
+    )
+    total = uni.agg(F.sum("c2").alias("total"))
+
+    scored = (
+        _pairs(score)
+        .join(big, ["w1", "w2"], "left")
+        .join(hist, ["w1"], "left")
+        .join(uni.withColumnRenamed("tok", "w2"), ["w2"], "left")
+        .join(F.broadcast(total))
+        .select(
+            id_col,
+            F.col("c12").isNull().alias("backoff"),
+            F.when(
+                F.col("c12").isNotNull(),
+                (F.length(F.expr("bin(h1 div c12)")) - 1).cast("long"),
+            )
+            .otherwise(
+                F.lit(backoff_bits)
+                + (
+                    F.length(F.expr("bin(total div coalesce(c2, 1))")) - 1
+                ).cast("long")
+            )
+            .alias("bits"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("bits").alias("total_bits"),
+        F.sum(F.col("backoff").cast("long")).alias("n_backoff"),
+        (F.sum("bits").cast("double") / F.count("*")).alias("avg_bits"),
+    )

@@ -3979,3 +3979,76 @@ def q92j(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return sq8_topk(emb, queries, k=10, shortlist=1_000_000)
+
+
+def _bigram_lm_oracle(train_mod: int = 5, backoff_bits: int = 2) -> str:
+    """Q157 oracle — generated from the same train/score split and backoff
+    penalty as the Spark pipeline (the q91/q102 generated-oracle
+    discipline)."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      FROM documents),
+    tk AS (
+      SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+      FROM toks,
+           UNNEST(generate_series(1, greatest(len(ts) - 1, 0))) AS s(i)),
+    big AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM tk
+      WHERE doc_id % {train_mod} <> 0 GROUP BY w1, w2),
+    hist AS (SELECT w1, SUM(c12) AS h1 FROM big GROUP BY w1),
+    uni AS (
+      SELECT tok, COUNT(*) AS c2
+      FROM (SELECT doc_id, UNNEST(ts) AS tok FROM toks)
+      WHERE doc_id % {train_mod} <> 0 GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c2) AS BIGINT) AS total FROM uni),
+    scored AS (
+      SELECT s.doc_id,
+             b.c12 IS NULL AS backoff,
+             CASE WHEN b.c12 IS NOT NULL
+                  THEN CAST(LENGTH(bin(h.h1 // b.c12)) - 1 AS BIGINT)
+                  ELSE {backoff_bits}
+                       + CAST(LENGTH(bin(t.total // COALESCE(u.c2, 1))) - 1
+                              AS BIGINT)
+             END AS bits
+      FROM tk s
+      LEFT JOIN big b ON s.w1 = b.w1 AND s.w2 = b.w2
+      LEFT JOIN hist h ON s.w1 = h.w1
+      LEFT JOIN uni u ON s.w2 = u.tok, tot t
+      WHERE s.doc_id % {train_mod} = 0)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(bits) AS BIGINT) AS total_bits,
+           CAST(SUM(CASE WHEN backoff THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_backoff,
+           CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS avg_bits
+    FROM scored GROUP BY doc_id
+    """
+
+
+@query("q157_bigram_lm_score", oracle=_bigram_lm_oracle())
+def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram LM perplexity scoring (Q157, round 12): the
+    CCNet-style quality gate with a REAL bigram model rather than q128's
+    unigram or q136's proxy — train count tables on the ingested corpus
+    (doc_id % 5 != 0, the q156 incremental split), score the new crawl
+    batch (doc_id % 5 == 0) by mean per-bigram surprisal bits, with
+    unseen bigrams backing off to the unigram model at an integer
+    2-bit (α = 1/4) penalty.  Brants et al. 2007's smoothing exists
+    precisely because count-based backoff is what distributed LM
+    training can compute without normalization passes.
+
+    High avg_bits ≈ unnatural token sequences (noise/garble), low ≈
+    boilerplate; n_backoff / n_bigrams is the novelty rate — both are
+    standard pre-training corpus filters.  Scale shape documented in
+    functions/text.bigram_lm_score; everything is integer until the one
+    final division."""
+    from palletjack_spark.functions.text import bigram_lm_score
+
+    docs = t(spark, sf_dir, "documents")
+    return bigram_lm_score(
+        docs.where(F.col("doc_id") % 5 != 0),
+        docs.where(F.col("doc_id") % 5 == 0),
+        "text",
+        "doc_id",
+    )

@@ -1363,3 +1363,56 @@ def test_vector_store_delete_and_compact(spark, tmp_path):
         again[cols].sort_values(cols).reset_index(drop=True),
         bf[cols].sort_values(cols).reset_index(drop=True),
     )
+
+
+# ---------------------------------------------------------------------------
+# q157: stupid-backoff bigram LM scoring
+
+
+def test_bigram_lm_hand_computed_bits(spark):
+    """Crafted corpus where every surprisal is hand-computable."""
+    from palletjack_spark.functions.text import bigram_lm_score
+
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame([(10, "a b x")], "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in bigram_lm_score(train, score, "text", "doc_id").collect()
+    }
+    r = out[10]
+    # train bigrams: (a,b)x3, (b,a)x1, (b,c)x1 -> h1(a)=3, h1(b)=2
+    # unigrams: a x3, b x3, c x1 -> total = 7
+    # score doc 10: (a,b) seen -> bits = floor(log2(3/3)) = 0
+    #              (b,x) unseen, x OOV -> bits = 2 + floor(log2(7/1)) = 4
+    assert r["n_bigrams"] == 2
+    assert r["total_bits"] == 4
+    assert r["n_backoff"] == 1
+    assert abs(r["avg_bits"] - 2.0) < 1e-12
+
+
+def test_bigram_lm_short_docs_have_no_bigrams(spark):
+    from palletjack_spark.functions.text import bigram_lm_score
+
+    train = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    score = spark.createDataFrame(
+        [(10, "solo"), (11, ""), (12, "a b")], "doc_id long, text string"
+    )
+    rows = bigram_lm_score(train, score, "text", "doc_id").collect()
+    ids = {r["doc_id"] for r in rows}
+    # 0- and 1-token docs produce no bigram rows at all
+    assert ids == {12}
+
+
+def test_bigram_lm_backoff_uses_unigram_mass(spark):
+    """An unseen bigram of two SEEN words backs off to c2, not OOV."""
+    from palletjack_spark.functions.text import bigram_lm_score
+
+    train = spark.createDataFrame(
+        [(1, "x y x y x y x y"), (2, "z q")], "doc_id long, text string"
+    )
+    # bigram (y,z) unseen; z seen once; total = 10 -> 2 + floor(log2(10)) = 5
+    score = spark.createDataFrame([(10, "y z")], "doc_id long, text string")
+    r = bigram_lm_score(train, score, "text", "doc_id").collect()[0]
+    assert r["total_bits"] == 5 and r["n_backoff"] == 1
