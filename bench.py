@@ -144,6 +144,10 @@ HEADLINE = [
     # persisted vector store (codes at rest: the query plan has NO
     # encode pass, one ADC MapInPandas + broadcast re-score)
     "q92k_ann_store_append",
+    # round 12 addition: stupid-backoff bigram LM scoring — the corpus
+    # exchanges once per count table (bigram/unigram, both cached), the
+    # history masses re-aggregate the bigram table, pairing is row-local
+    "q157_bigram_lm_score",
 ]
 
 META_ROW_GROUPS = 200
