@@ -99,3 +99,93 @@ def pagerank_converge(
         if delta is None or delta <= tol:
             return ranks, rounds
     return ranks, rounds
+
+
+def symmetric_closure(edges: DataFrame) -> DataFrame:
+    """Undirected view of a directed (src, dst) edge table: both
+    directions, deduplicated.  One exchange (the distinct)."""
+    return (
+        edges.select("src", "dst")
+        .union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+    )
+
+
+def _lpa_round(und: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous label-propagation round: every node takes the most
+    frequent label among its neighbors, ties broken by SMALLEST label
+    (deterministic under any partitioning).
+
+    Scale shape: one und⋈labels hash join on src ships each neighbor's
+    label to dst; the (node, label) count and the per-node argmax are
+    BOTH hash aggregates with map-side partial combine — the argmax is
+    ``min(struct(-cnt, label))``, not a row_number window, so no per-node
+    sort and no WindowExec memory at billion-node scale."""
+    cnt = (
+        und.join(labels, und["src"] == labels["node"])
+        .groupBy(und["dst"].alias("n"), F.col("label"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    return cnt.groupBy("n").agg(
+        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("label"))).getField(
+            "label"
+        ).alias("label")
+    ).withColumnRenamed("n", "node")
+
+
+def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) for a FIXED
+    number of rounds over the symmetric closure of ``edges``: labels
+    start as node ids; each round every node adopts its neighbors'
+    majority label (min-label tie-break).  Returns (node, label).
+
+    The fixed-round form exists so an oracle can unroll it as finite
+    SQL (the q130 discipline); synchronous LPA on bipartite structure
+    can 2-cycle rather than converge, which is also why production runs
+    bound rounds.  The closure is localCheckpointed once (reused every
+    round); each round's labels are checkpointed to cut lineage."""
+    und = symmetric_closure(edges).localCheckpoint()
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(rounds):
+        labels = _lpa_round(und, labels).localCheckpoint()
+    return labels
+
+
+def label_propagation_converge(
+    edges: DataFrame, max_rounds: int = 20
+) -> tuple[DataFrame, int]:
+    """Run LPA until no label changes (or the round budget runs out).
+    Returns ``(labels, rounds_run)``.  The stop test is one bounded
+    COUNT of changed labels per round — same discipline as
+    :func:`pagerank_converge`.  ``max_rounds`` is load-bearing:
+    synchronous LPA is not guaranteed to converge (bipartite regions
+    oscillate with period 2), so the budget is the termination proof."""
+    und = symmetric_closure(edges).localCheckpoint()
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    rounds = 0
+    while rounds < max_rounds:
+        nxt = _lpa_round(und, labels).localCheckpoint()
+        rounds += 1
+        changed = (
+            nxt.withColumnRenamed("label", "l_new")
+            .join(labels, "node")
+            .where(F.col("l_new") != F.col("label"))
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    return labels, rounds

@@ -1885,3 +1885,72 @@ def q121c(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_interp"),
         (F.col("h") == F.col("b0")).alias("is_observed"),
     )
+
+
+_LPA_ROUND_SQL = """
+    c{r} AS (
+      SELECT u.dst AS node, l.label, COUNT(*) AS cnt
+      FROM und u JOIN l{p} l ON u.src = l.node
+      GROUP BY u.dst, l.label),
+    l{r} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label ASC) AS rn
+        FROM c{r}) WHERE rn = 1)"""
+
+
+def _lpa_oracle(rounds: int = 2) -> str:
+    """Q158 oracle — the same synchronous rounds unrolled as finite SQL
+    CTEs (the q130 discipline), argmax expressed as a ROW_NUMBER window
+    with the identical (cnt DESC, label ASC) deterministic order."""
+    body = ",".join(_LPA_ROUND_SQL.format(r=i, p=i - 1) for i in range(1, rounds + 1))
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    und AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT dst AS src, src AS dst FROM edges),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+    {body}
+    SELECT CAST(label AS BIGINT) AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM l{rounds} GROUP BY label
+    ORDER BY n_members DESC, community LIMIT 50
+    """
+
+
+@query("q158_label_propagation", oracle=_lpa_oracle())
+def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (Q158, round 12, Raghavan
+    et al. 2007): two synchronous rounds over the symmetric closure of
+    the q130 customer→supplier graph — each node adopts its neighbors'
+    majority label, min-label tie-break — then the community size
+    histogram (top 50 by size, id-tie-broken).  Completes the graph
+    family: q101 finds connected components (reachability), q130 ranks
+    inside them, q140 peels cores, q158 partitions them into densely
+    linked communities — the dedup/curation use is sharding a web graph
+    into crawl communities before per-community near-dup passes.
+
+    Determinism: labels are integers, the argmax order (cnt DESC, label
+    ASC) is total, so every engine and partitioning computes identical
+    labels — no float, no RNG.  Scale shape (functions/graph.py:_lpa_round):
+    per round ONE edges⋈labels hash join + two hash aggregates with
+    map-side combine (the argmax is min(struct(-cnt,label)), not a
+    window — no per-node sort memory); the closure is checkpointed once,
+    labels checkpoint per round to cut lineage; the declared form pins 2
+    rounds so the oracle is finite SQL, the general fixpoint is
+    label_propagation_converge (bounded — synchronous LPA can 2-cycle on
+    bipartite regions, so the round budget IS the termination proof)."""
+    from palletjack_spark.functions.graph import label_propagation
+
+    edges, _nodes = _pagerank_graph(spark, sf_dir)
+    labels = label_propagation(edges.select("src", "dst"), rounds=2)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count("*").alias("n_members"))
+        .orderBy(F.desc("n_members"), F.asc("community"))
+        .limit(50)
+    )

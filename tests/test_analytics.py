@@ -244,3 +244,59 @@ def test_pagerank_full_convergence_matches_duckdb_unrolling(spark, duck):
     # to truncation): a sanity bound that catches sign/scale mistakes
     total = sum(got.values())
     assert 0.9e12 < total <= 1.0e12 + len(got)
+
+
+# ---------------------------------------------------------------------------
+# q158: label-propagation communities
+
+
+def _two_cliques(spark):
+    """Two triangles {1,2,3} and {10,11,12} joined by one bridge 3-10."""
+    e = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)]
+    return spark.createDataFrame(e, "src long, dst long")
+
+
+def test_lpa_converges_to_two_communities(spark):
+    from palletjack_spark.functions.graph import label_propagation_converge
+
+    labels, rounds = label_propagation_converge(_two_cliques(spark), max_rounds=10)
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert rounds < 10, "did not converge on a 7-edge fixture"
+    # each triangle outvotes its single bridge edge -> exactly 2 communities
+    assert got[1] == got[2] == got[3]
+    assert got[10] == got[11] == got[12]
+    assert got[1] != got[10]
+
+
+def test_lpa_fixed_rounds_partitioning_independent(spark):
+    from palletjack_spark.functions.graph import label_propagation
+
+    edges = _two_cliques(spark)
+    a = {
+        (r["node"], r["label"])
+        for r in label_propagation(edges, rounds=2).collect()
+    }
+    b = {
+        (r["node"], r["label"])
+        for r in label_propagation(edges.repartition(7), rounds=2).collect()
+    }
+    assert a == b and len(a) == 6
+
+
+def test_lpa_round_is_hash_agg_not_window(spark):
+    """The per-node argmax must be min(struct(-cnt,label)) — a two-phase
+    hash aggregate — not a row_number window (no per-node sort memory)."""
+    from palletjack_spark.functions.graph import (
+        _lpa_round,
+        symmetric_closure,
+    )
+    from pyspark.sql import functions as F
+
+    und = symmetric_closure(_two_cliques(spark))
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    plan = _lpa_round(und, labels)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
