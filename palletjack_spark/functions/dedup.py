@@ -1285,3 +1285,102 @@ def incremental_dedup(
         F.broadcast(best.select(id_col)), id_col, "left_anti"
     )
     return decisions, accepted_sigs
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (Q159)
+
+#: CDC boundary divisor: a token starts a new chunk when its md5 bucket
+#: is 0 mod this — expected chunk length ≈ divisor tokens (the FastCDC
+#: normalization knobs — min/max chunk bounds — are deliberately absent:
+#: they make chunking stateful across the boundary test and cost exactly
+#: the SQL-expressibility the oracle needs; the divisor is the plug point).
+CDC_DIVISOR = 8
+
+
+def _cdc_chunks_expr(divisor: int) -> str:
+    """Row-local CDC fold: split a token array into chunks at boundary
+    tokens (md5 bucket == 0), entirely inside one higher-order
+    ``aggregate`` — no window, no shuffle, no Python.  The initial empty
+    chunk (when token 1 is itself a boundary) is filtered after."""
+    bnd = (
+        f"pmod(cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint),"
+        f" {divisor}) = 0"
+    )
+    return f"""
+    filter(
+      aggregate(
+        ts,
+        array(cast(array() as array<string>)),
+        (acc, x) -> IF({bnd},
+          concat(acc, array(array(x))),
+          concat(slice(acc, 1, size(acc) - 1),
+                 array(concat(element_at(acc, -1), array(x)))))),
+      c -> size(c) > 0)
+    """
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    divisor: int = CDC_DIVISOR,
+) -> DataFrame:
+    """Content-defined chunking at token granularity (the storage-dedup
+    CDC idea — Muthitacharoen et al. 2001 LBFS, FastCDC — applied to
+    text): chunk boundaries are a deterministic hash test on the CONTENT,
+    so an insertion early in a document shifts only the chunk it lands
+    in, where fixed-size windows would shift every downstream chunk.
+    Returns (id, chunk_id, chunk_hash, n_toks).
+
+    Scale shape: chunking is a single row-local higher-order fold
+    (:func:`_cdc_chunks_expr`) — ZERO exchanges up to here; downstream
+    consumers pay one hash exchange on chunk_hash.  No UDF, no window.
+    """
+    return (
+        df.select(
+            F.col(id_col),
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias(
+                "ts"
+            ),
+        )
+        .select(id_col, F.posexplode(F.expr(_cdc_chunks_expr(divisor))))
+        .select(
+            id_col,
+            F.col("pos").alias("chunk_id"),
+            F.md5(F.array_join(F.col("col"), " ")).alias("chunk_hash"),
+            F.size(F.col("col")).alias("n_toks"),
+        )
+    )
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    divisor: int = CDC_DIVISOR,
+) -> DataFrame:
+    """Per-document CDC duplication profile: how much of each document is
+    made of chunks that occur ≥2 times in the corpus (within-doc repeats
+    count — a doc that repeats its own paragraph is duplicated content).
+    Returns (id, n_chunks, n_dup_chunks, dup_ratio_milli) — the milli
+    ratio is integer (q91's exact-milli discipline), the per-doc
+    aggregation exact under any fold order.
+
+    Scale shape: one exchange on chunk_hash for the global frequency
+    table (map-side combined), one co-partitioned join back on the same
+    key, one final per-doc hash aggregate."""
+    chunks = cdc_chunks(df, text_col, id_col, divisor)
+    freq = chunks.groupBy("chunk_hash").agg(F.count("*").alias("cnt"))
+    return (
+        chunks.join(freq, "chunk_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("cnt") >= 2).cast("long")).alias("n_dup_chunks"),
+        )
+        .withColumn(
+            "dup_ratio_milli",
+            F.expr("1000 * n_dup_chunks div n_chunks"),
+        )
+    )

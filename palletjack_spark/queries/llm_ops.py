@@ -4052,3 +4052,57 @@ def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         "doc_id",
     )
+
+
+def _cdc_oracle(divisor: int = 8) -> str:
+    """Q159 oracle — the chunk partition recomputed via positional window
+    cumsum (equivalent to the Spark side's row-local fold by
+    construction: both start a chunk exactly at md5-bucket-0 tokens)."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      FROM documents),
+    tk AS (
+      SELECT doc_id, i, ts[i] AS tok,
+             CASE WHEN ('0x' || substr(md5(ts[i]), 1, 15))::BIGINT
+                       % {divisor} = 0
+                  THEN 1 ELSE 0 END AS bnd
+      FROM toks, UNNEST(generate_series(1, len(ts))) AS s(i)),
+    ck AS (
+      SELECT doc_id, i, tok,
+             SUM(bnd) OVER (PARTITION BY doc_id ORDER BY i) AS cid
+      FROM tk),
+    chunks AS (
+      SELECT doc_id, cid, md5(string_agg(tok, ' ' ORDER BY i)) AS h
+      FROM ck GROUP BY doc_id, cid),
+    freq AS (SELECT h, COUNT(*) AS cnt FROM chunks GROUP BY h)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(1000 * SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS dup_ratio_milli
+    FROM chunks JOIN freq USING (h)
+    GROUP BY doc_id
+    """
+
+
+@query("q159_cdc_chunk_dedup", oracle=_cdc_oracle())
+def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk dedup profile (Q159, round 12): the storage
+    dedup idea (LBFS/FastCDC) at token granularity — chunk boundaries
+    are a hash test on content, so edits shift only the chunk they land
+    in, and identical passages land identical chunk hashes WHEREVER they
+    sit in a document (q107's paragraph dedup needs paragraph marks,
+    q110's dupgrams fix a gram length; CDC needs neither).  Per document:
+    how many chunks, how many occur ≥2 times corpus-wide, integer milli
+    duplication ratio — the signal CCNet/RefinedWeb-style pipelines cut
+    boilerplate with.
+
+    Scale shape (functions/dedup.cdc_chunks): chunking is ONE row-local
+    higher-order aggregate fold — zero exchanges, no window, no Python;
+    the only corpus exchanges are the chunk-hash frequency aggregate
+    (map-side combined) and its co-partitioned join back."""
+    from palletjack_spark.functions.dedup import cdc_chunk_stats
+
+    return cdc_chunk_stats(t(spark, sf_dir, "documents"), "text", "doc_id")

@@ -1416,3 +1416,91 @@ def test_bigram_lm_backoff_uses_unigram_mass(spark):
     score = spark.createDataFrame([(10, "y z")], "doc_id long, text string")
     r = bigram_lm_score(train, score, "text", "doc_id").collect()[0]
     assert r["total_bits"] == 5 and r["n_backoff"] == 1
+
+
+# ---------------------------------------------------------------------------
+# q159: content-defined chunk dedup
+
+
+def _cdc_bucket(w: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % 8
+
+
+def test_cdc_chunks_split_exactly_at_boundary_tokens(spark):
+    from palletjack_spark.functions.dedup import cdc_chunks
+
+    words = [f"tok{i}" for i in range(40)]
+    bounds = [i for i, w in enumerate(words) if _cdc_bucket(w) == 0]
+    assert bounds, "fixture needs at least one boundary word"
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    rows = cdc_chunks(df, "text", "doc_id").orderBy("chunk_id").collect()
+    # reference split in pure python: new chunk at every bucket-0 token
+    chunks, cur = [], []
+    for w in words:
+        if _cdc_bucket(w) == 0:
+            if cur:
+                chunks.append(cur)
+            cur = [w]
+        else:
+            cur.append(w)
+    if cur:
+        chunks.append(cur)
+    assert [r["n_toks"] for r in rows] == [len(c) for c in chunks]
+    import hashlib
+
+    assert [r["chunk_hash"] for r in rows] == [
+        hashlib.md5(" ".join(c).encode()).hexdigest() for c in chunks
+    ]
+
+
+def test_cdc_edit_locality(spark):
+    """The CDC property: a prepended token only changes chunks up to the
+    first boundary — everything after re-aligns and hash-matches."""
+    from palletjack_spark.functions.dedup import cdc_chunks
+
+    words = [f"tok{i}" for i in range(60)]
+    bounds = [i for i, w in enumerate(words) if _cdc_bucket(w) == 0]
+    assert bounds and bounds[0] > 0
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, " ".join(["inserted"] + words))],
+        "doc_id long, text string",
+    )
+    rows = cdc_chunks(df, "text", "doc_id").collect()
+    h1 = {r["chunk_hash"] for r in rows if r["doc_id"] == 1}
+    h2 = {r["chunk_hash"] for r in rows if r["doc_id"] == 2}
+    # every chunk starting at or after the first boundary is shared;
+    # only the head chunk (before bounds[0]) differs
+    n_shared_expected = sum(
+        1 for i, w in enumerate(words) if _cdc_bucket(w) == 0
+    )
+    assert len(h1 & h2) == n_shared_expected
+    assert len(h1 - h2) == 1 and len(h2 - h1) == 1
+
+
+def test_cdc_stats_count_within_doc_repeats(spark):
+    from palletjack_spark.functions.dedup import cdc_chunk_stats
+
+    # find a boundary word so the repeated passage forms whole chunks;
+    # the fillers must NOT be boundaries ("aaa"/"ccc" hash to bucket 4)
+    b = next(w for w in (f"w{i}" for i in range(200)) if _cdc_bucket(w) == 0)
+    assert _cdc_bucket("aaa") != 0 and _cdc_bucket("ccc") != 0
+    passage = f"{b} aaa ccc"
+    df = spark.createDataFrame(
+        [(1, f"{passage} {passage}")], "doc_id long, text string"
+    )
+    r = cdc_chunk_stats(df, "text", "doc_id").collect()[0]
+    assert r["n_chunks"] == 2 and r["n_dup_chunks"] == 2
+    assert r["dup_ratio_milli"] == 1000
+
+
+def test_cdc_chunking_is_exchange_free(spark):
+    from palletjack_spark.functions.dedup import cdc_chunks
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        cdc_chunks(df, "text", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Window" not in plan, plan
