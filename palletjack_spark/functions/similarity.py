@@ -1050,6 +1050,7 @@ def vector_store_topk(
     n_probes: int = 4,
     shortlist: int = 64,
     exclude_self: bool = True,
+    filter_df: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k over a persisted vector store, across base ∪ all
     PUBLISHED appends.  The query plan is ivf_pq_topk's minus the
@@ -1061,13 +1062,31 @@ def vector_store_topk(
     Batch partitions beyond the manifest's ``n_batches`` (orphans from
     a crashed append) are filtered out by partition pruning, and
     published tombstones (:func:`delete_vectors`) are anti-joined out
-    broadcast-side before anything is scored."""
+    broadcast-side before anything is scored.
+
+    ``filter_df`` (one column of allowed vec ids) makes the query a
+    FILTERED vector search with PRE-filter semantics — the q92h
+    production-correct choice: the semi-join lands on the narrow
+    (vec_id, cell, codes) rows BEFORE the ADC scan, so top-k is exact
+    under the filter and never loses recall to post-filtering.  The
+    codes stay at rest and no re-encode/re-train happens; cells are
+    filter-agnostic, only the scanned rows shrink.  Wrap the filter in
+    ``F.broadcast(...)`` when it is known-small; left unhinted, AQE
+    picks the strategy from its actual size."""
     meta = _store_meta(path)
     idx = load_ann_index(spark, path)
     vectors = _store_vectors(spark, path, meta)
+    codes_df = vectors.select("vec_id", "cell", "codes")
+    if filter_df is not None:
+        fcol = filter_df.columns[0]
+        codes_df = codes_df.join(
+            filter_df.select(F.col(fcol).alias("vec_id")),
+            "vec_id",
+            "leftsemi",
+        )
     short, qids, qmat = _adc_shortlist(
         spark,
-        vectors.select("vec_id", "cell", "codes"),
+        codes_df,
         queries_df,
         idx["centroids"],
         idx["codebooks"],

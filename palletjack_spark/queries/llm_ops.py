@@ -4106,3 +4106,93 @@ def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
     from palletjack_spark.functions.dedup import cdc_chunk_stats
 
     return cdc_chunk_stats(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "q92m_store_filtered_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+    ),
+    corpus AS (
+      SELECT c.vec_id, c.embedding FROM embeddings c
+      JOIN documents d ON c.vec_id = d.doc_id
+      WHERE d.lang = 'en'
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) /
+             sqrt(SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+             sqrt(SUM(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) AS cosine
+      FROM q, corpus c,
+           UNNEST(generate_series(1, len(c.embedding))) AS s(i)
+      WHERE c.vec_id != q.query_id
+      GROUP BY q.query_id, c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, ROUND(cosine, 4) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ROUND(cosine, 4) DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def q92m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered search over the PERSISTED vector store (Q92m, round 12):
+    q92h's pre-filter semantics composed with q92k/q92l's at-rest codes
+    — "nearest English docs" answered from the store WITHOUT touching
+    the raw embeddings table, re-encoding, or training (the quantizers
+    load read-only).  The metadata predicate (documents.lang = 'en')
+    semi-joins the NARROW (vec_id, cell, codes) rows BEFORE the ADC
+    scan — pre-filtering is the production-correct choice because a
+    post-filtered top-k loses recall whenever fewer than k survivors
+    remain; cells are filter-agnostic, only the scanned rows shrink.
+
+    Exhaustive settings (full probe + unbounded shortlist) make the
+    result exact brute force over the filtered corpus — the oracle is
+    q92h's, reached through a completely different physical path
+    (persisted codes + ADC + exact re-score), which pins the store
+    composition end-to-end.  Realistic-setting recall is tested in
+    tests/test_llm.py (functions/similarity.py:vector_store_topk)."""
+    import os
+    import shutil
+    import tempfile
+
+    from palletjack_spark.functions.similarity import (
+        _ANN_META_NAME,
+        _store_meta,
+        save_vector_store,
+        vector_store_topk,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    fp = _emb_fingerprint(sf_dir)
+    store = os.path.join(tempfile.gettempdir(), f"pjspark_annstore_filt_{fp}")
+    ready = False
+    if os.path.exists(os.path.join(store, _ANN_META_NAME)):
+        try:
+            m = _store_meta(store)
+            ready = m["n_batches"] == 1 and not m.get("n_tombstone_batches")
+        except Exception:
+            ready = False
+        if not ready:
+            shutil.rmtree(store, ignore_errors=True)
+    if not ready:
+        save_vector_store(emb, store, n_centroids=16)
+    allowed = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    return vector_store_topk(
+        spark,
+        store,
+        queries,
+        k=10,
+        n_probes=16,
+        shortlist=1_000_000,
+        filter_df=F.broadcast(allowed),
+    )

@@ -1504,3 +1504,58 @@ def test_cdc_chunking_is_exchange_free(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Window" not in plan, plan
+
+
+def test_vector_store_filtered_query_exact_and_no_training(
+    spark, tmp_path, monkeypatch
+):
+    """q92m: a filtered store query pre-filters the at-rest codes —
+    exact under the filter at exhaustive settings, equal to brute force
+    over the filtered corpus, with quantizer training POISONED after the
+    base build (a filtered query must never re-train or re-encode)."""
+    import palletjack_spark.functions.similarity as sim
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    store = str(tmp_path / "store")
+    sim.save_vector_store(emb, store, n_centroids=8)
+
+    def _poisoned(*a, **k):  # pragma: no cover - must never run
+        raise AssertionError("filtered store query triggered training")
+
+    monkeypatch.setattr(sim, "_kmeans_cosine", _poisoned)
+    monkeypatch.setattr(sim, "_kmeans_l2", _poisoned)
+    monkeypatch.setattr(sim, "_train_ivf_pq", _poisoned)
+    allowed = emb.where(F.col("vec_id") % 3 == 0).select("vec_id")
+    queries = emb.where(F.col("vec_id") < 3)
+    got = sim.vector_store_topk(
+        spark, store, queries, k=5, n_probes=8, shortlist=1_000_000,
+        filter_df=allowed,
+    )
+    want = sim.cosine_topk(
+        emb.join(allowed, "vec_id", "leftsemi"), queries, k=5
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # every returned neighbour satisfies the filter
+    assert all(r["vec_id"] % 3 == 0 for r in got.collect())
+
+
+def test_vector_store_filtered_query_fewer_than_k_survivors(spark, tmp_path):
+    """Pre-filter semantics: when fewer than k vectors survive the
+    filter, the query returns exactly the survivors — never pads from
+    outside the filter (the post-filter failure mode)."""
+    import palletjack_spark.functions.similarity as sim
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    store = str(tmp_path / "store")
+    sim.save_vector_store(emb, store, n_centroids=8)
+    allowed = emb.where(F.col("vec_id").isin(11, 12)).select("vec_id")
+    queries = emb.where(F.col("vec_id") < 2)
+    got = sim.vector_store_topk(
+        spark, store, queries, k=10, n_probes=8, shortlist=1_000_000,
+        filter_df=allowed,
+    ).collect()
+    assert {r["vec_id"] for r in got} <= {11, 12}
+    for qid in (0, 1):
+        assert sum(1 for r in got if r["query_id"] == qid) == 2
