@@ -1682,3 +1682,106 @@ def sq8_topk(
         .join(F.broadcast(qvecs), "query_id")
     )
     return _exact_rescore_topk(cand, k, exclude_self)
+
+
+def _jl_signs(out_dims: int, in_dims: int) -> list[list[int]]:
+    """Deterministic ±1 JL sign matrix: entry (i, j) (1-based, matching
+    the SQL oracle's generate_series) is +1 when the md5 bucket of
+    ``"i:j"`` is even — a HASH, not a seeded RNG, so every engine can
+    regenerate it from the formula alone (the q47 md5-parity
+    discipline)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:15], 16) % 2
+            == 0
+            else -1
+            for j in range(1, in_dims + 1)
+        ]
+        for i in range(1, out_dims + 1)
+    ]
+
+
+def jl_project(
+    df: DataFrame,
+    out_dims: int,
+    in_dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss projection to ``out_dims`` via the
+    deterministic ±1 sign matrix (Achlioptas 2001: ±1 entries satisfy
+    the JL lemma with the same distortion bounds as Gaussians, and cost
+    only adds/subtracts).  Returns (id, vec_col) with the projected
+    array<double>.
+
+    Scale shape: the matrix is BAKED INTO the expression as a literal
+    (out_dims × in_dims ints — ~1k entries at 64→16; at production
+    1536→128 it is ~200k entries, still a compile-time constant far
+    below broadcast thresholds), and the projection is one row-local
+    nested transform/aggregate fold — JVM-side whole-stage codegen,
+    ZERO exchanges, no UDF.  Each output component sums j-in-order,
+    matching the oracle's per-group accumulation exactly."""
+    signs = _jl_signs(out_dims, in_dims)
+    rows = ",".join(
+        "array(" + ",".join(f"{s}.0D" for s in row) + ")" for row in signs
+    )
+    proj = (
+        f"transform(array({rows}),"
+        f" r -> aggregate(zip_with(r, {vec_col},"
+        f" (a, b) -> a * cast(b as double)),"
+        f" 0.0D, (acc, x) -> acc + x))"
+    )
+    return df.select(F.col(id_col), F.expr(proj).alias(vec_col))
+
+
+def jl_two_stage_topk(
+    corpus_df: DataFrame,
+    queries_df: DataFrame,
+    k: int = 10,
+    shortlist: int = 30,
+    out_dims: int = 16,
+    in_dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval with a JL-projected stage-1 scan (the q92i
+    funnel with a projection ANY embedding supports — MRL truncation
+    needs nested-trained embeddings, JL needs nothing): score the
+    shortlist in ``out_dims`` (bytes/FLOPs drop by in/out), then
+    re-rank ONLY the shortlist with exact full-dim cosine."""
+    short = cosine_topk(
+        jl_project(corpus_df, out_dims, in_dims, id_col, vec_col),
+        jl_project(queries_df, out_dims, in_dims, id_col, vec_col),
+        k=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", "vec_id")
+    qe = queries_df.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe")
+    )
+    ce = corpus_df.select(id_col, F.col(vec_col).alias("ce"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cos = (
+        dot(F.col("qe"), F.col("ce"))
+        / F.sqrt(dot(F.col("ce"), F.col("ce")))
+        / F.sqrt(dot(F.col("qe"), F.col("qe")))
+    )
+    scored = (
+        short.join(F.broadcast(qe), "query_id")
+        .join(ce, id_col)
+        .select("query_id", id_col, F.round(cos, 4).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), id_col)
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).where(F.col("rank") <= k)

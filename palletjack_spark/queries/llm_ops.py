@@ -4196,3 +4196,86 @@ def q92m(spark: SparkSession, sf_dir: str) -> DataFrame:
         shortlist=1_000_000,
         filter_df=F.broadcast(allowed),
     )
+
+
+@query(
+    "q92n_jl_two_stage",
+    oracle="""
+    WITH pv AS (
+      SELECT e.vec_id, i,
+             SUM(CASE WHEN ('0x' || substr(md5(i || ':' || j), 1, 15))::BIGINT
+                           % 2 = 0
+                      THEN 1.0 ELSE -1.0 END
+                 * CAST(e.embedding[j] AS DOUBLE)) AS p
+      FROM embeddings e,
+           UNNEST(generate_series(1, 16)) AS a(i),
+           UNNEST(generate_series(1, 64)) AS b(j)
+      GROUP BY e.vec_id, i),
+    tsc AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             SUM(q.p * c.p) / sqrt(SUM(c.p * c.p)) / sqrt(SUM(q.p * q.p))
+               AS tcos
+      FROM pv q JOIN pv c ON q.i = c.i
+      WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+      GROUP BY 1, 2),
+    short AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ROUND(tcos, 4) DESC, vec_id) AS trank
+      FROM tsc),
+    cand AS (SELECT query_id, vec_id FROM short WHERE trank <= 30),
+    q AS (SELECT vec_id AS query_id, embedding AS qe
+          FROM embeddings WHERE vec_id < 5),
+    resc AS (
+      SELECT cand.query_id, cand.vec_id,
+             SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) /
+             sqrt(SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+             sqrt(SUM(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) AS cosine
+      FROM cand
+      JOIN q ON cand.query_id = q.query_id
+      JOIN embeddings c ON cand.vec_id = c.vec_id,
+           UNNEST(generate_series(1, len(c.embedding))) AS s(i)
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT query_id, vec_id, ROUND(cosine, 4) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ROUND(cosine, 4) DESC, vec_id) AS rank
+      FROM resc)
+    SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def q92n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random-projection two-stage retrieval (Q92n, round 12): the
+    q92i funnel with a projection ANY embedding supports — Matryoshka
+    truncation needs nested-trained embeddings; Johnson-Lindenstrauss
+    (±1 signs, Achlioptas 2001) needs nothing but a hash.  Stage 1
+    scans at 16 of 64 dims (4× fewer bytes/FLOPs; at production
+    1536→128 it is 12×), stage 2 re-ranks only the top-30 shortlist
+    with exact full-dim cosine.
+
+    The sign matrix is DERIVED, not drawn: entry (i,j) is the md5
+    parity of "i:j" (the q47 md5-parity discipline), so the oracle
+    regenerates it from the formula — no seed to ship, no RNG to
+    disagree about.  The projection itself is one row-local nested
+    transform/aggregate fold baked into the expression as a literal —
+    JVM whole-stage codegen, zero exchanges, no UDF, j-accumulated in
+    order (functions/similarity.py:jl_project).
+
+    Honest recall note (the q92j lesson discipline): on THIS fixture's
+    near-isotropic synthetic embeddings the pairwise cosine gaps are
+    tiny, so JL's ~1/√out_dims distortion swamps them — measured
+    recall@10 is 0.34 at (16 dims, shortlist 30), 0.77 at (32, 100),
+    0.81 at (16, 200); recall scales with the shortlist, as the JL
+    lemma predicts for distance-preserving (not gap-amplifying)
+    sketches.  The declared query exists for the funnel CONTRACT (the
+    oracle reproduces it bit-exactly; an exhaustive shortlist is pinned
+    ≡ brute force in tests) — on clustered real-world embeddings the
+    same funnel runs at production recall, and out_dims is the knob."""
+    from palletjack_spark.functions.similarity import jl_two_stage_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return jl_two_stage_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=10, shortlist=30,
+        out_dims=16, in_dims=64,
+    )

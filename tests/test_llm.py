@@ -1559,3 +1559,74 @@ def test_vector_store_filtered_query_fewer_than_k_survivors(spark, tmp_path):
     assert {r["vec_id"] for r in got} <= {11, 12}
     for qid in (0, 1):
         assert sum(1 for r in got if r["query_id"] == qid) == 2
+
+
+# ---------------------------------------------------------------------------
+# q92n: JL random-projection two-stage retrieval
+
+
+def test_jl_project_matches_numpy_sign_product(spark):
+    import numpy as np
+
+    from palletjack_spark.functions.similarity import _jl_signs, jl_project
+
+    vec = [float(i % 7) - 3.0 for i in range(64)]
+    df = spark.createDataFrame(
+        [(1, vec)], "vec_id long, embedding array<double>"
+    )
+    got = jl_project(df, 16, 64).collect()[0]["embedding"]
+    S = np.array(_jl_signs(16, 64), dtype=np.float64)
+    want = S @ np.array(vec)
+    assert np.allclose(got, want, rtol=0, atol=1e-12)
+
+
+def test_jl_exhaustive_shortlist_is_exact(spark):
+    """Funnel contract: a shortlist >= corpus makes stage 1 a no-op
+    restriction — results identical to brute force."""
+    from palletjack_spark.functions.similarity import (
+        cosine_topk,
+        jl_two_stage_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    got = jl_two_stage_topk(emb, q, k=10, shortlist=1_000_000)
+    want = cosine_topk(emb, q, k=10)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_jl_realistic_recall_documented_tradeoff(spark):
+    """Measured recall on the near-isotropic fixture (see q92n
+    docstring): shortlist dominates because JL preserves distances
+    without amplifying the fixture's tiny cosine gaps."""
+    from palletjack_spark.functions.similarity import (
+        cosine_topk,
+        jl_two_stage_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    want = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(emb, q, k=10).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in jl_two_stage_topk(
+            emb, q, k=10, shortlist=100, out_dims=32
+        ).collect()
+    }
+    assert len(got & want) / len(want) >= 0.70
+
+
+def test_jl_projection_is_exchange_free(spark):
+    from palletjack_spark.functions.similarity import jl_project
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = (
+        jl_project(emb, 16, 64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
