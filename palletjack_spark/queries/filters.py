@@ -271,3 +271,86 @@ def q47d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@query(
+    "q47e_priority_sample",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, greatest(n_chars, 1) AS w,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#prio'),
+                             1, 15))::BIGINT AS hk
+      FROM documents),
+    p AS (
+      SELECT doc_id, w,
+             ROUND(CAST(w AS DOUBLE)
+                   / ((CAST(hk AS DOUBLE) + 1.0)
+                      / 1152921504606846976.0), 4) AS prio
+      FROM h),
+    r AS (
+      SELECT doc_id, w, prio,
+             ROW_NUMBER() OVER (ORDER BY prio DESC, doc_id) AS rn
+      FROM p),
+    tau AS (SELECT prio AS tau FROM r WHERE rn = 51)
+    SELECT doc_id, CAST(w AS BIGINT) AS w, prio,
+           greatest(CAST(w AS DOUBLE), (SELECT tau FROM tau)) AS w_est
+    FROM r WHERE rn <= 50
+    """,
+)
+def q47e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted priority sample (Q47e, Duffield-Lund-Thorup 2007): k=50
+    documents drawn with probability increasing in weight (n_chars —
+    the token-budget proxy), WITH the estimator that makes the sample
+    usable: each selected row carries ``w_est = max(w, τ)`` (τ = the
+    (k+1)-th priority), whose sum is an unbiased estimate of the total
+    corpus weight — the primitive behind "estimate this corpus slice's
+    token count from a 50-doc sample".
+
+    Priorities are ``w / u`` with ``u`` an md5-derived uniform in
+    (0, 1] — DETERMINISTIC where classic A-ES (u^(1/w)) could never
+    hash-match: ``pow``/``ln`` are libm-dependent, while this key uses
+    only IEEE divisions, which are correctly rounded and therefore
+    bit-identical on every engine (the q47 md5 discipline, extended to
+    weights).  Scale shape: the priority is a row-local projection;
+    Spark plans the top-(k+1) as TakeOrderedAndProject (per-partition
+    top-k, then a merge of k+1-row heads — no global sort, no
+    single-partition window over the corpus); the rank/τ bookkeeping
+    runs on the 51 surviving rows only, and τ joins back as a broadcast
+    scalar."""
+    docs = t(spark, sf_dir, "documents")
+    hk = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#prio"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    prio = F.round(
+        w.cast("double")
+        / ((hk.cast("double") + F.lit(1.0)) / F.lit(1152921504606846976.0)),
+        4,
+    )
+    scored = docs.select(
+        "doc_id", w.alias("w"), prio.alias("prio")
+    )
+    top = scored.orderBy(F.desc("prio"), "doc_id").limit(51)
+    # 51 bounded rows from here on: the single-partition window is on
+    # the TakeOrdered result, never the corpus
+    win = Window.orderBy(F.desc("prio"), "doc_id")
+    ranked = top.withColumn("rn", F.row_number().over(win))
+    tau = ranked.where(F.col("rn") == 51).select(F.col("prio").alias("tau"))
+    return (
+        ranked.where(F.col("rn") <= 50)
+        .join(F.broadcast(tau), F.lit(True), "left")
+        .select(
+            "doc_id",
+            F.col("w").cast("long").alias("w"),
+            "prio",
+            F.greatest(F.col("w").cast("double"), F.col("tau")).alias(
+                "w_est"
+            ),
+        )
+    )

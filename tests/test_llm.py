@@ -1630,3 +1630,77 @@ def test_jl_projection_is_exchange_free(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# q47e: weighted priority sampling
+
+
+def test_priority_sample_matches_python_reference(spark):
+    """Priorities, τ, and the max(w, τ) estimator recomputed in pure
+    Python over the same corpus."""
+    import hashlib
+
+    from palletjack_spark.queries.registry import REGISTRY
+
+    rows = REGISTRY["q47e_priority_sample"].fn(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "n_chars"
+    ).collect()
+
+    def prio(doc_id, n_chars):
+        hk = int(
+            hashlib.md5(f"{doc_id}#prio".encode()).hexdigest()[:15], 16
+        )
+        w = max(n_chars, 1)
+        return round(float(w) / ((float(hk) + 1.0) / float(1 << 60)), 4)
+
+    ref = sorted(
+        ((prio(d["doc_id"], d["n_chars"]), d["doc_id"]) for d in docs),
+        key=lambda t: (-t[0], t[1]),
+    )
+    tau = ref[50][0]
+    want_ids = [doc_id for _p, doc_id in ref[:50]]
+    got = {r["doc_id"]: r for r in rows}
+    assert sorted(got) == sorted(want_ids)
+    for p, doc_id in ref[:50]:
+        assert got[doc_id]["prio"] == p
+        assert got[doc_id]["w_est"] == max(float(got[doc_id]["w"]), tau)
+
+
+def test_priority_sample_degenerate_small_corpus(spark):
+    """Corpus <= k: every row selected and w_est == w (τ undefined —
+    the greatest() null-skip path on both engines)."""
+    from palletjack_spark.queries import registry as reg
+
+    small = spark.createDataFrame(
+        [(i, f"doc {i}", "en", "s", 10 + i) for i in range(5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import palletjack_spark.queries.filters as filt
+
+    orig = reg.t
+    try:
+        reg.t = lambda *_a, **_k: small
+        filt.t = reg.t
+        rows = reg.REGISTRY["q47e_priority_sample"].fn(spark, SF_DIR).collect()
+    finally:
+        reg.t = orig
+        filt.t = orig
+    assert len(rows) == 5
+    assert all(r["w_est"] == float(r["w"]) for r in rows)
+
+
+def test_priority_sample_plan_is_take_ordered(spark):
+    """The corpus top-(k+1) must be TakeOrderedAndProject — never a
+    global sort or a single-partition window over the corpus."""
+    from palletjack_spark.queries.registry import REGISTRY
+
+    plan = (
+        REGISTRY["q47e_priority_sample"]
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
