@@ -1659,3 +1659,17 @@ def test_theta_setops_single_scan_per_side(spark):
     # one real scan node (the exact side) == 2 formatted occurrences
     assert plan.count("Scan parquet") + plan.count("Scan arrow") <= 2, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_bigram_lm_tables_cached_total_scalar(spark):
+    """Q157: BOTH LM tables must be InMemoryRelations — big feeds the
+    score-back join AND the history re-aggregation, uni feeds its join
+    AND the total-mass scalar (uncached, each re-executes a full-corpus
+    token explosion); the scalar rides one BroadcastNestedLoopJoin."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q157_bigram_lm_score"].fn(spark, SF_DIR))
+    assert plan.count("InMemoryTableScan") >= 4, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    spark.catalog.clearCache()
