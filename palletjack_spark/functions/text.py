@@ -356,35 +356,48 @@ def bigram_lm_score(
     driver — at 100 TB the bigram table is itself a big (but sublinear)
     distributed table and the joins shuffle-partition on it.
     """
-    pairs_expr = (
-        f"explode(zip_with("
-        f" slice(ts, 1, greatest(size(ts) - 1, 0)),"
-        f" slice(ts, 2, greatest(size(ts) - 1, 0)),"
-        f" (a, b) -> struct(a AS w1, b AS w2)))"
-    )
-
-    def _pairs(df: DataFrame) -> DataFrame:
-        toks = df.select(
-            F.col(id_col),
-            F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias(
-                "ts"
-            ),
-        )
-        return toks.select(id_col, F.expr(pairs_expr).alias("bg")).select(
-            id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
-        )
-
-    train_pairs = _pairs(train)
+    big, uni = _lm_counts(train, text_col, id_col)
     # the LM tables are cached for the q128 reason: big feeds both the
     # score-back join and the history re-aggregation, uni feeds both its
     # join and the total-mass scalar — uncached, Spark re-executes each
     # subtree, i.e. two extra full-corpus token explosions for one number
-    big = (
-        train_pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12")).cache()
+    return _lm_score(
+        score, text_col, id_col, big.cache(), uni.cache(), backoff_bits
     )
-    # history mass per w1: re-aggregate the bigram table (sublinear), not
-    # the corpus — h1 = Σ_w2 c12 ≥ any c12, so seen-bits are ≥ 0
-    hist = big.groupBy("w1").agg(F.sum("c12").alias("h1"))
+
+
+def _lm_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2) adjacent token pairs — row-local ``zip_with`` over two
+    slices: no window, no shuffle."""
+    pairs_expr = (
+        "explode(zip_with("
+        " slice(ts, 1, greatest(size(ts) - 1, 0)),"
+        " slice(ts, 2, greatest(size(ts) - 1, 0)),"
+        " (a, b) -> struct(a AS w1, b AS w2)))"
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias(
+            "ts"
+        ),
+    )
+    return toks.select(id_col, F.expr(pairs_expr).alias("bg")).select(
+        id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+
+
+def _lm_counts(
+    train: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """The stupid-backoff count tables of ONE corpus/batch:
+    ``(big (w1, w2, c12), uni (tok, c2))`` — both Zipf-sublinear, both
+    purely ADDITIVE, which is why the persisted LM store can absorb new
+    batches as count deltas (:func:`append_lm_counts`)."""
+    big = (
+        _lm_pairs(train, text_col, id_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
     uni = (
         train.select(
             F.explode(
@@ -393,12 +406,28 @@ def bigram_lm_score(
         )
         .groupBy("tok")
         .agg(F.count("*").alias("c2"))
-        .cache()
     )
+    return big, uni
+
+
+def _lm_score(
+    score: DataFrame,
+    text_col: str,
+    id_col: str,
+    big: DataFrame,
+    uni: DataFrame,
+    backoff_bits: int = 2,
+) -> DataFrame:
+    """Score ``score``'s documents against given LM count tables — the
+    shared core of :func:`bigram_lm_score` and
+    :func:`bigram_lm_score_store`."""
+    # history mass per w1: re-aggregate the bigram table (sublinear), not
+    # the corpus — h1 = Σ_w2 c12 ≥ any c12, so seen-bits are ≥ 0
+    hist = big.groupBy("w1").agg(F.sum("c12").alias("h1"))
     total = uni.agg(F.sum("c2").alias("total"))
 
     scored = (
-        _pairs(score)
+        _lm_pairs(score, text_col, id_col)
         .join(big, ["w1", "w2"], "left")
         .join(hist, ["w1"], "left")
         .join(uni.withColumnRenamed("tok", "w2"), ["w2"], "left")
@@ -425,3 +454,170 @@ def bigram_lm_score(
         F.sum(F.col("backoff").cast("long")).alias("n_backoff"),
         (F.sum("bits").cast("double") / F.count("*")).alias("avg_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted LM count store (Q157b)
+
+_LM_META_NAME = "_lm_meta.json"
+_LM_STORE_VERSION = 1
+
+
+def _lm_meta(store_dir: str) -> dict:
+    import json
+    import os
+
+    p = os.path.join(store_dir, _LM_META_NAME)
+    if not os.path.exists(p):
+        raise ValueError(f"no LM store manifest at {p}")
+    with open(p) as f:
+        meta = json.load(f)
+    if meta.get("store_version") != _LM_STORE_VERSION:
+        raise ValueError(
+            f"LM store at {store_dir} has version "
+            f"{meta.get('store_version')}; this code reads "
+            f"{_LM_STORE_VERSION}"
+        )
+    return meta
+
+
+def _lm_commit(store_dir: str, meta: dict) -> None:
+    """Atomic manifest publication — the q92k contract: a crash after a
+    batch write but before this rename leaves an orphan directory every
+    reader ignores, and the next append overwrites it."""
+    import json
+    import os
+
+    tmp = os.path.join(store_dir, _LM_META_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(store_dir, _LM_META_NAME))
+
+
+def save_lm_store(
+    train: DataFrame, text_col: str, id_col: str, store_dir: str
+) -> None:
+    """Persist the stupid-backoff count tables of an ingested corpus as
+    a versioned store (``bigrams/batch=0``, ``unigrams/batch=0`` + a
+    manifest): later crawl batches merge in as COUNT DELTAS with no
+    rescan of this corpus (:func:`append_lm_counts`) — the exact reason
+    Brants et al. chose count-based smoothing for distributed training:
+    counts are additive; normalized probabilities are not."""
+    import json
+    import os
+
+    big, uni = _lm_counts(train, text_col, id_col)
+    big.write.mode("overwrite").parquet(
+        os.path.join(store_dir, "bigrams", "batch=0")
+    )
+    uni.write.mode("overwrite").parquet(
+        os.path.join(store_dir, "unigrams", "batch=0")
+    )
+    _lm_commit(
+        store_dir,
+        {
+            "store_version": _LM_STORE_VERSION,
+            "n_batches": 1,
+            "text_col": text_col,
+        },
+    )
+
+
+def append_lm_counts(
+    new_train: DataFrame, text_col: str, id_col: str, store_dir: str
+) -> None:
+    """Merge a NEW batch into the LM store: count ONLY the batch (the
+    store is never rescanned — the q156/q92k incremental discipline),
+    land the deltas under ``batch=N``, commit the manifest atomically.
+    A store built over a different text column hard-errors (the q92g
+    param-mismatch discipline)."""
+    import os
+
+    meta = _lm_meta(store_dir)
+    if meta["text_col"] != text_col:
+        raise ValueError(
+            f"LM store at {store_dir} was built over "
+            f"{meta['text_col']!r}; append asked for {text_col!r}"
+        )
+    batch = int(meta["n_batches"])
+    big, uni = _lm_counts(new_train, text_col, id_col)
+    big.write.mode("overwrite").parquet(
+        os.path.join(store_dir, "bigrams", f"batch={batch}")
+    )
+    uni.write.mode("overwrite").parquet(
+        os.path.join(store_dir, "unigrams", f"batch={batch}")
+    )
+    meta["n_batches"] = batch + 1
+    _lm_commit(store_dir, meta)
+
+
+def load_lm_tables(
+    spark, store_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The store's LIVE count tables: published batches summed per key.
+    Orphan batches (crashed appends past the manifest) are
+    partition-pruned out; the per-key SUM is one map-side-combined
+    exchange over tables that are Zipf-sublinear in the corpus."""
+    import os
+
+    meta = _lm_meta(store_dir)
+    n = int(meta["n_batches"])
+    big = (
+        spark.read.parquet(os.path.join(store_dir, "bigrams"))
+        .where(F.col("batch").cast("int") < n)
+        .groupBy("w1", "w2")
+        .agg(F.sum("c12").alias("c12"))
+    )
+    uni = (
+        spark.read.parquet(os.path.join(store_dir, "unigrams"))
+        .where(F.col("batch").cast("int") < n)
+        .groupBy("tok")
+        .agg(F.sum("c2").alias("c2"))
+    )
+    return big, uni
+
+
+def bigram_lm_score_store(
+    spark,
+    score: DataFrame,
+    text_col: str,
+    id_col: str,
+    store_dir: str,
+    backoff_bits: int = 2,
+) -> DataFrame:
+    """Score documents against a PERSISTED LM store (base ∪ appends) —
+    :func:`bigram_lm_score`'s semantics with zero training-corpus
+    scans at query time: the counts are the at-rest form."""
+    big, uni = load_lm_tables(spark, store_dir)
+    return _lm_score(
+        score, text_col, id_col, big.cache(), uni.cache(), backoff_bits
+    )
+
+
+def compact_lm_store(spark, store_dir: str) -> dict:
+    """Collapse all published batches into one: re-aggregate the live
+    tables, write fresh ``batch=0`` dirs under a temp root, atomically
+    swap them in, and reset the manifest.  Run it when the batch list
+    has grown past read comfort; scoring results are pinned unchanged
+    across compaction in tests."""
+    import os
+    import shutil
+
+    meta = _lm_meta(store_dir)
+    big, uni = load_lm_tables(spark, store_dir)
+    tmp_root = os.path.join(store_dir, "_compact_tmp")
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    big.write.mode("overwrite").parquet(
+        os.path.join(tmp_root, "bigrams", "batch=0")
+    )
+    uni.write.mode("overwrite").parquet(
+        os.path.join(tmp_root, "unigrams", "batch=0")
+    )
+    for name in ("bigrams", "unigrams"):
+        old = os.path.join(store_dir, name)
+        shutil.rmtree(old)
+        os.replace(os.path.join(tmp_root, name), old)
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    meta["n_batches"] = 1
+    _lm_commit(store_dir, meta)
+    return meta

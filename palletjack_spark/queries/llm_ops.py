@@ -4279,3 +4279,71 @@ def q92n(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.where(F.col("vec_id") < 5), k=10, shortlist=30,
         out_dims=16, in_dims=64,
     )
+
+
+@query("q157b_incremental_lm_score", oracle=_bigram_lm_oracle())
+def q157b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LM scoring against a PERSISTED count store (Q157b,
+    round 12): the q156/q92k incremental discipline applied to the
+    bigram LM — and the reason Brants et al. chose count-based stupid
+    backoff for distributed training in the first place: counts are
+    ADDITIVE, so a new crawl batch merges into the store as count
+    deltas with zero rescans of the ingested corpus, where normalized
+    probabilities would need a full renormalization pass.
+
+    The store is built from the first ingest slice (doc_id % 5 ∈
+    {1, 2}), the second slice ({3, 4}) arrives via append_lm_counts
+    (only the batch is tokenized — the store is never rescanned), and
+    the new batch (doc_id % 5 == 0) scores against base ∪ deltas.  The
+    oracle is q157's batch recompute over the union corpus — the
+    incremental path must be indistinguishable from retraining from
+    scratch.  Crashed-append orphans are invisible (manifest-gated,
+    partition-pruned); compaction is pinned result-neutral in tests
+    (functions/text.py:save_lm_store)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from palletjack_spark.functions.text import (
+        _LM_META_NAME,
+        _lm_meta,
+        append_lm_counts,
+        bigram_lm_score_store,
+        save_lm_store,
+    )
+    from palletjack_spark.tables import table_path
+
+    docs = t(spark, sf_dir, "documents")
+    src = table_path(sf_dir, "documents")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    store = os.path.join(tempfile.gettempdir(), f"pjspark_lmstore_{fp}")
+    ready = False
+    if os.path.exists(os.path.join(store, _LM_META_NAME)):
+        try:
+            ready = _lm_meta(store)["n_batches"] == 2
+        except Exception:
+            ready = False
+        if not ready:
+            shutil.rmtree(store, ignore_errors=True)
+    if not ready:
+        save_lm_store(
+            docs.where(F.col("doc_id") % 5 == 1), "text", "doc_id", store
+        )
+        # widen batch 0 to both of the first slice's residues, then land
+        # the second ingest slice as the incremental delta
+        append_lm_counts(
+            docs.where(F.col("doc_id") % 5 == 2), "text", "doc_id", store
+        )
+        append_lm_counts(
+            docs.where((F.col("doc_id") % 5).isin(3, 4)),
+            "text",
+            "doc_id",
+            store,
+        )
+    return bigram_lm_score_store(
+        spark, docs.where(F.col("doc_id") % 5 == 0), "text", "doc_id", store
+    )

@@ -1704,3 +1704,78 @@ def test_priority_sample_plan_is_take_ordered(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# q157b: persisted LM count store
+
+
+def _lm_rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_lm_store_incremental_equals_batch_retrain(spark, tmp_path):
+    from palletjack_spark.functions import text as T
+
+    docs = load_table(spark, SF_DIR, "documents")
+    base = docs.where(F.col("doc_id") % 5 == 1)
+    delta = docs.where((F.col("doc_id") % 5).isin(2, 3, 4))
+    score = docs.where(F.col("doc_id") % 5 == 0)
+    store = str(tmp_path / "lm")
+    T.save_lm_store(base, "text", "doc_id", store)
+    T.append_lm_counts(delta, "text", "doc_id", store)
+    got = T.bigram_lm_score_store(spark, score, "text", "doc_id", store)
+    want = T.bigram_lm_score(
+        docs.where(F.col("doc_id") % 5 != 0), score, "text", "doc_id"
+    )
+    assert _lm_rows(got) == _lm_rows(want)
+
+
+def test_lm_store_orphan_batch_invisible_and_compaction_neutral(
+    spark, tmp_path
+):
+    import os
+
+    from palletjack_spark.functions import text as T
+
+    docs = load_table(spark, SF_DIR, "documents")
+    base = docs.where(F.col("doc_id") % 5 == 1)
+    score = docs.where(F.col("doc_id") % 5 == 0).limit(20)
+    store = str(tmp_path / "lm")
+    T.save_lm_store(base, "text", "doc_id", store)
+    T.append_lm_counts(
+        docs.where(F.col("doc_id") % 5 == 2), "text", "doc_id", store
+    )
+    before = _lm_rows(
+        T.bigram_lm_score_store(spark, score, "text", "doc_id", store)
+    )
+    # a crashed append: batch dir exists, manifest never bumped
+    orphan, _ = T._lm_counts(
+        docs.where(F.col("doc_id") % 5 == 3), "text", "doc_id"
+    )
+    orphan.write.mode("overwrite").parquet(
+        os.path.join(store, "bigrams", "batch=2")
+    )
+    assert (
+        _lm_rows(T.bigram_lm_score_store(spark, score, "text", "doc_id", store))
+        == before
+    )
+    # compaction folds published batches only, results pinned unchanged
+    meta = T.compact_lm_store(spark, store)
+    assert meta["n_batches"] == 1
+    assert (
+        _lm_rows(T.bigram_lm_score_store(spark, score, "text", "doc_id", store))
+        == before
+    )
+
+
+def test_lm_store_text_col_mismatch_hard_errors(spark, tmp_path):
+    import pytest
+
+    from palletjack_spark.functions import text as T
+
+    docs = load_table(spark, SF_DIR, "documents").limit(10)
+    store = str(tmp_path / "lm")
+    T.save_lm_store(docs, "text", "doc_id", store)
+    with pytest.raises(ValueError, match="built over"):
+        T.append_lm_counts(docs, "lang", "doc_id", store)
