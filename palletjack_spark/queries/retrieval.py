@@ -385,3 +385,110 @@ def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fused = rrf_fuse({"bm25": bm25, "ann": ann}, "doc_id")
     return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(10)
+
+
+#: Count-Min sketch geometry (q141b): d rows x w counters.  At this
+#: fixture scale w=64 keeps collisions VISIBLE (est > exact for some
+#: keys) so the overestimate-only contract is actually exercised.
+_CMS_D = 4
+_CMS_W = 64
+
+
+def _cms_cell_sql(r: str, tok: str) -> str:
+    """DuckDB md5 bucket of row-salted token → counter column."""
+    return (
+        f"('0x' || substr(md5(CAST({r} AS VARCHAR) || '#' || {tok}),"
+        f" 1, 15))::BIGINT % {_CMS_W}"
+    )
+
+
+@query(
+    "q141b_count_min_sketch",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    cells AS (
+      SELECT r, {_cms_cell_sql('r', 'token')} AS c, COUNT(*) AS v
+      FROM tok, UNNEST(generate_series(0, {_CMS_D - 1})) AS s(r)
+      GROUP BY 1, 2),
+    exact AS (
+      SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+      ORDER BY cnt DESC, token LIMIT 20),
+    probes AS (
+      SELECT e.token, e.cnt, s.r, {_cms_cell_sql('s.r', 'e.token')} AS c
+      FROM exact e, UNNEST(generate_series(0, {_CMS_D - 1})) AS s(r)),
+    est AS (
+      SELECT p.token, p.cnt, MIN(cells.v) AS est
+      FROM probes p JOIN cells ON cells.r = p.r AND cells.c = p.c
+      GROUP BY p.token, p.cnt)
+    SELECT token, CAST(cnt AS BIGINT) AS cnt, CAST(est AS BIGINT) AS est,
+           CAST(est - cnt AS BIGINT) AS overestimate
+    FROM est ORDER BY cnt DESC, token
+    """,
+)
+def q141b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates with exact verification
+    (Q141b, Cormode & Muthukrishnan 2005) — completes the sketch family:
+    q31b HLL and q31c theta estimate CARDINALITIES, q37d KLL quantiles,
+    q141 Misra-Gries finds WHICH keys are heavy; CMS answers "how often
+    does THIS key occur" for any key in O(d·w) state, with the one-sided
+    guarantee est ≥ exact (and est ≤ exact + εn w.h.p.).
+
+    The sketch IS a map-side combine: each token expands row-locally to
+    d (row, counter) cells and ONE hash aggregate collapses the corpus
+    to d×w = 256 rows — partial per-partition aggregation is exactly
+    CMS's merge-by-addition property, so 1000 executors each hold a
+    256-cell partial and the shuffle carries sketches, not tokens.  Row
+    hashes are row-salted md5 buckets (the q47 discipline — the oracle
+    rebuilds the identical sketch).  The top-20 exact side is the
+    verification scan (the q31c/q37d sketch-vs-exact pattern).  Honest
+    note: on this fixture the top-20 keys' overestimates are all ZERO —
+    heavy keys dominate their own cells and the min-over-d dodges the
+    tail's collisions, which is precisely WHY CMS works for heavy keys;
+    the collision regime (est > exact) is exercised on a crafted
+    1000-distinct-token corpus in tests, where every cell holds ~16
+    colliding tokens and single-occurrence probes provably
+    overestimate."""
+    docs = t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    cell = (
+        f"pmod(cast(conv(substring(md5(concat(cast(r as string), '#',"
+        f" token)), 1, 15), 16, 10) as bigint), {_CMS_W})"
+    )
+    cells = (
+        docs.select(
+            F.expr(
+                f"explode(transform(sequence(0, {_CMS_D - 1}),"
+                f" r -> struct(r AS r, {cell} AS c)))"
+            ).alias("rc")
+        )
+        .select(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count("*").alias("v"))
+    )
+    exact = (
+        docs.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(20)
+    )
+    probes = exact.select(
+        "token",
+        "cnt",
+        F.expr(
+            f"explode(transform(sequence(0, {_CMS_D - 1}),"
+            f" r -> struct(r AS r, {cell} AS c)))"
+        ).alias("rc"),
+    ).select("token", "cnt", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+    est = (
+        probes.join(F.broadcast(cells), ["r", "c"])
+        .groupBy("token", "cnt")
+        .agg(F.min("v").alias("est"))
+    )
+    return est.select(
+        "token",
+        "cnt",
+        "est",
+        (F.col("est") - F.col("cnt")).alias("overestimate"),
+    ).orderBy(F.desc("cnt"), "token")

@@ -300,3 +300,41 @@ def test_lpa_round_is_hash_agg_not_window(spark):
     )
     plan = _lpa_round(und, labels)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# q141b: count-min sketch
+
+
+def test_cms_never_underestimates_and_exact_on_fixture_heads(spark):
+    from palletjack_spark.queries import REGISTRY
+
+    rows = REGISTRY["q141b_count_min_sketch"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    assert all(r["est"] >= r["cnt"] for r in rows)
+    # fixture heads dominate their cells: min-over-d dodges collisions
+    assert all(r["overestimate"] == 0 for r in rows)
+
+
+def test_cms_collision_regime_overestimates_tail_keys(spark):
+    """1000 distinct tokens into 4x64 cells: every cell holds ~16
+    colliding tokens, so single-occurrence probes must overestimate —
+    and never underestimate."""
+    import palletjack_spark.queries.retrieval as ret
+    from palletjack_spark.queries import registry as reg
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"tok{j}" for j in range(i * 10, i * 10 + 10)))
+         for i in range(100)],
+        "doc_id long, text string",
+    )
+    orig = reg.t
+    try:
+        reg.t = lambda *_a, **_k: corpus
+        ret.t = reg.t
+        rows = reg.REGISTRY["q141b_count_min_sketch"].fn(spark, SF_DIR).collect()
+    finally:
+        reg.t = orig
+        ret.t = orig
+    assert all(r["est"] >= r["cnt"] for r in rows)
+    assert any(r["overestimate"] > 0 for r in rows), rows
