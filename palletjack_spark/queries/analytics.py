@@ -1954,3 +1954,63 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_members"), F.asc("community"))
         .limit(50)
     )
+
+
+@query(
+    "q117b_transition_matrix",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_id, event_type, ts_us FROM {_E}),
+    hops AS (
+      SELECT event_type AS src,
+             COALESCE(LEAD(event_type) OVER
+                      (PARTITION BY user_id ORDER BY ts_us, event_id),
+                      '__END__') AS dst
+      FROM e),
+    cnt AS (SELECT src, dst, COUNT(*) AS cnt FROM hops GROUP BY src, dst),
+    tot AS (SELECT src, SUM(cnt) AS row_total FROM cnt GROUP BY src)
+    SELECT cnt.src AS src, cnt.dst AS dst, CAST(cnt.cnt AS BIGINT) AS cnt,
+           CAST(1000 * cnt.cnt // tot.row_total AS BIGINT) AS p_milli
+    FROM cnt JOIN tot ON cnt.src = tot.src
+    ORDER BY cnt.src, cnt.dst
+    """,
+)
+def q117b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams
+    (Q117b, round 12): per user, each event hops to its successor
+    (event-time order, event_id tie-break — q117's total order), the
+    final event hops to the absorbing ``__END__`` state, and the matrix
+    reports per-(src, dst) counts plus integer milli transition
+    probabilities — the user-journey model behind next-action
+    prediction, anomalous-flow detection, and funnel design (q120
+    checks ONE fixed path; the matrix scores all of them).
+
+    Determinism: the hop extraction is the same total-ordered LAG/LEAD
+    discipline as q117; probabilities are integer milli floor-divisions
+    (one exact 1000·cnt div row_total per cell).  Scale shape: ONE
+    window exchange on user_id extracts hops (sessions are user-local,
+    so the window state is bounded per user); the (src, dst) aggregate
+    is map-side combined into a matrix whose size is |event_types|² —
+    independent of corpus size; row totals re-aggregate the MATRIX,
+    never the events."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", _ts_us()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    hops = e.select(
+        F.col("event_type").alias("src"),
+        F.coalesce(
+            F.lead("event_type").over(w), F.lit("__END__")
+        ).alias("dst"),
+    )
+    cnt = hops.groupBy("src", "dst").agg(F.count("*").alias("cnt"))
+    tot = cnt.groupBy("src").agg(F.sum("cnt").alias("row_total"))
+    return (
+        cnt.join(tot, "src")
+        .select(
+            "src",
+            "dst",
+            "cnt",
+            F.expr("1000 * cnt div row_total").alias("p_milli"),
+        )
+        .orderBy("src", "dst")
+    )

@@ -338,3 +338,25 @@ def test_cms_collision_regime_overestimates_tail_keys(spark):
         ret.t = orig
     assert all(r["est"] >= r["cnt"] for r in rows)
     assert any(r["overestimate"] > 0 for r in rows), rows
+
+
+def test_transition_matrix_rows_sum_and_end_state(spark):
+    """q117b invariants: every src's outgoing counts sum to its event
+    count; the per-user final event lands in __END__; milli probs are
+    floor-exact."""
+    from palletjack_spark.queries import REGISTRY
+
+    rows = REGISTRY["q117b_transition_matrix"].fn(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    n_users = ev.select("user_id").distinct().count()
+    n_events = ev.count()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append(r)
+    # total hops = one per event (last hop goes to __END__)
+    assert sum(r["cnt"] for r in rows) == n_events
+    assert sum(r["cnt"] for r in rows if r["dst"] == "__END__") == n_users
+    for src, rs in by_src.items():
+        tot = sum(r["cnt"] for r in rs)
+        for r in rs:
+            assert r["p_milli"] == 1000 * r["cnt"] // tot
