@@ -4,6 +4,8 @@ similarity search, text analysis, and multimodal column plumbing — all
 shaped for 100 TB (shuffle-on-key, broadcast-small, no driver loops)."""
 
 from palletjack_spark.functions.dedup import (
+    cdc_chunks,
+    cdc_chunk_stats,
     exact_dedup,
     minhash_signatures,
     minhash_lsh_pairs,
@@ -18,10 +20,27 @@ from palletjack_spark.functions.similarity import (
     cosine_topk,
     lsh_bucket_topk,
     kmeans_converge,
+    jl_project,
+    jl_two_stage_topk,
+    save_vector_store,
+    append_vectors,
+    delete_vectors,
+    compact_vector_store,
+    vector_store_topk,
 )
-from palletjack_spark.functions.graph import kcore_peel, pagerank_converge
+from palletjack_spark.functions.graph import (
+    kcore_peel,
+    pagerank_converge,
+    label_propagation,
+    label_propagation_converge,
+)
 from palletjack_spark.functions.fusion import rrf_fuse
 from palletjack_spark.functions.text import (
+    bigram_lm_score,
+    bigram_lm_score_store,
+    save_lm_store,
+    append_lm_counts,
+    compact_lm_store,
     text_stats,
     language_id,
     quality_score,
@@ -51,8 +70,24 @@ __all__ = [
     "cosine_topk",
     "lsh_bucket_topk",
     "kmeans_converge",
+    "jl_project",
+    "jl_two_stage_topk",
+    "save_vector_store",
+    "append_vectors",
+    "delete_vectors",
+    "compact_vector_store",
+    "vector_store_topk",
     "kcore_peel",
     "pagerank_converge",
+    "label_propagation",
+    "label_propagation_converge",
+    "cdc_chunks",
+    "cdc_chunk_stats",
+    "bigram_lm_score",
+    "bigram_lm_score_store",
+    "save_lm_store",
+    "append_lm_counts",
+    "compact_lm_store",
     "rrf_fuse",
     "text_stats",
     "language_id",
