@@ -409,3 +409,55 @@ def q78b(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("last_event_id"),
         F.col("value").alias("last_value"),
     )
+
+
+#: q79 streaming CMS geometry — mirrors q141b's batch sketch.
+_SCMS_D = 4
+_SCMS_W = 64
+
+
+@query(
+    "q79_streaming_sketch",
+    oracle=f"""
+    SELECT r,
+           ('0x' || substr(md5(CAST(r AS VARCHAR) || '#'
+                                || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+             % {_SCMS_W} AS c,
+           COUNT(*) AS v
+    FROM events, UNNEST(generate_series(0, {_SCMS_D - 1})) AS s(r)
+    GROUP BY 1, 2
+    """,
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min sketch (Q79, round 12): q141b's CMS built as
+    a LIVE streaming aggregation over the event stream — each event
+    expands row-locally to d (row, counter) cells and the streaming
+    state IS the sketch: d×w = 256 counters, bounded FOREVER regardless
+    of stream length or key cardinality, which is the entire point of
+    sketching a stream (an exact per-key count's state grows with
+    distinct keys; the sketch's never does).  One-file-per-trigger
+    micro-batches make the run genuinely incremental — each batch
+    merges its partial cells by addition, CMS's defining property and
+    exactly what Spark's streaming hash aggregate does.
+
+    The oracle is the replayed batch sketch (the §2.3 streaming
+    discipline): after availableNow drains the staged stream, the final
+    sketch must equal the batch-built one cell for cell."""
+    cell = (
+        f"pmod(cast(conv(substring(md5(concat(cast(r as string), '#',"
+        f" cast(user_id as string))), 1, 15), 16, 10) as bigint),"
+        f" {_SCMS_W})"
+    )
+    cells = (
+        events_stream(spark, sf_dir)
+        .select(
+            F.expr(
+                f"explode(transform(sequence(0, {_SCMS_D - 1}),"
+                f" r -> struct(r AS r, {cell} AS c)))"
+            ).alias("rc")
+        )
+        .select(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count("*").alias("v"))
+    )
+    return run_stream_to_table(cells, "complete")

@@ -282,3 +282,21 @@ def test_outer_stream_join_emits_closed_windows_only(spark):
     streamed_ids = set(streamed["click_id"])
     assert set(withheld["click_id"]).isdisjoint(streamed_ids)
     assert set(closed["click_id"]) <= streamed_ids
+
+
+def test_streaming_cms_state_is_bounded_and_incremental(spark):
+    """q79: the final sketch has at most d*w cells no matter how many
+    events streamed, and the run is genuinely multi-batch (one staged
+    file per trigger)."""
+    from palletjack_spark.queries import REGISTRY
+    from palletjack_spark.queries.streaming_queries import _SCMS_D, _SCMS_W
+
+    rows = REGISTRY["q79_streaming_sketch"].fn(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= _SCMS_D * _SCMS_W
+    ev = load_table(spark, SF_DIR, "events")
+    # conservation: every event contributes exactly one count per row
+    n = ev.count()
+    per_row = {}
+    for r in rows:
+        per_row[r["r"]] = per_row.get(r["r"], 0) + r["v"]
+    assert per_row == {r: n for r in range(_SCMS_D)}
