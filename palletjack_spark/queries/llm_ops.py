@@ -4347,3 +4347,147 @@ def q157b(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score_store(
         spark, docs.where(F.col("doc_id") % 5 == 0), "text", "doc_id", store
     )
+
+
+@query(
+    "q160_curation_pipeline_v3",
+    # End-to-end composition of the ROUND-12 curation ops (the q114
+    # discipline: every stage's fragment is the same SQL as its
+    # standalone oracle, chained over the survivor sets).
+    oracle="""
+    WITH toksall AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      FROM documents),
+    tk AS (
+      SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+      FROM toksall, UNNEST(generate_series(1, greatest(len(ts) - 1, 0))) AS s(i)),
+    big AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM tk
+      WHERE doc_id % 5 <> 0 GROUP BY w1, w2),
+    hist AS (SELECT w1, SUM(c12) AS h1 FROM big GROUP BY w1),
+    uni AS (
+      SELECT tok, COUNT(*) AS c2
+      FROM (SELECT doc_id, UNNEST(ts) AS tok FROM toksall)
+      WHERE doc_id % 5 <> 0 GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c2) AS BIGINT) AS total FROM uni),
+    lmsc AS (
+      SELECT s.doc_id,
+             COUNT(*) AS n_bigrams,
+             SUM(CASE WHEN b.c12 IS NOT NULL
+                      THEN CAST(LENGTH(bin(h.h1 // b.c12)) - 1 AS BIGINT)
+                      ELSE 2 + CAST(LENGTH(bin(t.total // COALESCE(u.c2, 1)))
+                                    - 1 AS BIGINT)
+                 END) AS total_bits
+      FROM tk s
+      LEFT JOIN big b ON s.w1 = b.w1 AND s.w2 = b.w2
+      LEFT JOIN hist h ON s.w1 = h.w1
+      LEFT JOIN uni u ON s.w2 = u.tok, tot t
+      WHERE s.doc_id % 5 = 0 GROUP BY s.doc_id),
+    kept1 AS (
+      SELECT doc_id FROM lmsc WHERE 1000 * total_bits < 4420 * n_bigrams),
+    cdctk AS (
+      SELECT toksall.doc_id, i, ts[i] AS tok,
+             CASE WHEN ('0x' || substr(md5(ts[i]), 1, 15))::BIGINT % 8 = 0
+                  THEN 1 ELSE 0 END AS bnd
+      FROM toksall JOIN kept1 ON toksall.doc_id = kept1.doc_id,
+           UNNEST(generate_series(1, len(ts))) AS s(i)),
+    ck AS (
+      SELECT doc_id, i, tok,
+             SUM(bnd) OVER (PARTITION BY doc_id ORDER BY i) AS cid
+      FROM cdctk),
+    chunks AS (
+      SELECT doc_id, cid, md5(string_agg(tok, ' ' ORDER BY i)) AS h
+      FROM ck GROUP BY doc_id, cid),
+    freq AS (SELECT h, COUNT(*) AS cnt FROM chunks GROUP BY h),
+    kept2 AS (
+      SELECT doc_id FROM chunks JOIN freq USING (h) GROUP BY doc_id
+      HAVING 1000 * SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) // COUNT(*)
+             <= 200),
+    pr AS (
+      SELECT d.doc_id, greatest(d.n_chars, 1) AS w,
+             ROUND(CAST(greatest(d.n_chars, 1) AS DOUBLE)
+                   / ((CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                                                || '#v3'), 1, 15))::BIGINT
+                            AS DOUBLE) + 1.0)
+                      / 1152921504606846976.0), 4) AS prio
+      FROM documents d JOIN kept2 ON d.doc_id = kept2.doc_id),
+    r AS (
+      SELECT doc_id, w, prio,
+             ROW_NUMBER() OVER (ORDER BY prio DESC, doc_id) AS rn
+      FROM pr),
+    tau AS (SELECT prio AS tau FROM r WHERE rn = 21)
+    SELECT doc_id, CAST(w AS BIGINT) AS w, prio,
+           greatest(CAST(w AS DOUBLE), (SELECT tau FROM tau)) AS w_est
+    FROM r WHERE rn <= 20
+    """,
+)
+def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation pipeline v3 (Q160, round 12): the new crawl batch
+    (doc_id % 5 == 0) flows through the ROUND-12 operators end-to-end —
+    (1) stupid-backoff LM quality gate (q157: keep the batch's
+    lower-perplexity half, integer compare ``1000·total_bits <
+    4420·n_bigrams`` — no float thresholds), (2) CDC boilerplate cap
+    (q159: drop docs whose survivor-set chunk duplication exceeds
+    200 milli), (3) weighted priority sample (q47e: k=20 by n_chars
+    with the max(w, τ) total-weight estimator) — exactly the
+    gate → dedup → budget-sample shape of a production ingest, and the
+    proof the round-12 ops COMPOSE (the q114 pipeline discipline:
+    every stage's fragment is its standalone oracle chained over
+    survivors).
+
+    Scale notes inherit per stage: LM tables cached/sublinear (q157),
+    chunking row-local (q159), sampling TakeOrdered (q47e); the
+    inter-stage survivor joins are id-only projections."""
+    from palletjack_spark.functions.dedup import cdc_chunk_stats
+    from palletjack_spark.functions.text import bigram_lm_score
+
+    docs = t(spark, sf_dir, "documents")
+    scored = bigram_lm_score(
+        docs.where(F.col("doc_id") % 5 != 0),
+        docs.where(F.col("doc_id") % 5 == 0),
+        "text",
+        "doc_id",
+    )
+    kept1 = scored.where(
+        1000 * F.col("total_bits") < 4420 * F.col("n_bigrams")
+    ).select("doc_id")
+    docs1 = docs.join(kept1, "doc_id")
+    kept2 = (
+        cdc_chunk_stats(docs1, "text", "doc_id")
+        .where(F.col("dup_ratio_milli") <= 200)
+        .select("doc_id")
+    )
+    docs2 = docs1.join(kept2, "doc_id")
+
+    hk = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#v3"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    prio = F.round(
+        w.cast("double")
+        / ((hk.cast("double") + F.lit(1.0)) / F.lit(1152921504606846976.0)),
+        4,
+    )
+    scored2 = docs2.select("doc_id", w.alias("w"), prio.alias("prio"))
+    top = scored2.orderBy(F.desc("prio"), "doc_id").limit(21)
+    win = Window.orderBy(F.desc("prio"), "doc_id")
+    ranked = top.withColumn("rn", F.row_number().over(win))
+    tau = ranked.where(F.col("rn") == 21).select(F.col("prio").alias("tau"))
+    return (
+        ranked.where(F.col("rn") <= 20)
+        .join(F.broadcast(tau), F.lit(True), "left")
+        .select(
+            "doc_id",
+            F.col("w").cast("long").alias("w"),
+            "prio",
+            F.greatest(F.col("w").cast("double"), F.col("tau")).alias(
+                "w_est"
+            ),
+        )
+    )
