@@ -22,6 +22,8 @@ from palletjack_spark.functions.similarity import (
     kmeans_converge,
     jl_project,
     jl_two_stage_topk,
+    binary_quantize,
+    bq_two_stage_topk,
     save_vector_store,
     append_vectors,
     delete_vectors,
@@ -72,6 +74,8 @@ __all__ = [
     "kmeans_converge",
     "jl_project",
     "jl_two_stage_topk",
+    "binary_quantize",
+    "bq_two_stage_topk",
     "save_vector_store",
     "append_vectors",
     "delete_vectors",
