@@ -4,8 +4,10 @@ similarity search, text analysis, and multimodal column plumbing — all
 shaped for 100 TB (shuffle-on-key, broadcast-small, no driver loops)."""
 
 from palletjack_spark.functions.dedup import (
+    batch_match_pairs,
     cdc_chunks,
     cdc_chunk_stats,
+    incremental_components,
     exact_dedup,
     minhash_signatures,
     minhash_lsh_pairs,
@@ -85,8 +87,10 @@ __all__ = [
     "pagerank_converge",
     "label_propagation",
     "label_propagation_converge",
+    "batch_match_pairs",
     "cdc_chunks",
     "cdc_chunk_stats",
+    "incremental_components",
     "bigram_lm_score",
     "bigram_lm_score_store",
     "save_lm_store",

@@ -1180,11 +1180,19 @@ def incremental_dedup(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
+    return_matches: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup a NEW batch against a persisted signature store — without
     rescanning the ingested corpus (Q156, the production incremental
     shape: every current batch operator, q91/q101/q106/q153/q154, is
     single-corpus).
+
+    ``return_matches=True`` short-circuits after verification and
+    returns ``(matches, new_sig)`` instead — the FULL verified edge
+    list (id, pj_oid, jaccard_milli), which is what incremental
+    component maintenance consumes (Q101b: ``dup_of`` alone keeps only
+    each doc's minimum edge, and components folded from minimum edges
+    miss old-component merges that a new doc bridges).
 
     A new document is REJECTED when it has an exact-Jaccard-verified
     near-dup (``jaccard_milli >= threshold_milli``) in the STORE, or a
@@ -1265,6 +1273,8 @@ def incremental_dedup(
         )
         .where(F.col("jaccard_milli") >= threshold_milli)
     )
+    if return_matches:
+        return matches, new_sig
     best = matches.groupBy(id_col).agg(
         F.min("pj_oid").alias("dup_of"),
         F.max("jaccard_milli").alias("jaccard_milli"),
@@ -1384,3 +1394,145 @@ def cdc_chunk_stats(
             F.expr("1000 * n_dup_chunks div n_chunks"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental connected components (Q101b)
+
+
+def batch_match_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_milli: int = 500,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """Exhaustive banded + exact-milli-verified near-dup pairs WITHIN one
+    corpus — the store-build sibling of :func:`incremental_dedup`'s
+    matches, using byte-identical signatures, banding, and the integer
+    milli-Jaccard verify, so edges built here and edges found
+    incrementally later describe the same graph.  Returns
+    (id_a, id_b, jaccard_milli) with id_a > id_b.  (Unlike
+    :func:`minhash_lsh_pairs` there is no hot-bucket chain guard — this
+    feeds component STORES, where the q156 fixture discipline bounds
+    corpus shape; use minhash_lsh_pairs for open-web corpora.)"""
+    sig = _signatures_one_shuffle(df, text_col, id_col, k=k).localCheckpoint(
+        eager=False
+    )
+    bh = band_hashes(sig, id_col, bands=bands, rows=rows)
+    a, b = bh.alias("a"), bh.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col(id_col).alias("id_a"),
+        F.col("n_sh").alias("na"),
+        F.col("sh_set").alias("aset"),
+    )
+    sb = sig.select(
+        F.col(id_col).alias("id_b"),
+        F.col("n_sh").alias("nb"),
+        F.col("sh_set").alias("bset"),
+    )
+    jm = "(1000 * common) div (na + nb - common)"
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("aset", "bset"))
+            .cast("long")
+            .alias("common"),
+            "na",
+            "nb",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(jm).cast("long").alias("jaccard_milli"),
+        )
+        .where(F.col("jaccard_milli") >= threshold_milli)
+    )
+
+
+def incremental_components(
+    matches: DataFrame,
+    old_labels: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fold a new batch's verified match edges into PERSISTED component
+    labels without rescanning the ingested corpus (Q101b) — the
+    clustering step that keeps q156's incremental dedup consistent with
+    q101's batch clustering.  ``matches`` is
+    :func:`incremental_dedup`'s ``return_matches`` output
+    (id, pj_oid, ...); ``old_labels`` is (node, component) with
+    component = the component's minimum node id (q101's canonical
+    form).  Returns the updated (node, component) table over every node
+    that appears in any edge, old or new.
+
+    The graph-contraction trick: endpoints map through their OLD labels
+    (unlabeled endpoints map to themselves), so the CC loop runs on the
+    CONTRACTED graph — super-nodes are old component ids plus new doc
+    ids, i.e. O(new edges), NOT O(corpus).  Because old labels are
+    component minima, the contracted CC's min-reachable labels compose
+    to the union graph's global minima — incremental ≡ batch recompute,
+    which the q101b oracle pins.  Scale shape: two id-only hash joins
+    map endpoints, the contracted CC is q101's bounded loop on a tiny
+    edge set, and the final label updates are one join per side; the
+    corpus text is never touched."""
+    edges = matches.select(
+        F.col(id_col).alias("a"), F.col("pj_oid").alias("b")
+    )
+    la = old_labels.select(
+        F.col("node").alias("a"), F.col("component").alias("ca")
+    )
+    lb = old_labels.select(
+        F.col("node").alias("b"), F.col("component").alias("cb")
+    )
+    contracted = (
+        edges.join(la, "a", "left")
+        .join(lb, "b", "left")
+        .select(
+            F.coalesce("ca", "a").alias("id_a"),
+            F.coalesce("cb", "b").alias("id_b"),
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+    mapping = connected_components(contracted).select(
+        F.col("node").alias("super"), F.col("component").alias("newc")
+    )
+    updated_old = (
+        old_labels.join(
+            mapping.withColumnRenamed("super", "component"), "component", "left"
+        )
+        .select(
+            "node", F.coalesce("newc", "component").alias("component")
+        )
+    )
+    new_nodes = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .distinct()
+        .join(old_labels.select("node"), "node", "left_anti")
+    )
+    labeled_new = (
+        new_nodes.join(
+            mapping.withColumnRenamed("super", "node"), "node", "left"
+        )
+        .select("node", F.coalesce("newc", "node").alias("component"))
+    )
+    return updated_old.unionByName(labeled_new)

@@ -4565,3 +4565,150 @@ def q92o(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bq_two_stage_topk(
         emb, emb.where(F.col("vec_id") < 5), k=10, shortlist=30
     )
+
+
+def _q101b_oracle(thr_milli: int = 500) -> str:
+    """Q101b oracle — BATCH clustering of the union corpus: the same
+    signatures/banding/milli-verify as q156's oracle, but over ALL
+    pairs (no new-batch restriction), closed transitively with a
+    recursive CTE (the q101 oracle form).  The incremental fold must be
+    indistinguishable from this recompute."""
+    n = SHINGLE_LEN
+    sig_cols = ",\n         ".join(
+        ["COUNT(*) AS n_sh"]
+        + [
+            f"MIN(({a} * (h & {_H30_MASK}) + {b}) % {MINHASH_P}) AS s{i}"
+            for i, (a, b) in enumerate(minhash_coeffs(MINHASH_K))
+        ]
+    )
+    band_selects = []
+    for b in range(LSH_BANDS):
+        cols = ", ".join(
+            f"CAST(s{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols}))"
+            " AS band_hash FROM sig"
+        )
+    bands_sql = "\n      UNION ALL\n      ".join(band_selects)
+    return f"""
+    WITH RECURSIVE
+    sh AS (
+      SELECT DISTINCT doc_id,
+             {_sql_hash60(f'substr(text, i, {n})')} AS h
+      FROM documents,
+           UNNEST(generate_series(1, greatest(length(text) - {n - 1}, 1))) AS s(i)
+    ),
+    sig AS (
+      SELECT doc_id,
+         {sig_cols}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {bands_sql}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+      WHERE a.doc_id > b.doc_id
+    ),
+    common AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.h = sa.h
+      GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+      SELECT m.id_a, m.id_b
+      FROM common m
+      JOIN sig za ON za.doc_id = m.id_a
+      JOIN sig zb ON zb.doc_id = m.id_b
+      WHERE (1000 * m.common) // (za.n_sh + zb.n_sh - m.common)
+            >= {thr_milli}
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS node, LEAST(a, MIN(b)) AS component
+    FROM reach GROUP BY a ORDER BY node
+    """
+
+
+@query("q101b_incremental_components", oracle=_q101b_oracle())
+def q101b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components vs persisted labels (Q101b,
+    round 12): the clustering step that keeps q156's incremental dedup
+    consistent with q101's batch clustering.  The ingested corpus
+    (doc_id % 5 != 0) persists its component labels once (built from
+    batch_match_pairs — byte-identical banding/verify to the
+    incremental path); the new batch's FULL verified edge list comes
+    from incremental_dedup(return_matches=True) against the q156
+    signature store (the store never rescans); incremental_components
+    folds those edges in by GRAPH CONTRACTION — endpoints map through
+    old labels, the CC loop runs on a contracted graph of O(new edges)
+    super-nodes, and because old labels are component minima the
+    composed labels equal the union graph's global minima.
+
+    dup_of alone cannot do this: it keeps only each doc's MINIMUM edge,
+    and a new doc bridging two old components would merge them in batch
+    clustering but not in a min-edge fold.  The oracle IS the batch
+    recompute (same signatures/banding/verify over the union, closed
+    with a recursive CTE) — incremental ≡ retrain-from-scratch, the
+    q156/q157b/q92k contract extended to graphs."""
+    import hashlib
+    import os
+    import tempfile
+
+    from palletjack_spark.functions.dedup import (
+        _SIG_META_NAME,
+        batch_match_pairs,
+        connected_components,
+        incremental_components,
+        incremental_dedup,
+        load_signature_store,
+        save_signature_store,
+    )
+    from palletjack_spark.tables import table_path
+
+    docs = t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+
+    src = table_path(sf_dir, "documents")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    # signature store: shared fixture discipline with q156 (same split)
+    store_dir = os.path.join(tempfile.gettempdir(), f"pjspark_sigstore_{fp}")
+    store = None
+    if os.path.exists(os.path.join(store_dir, _SIG_META_NAME)):
+        try:
+            store = load_signature_store(spark, store_dir)
+        except Exception:
+            import shutil
+
+            shutil.rmtree(store_dir, ignore_errors=True)
+    if store is None:
+        save_signature_store(old, "text", "doc_id", store_dir)
+        store = load_signature_store(spark, store_dir)
+    # persisted labels of the ingested corpus (fixture-cached parquet)
+    lab_dir = os.path.join(tempfile.gettempdir(), f"pjspark_complabels_{fp}")
+    if not os.path.exists(os.path.join(lab_dir, "_SUCCESS")):
+        connected_components(
+            batch_match_pairs(old, "text", "doc_id")
+        ).write.mode("overwrite").parquet(lab_dir)
+    old_labels = spark.read.parquet(lab_dir)
+
+    matches, _sig = incremental_dedup(
+        new, "text", "doc_id", store, return_matches=True
+    )
+    return incremental_components(matches, old_labels).orderBy("node")

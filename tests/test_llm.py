@@ -1842,3 +1842,74 @@ def test_bq_packing_is_exchange_free(spark):
         binary_quantize(emb)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# q101b: incremental connected components
+
+
+def test_incremental_components_bridge_merges_old_components(spark):
+    """The case dup_of alone cannot handle: a new node bridging two OLD
+    components must merge them — and the fold must equal batch CC."""
+    from palletjack_spark.functions.dedup import (
+        connected_components,
+        incremental_components,
+    )
+
+    old_labels = spark.createDataFrame(
+        [(10, 10), (11, 10), (20, 20), (21, 20)], "node long, component long"
+    )
+    # new doc 30 matches one member of EACH old component
+    matches = spark.createDataFrame(
+        [(30, 11), (30, 21)], "doc_id long, pj_oid long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in incremental_components(matches, old_labels).collect()
+    }
+    # batch truth: edges (10-11),(20-21),(30-11),(30-21) -> one component, min 10
+    batch_pairs = spark.createDataFrame(
+        [(11, 10), (21, 20), (30, 11), (30, 21)], "id_a long, id_b long"
+    )
+    want = {
+        r["node"]: r["component"]
+        for r in connected_components(batch_pairs).collect()
+    }
+    assert got == want
+    assert set(got.values()) == {10}
+
+
+def test_incremental_components_untouched_labels_survive(spark):
+    from palletjack_spark.functions.dedup import incremental_components
+
+    old_labels = spark.createDataFrame(
+        [(10, 10), (11, 10), (50, 50), (51, 50)], "node long, component long"
+    )
+    matches = spark.createDataFrame(
+        [(99, 11)], "doc_id long, pj_oid long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in incremental_components(matches, old_labels).collect()
+    }
+    # the 50-component is untouched; 99 joins the 10-component
+    assert got[50] == 50 and got[51] == 50
+    assert got[99] == 10 and got[10] == 10 and got[11] == 10
+
+
+def test_incremental_components_new_only_edges(spark):
+    """Edges entirely within the new batch (no old labels at all) form
+    fresh components with min-id canonical labels."""
+    from palletjack_spark.functions.dedup import incremental_components
+
+    old_labels = spark.createDataFrame(
+        [], "node long, component long"
+    )
+    matches = spark.createDataFrame(
+        [(7, 3), (9, 7)], "doc_id long, pj_oid long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in incremental_components(matches, old_labels).collect()
+    }
+    assert got == {3: 3, 7: 3, 9: 3}
