@@ -122,3 +122,82 @@ def test_importance_weights_self_target_scores_one(spark, texts):
     out = importance_weights(df, df, "text", "doc_id").toPandas()
     assert (out["score"] == 1.0).all()
     assert (out["t_mass"] == out["r_mass"]).all()
+
+
+@given(texts=corpus_strategy)
+@_SETTINGS
+def test_cdc_chunks_partition_properties(spark, texts):
+    """Round-12 q159 kernel: chunks reconstruct the token stream exactly
+    (concatenation in chunk order = original tokens), every chunk is
+    non-empty, and the split matches a pure-python CDC reference."""
+    import hashlib
+
+    from palletjack_spark.functions.dedup import CDC_DIVISOR, cdc_chunks
+
+    df = _docs(spark, texts)
+    rows = cdc_chunks(df, "text", "doc_id").collect()
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % CDC_DIVISOR
+
+    for i, text in enumerate(texts):
+        toks = [w for w in text.split(" ") if w]
+        ref, cur = [], []
+        for w in toks:
+            if bucket(w) == 0:
+                if cur:
+                    ref.append(cur)
+                cur = [w]
+            else:
+                cur.append(w)
+        if cur:
+            ref.append(cur)
+        mine = sorted(
+            (r for r in rows if r["doc_id"] == i), key=lambda r: r["chunk_id"]
+        )
+        assert [r["n_toks"] for r in mine] == [len(c) for c in ref]
+        assert [r["chunk_hash"] for r in mine] == [
+            hashlib.md5(" ".join(c).encode()).hexdigest() for c in ref
+        ]
+
+
+@given(texts=corpus_strategy)
+@_SETTINGS
+def test_bigram_pairs_row_local_extraction(spark, texts):
+    """Round-12 q157 kernel: the zip_with pair extraction emits exactly
+    the adjacent pairs of the compacted token list, in any partitioning."""
+    from palletjack_spark.functions.text import _lm_pairs
+
+    df = _docs(spark, texts).repartition(5)
+    rows = _lm_pairs(df, "text", "doc_id").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append((r["w1"], r["w2"]))
+    for i, text in enumerate(texts):
+        toks = [w for w in text.split(" ") if w]
+        want = list(zip(toks, toks[1:]))
+        assert sorted(got.get(i, [])) == sorted(want)
+
+
+@given(
+    vec=st.lists(
+        st.floats(
+            min_value=-2.0, max_value=2.0, allow_nan=False, width=32
+        ),
+        min_size=64,
+        max_size=64,
+    )
+)
+@_SETTINGS
+def test_binary_quantize_pack_property(spark, vec):
+    """Round-12 q92o kernel: packed halves equal the reference bit set
+    for arbitrary float vectors (including exact zeros -> bit 0)."""
+    from palletjack_spark.functions.similarity import binary_quantize
+
+    df = spark.createDataFrame(
+        [(1, [float(v) for v in vec])], "vec_id long, embedding array<double>"
+    )
+    r = binary_quantize(df).collect()[0]
+    lo = sum(1 << i for i in range(32) if vec[i] > 0)
+    hi = sum(1 << (i - 32) for i in range(32, 64) if vec[i] > 0)
+    assert (r["lo"], r["hi"]) == (lo, hi)
