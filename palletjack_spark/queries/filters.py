@@ -354,3 +354,84 @@ def q47e(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q47f_stratified_priority_sample",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang, greatest(n_chars, 1) AS w,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#sprio'),
+                             1, 15))::BIGINT AS hk
+      FROM documents),
+    p AS (
+      SELECT doc_id, lang, w,
+             ROUND(CAST(w AS DOUBLE)
+                   / ((CAST(hk AS DOUBLE) + 1.0)
+                      / 1152921504606846976.0), 4) AS prio
+      FROM h),
+    r AS (
+      SELECT doc_id, lang, w, prio,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY prio DESC, doc_id) AS rn
+      FROM p),
+    tau AS (SELECT lang, prio AS tau FROM r WHERE rn = 11)
+    SELECT r.doc_id, r.lang, CAST(r.w AS BIGINT) AS w, r.prio,
+           greatest(CAST(r.w AS DOUBLE), tau.tau) AS w_est
+    FROM r LEFT JOIN tau ON r.lang = tau.lang
+    WHERE r.rn <= 10
+    """,
+)
+def q47f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified weighted priority sample (Q47f, round 12): q47e's
+    Duffield-Lund-Thorup sample run INDEPENDENTLY per stratum (k=10 per
+    language), each stratum carrying its own τ and ``max(w, τ)``
+    estimator — per-stratum w_est sums estimate each language's total
+    token mass from 10 docs, the per-domain budget question mixture
+    planning (q135) actually asks.  Strata with ≤ k members return all
+    members with w_est = w (the q47e degenerate contract, per stratum).
+
+    Scale shape: unlike q47e's global TakeOrdered, the per-stratum
+    top-(k+1) is a WindowGroupLimit — each map task keeps only its
+    local k+1 per stratum BEFORE the exchange, so the shuffle carries
+    O(strata × k) rows; τ derives from the same ranked rows (no second
+    scan) and joins back per stratum."""
+    docs = t(spark, sf_dir, "documents")
+    hk = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#sprio"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    prio = F.round(
+        w.cast("double")
+        / ((hk.cast("double") + F.lit(1.0)) / F.lit(1152921504606846976.0)),
+        4,
+    )
+    win = Window.partitionBy("lang").orderBy(F.desc("prio"), "doc_id")
+    ranked = (
+        docs.select("doc_id", "lang", w.alias("w"), prio.alias("prio"))
+        .withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") <= 11)
+        .localCheckpoint(eager=False)
+    )
+    tau = ranked.where(F.col("rn") == 11).select(
+        "lang", F.col("prio").alias("tau")
+    )
+    return (
+        ranked.where(F.col("rn") <= 10)
+        .join(F.broadcast(tau), "lang", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("w").cast("long").alias("w"),
+            "prio",
+            F.greatest(F.col("w").cast("double"), F.col("tau")).alias(
+                "w_est"
+            ),
+        )
+    )

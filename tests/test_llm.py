@@ -1913,3 +1913,39 @@ def test_incremental_components_new_only_edges(spark):
         for r in incremental_components(matches, old_labels).collect()
     }
     assert got == {3: 3, 7: 3, 9: 3}
+
+
+def test_stratified_priority_sample_per_stratum_contract(spark):
+    """q47f: per-lang k cap, per-stratum tau, degenerate strata return
+    all members with w_est == w; plan keeps the WindowGroupLimit."""
+    from palletjack_spark.queries.registry import REGISTRY
+
+    df = REGISTRY["q47f_stratified_priority_sample"].fn(spark, SF_DIR)
+    # the rank<=11 filter plans as WindowGroupLimit; the query's
+    # localCheckpoint hides it from the FINAL plan, so assert on the
+    # pre-checkpoint shape
+    from pyspark.sql import Window
+
+    docs = load_table(spark, SF_DIR, "documents")
+    win = Window.partitionBy("lang").orderBy(F.desc("n_chars"), "doc_id")
+    pre = (
+        docs.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") <= 11)
+    )
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    rows = df.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    docs = load_table(spark, SF_DIR, "documents")
+    sizes = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, rs in by_lang.items():
+        assert len(rs) == min(10, sizes[lang])
+        if sizes[lang] <= 10:
+            assert all(r["w_est"] == float(r["w"]) for r in rs)
+        else:
+            assert all(r["w_est"] >= float(r["w"]) for r in rs)
