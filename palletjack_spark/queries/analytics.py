@@ -2014,3 +2014,89 @@ def q117b(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src", "dst")
     )
+
+
+@query(
+    "q116d_interval_coalesce",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts_us,
+             ts_us + CAST(FLOOR(CAST(value AS DOUBLE) * 60000000)
+                            AS BIGINT) AS end_us
+      FROM {_E}),
+    f AS (
+      SELECT user_id, ts_us, end_us,
+             CASE WHEN MAX(end_us) OVER
+                       (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL
+                       OR ts_us > MAX(end_us) OVER
+                       (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e),
+    s AS (
+      SELECT user_id, ts_us, end_us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, end_us
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM f)
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           MIN(ts_us) AS span_start_us,
+           MAX(end_us) AS span_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           MAX(end_us) - MIN(ts_us) AS span_us
+    FROM s GROUP BY user_id, island
+    """,
+)
+def q116d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing — gaps-and-islands (Q116d, round 12): merge
+    each user's overlapping activity intervals ([ts, ts + value
+    minutes]) into maximal covered spans.  q117 sessionizes POINT
+    events by silence gaps; q116c JOINS intervals across users; this
+    coalesces intervals WITHIN a key into their union — the coverage
+    primitive behind ad-delivery accounting, on-call overlap, and
+    span-level corpus coverage.
+
+    The textbook two-window form, kept exactly order-deterministic: an
+    interval starts a new island iff its start exceeds the running
+    MAX(end) over all STRICTLY EARLIER intervals (ties broken by
+    event_id in the running-max frame; the island cumsum orders by
+    (ts, end) — both total orders, so every engine computes identical
+    islands).  Scale shape: ONE window exchange on user_id serves both
+    window passes AND the final per-island aggregate (co-partitioned,
+    map-side combined); durations are integer µs (the float value column
+    is cast once per row through an IEEE-deterministic multiply)."""
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        ts_us.alias("ts_us"),
+        (
+            ts_us
+            + F.floor(F.col("value").cast("double") * 60000000).cast("long")
+        ).alias("end_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run_max = F.max("end_us").over(w)
+    f = e.withColumn(
+        "is_new",
+        F.when(
+            run_max.isNull() | (F.col("ts_us") > run_max), 1
+        ).otherwise(0),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "end_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = f.withColumn("island", F.sum("is_new").over(w2))
+    return s.groupBy("user_id", "island").agg(
+        F.min("ts_us").alias("span_start_us"),
+        F.max("end_us").alias("span_end_us"),
+        F.count("*").alias("n_intervals"),
+        (F.max("end_us") - F.min("ts_us")).alias("span_us"),
+    )

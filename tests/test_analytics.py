@@ -360,3 +360,41 @@ def test_transition_matrix_rows_sum_and_end_state(spark):
         tot = sum(r["cnt"] for r in rs)
         for r in rs:
             assert r["p_milli"] == 1000 * r["cnt"] // tot
+
+
+def test_interval_coalesce_crafted_islands(spark):
+    """q116d on a crafted interval set: overlaps and touches merge,
+    gaps split; span invariants hold."""
+    import palletjack_spark.queries.analytics as ana
+    from palletjack_spark.queries import registry as reg
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, start_min, dur_min):
+        return (eid, base + dt.timedelta(minutes=start_min), uid,
+                "view", float(dur_min), "{}")
+
+    # user 1: [0,10] + [5,15] overlap; [20,25] separate; [25,30] touches
+    # (start == running max end -> NOT strictly greater -> same island)
+    rows = [ev(1, 1, 0, 10), ev(2, 1, 5, 10), ev(3, 1, 20, 5), ev(4, 1, 25, 5)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    orig = reg.t
+    try:
+        reg.t = lambda *_a, **_k: df
+        ana.t = reg.t
+        out = sorted(
+            reg.REGISTRY["q116d_interval_coalesce"].fn(spark, SF_DIR).collect(),
+            key=lambda r: r["island"],
+        )
+    finally:
+        reg.t = orig
+        ana.t = orig
+    assert len(out) == 2
+    a, b = out
+    assert a["n_intervals"] == 2 and a["span_us"] == 15 * 60_000_000
+    assert b["n_intervals"] == 2 and b["span_us"] == 10 * 60_000_000
