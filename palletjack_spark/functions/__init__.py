@@ -38,6 +38,7 @@ from palletjack_spark.functions.graph import (
     label_propagation,
     label_propagation_converge,
 )
+from palletjack_spark.functions.curation import snapshot_diff
 from palletjack_spark.functions.fusion import rrf_fuse
 from palletjack_spark.functions.text import (
     bigram_lm_score,
@@ -96,6 +97,7 @@ __all__ = [
     "save_lm_store",
     "append_lm_counts",
     "compact_lm_store",
+    "snapshot_diff",
     "rrf_fuse",
     "text_stats",
     "language_id",

@@ -512,3 +512,53 @@ def importance_weights(
             (draw < score).alias("keep"),
         )
     )
+
+
+def snapshot_diff(
+    v1: DataFrame,
+    v2: DataFrame,
+    key_col: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level diff between two snapshots of a keyed table (Q126e):
+    (key, change ∈ added|removed|modified, old_fp, new_fp), unchanged
+    rows excluded.
+
+    Scale shape: each side collapses ROW-LOCALLY to (key, md5
+    fingerprint over ``compare_cols`` joined with the ASCII-31 unit
+    separator — unambiguous for text payloads) before the join, so the
+    full-outer join exchanges only (key, 32-byte fp) pairs hashed on
+    the key — the wide rows never shuffle, and at 100 TB the diff costs
+    two fingerprint scans plus a narrow co-partitioned join.  Unchanged
+    rows (the overwhelming majority between real snapshots) are
+    filtered before anything returns."""
+    sep = F.lit("\x1f")
+
+    def fp(df: DataFrame, alias: str) -> DataFrame:
+        return df.select(
+            F.col(key_col),
+            F.md5(F.concat_ws("\x1f", *[F.col(c) for c in compare_cols])).alias(
+                alias
+            ),
+        )
+
+    _ = sep  # separator documented above; concat_ws takes it literally
+    h1 = fp(v1, "old_fp")
+    h2 = fp(v2, "new_fp")
+    d = h1.join(h2, key_col, "full_outer")
+    return (
+        d.where(
+            F.col("old_fp").isNull()
+            | F.col("new_fp").isNull()
+            | (F.col("old_fp") != F.col("new_fp"))
+        )
+        .select(
+            key_col,
+            F.when(F.col("old_fp").isNull(), "added")
+            .when(F.col("new_fp").isNull(), "removed")
+            .otherwise("modified")
+            .alias("change"),
+            F.coalesce("old_fp", F.lit("")).alias("old_fp"),
+            F.coalesce("new_fp", F.lit("")).alias("new_fp"),
+        )
+    )

@@ -2100,3 +2100,92 @@ def q116d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_intervals"),
         (F.max("end_us") - F.min("ts_us")).alias("span_us"),
     )
+
+
+@query(
+    "q126e_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, text, lang, source FROM documents
+    ),
+    v2 AS (
+      -- the simulated next snapshot, derived deterministically:
+      -- %11 rows deleted, %7 rows edited, %13 rows cloned as new ids
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+               AS text,
+             lang, source
+      FROM documents WHERE doc_id % 11 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, text, lang, source
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    h1 AS (
+      SELECT doc_id,
+             md5(concat_ws(chr(31), text, lang, source)) AS fp
+      FROM v1),
+    h2 AS (
+      SELECT doc_id,
+             md5(concat_ws(chr(31), text, lang, source)) AS fp
+      FROM v2),
+    d AS (
+      SELECT COALESCE(h1.doc_id, h2.doc_id) AS doc_id,
+             h1.fp AS old_fp, h2.fp AS new_fp
+      FROM h1 FULL OUTER JOIN h2 ON h1.doc_id = h2.doc_id)
+    SELECT doc_id,
+           CASE WHEN old_fp IS NULL THEN 'added'
+                WHEN new_fp IS NULL THEN 'removed'
+                ELSE 'modified' END AS change,
+           COALESCE(old_fp, '') AS old_fp,
+           COALESCE(new_fp, '') AS new_fp
+    FROM d
+    WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp <> new_fp
+    ORDER BY doc_id
+    """,
+)
+def q126e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / data reconciliation (Q126e, round 12): row-level
+    added/removed/modified between two dataset versions — the audit a
+    pipeline runs after every re-crawl, backfill, or migration (q126
+    profiles ONE snapshot; q126d reconciles data against its INDEX;
+    this reconciles data against its own previous version).  The second
+    snapshot is simulated deterministically (deletes %11, edits %7,
+    clones %13 under new ids) so the oracle derives the identical pair.
+
+    Scale shape (functions/curation.snapshot_diff): each side collapses
+    row-locally to (key, md5 fingerprint over the compared columns with
+    an ASCII-31 separator — unambiguous for text columns) BEFORE the
+    join, so the full-outer join exchanges 2×(key, 32-byte fp) rows —
+    never the wide rows — hashed on the key both sides; 'unchanged'
+    rows (the overwhelming majority between real snapshots) are
+    filtered before anything returns."""
+    from palletjack_spark.functions.curation import snapshot_diff
+
+    v1 = t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    base = t(spark, sf_dir, "documents")
+    v2 = (
+        base.where(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "lang",
+            "source",
+        )
+        .unionByName(
+            base.where(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                "text",
+                "lang",
+                "source",
+            )
+        )
+    )
+    return snapshot_diff(
+        v1, v2, "doc_id", ["text", "lang", "source"]
+    ).orderBy("doc_id")

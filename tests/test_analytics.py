@@ -398,3 +398,39 @@ def test_interval_coalesce_crafted_islands(spark):
     a, b = out
     assert a["n_intervals"] == 2 and a["span_us"] == 15 * 60_000_000
     assert b["n_intervals"] == 2 and b["span_us"] == 10 * 60_000_000
+
+
+def test_snapshot_diff_crafted_and_narrow_join(spark):
+    from palletjack_spark.functions.curation import snapshot_diff
+
+    v1 = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "en"), (3, "c", "de")],
+        "doc_id long, text string, lang string",
+    )
+    v2 = spark.createDataFrame(
+        [(1, "a", "en"), (2, "B", "en"), (4, "d", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r["doc_id"]: r["change"]
+        for r in snapshot_diff(v1, v2, "doc_id", ["text", "lang"]).collect()
+    }
+    assert out == {2: "modified", 3: "removed", 4: "added"}
+    # the wide text column must not survive into the join: the plan's
+    # SortMergeJoin/ShuffledHashJoin inputs carry only (key, fp)
+    plan = (
+        snapshot_diff(v1, v2, "doc_id", ["text", "lang"])
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    join_on = plan.split("Join FullOuter")[0]
+    assert "text" not in join_on.split("Project")[0], plan
+
+
+def test_snapshot_diff_separator_prevents_column_smearing(spark):
+    """('ab','c') and ('a','bc') must fingerprint differently."""
+    from palletjack_spark.functions.curation import snapshot_diff
+
+    v1 = spark.createDataFrame([(1, "ab", "c")], "k long, x string, y string")
+    v2 = spark.createDataFrame([(1, "a", "bc")], "k long, x string, y string")
+    rows = snapshot_diff(v1, v2, "k", ["x", "y"]).collect()
+    assert len(rows) == 1 and rows[0]["change"] == "modified"
