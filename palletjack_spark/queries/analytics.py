@@ -2189,3 +2189,120 @@ def q126e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(
         v1, v2, "doc_id", ["text", "lang", "source"]
     ).orderBy("doc_id")
+
+
+#: q121d bucket width: 6-hour buckets over the ~30-day fixture ≈ 120
+#: output points.  Integer-area overflow headroom: |dx| ≤ 3 buckets
+#: (6.5e10 µs), |dy| ≤ max milli-value (~5e5) → products ≤ ~6.5e16,
+#: far inside int64.
+_LTTB_W_US = 6 * 3600 * 1_000_000
+
+
+@query(
+    "q121d_lttb_downsample",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, ts_us, CAST(FLOOR(CAST(value AS DOUBLE) * 1000)
+                                   AS BIGINT) AS y,
+             ts_us // {_LTTB_W_US} AS b
+      FROM (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                   value FROM events)),
+    anchors AS (
+      SELECT b, SUM(ts_us) // COUNT(*) AS ax, SUM(y) // COUNT(*) AS ay
+      FROM p GROUP BY b),
+    scored AS (
+      SELECT p.b, p.event_id, p.ts_us, p.y,
+             prv.ax AS x1, prv.ay AS y1, nxt.ax AS x3, nxt.ay AS y3
+      FROM p
+      LEFT JOIN anchors prv ON prv.b = p.b - 1
+      LEFT JOIN anchors nxt ON nxt.b = p.b + 1),
+    interior AS (
+      SELECT b, event_id, ts_us, y,
+             ROW_NUMBER() OVER (
+               PARTITION BY b
+               ORDER BY abs((x1 - x3) * (y - y1) - (x1 - ts_us) * (y3 - y1))
+                          DESC,
+                        event_id ASC) AS rn
+      FROM scored WHERE x1 IS NOT NULL AND x3 IS NOT NULL),
+    edge AS (
+      SELECT b, event_id, ts_us, y,
+             ROW_NUMBER() OVER (PARTITION BY b
+                                ORDER BY ts_us ASC, event_id ASC) AS rn
+      FROM scored WHERE x1 IS NULL OR x3 IS NULL)
+    SELECT b AS bucket, event_id, ts_us, y AS value_milli
+    FROM (SELECT * FROM interior WHERE rn = 1
+          UNION ALL SELECT * FROM edge WHERE rn = 1)
+    ORDER BY bucket
+    """,
+)
+def q121d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-triangle downsampling (Q121d, round 12): the parallel
+    one-bucket variant of LTTB (Steinarsson 2013) — per 6-hour bucket,
+    keep the point forming the largest triangle against the NEIGHBOR
+    BUCKETS' average anchors.  Classic LTTB chains through the
+    previously SELECTED point (sequential, unparallelizable,
+    un-oracle-able); anchoring on bucket averages is the published
+    parallel approximation, embarrassingly parallel per bucket and
+    exactly what a 100 TB time-series needs to draw a dashboard line.
+
+    Determinism: y is floor-milli (the q116d cast lesson — floor pinned
+    on both engines), anchors are integer floor-division means, the
+    twice-area |(x1-x3)(y2-y1) - (x1-x2)(y3-y1)| is pure int64
+    arithmetic (overflow headroom documented at _LTTB_W_US), ties break
+    on event_id, and edge buckets (missing a neighbor) keep their
+    earliest point.  Scale shape: ONE hash aggregate builds the anchor
+    table (tiny — one row per bucket), two broadcast joins attach
+    neighbors, and the per-bucket argmax is a WindowGroupLimit."""
+    p = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.floor(F.col("value").cast("double") * 1000).cast("long").alias("y"),
+    ).withColumn("b", F.expr(f"ts_us div {_LTTB_W_US}"))
+    anchors = p.groupBy("b").agg(
+        F.expr("sum(ts_us) div count(*)").alias("ax"),
+        F.expr("sum(y) div count(*)").alias("ay"),
+    )
+    prv = anchors.select(
+        (F.col("b") + 1).alias("b"), F.col("ax").alias("x1"), F.col("ay").alias("y1")
+    )
+    nxt = anchors.select(
+        (F.col("b") - 1).alias("b"), F.col("ax").alias("x3"), F.col("ay").alias("y3")
+    )
+    scored = p.join(F.broadcast(prv), "b", "left").join(
+        F.broadcast(nxt), "b", "left"
+    )
+    area2 = F.abs(
+        (F.col("x1") - F.col("x3")) * (F.col("y") - F.col("y1"))
+        - (F.col("x1") - F.col("ts_us")) * (F.col("y3") - F.col("y1"))
+    )
+    interior = (
+        scored.where(F.col("x1").isNotNull() & F.col("x3").isNotNull())
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("b").orderBy(
+                    area2.desc(), F.asc("event_id")
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+    )
+    edge = (
+        scored.where(F.col("x1").isNull() | F.col("x3").isNull())
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("b").orderBy("ts_us", "event_id")
+            ),
+        )
+        .where(F.col("rn") == 1)
+    )
+    cols = [
+        F.col("b").alias("bucket"),
+        "event_id",
+        "ts_us",
+        F.col("y").alias("value_milli"),
+    ]
+    return interior.select(*cols).unionByName(edge.select(*cols)).orderBy(
+        "bucket"
+    )

@@ -434,3 +434,31 @@ def test_snapshot_diff_separator_prevents_column_smearing(spark):
     v2 = spark.createDataFrame([(1, "a", "bc")], "k long, x string, y string")
     rows = snapshot_diff(v1, v2, "k", ["x", "y"]).collect()
     assert len(rows) == 1 and rows[0]["change"] == "modified"
+
+
+def test_lttb_downsample_invariants(spark):
+    """q121d: exactly one point per non-empty bucket, every selected
+    point is a real input row, edge buckets keep their earliest point."""
+    from palletjack_spark.queries import REGISTRY
+    from palletjack_spark.queries.analytics import _LTTB_W_US
+
+    rows = REGISTRY["q121d_lttb_downsample"].fn(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    ).collect()
+    by_bucket = {}
+    for e in ev:
+        by_bucket.setdefault(e["ts_us"] // _LTTB_W_US, []).append(e)
+    assert len(rows) == len(by_bucket)
+    ids = {e["event_id"]: e["ts_us"] for e in ev}
+    lo, hi = min(by_bucket), max(by_bucket)
+    for r in rows:
+        assert ids[r["event_id"]] == r["ts_us"]
+        assert r["ts_us"] // _LTTB_W_US == r["bucket"]
+        if r["bucket"] in (lo, hi):
+            first = min(
+                by_bucket[r["bucket"]],
+                key=lambda e: (e["ts_us"], e["event_id"]),
+            )
+            assert r["event_id"] == first["event_id"]
