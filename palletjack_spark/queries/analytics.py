@@ -2306,3 +2306,96 @@ def q121d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interior.select(*cols).unionByName(edge.select(*cols)).orderBy(
         "bucket"
     )
+
+
+def _ppr_round_sql(r: int) -> str:
+    """Unrolled PERSONALIZED round r -> r+1: teleport mass returns only
+    to seed nodes (matches :func:`_ppr_round` exactly)."""
+    return f"""c{r + 1} AS MATERIALIZED (
+      SELECT e.dst AS node, SUM(r{r}.rank // o.deg) AS contrib
+      FROM edges e JOIN r{r} ON e.src = r{r}.node
+                   JOIN outdeg o ON e.src = o.src
+      GROUP BY e.dst),
+    r{r + 1} AS MATERIALIZED (
+      SELECT nodes.node,
+             (CASE WHEN nodes.node % 100 = 0
+                   THEN CAST(150000000000 AS BIGINT) // n_seeds
+                   ELSE 0 END)
+               + 85 * COALESCE(c{r + 1}.contrib, 0) // 100 AS rank
+      FROM nodes LEFT JOIN c{r + 1} ON nodes.node = c{r + 1}.node, ns)"""
+
+
+def _ppr_round(
+    edges: DataFrame, nodes: DataFrame, ranks: DataFrame, seed_teleport: int
+) -> DataFrame:
+    """One personalized power-iteration round: q130's loop body with the
+    teleport mass concentrated on the seed set (node % 100 == 0)."""
+    contrib = (
+        edges.join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy("dst")
+        .agg(F.sum(F.expr("rank div deg")).alias("contrib"))
+        .withColumnRenamed("dst", "node")
+    )
+    return nodes.join(contrib, "node", "left").select(
+        "node",
+        (
+            F.when(F.col("node") % 100 == 0, F.lit(seed_teleport)).otherwise(
+                F.lit(0)
+            )
+            + F.expr("85 * coalesce(contrib, 0) div 100")
+        ).alias("rank"),
+    )
+
+
+@query(
+    "q130b_personalized_pagerank",
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    ns AS (SELECT COUNT(*) AS n_seeds FROM nodes WHERE node % 100 = 0),
+    r0 AS (
+      SELECT node,
+             CASE WHEN node % 100 = 0
+                  THEN CAST(1000000000000 AS BIGINT) // n_seeds
+                  ELSE 0 END AS rank
+      FROM nodes, ns),
+    {_ppr_round_sql(0)},
+    {_ppr_round_sql(1)}
+    SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank
+    FROM r2 WHERE rank > 0 ORDER BY rank DESC, node LIMIT 50
+    """,
+)
+def q130b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (Q130b, round 12): q130's damped integer
+    power iteration with the teleport mass concentrated on a SEED set
+    (node % 100 == 0) — rank becomes proximity TO THE SEEDS rather than
+    global importance, the graph-based recommendation / related-entity
+    primitive (pins q130's machinery to the personalized form used by
+    item-to-item recommenders and entity expansion).
+
+    Same determinism contract as q130: integer trillionths, floor-div
+    damping, bit-identical on every engine and partitioning.  Nodes
+    never reached from the seeds hold rank 0 and are filtered (their
+    relative order is meaningless); top-50 by (rank DESC, node).  Scale
+    shape identical to q130 — the seed-conditional teleport is a
+    row-local CASE, everything else is the same one join + one
+    aggregate per round."""
+    edges, nodes = _pagerank_graph(spark, sf_dir)
+    n_seeds = nodes.where(F.col("node") % 100 == 0).count()
+    base = 1_000_000_000_000 // n_seeds
+    seed_teleport = 150_000_000_000 // n_seeds
+    ranks = nodes.withColumn(
+        "rank",
+        F.when(F.col("node") % 100 == 0, F.lit(base)).otherwise(F.lit(0)),
+    )
+    for _ in range(2):
+        ranks = _ppr_round(edges, nodes, ranks, seed_teleport).localCheckpoint()
+    return (
+        ranks.where(F.col("rank") > 0)
+        .orderBy(F.desc("rank"), "node")
+        .limit(50)
+    )

@@ -462,3 +462,30 @@ def test_lttb_downsample_invariants(spark):
                 key=lambda e: (e["ts_us"], e["event_id"]),
             )
             assert r["event_id"] == first["event_id"]
+
+
+def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
+    """q130b: crafted two-cluster graph — mass stays in the seed
+    cluster; the disconnected cluster ranks 0 (filtered)."""
+    import palletjack_spark.queries.analytics as ana
+    from palletjack_spark.queries import REGISTRY
+
+    # seed = node 100 (100 % 100 == 0); its cluster: 100->1->2->100;
+    # disconnected cluster: 7->8->7
+    edges = spark.createDataFrame(
+        [(100, 1), (1, 2), (2, 100), (7, 8), (8, 7)], "src long, dst long"
+    )
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edges_deg = edges.join(outdeg, "src")
+    orig = ana._pagerank_graph
+    try:
+        ana._pagerank_graph = lambda *_a, **_k: (edges_deg, nodes)
+        rows = REGISTRY["q130b_personalized_pagerank"].fn(spark, SF_DIR).collect()
+    finally:
+        ana._pagerank_graph = orig
+    got = {r["node"]: r["rank"] for r in rows}
+    assert set(got) == {100, 1, 2}, got
+    assert got[100] > 0 and got[1] > 0 and got[2] > 0
