@@ -456,7 +456,9 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" r -> struct(r AS r, {cell} AS c)))"
             ).alias("rc")
         )
-        .select(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .select(
+            F.col("rc.r").cast("long").alias("r"), F.col("rc.c").alias("c")
+        )
         .groupBy("r", "c")
         .agg(F.count("*").alias("v"))
     )

@@ -111,14 +111,34 @@ def main(argv: list[str]) -> int:
     for k in keys:
         t0 = time.perf_counter()
         try:
-            sdf = _normalize(qs[k](spark, SF_DIR).toPandas())
+            raw_s = qs[k](spark, SF_DIR).toPandas()
+            sdf = _normalize(raw_s)
             if k in osql:
-                odf = _normalize(con.sql(osql[k]).df())
+                raw_o = con.sql(osql[k]).df()
+                odf = _normalize(raw_o)
                 ok_rows = len(sdf) == len(odf)
                 ok_cols = list(sdf.columns) == list(odf.columns)
+                # strict dtype tags (tests/conftest._dtype_tag parity):
+                # the q79 lesson — an int32 Spark column value-matches an
+                # int64 oracle but fails the driver's schema hash
+                def tag(s):
+                    if pd.api.types.is_datetime64_any_dtype(s):
+                        return "datetime"
+                    return str(s.dtype)
+
+                ok_dtypes = ok_cols and all(
+                    tag(raw_s[c]) == tag(raw_o[c]) for c in raw_s.columns
+                )
                 ok_vals = ok_rows and ok_cols and _values_equal(sdf, odf)
-                status = "ok" if (ok_rows and ok_cols and ok_vals) else "MISMATCH"
-                detail = f"rows={len(sdf)}/{len(odf)} cols={ok_cols} vals={ok_vals}"
+                status = (
+                    "ok"
+                    if (ok_rows and ok_cols and ok_dtypes and ok_vals)
+                    else "MISMATCH"
+                )
+                detail = (
+                    f"rows={len(sdf)}/{len(odf)} cols={ok_cols}"
+                    f" dtypes={ok_dtypes} vals={ok_vals}"
+                )
             else:
                 status, detail = "ok", f"rows-only={len(sdf)}"
         except Exception as e:  # noqa: BLE001 — report and continue
