@@ -1673,3 +1673,27 @@ def test_bigram_lm_tables_cached_total_scalar(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
     assert "CartesianProduct" not in plan, plan
     spark.catalog.clearCache()
+
+
+def test_interval_coalesce_single_window_exchange(spark):
+    """Q116d: both window passes AND the per-island aggregate cluster on
+    user_id — everything ABOVE the lowest Window runs on that one
+    clustering (no further exchange; at fixture scale the small input's
+    single partition satisfies it outright, at scale it is one
+    hashpartitioning on user_id)."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q116d_interval_coalesce"].fn(spark, SF_DIR))
+    above_lowest_window = plan.rsplit("Window [", 1)[0]
+    assert "Exchange" not in above_lowest_window, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_lttb_anchor_table_broadcasts_argmax_grouplimits(spark):
+    """Q121d: the tiny anchor table attaches via broadcast (never a
+    corpus-side shuffle) and the per-bucket argmax is a WindowGroupLimit."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q121d_lttb_downsample"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "WindowGroupLimit" in plan, plan
