@@ -5,6 +5,7 @@ shaped for 100 TB (shuffle-on-key, broadcast-small, no driver loops)."""
 
 from palletjack_spark.functions.dedup import (
     batch_match_pairs,
+    compact_signature_store,
     cdc_chunks,
     cdc_chunk_stats,
     incremental_components,
@@ -89,6 +90,7 @@ __all__ = [
     "label_propagation",
     "label_propagation_converge",
     "batch_match_pairs",
+    "compact_signature_store",
     "cdc_chunks",
     "cdc_chunk_stats",
     "incremental_components",

@@ -1078,6 +1078,8 @@ def _sig_meta(id_col: str, k: int, bands: int, rows: int) -> dict:
     return {
         "format": "pjspark-sigstore",
         "version": 1,
+        "layout": "batched",
+        "n_batches": 1,
         "id_col": id_col,
         "k": k,
         "bands": bands,
@@ -1111,9 +1113,13 @@ def save_signature_store(
     import os
 
     sig = _signatures_one_shuffle(df, text_col, id_col, k=k)
-    sig.write.mode("overwrite").parquet(os.path.join(store_dir, "signatures"))
-    with open(os.path.join(store_dir, _SIG_META_NAME), "w") as f:
+    sig.write.mode("overwrite").parquet(
+        os.path.join(store_dir, "signatures", "batch=0")
+    )
+    tmp = os.path.join(store_dir, _SIG_META_NAME + ".tmp")
+    with open(tmp, "w") as f:
         json.dump(_sig_meta(id_col, k, bands, rows), f)
+    os.replace(tmp, os.path.join(store_dir, _SIG_META_NAME))
     return sig
 
 
@@ -1144,13 +1150,33 @@ def load_signature_store(
                 f"signature store {store_dir} was built with {key}="
                 f"{meta.get(key)!r}, this session expects {want[key]!r}"
             )
-    return spark.read.parquet(os.path.join(store_dir, "signatures"))
+    if meta.get("layout") != "batched" or "n_batches" not in meta:
+        # pre-round-12 flat layout (mode-append writes, no publication
+        # gate) — readers could see a crashed append's partial files.
+        # Hard error; every caller rebuilds from source on load failure.
+        raise IndexFormatError(
+            f"signature store {store_dir} uses the legacy flat layout; "
+            "rebuild it with save_signature_store (batched, manifest-"
+            "gated — the q92k crash-publication contract)"
+        )
+    return (
+        spark.read.parquet(os.path.join(store_dir, "signatures"))
+        .where(F.col("batch").cast("int") < int(meta["n_batches"]))
+        .drop("batch")
+    )
 
 
 def append_signatures(sig_df: DataFrame, store_dir: str) -> int:
-    """Append a batch's ACCEPTED signatures to the store and bump the
-    manifest version — the ingest commit of the incremental-dedup loop.
-    Returns the new version number."""
+    """Append a batch's ACCEPTED signatures to the store under
+    ``signatures/batch=N`` and publish it with an atomic manifest
+    commit — the ingest commit of the incremental-dedup loop, under the
+    same crash-publication contract as the vector (q92k) and LM
+    (q157b) stores: a crash after the batch write but before the
+    manifest rename leaves an orphan directory every reader ignores
+    (``batch < n_batches`` partition pruning), and the next append
+    overwrites it.  (Round-12 fix: this previously wrote
+    ``mode("append")`` into a flat dir — a crashed append's partial
+    files were visible to every reader.)  Returns the new version."""
     import json
     import os
 
@@ -1162,13 +1188,54 @@ def append_signatures(sig_df: DataFrame, store_dir: str) -> int:
             meta = json.load(f)
     except (OSError, ValueError) as e:
         raise IndexFormatError(f"not a signature store: {store_dir}") from e
-    sig_df.write.mode("append").parquet(os.path.join(store_dir, "signatures"))
+    if meta.get("layout") != "batched" or "n_batches" not in meta:
+        raise IndexFormatError(
+            f"signature store {store_dir} uses the legacy flat layout; "
+            "rebuild it with save_signature_store"
+        )
+    batch = int(meta["n_batches"])
+    sig_df.write.mode("overwrite").parquet(
+        os.path.join(store_dir, "signatures", f"batch={batch}")
+    )
+    meta["n_batches"] = batch + 1
     meta["version"] = int(meta.get("version", 1)) + 1
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, path)
     return meta["version"]
+
+
+def compact_signature_store(spark, store_dir: str) -> dict:
+    """Collapse all published signature batches into one ``batch=0``
+    (atomic directory swap, manifest reset) — symmetric with
+    :func:`palletjack_spark.functions.similarity.compact_vector_store`
+    and :func:`palletjack_spark.functions.text.compact_lm_store`; run
+    it when the batch list has grown past read comfort."""
+    import json
+    import os
+    import shutil
+
+    live = load_signature_store(spark, store_dir)
+    with open(os.path.join(store_dir, _SIG_META_NAME)) as f:
+        meta = json.load(f)
+    tmp_root = os.path.join(store_dir, "_compact_tmp")
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    live.write.mode("overwrite").parquet(
+        os.path.join(tmp_root, "signatures", "batch=0")
+    )
+    old = os.path.join(store_dir, "signatures")
+    shutil.rmtree(old)
+    os.replace(os.path.join(tmp_root, "signatures"), old)
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    meta["n_batches"] = 1
+    meta["version"] = int(meta.get("version", 1)) + 1
+    path = os.path.join(store_dir, _SIG_META_NAME)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, path)
+    return meta
 
 
 def incremental_dedup(

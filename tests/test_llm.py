@@ -1949,3 +1949,60 @@ def test_stratified_priority_sample_per_stratum_contract(spark):
             assert all(r["w_est"] == float(r["w"]) for r in rs)
         else:
             assert all(r["w_est"] >= float(r["w"]) for r in rs)
+
+
+def test_signature_store_orphan_batch_invisible_and_compaction(spark, tmp_path):
+    """Round-12 crash-publication fix: a crashed append's batch dir is
+    invisible until the manifest lands, legacy flat stores hard-error,
+    and compaction is result-neutral."""
+    import os
+
+    import pytest
+
+    from palletjack_spark.errors import IndexFormatError
+    from palletjack_spark.functions import dedup as D
+
+    docs = load_table(spark, SF_DIR, "documents")
+    store = str(tmp_path / "sig")
+    D.save_signature_store(
+        docs.where(F.col("doc_id") % 5 == 1), "text", "doc_id", store
+    )
+    D.append_signatures(
+        D._signatures_one_shuffle(
+            docs.where(F.col("doc_id") % 5 == 2), "text", "doc_id"
+        ),
+        store,
+    )
+    before = sorted(
+        r["doc_id"] for r in D.load_signature_store(spark, store).collect()
+    )
+    # crashed append: batch dir exists, manifest never bumped
+    D._signatures_one_shuffle(
+        docs.where(F.col("doc_id") % 5 == 3), "text", "doc_id"
+    ).write.mode("overwrite").parquet(
+        os.path.join(store, "signatures", "batch=2")
+    )
+    after = sorted(
+        r["doc_id"] for r in D.load_signature_store(spark, store).collect()
+    )
+    assert after == before
+    meta = D.compact_signature_store(spark, store)
+    assert meta["n_batches"] == 1
+    assert (
+        sorted(
+            r["doc_id"] for r in D.load_signature_store(spark, store).collect()
+        )
+        == before
+    )
+    # legacy flat layout hard-errors
+    import json
+
+    legacy = str(tmp_path / "legacy")
+    os.makedirs(legacy)
+    m = D._sig_meta("doc_id", D.MINHASH_K, D.LSH_BANDS, D.LSH_ROWS)
+    del m["n_batches"]
+    m["layout"] = "flat"
+    with open(os.path.join(legacy, D._SIG_META_NAME), "w") as f:
+        json.dump(m, f)
+    with pytest.raises(IndexFormatError, match="legacy flat layout"):
+        D.load_signature_store(spark, legacy)
