@@ -1791,27 +1791,45 @@ def binary_quantize(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    in_dims: int = 64,
 ) -> DataFrame:
     """1-bit binary quantization of centered embeddings: bit i = sign of
     component i, packed into two BIGINT halves (lo = dims 1-32, hi =
-    33-64) — 8 bytes per vector where float32 takes 256, the 32× memory
-    tier below q92j's SQ8.  Equivalent to 64 axis-aligned hyperplanes
-    through the origin, so Hamming distance between codes estimates the
-    angle (the simhash identity).  Packing is one row-local integer
-    fold — JVM codegen, zero exchanges; two halves (not one 64-bit
-    word) keep every partial sum far from BIGINT overflow in BOTH
-    engines."""
-    def half(lo_bit: int) -> str:
+    33-``in_dims``) — 8 bytes per vector where float32 takes 256, the
+    32× memory tier below q92j's SQ8.  Equivalent to ``in_dims``
+    axis-aligned hyperplanes through the origin, so Hamming distance
+    between codes estimates the angle (the simhash identity).  Packing
+    is one row-local integer fold — JVM codegen, zero exchanges; two
+    halves (not one 64-bit word) keep every partial sum far from BIGINT
+    overflow in BOTH engines.
+
+    ``in_dims`` must match the embedding width (round-12 ADVICE: the
+    fold bounds were hardcoded at 64, which threw ARRAY_INDEX under
+    ANSI for shorter vectors and silently truncated longer ones — now
+    the bounds derive from the declared width, and >64 dims is a hard
+    error rather than silent truncation; rotate/project down first)."""
+    if not 1 <= in_dims <= 64:
+        raise ValueError(
+            f"binary_quantize packs at most 64 dims into two BIGINT "
+            f"halves; got in_dims={in_dims} (JL-project or rotate down "
+            f"to <=64 first)"
+        )
+    n_lo = min(32, in_dims)
+    n_hi = in_dims - n_lo
+
+    def half(lo_bit: int, n_bits: int) -> str:
         return (
-            f"aggregate(sequence(1, 32), cast(0 as bigint),"
+            f"aggregate(sequence(1, {n_bits}), cast(0 as bigint),"
             f" (acc, i) -> acc + IF(element_at({vec_col}, i + {lo_bit}) > 0,"
             f" shiftleft(cast(1 as bigint), i - 1), cast(0 as bigint)))"
         )
 
     return df.select(
         F.col(id_col),
-        F.expr(half(0)).alias("lo"),
-        F.expr(half(32)).alias("hi"),
+        F.expr(half(0, n_lo)).alias("lo"),
+        (
+            F.expr(half(32, n_hi)) if n_hi > 0 else F.lit(0).cast("bigint")
+        ).alias("hi"),
     )
 
 
@@ -1822,6 +1840,7 @@ def bq_two_stage_topk(
     shortlist: int = 30,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    in_dims: int = 64,
 ) -> DataFrame:
     """Two-stage retrieval over binary codes (the Lucene/Elastic-style
     BQ funnel): stage 1 ranks by Hamming distance between 8-byte codes
@@ -1829,8 +1848,8 @@ def bq_two_stage_topk(
     engine, no rounding discipline needed at all — and stage 2 re-ranks
     the shortlist with exact full-dim cosine.  Tie-break (ham ASC,
     id ASC) is total, so the shortlist is deterministic."""
-    ccodes = binary_quantize(corpus_df, id_col, vec_col)
-    qcodes = binary_quantize(queries_df, id_col, vec_col).select(
+    ccodes = binary_quantize(corpus_df, id_col, vec_col, in_dims)
+    qcodes = binary_quantize(queries_df, id_col, vec_col, in_dims).select(
         F.col(id_col).alias("query_id"),
         F.col("lo").alias("qlo"),
         F.col("hi").alias("qhi"),

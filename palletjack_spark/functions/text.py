@@ -362,8 +362,29 @@ def bigram_lm_score(
     # join and the total-mass scalar — uncached, Spark re-executes each
     # subtree, i.e. two extra full-corpus token explosions for one number
     return _lm_score(
-        score, text_col, id_col, big.cache(), uni.cache(), backoff_bits
+        score, text_col, id_col, *_cache_lm_tables(big, uni), backoff_bits
     )
+
+
+#: the LAST invocation's cached LM count tables — a returned scoring
+#: DataFrame is lazy, so there is no in-band point to unpersist; instead
+#: the NEXT invocation evicts the previous pair (round-12 ADVICE: the
+#: old bare .cache() leaked two tables into executor storage per
+#: q157/q157b/q160 invocation for the life of the session — now the
+#: leak is bounded at one pair).  Unpersist is a pure storage hint:
+#: a still-held old DataFrame just recomputes, results unchanged.
+_LM_CACHES: list[DataFrame] = []
+
+
+def _cache_lm_tables(big: DataFrame, uni: DataFrame) -> tuple[DataFrame, DataFrame]:
+    for old in _LM_CACHES:
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    _LM_CACHES.clear()
+    _LM_CACHES.extend([big.cache(), uni.cache()])
+    return big, uni
 
 
 def _lm_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -590,7 +611,7 @@ def bigram_lm_score_store(
     scans at query time: the counts are the at-rest form."""
     big, uni = load_lm_tables(spark, store_dir)
     return _lm_score(
-        score, text_col, id_col, big.cache(), uni.cache(), backoff_bits
+        score, text_col, id_col, *_cache_lm_tables(big, uni), backoff_bits
     )
 
 

@@ -4323,8 +4323,11 @@ def q157b(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = os.path.join(tempfile.gettempdir(), f"pjspark_lmstore_{fp}")
     ready = False
     if os.path.exists(os.path.join(store, _LM_META_NAME)):
+        # build path = save (n_batches=1) + two appends -> 3 published
+        # batches (round-12 ADVICE: the old ==2 check could never hold,
+        # so every invocation silently rebuilt the store from scratch)
         try:
-            ready = _lm_meta(store)["n_batches"] == 2
+            ready = _lm_meta(store)["n_batches"] == 3
         except Exception:
             ready = False
         if not ready:

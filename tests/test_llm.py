@@ -2006,3 +2006,69 @@ def test_signature_store_orphan_batch_invisible_and_compaction(spark, tmp_path):
         json.dump(m, f)
     with pytest.raises(IndexFormatError, match="legacy flat layout"):
         D.load_signature_store(spark, legacy)
+
+
+def test_binary_quantize_dim_parameter(spark):
+    """Round-12 ADVICE: fold bounds derive from ``in_dims`` — short
+    vectors pack no phantom bits (and no ANSI ARRAY_INDEX error), >64
+    dims is a hard error instead of silent truncation."""
+    from palletjack_spark.functions.similarity import binary_quantize
+
+    vec40 = [(-1.0) ** i for i in range(40)]
+    df = spark.createDataFrame(
+        [(1, vec40)], "vec_id long, embedding array<double>"
+    )
+    r = binary_quantize(df, in_dims=40).collect()[0]
+    assert r["lo"] == sum(1 << i for i in range(32) if vec40[i] > 0)
+    assert r["hi"] == sum(1 << (i - 32) for i in range(32, 40) if vec40[i] > 0)
+
+    vec20 = [1.0] * 20
+    df20 = spark.createDataFrame(
+        [(7, vec20)], "vec_id long, embedding array<double>"
+    )
+    r20 = binary_quantize(df20, in_dims=20).collect()[0]
+    assert (r20["lo"], r20["hi"]) == ((1 << 20) - 1, 0)
+
+    with pytest.raises(ValueError, match="at most 64"):
+        binary_quantize(df, in_dims=65)
+
+
+def test_bigram_lm_cache_bounded_to_last_invocation(spark):
+    """Round-12 ADVICE: the LM count-table caches no longer accumulate —
+    each invocation evicts the previous pair, bounding executor storage
+    at one table pair regardless of how many times q157/q157b/q160 run."""
+    from palletjack_spark.functions import text as T
+
+    train = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x y")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    T.bigram_lm_score(train, score, "text", "doc_id").collect()
+    first = list(T._LM_CACHES)
+    assert len(first) == 2 and all(df.storageLevel.useMemory for df in first)
+    # a DIFFERENT train corpus: same-plan re-caching would mask the
+    # eviction (Spark's CacheManager keys on the logical plan)
+    train2 = spark.createDataFrame(
+        [(3, "p q r p q")], "doc_id long, text string"
+    )
+    T.bigram_lm_score(train2, score, "text", "doc_id").collect()
+    assert all(not df.storageLevel.useMemory for df in first)
+    assert len(T._LM_CACHES) == 2
+
+
+def test_q157b_second_invocation_reuses_store(spark, monkeypatch):
+    """Round-12 ADVICE: the q157b readiness check matches the build
+    path's 3 published batches, so a second invocation must reuse the
+    fingerprinted store instead of silently rebuilding it."""
+    from palletjack_spark.functions import text as T
+    from palletjack_spark.queries import REGISTRY
+
+    q = REGISTRY["q157b_incremental_lm_score"].fn
+    want = _lm_rows(q(spark, SF_DIR))
+
+    def _boom(*a, **k):
+        raise AssertionError("store rebuilt — readiness check failed")
+
+    monkeypatch.setattr(T, "save_lm_store", _boom)
+    monkeypatch.setattr(T, "append_lm_counts", _boom)
+    assert _lm_rows(q(spark, SF_DIR)) == want
