@@ -1108,18 +1108,16 @@ def save_signature_store(
     The store is a parquet dataset plus a versioned ``_sig_meta.json``
     manifest stamping the minhash parameters — a store built under
     different k/banding/shingle settings must never silently mix
-    (:func:`load_signature_store` validates)."""
-    import json
-    import os
+    (:func:`load_signature_store` validates).  Batch layout, manifest
+    commit, and compaction ride the shared crash-publication contract
+    (:mod:`palletjack_spark.functions.store`)."""
+    from palletjack_spark.functions import store as S
 
     sig = _signatures_one_shuffle(df, text_col, id_col, k=k)
-    sig.write.mode("overwrite").parquet(
-        os.path.join(store_dir, "signatures", "batch=0")
+    S.write_batch(sig, store_dir, "signatures", 0)
+    S.commit_manifest(
+        store_dir, _SIG_META_NAME, _sig_meta(id_col, k, bands, rows)
     )
-    tmp = os.path.join(store_dir, _SIG_META_NAME + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(_sig_meta(id_col, k, bands, rows), f)
-    os.replace(tmp, os.path.join(store_dir, _SIG_META_NAME))
     return sig
 
 
@@ -1133,14 +1131,11 @@ def load_signature_store(
     """Open a persisted signature store, validating that its manifest
     was written under the SAME minhash parameters (mixed-parameter
     signatures compare garbage — hard error, not a wrong answer)."""
-    import json
-    import os
-
     from palletjack_spark.errors import IndexFormatError
+    from palletjack_spark.functions import store as S
 
     try:
-        with open(os.path.join(store_dir, _SIG_META_NAME)) as f:
-            meta = json.load(f)
+        meta = S.load_manifest(store_dir, _SIG_META_NAME)
     except (OSError, ValueError) as e:
         raise IndexFormatError(f"not a signature store: {store_dir}") from e
     want = _sig_meta(meta.get("id_col", ""), k, bands, rows)
@@ -1159,11 +1154,7 @@ def load_signature_store(
             "rebuild it with save_signature_store (batched, manifest-"
             "gated — the q92k crash-publication contract)"
         )
-    return (
-        spark.read.parquet(os.path.join(store_dir, "signatures"))
-        .where(F.col("batch").cast("int") < int(meta["n_batches"]))
-        .drop("batch")
-    )
+    return S.live_batches(spark, store_dir, "signatures", meta["n_batches"])
 
 
 def append_signatures(sig_df: DataFrame, store_dir: str) -> int:
@@ -1177,15 +1168,11 @@ def append_signatures(sig_df: DataFrame, store_dir: str) -> int:
     overwrites it.  (Round-12 fix: this previously wrote
     ``mode("append")`` into a flat dir — a crashed append's partial
     files were visible to every reader.)  Returns the new version."""
-    import json
-    import os
-
     from palletjack_spark.errors import IndexFormatError
+    from palletjack_spark.functions import store as S
 
-    path = os.path.join(store_dir, _SIG_META_NAME)
     try:
-        with open(path) as f:
-            meta = json.load(f)
+        meta = S.load_manifest(store_dir, _SIG_META_NAME)
     except (OSError, ValueError) as e:
         raise IndexFormatError(f"not a signature store: {store_dir}") from e
     if meta.get("layout") != "batched" or "n_batches" not in meta:
@@ -1194,47 +1181,32 @@ def append_signatures(sig_df: DataFrame, store_dir: str) -> int:
             "rebuild it with save_signature_store"
         )
     batch = int(meta["n_batches"])
-    sig_df.write.mode("overwrite").parquet(
-        os.path.join(store_dir, "signatures", f"batch={batch}")
-    )
+    S.write_batch(sig_df, store_dir, "signatures", batch)
     meta["n_batches"] = batch + 1
     meta["version"] = int(meta.get("version", 1)) + 1
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, path)
+    S.commit_manifest(store_dir, _SIG_META_NAME, meta)
     return meta["version"]
 
 
 def compact_signature_store(spark, store_dir: str) -> dict:
     """Collapse all published signature batches into one ``batch=0``
-    (atomic directory swap, manifest reset) — symmetric with
+    (crash-atomic aside-then-promote swap, manifest reset) — symmetric
+    with
     :func:`palletjack_spark.functions.similarity.compact_vector_store`
     and :func:`palletjack_spark.functions.text.compact_lm_store`; run
-    it when the batch list has grown past read comfort."""
-    import json
-    import os
-    import shutil
+    it when the batch list has grown past read comfort.  (Round-12
+    ADVICE: the old rmtree-then-replace sequence had a crash window
+    with NO signatures directory and the only copy of the data in a
+    temp dir the next compaction deleted — the shared
+    :func:`palletjack_spark.functions.store.compact_swap` sets the old
+    directory aside until the new one is live and committed.)"""
+    from palletjack_spark.functions import store as S
 
     live = load_signature_store(spark, store_dir)
-    with open(os.path.join(store_dir, _SIG_META_NAME)) as f:
-        meta = json.load(f)
-    tmp_root = os.path.join(store_dir, "_compact_tmp")
-    shutil.rmtree(tmp_root, ignore_errors=True)
-    live.write.mode("overwrite").parquet(
-        os.path.join(tmp_root, "signatures", "batch=0")
-    )
-    old = os.path.join(store_dir, "signatures")
-    shutil.rmtree(old)
-    os.replace(os.path.join(tmp_root, "signatures"), old)
-    shutil.rmtree(tmp_root, ignore_errors=True)
+    meta = S.load_manifest(store_dir, _SIG_META_NAME)
     meta["n_batches"] = 1
     meta["version"] = int(meta.get("version", 1)) + 1
-    path = os.path.join(store_dir, _SIG_META_NAME)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, path)
+    S.compact_swap(store_dir, _SIG_META_NAME, meta, {"signatures": live})
     return meta
 
 

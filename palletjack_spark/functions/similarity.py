@@ -839,7 +839,7 @@ def save_vector_store(
     without ever re-encoding — the symmetric closure of q156's
     incremental-dedup signature store (round-12 verdict item 4).
     Returns the loaded quantizer dict."""
-    import json
+    from palletjack_spark.functions import store as S
 
     spark = corpus_df.sparkSession
     idx = save_ann_index(
@@ -852,10 +852,9 @@ def save_vector_store(
         id_col=id_col,
         vec_col=vec_col,
     )
-    batch_dir = os.path.join(path, "vectors", "batch=0")
-    encode_vectors(corpus_df, idx, id_col, vec_col).write.mode(
-        "overwrite"
-    ).parquet(batch_dir)
+    batch_dir = S.write_batch(
+        encode_vectors(corpus_df, idx, id_col, vec_col), path, "vectors", 0
+    )
     n = spark.read.parquet(batch_dir).count()
     meta = dict(idx["meta"])
     meta.update(
@@ -867,10 +866,7 @@ def save_vector_store(
             "vec_col": vec_col,
         }
     )
-    tmp = os.path.join(path, _ANN_META_NAME + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(path, _ANN_META_NAME))
+    S.commit_manifest(path, _ANN_META_NAME, meta)
     idx["meta"] = meta
     return idx
 
@@ -912,7 +908,6 @@ def append_vectors(
     discipline: a store queried under different columns is a silent
     wrong answer, so it hard-errors instead).  Single-writer appends,
     like the q156 signature store.  Returns the appended row count."""
-    import json
 
     spark = new_df.sparkSession
     meta = _store_meta(path)
@@ -932,20 +927,16 @@ def append_vectors(
             f"{idx['centroids'].shape[1]}-dim vectors; batch "
             f"'{vec_col}' is {row[0]['d']}-dim"
         )
+    from palletjack_spark.functions import store as S
+
     batch = int(meta["n_batches"])
-    batch_dir = os.path.join(path, "vectors", f"batch={batch}")
-    # mode("overwrite"): an unpublished orphan from a crashed append is
-    # garbage by contract (readers never see past the manifest)
-    encode_vectors(new_df, idx, id_col, vec_col).write.mode(
-        "overwrite"
-    ).parquet(batch_dir)
+    batch_dir = S.write_batch(
+        encode_vectors(new_df, idx, id_col, vec_col), path, "vectors", batch
+    )
     n = spark.read.parquet(batch_dir).count()
     meta["n_batches"] = batch + 1
     meta["n_vectors"] = list(meta.get("n_vectors", [])) + [int(n)]
-    tmp = os.path.join(path, _ANN_META_NAME + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(path, _ANN_META_NAME))
+    S.commit_manifest(path, _ANN_META_NAME, meta)
     return int(n)
 
 
@@ -960,7 +951,6 @@ def delete_vectors(ids_df: DataFrame, path: str, id_col: str | None = None) -> i
     delete set that ISN'T belongs in :func:`compact_vector_store`).
     Deleting an id absent from the store is a no-op by construction.
     Returns the number of tombstone ids written."""
-    import json
 
     spark = ids_df.sparkSession
     meta = _store_meta(path)
@@ -970,17 +960,18 @@ def delete_vectors(ids_df: DataFrame, path: str, id_col: str | None = None) -> i
             f"vector store at {path} keys on {meta['id_col']!r}; delete "
             f"asked for {id_col!r}"
         )
+    from palletjack_spark.functions import store as S
+
     batch = int(meta.get("n_tombstone_batches", 0))
-    out_dir = os.path.join(path, "tombstones", f"batch={batch}")
-    ids_df.select(
-        F.col(id_col).cast("long").alias("vec_id")
-    ).distinct().write.mode("overwrite").parquet(out_dir)
+    out_dir = S.write_batch(
+        ids_df.select(F.col(id_col).cast("long").alias("vec_id")).distinct(),
+        path,
+        "tombstones",
+        batch,
+    )
     n = spark.read.parquet(out_dir).count()
     meta["n_tombstone_batches"] = batch + 1
-    tmp = os.path.join(path, _ANN_META_NAME + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(path, _ANN_META_NAME))
+    S.commit_manifest(path, _ANN_META_NAME, meta)
     return int(n)
 
 
@@ -988,15 +979,13 @@ def _store_vectors(spark, path: str, meta: dict) -> DataFrame:
     """The store's LIVE rows: published vector batches minus published
     tombstones (broadcast LEFT ANTI — the wide ``vec`` column never
     shuffles; orphan batches of either kind are partition-pruned out)."""
-    vectors = spark.read.parquet(os.path.join(path, "vectors")).where(
-        F.col("batch").cast("int") < int(meta["n_batches"])
-    )
+    from palletjack_spark.functions import store as S
+
+    vectors = S.live_batches(spark, path, "vectors", meta["n_batches"])
     n_tomb = int(meta.get("n_tombstone_batches", 0))
     if n_tomb > 0:
-        tombs = (
-            spark.read.parquet(os.path.join(path, "tombstones"))
-            .where(F.col("batch").cast("int") < n_tomb)
-            .select("vec_id")
+        tombs = S.live_batches(spark, path, "tombstones", n_tomb).select(
+            "vec_id"
         )
         vectors = vectors.join(F.broadcast(tombs), "vec_id", "left_anti")
     return vectors
@@ -1011,21 +1000,17 @@ def compact_vector_store(spark, path: str) -> dict:
     the tombstone set has grown past broadcast comfort; between
     compactions deletes stay O(tombstones).  Single-writer, like
     append.  Returns the updated manifest."""
-    import json
     import shutil
+
+    import shutil
+
+    from palletjack_spark.functions import store as S
 
     meta = _store_meta(path)
     live = _store_vectors(spark, path, meta).select(
         "vec_id", "cell", "codes", "vec"
     )
-    tmp_vectors = os.path.join(path, "vectors.compact.tmp")
-    shutil.rmtree(tmp_vectors, ignore_errors=True)
-    live.write.parquet(os.path.join(tmp_vectors, "batch=0"))
-    n = spark.read.parquet(os.path.join(tmp_vectors, "batch=0")).count()
-    old_vectors = os.path.join(path, "vectors.old.tmp")
-    shutil.rmtree(old_vectors, ignore_errors=True)
-    os.replace(os.path.join(path, "vectors"), old_vectors)
-    os.replace(tmp_vectors, os.path.join(path, "vectors"))
+    n = live.count()
     meta.update(
         {
             "n_batches": 1,
@@ -1033,11 +1018,7 @@ def compact_vector_store(spark, path: str) -> dict:
             "n_tombstone_batches": 0,
         }
     )
-    tmpm = os.path.join(path, _ANN_META_NAME + ".tmp")
-    with open(tmpm, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmpm, os.path.join(path, _ANN_META_NAME))
-    shutil.rmtree(old_vectors, ignore_errors=True)
+    S.compact_swap(path, _ANN_META_NAME, meta, {"vectors": live})
     shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
     return meta
 

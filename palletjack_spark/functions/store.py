@@ -1,0 +1,138 @@
+"""Shared crash-publication contract for the persisted incremental
+stores (q156 MinHash signatures, q92k/l vectors + tombstones, q157b LM
+counts) — one implementation of the batch-dir/manifest/compaction
+discipline the three stores previously each carried privately
+(round-12 verdict item 3: "three stores, three private manifest
+implementations — divergence risk on the next store").
+
+The contract (README "incremental stores"):
+
+* Data lives under ``store_dir/<dataset>/batch=N`` parquet partitions;
+  the JSON manifest (one ``os.replace``-committed file per store) is
+  the ONLY publication point.  A crash after a batch write but before
+  the manifest commit leaves an orphan ``batch=N`` directory every
+  reader ignores (``batch < manifest.n_batches`` partition pruning) and
+  the next append overwrites.
+* Appends write ``mode("overwrite")`` into the next batch dir (an
+  unpublished orphan is garbage by contract), then commit the manifest.
+* Compaction is crash-atomic with NO window where a live dataset
+  directory is absent for longer than one rename (round-12 ADVICE: the
+  signature/LM compactors used ``rmtree(old)`` then ``os.replace`` —
+  a crash between the two left the store with no dataset directory and
+  the only copy of the data in ``_compact_tmp``, which the next
+  compaction deleted).  The shared sequence, per dataset:
+
+  1. write the compacted rows to ``_compact_tmp/<dataset>/batch=0``;
+  2. ``os.replace(<dataset>, <dataset>.old.tmp)`` — the old data is
+     set ASIDE, never deleted before the new data is live;
+  3. ``os.replace(_compact_tmp/<dataset>, <dataset>)``;
+  4. commit the manifest; only then rmtree the ``.old.tmp`` dirs.
+
+  A crash inside the one rename-to-rename window leaves
+  ``<dataset>.old.tmp`` holding the complete store;
+  :func:`recover_dataset` (called by every reader and by the next
+  compaction) renames it back.  A crash after step 3 but before the
+  manifest commit is also safe WITHOUT recovery: compaction is
+  content-preserving, so reading ``batch < old_n_batches`` over the
+  compacted directory sees exactly ``batch=0`` = the full store.
+
+Single-writer per store, like the reference's sidecar writes — at
+100 TB the manifest commit would sit behind the metastore/catalog
+transaction instead; the layout and pruning are unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, functions as F
+
+_COMPACT_TMP = "_compact_tmp"
+_OLD_SUFFIX = ".old.tmp"
+
+
+def load_manifest(store_dir: str, manifest_name: str) -> dict:
+    """Read a store manifest; raises ``OSError``/``ValueError`` on a
+    missing or unparsable file (callers wrap in their store's error
+    type with their store's message)."""
+    with open(os.path.join(store_dir, manifest_name)) as f:
+        return json.load(f)
+
+
+def commit_manifest(store_dir: str, manifest_name: str, meta: dict) -> None:
+    """Atomic manifest publication — the q92k contract: the rename IS
+    the commit; everything written before it is invisible until here."""
+    path = os.path.join(store_dir, manifest_name)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, path)
+
+
+def write_batch(df: DataFrame, store_dir: str, dataset: str, batch: int) -> str:
+    """Land one batch under ``<dataset>/batch=N`` (mode overwrite: an
+    unpublished orphan from a crashed append is garbage by contract).
+    Returns the batch directory path."""
+    batch_dir = os.path.join(store_dir, dataset, f"batch={batch}")
+    df.write.mode("overwrite").parquet(batch_dir)
+    return batch_dir
+
+
+def recover_dataset(store_dir: str, dataset: str) -> None:
+    """Heal a crash inside compaction's rename-to-rename window: the
+    dataset dir is absent but ``<dataset>.old.tmp`` holds the complete
+    pre-compaction store — rename it back.  No-op otherwise."""
+    live = os.path.join(store_dir, dataset)
+    aside = live + _OLD_SUFFIX
+    if not os.path.exists(live) and os.path.exists(aside):
+        os.replace(aside, live)
+
+
+def live_batches(
+    spark, store_dir: str, dataset: str, n_batches: int
+) -> DataFrame:
+    """The dataset's PUBLISHED rows: ``batch < n_batches`` partition
+    pruning drops crashed-append orphans; the ``batch`` column is
+    dropped.  Runs crash recovery first (see :func:`recover_dataset`)."""
+    recover_dataset(store_dir, dataset)
+    return (
+        spark.read.parquet(os.path.join(store_dir, dataset))
+        .where(F.col("batch").cast("int") < int(n_batches))
+        .drop("batch")
+    )
+
+
+def compact_swap(
+    store_dir: str,
+    manifest_name: str,
+    meta: dict,
+    writers: dict[str, DataFrame],
+) -> None:
+    """Crash-atomic multi-dataset compaction swap: write each dataset's
+    compacted rows as a fresh ``batch=0`` under ``_compact_tmp``, set
+    every old dataset dir ASIDE (never deleted before the new data is
+    live), promote, commit ``meta`` (the caller has already reset
+    ``n_batches`` etc.), then clean up.  ``writers`` maps dataset name
+    -> its live rows (computed BEFORE any directory moves)."""
+    for dataset in writers:
+        recover_dataset(store_dir, dataset)
+    tmp_root = os.path.join(store_dir, _COMPACT_TMP)
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    for dataset, df in writers.items():
+        df.write.mode("overwrite").parquet(
+            os.path.join(tmp_root, dataset, "batch=0")
+        )
+    asides = []
+    for dataset in writers:
+        live = os.path.join(store_dir, dataset)
+        aside = live + _OLD_SUFFIX
+        shutil.rmtree(aside, ignore_errors=True)
+        os.replace(live, aside)
+        os.replace(os.path.join(tmp_root, dataset), live)
+        asides.append(aside)
+    commit_manifest(store_dir, manifest_name, meta)
+    for aside in asides:
+        shutil.rmtree(aside, ignore_errors=True)
+    shutil.rmtree(tmp_root, ignore_errors=True)

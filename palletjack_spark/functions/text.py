@@ -506,13 +506,9 @@ def _lm_commit(store_dir: str, meta: dict) -> None:
     """Atomic manifest publication — the q92k contract: a crash after a
     batch write but before this rename leaves an orphan directory every
     reader ignores, and the next append overwrites it."""
-    import json
-    import os
+    from palletjack_spark.functions import store as S
 
-    tmp = os.path.join(store_dir, _LM_META_NAME + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(store_dir, _LM_META_NAME))
+    S.commit_manifest(store_dir, _LM_META_NAME, meta)
 
 
 def save_lm_store(
@@ -524,16 +520,11 @@ def save_lm_store(
     rescan of this corpus (:func:`append_lm_counts`) — the exact reason
     Brants et al. chose count-based smoothing for distributed training:
     counts are additive; normalized probabilities are not."""
-    import json
-    import os
+    from palletjack_spark.functions import store as S
 
     big, uni = _lm_counts(train, text_col, id_col)
-    big.write.mode("overwrite").parquet(
-        os.path.join(store_dir, "bigrams", "batch=0")
-    )
-    uni.write.mode("overwrite").parquet(
-        os.path.join(store_dir, "unigrams", "batch=0")
-    )
+    S.write_batch(big, store_dir, "bigrams", 0)
+    S.write_batch(uni, store_dir, "unigrams", 0)
     _lm_commit(
         store_dir,
         {
@@ -552,7 +543,7 @@ def append_lm_counts(
     land the deltas under ``batch=N``, commit the manifest atomically.
     A store built over a different text column hard-errors (the q92g
     param-mismatch discipline)."""
-    import os
+    from palletjack_spark.functions import store as S
 
     meta = _lm_meta(store_dir)
     if meta["text_col"] != text_col:
@@ -562,12 +553,8 @@ def append_lm_counts(
         )
     batch = int(meta["n_batches"])
     big, uni = _lm_counts(new_train, text_col, id_col)
-    big.write.mode("overwrite").parquet(
-        os.path.join(store_dir, "bigrams", f"batch={batch}")
-    )
-    uni.write.mode("overwrite").parquet(
-        os.path.join(store_dir, "unigrams", f"batch={batch}")
-    )
+    S.write_batch(big, store_dir, "bigrams", batch)
+    S.write_batch(uni, store_dir, "unigrams", batch)
     meta["n_batches"] = batch + 1
     _lm_commit(store_dir, meta)
 
@@ -579,19 +566,17 @@ def load_lm_tables(
     Orphan batches (crashed appends past the manifest) are
     partition-pruned out; the per-key SUM is one map-side-combined
     exchange over tables that are Zipf-sublinear in the corpus."""
-    import os
+    from palletjack_spark.functions import store as S
 
     meta = _lm_meta(store_dir)
     n = int(meta["n_batches"])
     big = (
-        spark.read.parquet(os.path.join(store_dir, "bigrams"))
-        .where(F.col("batch").cast("int") < n)
+        S.live_batches(spark, store_dir, "bigrams", n)
         .groupBy("w1", "w2")
         .agg(F.sum("c12").alias("c12"))
     )
     uni = (
-        spark.read.parquet(os.path.join(store_dir, "unigrams"))
-        .where(F.col("batch").cast("int") < n)
+        S.live_batches(spark, store_dir, "unigrams", n)
         .groupBy("tok")
         .agg(F.sum("c2").alias("c2"))
     )
@@ -617,28 +602,19 @@ def bigram_lm_score_store(
 
 def compact_lm_store(spark, store_dir: str) -> dict:
     """Collapse all published batches into one: re-aggregate the live
-    tables, write fresh ``batch=0`` dirs under a temp root, atomically
-    swap them in, and reset the manifest.  Run it when the batch list
-    has grown past read comfort; scoring results are pinned unchanged
-    across compaction in tests."""
-    import os
-    import shutil
+    tables, write fresh ``batch=0`` dirs under a temp root, and swap
+    them in CRASH-ATOMICALLY via the shared aside-then-promote sequence
+    (:func:`palletjack_spark.functions.store.compact_swap` — round-12
+    ADVICE: the old rmtree-then-replace left a crash window with no
+    count tables at all and the only copy in a temp dir).  Run it when
+    the batch list has grown past read comfort; scoring results are
+    pinned unchanged across compaction in tests."""
+    from palletjack_spark.functions import store as S
 
     meta = _lm_meta(store_dir)
     big, uni = load_lm_tables(spark, store_dir)
-    tmp_root = os.path.join(store_dir, "_compact_tmp")
-    shutil.rmtree(tmp_root, ignore_errors=True)
-    big.write.mode("overwrite").parquet(
-        os.path.join(tmp_root, "bigrams", "batch=0")
-    )
-    uni.write.mode("overwrite").parquet(
-        os.path.join(tmp_root, "unigrams", "batch=0")
-    )
-    for name in ("bigrams", "unigrams"):
-        old = os.path.join(store_dir, name)
-        shutil.rmtree(old)
-        os.replace(os.path.join(tmp_root, name), old)
-    shutil.rmtree(tmp_root, ignore_errors=True)
     meta["n_batches"] = 1
-    _lm_commit(store_dir, meta)
+    S.compact_swap(
+        store_dir, _LM_META_NAME, meta, {"bigrams": big, "unigrams": uni}
+    )
     return meta

@@ -2072,3 +2072,107 @@ def test_q157b_second_invocation_reuses_store(spark, monkeypatch):
     monkeypatch.setattr(T, "save_lm_store", _boom)
     monkeypatch.setattr(T, "append_lm_counts", _boom)
     assert _lm_rows(q(spark, SF_DIR)) == want
+
+
+def test_signature_compaction_crash_window_recovers(spark, tmp_path, monkeypatch):
+    """Round-12 ADVICE: compaction must never have a state where the
+    live dataset dir is gone AND the only copy sits in a temp dir the
+    next compaction deletes.  Inject a crash between the aside-rename
+    and the promote-rename; the store must still read (recovery renames
+    the aside back) and a subsequent compaction must succeed, all
+    result-neutral."""
+    import os
+
+    from palletjack_spark.functions import dedup as D
+
+    docs = load_table(spark, SF_DIR, "documents")
+    store = str(tmp_path / "sig")
+    D.save_signature_store(
+        docs.where(F.col("doc_id") % 5 == 1), "text", "doc_id", store
+    )
+    D.append_signatures(
+        D._signatures_one_shuffle(
+            docs.where(F.col("doc_id") % 5 == 2), "text", "doc_id"
+        ),
+        store,
+    )
+    want = sorted(
+        r["doc_id"] for r in D.load_signature_store(spark, store).collect()
+    )
+
+    real_replace = os.replace
+
+    def crash_before_promote(src, dst):
+        if "_compact_tmp" in str(src) and str(dst).endswith("signatures"):
+            raise OSError("injected crash before promote")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", crash_before_promote)
+    with pytest.raises(OSError, match="injected crash"):
+        D.compact_signature_store(spark, store)
+    monkeypatch.setattr(os, "replace", real_replace)
+
+    # mid-swap state: live dir absent, data set ASIDE — readers recover
+    assert not os.path.exists(os.path.join(store, "signatures"))
+    assert os.path.exists(os.path.join(store, "signatures.old.tmp"))
+    got = sorted(
+        r["doc_id"] for r in D.load_signature_store(spark, store).collect()
+    )
+    assert got == want
+    # and the next compaction completes and stays result-neutral
+    meta = D.compact_signature_store(spark, store)
+    assert meta["n_batches"] == 1
+    assert not os.path.exists(os.path.join(store, "signatures.old.tmp"))
+    assert (
+        sorted(
+            r["doc_id"] for r in D.load_signature_store(spark, store).collect()
+        )
+        == want
+    )
+
+
+def test_lm_compaction_partial_swap_is_readable(spark, tmp_path, monkeypatch):
+    """Two-dataset stores (LM bigrams + unigrams): a crash after the
+    FIRST dataset promoted but before the second leaves one compacted
+    and one set aside — reads must recover the aside and score
+    identically (compaction is count-preserving, so the compacted
+    dataset under the OLD manifest reads batch=0 = the full table)."""
+    import os
+
+    from palletjack_spark.functions import text as T
+
+    docs = load_table(spark, SF_DIR, "documents")
+    base = docs.where(F.col("doc_id") % 5 == 1)
+    delta = docs.where(F.col("doc_id") % 5 == 2)
+    score = docs.where(F.col("doc_id") % 5 == 0)
+    store = str(tmp_path / "lm")
+    T.save_lm_store(base, "text", "doc_id", store)
+    T.append_lm_counts(delta, "text", "doc_id", store)
+    want = _lm_rows(
+        T.bigram_lm_score_store(spark, score, "text", "doc_id", store)
+    )
+
+    real_replace = os.replace
+
+    def crash_before_second_promote(src, dst):
+        if "_compact_tmp" in str(src) and str(dst).endswith("unigrams"):
+            raise OSError("injected crash before second promote")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", crash_before_second_promote)
+    with pytest.raises(OSError, match="injected crash"):
+        T.compact_lm_store(spark, store)
+    monkeypatch.setattr(os, "replace", real_replace)
+
+    # bigrams promoted (compacted batch=0), unigrams aside, manifest OLD
+    assert T._lm_meta(store)["n_batches"] == 2
+    assert os.path.exists(os.path.join(store, "unigrams.old.tmp"))
+    got = _lm_rows(
+        T.bigram_lm_score_store(spark, score, "text", "doc_id", store)
+    )
+    assert got == want
+    meta = T.compact_lm_store(spark, store)
+    assert meta["n_batches"] == 1
+    assert _lm_rows(
+        T.bigram_lm_score_store(spark, score, "text", "doc_id", store)
+    ) == want
