@@ -575,3 +575,45 @@ def register_index_jvm(
 
 def unregister_index_jvm(spark: SparkSession, path: str) -> None:
     spark._jvm.io.palletjack.spark.PalletJackRegistry.unregister(path)
+
+
+def jvm_prune_events(spark: SparkSession) -> list[dict]:
+    """All of the JVM rule's recorded pruning decisions (oldest first),
+    parsed from the registry's event log — the same payload the
+    injected SQL function ``palletjack_prune_explain()`` returns to
+    pure-SQL clients.  Each event mirrors
+    :func:`palletjack_spark.index.explain.prune_explain_counts`'s
+    shape at file scope::
+
+        {"seq": 3, "root": "/data", "predicate": "(v = 123)",
+         "total": 4, "kept": 1,
+         "pruned": {"stats": 3, "dictionary": 0, "bloom": 0, "page": 0}}
+
+    (partition pruning is Spark's own scan-time job and never appears
+    here — the rule keeps the partition spec intact).  Decisions that
+    kept everything are recorded too: "why did my point lookup scan
+    400 files" has an answer (kept == total, all tiers 0 — no
+    registered evidence could exclude anything)."""
+    import json
+
+    return json.loads(
+        str(spark._jvm.io.palletjack.spark.PalletJackRegistry.pruneEventsJson())
+    )
+
+
+def jvm_last_prune(spark: SparkSession, path: str) -> dict | None:
+    """The NEWEST pruning decision for the registered root covering
+    ``path``, or None — the one-argument form of the SQL function."""
+    import json
+
+    return json.loads(
+        str(
+            spark._jvm.io.palletjack.spark.PalletJackRegistry.lastPruneJson(
+                path
+            )
+        )
+    )
+
+
+def clear_jvm_prune_events(spark: SparkSession) -> None:
+    spark._jvm.io.palletjack.spark.PalletJackRegistry.clearPruneEvents()

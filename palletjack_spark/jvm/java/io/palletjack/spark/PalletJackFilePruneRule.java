@@ -150,6 +150,12 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
         Map<String, Map<String, double[]>> intervals =
                 PalletJackRegistry.intervalsFor(registered);
         List<String> surviving = new ArrayList<>();
+        // per-tier prune attribution (round-12 verdict item 1: parity
+        // with the Python prune_explain surface) — the FIRST tier that
+        // proves a file matchless gets the credit, in the same probe
+        // order as index/explain.py's TIERS (stats, dictionary, bloom,
+        // page; partition pruning stays Spark's own scan-time job)
+        int[] tierCounts = new int[TIER_NAMES.length];
         for (Map.Entry<String, Map<String, double[]>> e : files.entrySet()) {
             Map<String, long[]> dig =
                     digests == null ? null : digests.get(e.getKey());
@@ -157,10 +163,22 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
                     blooms == null ? null : blooms.get(e.getKey());
             Map<String, double[]> iv =
                     intervals == null ? null : intervals.get(e.getKey());
-            if (fileCanMatch(e.getValue(), dig, blm, iv, conjuncts)) {
+            int tier = pruneTier(e.getValue(), dig, blm, iv, conjuncts);
+            if (tier < 0) {
                 surviving.add(e.getKey());
+            } else {
+                tierCounts[tier]++;
             }
         }
+        String predicate;
+        try {
+            predicate = f.condition().sql();
+        } catch (RuntimeException ex) {
+            predicate = f.condition().toString();
+        }
+        PalletJackRegistry.recordPrune(
+                registered, predicate, files.size(), surviving.size(),
+                tierCounts);
         if (surviving.size() >= files.size()) {
             return null; // nothing pruned (also guarantees fixed-point convergence)
         }
@@ -806,98 +824,140 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
         return true;
     }
 
-    private static boolean fileCanMatch(
+    /** Tier names in probe order — the same order (minus partition,
+     *  which is Spark's own scan-time pruning) as the Python explain
+     *  surface's TIERS (index/explain.py), so pure-SQL attribution and
+     *  DataFrame-layer attribution agree on shared fixtures.  Indexes
+     *  match {@code recordPrune}'s count array. */
+    static final String[] TIER_NAMES = {"stats", "dictionary", "bloom", "page"};
+
+    /** The FIRST tier (index into {@link #TIER_NAMES}) that proves the
+     *  file matchless, or -1 to keep.  Pure observation-friendly
+     *  restructure of the old fileCanMatch: same probes, same
+     *  soundness, now attributable per tier. */
+    private static int pruneTier(
             Map<String, double[]> stats,
             Map<String, long[]> digests,
             Map<String, PalletJackRegistry.BloomEntry> blooms,
             Map<String, double[]> intervals,
             List<Conjunct> cs) {
-        if (intervals != null && !intervalsCanMatch(intervals, cs)) {
-            return false;
+        if (!statsCanMatch(stats, cs)) {
+            return 0;
         }
+        if (digests != null && !digestsCanMatch(digests, cs)) {
+            return 1;
+        }
+        if (blooms != null && !bloomsCanMatch(blooms, cs)) {
+            return 2;
+        }
+        if (intervals != null && !intervalsCanMatch(intervals, cs)) {
+            return 3;
+        }
+        return -1;
+    }
+
+    /** Membership-digest tier (round-10): a digest is the file's
+     *  COMPLETE value set for the column.  For =/IN, every literal
+     *  provably absent means the file cannot match, even when its
+     *  [min, max] spans the literal (interleaved high-cardinality keys,
+     *  the q03e layout).  For !=/NOT IN (round-11), the dual: a digest
+     *  wholly CONTAINED in the excluded hash set means no row can
+     *  satisfy the exclusion (NULL rows don't satisfy != / NOT IN
+     *  either). */
+    private static boolean digestsCanMatch(
+            Map<String, long[]> digests, List<Conjunct> cs) {
         for (Conjunct c : cs) {
-            // membership-digest tier (round-10): a digest is the file's
-            // COMPLETE value set for the column.  For =/IN, every
-            // literal provably absent means the file cannot match, even
-            // when its [min, max] spans the literal (interleaved
-            // high-cardinality keys, the q03e layout).  For !=/NOT IN
-            // (round-11), the dual: a digest wholly CONTAINED in the
-            // excluded hash set means no row can satisfy the exclusion
-            // (NULL rows don't satisfy != / NOT IN either).
-            long[] dig = digests == null ? null : digests.get(c.col);
-            if (dig != null) {
-                if ("=".equals(c.op) && c.canon != null) {
-                    Long h = hash64(c.canon);
-                    if (h != null && java.util.Arrays.binarySearch(dig, h) < 0) {
-                        return false;
+            long[] dig = digests.get(c.col);
+            if (dig == null) {
+                continue;
+            }
+            if ("=".equals(c.op) && c.canon != null) {
+                Long h = hash64(c.canon);
+                if (h != null && java.util.Arrays.binarySearch(dig, h) < 0) {
+                    return false;
+                }
+            } else if ("in".equals(c.op) && c.canons != null) {
+                boolean any = false;
+                for (String canon : c.canons) {
+                    Long h = hash64(canon);
+                    if (h == null || java.util.Arrays.binarySearch(dig, h) >= 0) {
+                        any = true;
+                        break;
                     }
-                } else if ("in".equals(c.op) && c.canons != null) {
-                    boolean any = false;
-                    for (String canon : c.canons) {
-                        Long h = hash64(canon);
-                        if (h == null || java.util.Arrays.binarySearch(dig, h) >= 0) {
-                            any = true;
+                }
+                if (!any) {
+                    return false;
+                }
+            } else if (("!=".equals(c.op) && c.canon != null)
+                    || ("not_in".equals(c.op) && c.canons != null)) {
+                String[] ex = c.canons != null
+                        ? c.canons : new String[]{c.canon};
+                if (dig.length <= ex.length) {
+                    long[] exh = new long[ex.length];
+                    boolean ok = true;
+                    for (int i = 0; i < ex.length; i++) {
+                        Long h = hash64(ex[i]);
+                        if (h == null) {
+                            ok = false;
                             break;
                         }
+                        exh[i] = h;
                     }
-                    if (!any) {
-                        return false;
-                    }
-                } else if (("!=".equals(c.op) && c.canon != null)
-                        || ("not_in".equals(c.op) && c.canons != null)) {
-                    String[] ex = c.canons != null
-                            ? c.canons : new String[]{c.canon};
-                    if (dig.length <= ex.length) {
-                        long[] exh = new long[ex.length];
-                        boolean ok = true;
-                        for (int i = 0; i < ex.length; i++) {
-                            Long h = hash64(ex[i]);
-                            if (h == null) {
-                                ok = false;
+                    if (ok) {
+                        java.util.Arrays.sort(exh);
+                        boolean subset = true;
+                        for (long d : dig) {
+                            if (java.util.Arrays.binarySearch(exh, d) < 0) {
+                                subset = false;
                                 break;
                             }
-                            exh[i] = h;
                         }
-                        if (ok) {
-                            java.util.Arrays.sort(exh);
-                            boolean subset = true;
-                            for (long d : dig) {
-                                if (java.util.Arrays.binarySearch(exh, d) < 0) {
-                                    subset = false;
-                                    break;
-                                }
-                            }
-                            if (subset) {
-                                return false;
-                            }
+                        if (subset) {
+                            return false;
                         }
                     }
                 }
             }
-            // bloom tier (round-11): the point-lookup evidence for
-            // dict-OVERFLOW columns, where the digest tier above has
-            // nothing.  Equality/IN only — a bloom can never prove its
-            // column holds ONLY excluded values.
-            PalletJackRegistry.BloomEntry blm =
-                    blooms == null ? null : blooms.get(c.col);
-            if (blm != null) {
-                if ("=".equals(c.op) && c.canon != null) {
-                    if (bloomProvesAbsent(blm, c.canon)) {
-                        return false;
-                    }
-                } else if ("in".equals(c.op) && c.canons != null) {
-                    boolean all = c.canons.length > 0;
-                    for (String canon : c.canons) {
-                        if (!bloomProvesAbsent(blm, canon)) {
-                            all = false;
-                            break;
-                        }
-                    }
-                    if (all) {
-                        return false;
+        }
+        return true;
+    }
+
+    /** Bloom tier (round-11): the point-lookup evidence for
+     *  dict-OVERFLOW columns, where the digest tier has nothing.
+     *  Equality/IN only — a bloom can never prove its column holds
+     *  ONLY excluded values. */
+    private static boolean bloomsCanMatch(
+            Map<String, PalletJackRegistry.BloomEntry> blooms,
+            List<Conjunct> cs) {
+        for (Conjunct c : cs) {
+            PalletJackRegistry.BloomEntry blm = blooms.get(c.col);
+            if (blm == null) {
+                continue;
+            }
+            if ("=".equals(c.op) && c.canon != null) {
+                if (bloomProvesAbsent(blm, c.canon)) {
+                    return false;
+                }
+            } else if ("in".equals(c.op) && c.canons != null) {
+                boolean all = c.canons.length > 0;
+                for (String canon : c.canons) {
+                    if (!bloomProvesAbsent(blm, canon)) {
+                        all = false;
+                        break;
                     }
                 }
+                if (all) {
+                    return false;
+                }
             }
+        }
+        return true;
+    }
+
+    /** Stats tier: per-conjunct [min, max] / null-count evidence. */
+    private static boolean statsCanMatch(
+            Map<String, double[]> stats, List<Conjunct> cs) {
+        for (Conjunct c : cs) {
             double[] mm = stats.get(c.col);
             if (mm == null) {
                 continue; // stats-unknown column: no range evidence

@@ -271,6 +271,146 @@ public final class PalletJackRegistry {
         return INTERVALS.get(canon(root));
     }
 
+    // ------------------------------------------------------------------
+    // Prune observability (round-12 verdict item 1): per-decision events
+    // mirroring the Python prune_explain_counts surface, recorded by
+    // PalletJackFilePruneRule for EVERY pruning decision over a
+    // registered root — including kept-everything decisions, so "why
+    // did my point lookup scan 400 files" has an answer from pure SQL.
+
+    /** One pruning decision of the optimizer rule. */
+    public static final class PruneEvent {
+        public final long seq;
+        public final String root;
+        public final String predicate;
+        public final int total;
+        public final int kept;
+        /** per-tier pruned counts, indexed like
+         *  PalletJackFilePruneRule.TIER_NAMES
+         *  (stats, dictionary, bloom, page). */
+        public final int[] pruned;
+
+        PruneEvent(long seq, String root, String predicate, int total,
+                   int kept, int[] pruned) {
+            this.seq = seq;
+            this.root = root;
+            this.predicate = predicate;
+            this.total = total;
+            this.kept = kept;
+            this.pruned = pruned;
+        }
+    }
+
+    private static final int MAX_PRUNE_EVENTS = 256;
+    private static final java.util.ArrayDeque<PruneEvent> PRUNE_EVENTS =
+            new java.util.ArrayDeque<>();
+    private static final java.util.concurrent.atomic.AtomicLong PRUNE_SEQ =
+            new java.util.concurrent.atomic.AtomicLong();
+
+    /** Record one rule decision.  Consecutive duplicates (same root,
+     *  predicate, and counts) collapse into one event: the optimizer
+     *  re-runs its fixed-point batches, and after a rewrite the rule
+     *  re-examines the pruned relation with identical inputs — users
+     *  want decisions, not optimizer iteration counts. */
+    public static void recordPrune(String root, String predicate, int total,
+                                   int kept, int[] tierCounts) {
+        int[] pruned = tierCounts.clone();
+        synchronized (PRUNE_EVENTS) {
+            PruneEvent last = PRUNE_EVENTS.peekLast();
+            if (last != null && last.root.equals(root)
+                    && last.predicate.equals(predicate)
+                    && last.total == total && last.kept == kept
+                    && java.util.Arrays.equals(last.pruned, pruned)) {
+                return;
+            }
+            PRUNE_EVENTS.addLast(new PruneEvent(
+                    PRUNE_SEQ.incrementAndGet(), root, predicate, total,
+                    kept, pruned));
+            if (PRUNE_EVENTS.size() > MAX_PRUNE_EVENTS) {
+                PRUNE_EVENTS.removeFirst();
+            }
+        }
+    }
+
+    public static void clearPruneEvents() {
+        synchronized (PRUNE_EVENTS) {
+            PRUNE_EVENTS.clear();
+        }
+    }
+
+    private static void appendJsonString(StringBuilder sb, String s) {
+        sb.append('"');
+        for (int i = 0; i < s.length(); i++) {
+            char ch = s.charAt(i);
+            if (ch == '"' || ch == '\\') {
+                sb.append('\\').append(ch);
+            } else if (ch < 0x20) {
+                sb.append(String.format("\\u%04x", (int) ch));
+            } else {
+                sb.append(ch);
+            }
+        }
+        sb.append('"');
+    }
+
+    private static void appendEvent(StringBuilder sb, PruneEvent e) {
+        sb.append("{\"seq\":").append(e.seq).append(",\"root\":");
+        appendJsonString(sb, e.root);
+        sb.append(",\"predicate\":");
+        appendJsonString(sb, e.predicate);
+        sb.append(",\"total\":").append(e.total)
+          .append(",\"kept\":").append(e.kept)
+          .append(",\"pruned\":{");
+        String[] names = PalletJackFilePruneRule.TIER_NAMES;
+        for (int i = 0; i < names.length; i++) {
+            if (i > 0) {
+                sb.append(',');
+            }
+            appendJsonString(sb, names[i]);
+            sb.append(':').append(i < e.pruned.length ? e.pruned[i] : 0);
+        }
+        sb.append("}}");
+    }
+
+    /** All recorded events (oldest first) as a JSON array string — the
+     *  payload behind the injected SQL function
+     *  {@code palletjack_prune_explain()}. */
+    public static String pruneEventsJson() {
+        StringBuilder sb = new StringBuilder("[");
+        synchronized (PRUNE_EVENTS) {
+            boolean first = true;
+            for (PruneEvent e : PRUNE_EVENTS) {
+                if (!first) {
+                    sb.append(',');
+                }
+                appendEvent(sb, e);
+                first = false;
+            }
+        }
+        return sb.append(']').toString();
+    }
+
+    /** The NEWEST event whose root covers {@code path} (itself or an
+     *  ancestor, the {@link #rootFor} walk), as a JSON object string —
+     *  or "null" when none is recorded. */
+    public static String lastPruneJson(String path) {
+        String root = rootFor(path);
+        String key = root != null ? root : canon(path);
+        synchronized (PRUNE_EVENTS) {
+            java.util.Iterator<PruneEvent> it =
+                    PRUNE_EVENTS.descendingIterator();
+            while (it.hasNext()) {
+                PruneEvent e = it.next();
+                if (e.root.equals(key)) {
+                    StringBuilder sb = new StringBuilder();
+                    appendEvent(sb, e);
+                    return sb.toString();
+                }
+            }
+        }
+        return "null";
+    }
+
     public static int size() {
         return ROOTS.size();
     }

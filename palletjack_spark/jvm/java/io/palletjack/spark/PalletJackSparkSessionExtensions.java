@@ -2,8 +2,14 @@ package io.palletjack.spark;
 
 import org.apache.spark.sql.SparkSession;
 import org.apache.spark.sql.SparkSessionExtensions;
+import org.apache.spark.sql.catalyst.FunctionIdentifier;
+import org.apache.spark.sql.catalyst.expressions.Expression;
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo;
+import org.apache.spark.sql.catalyst.expressions.Literal;
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan;
 import org.apache.spark.sql.catalyst.rules.Rule;
+import org.apache.spark.sql.types.DataTypes;
+import org.apache.spark.unsafe.types.UTF8String;
 
 import scala.runtime.AbstractFunction1;
 import scala.runtime.BoxedUnit;
@@ -16,7 +22,18 @@ import scala.runtime.BoxedUnit;
  * classpath — gets metadata-index file pruning on registered roots
  * (SURVEY §4's named production deployment vehicle; the Python
  * index/routing.py DataFrame-layer interception remains the fallback
- * where the jar is absent).
+ * where the jar is absent), plus the SQL observability function
+ * {@code palletjack_prune_explain([root])} (round-12 verdict item 1:
+ * the rule's per-tier decisions at parity with the Python
+ * prune_explain surface, readable from pure SQL):
+ *
+ * <pre>
+ * SELECT palletjack_prune_explain();        -- all decisions, JSON array
+ * SELECT palletjack_prune_explain('/data'); -- newest decision for root
+ * </pre>
+ *
+ * The JSON is materialized when the SELECT is analyzed, so calling it
+ * AFTER a query reports that query's decisions.
  */
 public class PalletJackSparkSessionExtensions
         extends AbstractFunction1<SparkSessionExtensions, BoxedUnit> {
@@ -28,9 +45,35 @@ public class PalletJackSparkSessionExtensions
         }
     }
 
+    /** Expression builder for {@code palletjack_prune_explain}: the
+     *  registry's event log as a string literal, captured at analysis
+     *  time of the calling statement. */
+    public static class ExplainBuilder
+            extends AbstractFunction1<scala.collection.immutable.Seq<Expression>, Expression> {
+        @Override
+        public Expression apply(scala.collection.immutable.Seq<Expression> args) {
+            String json;
+            if (args.size() >= 1 && args.apply(0) instanceof Literal) {
+                Object v = ((Literal) args.apply(0)).value();
+                json = PalletJackRegistry.lastPruneJson(String.valueOf(v));
+            } else {
+                json = PalletJackRegistry.pruneEventsJson();
+            }
+            return new Literal(UTF8String.fromString(json), DataTypes.StringType);
+        }
+    }
+
     @Override
     public BoxedUnit apply(SparkSessionExtensions extensions) {
         extensions.injectOptimizerRule(new Builder());
+        scala.Function1<scala.collection.immutable.Seq<Expression>, Expression> builder =
+                new ExplainBuilder();
+        extensions.injectFunction(new scala.Tuple3<>(
+                new FunctionIdentifier("palletjack_prune_explain"),
+                new ExpressionInfo(
+                        ExplainBuilder.class.getName(),
+                        "palletjack_prune_explain"),
+                builder));
         return BoxedUnit.UNIT;
     }
 }

