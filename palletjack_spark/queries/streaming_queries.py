@@ -463,3 +463,146 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("v"))
     )
     return run_stream_to_table(cells, "complete")
+
+
+def _streaming_dedup_oracle(n_slices: int = 4, thr_milli: int = 500) -> str:
+    """Q115b oracle — the q156 union-corpus exactness machinery (same md5
+    shingle hashes, same k universal permutations, same banding, exact
+    integer milli-Jaccard) chained over the DETERMINISTIC slice batching
+    (slice i = doc_id % n_slices, processed in order): a doc is accepted
+    iff it matches no ACCEPTED doc of an earlier slice and no smaller-id
+    sibling of its own slice.  The acceptance recursion unrolls into one
+    CTE per slice — expressible because the batching is pinned; the
+    oracle also asserts batch == doc_id % n_slices, so any change in the
+    file stream's ordering fails the hash gate instead of silently
+    changing semantics."""
+    from palletjack_spark.functions.dedup import (
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_K,
+        MINHASH_P,
+        SHINGLE_LEN,
+        _H30_MASK,
+        minhash_coeffs,
+    )
+
+    n = SHINGLE_LEN
+    sig_cols = ",\n         ".join(
+        ["COUNT(*) AS n_sh"]
+        + [
+            f"MIN(({a} * (h & {_H30_MASK}) + {b}) % {MINHASH_P}) AS s{i}"
+            for i, (a, b) in enumerate(minhash_coeffs(MINHASH_K))
+        ]
+    )
+    band_selects = []
+    for b in range(LSH_BANDS):
+        cols = ", ".join(
+            f"CAST(s{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols}))"
+            " AS band_hash FROM sig"
+        )
+    bands_sql = "\n      UNION ALL\n      ".join(band_selects)
+    acc_ctes = []
+    for i in range(n_slices):
+        if i == 0:
+            earlier = ""
+        else:
+            union = " UNION ALL ".join(
+                f"SELECT doc_id FROM acc{j}" for j in range(i)
+            )
+            earlier = f"m.oid IN ({union}) OR "
+        acc_ctes.append(
+            f"""acc{i} AS (
+      SELECT d.doc_id FROM documents d
+      WHERE d.doc_id % {n_slices} = {i} AND NOT EXISTS (
+        SELECT 1 FROM matches m WHERE m.nid = d.doc_id AND ({earlier}
+          (m.oid % {n_slices} = {i} AND m.oid < d.doc_id))))"""
+        )
+    acc_union = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {i} AS b FROM acc{i}" for i in range(n_slices)
+    )
+    hash60 = f"('0x' || substr(md5(substr(text, i, {n})), 1, 15))::BIGINT"
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, {hash60} AS h
+      FROM documents,
+           UNNEST(generate_series(1, greatest(length(text) - {n - 1}, 1))) AS s(i)
+    ),
+    sig AS (
+      SELECT doc_id,
+         {sig_cols}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {bands_sql}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS nid, b.doc_id AS oid
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+      WHERE a.doc_id <> b.doc_id
+    ),
+    common AS (
+      SELECT c.nid, c.oid, COUNT(*) AS common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.nid
+      JOIN sh sb ON sb.doc_id = c.oid AND sb.h = sa.h
+      GROUP BY c.nid, c.oid
+    ),
+    matches AS (
+      SELECT m.nid, m.oid,
+             (1000 * m.common) // (za.n_sh + zb.n_sh - m.common) AS jm
+      FROM common m
+      JOIN sig za ON za.doc_id = m.nid
+      JOIN sig zb ON zb.doc_id = m.oid
+      WHERE (1000 * m.common) // (za.n_sh + zb.n_sh - m.common)
+            >= {thr_milli}
+    ),
+    {",".join(acc_ctes)},
+    acc AS (
+      {acc_union}
+    ),
+    elig AS (
+      SELECT m.nid, m.oid, m.jm FROM matches m
+      WHERE EXISTS (SELECT 1 FROM acc a
+                    WHERE a.doc_id = m.oid AND a.b < m.nid % {n_slices})
+         OR (m.oid % {n_slices} = m.nid % {n_slices} AND m.oid < m.nid)
+    ),
+    best AS (
+      SELECT nid, MIN(oid) AS dup_of, MAX(jm) AS jaccard_milli
+      FROM elig GROUP BY nid
+    )
+    SELECT d.doc_id, CAST(d.doc_id % {n_slices} AS BIGINT) AS batch,
+           b.nid IS NULL AS accepted,
+           CAST(COALESCE(b.dup_of, -1) AS BIGINT) AS dup_of,
+           CAST(COALESCE(b.jaccard_milli, -1) AS BIGINT) AS jaccard_milli
+    FROM documents d LEFT JOIN best b ON b.nid = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@query("q115b_streaming_incremental_dedup", oracle=_streaming_dedup_oracle())
+def q115b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest composed with the persisted signature store
+    (Q115b, round 13 — the loop the round-12 stores imply): documents
+    arrive as a REAL file stream in deterministic slice batches; each
+    micro-batch's foreachBatch dedups the batch against the persisted
+    store (q156's incremental_dedup — the store side never exchanges)
+    and appends the ACCEPTED signatures back under the store's
+    crash-atomic manifest commit.  Curation state advances WITH ingest;
+    no batch sweep ever rescans the corpus.
+
+    Near-dup acceptance is order-dependent (a doc matching only a
+    REJECTED doc is accepted), so the batching itself is part of the
+    semantics: the staged slices pin batch = doc_id % 4 in mtime order,
+    the output carries the processing epoch, and the oracle both
+    replays the 4-slice chain exactly (one acceptance CTE per slice —
+    the q78b replay discipline) and asserts the batch assignment.
+    Cross-batch store-state ≡ one-shot equivalences are pinned in
+    tests/test_streaming.py (streaming/ops.py:
+    streaming_incremental_dedup)."""
+    from palletjack_spark.streaming.ops import streaming_incremental_dedup
+
+    return streaming_incremental_dedup(spark, sf_dir)

@@ -417,3 +417,137 @@ def streaming_curation_counts(docs: DataFrame) -> DataFrame:
         .groupBy("source")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# --- q115b: streaming ingest composed with the persisted signature store ---
+
+
+def _staged_doc_slices_dir(sf_dir: str, n_slices: int) -> str:
+    key = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(
+        tempfile.gettempdir(), f"pjspark_{key}_docslices{n_slices}"
+    )
+
+
+def stage_document_slices(
+    spark: SparkSession, sf_dir: str, n_slices: int = 4
+) -> str:
+    """Stage documents as ``n_slices`` single-file crawl batches (slice
+    i = ``doc_id % n_slices == i``) with STRICTLY INCREASING mtimes, so
+    the file stream's oldest-first ordering processes them in slice
+    order — the batching must be deterministic for the dedup loop's
+    batch replay to be an exact oracle (near-dup acceptance is
+    order-dependent when a doc matches only a REJECTED doc; pinning the
+    batch assignment and order pins the semantics).  Once per sf_dir."""
+    import glob
+    import shutil
+    import time
+
+    out = _staged_doc_slices_dir(sf_dir, n_slices)
+    marker = os.path.join(out, "_READY")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents")
+    base = time.time() - 3600
+    for i in range(n_slices):
+        tmp = out + f"_tmp{i}"
+        docs.where(F.col("doc_id") % n_slices == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(out, f"slice-{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (base + 60 * i, base + 60 * i))
+        shutil.rmtree(tmp, ignore_errors=True)
+    with open(marker, "w"):
+        pass
+    return out
+
+
+def streaming_incremental_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = 4,
+    threshold_milli: int = 500,
+    store_dir: str | None = None,
+) -> DataFrame:
+    """The production ingest LOOP the round-12 stores imply (round-12
+    verdict item 4): documents arrive as a real file stream; each
+    micro-batch is near-dup deduped against the PERSISTED signature
+    store (q156's ``incremental_dedup`` — the store side never
+    exchanges, the corpus text is never rescanned) and the ACCEPTED
+    docs' signatures are appended back under the store's crash-atomic
+    manifest commit — curation state advances with ingest, no batch
+    sweep ever runs.
+
+    Returns one decision row per document: (doc_id, batch, accepted,
+    dup_of, jaccard_milli).  ``batch`` is the micro-batch epoch that
+    processed the doc; the staged slices make it ``doc_id % n_slices``
+    by construction, and the oracle asserts exactly that — a change in
+    Spark's file-ordering behavior fails the hash gate rather than
+    silently changing semantics.
+
+    Scale shape: per batch everything q156 pins holds (batch-side
+    broadcast joins, store scanned once map-side, no old×old pairs);
+    across batches the store only ever APPENDS (one new parquet batch
+    dir + manifest rename per trigger) — at 100 TB this loop is the
+    ingest job itself, and the store is the only state, O(corpus)
+    narrow signature rows, not text."""
+    import uuid
+
+    from palletjack_spark.functions.dedup import (
+        append_signatures,
+        incremental_dedup,
+        load_signature_store,
+        save_signature_store,
+    )
+
+    path = stage_document_slices(spark, sf_dir, n_slices)
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    run_id = uuid.uuid4().hex[:8]
+    if store_dir is None:
+        store_dir = os.path.join(
+            tempfile.gettempdir(), f"pjspark_q115b_store_{run_id}"
+        )
+    dec_dir = os.path.join(tempfile.gettempdir(), f"pjspark_q115b_dec_{run_id}")
+    # bootstrap an EMPTY store: the first crawl batch dedups against
+    # nothing and seeds it
+    save_signature_store(
+        spark.createDataFrame([], schema), "text", "doc_id", store_dir
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        store = load_signature_store(sp, store_dir)
+        decisions, accepted = incremental_dedup(
+            batch_df, "text", "doc_id", store, threshold_milli=threshold_milli
+        )
+        decisions.withColumn(
+            "batch", F.lit(int(batch_id)).cast("long")
+        ).write.mode("append").parquet(dec_dir)
+        append_signatures(accepted, store_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join(
+                tempfile.gettempdir(), f"pjspark_q115b_ckpt_{run_id}"
+            ),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(dec_dir)
+        .select("doc_id", "batch", "accepted", "dup_of", "jaccard_milli")
+        .orderBy("doc_id")
+    )

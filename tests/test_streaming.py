@@ -300,3 +300,80 @@ def test_streaming_cms_state_is_bounded_and_incremental(spark):
     for r in rows:
         per_row[r["r"]] = per_row.get(r["r"], 0) + r["v"]
     assert per_row == {r: n for r in range(_SCMS_D)}
+
+
+def test_streaming_incremental_dedup_store_equals_one_shot_chain(spark):
+    """q115b (round 13): after N streaming triggers, the persisted
+    signature store and the decisions must be IDENTICAL to a one-shot
+    sequential chain of incremental_dedup + append over the same slices
+    — the streaming loop adds arrival, not semantics."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from palletjack_spark.functions.dedup import (
+        append_signatures,
+        incremental_dedup,
+        load_signature_store,
+        save_signature_store,
+    )
+    from palletjack_spark.streaming.ops import streaming_incremental_dedup
+    from palletjack_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    store_dir = os.path.join(
+        tempfile.gettempdir(), f"pj_test_q115b_{uuid.uuid4().hex[:8]}"
+    )
+    got = streaming_incremental_dedup(
+        spark, sf, n_slices=4, store_dir=store_dir
+    ).collect()
+
+    # one-shot sequential chain over the same slice batching
+    docs = load_table(spark, sf, "documents")
+    ref_store = os.path.join(
+        tempfile.gettempdir(), f"pj_test_q115b_ref_{uuid.uuid4().hex[:8]}"
+    )
+    save_signature_store(
+        spark.createDataFrame([], docs.schema), "text", "doc_id", ref_store
+    )
+    ref_rows = []
+    for i in range(4):
+        batch = docs.where(F.col("doc_id") % 4 == i)
+        store = load_signature_store(spark, ref_store)
+        decisions, accepted = incremental_dedup(
+            batch, "text", "doc_id", store
+        )
+        ref_rows.extend(
+            (r["doc_id"], i, r["accepted"], r["dup_of"], r["jaccard_milli"])
+            for r in decisions.collect()
+        )
+        append_signatures(accepted, ref_store)
+
+    got_rows = sorted(
+        (r["doc_id"], r["batch"], r["accepted"], r["dup_of"], r["jaccard_milli"])
+        for r in got
+    )
+    assert got_rows == sorted(ref_rows)
+
+    # the stores hold the same accepted signatures, row for row
+    def store_sig_rows(d):
+        return sorted(
+            tuple(r) for r in load_signature_store(spark, d).drop("sh_set").collect()
+        )
+
+    assert store_sig_rows(store_dir) == store_sig_rows(ref_store)
+    accepted_ids = sorted(r[0] for r in ref_rows if r[2])
+    assert (
+        sorted(
+            r["doc_id"]
+            for r in load_signature_store(spark, store_dir).collect()
+        )
+        == accepted_ids
+    )
+    # 4 published batches: the bootstrap empty batch + nothing rescanned
+    import json
+
+    with open(os.path.join(store_dir, "_sig_meta.json")) as f:
+        assert json.load(f)["n_batches"] == 5
