@@ -1830,7 +1830,26 @@ def bq_two_stage_topk(
     the shortlist with exact full-dim cosine.  Tie-break (ham ASC,
     id ASC) is total, so the shortlist is deterministic."""
     ccodes = binary_quantize(corpus_df, id_col, vec_col, in_dims)
-    qcodes = binary_quantize(queries_df, id_col, vec_col, in_dims).select(
+    qcodes = binary_quantize(queries_df, id_col, vec_col, in_dims)
+    return _hamming_two_stage(
+        ccodes, qcodes, corpus_df, queries_df, k, shortlist, id_col, vec_col
+    )
+
+
+def _hamming_two_stage(
+    ccodes: DataFrame,
+    qcodes: DataFrame,
+    corpus_df: DataFrame,
+    queries_df: DataFrame,
+    k: int,
+    shortlist: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared BQ funnel tail: Hamming stage-1 over (lo, hi) code pairs
+    (broadcast query codes — pure integer ``bit_count(xor)``), total
+    (ham ASC, id ASC) shortlist, exact full-dim cosine re-rank."""
+    qcodes = qcodes.select(
         F.col(id_col).alias("query_id"),
         F.col("lo").alias("qlo"),
         F.col("hi").alias("qhi"),
@@ -1879,3 +1898,124 @@ def bq_two_stage_topk(
     return scored.withColumn(
         "rank", F.row_number().over(w2).cast("int")
     ).where(F.col("rank") <= k)
+
+
+def itq_rotation(
+    corpus_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dims: int = 64,
+    train_rows: int = 512,
+    iters: int = 50,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Learn the ITQ rotation (Gong & Lazebnik 2013, "Iterative
+    Quantization") for binary codes: alternate the sign assignment
+    ``B = sign(V R)`` with the orthogonal-Procrustes update
+    ``R = U Vt`` of ``svd(V.T B)``, minimizing the quantization loss
+    ``||B - V R||_F`` — the LEARNED rotation q92o's docstring names as
+    the production upgrade over identity-rotation sign bits.
+
+    Deterministic, no RNG (the q129/q92g discipline): the train sample
+    is the ``train_rows`` smallest ids (one bounded driver collect —
+    the same cap contract as the PQ/IVF trainers), init is the
+    identity, and LAPACK's SVD is deterministic for a fixed input.
+    Returns ``(mu, R)``: the train-sample mean (codes quantize the
+    CENTERED vectors — sign bits split mass at the data centroid, not
+    at zero) and the orthogonal rotation."""
+    rows = (
+        corpus_df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(train_rows)
+        .collect()
+    )
+    V = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    if V.shape[1] != in_dims:
+        raise ValueError(
+            f"itq_rotation: vectors are {V.shape[1]}-dim, expected {in_dims}"
+        )
+    mu = V.mean(axis=0)
+    V = V - mu
+    R = np.eye(in_dims)
+    for _ in range(iters):
+        B = np.where(V @ R >= 0, 1.0, -1.0)
+        U, _s, Vt = np.linalg.svd(V.T @ B)
+        R = U @ Vt
+    return mu, R
+
+
+def itq_encode(
+    df: DataFrame,
+    mu: np.ndarray,
+    R: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Rotate-then-sign binary codes: ``sign((x - mu) R)`` packed into
+    two BIGINT halves — one Arrow-batched mapInPandas (vectorized
+    center + matmul + bit-pack per batch, zero exchanges); the rotation
+    (64×64 floats) ships in the task closure like the PQ codebooks."""
+    in_dims = R.shape[0]
+    n_lo = min(32, in_dims)
+
+    def enc(it):
+        for pdf in it:
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            Y = (X - mu) @ R
+            bits = Y > 0
+            lo = (
+                bits[:, :n_lo]
+                .astype(np.int64)
+                .dot(1 << np.arange(n_lo, dtype=np.int64))
+            )
+            if in_dims > 32:
+                hi = (
+                    bits[:, 32:in_dims]
+                    .astype(np.int64)
+                    .dot(1 << np.arange(in_dims - 32, dtype=np.int64))
+                )
+            else:
+                hi = np.zeros(len(pdf), dtype=np.int64)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "lo": lo, "hi": hi}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        enc, schema=f"{id_col} long, lo long, hi long"
+    )
+
+
+def itq_bq_topk(
+    corpus_df: DataFrame,
+    queries_df: DataFrame,
+    k: int = 10,
+    shortlist: int = 30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dims: int = 64,
+    train_rows: int = 512,
+    iters: int = 50,
+) -> DataFrame:
+    """Two-stage retrieval over LEARNED-rotation binary codes (q92o's
+    documented plug point, round 13): learn the ITQ rotation on a
+    bounded corpus sample, encode corpus and queries with the SAME
+    (mu, R), then run the identical Hamming-shortlist / exact-re-rank
+    funnel as :func:`bq_two_stage_topk`.
+
+    Measured recall@10 (500-vector fixture, shortlist 30, all queries,
+    vs exact cosine): identity-rotation BQ 0.478, centered identity
+    0.480, ITQ 0.594 — the rotation aligns the quantization hypercube
+    with the data's principal directions, spending the 64 bits where
+    the variance is (pinned in tests/test_llm.py).  Scale shape: the
+    train collect is bounded (train_rows × d), encoding is one
+    zero-exchange mapInPandas per side, and stage 1 streams 8-byte
+    codes — everything else inherits bq_two_stage_topk's plan."""
+    mu, R = itq_rotation(
+        corpus_df, id_col, vec_col, in_dims, train_rows, iters
+    )
+    ccodes = itq_encode(corpus_df, mu, R, id_col, vec_col)
+    qcodes = itq_encode(queries_df, mu, R, id_col, vec_col)
+    return _hamming_two_stage(
+        ccodes, qcodes, corpus_df, queries_df, k, shortlist, id_col, vec_col
+    )

@@ -2176,3 +2176,64 @@ def test_lm_compaction_partial_swap_is_readable(spark, tmp_path, monkeypatch):
     assert _lm_rows(
         T.bigram_lm_score_store(spark, score, "text", "doc_id", store)
     ) == want
+
+
+def test_itq_rotation_is_orthogonal_and_deterministic(spark):
+    """q92p: the learned ITQ rotation is a true rotation (R Rᵀ = I) and
+    deterministic — two independent learns on the same corpus agree."""
+    import numpy as np
+
+    from palletjack_spark.functions.similarity import itq_rotation
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    mu1, R1 = itq_rotation(emb, iters=20)
+    mu2, R2 = itq_rotation(emb, iters=20)
+    assert np.allclose(R1 @ R1.T, np.eye(64), atol=1e-9)
+    assert np.array_equal(R1, R2) and np.array_equal(mu1, mu2)
+
+
+def test_itq_exhaustive_shortlist_is_exact(spark):
+    """q92p driver discipline: with the shortlist exhaustive the funnel
+    is hash-identical to brute force while every ITQ stage executes."""
+    from palletjack_spark.functions.similarity import cosine_topk, itq_bq_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    want = sorted(
+        tuple(r) for r in cosine_topk(emb, q, k=10).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in itq_bq_topk(emb, q, k=10, shortlist=1_000_000).collect()
+    )
+    assert got == want
+
+
+def test_itq_recall_lift_over_identity_bq(spark):
+    """q92p's reason to exist: at the same 30-candidate shortlist the
+    learned rotation recalls MORE of the true top-10 than identity
+    sign bits (docstring pins 0.478 → 0.594 over all 500 queries; this
+    50-query slice asserts the lift with a margin)."""
+    from palletjack_spark.functions.similarity import (
+        bq_two_stage_topk,
+        cosine_topk,
+        itq_bq_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.where(F.col("vec_id") < 50)
+    want = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(emb, q, k=10).collect()
+    }
+    ident = {
+        (r["query_id"], r["vec_id"])
+        for r in bq_two_stage_topk(emb, q, k=10, shortlist=30).collect()
+    }
+    itq = {
+        (r["query_id"], r["vec_id"])
+        for r in itq_bq_topk(emb, q, k=10, shortlist=30).collect()
+    }
+    r_ident = len(ident & want) / len(want)
+    r_itq = len(itq & want) / len(want)
+    assert r_itq >= r_ident + 0.05, (r_ident, r_itq)
