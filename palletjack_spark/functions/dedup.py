@@ -1403,6 +1403,87 @@ def cdc_chunks(
     )
 
 
+def _cdc_bounded_expr(divisor: int, min_len: int, max_len: int) -> str:
+    """Row-local FastCDC-normalized fold (the min/max chunk bounds the
+    plain divisor test lacks — FastCDC's normalization knobs): a
+    boundary token only CLOSES the current chunk once it holds at least
+    ``min_len`` tokens, and a chunk is force-cut at ``max_len``
+    regardless of content.  Still one higher-order ``aggregate`` — the
+    state (current chunk = last element of the accumulator) rides the
+    same array, no window, no shuffle, no Python."""
+    bnd = (
+        f"pmod(cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint),"
+        f" {divisor}) = 0"
+    )
+    cut = (
+        f"size(element_at(acc, -1)) >= {max_len}"
+        f" OR ({bnd} AND size(element_at(acc, -1)) >= {min_len})"
+    )
+    return f"""
+    filter(
+      aggregate(
+        ts,
+        array(cast(array() as array<string>)),
+        (acc, x) -> IF({cut},
+          concat(acc, array(array(x))),
+          concat(slice(acc, 1, size(acc) - 1),
+                 array(concat(element_at(acc, -1), array(x)))))),
+      c -> size(c) > 0)
+    """
+
+
+def cdc_chunks_bounded(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    divisor: int = CDC_DIVISOR,
+    min_len: int = 4,
+    max_len: int = 32,
+) -> DataFrame:
+    """:func:`cdc_chunks` with FastCDC's min/max chunk-length
+    normalization (round-12 verdict item: the stateful boundary test
+    q159 deliberately omitted for oracle-expressibility — this variant
+    rides a rows-only driver row instead, with a hypothesis property
+    pin against a pure-Python reference in tests/test_llm.py).
+
+    Exact semantics (the reference implementation mirrors them): walk
+    tokens left to right; cut BEFORE token x (x starts a new chunk)
+    iff the current chunk already holds ``max_len`` tokens, or x is a
+    content boundary (md5 bucket == 0 mod divisor) AND the current
+    chunk holds at least ``min_len``.  ``min_len=1, max_len=∞``
+    degenerates to :func:`cdc_chunks` exactly (pinned in tests).
+
+    Bounded chunks fix CDC's two tails: pathological boundary-dense
+    text can't shred into tiny chunks (min), boundary-free text can't
+    produce unbounded chunks (max) — at 100 TB the max bound is what
+    keeps a chunk row's size, and therefore executor memory per row,
+    bounded.  Returns (id, chunk_id, chunk_hash, n_toks); same
+    zero-exchange scale shape as :func:`cdc_chunks`."""
+    if min_len < 1 or max_len < min_len:
+        raise ValueError(
+            f"cdc_chunks_bounded needs 1 <= min_len <= max_len; got "
+            f"({min_len}, {max_len})"
+        )
+    return (
+        df.select(
+            F.col(id_col),
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias(
+                "ts"
+            ),
+        )
+        .select(
+            id_col,
+            F.posexplode(F.expr(_cdc_bounded_expr(divisor, min_len, max_len))),
+        )
+        .select(
+            id_col,
+            F.col("pos").alias("chunk_id"),
+            F.md5(F.array_join(F.col("col"), " ")).alias("chunk_hash"),
+            F.size(F.col("col")).alias("n_toks"),
+        )
+    )
+
+
 def cdc_chunk_stats(
     df: DataFrame,
     text_col: str,

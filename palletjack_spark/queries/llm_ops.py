@@ -4108,6 +4108,32 @@ def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_chunk_stats(t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+@query("q159b_cdc_bounded_chunks")
+def q159b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastCDC-normalized chunking (Q159b, round 13 — the min/max
+    chunk-length bounds q159 deliberately omitted): a boundary token
+    only closes a chunk holding ≥ min_len tokens, and max_len force-cuts
+    boundary-free runs — the normalization that bounds both CDC tails
+    (shredding on boundary-dense text, unbounded chunks on boundary-free
+    text; at 100 TB the max bound is what keeps per-row executor memory
+    bounded).
+
+    The bounds make the fold STATEFUL across the boundary test, which is
+    exactly the SQL-expressibility q159's oracle required — so this row
+    is deliberately rows-only (no oracle): correctness is pinned instead
+    by a hypothesis property suite against a pure-Python reference
+    (partition/min/max invariants, degenerate-bounds ≡ q159 equivalence)
+    in tests/test_llm.py.  Same zero-exchange scale shape as q159
+    (functions/dedup.cdc_chunks_bounded: one row-local higher-order
+    aggregate, no window, no Python)."""
+    from palletjack_spark.functions.dedup import cdc_chunks_bounded
+
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    return cdc_chunks_bounded(
+        docs, "text", "doc_id", min_len=4, max_len=32
+    ).orderBy("doc_id", "chunk_id")
+
+
 @query(
     "q92m_store_filtered_topk",
     oracle="""

@@ -201,3 +201,115 @@ def test_binary_quantize_pack_property(spark, vec):
     lo = sum(1 << i for i in range(32) if vec[i] > 0)
     hi = sum(1 << (i - 32) for i in range(32, 64) if vec[i] > 0)
     assert (r["lo"], r["hi"]) == (lo, hi)
+
+
+# --- q159b: FastCDC-bounded chunking vs a pure-Python reference ----------
+
+
+def _is_boundary(tok: str, divisor: int) -> bool:
+    import hashlib
+
+    return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % divisor == 0
+
+
+def _ref_bounded_chunks(text: str, divisor: int, min_len: int, max_len: int):
+    """Pure-Python reference for cdc_chunks_bounded's exact semantics:
+    cut BEFORE token x iff the current chunk holds max_len tokens, or x
+    is a boundary and the chunk holds >= min_len."""
+    toks = [t for t in text.split(" ") if t != ""]
+    chunks, cur = [], []
+    for x in toks:
+        if cur and (
+            len(cur) >= max_len
+            or (_is_boundary(x, divisor) and len(cur) >= min_len)
+        ):
+            chunks.append(cur)
+            cur = [x]
+        else:
+            cur.append(x)
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(WORDS + ["omega", "kappa", "mu"]),
+            min_size=0,
+            max_size=40,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    min_len=st.integers(min_value=1, max_value=4),
+    extra=st.integers(min_value=0, max_value=8),
+)
+@_SETTINGS
+def test_cdc_bounded_matches_reference_and_invariants(
+    spark, texts, min_len, extra
+):
+    """q159b: Spark fold == pure-Python reference chunk for chunk;
+    chunks partition the tokens; every chunk <= max_len; every
+    non-final chunk >= min_len."""
+    import hashlib
+
+    from palletjack_spark.functions.dedup import CDC_DIVISOR, cdc_chunks_bounded
+
+    max_len = min_len + extra
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = (
+        cdc_chunks_bounded(
+            df, "text", "doc_id", min_len=min_len, max_len=max_len
+        )
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_hash"], r["n_toks"])
+        )
+    for i, text in enumerate(texts):
+        ref = _ref_bounded_chunks(text, CDC_DIVISOR, min_len, max_len)
+        want = [
+            (j, hashlib.md5(" ".join(c).encode()).hexdigest(), len(c))
+            for j, c in enumerate(ref)
+        ]
+        assert by_doc.get(i, []) == want, (i, text)
+        toks = [t for t in text.split(" ") if t != ""]
+        assert [t for c in ref for t in c] == toks  # partition
+        assert all(len(c) <= max_len for c in ref)
+        assert all(len(c) >= min_len for c in ref[:-1])
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(WORDS), min_size=1, max_size=30).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@_SETTINGS
+def test_cdc_bounded_degenerates_to_unbounded(spark, texts):
+    """min_len=1, max_len=∞ must reproduce q159's unbounded chunking
+    exactly — the bounds are pure normalization, not a new chunker."""
+    from palletjack_spark.functions.dedup import cdc_chunks, cdc_chunks_bounded
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    want = sorted(
+        tuple(r) for r in cdc_chunks(df, "text", "doc_id").collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in cdc_chunks_bounded(
+            df, "text", "doc_id", min_len=1, max_len=1 << 30
+        ).collect()
+    )
+    assert got == want
