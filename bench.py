@@ -148,6 +148,10 @@ HEADLINE = [
     # exchanges once per count table (bigram/unigram, both cached), the
     # history masses re-aggregate the bigram table, pairing is row-local
     "q157_bigram_lm_score",
+    # round 13 addition: ITQ learned-rotation binary quantization —
+    # bounded train collect + SVD loop on the driver, zero-exchange
+    # mapInPandas encodes, integer Hamming stage over 8-byte codes
+    "q92p_itq_rotated_bq",
 ]
 
 META_ROW_GROUPS = 200

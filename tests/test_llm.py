@@ -2237,3 +2237,16 @@ def test_itq_recall_lift_over_identity_bq(spark):
     r_ident = len(ident & want) / len(want)
     r_itq = len(itq & want) / len(want)
     assert r_itq >= r_ident + 0.05, (r_ident, r_itq)
+
+
+def test_cdc_bounded_chunking_is_exchange_free(spark):
+    """q159b inherits q159's zero-exchange plan: the min/max state rides
+    the same row-local fold."""
+    from palletjack_spark.functions.dedup import cdc_chunks_bounded
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        cdc_chunks_bounded(df, "text", "doc_id", min_len=2, max_len=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Window" not in plan, plan
