@@ -1002,25 +1002,32 @@ def compact_vector_store(spark, path: str) -> dict:
     append.  Returns the updated manifest."""
     import shutil
 
-    import shutil
-
     from palletjack_spark.functions import store as S
 
     meta = _store_meta(path)
     live = _store_vectors(spark, path, meta).select(
         "vec_id", "cell", "codes", "vec"
     )
-    n = live.count()
-    meta.update(
-        {
-            "n_batches": 1,
-            "n_vectors": [int(n)],
-            "n_tombstone_batches": 0,
-        }
+
+    def finalize(staged: dict) -> dict:
+        # count the STAGED parquet (cheap metadata-ish scan of what was
+        # just written) instead of executing the live-rows anti-join
+        # plan a second time
+        n = spark.read.parquet(staged["vectors"]).count()
+        meta.update(
+            {
+                "n_batches": 1,
+                "n_vectors": [int(n)],
+                "n_tombstone_batches": 0,
+            }
+        )
+        return meta
+
+    out = S.compact_swap(
+        path, _ANN_META_NAME, meta, {"vectors": live}, finalize_meta=finalize
     )
-    S.compact_swap(path, _ANN_META_NAME, meta, {"vectors": live})
     shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
-    return meta
+    return out
 
 
 def vector_store_topk(
@@ -1928,6 +1935,11 @@ def itq_rotation(
         .limit(train_rows)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "itq_rotation: the train sample is empty — the corpus has no "
+            "rows (or every row was filtered before training)"
+        )
     V = np.array([list(r[1]) for r in rows], dtype=np.float64)
     if V.shape[1] != in_dims:
         raise ValueError(
@@ -1959,6 +1971,8 @@ def itq_encode(
 
     def enc(it):
         for pdf in it:
+            if len(pdf) == 0:
+                continue
             X = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )

@@ -74,7 +74,13 @@ def commit_manifest(store_dir: str, manifest_name: str, meta: dict) -> None:
 def write_batch(df: DataFrame, store_dir: str, dataset: str, batch: int) -> str:
     """Land one batch under ``<dataset>/batch=N`` (mode overwrite: an
     unpublished orphan from a crashed append is garbage by contract).
-    Returns the batch directory path."""
+    Runs crash recovery first — an append directly after a compaction
+    crash in the rename window must NOT recreate the dataset dir with
+    only its own batch and orphan the set-aside data (a reader would
+    then see the recreated dir, skip recovery forever, and the next
+    compaction would delete the aside — silent loss of every prior
+    batch).  Returns the batch directory path."""
+    recover_dataset(store_dir, dataset)
     batch_dir = os.path.join(store_dir, dataset, f"batch={batch}")
     df.write.mode("overwrite").parquet(batch_dir)
     return batch_dir
@@ -83,11 +89,17 @@ def write_batch(df: DataFrame, store_dir: str, dataset: str, batch: int) -> str:
 def recover_dataset(store_dir: str, dataset: str) -> None:
     """Heal a crash inside compaction's rename-to-rename window: the
     dataset dir is absent but ``<dataset>.old.tmp`` holds the complete
-    pre-compaction store — rename it back.  No-op otherwise."""
+    pre-compaction store — rename it back.  No-op otherwise.  Two
+    concurrent recoverers race benignly: the loser's rename source is
+    gone, which just means recovery already happened."""
     live = os.path.join(store_dir, dataset)
     aside = live + _OLD_SUFFIX
     if not os.path.exists(live) and os.path.exists(aside):
-        os.replace(aside, live)
+        try:
+            os.replace(aside, live)
+        except OSError:
+            if not os.path.exists(live):
+                raise  # a real failure, not a lost recovery race
 
 
 def live_batches(
@@ -109,21 +121,30 @@ def compact_swap(
     manifest_name: str,
     meta: dict,
     writers: dict[str, DataFrame],
-) -> None:
+    finalize_meta=None,
+) -> dict:
     """Crash-atomic multi-dataset compaction swap: write each dataset's
     compacted rows as a fresh ``batch=0`` under ``_compact_tmp``, set
     every old dataset dir ASIDE (never deleted before the new data is
     live), promote, commit ``meta`` (the caller has already reset
     ``n_batches`` etc.), then clean up.  ``writers`` maps dataset name
-    -> its live rows (computed BEFORE any directory moves)."""
+    -> its live rows (computed BEFORE any directory moves).
+
+    ``finalize_meta``, when given, is called with {dataset: staged
+    batch=0 path} AFTER the writes but BEFORE any rename, and its
+    return value replaces ``meta`` — the hook for manifests that need
+    post-write facts (e.g. the compacted row count) without executing
+    the live-rows plan twice.  Returns the committed manifest."""
     for dataset in writers:
         recover_dataset(store_dir, dataset)
     tmp_root = os.path.join(store_dir, _COMPACT_TMP)
     shutil.rmtree(tmp_root, ignore_errors=True)
+    staged = {}
     for dataset, df in writers.items():
-        df.write.mode("overwrite").parquet(
-            os.path.join(tmp_root, dataset, "batch=0")
-        )
+        staged[dataset] = os.path.join(tmp_root, dataset, "batch=0")
+        df.write.mode("overwrite").parquet(staged[dataset])
+    if finalize_meta is not None:
+        meta = finalize_meta(staged)
     asides = []
     for dataset in writers:
         live = os.path.join(store_dir, dataset)
@@ -136,3 +157,4 @@ def compact_swap(
     for aside in asides:
         shutil.rmtree(aside, ignore_errors=True)
     shutil.rmtree(tmp_root, ignore_errors=True)
+    return meta

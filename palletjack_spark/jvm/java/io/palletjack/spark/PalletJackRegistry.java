@@ -304,28 +304,34 @@ public final class PalletJackRegistry {
     private static final int MAX_PRUNE_EVENTS = 256;
     private static final java.util.ArrayDeque<PruneEvent> PRUNE_EVENTS =
             new java.util.ArrayDeque<>();
+    private static final Map<String, PruneEvent> LAST_BY_ROOT =
+            new ConcurrentHashMap<>();
     private static final java.util.concurrent.atomic.AtomicLong PRUNE_SEQ =
             new java.util.concurrent.atomic.AtomicLong();
 
-    /** Record one rule decision.  Consecutive duplicates (same root,
-     *  predicate, and counts) collapse into one event: the optimizer
+    /** Record one rule decision.  Duplicates of the ROOT's last event
+     *  (same predicate and counts) collapse into one: the optimizer
      *  re-runs its fixed-point batches, and after a rewrite the rule
      *  re-examines the pruned relation with identical inputs — users
-     *  want decisions, not optimizer iteration counts. */
+     *  want decisions, not optimizer iteration counts.  Dedup is
+     *  per-root (not just the global ring tail), so two queries over
+     *  different roots optimizing concurrently don't defeat it and
+     *  flood the bounded ring with iteration noise. */
     public static void recordPrune(String root, String predicate, int total,
                                    int kept, int[] tierCounts) {
         int[] pruned = tierCounts.clone();
         synchronized (PRUNE_EVENTS) {
-            PruneEvent last = PRUNE_EVENTS.peekLast();
-            if (last != null && last.root.equals(root)
-                    && last.predicate.equals(predicate)
+            PruneEvent last = LAST_BY_ROOT.get(root);
+            if (last != null && last.predicate.equals(predicate)
                     && last.total == total && last.kept == kept
                     && java.util.Arrays.equals(last.pruned, pruned)) {
                 return;
             }
-            PRUNE_EVENTS.addLast(new PruneEvent(
+            PruneEvent e = new PruneEvent(
                     PRUNE_SEQ.incrementAndGet(), root, predicate, total,
-                    kept, pruned));
+                    kept, pruned);
+            PRUNE_EVENTS.addLast(e);
+            LAST_BY_ROOT.put(root, e);
             if (PRUNE_EVENTS.size() > MAX_PRUNE_EVENTS) {
                 PRUNE_EVENTS.removeFirst();
             }
@@ -335,6 +341,7 @@ public final class PalletJackRegistry {
     public static void clearPruneEvents() {
         synchronized (PRUNE_EVENTS) {
             PRUNE_EVENTS.clear();
+            LAST_BY_ROOT.clear();
         }
     }
 
@@ -392,20 +399,18 @@ public final class PalletJackRegistry {
 
     /** The NEWEST event whose root covers {@code path} (itself or an
      *  ancestor, the {@link #rootFor} walk), as a JSON object string —
-     *  or "null" when none is recorded. */
+     *  or "null" when none is recorded.  Served from the per-root map:
+     *  it survives ring eviction, so a root whose identical decision
+     *  was deduped away after 256 other events still explains itself. */
     public static String lastPruneJson(String path) {
         String root = rootFor(path);
         String key = root != null ? root : canon(path);
         synchronized (PRUNE_EVENTS) {
-            java.util.Iterator<PruneEvent> it =
-                    PRUNE_EVENTS.descendingIterator();
-            while (it.hasNext()) {
-                PruneEvent e = it.next();
-                if (e.root.equals(key)) {
-                    StringBuilder sb = new StringBuilder();
-                    appendEvent(sb, e);
-                    return sb.toString();
-                }
+            PruneEvent e = LAST_BY_ROOT.get(key);
+            if (e != null) {
+                StringBuilder sb = new StringBuilder();
+                appendEvent(sb, e);
+                return sb.toString();
             }
         }
         return "null";

@@ -47,17 +47,27 @@ public class PalletJackSparkSessionExtensions
 
     /** Expression builder for {@code palletjack_prune_explain}: the
      *  registry's event log as a string literal, captured at analysis
-     *  time of the calling statement. */
+     *  time of the calling statement.  The optional argument must be a
+     *  STRING LITERAL (the root path) — anything else is a hard
+     *  analysis-time error rather than a silent fall-through to the
+     *  full log, which would hand the caller the wrong root's answer. */
     public static class ExplainBuilder
             extends AbstractFunction1<scala.collection.immutable.Seq<Expression>, Expression> {
         @Override
         public Expression apply(scala.collection.immutable.Seq<Expression> args) {
             String json;
-            if (args.size() >= 1 && args.apply(0) instanceof Literal) {
-                Object v = ((Literal) args.apply(0)).value();
-                json = PalletJackRegistry.lastPruneJson(String.valueOf(v));
-            } else {
+            if (args.size() == 0) {
                 json = PalletJackRegistry.pruneEventsJson();
+            } else if (args.size() == 1 && args.apply(0) instanceof Literal
+                    && ((Literal) args.apply(0)).value()
+                            instanceof UTF8String) {
+                Object v = ((Literal) args.apply(0)).value();
+                json = PalletJackRegistry.lastPruneJson(v.toString());
+            } else {
+                throw new IllegalArgumentException(
+                        "palletjack_prune_explain takes no argument (full "
+                        + "decision log) or ONE string literal root path; "
+                        + "got: " + args);
             }
             return new Literal(UTF8String.fromString(json), DataTypes.StringType);
         }

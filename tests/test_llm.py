@@ -2250,3 +2250,48 @@ def test_cdc_bounded_chunking_is_exchange_free(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Window" not in plan, plan
+
+
+def test_append_after_compaction_crash_recovers_first(spark, tmp_path, monkeypatch):
+    """Review finding (round 13): an APPEND arriving right after a
+    compaction crash in the rename window must recover the set-aside
+    data before writing — otherwise it recreates the dataset dir with
+    only its own batch, readers skip recovery forever, and the next
+    compaction deletes the aside (silent loss of every prior batch)."""
+    import os
+
+    from palletjack_spark.functions import dedup as D
+
+    docs = load_table(spark, SF_DIR, "documents")
+    store = str(tmp_path / "sig")
+    D.save_signature_store(
+        docs.where(F.col("doc_id") % 5 == 1), "text", "doc_id", store
+    )
+    old_ids = sorted(
+        r["doc_id"] for r in D.load_signature_store(spark, store).collect()
+    )
+
+    real_replace = os.replace
+
+    def crash_before_promote(src, dst):
+        if "_compact_tmp" in str(src) and str(dst).endswith("signatures"):
+            raise OSError("injected crash before promote")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", crash_before_promote)
+    with pytest.raises(OSError, match="injected crash"):
+        D.compact_signature_store(spark, store)
+    monkeypatch.setattr(os, "replace", real_replace)
+    assert not os.path.exists(os.path.join(store, "signatures"))
+
+    # the very next operation is an APPEND, not a read
+    new_sig = D._signatures_one_shuffle(
+        docs.where(F.col("doc_id") % 5 == 2), "text", "doc_id"
+    )
+    D.append_signatures(new_sig, store)
+    got = sorted(
+        r["doc_id"] for r in D.load_signature_store(spark, store).collect()
+    )
+    new_ids = sorted(r["doc_id"] for r in new_sig.select("doc_id").collect())
+    assert got == sorted(old_ids + new_ids)  # nothing lost
+    assert not os.path.exists(os.path.join(store, "signatures.old.tmp"))
