@@ -20,6 +20,7 @@ import org.apache.spark.sql.catalyst.expressions.LessThan;
 import org.apache.spark.sql.catalyst.expressions.LessThanOrEqual;
 import org.apache.spark.sql.catalyst.expressions.Literal;
 import org.apache.spark.sql.catalyst.expressions.Not;
+import org.apache.spark.sql.catalyst.expressions.Or;
 import org.apache.spark.sql.catalyst.plans.logical.Filter;
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan;
 import org.apache.spark.sql.catalyst.rules.Rule;
@@ -43,10 +44,12 @@ import scala.jdk.javaapi.CollectionConverters;
  * [min, max] (from the metadata-index sidecar, via
  * {@link PalletJackRegistry}) can satisfy the filter's numeric
  * conjuncts.  The Filter itself is kept — pruning is a pure
- * optimization, identical results either way — and anything the rule
- * cannot prove (disjunctions, non-numeric literals, stats-less columns,
- * unit- or value-changing casts) conservatively falls through
- * untouched.  Hive-partitioned roots are supported: the rebuilt file
+ * optimization, identical results either way.  Disjunctions prune too
+ * (round 13): the condition expands into a bounded DNF and a file is
+ * dropped only when EVERY disjunct proves it matchless.  Anything the
+ * rule cannot prove (an OR branch on an evidence-less column,
+ * non-numeric literals, stats-less columns, unit- or value-changing
+ * casts, a DNF past the cap) conservatively falls through untouched.  Hive-partitioned roots are supported: the rebuilt file
  * index keeps the original partition spec, so Spark's own scan-time
  * partition pruning composes with this rule's stats-based file pruning
  * within partitions.
@@ -138,10 +141,27 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
         if (files == null || files.isEmpty()) {
             return null;
         }
-        List<Conjunct> conjuncts = new ArrayList<>();
-        collectConjuncts(f.condition(), conjuncts);
-        if (conjuncts.isEmpty()) {
-            return null;
+        // bounded DNF (round 13): disjunctions prune too — a file is
+        // dropped only when EVERY disjunct's conjuncts prove it
+        // matchless.  A disjunct with no provable conjuncts (e.g. an
+        // OR branch on an evidence-less column) keeps everything, so
+        // the whole filter is unprunable: bail before recording.
+        List<List<Conjunct>> dnf = toDnf(f.condition(), DNF_CAP);
+        if (dnf == null) {
+            // expansion blew the cap: fall back to the conjunction-only
+            // view (Or leaves read as unknown — the pre-round-13 shape)
+            List<Conjunct> flat = new ArrayList<>();
+            collectConjuncts(f.condition(), flat);
+            if (flat.isEmpty()) {
+                return null;
+            }
+            dnf = new ArrayList<>();
+            dnf.add(flat);
+        }
+        for (List<Conjunct> d : dnf) {
+            if (d.isEmpty()) {
+                return null; // some branch can match anything
+            }
         }
         Map<String, Map<String, long[]>> digests =
                 PalletJackRegistry.digestsFor(registered);
@@ -163,7 +183,7 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
                     blooms == null ? null : blooms.get(e.getKey());
             Map<String, double[]> iv =
                     intervals == null ? null : intervals.get(e.getKey());
-            int tier = pruneTier(e.getValue(), dig, blm, iv, conjuncts);
+            int tier = pruneTierDnf(e.getValue(), dig, blm, iv, dnf);
             if (tier < 0) {
                 surviving.add(e.getKey());
             } else {
@@ -822,6 +842,75 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
             }
         }
         return true;
+    }
+
+    //: bound on the DNF expansion — predicates are human-written WHERE
+    //: clauses, so real disjunct counts are tiny; anything past the cap
+    //: falls back to the conjunction-only view (never unsound, at most
+    //: unpruned)
+    private static final int DNF_CAP = 64;
+
+    /** Bounded disjunctive normal form of a filter condition: one
+     *  conjunct list per disjunct.  Returns null when the expansion
+     *  would exceed {@code cap}.  Unknown leaves yield an EMPTY
+     *  conjunct list entry inside their conjunction (they just drop
+     *  out, as in the flat collector), but an unknown DISJUNCT at Or
+     *  level becomes a disjunct with zero conjuncts — the caller must
+     *  treat that as "keeps every file". */
+    private static List<List<Conjunct>> toDnf(Expression e, int cap) {
+        if (e instanceof Or) {
+            List<List<Conjunct>> l = toDnf(((Or) e).left(), cap);
+            List<List<Conjunct>> r = toDnf(((Or) e).right(), cap);
+            if (l == null || r == null || l.size() + r.size() > cap) {
+                return null;
+            }
+            List<List<Conjunct>> out = new ArrayList<>(l);
+            out.addAll(r);
+            return out;
+        }
+        if (e instanceof And) {
+            List<List<Conjunct>> l = toDnf(((And) e).left(), cap);
+            List<List<Conjunct>> r = toDnf(((And) e).right(), cap);
+            if (l == null || r == null
+                    || (long) l.size() * r.size() > cap) {
+                return null;
+            }
+            List<List<Conjunct>> out = new ArrayList<>();
+            for (List<Conjunct> a : l) {
+                for (List<Conjunct> b : r) {
+                    List<Conjunct> m = new ArrayList<>(a);
+                    m.addAll(b);
+                    out.add(m);
+                }
+            }
+            return out;
+        }
+        List<Conjunct> one = new ArrayList<>();
+        collectConjuncts(e, one);
+        List<List<Conjunct>> out = new ArrayList<>();
+        out.add(one);
+        return out;
+    }
+
+    /** DNF file test: pruned iff EVERY disjunct's conjuncts prove the
+     *  file matchless; attribution is the DEEPEST tier any disjunct
+     *  needed (all of them were necessary for the proof).  -1 keeps.
+     *  Callers guarantee no disjunct is empty. */
+    private static int pruneTierDnf(
+            Map<String, double[]> stats,
+            Map<String, long[]> digests,
+            Map<String, PalletJackRegistry.BloomEntry> blooms,
+            Map<String, double[]> intervals,
+            List<List<Conjunct>> dnf) {
+        int worst = -1;
+        for (List<Conjunct> cs : dnf) {
+            int t = pruneTier(stats, digests, blooms, intervals, cs);
+            if (t < 0) {
+                return -1;
+            }
+            worst = Math.max(worst, t);
+        }
+        return worst;
     }
 
     /** Tier names in probe order — the same order (minus partition,

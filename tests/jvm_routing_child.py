@@ -89,10 +89,28 @@ def main(tmp: str) -> None:
     )
     out["smart_read_equal"] = sm == rows
 
-    # a disjunction the rule can't prove must fall through unpruned
+    # a disjunction with an UNPROVABLE branch must fall through unpruned
+    # (tag has no numeric stats and no digests on this root)
     disj = spark.sql(f"SELECT v FROM parquet.`{data}` WHERE v >= 250 OR tag = 't0'")
     out["files_disjunction"] = len(_lr_input_files(disj))
     out["n_rows_disjunction"] = disj.count()
+
+    # round 13: a disjunction whose EVERY branch is provable prunes to
+    # the union of each branch's surviving files
+    orq = spark.sql(
+        f"SELECT v FROM parquet.`{data}` WHERE v < 100 OR v >= 300"
+    )
+    out["files_or"] = len(_lr_input_files(orq))
+    out["n_rows_or"] = orq.count()
+    out["explain_or"] = _explain(data)
+    # nested: (provable AND unprovable) OR provable — the unprovable
+    # conjunct drops out of its branch, both branches still prune
+    orn = spark.sql(
+        f"SELECT v FROM parquet.`{data}` "
+        "WHERE (v < 100 AND tag = 't0') OR v >= 300"
+    )
+    out["files_or_nested"] = len(_lr_input_files(orn))
+    out["n_rows_or_nested"] = orn.count()
 
     # equality predicate prunes to one file
     eq = spark.sql(f"SELECT v FROM parquet.`{data}` WHERE v = 123")
@@ -225,6 +243,15 @@ def main(tmp: str) -> None:
     none = spark.sql(f"SELECT k FROM parquet.`{idata}` WHERE tag = 'nope'")
     out["files_digest_none"] = len(_lr_input_files(none))
     out["n_rows_digest_none"] = none.count()
+    # round 13: a cross-column OR where BOTH branches need the
+    # dictionary tier (stats keep all 4 on this interleaved layout)
+    ior = spark.sql(
+        f"SELECT k, tag FROM parquet.`{idata}` "
+        "WHERE k = 123 OR tag = 'u0202'"
+    )
+    out["files_digest_or"] = len(_lr_input_files(ior))
+    out["n_rows_digest_or"] = ior.count()
+    out["explain_digest_or"] = _explain(idata)
     # hash-equal to smart_read (the Python dictionary-probing path)
     smi = sorted(
         (r["k"], r["tag"])

@@ -70,9 +70,21 @@ def test_pure_sql_scan_is_file_pruned_and_hash_equal(tmp_path):
     # identical results, equal to smart_read on the same inputs
     assert out["n_rows"] == 150
     assert out["smart_read_equal"] is True
-    # unprovable disjunction: conservatively unpruned, still correct
+    # a disjunction with an unprovable branch: conservatively unpruned,
+    # still correct
     assert out["files_disjunction"] == 4
     assert out["n_rows_disjunction"] == 250
+    # round 13: every-branch-provable disjunctions prune to the UNION
+    # of the branches' surviving files (v<100 -> file 0, v>=300 -> file 3)
+    assert out["files_or"] == 2
+    assert out["n_rows_or"] == 200
+    ev = out["explain_or"]
+    assert (ev["total"], ev["kept"]) == (4, 2)
+    assert ev["pruned"] == {"stats": 2, "dictionary": 0, "bloom": 0, "page": 0}
+    # an unprovable conjunct inside one branch drops out; both branches
+    # still prune (file 0 survives via v<100, file 3 via v>=300)
+    assert out["files_or_nested"] == 2
+    assert out["n_rows_or_nested"] == 200
     # point predicate routes to exactly one file
     assert out["files_eq"] == 1
     assert out["n_rows_eq"] == 1
@@ -122,6 +134,14 @@ def test_pure_sql_scan_is_file_pruned_and_hash_equal(tmp_path):
     assert out["files_digest_none"] == 0
     assert out["n_rows_digest_none"] == 0
     assert out["digest_smart_equal"] is True
+    # round 13: cross-column OR where both branches prune via the
+    # dictionary tier (stats keep 4/4 on the interleaved layout) — the
+    # union of the two owning files survives, attributed to dictionary
+    assert out["files_digest_or"] == 2
+    assert out["n_rows_digest_or"] == 2
+    ev = out["explain_digest_or"]
+    assert (ev["total"], ev["kept"]) == (4, 2)
+    assert ev["pruned"] == {"stats": 0, "dictionary": 2, "bloom": 0, "page": 0}
 
     # round-11 verdict item 3: exclusion (!=/NOT IN) and IS [NOT] NULL
     # now prune from pure SQL.  != on an int prunes the single-valued
