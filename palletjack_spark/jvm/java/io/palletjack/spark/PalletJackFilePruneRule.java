@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression;
 import org.apache.spark.sql.catalyst.expressions.GreaterThan;
 import org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual;
 import org.apache.spark.sql.catalyst.expressions.In;
+import org.apache.spark.sql.catalyst.expressions.InSet;
 import org.apache.spark.sql.catalyst.expressions.IsNotNull;
 import org.apache.spark.sql.catalyst.expressions.IsNull;
 import org.apache.spark.sql.catalyst.expressions.LessThan;
@@ -286,6 +287,15 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
             addInConjunct((In) e, "in", out);
             return;
         }
+        if (e instanceof InSet) {
+            // long IN lists: Catalyst converts In to InSet past
+            // spark.sql.optimizer.inSetConversionThreshold (default 10)
+            // — exactly the multi-key point-lookup shape the digest and
+            // bloom tiers exist for (round 13: previously "deliberately
+            // unknown", so a 20-key lookup never pruned from pure SQL)
+            addInSetConjunct((InSet) e, "in", out);
+            return;
+        }
         if (e instanceof Not) {
             // Catalyst keeps != as Not(EqualTo) and NOT IN as Not(In)
             // through optimization (round-10 verdict item 3: the digests
@@ -300,6 +310,8 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
                 addBinaryConjunct("!=", eq.left(), eq.right(), out);
             } else if (inner instanceof In) {
                 addInConjunct((In) inner, "not_in", out);
+            } else if (inner instanceof InSet) {
+                addInSetConjunct((InSet) inner, "not_in", out);
             }
             return;
         }
@@ -417,6 +429,53 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
                 allCanon ? cs : null, allIntegral));
     }
 
+    /** InSet (the optimizer's hash-set form of long IN lists): same
+     *  semantics as {@link #addInConjunct}, but the members are already
+     *  evaluated Catalyst values rather than Literal expressions.  A
+     *  null member bails entirely (IN with NULL matches nothing extra
+     *  but NOT IN with NULL matches nothing at all — conservatively
+     *  keep rather than encode three-valued logic here). */
+    private static void addInSetConjunct(InSet in, String op, List<Conjunct> out) {
+        String col = attrName(in.child());
+        if (col == null) {
+            return;
+        }
+        java.util.ArrayList<Object> items = new java.util.ArrayList<>();
+        scala.collection.Iterator<Object> it = in.hset().iterator();
+        while (it.hasNext()) {
+            Object v = it.next();
+            if (v == null) {
+                return;
+            }
+            items.add(v);
+        }
+        double[] vs = new double[items.size()];
+        String[] cs = new String[items.size()];
+        boolean allNum = true;
+        boolean allCanon = true;
+        boolean allIntegral = true;
+        for (int i = 0; i < items.size(); i++) {
+            Double v = rawValue(items.get(i));
+            if (v == null) {
+                allNum = false;
+            } else {
+                vs[i] = v;
+            }
+            cs[i] = rawCanon(items.get(i));
+            if (cs[i] == null) {
+                allCanon = false;
+            }
+            if (!rawIntegral(items.get(i))) {
+                allIntegral = false;
+            }
+        }
+        if (!allNum && !allCanon) {
+            return;
+        }
+        out.add(new Conjunct(col, op, allNum ? vs : null,
+                allCanon ? cs : null, allIntegral));
+    }
+
     private static String flip(String op) {
         switch (op) {
             case ">=": return "<=";
@@ -489,10 +548,10 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
      * such columns simply never get a digest, and min/max still applies).
      */
     private static String litCanon(Expression e) {
-        if (!(e instanceof Literal)) {
-            return null;
-        }
-        Object v = ((Literal) e).value();
+        return e instanceof Literal ? rawCanon(((Literal) e).value()) : null;
+    }
+
+    private static String rawCanon(Object v) {
         if (v instanceof Integer || v instanceof Long
                 || v instanceof Short || v instanceof Byte) {
             return String.valueOf(((Number) v).longValue());
@@ -521,19 +580,19 @@ public class PalletJackFilePruneRule extends Rule<LogicalPlan> {
      *  Byte — incl. internal Date/Timestamp encodings); see
      *  {@link Conjunct#integral}. */
     private static boolean litIntegral(Expression e) {
-        if (!(e instanceof Literal)) {
-            return false;
-        }
-        Object v = ((Literal) e).value();
+        return e instanceof Literal && rawIntegral(((Literal) e).value());
+    }
+
+    private static boolean rawIntegral(Object v) {
         return v instanceof Integer || v instanceof Long
                 || v instanceof Short || v instanceof Byte;
     }
 
     private static Double litValue(Expression e) {
-        if (!(e instanceof Literal)) {
-            return null;
-        }
-        Object v = ((Literal) e).value();
+        return e instanceof Literal ? rawValue(((Literal) e).value()) : null;
+    }
+
+    private static Double rawValue(Object v) {
         if (v instanceof Number) {
             // covers Int/Long/Short/Byte/Double/Float — and Catalyst's
             // internal Date (days) / Timestamp (micros) encodings, the

@@ -243,6 +243,15 @@ def main(tmp: str) -> None:
     none = spark.sql(f"SELECT k FROM parquet.`{idata}` WHERE tag = 'nope'")
     out["files_digest_none"] = len(_lr_input_files(none))
     out["n_rows_digest_none"] = none.count()
+    # round 13: a LONG IN list (>10 members → Catalyst rewrites In to
+    # InSet, previously left unknown) — all members live in file 3's
+    # dictionary, so the digest tier prunes 3 of 4 files
+    longin = spark.sql(
+        f"SELECT k FROM parquet.`{idata}` "
+        "WHERE k IN (3, 7, 11, 15, 19, 23, 27, 31, 35, 39, 43, 123)"
+    )
+    out["files_inset"] = len(_lr_input_files(longin))
+    out["n_rows_inset"] = longin.count()
     # round 13: a cross-column OR where BOTH branches need the
     # dictionary tier (stats keep all 4 on this interleaved layout)
     ior = spark.sql(
@@ -298,6 +307,15 @@ def main(tmp: str) -> None:
     )
     out["files_notin_str"] = len(_lr_input_files(nin))
     out["n_rows_notin_str"] = nin.count()
+    # round 13: a LONG NOT IN (>10 members → Not(InSet)) whose members
+    # wholly cover two files' value sets — digest-subset prune
+    ninset = spark.sql(
+        f"SELECT tag FROM parquet.`{xdata}` WHERE tag NOT IN "
+        "('g0', 'g1', 'x2', 'x3', 'x4', 'x5', 'x6', 'x7', 'x8', 'x9', "
+        "'xa', 'xb')"
+    )
+    out["files_notinset"] = len(_lr_input_files(ninset))
+    out["n_rows_notinset"] = ninset.count()
     # IS NULL prunes the null-free file; IS NOT NULL prunes the all-null
     isn = spark.sql(f"SELECT k FROM parquet.`{xdata}` WHERE n IS NULL")
     out["files_is_null"] = len(_lr_input_files(isn))

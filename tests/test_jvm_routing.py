@@ -154,6 +154,13 @@ def test_pure_sql_scan_is_file_pruned_and_hash_equal(tmp_path):
     assert out["files_notin_str"] == 2
     assert out["n_rows_notin_str"] == 200
     assert out["excl_smart_equal"] is True
+    # round 13: long IN / NOT IN lists (Catalyst's InSet form past the
+    # 10-member conversion threshold) prune too — previously a 12-key
+    # point lookup fell through unpruned from pure SQL
+    assert out["files_inset"] == 1
+    assert out["n_rows_inset"] == 12
+    assert out["files_notinset"] == 2
+    assert out["n_rows_notinset"] == 200
     # IS NULL prunes the null-free file; IS NOT NULL prunes the all-null
     assert out["files_is_null"] == 3
     assert out["n_rows_is_null"] == 200
