@@ -257,6 +257,12 @@ def read_bloom(path: str, offset: int, length: int | None):
     compressed — nothing standard writes those today) or anything fails:
     unknown always keeps."""
     try:
+        if length is not None and length > _MAX_BITSET + 4096:
+            # cap BEFORE the read: a corrupt/foreign footer declaring a
+            # multi-GB bloom_filter_length must degrade to "unknown ->
+            # keep", not allocate gigabytes on an executor (the
+            # read_column_index pre-read discipline)
+            return None
         with open(path, "rb") as fh:
             fh.seek(offset)
             raw = fh.read(length if length else 4096)
@@ -862,6 +868,8 @@ def add_bloom_filters(
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
+    if md.num_row_groups == 0:
+        return 0  # an empty part file has nothing to enrich
     names = [
         md.row_group(0).column(j).path_in_schema
         for j in range(md.num_columns)
@@ -870,10 +878,35 @@ def add_bloom_filters(
         md.row_group(0).column(j).physical_type
         for j in range(md.num_columns)
     ]
+    import pyarrow as pa
+
+    pf_schema = pq.ParquetFile(path).schema_arrow
+    #: arrow types whose plain encoding IS the raw value space the
+    #: probe hashes (the writer-side mirror of the probe's
+    #: _IDENTITY_LOGICAL gate — round-13 review: DATE/TIMESTAMP/DECIMAL/
+    #: unsigned columns previously crashed mid-enrichment with a raw
+    #: struct.error instead of a typed rejection)
+    _writer_ok = (
+        pa.types.is_int32,
+        pa.types.is_int64,
+        pa.types.is_float32,
+        pa.types.is_float64,
+        pa.types.is_string,
+        pa.types.is_large_string,
+        pa.types.is_binary,
+        pa.types.is_large_binary,
+    )
     targets = []
     for c in columns:
         if c not in names:
             raise _ISE(f"Unknown column for bloom filter: {c!r}")
+        ftype = pf_schema.field(c).type
+        if not any(ok(ftype) for ok in _writer_ok):
+            raise _ISE(
+                f"bloom filters unsupported for column {c!r} of type "
+                f"{ftype} (non-identity logical types — date/timestamp/"
+                "decimal/unsigned — have no raw-value bloom encoding)"
+            )
         targets.append((names.index(c), c))
 
     # build blobs; record (rg, col) -> (offset-in-appendix, length)

@@ -660,6 +660,11 @@ def atomic_tail_rewrite(path: str, footer_start: int, tail: bytes) -> None:
     )
     try:
         shutil.copyfile(path, tmp)
+        # preserve the source's mode bits: copyfile writes the temp with
+        # the umask default, and os.replace would otherwise silently
+        # loosen (or break) permissions on an 0600 data-lake file
+        # (round-13 review)
+        shutil.copystat(path, tmp)
         with open(tmp, "r+b") as fh:
             fh.seek(footer_start)
             fh.write(tail)
@@ -1362,6 +1367,27 @@ def _deserialize_index(blob: bytes) -> tuple[bytes, list, list]:
             f"Corrupt PJS1 index: {len(blob) - pos} trailing bytes after "
             "the span table"
         )
+    # validate the span VALUES, not just the container (round-13 review:
+    # a corrupt span previously flowed straight into the splice — a
+    # negative start wraps via Python slicing, and out-of-range spans
+    # can assemble a parseable-but-WRONG footer the corrupt-index
+    # wrapper never catches).  Every span must denote a real byte range
+    # of the embedded footer with a sane field id and compact type.
+    for where, span_list in (
+        ("top-level", fields),
+        *(( "row-group", rgf) for rgf in rg_elems),
+    ):
+        for fid, ctype, start, end in span_list:
+            if not (
+                0 < fid < 1 << 31
+                and 0 <= ctype <= 15
+                and 0 <= start <= end <= flen
+            ):
+                raise InvalidSelectionError(
+                    f"Corrupt PJS1 index: {where} span (fid={fid}, "
+                    f"ctype={ctype}, start={start}, end={end}) does not "
+                    f"denote a byte range of the {flen}-byte footer"
+                )
     # seed the span cache so splices skip the walk entirely
     if len(_SPAN_CACHE) >= _SPAN_CACHE_MAX:
         _SPAN_CACHE.pop(next(iter(_SPAN_CACHE)))
@@ -1418,7 +1444,12 @@ def _footer_from_source(
         import os
 
         st = os.stat(index_file_path)
-        fkey = (index_file_path, st.st_mtime_ns, st.st_size)
+        # "pjs1" tag: this cache is shared with read_footer_bytes, whose
+        # keys are (path, mtime, size) of PARQUET files.  Without the
+        # tag, reading the same path first as an index then as parquet
+        # (or vice versa) served the WRONG byte blob from cache instead
+        # of the uncached path's typed error (round-13 review).
+        fkey = ("pjs1", index_file_path, st.st_mtime_ns, st.st_size)
         fhit = _FOOTER_CACHE.get(fkey)
         if fhit is not None:
             return fhit

@@ -697,13 +697,22 @@ def _truncated_bounds(lo: bytes, hi: bytes) -> tuple[bytes, bytes]:
 
 def _page_stats(values: list, physical_type: str):
     """(null_page, null_count, min_bytes, max_bytes) for one page's
-    decoded values — parquet convention: bounds ignore NULLs and NaN."""
+    decoded values — parquet convention: bounds ignore NULLs and NaN.
+
+    Returns ``None`` for a page that holds non-NULL values but no
+    representable bounds (all-NaN floats): marking it ``null_page``
+    would be a LIE the probes (and parquet-mr's own page filtering)
+    would act on — IS NOT NULL / range predicates would silently drop
+    live NaN rows.  The caller must skip enriching the whole chunk
+    (no ColumnIndex = no evidence = keep, always sound)."""
     t = physical_type.upper()
     nulls = sum(1 for v in values if v is None)
     nn = [v for v in values if v is not None]
     if t in ("FLOAT", "DOUBLE"):
         nn = [float(v) for v in nn if not math.isnan(float(v))]
     if not nn:
+        if nulls < len(values):
+            return None  # non-null values with no bounds: all NaN
         return True, nulls, b"", b""
     if t == "BYTE_ARRAY":
         enc = [
@@ -756,6 +765,8 @@ def add_page_index(path: str, columns: list[str] | None = None) -> int:
 
     pf = pq.ParquetFile(path)
     md = pf.metadata
+    if md.num_row_groups == 0:
+        return 0  # an empty part file has nothing to enrich
     names = [
         md.row_group(0).column(j).path_in_schema
         for j in range(md.num_columns)
@@ -809,13 +820,22 @@ def add_page_index(path: str, columns: list[str] | None = None) -> int:
             ).to_pylist()
             null_pages, mins, maxs, null_counts = [], [], [], []
             at = 0
+            unrepresentable = False
             for _off, _sz, rows in pages:
-                np_, nc, lo, hi = _page_stats(vals[at : at + rows], pt)
+                st = _page_stats(vals[at : at + rows], pt)
+                if st is None:
+                    # an all-NaN page has no honest ColumnIndex entry —
+                    # skip the chunk (no evidence: every probe keeps)
+                    unrepresentable = True
+                    break
+                np_, nc, lo, hi = st
                 null_pages.append(np_)
                 null_counts.append(nc)
                 mins.append(lo)
                 maxs.append(hi)
                 at += rows
+            if unrepresentable:
+                continue
             ci = bytearray()
             _encode_field_header(ci, 1, 9, 0)  # null_pages list<bool>
             _encode_value(ci, 9, (1, null_pages))

@@ -389,3 +389,49 @@ def test_splice_and_datasource_interplay_with_enriched_files(spark, tmp_path):
     assert [p.value for p in r.partitions()] == [(path, [3])]
     got = df.where("tag = 'u00000123'").collect()
     assert [(x["k"], x["tag"]) for x in got] == [(123, "u00000123")]
+
+
+def test_read_bloom_caps_declared_length_before_reading(tmp_path):
+    """Round-13 review: a corrupt/foreign footer can declare a multi-GB
+    bloom_filter_length — the reader must refuse BEFORE the read, not
+    allocate gigabytes on an executor."""
+    from palletjack_spark.index.bloomprune import _MAX_BITSET, read_bloom
+
+    p = str(tmp_path / "x.parquet")
+    pq.write_table(pa.table({"k": pa.array(range(10), pa.int64())}), p)
+    assert read_bloom(p, 0, _MAX_BITSET * 16) is None
+
+
+def test_bloom_writer_rejects_non_identity_logical_types(tmp_path):
+    """Round-13 review: the writer mirrors the probe's identity gate —
+    DATE/TIMESTAMP/DECIMAL/unsigned columns raise the typed error
+    instead of crashing mid-enrichment with a raw struct.error."""
+    import datetime
+    import decimal
+
+    from palletjack_spark.errors import InvalidSelectionError
+    from palletjack_spark.index.bloomprune import add_bloom_filters
+
+    p = str(tmp_path / "typed.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "d": pa.array([datetime.date(2024, 1, 1 + i) for i in range(5)]),
+                "ts": pa.array(
+                    [datetime.datetime(2024, 1, 1, i) for i in range(5)],
+                    pa.timestamp("us"),
+                ),
+                "dec": pa.array(
+                    [decimal.Decimal(i) for i in range(5)],
+                    pa.decimal128(10, 2),
+                ),
+                "u": pa.array(range(5), pa.uint32()),
+                "k": pa.array(range(5), pa.int64()),
+            }
+        ),
+        p,
+    )
+    for col in ("d", "ts", "dec", "u"):
+        with pytest.raises(InvalidSelectionError, match="unsupported"):
+            add_bloom_filters(p, [col])
+    assert add_bloom_filters(p, ["k"]) == 1  # identity type still enriches

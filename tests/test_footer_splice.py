@@ -656,3 +656,61 @@ def test_atomic_tail_rewrite_crash_and_duplicate_safety(tmp_path, monkeypatch):
     # re-running the full surgery on the enriched file is a no-op
     assert add_bloom_filters(p, ["k"]) == 0
     assert open(p, "rb").read() == enriched
+
+
+def test_corrupt_span_values_rejected_typed(pq_file):
+    """Round-13 review: span VALUES are validated, not just the
+    container — a negative start (which would wrap via Python slicing)
+    or an end past the footer raises the typed corrupt-index error
+    instead of splicing a parseable-but-wrong footer."""
+    import struct as _s
+
+    blob = bytes(fs.generate_metadata_index(pq_file))
+    # layout: magic(4) + flen(4) + footer + n_top(4) + spans...
+    (flen,) = _s.unpack_from("<I", blob, 4)
+    span0 = 4 + 4 + flen + 4  # first top-level '<4q' span
+    fid, ctype, start, end = _s.unpack_from("<4q", blob, span0)
+
+    def patched(new_span):
+        b = bytearray(blob)
+        _s.pack_into("<4q", b, span0, *new_span)
+        return bytes(b)
+
+    for bad in (
+        (fid, ctype, -1, end),          # negative start wraps slices
+        (fid, ctype, start, flen + 99), # end past the footer
+        (fid, ctype, end + 1, end),     # inverted
+        (-5, ctype, start, end),        # nonsense field id
+    ):
+        with pytest.raises(InvalidSelectionError, match="Corrupt PJS1"):
+            fs.read_metadata(index_data=patched(bad), row_groups=[0])
+
+
+def test_index_file_read_does_not_poison_parquet_footer_cache(pq_file, tmp_path):
+    """Round-13 review: reading a PJS1 index file caches its EMBEDDED
+    footer under a tagged key — a later attempt to read the same path
+    AS PARQUET must still hit the uncached magic check and fail typed,
+    not silently serve the embedded footer."""
+    idx_path = str(tmp_path / "x.pjs")
+    fs.generate_metadata_index(pq_file, idx_path)
+    md = fs.read_metadata(index_file_path=idx_path, row_groups=[0])
+    assert md.num_rows > 0
+    with pytest.raises(InvalidSelectionError):
+        fs.read_footer_bytes(idx_path)
+
+
+def test_atomic_tail_rewrite_preserves_mode(pq_file, tmp_path):
+    """Round-13 review: in-place enrichment must not silently loosen an
+    0600 data-lake file to the umask default."""
+    import shutil as _sh
+
+    from palletjack_spark.index.bloomprune import add_bloom_filters
+
+    p = str(tmp_path / "perm.parquet")
+    _sh.copyfile(pq_file, p)
+    os.chmod(p, 0o600)
+    cols = [
+        c for c in pq.ParquetFile(p).schema_arrow.names
+    ]
+    add_bloom_filters(p, cols[:1])
+    assert (os.stat(p).st_mode & 0o777) == 0o600

@@ -741,3 +741,74 @@ def test_row_ranges_ride_the_catalog_path(spark, tmp_path):
     # no-predicate and ordinal selections untouched
     assert idx.read(columns=["k"]).count() == 16 * 1024
     assert idx.read(columns=["k"], row_groups=[0]).count() == 4096
+
+
+def test_all_nan_page_skips_chunk_instead_of_lying(tmp_path):
+    """Round-13 review: an all-NaN float page has no honest ColumnIndex
+    entry — marking it null_page would make IS NOT NULL / range probes
+    (ours AND parquet-mr's own page filtering) silently drop live NaN
+    rows.  The writer must skip the whole chunk: no evidence, always
+    kept."""
+    import math
+
+    from palletjack_spark.index.pageprune import (
+        _page_stats,
+        add_page_index,
+        page_index_offsets,
+    )
+    from palletjack_spark.index.footer_splice import read_footer_bytes
+
+    nan = float("nan")
+    # unit: mixed pages distinguish all-NULL (honest) from all-NaN (not)
+    assert _page_stats([None, None], "DOUBLE") == (True, 2, b"", b"")
+    assert _page_stats([nan, nan], "DOUBLE") is None
+    assert _page_stats([None, nan], "DOUBLE") is None
+
+    p = str(tmp_path / "nanpage.parquet")
+    w = pq.ParquetWriter(
+        p,
+        pa.schema([("f", pa.float64()), ("k", pa.int64())]),
+        use_dictionary=False,
+        write_page_index=False,
+        data_page_size=1,
+        write_batch_size=100,
+    )
+    # page 1 of f: clean floats; page 2: ALL NaN (live rows!)
+    w.write_table(
+        pa.table(
+            {
+                "f": pa.array([1.0] * 100 + [nan] * 100, pa.float64()),
+                "k": pa.array(range(200), pa.int64()),
+            }
+        ),
+        row_group_size=200,
+    )
+    w.close()
+    n = add_page_index(p, ["f", "k"])
+    footer = read_footer_bytes(p)
+    # f's chunk skipped (unrepresentable page), k's enriched
+    assert page_index_offsets(footer, 0, 0) is None
+    assert page_index_offsets(footer, 0, 1) is not None
+    assert n == 1
+    # the file still reads, NaN rows intact
+    got = pq.read_table(p).column("f").to_pylist()
+    assert sum(1 for v in got if isinstance(v, float) and math.isnan(v)) == 100
+
+
+def test_enrichers_skip_zero_row_group_files(tmp_path):
+    """Round-13 review: an empty part file (0 row groups) has nothing
+    to enrich — both writers return 0 instead of crashing the dataset
+    job on md.row_group(0)."""
+    from palletjack_spark.index.bloomprune import add_bloom_filters
+    from palletjack_spark.index.pageprune import add_page_index
+
+    p = str(tmp_path / "empty.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([], pa.int64())}), p, row_group_size=100
+    )
+    if pq.ParquetFile(p).metadata.num_row_groups == 0:
+        assert add_bloom_filters(p, ["k"]) == 0
+        assert add_page_index(p, ["k"]) == 0
+    else:
+        # this pyarrow writes one empty row group: enrichment still works
+        assert add_page_index(p, ["k"]) >= 0
