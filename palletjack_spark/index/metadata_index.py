@@ -468,18 +468,28 @@ class MetadataIndex:
         return self._part_keys
 
     def _partition_plan_filter(
-        self, plan: DataFrame, preds: Sequence[tuple]
+        self,
+        plan: DataFrame,
+        preds: Sequence[tuple],
+        data_columns: Sequence[str] | None = None,
     ) -> DataFrame:
         """File-level partition pruning: for SAFE equality predicates on a
         partition key (value made only of chars hive never escapes, so the
-        raw path segment equals the logical value), drop plan rows whose
-        path segment differs — those files are never opened.  Every other
+        path segment DECODES to the logical value), drop plan rows whose
+        segment value differs — those files are never opened.  Every other
         op/value is left to the residual filter on the attached column,
         which is exact; this filter is a pure optimization that must agree
-        with it, hence the conservative charset gate."""
+        with it.  To agree it must share ``partition_values``' semantics
+        (round-13 review): compare the LAST ``key=`` segment (duplicate
+        keys in a path: later wins) URL-DECODED (a writer that
+        percent-escapes unreserved chars — ``k=a%2Db`` for ``a-b`` —
+        previously failed the raw compare and silently lost the file in
+        the distributed path only).  Keys that collide with a DATA column
+        name are skipped entirely: the attached column is then the data
+        column, and path-segment pruning could disagree with it."""
         import re
 
-        keys = set(self.partition_keys())
+        keys = set(self.partition_keys()) - set(data_columns or ())
         for col_name, op, *vals in preds:
             if col_name not in keys or op not in ("=", "==") or not vals:
                 continue
@@ -488,10 +498,19 @@ class MetadataIndex:
                 isinstance(v, str) and re.fullmatch(r"[A-Za-z0-9._\-]+", v)
             ):
                 continue
-            seg = F.regexp_extract(
-                F.col("file"), f"(?:^|/){re.escape(col_name)}=([^/]+)/", 1
+            if not re.fullmatch(r"[A-Za-z0-9._\- ]+", col_name):
+                continue  # exotic key name: leave it to the residual
+            n = len(col_name)
+            segs = (
+                f"filter(slice(split(file, '/'), 1,"
+                f" size(split(file, '/')) - 1),"
+                f" s -> substring(s, 1, {n + 1}) = '{col_name}=')"
             )
-            plan = plan.where(seg == F.lit(v))
+            raw = f"substring(try_element_at({segs}, -1), {n + 2})"
+            decoded = F.expr(
+                f"coalesce(try_url_decode({raw}), {raw})"
+            )
+            plan = plan.where(decoded == F.lit(v))
         return plan
 
     def _has_stats_kind(self) -> bool:
@@ -502,6 +521,38 @@ class MetadataIndex:
             return "stats_kind" in elem.fieldNames()
         except Exception:
             return False
+
+    @staticmethod
+    def _norm_lit(x):
+        """datetime/date predicate literals -> the index's numeric stat
+        projection (epoch micros / days — builder._stat_num_base's
+        convention), so range pruning on timestamp/date columns is
+        reachable from the predicate DSL (round-13 review: the builder
+        indexes those stats as numbers precisely for this, but a
+        datetime literal previously crashed ``float()`` with a raw
+        TypeError).  Everything else passes through; the RESIDUAL
+        filter keeps the original literal, so the final comparison is
+        Spark's own timestamp/date semantics."""
+        import datetime
+
+        if isinstance(x, (datetime.datetime, datetime.date)):
+            from palletjack_spark.index.builder import _stat_num_base
+
+            return _stat_num_base(x)
+        return x
+
+    @staticmethod
+    def _normalize_predicate(predicate: Sequence[tuple]) -> list[tuple]:
+        out = []
+        for col_name, op, *vals in predicate:
+            nv = []
+            for v in vals:
+                if isinstance(v, (list, tuple, set)):
+                    nv.append([MetadataIndex._norm_lit(x) for x in v])
+                else:
+                    nv.append(MetadataIndex._norm_lit(v))
+            out.append((col_name, op, *nv))
+        return out
 
     @staticmethod
     def _lit_floor(x) -> float:
@@ -550,7 +601,7 @@ class MetadataIndex:
         (conservative, like ParquetFilters)."""
         text_ok = self._has_stats_kind()
         cond = F.lit(True)
-        for col_name, op, *vals in predicate:
+        for col_name, op, *vals in self._normalize_predicate(predicate):
             if op not in _PRUNE_OPS:
                 raise InvalidSelectionError(f"Unsupported prune op: {op}")
             # F.get → NULL when the file lacks the column (heterogeneous
@@ -716,7 +767,9 @@ class MetadataIndex:
         """Python mirror of ``_prune_condition`` for driver-local planning —
         identical keep semantics: missing column, missing stats, or a
         non-ASCII/untagged string value keep the row group (conservative)."""
-        for col_name, op, *vals in predicate:
+        for col_name, op, *vals in MetadataIndex._normalize_predicate(
+            predicate
+        ):
             if op not in _PRUNE_OPS:
                 raise InvalidSelectionError(f"Unsupported prune op: {op}")
             st = next((c for c in rg["columns"] if c["name"] == col_name), None)
@@ -974,7 +1027,47 @@ class MetadataIndex:
         schema = self.arrow_schema(files)
         sel = resolve_columns(schema.names, columns, column_indices)
         part_keys = self.partition_keys()
+        # SELECT a WHERE b: a residual predicate on a column OUTSIDE the
+        # projection previously threw UNRESOLVED_COLUMN (round-13
+        # review).  Widen the scan to include predicate data columns and
+        # drop them again after the residual — standard SQL semantics.
+        pred_extra: list[str] = []
+        if predicate and apply_residual and sel is not None:
+            # (sel is None = full projection: nothing to widen)
+            pred_extra = list(
+                dict.fromkeys(
+                    t[0]
+                    for t in predicate
+                    if t[0] in schema.names and t[0] not in sel
+                )
+            )
+            sel = sel + pred_extra
 
+        if files is not None:
+            # every requested file must be indexed (round-13 review: a
+            # typo'd path silently vanished from the result while the
+            # reference's bounds check and LocalIndex.read_metadata both
+            # raise — the isin filter alone just dropped it).
+            want = list(dict.fromkeys(files))
+            if self._local is not None:
+                known = {r["file"] for r in self._local[1]}
+                missing = [f for f in want if f not in known]
+            else:
+                fdf = self.spark.createDataFrame(
+                    [(f,) for f in want], "file string"
+                )
+                missing = [
+                    r["file"]
+                    for r in fdf.join(
+                        self.files.select("file"), "file", "left_anti"
+                    )
+                    .limit(5)
+                    .collect()
+                ]
+            if missing:
+                raise InvalidSelectionError(
+                    f"Files not present in the index: {sorted(missing)}"
+                )
         if row_groups is not None:
             self._check_row_group_bounds(files, row_groups)
 
@@ -991,6 +1084,9 @@ class MetadataIndex:
                 want_rg = {int(r) for r in row_groups}
                 rg_rows = [r for r in rg_rows if r["row_group"] in want_rg]
             if predicate:
+                # datetime/date literals -> numeric projection for every
+                # PRUNING tier (the residual keeps the original literals)
+                norm_pred = self._normalize_predicate(predicate)
                 rg_rows = [r for r in rg_rows if self._keep_local(r, predicate)]
                 if part_keys:
                     import re as _re
@@ -1000,6 +1096,7 @@ class MetadataIndex:
                         # filter — exactness guaranteed by the residual
                         if (
                             col_name in part_keys
+                            and col_name not in schema.names
                             and op in ("=", "==")
                             and vals
                             and isinstance(vals[0], str)
@@ -1022,16 +1119,16 @@ class MetadataIndex:
                         page_prune_rows,
                     )
 
-                    rg_rows = dict_prune_rows(rg_rows, predicate)
+                    rg_rows = dict_prune_rows(rg_rows, norm_pred)
                     # bloom tier (q03g): equality point lookups on
                     # dict-OVERFLOW high-cardinality chunks, where the
                     # encoding_stats gate above correctly refused
-                    rg_rows = bloom_prune_rows(rg_rows, predicate)
+                    rg_rows = bloom_prune_rows(rg_rows, norm_pred)
                     # page-index tier (q03h): per-page min/max envelopes
                     # prove ENVELOPE-GAP row groups empty — values the
                     # row-group envelope covers but no page does
                     prober = PageProber()
-                    rg_rows = page_prune_rows(rg_rows, predicate, prober)
+                    rg_rows = page_prune_rows(rg_rows, norm_pred, prober)
                     # ...and, within surviving row groups, restrict the
                     # scan to the surviving page ROW RANGES (OffsetIndex
                     # granularity): rows the page index proves
@@ -1046,7 +1143,7 @@ class MetadataIndex:
                             continue
                         rngs = prober.surviving_ranges(
                             r["file"], r["row_group"], nrows,
-                            predicate, _row_lookup(r),
+                            norm_pred, _row_lookup(r),
                         )
                         if rngs is not None and (
                             sum(e - s for s, e in rngs) < nrows
@@ -1084,7 +1181,9 @@ class MetadataIndex:
                 files=files, row_groups=row_groups, predicate=predicate
             )
             if predicate and part_keys:
-                plan = self._partition_plan_filter(plan, predicate)
+                plan = self._partition_plan_filter(
+                    plan, predicate, data_columns=schema.names
+                )
             if predicate and dictionary_prune:
                 # executor-side dictionary + bloom probes in ONE pass:
                 # the plan rows carry the chunk offsets/types, so
@@ -1093,10 +1192,18 @@ class MetadataIndex:
                 # driver (bloomprune.value_prune_plan)
                 from palletjack_spark.index.bloomprune import value_prune_plan
 
-                plan = value_prune_plan(plan, predicate)
-            df = scan_plan(
-                self.spark, plan, schema, sel, partition_keys=part_keys
-            )
+                sizing = plan  # pre-probe: index-only lineage, cheap agg
+                plan = value_prune_plan(
+                    plan, self._normalize_predicate(predicate)
+                )
+                df = scan_plan(
+                    self.spark, plan, schema, sel,
+                    partition_keys=part_keys, sizing_plan=sizing,
+                )
+            else:
+                df = scan_plan(
+                    self.spark, plan, schema, sel, partition_keys=part_keys
+                )
         if predicate and apply_residual:
             for col_name, op, *vals in predicate:
                 c = F.col(col_name)
@@ -1122,4 +1229,6 @@ class MetadataIndex:
                     df = df.where(c.isNull())
                 elif op == "not_null":
                     df = df.where(c.isNotNull())
+        if pred_extra:
+            df = df.drop(*pred_extra)
         return df

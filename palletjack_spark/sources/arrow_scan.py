@@ -78,7 +78,18 @@ def _normalize_arrow_type(t: pa.DataType) -> pa.DataType:
         return pa.binary()
     if t == pa.float16():
         return pa.float32()
+    # unsigned widenings must MATCH _PRIMITIVE's declared Spark types —
+    # an unwidened uint16 batch against a declared IntegerType fails at
+    # the JVM boundary (round-13 review; only uint64 was handled)
+    if pa.types.is_uint8(t):
+        return pa.int16()
+    if pa.types.is_uint16(t):
+        return pa.int32()
+    if pa.types.is_uint32(t):
+        return pa.int64()
     if pa.types.is_uint64(t):
+        # lossy past 2**63 — the cast site uses safe semantics for
+        # unsigned columns so overflow errors loudly instead of wrapping
         return pa.int64()
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return pa.list_(_normalize_arrow_type(t.value_type))
@@ -202,6 +213,12 @@ def expand_paths(paths: str | Iterable[str]) -> list[str]:
                     )
                 )
             )
+        elif os.path.exists(p):
+            # an EXISTING literal path wins over glob interpretation:
+            # a file literally named part[1].parquet must not resolve
+            # via character-class matching to part1.parquet (round-13
+            # review)
+            out.append(p)
         elif any(ch in p for ch in "*?["):
             out.extend(sorted(_glob.glob(p)))
         else:
@@ -312,7 +329,20 @@ def _read_span_batches(
         if rb.num_rows == 0:
             return None
         if rb.schema != target:
-            rb = rb.cast(target, safe=False)
+            # per-column cast: unsigned sources cast SAFELY so a uint64
+            # past 2**63 errors loudly instead of wrapping negative
+            # (round-13 review); everything else keeps safe=False, which
+            # the ns->us timestamp truncation requires
+            arrays = []
+            for i, f in enumerate(target):
+                col = rb.column(i)
+                if col.type != f.type:
+                    col = col.cast(
+                        f.type,
+                        safe=pa.types.is_unsigned_integer(col.type),
+                    )
+                arrays.append(col)
+            rb = pa.RecordBatch.from_arrays(arrays, schema=target)
         if pvals is not None:
             arrays = list(rb.columns) + [
                 pa.nulls(rb.num_rows, pa.string())
@@ -341,11 +371,23 @@ def _read_span_batches(
             run = []
         if rg is None:
             continue
-        tbl = pf.read_row_group(rg, columns=cols)
-        for start, end in ranges_by_rg[rg]:
-            piece = tbl.slice(start, end - start)  # zero-copy
-            for rb in piece.to_batches(max_chunksize=batch_size):
-                out = _attach(rb)
+        # stream the ranged row group too (round-13 review: read_row_group
+        # materialized the WHOLE group before slicing — a multi-GB group
+        # with one small surviving range memory-spiked the very task the
+        # page tier was cutting).  Track absolute row offsets per batch
+        # and intersect with the surviving ranges, zero-copy slices only.
+        rngs = ranges_by_rg[rg]
+        at = 0
+        for rb in pf.iter_batches(
+            batch_size=batch_size, row_groups=[rg], columns=cols
+        ):
+            b_lo, b_hi = at, at + rb.num_rows
+            at = b_hi
+            for start, end in rngs:
+                lo, hi = max(start, b_lo), min(end, b_hi)
+                if lo >= hi:
+                    continue
+                out = _attach(rb.slice(lo - b_lo, hi - lo))
                 if out is not None:
                     yield out
 
@@ -379,6 +421,14 @@ def scan_tasks(
     file_schema = schema
     if columns is not None:
         file_schema = pa.schema([schema.field(c) for c in columns])
+    if partition_keys:
+        # a SELECTED data column sharing a partition key's name wins
+        # (round-13 review: the blind append produced duplicate-name
+        # schemas and AMBIGUOUS_REFERENCE residual filters on layouts
+        # whose writer kept the partition column in the data)
+        partition_keys = [
+            k for k in partition_keys if k not in file_schema.names
+        ] or None
     target = normalize_arrow_schema(file_schema)
     spark_schema = _with_partition_fields(
         arrow_to_spark_schema(file_schema), partition_keys
@@ -431,6 +481,7 @@ def scan_plan(
     columns: list[str] | None,
     batch_size: int = 65536,
     partition_keys: list[str] | None = None,
+    sizing_plan: DataFrame | None = None,
 ) -> DataFrame:
     """Scan the (file, row_group) selection described by a *plan DataFrame*
     — the pruned metadata index — without ever materializing the row-group
@@ -462,15 +513,29 @@ def scan_plan(
     file_schema = schema
     if columns is not None:
         file_schema = pa.schema([schema.field(c) for c in columns])
+    if partition_keys:
+        # a SELECTED data column sharing a partition key's name wins
+        # (round-13 review: the blind append produced duplicate-name
+        # schemas and AMBIGUOUS_REFERENCE residual filters on layouts
+        # whose writer kept the partition column in the data)
+        partition_keys = [
+            k for k in partition_keys if k not in file_schema.names
+        ] or None
     target = normalize_arrow_schema(file_schema)
     spark_schema = _with_partition_fields(
         arrow_to_spark_schema(file_schema), partition_keys
     )
     cols = list(columns) if columns is not None else None
 
-    # bounded driver read: ONE row with two scalars, whatever the selection
+    # bounded driver read: ONE row with two scalars, whatever the selection.
+    # ``sizing_plan`` (round-13 review): when the plan carries executor-side
+    # value probes (dictionary pages / blooms / page indexes), aggregating
+    # the probed plan here would execute the whole probe stage ONCE for the
+    # two scalars and AGAIN for the scan — callers pass the cheap pre-probe
+    # plan instead.  Probing only shrinks the selection, so sizing from the
+    # superset is conservative: at worst a few extra (empty) partitions.
     stats = (
-        plan.agg(
+        (sizing_plan if sizing_plan is not None else plan).agg(
             F.sum("total_byte_size").alias("pj_bytes"),
             F.count("*").alias("pj_rgs"),
         )

@@ -1195,3 +1195,200 @@ def test_q03e_fixture_gc_unlinks_stale_fingerprints(spark):
     REGISTRY["q03e_dictionary_pruned_scan"].fn(spark, SF_DIR).collect()
     left = glob.glob(prefix + "_*.parquet")
     assert len(left) == 1 and left[0] != stale
+
+
+def test_timestamp_and_date_predicates_prune_and_return_exact_rows(
+    spark, tmp_path
+):
+    """Round-13 review: the builder indexes timestamp/date stats as
+    epoch micros/days precisely so predicates can prune on them, but a
+    datetime literal crashed float() with a raw TypeError — now the
+    literal normalizes to the numeric projection for every pruning
+    tier while the residual keeps Spark's own timestamp semantics."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "ts")
+    os.makedirs(out)
+    base = datetime.datetime(2024, 1, 1)
+    for i in range(4):
+        ts = [base + datetime.timedelta(hours=i * 100 + j) for j in range(100)]
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array(ts, pa.timestamp("us")),
+                    "d": pa.array([t.date() for t in ts], pa.date32()),
+                    "v": pa.array(range(i * 100, i * 100 + 100), pa.int64()),
+                }
+            ),
+            os.path.join(out, f"part-{i}.parquet"),
+        )
+    for fast in (True, False):
+        idx = build_index(
+            spark, out, use_cache=False, driver_fast_path=fast
+        )
+        cut = base + datetime.timedelta(hours=350)
+        df = idx.read(predicate=[("ts", ">=", cut)])
+        assert df.count() == 50  # hours 350..399
+        # pruning actually happened: only file 3 overlaps
+        kept = {
+            r["file"]
+            for r in idx.prune().where(
+                idx._prune_condition([("ts", ">=", cut)])
+            ).select("file").collect()
+        }
+        assert len(kept) == 1
+        dcut = (base + datetime.timedelta(hours=250)).date()
+        ddf = idx.read(predicate=[("d", ">", dcut)])
+        # days strictly after day 10 (hour 250 ≈ day 10.4): hours >= 264
+        assert ddf.count() == 400 - 264
+
+
+def test_predicate_on_projected_out_column(spark, tmp_path):
+    """Round-13 review: SELECT a WHERE b — a residual predicate on a
+    column outside the projection scans it transparently and drops it
+    after filtering, instead of UNRESOLVED_COLUMN."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "proj.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "a": pa.array(range(100), pa.int64()),
+                "b": pa.array([i % 10 for i in range(100)], pa.int64()),
+            }
+        ),
+        p,
+    )
+    for fast in (True, False):
+        idx = build_index(spark, p, use_cache=False, driver_fast_path=fast)
+        df = idx.read(columns=["a"], predicate=[("b", "=", 3)])
+        assert df.columns == ["a"]
+        assert sorted(r["a"] for r in df.collect()) == list(range(3, 100, 10))
+
+
+def test_read_unknown_files_raise_typed(spark, tmp_path):
+    """Round-13 review: a typo'd files= entry raises instead of silently
+    vanishing from the result."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from palletjack_spark.errors import InvalidSelectionError
+
+    out = str(tmp_path / "f")
+    os.makedirs(out)
+    for i in range(2):
+        pq.write_table(
+            pa.table({"v": pa.array([i], pa.int64())}),
+            os.path.join(out, f"part-{i}.parquet"),
+        )
+    for fast in (True, False):
+        idx = build_index(spark, out, use_cache=False, driver_fast_path=fast)
+        good = os.path.join(out, "part-0.parquet")
+        with pytest.raises(InvalidSelectionError, match="not present"):
+            idx.read(files=[good, os.path.join(out, "part-9.parqet")])
+        assert idx.read(files=[good]).count() == 1
+
+
+def test_partitioned_dup_data_column_and_encoded_segments(spark, tmp_path):
+    """Round-13 review, two partition-layout edge cases: (a) a data
+    column sharing a partition key's name must not produce a
+    duplicate-name schema (the data column wins; path-segment pruning
+    for that key is disabled); (b) percent-encoded segments compare
+    DECODED in the distributed gate, like partition_values and the
+    attached column — k=a%2Db must match predicate 'a-b'."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "dup")
+    for i, reg in enumerate(["apac", "emea"]):
+        os.makedirs(os.path.join(out, f"region={reg}"))
+        pq.write_table(
+            pa.table(
+                {
+                    "v": pa.array(range(i * 10, i * 10 + 10), pa.int64()),
+                    "region": pa.array([reg] * 10),  # dup of the key!
+                }
+            ),
+            os.path.join(out, f"region={reg}", "part-0.parquet"),
+        )
+    for fast in (True, False):
+        idx = build_index(spark, out, use_cache=False, driver_fast_path=fast)
+        df = idx.read(predicate=[("region", "=", "apac")])
+        assert df.columns.count("region") == 1
+        rows = df.collect()
+        assert sorted(r["v"] for r in rows) == list(range(10))
+        assert all(r["region"] == "apac" for r in rows)
+
+    enc = str(tmp_path / "enc")
+    for seg, lo in (("k=a%2Db", 0), ("k=plain", 100)):
+        os.makedirs(os.path.join(enc, seg))
+        pq.write_table(
+            pa.table({"v": pa.array(range(lo, lo + 10), pa.int64())}),
+            os.path.join(enc, seg, "part-0.parquet"),
+        )
+    for fast in (True, False):
+        idx = build_index(spark, enc, use_cache=False, driver_fast_path=fast)
+        got = idx.read(predicate=[("k", "=", "a-b")]).collect()
+        assert sorted(r["v"] for r in got) == list(range(10))
+        assert all(r["k"] == "a-b" for r in got)
+
+
+def test_unsigned_columns_scan_with_declared_types(spark, tmp_path):
+    """Round-13 review: uint8/16/32 batches must widen to the Spark
+    types the schema declares (previously only uint64 normalized, so
+    the batch schema never matched the mapInArrow returnType), and a
+    uint64 past 2**63 errors loudly instead of wrapping negative."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "u.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "u8": pa.array([0, 200], pa.uint8()),
+                "u16": pa.array([0, 60000], pa.uint16()),
+                "u32": pa.array([0, 4_000_000_000], pa.uint32()),
+                "u64": pa.array([0, 2**62], pa.uint64()),
+            }
+        ),
+        p,
+    )
+    idx = build_index(spark, p, use_cache=False)
+    rows = idx.read().orderBy("u8").collect()
+    assert [r["u16"] for r in rows] == [0, 60000]
+    assert [r["u32"] for r in rows] == [0, 4_000_000_000]
+    assert [r["u64"] for r in rows] == [0, 2**62]
+
+    p2 = str(tmp_path / "uo.parquet")
+    pq.write_table(
+        pa.table({"u64": pa.array([2**63 + 1], pa.uint64())}), p2
+    )
+    idx2 = build_index(spark, p2, use_cache=False)
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as ei:
+        idx2.read().collect()
+    assert "overflow" in str(ei.value).lower() or "cast" in str(
+        ei.value
+    ).lower() or "invalid" in str(ei.value).lower()
+
+
+def test_bracket_named_file_reads_literally(spark, tmp_path):
+    """Round-13 review: an existing literal path containing '[' must not
+    be glob-interpreted onto a different file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from palletjack_spark.sources.arrow_scan import expand_paths
+
+    good = str(tmp_path / "part[1].parquet")
+    decoy = str(tmp_path / "part1.parquet")
+    pq.write_table(pa.table({"v": pa.array([42], pa.int64())}), good)
+    pq.write_table(pa.table({"v": pa.array([7], pa.int64())}), decoy)
+    assert expand_paths(good) == [good]
