@@ -242,7 +242,7 @@ def _extract_file_rows(
                 st_min = st_max = None
             cols.append(
                 {
-                    "name": ".".join(cc.path_in_schema.split(".")),
+                    "name": cc.path_in_schema,
                     "physical_type": cc.physical_type,
                     "logical_type": logical_tags[j],
                     "codec": cc.compression,
@@ -303,6 +303,23 @@ def _extract_file_rows(
 #: id (unlike ``id(spark)``) can't be recycled by the allocator after a
 #: session is garbage-collected.
 _INDEX_CACHE: dict[tuple, MetadataIndex] = {}
+_INDEX_CACHE_MAX = 32
+
+
+def _cache_put(key: tuple, idx: MetadataIndex) -> None:
+    """Bounded insert (round-13 review: the memo grew without bound,
+    pinning superseded indexes' cached DataFrames in executor storage
+    for the application lifetime — the _schemas_cache discipline, plus
+    an unpersist of the evicted entry's cached plans)."""
+    if len(_INDEX_CACHE) >= _INDEX_CACHE_MAX:
+        _k, old = next(iter(_INDEX_CACHE.items()))
+        _INDEX_CACHE.pop(_k, None)
+        try:
+            old.row_groups.unpersist()
+            old.files.unpersist()
+        except Exception:
+            pass
+    _INDEX_CACHE[key] = idx
 
 
 def _cache_key(spark: SparkSession, files: list[str]) -> tuple:
@@ -475,10 +492,17 @@ def build_index(
         )
         idx.validate()
         if use_cache:
-            _INDEX_CACHE[cache_key] = idx
+            _cache_put(cache_key, idx)
         return idx
-    if index_dir and os.path.exists(os.path.join(index_dir, _META_NAME)):
-        # an existing sidecar's layout wins: appends must match it
+    if (
+        incremental
+        and index_dir
+        and os.path.exists(os.path.join(index_dir, _META_NAME))
+    ):
+        # an existing sidecar's layout wins for APPENDS, which must match
+        # it; a non-incremental overwrite REPLACES the sidecar, so the
+        # caller's catalog_buckets is honored — re-bucketing a catalog
+        # was previously a silent no-op forever (round-13 review)
         catalog_buckets = _read_meta(index_dir).get(
             "catalog_buckets", catalog_buckets
         )
@@ -519,7 +543,7 @@ def build_index(
                 return _INDEX_CACHE[inc_key]
             idx = load_index(spark, index_dir)
             if use_cache:
-                _INDEX_CACHE[inc_key] = idx
+                _cache_put(inc_key, idx)
             return idx
 
     combined = _extract_combined(spark, files)
@@ -550,6 +574,29 @@ def build_index(
                 .dataType.elementType
             )
             combined = _align_columns_struct(combined, list(existing.fields))
+        files_live = os.path.join(index_dir, "files")
+        if incremental and os.path.exists(files_live):
+            # the files/ dataset needs the same layout discipline as the
+            # nested rg struct (round-13 review): appending rows carrying
+            # a newer top-level field (e.g. mtime_ns) into an older
+            # sidecar would make reads schema-dependent on footer
+            # sampling — align the file-row projection to the EXISTING
+            # files/ schema (missing fields as typed NULLs, newer fields
+            # dropped; consumers treat NULL as "unknown → conservative").
+            ex_fields = [
+                f
+                for f in spark.read.parquet(files_live).schema.fields
+                if f.name not in part_cols
+            ]
+            have_f = set(combined.columns)
+            f_cols = [
+                (
+                    F.col(f.name)
+                    if f.name in have_f
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in ex_fields
+            ]
         combined = combined.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             # validate BEFORE committing bytes to the sidecar: the same
@@ -592,7 +639,7 @@ def build_index(
     idx = MetadataIndex(spark, rg_df, files_df, index_dir=None)
     idx._combined = combined  # unpersist() releases the backing cache
     if use_cache:
-        _INDEX_CACHE[cache_key] = idx
+        _cache_put(cache_key, idx)
     return idx
 
 

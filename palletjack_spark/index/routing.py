@@ -64,6 +64,25 @@ _INDEXES: dict[str, MetadataIndex] = {}
 #: saved stock DataFrameReader.parquet while routing is enabled
 _ORIG_PARQUET = None
 
+#: (method name -> original) for the reader-configuration markers below
+_ORIG_SETTERS: dict = {}
+
+#: reader methods whose use marks the reader as CONFIGURED — a reroute
+#: re-reads through smart_read's own default reader, so wrapped reads
+#: only happen on pristine readers (round-13 review: mergeSchema /
+#: explicit schemas were silently dropped by the reroute)
+_SETTER_NAMES = ("option", "options", "schema", "format")
+
+
+def _marking(orig):
+    def wrapper(self, *a, **k):
+        self._pj_configured = True
+        return orig(self, *a, **k)
+
+    wrapper.__name__ = orig.__name__
+    wrapper.__doc__ = orig.__doc__
+    return wrapper
+
 #: reentrancy guard: smart_read's own native fallback reads the same path
 #: with the same predicate — without this flag that inner read would be
 #: re-intercepted and recurse forever
@@ -149,6 +168,11 @@ def _split_conjuncts(text: str) -> list[str] | None:
             start = i + 5
             i += 4
         i += 1
+    if depth != 0:
+        # unbalanced parens: stock Spark raises ParseException for this
+        # string — routing must not quietly "succeed" where the
+        # unrouted path throws (round-13 review)
+        return None
     parts.append(text[start:])
     return parts
 
@@ -313,7 +337,12 @@ class RoutedDataFrame(ClassicDataFrame):
 
 def _routed_parquet(self: DataFrameReader, *paths: str, **options):
     df = _ORIG_PARQUET(self, *paths, **options)
-    if len(paths) == 1 and _canon(paths[0]) in _INDEXES:
+    # decline to wrap when the caller configured the reader (options
+    # like mergeSchema/recursiveFileLookup, or an explicit .schema()):
+    # a reroute re-reads through smart_read's own default reader and
+    # would silently drop those semantics (round-13 review)
+    configured = bool(options) or getattr(self, "_pj_configured", False)
+    if not configured and len(paths) == 1 and _canon(paths[0]) in _INDEXES:
         return RoutedDataFrame(df, _canon(paths[0]))
     return df
 
@@ -340,6 +369,11 @@ def enable_auto_routing() -> None:
     if _ORIG_PARQUET is None:
         _ORIG_PARQUET = DataFrameReader.parquet
         DataFrameReader.parquet = _routed_parquet
+        for name in _SETTER_NAMES:
+            orig = getattr(DataFrameReader, name, None)
+            if orig is not None:
+                _ORIG_SETTERS[name] = orig
+                setattr(DataFrameReader, name, _marking(orig))
 
 
 def disable_auto_routing(force: bool = False) -> None:
@@ -351,3 +385,6 @@ def disable_auto_routing(force: bool = False) -> None:
     if _ROUTING_DEPTH == 0 and _ORIG_PARQUET is not None:
         DataFrameReader.parquet = _ORIG_PARQUET
         _ORIG_PARQUET = None
+        for name, orig in _ORIG_SETTERS.items():
+            setattr(DataFrameReader, name, orig)
+        _ORIG_SETTERS.clear()

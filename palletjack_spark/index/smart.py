@@ -24,6 +24,7 @@ metadata-only count for catalog-scale ones.
 
 from __future__ import annotations
 
+import os
 from typing import Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -127,9 +128,14 @@ def smart_read(
                 from palletjack_spark.index.dictprune import dict_prune_rows
                 from palletjack_spark.index.pageprune import page_prune_rows
 
-                after_dict = dict_prune_rows(stats_kept, predicate)
-                after_bloom = bloom_prune_rows(after_dict, predicate)
-                after_page = page_prune_rows(after_bloom, predicate)
+                # same literal normalization as the read the estimate
+                # gates (round-13 review: raw datetime literals made the
+                # probes keep everything, routing native even when the
+                # indexed read would have page-pruned most row groups)
+                est_pred = MetadataIndex._normalize_predicate(predicate)
+                after_dict = dict_prune_rows(stats_kept, est_pred)
+                after_bloom = bloom_prune_rows(after_dict, est_pred)
+                after_page = page_prune_rows(after_bloom, est_pred)
                 kept = len(after_page)
                 tier_kept["dictionary"] = len(after_dict)
                 tier_kept["bloom"] = len(after_bloom)
@@ -188,7 +194,26 @@ def smart_read(
             r["file"]
             for r in idx.files.select("file").toArrow().to_pylist()
         )
-    df = spark.read.parquet(*paths_list)
+    part_keys = idx.partition_keys()
+    reader = spark.read
+    if part_keys:
+        # hive layout: the indexed route attaches partition keys, so the
+        # native route must surface them too (round-13 review: leaf-file
+        # reads did no partition discovery — same call, different schema
+        # depending on predicate selectivity).  basePath turns discovery
+        # back on; the cast matches the indexed route's inference-off
+        # string semantics.
+        base = os.path.commonpath([os.path.dirname(p) for p in paths_list])
+        for k in part_keys:
+            seg = f"{k}="
+            while os.path.basename(base).startswith(seg):
+                base = os.path.dirname(base)
+        reader = reader.option("basePath", base)
+    df = reader.parquet(*paths_list)
+    if part_keys:
+        for k in part_keys:
+            if k in df.columns:
+                df = df.withColumn(k, F.col(k).cast("string"))
     if predicate:
         df = _apply_predicate(df, predicate)
     if columns:

@@ -28,21 +28,56 @@ from pyspark.sql import functions as F
 from palletjack_spark.tables import load_table
 
 
+
+def _staging_key(sf_dir: str, table: str) -> str:
+    """Collision-free staging-dir key (round-13 review: the old
+    separator-flattening let /data/sf_1 and /data/sf/1 share a staged
+    copy): readable prefix + md5 of the absolute path."""
+    import hashlib
+
+    absd = os.path.abspath(sf_dir)
+    tag = hashlib.md5(absd.encode()).hexdigest()[:10]
+    base = os.path.basename(absd.rstrip("/")) or "root"
+    return f"pjspark_{base}_{tag}_{table}"
+
+
+def _source_sig(sf_dir: str, table: str) -> str:
+    """Signature of the source parquet (mtime + size) — a regenerated
+    table under the same path must invalidate the staged copy."""
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(p)
+        return f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        return "absent"
+
+
+def _stage_is_fresh(marker: str, sig: str) -> bool:
+    try:
+        with open(marker) as f:
+            return f.read().strip() == sig
+    except OSError:
+        return False
+
+
 def _staged_events_dir(sf_dir: str) -> str:
-    key = sf_dir.strip("/").replace("/", "_")
-    return os.path.join(tempfile.gettempdir(), f"pjspark_{key}_events_us")
+    return os.path.join(tempfile.gettempdir(), _staging_key(sf_dir, "events_us"))
 
 
 def stage_events_us(spark: SparkSession, sf_dir: str) -> str:
-    """Write a microsecond-precision copy of events once per sf_dir."""
+    """Write a microsecond-precision copy of events once per source
+    signature (a regenerated events table invalidates the staged copy)."""
     out = _staged_events_dir(sf_dir)
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
+    marker = os.path.join(out, "_PJ_STAGED")
+    sig = _source_sig(sf_dir, "events")
+    if not _stage_is_fresh(marker, sig):
         # 4 files → 4 micro-batches under maxFilesPerTrigger=1: multi-batch
         # semantics stay observable without paying per-batch overhead ×32
         load_table(spark, sf_dir, "events").coalesce(4).write.mode(
             "overwrite"
         ).parquet(out)
+        with open(marker, "w") as f:
+            f.write(sig)
     return out
 
 
@@ -367,19 +402,22 @@ def with_rocksdb_state(spark: SparkSession):
 
 
 def _staged_documents_dir(sf_dir: str) -> str:
-    key = sf_dir.strip("/").replace("/", "_")
-    return os.path.join(tempfile.gettempdir(), f"pjspark_{key}_documents")
+    return os.path.join(tempfile.gettempdir(), _staging_key(sf_dir, "documents"))
 
 
 def stage_documents(spark: SparkSession, sf_dir: str) -> str:
-    """Stage documents for file-source streaming, once per sf_dir (the
-    events staging idiom: 4 files → multi-batch semantics observable)."""
+    """Stage documents for file-source streaming, once per source
+    signature (the events staging idiom: 4 files → multi-batch
+    semantics observable; a regenerated table invalidates the copy)."""
     out = _staged_documents_dir(sf_dir)
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
+    marker = os.path.join(out, "_PJ_STAGED")
+    sig = _source_sig(sf_dir, "documents")
+    if not _stage_is_fresh(marker, sig):
         load_table(spark, sf_dir, "documents").coalesce(4).write.mode(
             "overwrite"
         ).parquet(out)
+        with open(marker, "w") as f:
+            f.write(sig)
     return out
 
 
@@ -423,9 +461,8 @@ def streaming_curation_counts(docs: DataFrame) -> DataFrame:
 
 
 def _staged_doc_slices_dir(sf_dir: str, n_slices: int) -> str:
-    key = sf_dir.strip("/").replace("/", "_")
     return os.path.join(
-        tempfile.gettempdir(), f"pjspark_{key}_docslices{n_slices}"
+        tempfile.gettempdir(), _staging_key(sf_dir, f"docslices{n_slices}")
     )
 
 
@@ -445,7 +482,8 @@ def stage_document_slices(
 
     out = _staged_doc_slices_dir(sf_dir, n_slices)
     marker = os.path.join(out, "_READY")
-    if os.path.exists(marker):
+    sig = _source_sig(sf_dir, "documents")
+    if _stage_is_fresh(marker, sig):
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
@@ -461,8 +499,8 @@ def stage_document_slices(
         shutil.move(part, dst)
         os.utime(dst, (base + 60 * i, base + 60 * i))
         shutil.rmtree(tmp, ignore_errors=True)
-    with open(marker, "w"):
-        pass
+    with open(marker, "w") as f:
+        f.write(sig)
     return out
 
 
@@ -517,11 +555,18 @@ def streaming_incremental_dedup(
             tempfile.gettempdir(), f"pjspark_q115b_store_{run_id}"
         )
     dec_dir = os.path.join(tempfile.gettempdir(), f"pjspark_q115b_dec_{run_id}")
-    # bootstrap an EMPTY store: the first crawl batch dedups against
-    # nothing and seeds it
-    save_signature_store(
-        spark.createDataFrame([], schema), "text", "doc_id", store_dir
-    )
+    # bootstrap an EMPTY store — but only when none exists: a caller
+    # continuing ingest against a real persisted store must NOT have it
+    # silently wiped to one empty batch (round-13 review: the
+    # unconditional bootstrap overwrote batch=0 and reset the manifest,
+    # orphaning every prior batch — near-dups of prior ingest would
+    # have been re-accepted as originals)
+    from palletjack_spark.functions.dedup import _SIG_META_NAME
+
+    if not os.path.exists(os.path.join(store_dir, _SIG_META_NAME)):
+        save_signature_store(
+            spark.createDataFrame([], schema), "text", "doc_id", store_dir
+        )
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession

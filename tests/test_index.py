@@ -1392,3 +1392,105 @@ def test_bracket_named_file_reads_literally(spark, tmp_path):
     pq.write_table(pa.table({"v": pa.array([42], pa.int64())}), good)
     pq.write_table(pa.table({"v": pa.array([7], pa.int64())}), decoy)
     assert expand_paths(good) == [good]
+
+
+def test_overwrite_rebuild_honors_new_catalog_buckets(spark, tmp_path):
+    """Round-13 review: a NON-incremental rebuild replaces the sidecar,
+    so the caller's catalog_buckets must be honored — re-bucketing was
+    previously a silent no-op forever (the old sidecar's layout won
+    unconditionally)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "d")
+    os.makedirs(out)
+    for i in range(3):
+        pq.write_table(
+            pa.table({"v": pa.array(range(i * 10, i * 10 + 10), "int64")}),
+            os.path.join(out, f"p{i}.parquet"),
+        )
+    idx_dir = str(tmp_path / "sidecar")
+    build_index(spark, out, index_dir=idx_dir, use_cache=False)
+    assert "file_bucket" not in spark.read.parquet(
+        os.path.join(idx_dir, "files")
+    ).columns
+    # overwrite rebuild WITH buckets: the new layout must land
+    idx = build_index(
+        spark, out, index_dir=idx_dir, use_cache=False, catalog_buckets=4
+    )
+    assert "file_bucket" in spark.read.parquet(
+        os.path.join(idx_dir, "files")
+    ).columns
+    assert idx.read(predicate=[("v", "=", 15)]).count() == 1
+    # incremental appends still inherit the (new) existing layout
+    pq.write_table(
+        pa.table({"v": pa.array(range(30, 40), "int64")}),
+        os.path.join(out, "p3.parquet"),
+    )
+    idx2 = build_index(
+        spark, out, index_dir=idx_dir, incremental=True, use_cache=False
+    )
+    assert idx2.read(predicate=[("v", "=", 35)]).count() == 1
+
+
+def test_incremental_append_aligns_files_dataset_schema(spark, tmp_path):
+    """Round-13 review: appending file rows that carry a newer top-level
+    field (mtime_ns) into a sidecar written without it must align to the
+    EXISTING files/ layout instead of creating a mixed-schema dataset
+    whose reads depend on footer sampling."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "d")
+    os.makedirs(out)
+    pq.write_table(
+        pa.table({"v": pa.array(range(10), "int64")}),
+        os.path.join(out, "a.parquet"),
+    )
+    idx_dir = str(tmp_path / "sidecar")
+    build_index(spark, out, index_dir=idx_dir, use_cache=False)
+    files_dir = os.path.join(idx_dir, "files")
+    # simulate a pre-mtime_ns sidecar: rewrite files/ without the column
+    legacy = spark.read.parquet(files_dir).drop("mtime_ns")
+    staged = str(tmp_path / "legacy_files")
+    legacy.write.mode("overwrite").parquet(staged)
+    import shutil
+
+    shutil.rmtree(files_dir)
+    shutil.move(staged, files_dir)
+    assert "mtime_ns" not in spark.read.parquet(files_dir).columns
+
+    pq.write_table(
+        pa.table({"v": pa.array(range(10, 20), "int64")}),
+        os.path.join(out, "b.parquet"),
+    )
+    idx = build_index(
+        spark, out, index_dir=idx_dir, incremental=True, use_cache=False
+    )
+    # one consistent layout (no mtime_ns anywhere), both files indexed
+    fdf = spark.read.parquet(files_dir)
+    assert "mtime_ns" not in fdf.columns
+    assert fdf.count() == 2
+    assert idx.read().count() == 20
+
+
+def test_index_cache_is_bounded(spark, tmp_path):
+    """Round-13 review: the build memo must not grow without bound
+    (superseded entries pinned cached DataFrames for the app lifetime)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from palletjack_spark.index import builder as B
+
+    before = dict(B._INDEX_CACHE)
+    try:
+        B._INDEX_CACHE.clear()
+        for i in range(B._INDEX_CACHE_MAX + 5):
+            p = str(tmp_path / f"c{i}.parquet")
+            pq.write_table(pa.table({"v": pa.array([i], "int64")}), p)
+            build_index(spark, p)
+        assert len(B._INDEX_CACHE) <= B._INDEX_CACHE_MAX
+    finally:
+        B._INDEX_CACHE.clear()
+        B._INDEX_CACHE.update(before)

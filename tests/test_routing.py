@@ -5,6 +5,8 @@ leave every out-of-scope case byte-for-byte native."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -263,3 +265,110 @@ def test_null_predicate_routes_with_identical_results(spark, sorted_lineitem):
         enable_auto_routing()
     assert routed_nn.count() == want_nn > 0
     assert routed_n.count() == want_n == 0
+
+
+def test_smart_read_native_fallback_keeps_partition_columns(spark, tmp_path):
+    """Round-13 review: on a hive layout the native fallback previously
+    read leaf files with no partition discovery — the same call returned
+    different SCHEMAS depending on predicate selectivity.  Both routes
+    now surface the partition key (string, inference-off semantics)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from palletjack_spark.index.builder import build_index
+    from palletjack_spark.index.smart import smart_read
+
+    out = str(tmp_path / "hive")
+    for i in range(2):
+        os.makedirs(os.path.join(out, f"k={i}"))
+        pq.write_table(
+            pa.table({"v": pa.array(range(i * 10, i * 10 + 10), "int64")}),
+            os.path.join(out, f"k={i}", "part-0.parquet"),
+        )
+    idx = build_index(spark, out, use_cache=False)
+    # weak predicate: keeps everything -> native route
+    df, dec = smart_read(
+        spark, out, predicate=[("v", ">=", 0)], index=idx, explain=True
+    )
+    assert dec["route"] == "native"
+    assert "k" in df.columns
+    rows = sorted((r["v"], r["k"]) for r in df.collect())
+    assert rows == [(v, str(v // 10)) for v in range(20)]
+    # strong predicate: indexed route — same schema, matching rows
+    df2, dec2 = smart_read(
+        spark, out, predicate=[("v", "=", 3)], index=idx, explain=True
+    )
+    assert dec2["route"] == "indexed"
+    assert sorted(df2.columns) == sorted(df.columns)
+    assert [(r["v"], r["k"]) for r in df2.collect()] == [(3, "0")]
+
+
+def test_routing_declines_configured_readers(spark, tmp_path):
+    """Round-13 review: a reader carrying options or an explicit schema
+    must not be rerouted — smart_read's fallback re-reads through a
+    default reader and would drop mergeSchema/schema semantics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from palletjack_spark.index import routing as R
+    from palletjack_spark.index.builder import build_index
+
+    out = str(tmp_path / "ms")
+    os.makedirs(out)
+    pq.write_table(
+        pa.table({"a": pa.array(range(10), "int64")}),
+        os.path.join(out, "old.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "a": pa.array(range(10, 20), "int64"),
+                "b": pa.array(range(10), "int64"),
+            }
+        ),
+        os.path.join(out, "new.parquet"),
+    )
+    idx = build_index(spark, out, use_cache=False)
+    R.register_index(spark, out, idx)
+    R.enable_auto_routing()
+    try:
+        plain = spark.read.parquet(out)
+        assert isinstance(plain, R.RoutedDataFrame)
+        merged = spark.read.option("mergeSchema", "true").parquet(out)
+        assert not isinstance(merged, R.RoutedDataFrame)
+        assert set(merged.columns) == {"a", "b"}
+        got = merged.where("a > 5")
+        assert "b" in got.columns  # mergeSchema semantics survive
+    finally:
+        R.disable_auto_routing(force=True)
+        R.unregister_index(out)
+
+
+def test_routed_filter_rejects_unbalanced_parens(spark, tmp_path):
+    """Round-13 review: an unbalanced-paren filter string must raise
+    (as stock Spark does), not quietly route to a parsed fragment."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from palletjack_spark.index import routing as R
+    from palletjack_spark.index.builder import build_index
+
+    assert R._split_conjuncts("(a > 5 AND b < 3") is None
+
+    out = str(tmp_path / "paren")
+    os.makedirs(out)
+    pq.write_table(
+        pa.table({"a": pa.array(range(10), "int64")}),
+        os.path.join(out, "p.parquet"),
+    )
+    idx = build_index(spark, out, use_cache=False)
+    R.register_index(spark, out, idx)
+    R.enable_auto_routing()
+    try:
+        df = spark.read.parquet(out)
+        with pytest.raises(Exception):
+            df.where("(a > 5 AND a < 8").collect()
+    finally:
+        R.disable_auto_routing(force=True)
+        R.unregister_index(out)

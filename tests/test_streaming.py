@@ -377,3 +377,33 @@ def test_streaming_incremental_dedup_store_equals_one_shot_chain(spark):
 
     with open(os.path.join(store_dir, "_sig_meta.json")) as f:
         assert json.load(f)["n_batches"] == 5
+
+
+def test_streaming_dedup_does_not_wipe_existing_store(spark, tmp_path):
+    """Round-13 review: a caller continuing ingest against a persisted
+    store must NOT have it silently reset to one empty batch — the
+    second run dedups against the first run's state (everything is a
+    dup of itself), and the store's batch count grows instead of
+    resetting."""
+    import json
+    import os
+
+    from palletjack_spark.streaming.ops import streaming_incremental_dedup
+
+    sf = "/root/testdata/sf0.001"
+    store = str(tmp_path / "contstore")
+    first = streaming_incremental_dedup(
+        spark, sf, n_slices=4, store_dir=store
+    ).collect()
+    n_accepted = sum(1 for r in first if r["accepted"])
+    assert n_accepted > 0
+    with open(os.path.join(store, "_sig_meta.json")) as f:
+        n_before = json.load(f)["n_batches"]
+
+    second = streaming_incremental_dedup(
+        spark, sf, n_slices=4, store_dir=store
+    ).collect()
+    # every doc now near-dups its own first-run copy in the store
+    assert all(not r["accepted"] for r in second)
+    with open(os.path.join(store, "_sig_meta.json")) as f:
+        assert json.load(f)["n_batches"] > n_before  # appended, not reset
