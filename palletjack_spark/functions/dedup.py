@@ -1656,3 +1656,33 @@ def incremental_components(
         .select("node", F.coalesce("newc", "node").alias("component"))
     )
     return updated_old.unionByName(labeled_new)
+
+
+def append_signatures_concurrent(sig_df: DataFrame, store_dir: str) -> int:
+    """Multi-writer :func:`append_signatures` (round-13): concurrent
+    crawl-ingest jobs appending to ONE signature store compose safely —
+    each append stages to a unique dir, claims the next batch slot with
+    an O_EXCL claim file, and commits the manifest under the claim
+    (:func:`palletjack_spark.functions.store.cas_append`).  The
+    single-writer :func:`append_signatures` stays the default (one
+    fewer filesystem round-trip per append); use this from parallel
+    ingest drivers.  Returns the slot the batch published as."""
+    from palletjack_spark.errors import IndexFormatError
+    from palletjack_spark.functions import store as S
+
+    try:
+        meta = S.load_manifest(store_dir, _SIG_META_NAME)
+    except (OSError, ValueError) as e:
+        raise IndexFormatError(f"not a signature store: {store_dir}") from e
+    if meta.get("layout") != "batched" or "n_batches" not in meta:
+        raise IndexFormatError(
+            f"signature store {store_dir} uses the legacy flat layout; "
+            "rebuild it with save_signature_store"
+        )
+
+    def bump(m: dict, _slot: int) -> None:
+        m["version"] = int(m.get("version", 1)) + 1
+
+    return S.cas_append(
+        sig_df, store_dir, _SIG_META_NAME, "signatures", bump
+    )

@@ -158,3 +158,103 @@ def compact_swap(
         shutil.rmtree(aside, ignore_errors=True)
     shutil.rmtree(tmp_root, ignore_errors=True)
     return meta
+
+
+# ---------------------------------------------------------------------------
+# Multi-writer appends (round-13 runway item): the base contract is
+# single-writer — two concurrent appends both read n_batches=N, clobber
+# each other's batch=N files mid-write, and one batch is silently lost.
+# ``cas_append`` serializes slot claims with an O_EXCL claim file and
+# retries on contention, so concurrent crawl-ingest jobs compose safely
+# on a shared filesystem.  (On an object store the claim would be a
+# conditional PUT / the manifest commit a CAS against the catalog — the
+# protocol shape is the same.)
+
+
+#: a claim older than this is presumed crashed and may be stolen; slow
+#: writers must finish their slot within it (generous: a batch write is
+#: seconds, the claim covers only stage-rename + manifest commit)
+_CLAIM_TTL_S = 600.0
+
+
+def cas_append(
+    df: DataFrame,
+    store_dir: str,
+    manifest_name: str,
+    dataset: str,
+    update_meta,
+    max_attempts: int = 64,
+) -> int:
+    """Append ``df`` as the next published batch under a MULTI-WRITER
+    contract.  Protocol, per attempt:
+
+    1. stage the rows to a unique ``<dataset>/.stage-<nonce>`` dir
+       (staging never collides, so concurrent writers can't corrupt
+       each other's files);
+    2. read the manifest's ``n_batches`` = N and CLAIM slot N by
+       O_EXCL-creating ``<dataset>/.claim-N`` — losers see EEXIST and
+       retry against the advanced manifest (reusing their staging);
+       a claim older than ``_CLAIM_TTL_S`` is a crashed writer and is
+       stolen;
+    3. holding the claim: remove any orphan ``batch=N`` (unpublished by
+       contract), rename the staging in, run ``update_meta(meta, N)``
+       on a FRESH manifest read, commit, release the claim.
+
+    The claim chain serializes manifest commits (a writer can only
+    target slot N after the manifest says N exists), so commits never
+    clobber each other.  A crash while holding the claim leaves an
+    unpublished orphan + a stale claim; the next writer steals both.
+    Returns the slot number the batch published as."""
+    import time
+    import uuid
+
+    recover_dataset(store_dir, dataset)
+    stage = os.path.join(
+        store_dir, dataset, f".stage-{uuid.uuid4().hex[:12]}"
+    )
+    df.write.mode("overwrite").parquet(stage)
+    try:
+        for _ in range(max_attempts):
+            meta = load_manifest(store_dir, manifest_name)
+            n = int(meta["n_batches"])
+            claim = os.path.join(store_dir, dataset, f".claim-{n}")
+            try:
+                fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+            except FileExistsError:
+                try:
+                    age = time.time() - os.stat(claim).st_mtime
+                except OSError:
+                    continue  # holder just released: retry immediately
+                if age > _CLAIM_TTL_S:
+                    try:
+                        os.unlink(claim)  # crashed holder: steal
+                    except OSError:
+                        pass
+                else:
+                    time.sleep(0.05)
+                continue
+            try:
+                # re-check under the claim: the manifest may have advanced
+                # between the read and the O_EXCL (our slot already taken)
+                meta = load_manifest(store_dir, manifest_name)
+                if int(meta["n_batches"]) != n:
+                    continue  # stale slot: retry with the fresh manifest
+                target = os.path.join(store_dir, dataset, f"batch={n}")
+                shutil.rmtree(target, ignore_errors=True)  # orphan only
+                os.replace(stage, target)
+                update_meta(meta, n)
+                meta["n_batches"] = n + 1
+                commit_manifest(store_dir, manifest_name, meta)
+                return n
+            finally:
+                try:
+                    os.unlink(claim)
+                except OSError:
+                    pass
+        raise TimeoutError(
+            f"cas_append: could not claim a batch slot in {max_attempts} "
+            f"attempts (store {store_dir!r}, dataset {dataset!r})"
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

@@ -2295,3 +2295,48 @@ def test_append_after_compaction_crash_recovers_first(spark, tmp_path, monkeypat
     new_ids = sorted(r["doc_id"] for r in new_sig.select("doc_id").collect())
     assert got == sorted(old_ids + new_ids)  # nothing lost
     assert not os.path.exists(os.path.join(store, "signatures.old.tmp"))
+
+
+def test_concurrent_signature_appends_lose_nothing(spark, tmp_path):
+    """Round-13 multi-writer contract: N threads appending to one store
+    concurrently — every batch publishes exactly once, no rows lost, no
+    slots clobbered (the single-writer path would have two writers both
+    land batch=N and silently drop one)."""
+    import threading
+
+    from palletjack_spark.functions import dedup as D
+
+    docs = load_table(spark, SF_DIR, "documents")
+    store = str(tmp_path / "mw")
+    D.save_signature_store(
+        docs.where(F.col("doc_id") % 7 == 0), "text", "doc_id", store
+    )
+    slices = [
+        D._signatures_one_shuffle(
+            docs.where(F.col("doc_id") % 7 == m), "text", "doc_id"
+        )
+        for m in range(1, 5)
+    ]
+    slots, errs = [], []
+
+    def run(sig):
+        try:
+            slots.append(D.append_signatures_concurrent(sig, store))
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(s,)) for s in slices]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert sorted(slots) == [1, 2, 3, 4]  # every slot claimed exactly once
+    got = sorted(
+        r["doc_id"] for r in D.load_signature_store(spark, store).collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in docs.where(F.col("doc_id") % 7 <= 4).select("doc_id").collect()
+    )
+    assert got == want
