@@ -36,6 +36,28 @@ MINHASH_P = 1_073_741_789  # largest prime < 2^30
 _H30_MASK = (1 << 30) - 1
 
 
+#: the LAST invocation's persisted intermediates — returned DataFrames
+#: are lazy, so there is no in-band unpersist point; the NEXT invocation
+#: evicts the previous set instead (the text._LM_CACHES discipline,
+#: round-13 review: minhash_lsh_pairs/simhash_pairs leaked one cached
+#: table per call for the life of the session).  Unpersist is a pure
+#: storage hint: a still-held old DataFrame just recomputes.
+_PAIR_CACHES: list[DataFrame] = []
+
+
+def _cache_scoped(df: DataFrame) -> DataFrame:
+    # keep a few live entries: one composed pipeline may hold several
+    # pair-ops' plans before executing any of them
+    while len(_PAIR_CACHES) >= 4:
+        old = _PAIR_CACHES.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    _PAIR_CACHES.append(df.persist())
+    return df
+
+
 def minhash_coeffs(k: int = MINHASH_K) -> list[tuple[int, int]]:
     """Deterministic (a_i, b_i) universal-hash coefficients, a_i odd < 2^30."""
     return [
@@ -250,7 +272,7 @@ def minhash_lsh_pairs(
     a dup group transitively connected — the property dedup clustering
     consumes.  Pair-level recall inside oversized buckets is intentionally
     reduced; buckets at or under the cap are exhaustive as before."""
-    sig = _signatures_one_shuffle(df, text_col, id_col, k=k).persist()
+    sig = _cache_scoped(_signatures_one_shuffle(df, text_col, id_col, k=k))
     bh = band_hashes(sig, id_col, bands=bands, rows=rows)
     # hot-bucket probe + broadcast-decision stats in ONE tiny driver-side
     # aggregate (grouping sets: per-bucket counts AND the global totals from
@@ -386,9 +408,14 @@ def ngram_jaccard_pairs(
     # gset array on every exploded row (~row_count × set_size copies,
     # measured 10× the entire query's cost); CollapseProject re-merges any
     # attempt to stage it in separate selects.
+    # bind the gram array ONCE per row (round-13 review: size({gexpr})
+    # inside the lambda re-evaluated the whole distinct-gram build per
+    # element — O(grams²) work per document; Spark does not hoist
+    # loop-invariant subtrees out of higher-order-function lambdas)
     packed = (
-        f"transform({gexpr}, g -> struct("
-        f"{id_col}, block, size({gexpr}) AS n_g, g AS gram))"
+        f"element_at(transform(array({gexpr}), arr -> "
+        f"transform(arr, g -> struct("
+        f"{id_col}, block, size(arr) AS n_g, g AS gram))), 1)"
     )
     g = (
         df.select(
@@ -478,7 +505,17 @@ def simhash_pairs(
     switch to consecutive-chain candidates, same rationale as
     ``minhash_lsh_pairs``: O(bucket) rows instead of O(bucket²), with dup
     groups kept transitively connected."""
-    sim = simhash(df, text_col, id_col, bits=bits).persist()
+    if blocks <= max_hamming:
+        # the pigeonhole guarantee NEEDS blocks > max_hamming: a pair at
+        # distance max_hamming could otherwise differ in every block and
+        # silently never bucket together — the documented recall-1
+        # contract would be void (round-13 review: make misuse loud)
+        raise ValueError(
+            f"simhash_pairs needs blocks > max_hamming for lossless "
+            f"pigeonhole recall; got blocks={blocks}, "
+            f"max_hamming={max_hamming}"
+        )
+    sim = _cache_scoped(simhash(df, text_col, id_col, bits=bits))
     block_bits = bits // blocks
     mask = (1 << block_bits) - 1
     barr = F.array(
@@ -645,13 +682,25 @@ def connected_components(
         return e.select(
             F.col("u").alias("node"), F.col("v").alias("component")
         )
+    converged = False
     for _ in range(max_iterations):
         e_next = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _signature(e_next)
         e = e_next
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # an unconverged edge set is NOT star-shaped: a node with
+        # residual edges would emit multiple (node, component) rows and
+        # downstream dedup would silently keep/drop the wrong copies
+        # (round-13 review) — fail loudly instead
+        raise ValueError(
+            f"connected_components did not converge within "
+            f"{max_iterations} iterations; raise max_iterations "
+            "(alternating large-star/small-star needs O(log^2 n) rounds)"
+        )
     # converged edge set is a star per component: (member, root).  Roots
     # appear only on the right; map them to themselves.
     return (
@@ -746,7 +795,8 @@ def cross_doc_dupgrams(
     from palletjack_spark.functions.curation import _check_reserved
 
     _check_reserved(
-        {"toks", "gram", "gh", "ndocs", "n_grams", "n_dup_grams"},
+        {"toks", "gram", "gh", "ndocs", "n_grams", "n_dup_grams",
+         "dup_frac", "keep"},
         id_col=id_col, text_col=text_col,
     )
     df = _spread(df)
@@ -1202,8 +1252,18 @@ def compact_signature_store(spark, store_dir: str) -> dict:
     directory aside until the new one is live and committed.)"""
     from palletjack_spark.functions import store as S
 
-    live = load_signature_store(spark, store_dir)
+    # compaction is parameter-agnostic: load with the store's OWN
+    # minhash params from its manifest (round-13 review: the default
+    # k/bands/rows made any non-default store impossible to compact —
+    # load_signature_store rejected the store's own parameters)
     meta = S.load_manifest(store_dir, _SIG_META_NAME)
+    live = load_signature_store(
+        spark,
+        store_dir,
+        k=meta.get("k", MINHASH_K),
+        bands=meta.get("bands", LSH_BANDS),
+        rows=meta.get("rows", LSH_ROWS),
+    )
     meta["n_batches"] = 1
     meta["version"] = int(meta.get("version", 1)) + 1
     S.compact_swap(store_dir, _SIG_META_NAME, meta, {"signatures": live})

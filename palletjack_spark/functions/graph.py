@@ -82,6 +82,10 @@ def pagerank_converge(
     from palletjack_spark.queries.analytics import _pagerank_round
 
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # empty graph: empty ranks, not a driver ZeroDivisionError
+        # (round-13 review; kcore_peel already handles empty input)
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
     base = 1_000_000_000_000 // n_nodes
     teleport = 150_000_000_000 // n_nodes
     ranks = nodes.withColumn("rank", F.lit(base)).localCheckpoint()

@@ -23,6 +23,13 @@ from pyspark.sql import functions as F
 
 def _collect_queries(queries_df: DataFrame, id_col: str, vec_col: str):
     rows = queries_df.select(id_col, vec_col).collect()
+    if not rows:
+        # every consumer broadcasts/scores this matrix — an empty query
+        # set dies with an opaque numpy AxisError downstream (round-13
+        # review); fail typed at the shared collection point
+        raise ValueError(
+            "no query vectors: the queries DataFrame is empty"
+        )
     qids = np.array([r[0] for r in rows], dtype="int64")
     qmat = np.array([list(r[1]) for r in rows], dtype="float64")
     qnorm = np.sqrt((qmat * qmat).sum(axis=1))
@@ -342,6 +349,10 @@ def ivf_topk(
     sample = (
         corpus_df.select(id_col, vec_col).orderBy(id_col).limit(train_rows).collect()
     )
+    if not sample:
+        raise ValueError(
+            "ivf_topk: the corpus is empty — nothing to train cells on"
+        )
     train = np.array([list(r[1]) for r in sample], dtype="float64")
     C = _kmeans_cosine(train, n_centroids)
     bC = spark.sparkContext.broadcast(C)
@@ -1556,6 +1567,12 @@ def sq8_topk(
     if scan_dims is not None and not (0 < scan_dims <= full_dim):
         raise ValueError(f"scan_dims {scan_dims} not in [1, {full_dim}]")
     dim = scan_dims if scan_dims is not None else full_dim
+    if n_probes is not None and n_centroids is None:
+        raise ValueError(
+            "sq8_topk: n_probes without n_centroids does nothing — the "
+            "IVF scan-fraction cut you asked for needs cells to probe "
+            "(pass n_centroids too)"
+        )
     C = probed = None
     if n_centroids is not None:
         sample = (
@@ -1564,6 +1581,10 @@ def sq8_topk(
             .limit(train_rows)
             .collect()
         )
+        if not sample:
+            raise ValueError(
+                "sq8_topk: the corpus is empty — nothing to train cells on"
+            )
         train = np.array([list(r[1]) for r in sample], dtype="float64")
         train = train / np.maximum(
             np.linalg.norm(train, axis=1, keepdims=True), 1e-12

@@ -248,12 +248,22 @@ def badword_stats(
 
 
 def _badword_cols(text_col: str, words: tuple[str, ...]):
-    quoted = ", ".join(f"'{w}'" for w in words)
     toks = F.split(F.col(text_col), " ")
     n_tokens = F.size(toks).cast("long")
-    n_bad = F.size(F.expr(
-        f"filter(split({text_col}, ' '), t -> t IN ({quoted}))"
-    )).cast("long")
+    if not words:
+        # empty blocklist: nothing is bad (the old f-string built an
+        # invalid `t IN ()`)
+        n_bad = F.lit(0).cast("long")
+        return n_tokens, n_bad, n_bad.cast("double") / n_tokens
+    # build the member list as Column literals, not interpolated SQL
+    # text (round-13 review: the published LDNOOBW lists this gate is
+    # documented to load contain apostrophe entries — naive
+    # single-quoting broke the parse, and a crafted word could inject
+    # arbitrary SQL into the expression)
+    members = F.array(*[F.lit(w) for w in words])
+    n_bad = F.size(
+        F.filter(toks, lambda t: F.array_contains(members, t))
+    ).cast("long")
     return n_tokens, n_bad, n_bad.cast("double") / n_tokens
 
 

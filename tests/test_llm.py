@@ -660,7 +660,13 @@ def test_connected_components_one_action_per_round(spark, monkeypatch):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], "id_a long, id_b long"
     )
-    connected_components(pairs, max_iterations=1)
+    # a 9-node chain can't star-converge in one round — the round-13
+    # guard makes that LOUD (silently returning a non-star edge set
+    # produced inconsistent component labels downstream)
+    import pytest
+
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(pairs, max_iterations=1)
     # one initial signature + one per-round signature, nothing else
     assert calls == {"collect": 2, "count": 0, "isEmpty": 0}
 
@@ -2340,3 +2346,94 @@ def test_concurrent_signature_appends_lose_nothing(spark, tmp_path):
         for r in docs.where(F.col("doc_id") % 7 <= 4).select("doc_id").collect()
     )
     assert got == want
+
+
+def test_round13_functions_guards(spark, tmp_path):
+    """Round-13 review sweep over the functions modules: misuse and
+    degenerate inputs fail loudly (or behave) instead of crashing raw
+    or silently voiding documented guarantees."""
+    import pytest
+
+    from palletjack_spark.functions import dedup as D
+    from palletjack_spark.functions import graph as G
+    from palletjack_spark.functions import similarity as S
+    from palletjack_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    # simhash_pairs: pigeonhole needs blocks > max_hamming
+    with pytest.raises(ValueError, match="pigeonhole"):
+        D.simhash_pairs(docs, "text", "doc_id", max_hamming=4, blocks=4)
+    # badwords: quote-bearing entries parse (the LDNOOBW shape), empty
+    # blocklist means nothing is bad
+    rows = T.badword_stats(
+        spark.createDataFrame(
+            [(1, "don't stop don't")], "doc_id long, text string"
+        ),
+        "text",
+        "doc_id",
+        words=("don't",),
+    ).collect()
+    assert rows[0]["n_bad"] == 2
+    empty_rows = T.badword_stats(docs, "text", "doc_id", words=()).collect()
+    assert all(r["n_bad"] == 0 for r in empty_rows)
+    # empty corpus: typed errors, not numpy AxisError
+    emb_empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        S.ivf_topk(emb_empty, emb_empty)
+    one_q = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        S.sq8_topk(emb_empty, one_q, n_centroids=2)
+    # ...and empty QUERY sets fail typed at the shared collector
+    with pytest.raises(ValueError, match="no query vectors"):
+        S.sq8_topk(one_q, emb_empty)
+    # n_probes without n_centroids would silently full-scan
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="n_probes without n_centroids"):
+        S.sq8_topk(emb, emb.limit(1), n_probes=2)
+    # empty graph: empty ranks, no ZeroDivisionError
+    empty_nodes = spark.createDataFrame([], "node long")
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    assert G.pagerank_converge(empty_edges, empty_nodes).count() == 0
+    # reserved-name collision on cross_doc_dupgrams' own output columns
+    from palletjack_spark.errors import InvalidSelectionError as _ISE
+
+    with pytest.raises(Exception, match="reserved|keep"):
+        D.cross_doc_dupgrams(
+            docs.withColumnRenamed("doc_id", "keep"), "text", id_col="keep"
+        )
+
+
+def test_compact_signature_store_with_nondefault_params(spark, tmp_path):
+    """Round-13 review: compaction is parameter-agnostic — it must load
+    the store with its OWN manifest params, not the session defaults."""
+    from palletjack_spark.functions import dedup as D
+
+    docs = load_table(spark, SF_DIR, "documents").limit(40)
+    store = str(tmp_path / "npstore")
+    D.save_signature_store(
+        docs, "text", "doc_id", store, k=8, bands=4, rows=2
+    )
+    before = sorted(
+        r["doc_id"]
+        for r in D.load_signature_store(
+            spark, store, k=8, bands=4, rows=2
+        ).collect()
+    )
+    meta = D.compact_signature_store(spark, store)
+    assert meta["n_batches"] == 1
+    after = sorted(
+        r["doc_id"]
+        for r in D.load_signature_store(
+            spark, store, k=8, bands=4, rows=2
+        ).collect()
+    )
+    assert after == before
