@@ -2437,3 +2437,61 @@ def test_compact_signature_store_with_nondefault_params(spark, tmp_path):
         ).collect()
     )
     assert after == before
+
+
+def test_itq_pca_handles_wide_embeddings(spark):
+    """Round-13 runway item 5: production embeddings are wider than the
+    64 code bits — itq_rotation PCA-projects to the code width first
+    (the full Gong-Lazebnik recipe, folded into one rectangular
+    rotation so the encode stays a single centered matmul).  On a
+    600×256 anisotropic synthetic (exponentially decaying spectrum):
+    sign(first 64 dims) 0.32, sign(PCA-64) 0.29, PCA-ITQ 0.66 recall@10
+    at shortlist 30 — pinned here with a margin via the Spark funnel on
+    a 50-query slice."""
+    import hashlib
+
+    import numpy as np
+
+    from palletjack_spark.functions.similarity import (
+        cosine_topk,
+        itq_bq_topk,
+        itq_rotation,
+    )
+
+    seed = int(hashlib.md5(b"pj-256").hexdigest()[:8], 16)
+    rng = np.random.default_rng(seed)
+    n, d = 600, 256
+    scales = np.exp(-np.arange(d) / 40.0)
+    M = rng.standard_normal((n, d)) * scales
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in M[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).repartition(8)
+    q = df.where(F.col("vec_id") < 50)
+
+    # the learned rotation is rectangular (256 -> 64) and orthonormal
+    mu, R = itq_rotation(df, in_dims=64, iters=25)
+    assert R.shape == (256, 64)
+    assert np.allclose(R.T @ R, np.eye(64), atol=1e-9)
+
+    want = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(df, q, k=10).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in itq_bq_topk(df, q, k=10, shortlist=30, iters=25).collect()
+    }
+    assert len(got & want) / len(want) >= 0.5  # vs ~0.32 for raw signs
+
+    # exhaustive shortlist stays exactly brute force at 256 dims too
+    exact = sorted(
+        tuple(r)
+        for r in itq_bq_topk(
+            df, q.limit(3), k=5, shortlist=1_000_000, iters=25
+        ).collect()
+    )
+    brute = sorted(
+        tuple(r) for r in cosine_topk(df, q.limit(3), k=5).collect()
+    )
+    assert exact == brute
