@@ -409,6 +409,7 @@ class PageProber:
         self._spans: dict[str, object] = {}
         self._cis: dict[tuple, dict | None] = {}
         self._ois: dict[tuple, list | None] = {}
+        self._mask_cache: dict[tuple, list] = {}
 
     def _footer(self, path: str) -> bytes | None:
         if path not in self._footers:
@@ -464,10 +465,32 @@ class PageProber:
                 self._ois[key] = oi
         return self._cis[key], self._ois[key]
 
+    @staticmethod
+    def _pred_key(predicate):
+        """Hashable form of a predicate list (IN/NOT IN carry lists)."""
+        return tuple(
+            (c, o)
+            + tuple(
+                tuple(v) if isinstance(v, (list, set)) else v for v in vals
+            )
+            for c, o, *vals in predicate
+        )
+
     def _masks(self, path, rg_idx, predicate, col_lookup):
         """[(mask, first_rows | None)] per probeable conjunct, or None
         entries skipped.  ``col_lookup(col_name)`` -> (col_idx, meta)
-        or None."""
+        or None.  Memoized per (path, rg, predicate): every kept row
+        group pays this via rg_can_match AND again via surviving_ranges
+        (round-13 review — the masks are pure functions of the cached
+        ColumnIndex, so the second pass is free now)."""
+        try:
+            key = (path, rg_idx, self._pred_key(predicate))
+        except TypeError:
+            key = None  # unhashable exotic literal: compute uncached
+        if key is not None:
+            hit = self._mask_cache.get(key)
+            if hit is not None:
+                return hit
         out = []
         for col_name, op, *vals in predicate:
             if op not in _VALUE_OPS | _EXCLUDE_OPS | _NULL_OPS:
@@ -490,6 +513,8 @@ class PageProber:
             if mask is None:
                 continue
             out.append((mask, oi))
+        if key is not None:
+            self._mask_cache[key] = out
         return out
 
     def rg_can_match(
