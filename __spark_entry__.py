@@ -141,9 +141,15 @@ def _green_rounds(root: str = _HERE) -> dict[str, int]:
                 continue
             name = _canonical(qid)
             has_oracle = name in REGISTRY and REGISTRY[name].oracle is not None
-            ok = (row.get("rows_match") and row.get("hash_match")) or (
-                row.get("err") == "no_oracle" and not has_oracle
-            )
+            ok = (
+                row.get("rows_match")
+                and row.get("hash_match")
+                # schema_match participates too (round-13 review: a row
+                # with matching values but a failed schema hash — the
+                # q79 dtype lesson — must NOT count as green and rotate
+                # out of the window); absent on old rows -> trust them
+                and row.get("schema_match", True)
+            ) or (row.get("err") == "no_oracle" and not has_oracle)
             if ok and rnd >= intro.get(name, 0):
                 newest[name] = max(newest.get(name, 0), rnd)
     return newest
@@ -170,6 +176,25 @@ def _alias(qid: str) -> str:
 _DRIVER_WINDOW = 50
 
 
+#: memo for _driver_keys: queries()/oracle_sql()/_driver_keys() are
+#: called back-to-back by every consumer, and each recomputation
+#: re-globs the CORRECTNESS files and re-hashes every oracle text
+#: (round-13 review).  Keyed on the CORRECTNESS file stats + registry
+#: size so a new driver row or a new QID invalidates it.
+_KEYS_MEMO: dict = {}
+
+
+def _keys_memo_key(window: int) -> tuple:
+    stats = []
+    for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
+        try:
+            st = os.stat(path)
+            stats.append((path, st.st_mtime_ns, st.st_size))
+        except OSError:
+            continue
+    return (window, len(REGISTRY), tuple(stats))
+
+
 def _driver_keys(window: int = _DRIVER_WINDOW) -> dict[str, str]:
     """driver-facing key -> canonical registry key.
 
@@ -181,10 +206,17 @@ def _driver_keys(window: int = _DRIVER_WINDOW) -> dict[str, str]:
     alias (``q0029…`` sorts before every canonical ``qNN…``), so each round
     the driver re-verifies the queries whose evidence is stalest.
     """
+    memo_key = _keys_memo_key(window)
+    hit = _KEYS_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
     newest = _green_rounds()
     prio = sorted(REGISTRY, key=lambda n: (newest.get(n, 0), n))
     aliased = set(prio[:window])
-    return {(_alias(n) if n in aliased else n): n for n in REGISTRY}
+    out = {(_alias(n) if n in aliased else n): n for n in REGISTRY}
+    _KEYS_MEMO.clear()
+    _KEYS_MEMO[memo_key] = out
+    return out
 
 
 def entry(spark: SparkSession) -> DataFrame:

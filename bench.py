@@ -833,7 +833,13 @@ def main() -> None:
     from palletjack_spark.queries import REGISTRY
 
     spark = get_spark(app_name="pj-bench", cpus=CPUS)
-    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    try:
+        # "/path/sf0.1" -> 0.1; any other shape (round-13 review: a path
+        # like /mnt/transfer/data contains "sf" but no parseable factor
+        # and crashed the whole run before measuring anything) -> -1.0
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
 
     times: dict[str, float] = {}
     # warm the JVM + staged events once so per-query numbers measure the
@@ -1088,9 +1094,10 @@ def main() -> None:
         )
     elif warnings and max_block is not None and max_block >= 3.0:
         blk = max(steal_blocks, key=lambda k: steal_blocks[k] or 0.0)
+        run_s = f"{run_steal:.1f}%" if run_steal is not None else "unknown"
         host_notes.append(
             f"CPU steal hit {max_block:.1f}% during block {blk} (whole-run "
-            f"{run_steal:.1f}%) — floor warnings for queries in that block "
+            f"{run_s}) — floor warnings for queries in that block "
             "are most likely the episode, not a plan regression; compare "
             "steal_pct against the warning list before root-causing"
         )

@@ -29,10 +29,11 @@ import numpy as np
 import pandas as pd
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.01")
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+# the fixture-table list lives with the engine (round-13 review: a
+# private copy here would silently miss a future table and report ERR
+# on every oracle referencing it)
+from palletjack_spark.tables import TABLES  # noqa: E402
 
 
 def _load_entry():
@@ -68,8 +69,11 @@ def _values_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool:
             aa = av.astype(np.float64).to_numpy()
             bb = bv.astype(np.float64).to_numpy()
             both_nan = np.isnan(aa) & np.isnan(bb)
-            close = np.isclose(aa, bb, rtol=1e-9, atol=1e-12)
-            if not bool(np.all(both_nan | close)):
+            # EXACT equality (tests/conftest parity; round-13 review:
+            # rtol=1e-9 here could print ok for values the driver's
+            # hash comparison will fail — this gate must be at least as
+            # strict as the check it simulates)
+            if not bool(np.all(both_nan | (aa == bb))):
                 return False
         else:
             if not av.astype(str).equals(bv.astype(str)):
