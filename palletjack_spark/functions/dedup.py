@@ -1207,7 +1207,16 @@ def load_signature_store(
     return S.live_batches(spark, store_dir, "signatures", meta["n_batches"])
 
 
-def append_signatures(sig_df: DataFrame, store_dir: str) -> int:
+#: recent-epoch markers kept in the manifest for idempotent streaming
+#: replays — a structured-streaming retry only ever replays the most
+#: recent epoch(s), so a bounded ring suffices and the manifest stays
+#: O(1) over an unbounded stream
+_EPOCH_RING = 128
+
+
+def append_signatures(
+    sig_df: DataFrame, store_dir: str, epoch: str | None = None
+) -> int:
     """Append a batch's ACCEPTED signatures to the store under
     ``signatures/batch=N`` and publish it with an atomic manifest
     commit — the ingest commit of the incremental-dedup loop, under the
@@ -1217,7 +1226,15 @@ def append_signatures(sig_df: DataFrame, store_dir: str) -> int:
     (``batch < n_batches`` partition pruning), and the next append
     overwrites it.  (Round-12 fix: this previously wrote
     ``mode("append")`` into a flat dir — a crashed append's partial
-    files were visible to every reader.)  Returns the new version."""
+    files were visible to every reader.)  Returns the new version.
+
+    ``epoch`` (round-14 ADVICE, the streaming-ingest contract): a
+    caller-unique marker recorded in the manifest at commit; an append
+    whose epoch the manifest ALREADY records is a no-op returning the
+    current version — Spark's foreachBatch is at-least-once, and a
+    retried micro-batch must not publish its signatures twice.  The
+    marker ring keeps the last ``_EPOCH_RING`` epochs (replays only
+    ever target recent epochs), so the manifest stays O(1)."""
     from palletjack_spark.errors import IndexFormatError
     from palletjack_spark.functions import store as S
 
@@ -1230,10 +1247,16 @@ def append_signatures(sig_df: DataFrame, store_dir: str) -> int:
             f"signature store {store_dir} uses the legacy flat layout; "
             "rebuild it with save_signature_store"
         )
+    if epoch is not None and epoch in meta.get("epochs", []):
+        return int(meta.get("version", 1))  # replayed epoch: already in
     batch = int(meta["n_batches"])
     S.write_batch(sig_df, store_dir, "signatures", batch)
     meta["n_batches"] = batch + 1
     meta["version"] = int(meta.get("version", 1)) + 1
+    if epoch is not None:
+        meta["epochs"] = (list(meta.get("epochs", [])) + [epoch])[
+            -_EPOCH_RING:
+        ]
     S.commit_manifest(store_dir, _SIG_META_NAME, meta)
     return meta["version"]
 

@@ -1960,6 +1960,15 @@ def itq_rotation(
     split mass at the data centroid, not at zero) and the
     column-orthonormal rotation (square at native width, d×in_dims
     when PCA folds in)."""
+    if not 1 <= in_dims <= 64:
+        # same gate as binary_quantize (round-14 ADVICE): itq_encode
+        # packs bits into two BIGINT halves, so >64 code bits would
+        # shift int64 by 63+ positions — numpy overflow plus silent bit
+        # aliasing producing garbage Hamming codes, not a typed error.
+        raise ValueError(
+            f"itq_rotation learns at most 64 code bits (two BIGINT "
+            f"halves); got in_dims={in_dims}"
+        )
     rows = (
         corpus_df.select(id_col, vec_col)
         .orderBy(id_col)

@@ -204,23 +204,51 @@ def cas_append(
     target slot N after the manifest says N exists), so commits never
     clobber each other.  A crash while holding the claim leaves an
     unpublished orphan + a stale claim; the next writer steals both.
-    Returns the slot number the batch published as."""
+
+    Claims carry a per-writer NONCE and ownership is re-verified right
+    before the rename and again before the manifest commit (round-14
+    ADVICE: a writer that stalled past ``_CLAIM_TTL_S`` between claim
+    and commit had its claim stolen, the stealer rmtree'd the stalled
+    writer's already-renamed data, and BOTH then committed "success" —
+    the stalled writer's rows were silently gone).  A writer that finds
+    its claim stolen never commits: it re-stages if its data dir was
+    exposed to the stealer and retries a fresh slot.  The verify→act
+    window is milliseconds, so a steal can only race a stall that
+    crosses the 10-minute TTL inside that window — versus racing ANY
+    post-claim stall before.  Returns the slot the batch published as.
+    """
     import time
     import uuid
 
     recover_dataset(store_dir, dataset)
-    stage = os.path.join(
-        store_dir, dataset, f".stage-{uuid.uuid4().hex[:12]}"
-    )
-    df.write.mode("overwrite").parquet(stage)
+    nonce = uuid.uuid4().hex
+
+    def _stage_rows() -> str:
+        s = os.path.join(store_dir, dataset, f".stage-{uuid.uuid4().hex[:12]}")
+        df.write.mode("overwrite").parquet(s)
+        return s
+
+    stage = _stage_rows()
+
     try:
         for _ in range(max_attempts):
             meta = load_manifest(store_dir, manifest_name)
             n = int(meta["n_batches"])
             claim = os.path.join(store_dir, dataset, f".claim-{n}")
+
+            def _owned() -> bool:
+                try:
+                    with open(claim) as f:
+                        return f.read() == nonce
+                except OSError:
+                    return False
+
             try:
                 fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
+                try:
+                    os.write(fd, nonce.encode())
+                finally:
+                    os.close(fd)
             except FileExistsError:
                 try:
                     age = time.time() - os.stat(claim).st_mtime
@@ -234,6 +262,7 @@ def cas_append(
                 else:
                     time.sleep(0.05)
                 continue
+            committed = False
             try:
                 # re-check under the claim: the manifest may have advanced
                 # between the read and the O_EXCL (our slot already taken)
@@ -241,17 +270,33 @@ def cas_append(
                 if int(meta["n_batches"]) != n:
                     continue  # stale slot: retry with the fresh manifest
                 target = os.path.join(store_dir, dataset, f"batch={n}")
+                if not _owned():
+                    continue  # stolen while stalled: slot no longer ours
                 shutil.rmtree(target, ignore_errors=True)  # orphan only
                 os.replace(stage, target)
+                if not _owned():
+                    # stolen between rename and commit: the stealer may
+                    # already have rmtree'd our target — NEVER commit a
+                    # slot we lost; re-stage (the rename consumed the
+                    # staging dir) and retry a fresh slot.
+                    stage = _stage_rows()
+                    continue
                 update_meta(meta, n)
                 meta["n_batches"] = n + 1
                 commit_manifest(store_dir, manifest_name, meta)
+                committed = True
                 return n
             finally:
-                try:
-                    os.unlink(claim)
-                except OSError:
-                    pass
+                # release ONLY if the claim is still ours — after a steal
+                # the file belongs to the stealer, and unlinking it would
+                # let a third writer race the stealer's slot.  After OUR
+                # commit the claim content is still our nonce, so the
+                # owned-check also covers the normal release.
+                if committed or _owned():
+                    try:
+                        os.unlink(claim)
+                    except OSError:
+                        pass
         raise TimeoutError(
             f"cas_append: could not claim a batch slot in {max_attempts} "
             f"attempts (store {store_dir!r}, dataset {dataset!r})"

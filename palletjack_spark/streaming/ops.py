@@ -535,12 +535,7 @@ def streaming_incremental_dedup(
     narrow signature rows, not text."""
     import uuid
 
-    from palletjack_spark.functions.dedup import (
-        append_signatures,
-        incremental_dedup,
-        load_signature_store,
-        save_signature_store,
-    )
+    from palletjack_spark.functions.dedup import save_signature_store
 
     path = stage_document_slices(spark, sf_dir, n_slices)
     schema = spark.read.parquet(path).schema
@@ -569,15 +564,10 @@ def streaming_incremental_dedup(
         )
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        sp = batch_df.sparkSession
-        store = load_signature_store(sp, store_dir)
-        decisions, accepted = incremental_dedup(
-            batch_df, "text", "doc_id", store, threshold_milli=threshold_milli
+        _ingest_epoch(
+            batch_df, int(batch_id), store_dir, dec_dir, run_id,
+            threshold_milli,
         )
-        decisions.withColumn(
-            "batch", F.lit(int(batch_id)).cast("long")
-        ).write.mode("append").parquet(dec_dir)
-        append_signatures(accepted, store_dir)
 
     q = (
         stream.writeStream.foreachBatch(ingest)
@@ -593,6 +583,60 @@ def streaming_incremental_dedup(
     q.awaitTermination()
     return (
         spark.read.parquet(dec_dir)
-        .select("doc_id", "batch", "accepted", "dup_of", "jaccard_milli")
+        .select(
+            "doc_id",
+            F.col("batch").cast("long").alias("batch"),
+            "accepted",
+            "dup_of",
+            "jaccard_milli",
+        )
         .orderBy("doc_id")
     )
+
+
+def _ingest_epoch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    dec_dir: str,
+    run_id: str,
+    threshold_milli: int,
+) -> None:
+    """One micro-batch of the q115b ingest loop, IDEMPOTENT under
+    Spark's at-least-once foreachBatch replay (round-14 ADVICE: the
+    previous form appended decision rows with ``mode("append")`` and
+    unconditionally re-ran ``append_signatures`` — a retried epoch
+    duplicated both the per-doc decisions and the published signature
+    batch, failing the oracle hash gate nondeterministically).  Both
+    side effects key on the epoch: decisions land in a
+    ``batch=<epoch>`` partition dir OVERWRITTEN per epoch, and the
+    signature append carries an epoch marker the store manifest
+    records, so a replay rewrites identical bytes / no-ops instead of
+    duplicating."""
+    from palletjack_spark.functions import store as S
+    from palletjack_spark.functions.dedup import (
+        _SIG_META_NAME,
+        append_signatures,
+        incremental_dedup,
+        load_signature_store,
+    )
+
+    epoch = f"{run_id}:{batch_id}"
+    meta = S.load_manifest(store_dir, _SIG_META_NAME)
+    if epoch in meta.get("epochs", []):
+        # fully replayed epoch: the signature append committed, so the
+        # decision write before it landed too.  Recomputing here would
+        # be WRONG, not just wasteful — the store now holds this
+        # batch's own signatures, so its docs would match themselves
+        # and the replay would flip accepted -> dup_of(self).
+        return
+
+    sp = batch_df.sparkSession
+    store = load_signature_store(sp, store_dir)
+    decisions, accepted = incremental_dedup(
+        batch_df, "text", "doc_id", store, threshold_milli=threshold_milli
+    )
+    decisions.write.mode("overwrite").parquet(
+        os.path.join(dec_dir, f"batch={batch_id}")
+    )
+    append_signatures(accepted, store_dir, epoch=epoch)

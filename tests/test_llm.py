@@ -2198,6 +2198,22 @@ def test_itq_rotation_is_orthogonal_and_deterministic(spark):
     assert np.array_equal(R1, R2) and np.array_equal(mu1, mu2)
 
 
+def test_itq_rotation_rejects_unpackable_code_widths(spark):
+    """Round-14 ADVICE: itq_rotation validated only that vectors are
+    wide enough, not that ``in_dims`` fits the two-BIGINT packing that
+    binary_quantize gates at 64 — in_dims > 64 reached itq_encode's
+    int64 shifts of 63+ positions (numpy overflow + silent bit
+    aliasing → garbage Hamming codes).  Must be a typed error."""
+    import pytest
+
+    from palletjack_spark.functions.similarity import itq_rotation
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    for bad in (0, -1, 65, 128):
+        with pytest.raises(ValueError, match="64 code bits"):
+            itq_rotation(emb, in_dims=bad)
+
+
 def test_itq_exhaustive_shortlist_is_exact(spark):
     """q92p driver discipline: with the shortlist exhaustive the funnel
     is hash-identical to brute force while every ITQ stage executes."""
@@ -2346,6 +2362,85 @@ def test_concurrent_signature_appends_lose_nothing(spark, tmp_path):
         for r in docs.where(F.col("doc_id") % 7 <= 4).select("doc_id").collect()
     )
     assert got == want
+
+
+def test_cas_append_stolen_claim_never_double_publishes(
+    spark, tmp_path, monkeypatch
+):
+    """Round-14 ADVICE: writer A stalls past the claim TTL between its
+    batch rename and its manifest commit; thief B steals the claim,
+    clobbers A's renamed-but-unpublished batch and publishes its own
+    rows at that slot.  A must detect the stolen claim (nonce
+    mismatch), NOT commit slot N, re-stage its rows and publish them at
+    a fresh slot — previously both writers returned "success" while
+    A's rows were silently gone."""
+    import os as _os
+    import shutil as _shutil
+
+    from palletjack_spark.functions import dedup as D
+    from palletjack_spark.functions import store as S
+
+    docs = load_table(spark, SF_DIR, "documents")
+    store = str(tmp_path / "steal")
+    D.save_signature_store(
+        docs.where(F.col("doc_id") % 7 == 0), "text", "doc_id", store
+    )
+    a_sig = D._signatures_one_shuffle(
+        docs.where(F.col("doc_id") % 7 == 1), "text", "doc_id"
+    )
+    b_sig = D._signatures_one_shuffle(
+        docs.where(F.col("doc_id") % 7 == 2), "text", "doc_id"
+    )
+    claim = _os.path.join(store, "signatures", ".claim-1")
+    slot1 = _os.path.join(store, "signatures", "batch=1")
+    real_replace = _os.replace
+    state = {"fired": False}
+
+    def replace_with_thief(src, dst):
+        real_replace(src, dst)
+        # fire exactly once, on A's stage->batch=1 rename (manifest
+        # commits also use os.replace; they must pass through)
+        if state["fired"] or not str(dst).endswith("batch=1"):
+            return
+        state["fired"] = True
+        monkeypatch.setattr(_os, "replace", real_replace)
+        # thief B (A "stalled past the TTL"): overwrite the claim with
+        # B's nonce, clobber A's unpublished batch, publish B's rows
+        with open(claim, "w") as f:
+            f.write("thief-nonce")
+        _shutil.rmtree(dst)
+        b_sig.write.mode("overwrite").parquet(dst)
+        meta = S.load_manifest(store, D._SIG_META_NAME)
+        meta["version"] = int(meta.get("version", 1)) + 1
+        meta["n_batches"] = 2
+        S.commit_manifest(store, D._SIG_META_NAME, meta)
+
+    monkeypatch.setattr(_os, "replace", replace_with_thief)
+    slot = D.append_signatures_concurrent(a_sig, store)
+    assert state["fired"]
+    assert slot == 2  # A retried a fresh slot, never committed slot 1
+    meta = S.load_manifest(store, D._SIG_META_NAME)
+    assert int(meta["n_batches"]) == 3
+    # B's rows live at slot 1, A's at slot 2 — nothing lost, nothing
+    # double-published
+    got = sorted(
+        r["doc_id"] for r in D.load_signature_store(spark, store).collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in docs.where(F.col("doc_id") % 7 <= 2).select("doc_id").collect()
+    )
+    assert got == want
+    b_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(slot1).select("doc_id").collect()
+    )
+    assert b_ids == sorted(
+        r["doc_id"]
+        for r in docs.where(F.col("doc_id") % 7 == 2).select("doc_id").collect()
+    )
+    # A must NOT have unlinked the stolen claim — it belongs to B now
+    with open(claim) as f:
+        assert f.read() == "thief-nonce"
 
 
 def test_round13_functions_guards(spark, tmp_path):

@@ -379,6 +379,66 @@ def test_streaming_incremental_dedup_store_equals_one_shot_chain(spark):
         assert json.load(f)["n_batches"] == 5
 
 
+def test_streaming_ingest_epoch_replay_is_idempotent(spark, tmp_path):
+    """Round-14 ADVICE: foreachBatch is at-least-once — a retried
+    micro-batch previously re-appended its decision rows (mode append)
+    and re-published its signature batch, duplicating both.  Replaying
+    the same epoch must change NOTHING: same decision rows, same store
+    manifest, same published signatures — and crucially the replay must
+    not re-dedup the batch against its own just-published signatures
+    (which would flip accepted -> dup_of(self))."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from palletjack_spark.functions.dedup import (
+        load_signature_store,
+        save_signature_store,
+    )
+    from palletjack_spark.streaming.ops import _ingest_epoch
+    from palletjack_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    store = str(tmp_path / "replstore")
+    dec = str(tmp_path / "repldec")
+    save_signature_store(
+        spark.createDataFrame([], docs.schema), "text", "doc_id", store
+    )
+
+    def snap():
+        with open(os.path.join(store, "_sig_meta.json")) as f:
+            meta = json.load(f)
+        decs = sorted(
+            tuple(r)
+            for r in spark.read.parquet(dec)
+            .select("doc_id", "accepted", "dup_of", "batch")
+            .collect()
+        )
+        sigs = sorted(
+            r["doc_id"]
+            for r in load_signature_store(spark, store).collect()
+        )
+        return meta, decs, sigs
+
+    batch0 = docs.where(F.col("doc_id") % 4 == 0)
+    _ingest_epoch(batch0, 0, store, dec, "runA", 500)
+    before = snap()
+    assert any(r for r in before[1])  # decisions landed
+    # at-least-once replay of the SAME epoch: a pure no-op
+    _ingest_epoch(batch0, 0, store, dec, "runA", 500)
+    assert snap() == before
+    # a replay that recomputed would have flipped accepted rows to
+    # self-dups; assert acceptance survived verbatim instead
+    assert [r for r in snap()[1] if r[1]] == [r for r in before[1] if r[1]]
+    # the next epoch still appends normally
+    _ingest_epoch(docs.where(F.col("doc_id") % 4 == 1), 1, store, dec, "runA", 500)
+    after = snap()
+    assert after[0]["n_batches"] == before[0]["n_batches"] + 1
+    assert after[0]["epochs"] == ["runA:0", "runA:1"]
+    assert len(after[1]) > len(before[1])
+
+
 def test_streaming_dedup_does_not_wipe_existing_store(spark, tmp_path):
     """Round-13 review: a caller continuing ingest against a persisted
     store must NOT have it silently reset to one empty batch — the
