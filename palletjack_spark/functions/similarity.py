@@ -951,6 +951,57 @@ def append_vectors(
     return int(n)
 
 
+def append_vectors_concurrent(
+    new_df: DataFrame,
+    path: str,
+    id_col: str | None = None,
+    vec_col: str | None = None,
+) -> int:
+    """Multi-writer :func:`append_vectors` (round-14, closing the r13
+    gap: CAS appends were wired to the signature store only — parallel
+    crawl-ingest jobs encoding into ONE vector store still raced the
+    single-writer manifest and could silently lose a batch).  Encoding
+    still uses the PERSISTED codebooks (zero training jobs); the slot
+    claim / nonce-ownership / manifest-CAS protocol is
+    :func:`palletjack_spark.functions.store.cas_append`.  The
+    single-writer :func:`append_vectors` stays the default (one fewer
+    filesystem round-trip); use this from parallel ingest drivers.
+    Returns the slot the batch published as."""
+    from palletjack_spark.functions import store as S
+
+    spark = new_df.sparkSession
+    meta0 = _store_meta(path)
+    id_col = id_col or meta0["id_col"]
+    vec_col = vec_col or meta0["vec_col"]
+    if id_col != meta0["id_col"] or vec_col != meta0["vec_col"]:
+        raise ValueError(
+            f"vector store at {path} was built with columns "
+            f"({meta0['id_col']!r}, {meta0['vec_col']!r}); append asked "
+            f"for ({id_col!r}, {vec_col!r})"
+        )
+    idx = load_ann_index(spark, path)
+    row = new_df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if row and row[0]["d"] != idx["centroids"].shape[1]:
+        raise ValueError(
+            f"vector store at {path} holds "
+            f"{idx['centroids'].shape[1]}-dim vectors; batch "
+            f"'{vec_col}' is {row[0]['d']}-dim"
+        )
+    encoded = encode_vectors(new_df, idx, id_col, vec_col)
+    encoded.persist()
+    try:
+        n_rows = int(encoded.count())
+
+        def bump(m: dict, _slot: int) -> None:
+            # slots are claim-serialized, so by the n_batches invariant
+            # _slot == len(n_vectors) when this runs under the claim
+            m["n_vectors"] = list(m.get("n_vectors", [])) + [n_rows]
+
+        return S.cas_append(encoded, path, _ANN_META_NAME, "vectors", bump)
+    finally:
+        encoded.unpersist()
+
+
 def delete_vectors(ids_df: DataFrame, path: str, id_col: str | None = None) -> int:
     """Tombstone vectors in a persisted store — the GDPR/takedown shape:
     the data pages holding the vectors are NEVER rewritten (at 100 TB a

@@ -186,7 +186,8 @@ def cas_append(
     max_attempts: int = 64,
 ) -> int:
     """Append ``df`` as the next published batch under a MULTI-WRITER
-    contract.  Protocol, per attempt:
+    contract (single-dataset form of :func:`cas_append_multi`).
+    Protocol, per attempt:
 
     1. stage the rows to a unique ``<dataset>/.stage-<nonce>`` dir
        (staging never collides, so concurrent writers can't corrupt
@@ -217,24 +218,61 @@ def cas_append(
     crosses the 10-minute TTL inside that window — versus racing ANY
     post-claim stall before.  Returns the slot the batch published as.
     """
+    return cas_append_multi(
+        {dataset: df},
+        store_dir,
+        manifest_name,
+        update_meta,
+        max_attempts=max_attempts,
+    )
+
+
+def cas_append_multi(
+    dfs: dict[str, DataFrame],
+    store_dir: str,
+    manifest_name: str,
+    update_meta,
+    counter_key: str = "n_batches",
+    max_attempts: int = 64,
+) -> int:
+    """Append one batch to SEVERAL datasets that advance under ONE
+    manifest counter (the LM store's bigrams+unigrams shape: both land
+    as ``batch=N`` and publish in one manifest commit) under the
+    multi-writer contract of :func:`cas_append`.  The claim file lives
+    in the FIRST dataset's directory (slot claims only need one agreed
+    location per counter; callers that share a counter must pass the
+    datasets in a stable order).  The cross-dataset renames are not one
+    atomic step, but a crash or lost claim between them only ever
+    leaves unpublished ``batch=N`` orphans — invisible by the manifest
+    contract and overwritten by the slot's eventual winner.  Returns
+    the slot the batch published as."""
     import time
     import uuid
 
-    recover_dataset(store_dir, dataset)
+    if not dfs:
+        raise ValueError("cas_append_multi: no datasets to append")
+    for dataset in dfs:
+        recover_dataset(store_dir, dataset)
+    claim_dataset = next(iter(dfs))
     nonce = uuid.uuid4().hex
 
-    def _stage_rows() -> str:
-        s = os.path.join(store_dir, dataset, f".stage-{uuid.uuid4().hex[:12]}")
-        df.write.mode("overwrite").parquet(s)
-        return s
+    def _stage_all() -> dict[str, str]:
+        staged = {}
+        for dataset, df in dfs.items():
+            s = os.path.join(
+                store_dir, dataset, f".stage-{uuid.uuid4().hex[:12]}"
+            )
+            df.write.mode("overwrite").parquet(s)
+            staged[dataset] = s
+        return staged
 
-    stage = _stage_rows()
+    stages = _stage_all()
 
     try:
         for _ in range(max_attempts):
             meta = load_manifest(store_dir, manifest_name)
-            n = int(meta["n_batches"])
-            claim = os.path.join(store_dir, dataset, f".claim-{n}")
+            n = int(meta[counter_key])
+            claim = os.path.join(store_dir, claim_dataset, f".claim-{n}")
 
             def _owned() -> bool:
                 try:
@@ -267,22 +305,23 @@ def cas_append(
                 # re-check under the claim: the manifest may have advanced
                 # between the read and the O_EXCL (our slot already taken)
                 meta = load_manifest(store_dir, manifest_name)
-                if int(meta["n_batches"]) != n:
+                if int(meta[counter_key]) != n:
                     continue  # stale slot: retry with the fresh manifest
-                target = os.path.join(store_dir, dataset, f"batch={n}")
                 if not _owned():
                     continue  # stolen while stalled: slot no longer ours
-                shutil.rmtree(target, ignore_errors=True)  # orphan only
-                os.replace(stage, target)
+                for dataset, stage in stages.items():
+                    target = os.path.join(store_dir, dataset, f"batch={n}")
+                    shutil.rmtree(target, ignore_errors=True)  # orphan only
+                    os.replace(stage, target)
                 if not _owned():
                     # stolen between rename and commit: the stealer may
-                    # already have rmtree'd our target — NEVER commit a
-                    # slot we lost; re-stage (the rename consumed the
-                    # staging dir) and retry a fresh slot.
-                    stage = _stage_rows()
+                    # already have rmtree'd our targets — NEVER commit a
+                    # slot we lost; re-stage (the renames consumed the
+                    # staging dirs) and retry a fresh slot.
+                    stages = _stage_all()
                     continue
                 update_meta(meta, n)
-                meta["n_batches"] = n + 1
+                meta[counter_key] = n + 1
                 commit_manifest(store_dir, manifest_name, meta)
                 committed = True
                 return n
@@ -299,7 +338,8 @@ def cas_append(
                         pass
         raise TimeoutError(
             f"cas_append: could not claim a batch slot in {max_attempts} "
-            f"attempts (store {store_dir!r}, dataset {dataset!r})"
+            f"attempts (store {store_dir!r}, datasets {sorted(dfs)!r})"
         )
     finally:
-        shutil.rmtree(stage, ignore_errors=True)
+        for stage in stages.values():
+            shutil.rmtree(stage, ignore_errors=True)

@@ -569,6 +569,35 @@ def append_lm_counts(
     _lm_commit(store_dir, meta)
 
 
+def append_lm_counts_concurrent(
+    new_train: DataFrame, text_col: str, id_col: str, store_dir: str
+) -> int:
+    """Multi-writer :func:`append_lm_counts` (round-14, closing the r13
+    gap: CAS appends were wired to the signature store only — parallel
+    crawl shards merging count deltas into ONE LM store raced the
+    single-writer manifest and could silently lose a batch).  Both
+    count tables land as ``batch=N`` and publish in ONE manifest commit
+    under the slot-claim / nonce-ownership protocol
+    (:func:`palletjack_spark.functions.store.cas_append_multi`) —
+    counts are additive, so any interleaving of winners is equivalent
+    to some sequential append order.  Returns the published slot."""
+    from palletjack_spark.functions import store as S
+
+    meta = _lm_meta(store_dir)
+    if meta["text_col"] != text_col:
+        raise ValueError(
+            f"LM store at {store_dir} was built over "
+            f"{meta['text_col']!r}; append asked for {text_col!r}"
+        )
+    big, uni = _lm_counts(new_train, text_col, id_col)
+    return S.cas_append_multi(
+        {"bigrams": big, "unigrams": uni},
+        store_dir,
+        _LM_META_NAME,
+        lambda _m, _slot: None,
+    )
+
+
 def load_lm_tables(
     spark, store_dir: str
 ) -> tuple[DataFrame, DataFrame]:

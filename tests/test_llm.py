@@ -2364,6 +2364,102 @@ def test_concurrent_signature_appends_lose_nothing(spark, tmp_path):
     assert got == want
 
 
+def test_concurrent_vector_appends_lose_nothing(spark, tmp_path):
+    """Round-14 (r13 gap #3): CAS multi-writer appends were wired to
+    the signature store only — N threads appending encoded batches to
+    ONE vector store must each publish exactly one slot, with the
+    manifest's per-batch ``n_vectors`` ledger consistent and every id
+    queryable afterwards."""
+    import json
+    import threading
+
+    import palletjack_spark.functions.similarity as sim
+    from palletjack_spark.functions import store as S
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    store = str(tmp_path / "mwvec")
+    sim.save_vector_store(
+        emb.where(F.col("vec_id") % 7 == 0), store, n_centroids=8
+    )
+    slices = [emb.where(F.col("vec_id") % 7 == m) for m in range(1, 5)]
+    slots, errs = [], []
+
+    def run(batch):
+        try:
+            slots.append(sim.append_vectors_concurrent(batch, store))
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(s,)) for s in slices]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert sorted(slots) == [1, 2, 3, 4]  # every slot claimed exactly once
+    with open(os.path.join(store, "_ann_meta.json")) as f:
+        meta = json.load(f)
+    assert int(meta["n_batches"]) == 5
+    # the per-slot row ledger matches what each writer actually landed
+    want_ids = sorted(
+        r["vec_id"]
+        for r in emb.where(F.col("vec_id") % 7 <= 4).select("vec_id").collect()
+    )
+    assert sum(meta["n_vectors"]) == len(want_ids)
+    got_ids = sorted(
+        r["vec_id"]
+        for r in S.live_batches(spark, store, "vectors", meta["n_batches"])
+        .select("vec_id")
+        .collect()
+    )
+    assert got_ids == want_ids  # nothing lost, nothing doubled
+
+
+def test_concurrent_lm_appends_lose_nothing(spark, tmp_path):
+    """Round-14 (r13 gap #3): N threads merging count deltas into ONE
+    LM store — both tables of each batch publish in one manifest
+    commit, and the summed live tables equal a one-shot count over the
+    union corpus (counts are additive, so multi-writer ≡ sequential)."""
+    import json
+    import threading
+
+    from palletjack_spark.functions import text as T
+
+    docs = load_table(spark, SF_DIR, "documents")
+    store = str(tmp_path / "mwlm")
+    T.save_lm_store(docs.where(F.col("doc_id") % 7 == 0), "text", "doc_id", store)
+    slices = [docs.where(F.col("doc_id") % 7 == m) for m in range(1, 5)]
+    slots, errs = [], []
+
+    def run(batch):
+        try:
+            slots.append(
+                T.append_lm_counts_concurrent(batch, "text", "doc_id", store)
+            )
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(s,)) for s in slices]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert sorted(slots) == [1, 2, 3, 4]
+    with open(os.path.join(store, "_lm_meta.json")) as f:
+        assert int(json.load(f)["n_batches"]) == 5
+    big, uni = T.load_lm_tables(spark, store)
+    ref_big, ref_uni = T._lm_counts(
+        docs.where(F.col("doc_id") % 7 <= 4), "text", "doc_id"
+    )
+    assert sorted(tuple(r) for r in big.collect()) == sorted(
+        tuple(r) for r in ref_big.collect()
+    )
+    assert sorted(tuple(r) for r in uni.collect()) == sorted(
+        tuple(r) for r in ref_uni.collect()
+    )
+
+
 def test_cas_append_stolen_claim_never_double_publishes(
     spark, tmp_path, monkeypatch
 ):
