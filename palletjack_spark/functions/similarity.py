@@ -2112,6 +2112,150 @@ def itq_encode(
     )
 
 
+#: on-disk format version of the persisted ITQ rotation sidecar
+_ITQ_FORMAT_VERSION = 1
+_ITQ_META_NAME = "_itq_meta.json"
+
+
+def save_itq_rotation(
+    corpus_df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dims: int = 64,
+    train_rows: int = 512,
+    iters: int = 50,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train the ITQ rotation once and persist it as a versioned
+    sidecar (round-13 verdict gap #4: q92g/q92k gave the PQ quantizers
+    a build-once/read-many artifact, but itq_bq_topk re-trained its
+    rotation EVERY invocation — the production BQ tier couldn't ship a
+    frozen rotation).  Layout mirrors :func:`save_ann_index`:
+    ``path/itq`` is a tiny parquet dataset of tagged rows —
+    ``(kind='mu', i=0, vec)`` for the train-sample center and
+    ``(kind='rot', i=row, vec)`` for the d×bits rotation — plus
+    ``path/_itq_meta.json`` recording the format version, shapes and
+    training params so a loader validates before trusting the artifact.
+    The whole artifact is ``(d+1)·bits`` doubles — a few KB.  Returns
+    the in-memory ``(mu, R)`` it persisted."""
+    import json
+
+    spark = corpus_df.sparkSession
+    mu, R = itq_rotation(
+        corpus_df, id_col, vec_col, in_dims, train_rows, iters
+    )
+    rows = [("mu", 0, [float(x) for x in mu])] + [
+        ("rot", int(i), [float(x) for x in R[i]]) for i in range(R.shape[0])
+    ]
+    spark.createDataFrame(
+        rows, "kind string, i int, vec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "itq"))
+    meta = {
+        "format_version": _ITQ_FORMAT_VERSION,
+        "dim": int(R.shape[0]),
+        "code_bits": int(R.shape[1]),
+        "in_dims": int(in_dims),
+        "train_rows": int(train_rows),
+        "iters": int(iters),
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    tmp = os.path.join(path, _ITQ_META_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, _ITQ_META_NAME))
+    return mu, R
+
+
+def load_itq_rotation(
+    spark, path: str
+) -> tuple[np.ndarray, np.ndarray, dict]:
+    """Load a persisted ITQ rotation written by
+    :func:`save_itq_rotation` — ZERO training jobs (no corpus scan, no
+    Procrustes iterations; the poisoned-trainer test pins it), one
+    bounded collect of d+1 tiny rows.  Validates the format version and
+    declared shapes (torn artifacts hard-error) before returning
+    ``(mu, R, meta)``.  Doubles round-trip parquet exactly, so encoding
+    with the loaded rotation is bit-identical to the in-memory one it
+    was saved from."""
+    import json
+
+    with open(os.path.join(path, _ITQ_META_NAME)) as f:
+        meta = json.load(f)
+    if meta.get("format_version") != _ITQ_FORMAT_VERSION:
+        raise ValueError(
+            f"unsupported ITQ sidecar format_version "
+            f"{meta.get('format_version')} at {path} "
+            f"(supported: {_ITQ_FORMAT_VERSION})"
+        )
+    d, bits = int(meta["dim"]), int(meta["code_bits"])
+    mu = np.zeros(d, dtype="float64")
+    R = np.zeros((d, bits), dtype="float64")
+    seen_mu = seen_r = 0
+    for r in spark.read.parquet(os.path.join(path, "itq")).collect():
+        if r["kind"] == "mu":
+            if len(r["vec"]) != d:
+                raise ValueError(
+                    f"ITQ sidecar at {path} is torn: mu is "
+                    f"{len(r['vec'])}-dim vs declared {d}"
+                )
+            mu[:] = r["vec"]
+            seen_mu += 1
+        else:
+            if len(r["vec"]) != bits:
+                raise ValueError(
+                    f"ITQ sidecar at {path} is torn: rotation row "
+                    f"{r['i']} is {len(r['vec'])}-wide vs declared {bits}"
+                )
+            R[r["i"]] = r["vec"]
+            seen_r += 1
+    if seen_mu != 1 or seen_r != d:
+        raise ValueError(
+            f"ITQ sidecar at {path} is torn: {seen_mu} mu rows / "
+            f"{seen_r} rotation rows vs declared 1 / {d}"
+        )
+    return mu, R, meta
+
+
+def itq_bq_topk_store(
+    corpus_df: DataFrame,
+    queries_df: DataFrame,
+    path: str,
+    k: int = 10,
+    shortlist: int = 30,
+    id_col: str | None = None,
+    vec_col: str | None = None,
+) -> DataFrame:
+    """:func:`itq_bq_topk` over a FROZEN, persisted rotation: load the
+    sidecar (zero training jobs), encode corpus and queries with the
+    stored ``(mu, R)``, run the identical Hamming-shortlist /
+    exact-re-rank funnel.  Column or dimension mismatches against the
+    sidecar's manifest hard-error (the q92g param-mismatch discipline:
+    a store queried under different semantics is a silent wrong
+    answer)."""
+    spark = corpus_df.sparkSession
+    mu, R, meta = load_itq_rotation(spark, path)
+    id_col = id_col or meta["id_col"]
+    vec_col = vec_col or meta["vec_col"]
+    if id_col != meta["id_col"] or vec_col != meta["vec_col"]:
+        raise ValueError(
+            f"ITQ sidecar at {path} was trained with columns "
+            f"({meta['id_col']!r}, {meta['vec_col']!r}); query asked for "
+            f"({id_col!r}, {vec_col!r})"
+        )
+    row = corpus_df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if row and row[0]["d"] != int(meta["dim"]):
+        raise ValueError(
+            f"ITQ sidecar at {path} rotates {meta['dim']}-dim vectors; "
+            f"corpus '{vec_col}' is {row[0]['d']}-dim"
+        )
+    ccodes = itq_encode(corpus_df, mu, R, id_col, vec_col)
+    qcodes = itq_encode(queries_df, mu, R, id_col, vec_col)
+    return _hamming_two_stage(
+        ccodes, qcodes, corpus_df, queries_df, k, shortlist, id_col, vec_col
+    )
+
+
 def itq_bq_topk(
     corpus_df: DataFrame,
     queries_df: DataFrame,

@@ -4627,6 +4627,59 @@ def q92p(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q92q_itq_persisted", oracle=_Q92_ORACLE)
+def q92q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITQ binary quantization over a FROZEN, persisted rotation (Q92q,
+    round 14 — r13 verdict gap #4): q92p trained its rotation every
+    invocation, so the production BQ tier couldn't ship a frozen
+    artifact the way q92g ships frozen PQ quantizers.  The rotation +
+    train-sample center now persist as a versioned sidecar
+    (functions/similarity.save_itq_rotation — a ``(d+1)×bits``-double
+    parquet dataset plus an ``_itq_meta.json`` manifest, the q92g
+    discipline), built once per sf_dir; every subsequent query is one
+    bounded d+1-row read with ZERO training jobs (poisoned-trainer
+    pinned in tests/test_llm.py, alongside load-vs-inline encode
+    bit-equality and version/shape hard-errors).
+
+    Runs exhaustive-shortlist, so the result is hash-identical to the
+    brute-force oracle while every persisted-ITQ stage (sidecar load,
+    mapInPandas encodes, integer Hamming scan, shortlist window) still
+    executes; realistic shortlists inherit q92p's recall pins.  Scale
+    shape: the sidecar is a few KB read once on the driver and shipped
+    in task closures; everything else inherits itq_bq_topk's plan
+    (zero-exchange encodes, 8-byte-code stage 1)."""
+    import os
+    import shutil
+    import tempfile
+
+    from palletjack_spark.functions.similarity import (
+        _ITQ_META_NAME,
+        itq_bq_topk_store,
+        load_itq_rotation,
+        save_itq_rotation,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    fp = _emb_fingerprint(sf_dir)
+    itq_dir = os.path.join(tempfile.gettempdir(), f"pjspark_itq_{fp}")
+    have = False
+    if os.path.exists(os.path.join(itq_dir, _ITQ_META_NAME)):
+        try:
+            load_itq_rotation(spark, itq_dir)
+            have = True
+        except Exception:
+            # corrupt/foreign leftover under the fingerprint path:
+            # rebuild rather than hard-fail (the fingerprint already
+            # guarantees the CONTENT key matches)
+            shutil.rmtree(itq_dir, ignore_errors=True)
+    if not have:
+        save_itq_rotation(emb, itq_dir)
+    return itq_bq_topk_store(
+        emb, emb.where(F.col("vec_id") < 5), itq_dir, k=10,
+        shortlist=1_000_000,
+    )
+
+
 def _q101b_oracle(thr_milli: int = 500) -> str:
     """Q101b oracle — BATCH clustering of the union corpus: the same
     signatures/banding/milli-verify as q156's oracle, but over ALL

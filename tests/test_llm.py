@@ -2198,6 +2198,71 @@ def test_itq_rotation_is_orthogonal_and_deterministic(spark):
     assert np.array_equal(R1, R2) and np.array_equal(mu1, mu2)
 
 
+def test_itq_persisted_rotation_loads_without_training(
+    spark, tmp_path, monkeypatch
+):
+    """q92q (round 14): the persisted ITQ sidecar round-trips exactly —
+    a store query encodes bit-identically to the inline train (doubles
+    round-trip parquet exactly), with ZERO training jobs on the load
+    path (trainer poisoned), and version/shape/column mismatches
+    hard-error instead of silently rotating with the wrong artifact."""
+    import json
+    import os
+
+    import numpy as np
+    import pytest
+
+    import palletjack_spark.functions.similarity as sim
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    side = str(tmp_path / "itq")
+    mu0, R0 = sim.save_itq_rotation(emb, side)
+
+    inline = sorted(
+        tuple(r)
+        for r in sim.itq_bq_topk(emb, queries, k=10, shortlist=30).collect()
+    )
+
+    def _poisoned(*a, **k):
+        raise AssertionError("ITQ training ran on the load path")
+
+    monkeypatch.setattr(sim, "itq_rotation", _poisoned)
+    mu, R, meta = sim.load_itq_rotation(spark, side)
+    assert np.array_equal(mu, mu0) and np.array_equal(R, R0)  # exact
+    stored = sorted(
+        tuple(r)
+        for r in sim.itq_bq_topk_store(
+            emb, queries, side, k=10, shortlist=30
+        ).collect()
+    )
+    assert stored == inline  # bit-identical funnel over the frozen R
+
+    # column mismatch hard-errors
+    with pytest.raises(ValueError, match="trained with columns"):
+        sim.itq_bq_topk_store(emb, queries, side, id_col="other_id")
+    # dimension mismatch hard-errors
+    narrow = emb.select("vec_id", F.slice("embedding", 1, 8).alias("embedding"))
+    with pytest.raises(ValueError, match="-dim"):
+        sim.itq_bq_topk_store(narrow, narrow, side)
+    # version mismatch hard-errors
+    mpath = os.path.join(side, "_itq_meta.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m["format_version"] = 99
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="format_version"):
+        sim.load_itq_rotation(spark, side)
+    # torn artifact (declared shape disagrees with the rows) hard-errors
+    m["format_version"] = 1
+    m["dim"] = m["dim"] + 7
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="torn"):
+        sim.load_itq_rotation(spark, side)
+
+
 def test_itq_rotation_rejects_unpackable_code_widths(spark):
     """Round-14 ADVICE: itq_rotation validated only that vectors are
     wide enough, not that ``in_dims`` fits the two-BIGINT packing that
