@@ -617,3 +617,77 @@ def jvm_last_prune(spark: SparkSession, path: str) -> dict | None:
 
 def clear_jvm_prune_events(spark: SparkSession) -> None:
     spark._jvm.io.palletjack.spark.PalletJackRegistry.clearPruneEvents()
+
+
+def jvm_prune_totals(spark: SparkSession) -> list[dict]:
+    """Per-root CUMULATIVE pruning counters (round-13 verdict item 6) —
+    unlike the bounded 256-event ring, these survive eviction, so a
+    long-running session keeps an accurate lifetime tally.  Each entry::
+
+        {"root": "/data", "decisions": 12, "total": 48, "kept": 12,
+         "pruned": {"stats": 30, "dictionary": 4, "bloom": 2, "page": 0}}
+
+    ``decisions`` counts DEDUPLICATED rule decisions (optimizer
+    fixed-point iterations collapse, the recordPrune contract).  The
+    same payload backs the injected SQL function
+    ``palletjack_prune_totals()`` for pure-SQL clients."""
+    import json
+
+    return json.loads(
+        str(spark._jvm.io.palletjack.spark.PalletJackRegistry.pruneTotalsJson())
+    )
+
+
+def register_prune_events_udtf(spark: SparkSession) -> None:
+    """Register ``palletjack_prune_events`` — a Python UDTF (Spark 4
+    table function) that turns the JSON payloads of the injected SQL
+    functions into a PROPER TABLE, one row per (decision, tier), so SQL
+    users aggregate without JSON parsing (round-13 verdict item 6)::
+
+        SELECT tier, SUM(n_pruned) AS files_pruned
+        FROM palletjack_prune_events(palletjack_prune_explain())
+        GROUP BY tier;
+
+    The argument is any JSON the explain/totals functions emit: the
+    event-log array (zero-arg ``palletjack_prune_explain()``), one
+    root's newest decision (its one-arg form), or the cumulative
+    ``palletjack_prune_totals()`` array — single objects are treated as
+    one-element arrays, and totals rows surface their lifetime
+    ``decisions`` count in ``seq`` with ``predicate`` NULL.  Works in
+    FROM position because both source functions fold to string literals
+    at analysis time."""
+    from pyspark.sql.functions import udtf
+
+    class _PruneEvents:
+        def eval(self, events_json):
+            import json
+
+            if not events_json:
+                return
+            data = json.loads(events_json)
+            if data is None:
+                return
+            if isinstance(data, dict):
+                data = [data]
+            for e in data:
+                for tier, n in (e.get("pruned") or {}).items():
+                    yield (
+                        int(e.get("seq", e.get("decisions", 0))),
+                        e.get("root"),
+                        e.get("predicate"),
+                        int(e.get("total", 0)),
+                        int(e.get("kept", 0)),
+                        tier,
+                        int(n),
+                    )
+
+    spark.udtf.register(
+        "palletjack_prune_events",
+        udtf(
+            _PruneEvents,
+            returnType=(
+                "seq bigint, root string, predicate string, total int, "
+                "kept int, tier string, n_pruned int"
+            ),
+        ),
+    )

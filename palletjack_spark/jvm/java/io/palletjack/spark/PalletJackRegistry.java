@@ -309,6 +309,13 @@ public final class PalletJackRegistry {
     private static final java.util.concurrent.atomic.AtomicLong PRUNE_SEQ =
             new java.util.concurrent.atomic.AtomicLong();
 
+    /** Per-root CUMULATIVE counters (round-13 verdict item 6): unlike
+     *  the bounded event ring, these survive eviction — long-running
+     *  sessions keep an accurate lifetime tally per root.  Layout:
+     *  [decisions, total, kept, stats, dictionary, bloom, page]. */
+    private static final Map<String, long[]> PRUNE_TOTALS =
+            new ConcurrentHashMap<>();
+
     /** Record one rule decision.  Duplicates of the ROOT's last event
      *  (same predicate and counts) collapse into one: the optimizer
      *  re-runs its fixed-point batches, and after a rewrite the rule
@@ -332,6 +339,15 @@ public final class PalletJackRegistry {
                     kept, pruned);
             PRUNE_EVENTS.addLast(e);
             LAST_BY_ROOT.put(root, e);
+            long[] acc = PRUNE_TOTALS.computeIfAbsent(
+                    root, r -> new long[3 + PalletJackFilePruneRule.TIER_NAMES.length]);
+            acc[0] += 1;
+            acc[1] += total;
+            acc[2] += kept;
+            for (int i = 0; i < pruned.length
+                    && 3 + i < acc.length; i++) {
+                acc[3 + i] += pruned[i];
+            }
             if (PRUNE_EVENTS.size() > MAX_PRUNE_EVENTS) {
                 PRUNE_EVENTS.removeFirst();
             }
@@ -342,7 +358,45 @@ public final class PalletJackRegistry {
         synchronized (PRUNE_EVENTS) {
             PRUNE_EVENTS.clear();
             LAST_BY_ROOT.clear();
+            PRUNE_TOTALS.clear();
         }
+    }
+
+    /** Per-root cumulative counters as a JSON array (sorted by root) —
+     *  the payload behind the injected SQL function
+     *  {@code palletjack_prune_totals()}.  Counts deduplicated
+     *  DECISIONS (the recordPrune contract), not optimizer iterations,
+     *  and survives event-ring eviction. */
+    public static String pruneTotalsJson() {
+        StringBuilder sb = new StringBuilder("[");
+        synchronized (PRUNE_EVENTS) {
+            java.util.TreeMap<String, long[]> sorted =
+                    new java.util.TreeMap<>(PRUNE_TOTALS);
+            boolean first = true;
+            for (Map.Entry<String, long[]> en : sorted.entrySet()) {
+                if (!first) {
+                    sb.append(',');
+                }
+                first = false;
+                long[] a = en.getValue();
+                sb.append("{\"root\":");
+                appendJsonString(sb, en.getKey());
+                sb.append(",\"decisions\":").append(a[0])
+                  .append(",\"total\":").append(a[1])
+                  .append(",\"kept\":").append(a[2])
+                  .append(",\"pruned\":{");
+                String[] names = PalletJackFilePruneRule.TIER_NAMES;
+                for (int i = 0; i < names.length; i++) {
+                    if (i > 0) {
+                        sb.append(',');
+                    }
+                    appendJsonString(sb, names[i]);
+                    sb.append(':').append(a[3 + i]);
+                }
+                sb.append("}}");
+            }
+        }
+        return sb.append(']').toString();
     }
 
     private static void appendJsonString(StringBuilder sb, String s) {

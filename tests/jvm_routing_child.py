@@ -582,6 +582,65 @@ def main(tmp: str) -> None:
     out["n_rows_nan_ctl"] = nctl.count()
     spark.conf.set("spark.sql.parquet.filterPushdown", "true")
 
+    # --- round-14 (r13 verdict item 6): prune events as a PROPER TABLE
+    # (Python UDTF) + per-root cumulative counters, pure SQL end-to-end
+    from palletjack_spark.index.jvm_routing import (
+        jvm_prune_events,
+        jvm_prune_totals,
+        register_prune_events_udtf,
+    )
+
+    register_prune_events_udtf(spark)
+    tvf_by_tier = {
+        r["tier"]: r["n"]
+        for r in spark.sql(
+            "SELECT tier, SUM(n_pruned) AS n FROM "
+            "palletjack_prune_events(palletjack_prune_explain()) "
+            "GROUP BY tier"
+        ).collect()
+    }
+    ev_by_tier: dict = {}
+    for e in jvm_prune_events(spark):
+        for t_, n_ in e["pruned"].items():
+            ev_by_tier[t_] = ev_by_tier.get(t_, 0) + n_
+    out["tvf_matches_event_log"] = tvf_by_tier == ev_by_tier
+    out["tvf_tiers"] = sorted(tvf_by_tier)
+    # cumulative counters: the totals SQL function through the same TVF
+    # agrees with the Python accessor, root for root, tier for tier
+    tot_by_root: dict = {}
+    for r in spark.sql(
+        "SELECT root, tier, n_pruned FROM "
+        "palletjack_prune_events(palletjack_prune_totals())"
+    ).collect():
+        tot_by_root.setdefault(r["root"], {})[r["tier"]] = r["n_pruned"]
+    py_tot = {t_["root"]: t_ for t_ in jvm_prune_totals(spark)}
+    out["totals_sql_matches_python"] = tot_by_root == {
+        root: dict(t_["pruned"]) for root, t_ in py_tot.items()
+    }
+    # each q03e/f/g/h fixture's lifetime counters credit (at least) the
+    # 3-file prune its explain event attributed to that tier; the ring
+    # sums can never exceed the eviction-proof cumulative counters
+    roots = {
+        "stats": out["explain_stats"]["root"],
+        "dictionary": out["explain_digest"]["root"],
+        "bloom": out["explain_bloom"]["root"],
+        "page": out["explain_page"]["root"],
+    }
+    out["totals_by_tier_ok"] = all(
+        py_tot.get(rt, {"pruned": {}})["pruned"].get(t_, 0) >= 3
+        for t_, rt in roots.items()
+    )
+    ring_by_root: dict = {}
+    for e in jvm_prune_events(spark):
+        acc = ring_by_root.setdefault(e["root"], {})
+        for t_, n_ in e["pruned"].items():
+            acc[t_] = acc.get(t_, 0) + n_
+    out["totals_cover_ring"] = all(
+        py_tot.get(root, {"pruned": {}})["pruned"].get(t_, 0) >= n_
+        for root, acc in ring_by_root.items()
+        for t_, n_ in acc.items()
+    )
+
     print("RESULT:" + json.dumps(out))
     spark.stop()
 

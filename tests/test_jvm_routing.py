@@ -257,6 +257,18 @@ def test_pure_sql_scan_is_file_pruned_and_hash_equal(tmp_path):
     assert out["explain_n_events"] >= 5
     assert out["explain_events_have_shape"] is True
 
+    # round-14 (r13 verdict item 6): the decisions are queryable as a
+    # PROPER TABLE — `GROUP BY tier` from pure SQL through the
+    # palletjack_prune_events UDTF, no JSON parsing — and the per-root
+    # CUMULATIVE counters (eviction-proof) agree across the SQL and
+    # Python surfaces, crediting each q03e/f/g/h fixture's prunes to
+    # the tier that proved them
+    assert out["tvf_tiers"] == ["bloom", "dictionary", "page", "stats"]
+    assert out["tvf_matches_event_log"] is True
+    assert out["totals_sql_matches_python"] is True
+    assert out["totals_by_tier_ok"] is True
+    assert out["totals_cover_ring"] is True
+
 
 def test_per_file_digests_soundness_gates(spark, tmp_path):
     """The digest builder refuses non-identity logical types (unsigned,
