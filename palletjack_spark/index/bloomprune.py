@@ -463,42 +463,21 @@ def bloom_prune_plan(plan, predicate):
     selection never touches the driver, each task's prober memoizes
     footers/bitsets, and the scan that follows re-opens the same files.
     Without equality conjuncts the input returns untouched."""
-    from pyspark.sql import functions as F
-
     conj = _equality_conjuncts(predicate)
     if not conj:
         return plan
 
     import pyarrow as pa
 
-    try:
-        elem = plan.schema["columns"].dataType.elementType
-        has_ltype = "logical_type" in elem.fieldNames()
-    except Exception:
-        has_ltype = False
+    from palletjack_spark.index.dictprune import (
+        _VALUE_META_FIELDS,
+        meta_from_row,
+        plan_meta_columns,
+    )
 
-    meta_cols = []
-    for i, (col_name, _values) in enumerate(conj):
-        match = F.get(
-            F.filter("columns", lambda c: c["name"] == F.lit(col_name)), 0
-        )
-        meta_cols.extend(
-            [
-                match["physical_type"].alias(f"pj_ptype_{i}"),
-                (
-                    match["logical_type"]
-                    if has_ltype
-                    else F.lit(None).cast("string")
-                ).alias(f"pj_ltype_{i}"),
-                (
-                    F.array_position(
-                        F.transform("columns", lambda c: c["name"]),
-                        col_name,
-                    )
-                    - 1
-                ).alias(f"pj_cix_{i}"),
-            ]
-        )
+    meta_cols = plan_meta_columns(
+        plan, [c for c, _v in conj], "pj", _VALUE_META_FIELDS
+    )
     sel = plan.select("file", "row_group", "total_byte_size", *meta_cols)
     out_schema = "file string, row_group int, total_byte_size long"
     out_arrow = pa.schema(
@@ -517,10 +496,7 @@ def bloom_prune_plan(plan, predicate):
                     cix = r[f"pj_cix_{i}"]
                     if cix is None or cix < 0:
                         continue
-                    meta = {
-                        "physical_type": r[f"pj_ptype_{i}"],
-                        "logical_type": r[f"pj_ltype_{i}"],
-                    }
+                    meta = meta_from_row(r, "pj", i, _VALUE_META_FIELDS)
                     if _conjunct_prunes(
                         prober, r["file"], r["row_group"], int(cix),
                         meta, cand,
@@ -562,9 +538,13 @@ def value_prune_plan(plan, predicate, explain: bool = False):
     from pyspark.sql import functions as F
 
     from palletjack_spark.index.dictprune import (
+        _DICT_META_FIELDS,
+        _VALUE_META_FIELDS,
         DictionaryProber,
         _conjunct_prunes as _dict_conjunct_prunes,
         _dict_conjuncts,
+        meta_from_row,
+        plan_meta_columns,
     )
     from palletjack_spark.index.pageprune import (
         _EXCLUDE_OPS,
@@ -590,58 +570,9 @@ def value_prune_plan(plan, predicate, explain: bool = False):
 
     import pyarrow as pa
 
-    try:
-        elem = plan.schema["columns"].dataType.elementType
-        has_ltype = "logical_type" in elem.fieldNames()
-    except Exception:
-        has_ltype = False
-
-    meta_cols = []
-    for i, (col_name, _values, _mode) in enumerate(conj):
-        match = F.get(
-            F.filter("columns", lambda c: c["name"] == F.lit(col_name)), 0
-        )
-        meta_cols.extend(
-            [
-                match["dictionary_page_offset"].alias(f"pj_dpo_{i}"),
-                match["data_page_offset"].alias(f"pj_dao_{i}"),
-                match["codec"].alias(f"pj_codec_{i}"),
-                match["physical_type"].alias(f"pj_ptype_{i}"),
-                (
-                    match["logical_type"]
-                    if has_ltype
-                    else F.lit(None).cast("string")
-                ).alias(f"pj_ltype_{i}"),
-                (
-                    F.array_position(
-                        F.transform("columns", lambda c: c["name"]),
-                        col_name,
-                    )
-                    - 1
-                ).alias(f"pj_cix_{i}"),
-            ]
-        )
-    for j, col_name in enumerate(page_cols):
-        match = F.get(
-            F.filter("columns", lambda c: c["name"] == F.lit(col_name)), 0
-        )
-        meta_cols.extend(
-            [
-                match["physical_type"].alias(f"pg_ptype_{j}"),
-                (
-                    match["logical_type"]
-                    if has_ltype
-                    else F.lit(None).cast("string")
-                ).alias(f"pg_ltype_{j}"),
-                (
-                    F.array_position(
-                        F.transform("columns", lambda c: c["name"]),
-                        col_name,
-                    )
-                    - 1
-                ).alias(f"pg_cix_{j}"),
-            ]
-        )
+    meta_cols = plan_meta_columns(
+        plan, [c for c, _v, _m in conj], "pj", _DICT_META_FIELDS
+    ) + plan_meta_columns(plan, page_cols, "pg", _VALUE_META_FIELDS)
     has_nrows = "num_rows" in plan.columns
     nrows_col = (
         [F.col("num_rows").alias("pg_nrows")]
@@ -686,13 +617,7 @@ def value_prune_plan(plan, predicate, explain: bool = False):
                     cix = r[f"pj_cix_{i}"]
                     if cix is None or cix < 0:
                         continue
-                    meta = {
-                        "dictionary_page_offset": r[f"pj_dpo_{i}"],
-                        "data_page_offset": r[f"pj_dao_{i}"],
-                        "codec": r[f"pj_codec_{i}"],
-                        "physical_type": r[f"pj_ptype_{i}"],
-                        "logical_type": r[f"pj_ltype_{i}"],
-                    }
+                    meta = meta_from_row(r, "pj", i, _DICT_META_FIELDS)
                     if _dict_conjunct_prunes(
                         dict_prober, r["file"], r["row_group"], int(cix),
                         meta, cand, mode,
@@ -710,10 +635,10 @@ def value_prune_plan(plan, predicate, explain: bool = False):
                 ranges = None
                 if keep and page_cols:
                     page_meta = {
-                        c: (r[f"pg_cix_{j}"], {
-                            "physical_type": r[f"pg_ptype_{j}"],
-                            "logical_type": r[f"pg_ltype_{j}"],
-                        })
+                        c: (
+                            r[f"pg_cix_{j}"],
+                            meta_from_row(r, "pg", j, _VALUE_META_FIELDS),
+                        )
                         for j, c in enumerate(page_cols)
                     }
 

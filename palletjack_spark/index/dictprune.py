@@ -416,6 +416,76 @@ def dict_prune_rows(
     return out
 
 
+#: column-chunk metadata the DICTIONARY tier's executor probe needs
+_DICT_META_FIELDS = (
+    "dictionary_page_offset",
+    "data_page_offset",
+    "codec",
+    "physical_type",
+    "logical_type",
+)
+#: the subset the bloom/page tiers need (offsets come from the footer)
+_VALUE_META_FIELDS = ("physical_type", "logical_type")
+_FIELD_SHORT = {
+    "dictionary_page_offset": "dpo",
+    "data_page_offset": "dao",
+    "codec": "codec",
+    "physical_type": "ptype",
+    "logical_type": "ltype",
+}
+
+
+def plan_meta_columns(plan, col_names, prefix: str, fields) -> list:
+    """Per-conjunct column-chunk metadata as FLAT plan columns — the
+    shared builder behind every executor-side value-pruning plan
+    (dict_prune_plan, bloom_prune_plan, value_prune_plan; previously
+    triplicated, round-13 deferral).  For each probed column name the
+    requested ``fields`` surface as ``{prefix}_{short}_{i}`` plus the
+    chunk ordinal ``{prefix}_cix_{i}``;
+    :func:`meta_from_row` reassembles the probe-side dict.
+
+    F.get, not element_at: a conjunct on a PARTITION key (or any column
+    absent from the file schema) filters to an EMPTY array, and ANSI
+    element_at throws on it — get() yields NULL, which every probe
+    treats as "unknown -> keep".  Sidecars written before the
+    ``logical_type`` field existed can't prove the identity mapping —
+    ship NULL, same conservative verdict."""
+    from pyspark.sql import functions as F
+
+    try:
+        elem = plan.schema["columns"].dataType.elementType
+        has_ltype = "logical_type" in elem.fieldNames()
+    except Exception:
+        has_ltype = False
+    out = []
+    for i, col_name in enumerate(col_names):
+        match = F.get(
+            F.filter("columns", lambda c: c["name"] == F.lit(col_name)), 0
+        )
+        for f in fields:
+            col = (
+                F.lit(None).cast("string")
+                if f == "logical_type" and not has_ltype
+                else match[f]
+            )
+            out.append(col.alias(f"{prefix}_{_FIELD_SHORT[f]}_{i}"))
+        out.append(
+            (
+                F.array_position(
+                    F.transform("columns", lambda c: c["name"]), col_name
+                )
+                - 1
+            ).alias(f"{prefix}_cix_{i}")
+        )
+    return out
+
+
+def meta_from_row(r: dict, prefix: str, i: int, fields) -> dict:
+    """Probe-side inverse of :func:`plan_meta_columns`: the flat row's
+    ``{prefix}_*_{i}`` values as the chunk-meta dict the probers take."""
+    return {f: r[f"{prefix}_{_FIELD_SHORT[f]}_{i}"] for f in fields}
+
+
 def dict_prune_plan(plan, predicate):
     """Catalog-scale variant: filter a pruned PLAN DataFrame (file,
     row_group, total_byte_size, columns) by probing dictionaries
@@ -427,52 +497,15 @@ def dict_prune_plan(plan, predicate):
     groups.  Returns a plan with the same (file, row_group,
     total_byte_size) columns; without equality conjuncts it is the
     input, untouched."""
-    from pyspark.sql import functions as F
-
     conj = _dict_conjuncts(predicate)
     if not conj:
         return plan
 
     import pyarrow as pa
 
-    # sidecars written before the logical_type field existed can't prove
-    # the identity mapping — ship NULL, which the probe treats as
-    # "unknown -> keep" (no value-level pruning on old indexes)
-    try:
-        elem = plan.schema["columns"].dataType.elementType
-        has_ltype = "logical_type" in elem.fieldNames()
-    except Exception:
-        has_ltype = False
-
-    meta_cols = []
-    for i, (col_name, _values, _mode) in enumerate(conj):
-        # F.get, not element_at: a conjunct on a PARTITION key (or any
-        # column absent from the file schema) filters to an EMPTY array,
-        # and ANSI element_at throws on it — get() yields NULL, which the
-        # probe treats as "unknown -> keep"
-        match = F.get(
-            F.filter("columns", lambda c: c["name"] == F.lit(col_name)), 0
-        )
-        meta_cols.extend(
-            [
-                match["dictionary_page_offset"].alias(f"pj_dpo_{i}"),
-                match["data_page_offset"].alias(f"pj_dao_{i}"),
-                match["codec"].alias(f"pj_codec_{i}"),
-                match["physical_type"].alias(f"pj_ptype_{i}"),
-                (
-                    match["logical_type"]
-                    if has_ltype
-                    else F.lit(None).cast("string")
-                ).alias(f"pj_ltype_{i}"),
-                (
-                    F.array_position(
-                        F.transform("columns", lambda c: c["name"]),
-                        col_name,
-                    )
-                    - 1
-                ).alias(f"pj_cix_{i}"),
-            ]
-        )
+    meta_cols = plan_meta_columns(
+        plan, [c for c, _v, _m in conj], "pj", _DICT_META_FIELDS
+    )
     sel = plan.select("file", "row_group", "total_byte_size", *meta_cols)
     out_schema = "file string, row_group int, total_byte_size long"
     out_arrow = pa.schema(
@@ -492,13 +525,7 @@ def dict_prune_plan(plan, predicate):
                     cix = r[f"pj_cix_{i}"]
                     if cix is None or cix < 0:
                         continue
-                    meta = {
-                        "dictionary_page_offset": r[f"pj_dpo_{i}"],
-                        "data_page_offset": r[f"pj_dao_{i}"],
-                        "codec": r[f"pj_codec_{i}"],
-                        "physical_type": r[f"pj_ptype_{i}"],
-                        "logical_type": r[f"pj_ltype_{i}"],
-                    }
+                    meta = meta_from_row(r, "pj", i, _DICT_META_FIELDS)
                     if _conjunct_prunes(
                         prober, r["file"], r["row_group"], int(cix),
                         meta, cand, mode,
