@@ -30,6 +30,38 @@ def _tmp(name: str, sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"pjspark_{key}_{name}")
 
 
+def _src_sig(sf_dir: str, *tables: str) -> str:
+    """Source-content signature (mtime+size per table) for staged /tmp
+    fixtures — the q92g round-8 lesson, applied to every skip-if-exists
+    cache in this module (round-14 sweep): a regenerated table under
+    the same sf_dir path must INVALIDATE the staged copy, or the query
+    silently serves stale rows while the oracle reads the new data."""
+    parts = []
+    for tb in tables:
+        try:
+            st = os.stat(table_path(sf_dir, tb))
+            parts.append(f"{tb}:{st.st_mtime_ns}:{st.st_size}")
+        except OSError:
+            parts.append(f"{tb}:absent")
+    return ";".join(parts)
+
+
+def _stage_fresh(marker: str, sig: str) -> bool:
+    try:
+        with open(marker) as f:
+            return f.read().strip() == sig
+    except OSError:
+        return False
+
+
+def _stage_mark(marker: str, sig: str) -> None:
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(sig)
+    os.replace(tmp, marker)
+
+
 @query(
     "q01_full_scan",
     oracle="SELECT * FROM lineitem",
@@ -133,6 +165,12 @@ def q05b(spark: SparkSession, sf_dir: str) -> DataFrame:
     file_a = os.path.join(base, "a.parquet")
     file_b = os.path.join(base, "b.parquet")
     idx_dir = os.path.join(base, "idx")
+    sig = _src_sig(sf_dir, "documents")
+    marker = os.path.join(base, "_PJ_SRC_SIG")
+    if not _stage_fresh(marker, sig):
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)  # stale staging AND sidecar
     if not (os.path.exists(file_a) and os.path.exists(file_b)):
         import pyarrow.parquet as pq
 
@@ -148,6 +186,7 @@ def q05b(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq.write_table(tbl.slice(half), file_b + ".tmp", row_group_size=100)
         os.rename(file_a + ".tmp", file_a)
         os.rename(file_b + ".tmp", file_b)
+        _stage_mark(marker, sig)
     if not os.path.exists(os.path.join(idx_dir, "files")):
         # day 1: only file A exists when the sidecar is first written
         build_index(spark, [file_a], index_dir=idx_dir)
@@ -245,8 +284,9 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the matching directory (PartitionFilters, zero data I/O for the
     rest).  tests/test_plans.py asserts the pruned scan."""
     out = _tmp("q09_partitioned", sf_dir)
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
+    sig = _src_sig(sf_dir, "lineitem")
+    marker = os.path.join(out, "_PJ_SRC_SIG")
+    if not _stage_fresh(marker, sig):
         (
             t(spark, sf_dir, "lineitem")
             .select("l_returnflag", "l_quantity", "l_orderkey")
@@ -254,6 +294,7 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("l_returnflag")
             .parquet(out)
         )
+        _stage_mark(marker, sig)
     return (
         spark.read.parquet(out)
         .where(F.col("l_returnflag") == "R")
@@ -292,8 +333,9 @@ def q03c(spark: SparkSession, sf_dir: str) -> DataFrame:
     optimizations over the exact residual (differentially pinned in
     tests/test_index.py::test_hive_partitioned_dataset_indexed_reads)."""
     out = _tmp("q09_partitioned", sf_dir)
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
+    sig = _src_sig(sf_dir, "lineitem")
+    marker = os.path.join(out, "_PJ_SRC_SIG")
+    if not _stage_fresh(marker, sig):
         (
             t(spark, sf_dir, "lineitem")
             .select("l_returnflag", "l_quantity", "l_orderkey")
@@ -301,6 +343,7 @@ def q03c(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("l_returnflag")
             .parquet(out)
         )
+        _stage_mark(marker, sig)
     idx = build_index(spark, out)
     df = idx.read(
         predicate=[("l_returnflag", "=", "R"), ("l_quantity", "<=", 25.0)]
@@ -415,7 +458,8 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     staged = os.path.join(tempfile.gettempdir(), f"pjspark_{key}_splice.parquet")
-    if not os.path.exists(staged):
+    sig = _src_sig(sf_dir, "documents")
+    if not (os.path.exists(staged) and _stage_fresh(staged + ".sig", sig)):
         tbl = (
             t(spark, sf_dir, "documents")
             .select("doc_id", "source", "n_chars")
@@ -424,6 +468,7 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pq.write_table(tbl, staged + ".tmp", row_group_size=100)
         os.rename(staged + ".tmp", staged)
+        _stage_mark(staged + ".sig", sig)
     idx = generate_metadata_index(staged)
     md = read_metadata(index_data=idx, row_groups=[1], column_indices=[0, 1, 2])
     pr = pq.ParquetReader()
@@ -460,7 +505,9 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     staged = os.path.join(tempfile.gettempdir(), f"pjspark_{key}_routed")
-    if not os.path.exists(staged):
+    sig = _src_sig(sf_dir, "lineitem")
+    marker = os.path.join(staged, "_PJ_SRC_SIG")
+    if not _stage_fresh(marker, sig):
         (
             t(spark, sf_dir, "lineitem")
             .select("l_orderkey", "l_quantity")
@@ -470,6 +517,7 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
             .mode("overwrite")
             .parquet(staged)
         )
+        _stage_mark(marker, sig)
     register_index(spark, staged)
     enable_auto_routing()
     try:
@@ -498,14 +546,16 @@ def q08b(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle reads the same rows from the parquet fixture — the roundtrip
     itself is what's under test."""
     out = _tmp("q08b_orc", sf_dir)
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
+    sig = _src_sig(sf_dir, "customer")
+    marker = os.path.join(out, "_PJ_SRC_SIG")
+    if not _stage_fresh(marker, sig):
         (
             t(spark, sf_dir, "customer")
             .select("c_custkey", "c_name", "c_acctbal")
             .write.mode("overwrite")
             .orc(out)
         )
+        _stage_mark(marker, sig)
     return spark.read.orc(out).where(F.col("c_acctbal") > 1000)
 
 
@@ -529,8 +579,9 @@ def q07b(spark: SparkSession, sf_dir: str) -> DataFrame:
     the written files' key ranges are pairwise disjoint; the checksum
     aggregate proves the clustered copy is lossless."""
     out = _tmp("q07b_clustered", sf_dir)
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
+    sig = _src_sig(sf_dir, "lineitem")
+    marker = os.path.join(out, "_PJ_SRC_SIG")
+    if not _stage_fresh(marker, sig):
         (
             t(spark, sf_dir, "lineitem")
             .select("l_orderkey", "l_extendedprice")
@@ -539,6 +590,7 @@ def q07b(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .parquet(out)
         )
+        _stage_mark(marker, sig)
     return (
         spark.read.parquet(out)
         .where(F.col("l_orderkey").between(1000, 2000))
@@ -572,12 +624,14 @@ def q04b(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = t(spark, sf_dir, "nation")
     b1 = os.path.join(out, "batch=1")
     b2 = os.path.join(out, "batch=2")
-    if not os.path.exists(os.path.join(b1, "_SUCCESS")):
+    sig = _src_sig(sf_dir, "nation")
+    marker = os.path.join(out, "_PJ_SRC_SIG")
+    if not _stage_fresh(marker, sig):
         nation.select("n_nationkey", "n_name").write.mode("overwrite").parquet(b1)
-    if not os.path.exists(os.path.join(b2, "_SUCCESS")):
         nation.select("n_nationkey", "n_name", "n_regionkey").write.mode(
             "overwrite"
         ).parquet(b2)
+        _stage_mark(marker, sig)
     return spark.read.option("mergeSchema", "true").parquet(out).select(
         "n_nationkey", "n_name", "n_regionkey", "batch"
     )
@@ -606,8 +660,11 @@ def q09c(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_dir = _tmp("q09c_base", sf_dir)
     merged_dir = _tmp("q09c_merged", sf_dir)
     orders = t(spark, sf_dir, "orders")
-    if not os.path.exists(os.path.join(base_dir, "_SUCCESS")):
+    sig = _src_sig(sf_dir, "orders")
+    marker = os.path.join(base_dir, "_PJ_SRC_SIG")
+    if not _stage_fresh(marker, sig):
         orders.write.mode("overwrite").parquet(base_dir)
+        _stage_mark(marker, sig)
     updates = orders.where(F.col("o_orderkey") % 10 == 0).withColumn(
         "o_totalprice", F.col("o_totalprice") * 2
     )
@@ -658,8 +715,9 @@ def q07c(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_index.py quantifies the per-file partkey-span shrinkage;
     the checksum aggregate proves the clustered copy is lossless."""
     out = _tmp("q07c_zorder", sf_dir)
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
+    sig = _src_sig(sf_dir, "lineitem")
+    marker = os.path.join(out, "_PJ_SRC_SIG")
+    if not _stage_fresh(marker, sig):
         li = t(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_partkey", "l_quantity"
         )
@@ -683,6 +741,7 @@ def q07c(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .parquet(out)
         )
+        _stage_mark(marker, sig)
     return (
         spark.read.parquet(out)
         .where(F.col("l_partkey").between(100, 400))
@@ -712,13 +771,18 @@ def q01b(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     tbl = f"pj_cat_{key}_nation"
     path = _tmp("q01b_catalog", sf_dir)
-    if tbl not in [t.name for t in spark.catalog.listTables()]:
+    sig = _src_sig(sf_dir, "nation")
+    marker = os.path.join(path, "_PJ_SRC_SIG")
+    registered = tbl in [t.name for t in spark.catalog.listTables()]
+    if not (registered and _stage_fresh(marker, sig)):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         (
             t(spark, sf_dir, "nation")
             .write.mode("overwrite")
             .option("path", path)
             .saveAsTable(tbl)
         )
+        _stage_mark(marker, sig)
     return spark.sql(
         f"SELECT n_regionkey, COUNT(*) AS n_nations FROM {tbl}"
         " GROUP BY n_regionkey"
@@ -747,8 +811,11 @@ def q09d(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_returnflag"
     )
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+    sig = _src_sig(sf_dir, "lineitem")
+    marker = os.path.join(out, "_PJ_SRC_SIG")
+    if not _stage_fresh(marker, sig):
         li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+        _stage_mark(marker, sig)
     key = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(key, None)
     spark.conf.set(key, "dynamic")
@@ -821,7 +888,9 @@ def q07d(spark: SparkSession, sf_dir: str) -> DataFrame:
     array expressions.  The checksum against the flat join proves the
     nest→write→read→unnest cycle is lossless."""
     out = _tmp("q07d_nested", sf_dir)
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+    sig = _src_sig(sf_dir, "lineitem", "orders")
+    marker = os.path.join(out, "_PJ_SRC_SIG")
+    if not _stage_fresh(marker, sig):
         li = t(spark, sf_dir, "lineitem")
         o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 500)
         nested = (
@@ -834,6 +903,7 @@ def q07d(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         nested.write.mode("overwrite").parquet(out)
+        _stage_mark(marker, sig)
     back = spark.read.parquet(out)
     return back.select(
         "o_orderkey",
@@ -941,12 +1011,21 @@ def q09e(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly how table formats scale to 100 TB (the log is small, the
     data never rewrites in place beyond the upsert's copy)."""
     table_dir = _tmp("q09e_table", sf_dir)
+    sig = _src_sig(sf_dir, "orders")
+    marker = os.path.join(table_dir, "_PJ_SRC_SIG")
+    if not _stage_fresh(marker, sig):
+        # stale staged table (regenerated source): the version log and
+        # both snapshot dirs derive from the old rows — rebuild all
+        import shutil
+
+        shutil.rmtree(table_dir, ignore_errors=True)
     os.makedirs(table_dir, exist_ok=True)
     v1_dir = os.path.join(table_dir, "v1")
     v2_dir = os.path.join(table_dir, "v2")
     orders = t(spark, sf_dir, "orders")
     if not os.path.exists(os.path.join(v1_dir, "_SUCCESS")):
         orders.write.mode("overwrite").parquet(v1_dir)
+        _stage_mark(marker, sig)
     _snapshot_commit(table_dir, 1, v1_dir)  # idempotent re-publish
     if not os.path.exists(os.path.join(v2_dir, "_SUCCESS")):
         updates = orders.where(F.col("o_orderkey") % 10 == 0).withColumn(

@@ -1494,3 +1494,46 @@ def test_index_cache_is_bounded(spark, tmp_path):
     finally:
         B._INDEX_CACHE.clear()
         B._INDEX_CACHE.update(before)
+
+
+def test_staged_query_fixtures_invalidate_on_source_regeneration(
+    spark, tmp_path
+):
+    """Round-14 sweep (the q92g round-8 lesson, applied to queries/
+    scans.py): staged /tmp fixtures were keyed by sf_dir PATH only, so a
+    regenerated source table silently served stale rows while the
+    oracle read the new data.  Rebuild q04b's staged evolution layout
+    from a tiny synthetic sf_dir, regenerate the source with different
+    rows, and assert the query reflects the NEW rows."""
+    import time
+
+    from palletjack_spark.queries.registry import REGISTRY
+
+    sf = str(tmp_path / "sfx")
+    os.makedirs(sf)
+
+    def write_nation(keys):
+        pq.write_table(
+            pa.table(
+                {
+                    "n_nationkey": pa.array(keys, "int32"),
+                    "n_name": pa.array([f"N{k}" for k in keys]),
+                    "n_regionkey": pa.array([k % 3 for k in keys], "int32"),
+                }
+            ),
+            os.path.join(sf, "nation.parquet"),
+        )
+
+    write_nation([0, 1, 2])
+    q = REGISTRY["q04b_schema_evolution"].fn
+    first = sorted(
+        (r["n_nationkey"], r["batch"]) for r in q(spark, sf).collect()
+    )
+    assert first == sorted([(k, b) for k in (0, 1, 2) for b in (1, 2)])
+    # regenerate the source with DIFFERENT rows (ensure a new mtime_ns)
+    time.sleep(0.01)
+    write_nation([5, 6])
+    second = sorted(
+        (r["n_nationkey"], r["batch"]) for r in q(spark, sf).collect()
+    )
+    assert second == sorted([(k, b) for k in (5, 6) for b in (1, 2)])
