@@ -245,6 +245,12 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    from palletjack_spark.queries.scans import (
+        _src_sig,
+        _stage_fresh,
+        _stage_mark,
+    )
+
     n_buckets = 8
     key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     # Bucket count + sort discipline are encoded in the temp path so a future
@@ -258,8 +264,18 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     for tbl, bkey in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
         name = f"pj_bkt_{key}_b{n_buckets}_{tbl}"
         names[tbl] = name
+        # source-signature invalidation (round-14 sweep, the q92g round-8
+        # lesson): a regenerated source table must not keep serving the
+        # stale bucketed copy — drop both the catalog entry and the files
+        sig = _src_sig(sf_dir, tbl)
+        path = os.path.join(wh, tbl)
+        marker = os.path.join(path, "_PJ_SRC_SIG")
+        if not _stage_fresh(marker, sig):
+            import shutil
+
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(path, ignore_errors=True)
         if not spark.catalog.tableExists(name):
-            path = os.path.join(wh, tbl)
             if os.path.exists(os.path.join(path, "_SUCCESS")):
                 # files survive across sessions; only the catalog entry is
                 # per-session — re-register the existing bucketed layout
@@ -284,6 +300,7 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .mode("overwrite")
                     .saveAsTable(name)
                 )
+                _stage_mark(marker, sig)
     li = spark.table(names["lineitem"])
     o = spark.table(names["orders"])
     return (
