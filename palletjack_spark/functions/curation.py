@@ -531,18 +531,26 @@ def snapshot_diff(
     the key — the wide rows never shuffle, and at 100 TB the diff costs
     two fingerprint scans plus a narrow co-partitioned join.  Unchanged
     rows (the overwhelming majority between real snapshots) are
-    filtered before anything returns."""
-    sep = F.lit("\x1f")
+    filtered before anything returns.
+
+    NULL discipline (round-14 sweep): each column encodes as ``'1'||v``
+    / NULL → ``'0'`` BEFORE the separator join — plain ``concat_ws``
+    SKIPS NULLs, so ``(x, NULL)`` and ``(NULL, x)`` fingerprinted
+    identically and a modification that moved a value across columns
+    (or swapped NULL for the neighbour's value) silently read as
+    'unchanged'."""
 
     def fp(df: DataFrame, alias: str) -> DataFrame:
+        parts = [
+            F.coalesce(
+                F.concat(F.lit("1"), F.col(c).cast("string")), F.lit("0")
+            )
+            for c in compare_cols
+        ]
         return df.select(
             F.col(key_col),
-            F.md5(F.concat_ws("\x1f", *[F.col(c) for c in compare_cols])).alias(
-                alias
-            ),
+            F.md5(F.concat_ws("\x1f", *parts)).alias(alias),
         )
-
-    _ = sep  # separator documented above; concat_ws takes it literally
     h1 = fp(v1, "old_fp")
     h2 = fp(v2, "new_fp")
     d = h1.join(h2, key_col, "full_outer")

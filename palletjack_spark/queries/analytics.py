@@ -2125,11 +2125,17 @@ def q116d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     h1 AS (
       SELECT doc_id,
-             md5(concat_ws(chr(31), text, lang, source)) AS fp
+             md5(concat_ws(chr(31),
+                           COALESCE('1' || text, '0'),
+                           COALESCE('1' || lang, '0'),
+                           COALESCE('1' || source, '0'))) AS fp
       FROM v1),
     h2 AS (
       SELECT doc_id,
-             md5(concat_ws(chr(31), text, lang, source)) AS fp
+             md5(concat_ws(chr(31),
+                           COALESCE('1' || text, '0'),
+                           COALESCE('1' || lang, '0'),
+                           COALESCE('1' || source, '0'))) AS fp
       FROM v2),
     d AS (
       SELECT COALESCE(h1.doc_id, h2.doc_id) AS doc_id,

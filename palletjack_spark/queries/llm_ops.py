@@ -1851,7 +1851,12 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from palletjack_spark.functions.dedup import hash60
-    from palletjack_spark.queries.scans import _tmp
+    from palletjack_spark.queries.scans import (
+        _src_sig,
+        _stage_fresh,
+        _stage_mark,
+        _tmp,
+    )
 
     docs = t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -1861,9 +1866,13 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shard"),
     )
     out = _tmp("q119_shards", sf_dir)
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
+    # source-signature invalidation (round-14 sweep): a regenerated
+    # documents table must not keep serving the stale staged shards
+    sig = _src_sig(sf_dir, "documents")
+    marker = os.path.join(out, "_PJ_SRC_SIG")
+    if not _stage_fresh(marker, sig):
         docs.write.mode("overwrite").partitionBy("shard").parquet(out)
+        _stage_mark(marker, sig)
     return (
         spark.read.parquet(out)
         .groupBy(F.col("shard").cast("long").alias("shard"))

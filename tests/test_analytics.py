@@ -436,6 +436,31 @@ def test_snapshot_diff_separator_prevents_column_smearing(spark):
     assert len(rows) == 1 and rows[0]["change"] == "modified"
 
 
+def test_snapshot_diff_null_values_are_not_smeared(spark):
+    """Round-14 sweep: concat_ws SKIPS NULLs, so ('x', NULL) and
+    (NULL, 'x') previously fingerprinted identically — a modification
+    that moved a value across columns (or a NULL flip) silently read as
+    'unchanged'.  Each column now encodes a null flag."""
+    from palletjack_spark.functions.curation import snapshot_diff
+
+    v1 = spark.createDataFrame(
+        [(1, "x", None), (2, None, "y"), (3, None, None)],
+        "k long, x string, y string",
+    )
+    v2 = spark.createDataFrame(
+        [(1, None, "x"), (2, None, "y"), (3, "", None)],
+        "k long, x string, y string",
+    )
+    out = {
+        r["k"]: r["change"]
+        for r in snapshot_diff(v1, v2, "k", ["x", "y"]).collect()
+    }
+    # key 1: value moved across columns -> modified (was: missed)
+    # key 2: identical incl. NULL -> absent
+    # key 3: NULL -> '' flip -> modified (was: missed)
+    assert out == {1: "modified", 3: "modified"}
+
+
 def test_lttb_downsample_invariants(spark):
     """q121d: exactly one point per non-empty bucket, every selected
     point is a real input row, edge buckets keep their earliest point."""
