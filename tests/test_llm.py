@@ -2525,6 +2525,64 @@ def test_concurrent_lm_appends_lose_nothing(spark, tmp_path):
     )
 
 
+def test_cas_append_multi_partial_rename_crash_is_invisible(
+    spark, tmp_path, monkeypatch
+):
+    """cas_append_multi renames one staged dir per dataset; the renames
+    are not one atomic step.  A crash BETWEEN them (bigrams renamed,
+    unigrams not) must leave only unpublished batch=N orphans — readers
+    see the old state, and the next (healthy) append overwrites the
+    orphan and publishes both tables in one commit."""
+    import os as _os
+
+    from palletjack_spark.functions import text as T
+
+    docs = load_table(spark, SF_DIR, "documents")
+    store = str(tmp_path / "mwcrash")
+    T.save_lm_store(docs.where(F.col("doc_id") % 7 == 0), "text", "doc_id", store)
+    big0, uni0 = T.load_lm_tables(spark, store)
+    before = (
+        sorted(tuple(r) for r in big0.collect()),
+        sorted(tuple(r) for r in uni0.collect()),
+    )
+
+    real_replace = _os.replace
+    state = {"renames": 0}
+
+    def crash_on_second_batch_rename(src, dst):
+        if "batch=1" in str(dst):
+            state["renames"] += 1
+            if state["renames"] == 2:
+                raise OSError("injected crash between dataset renames")
+        real_replace(src, dst)
+
+    monkeypatch.setattr(_os, "replace", crash_on_second_batch_rename)
+    batch = docs.where(F.col("doc_id") % 7 == 1)
+    with pytest.raises(OSError, match="injected crash"):
+        T.append_lm_counts_concurrent(batch, "text", "doc_id", store)
+    monkeypatch.setattr(_os, "replace", real_replace)
+
+    # the manifest never advanced: readers see exactly the old state
+    big1, uni1 = T.load_lm_tables(spark, store)
+    assert (
+        sorted(tuple(r) for r in big1.collect()),
+        sorted(tuple(r) for r in uni1.collect()),
+    ) == before
+    # the next healthy append overwrites the orphan and publishes both
+    slot = T.append_lm_counts_concurrent(batch, "text", "doc_id", store)
+    assert slot == 1
+    big2, uni2 = T.load_lm_tables(spark, store)
+    ref_big, ref_uni = T._lm_counts(
+        docs.where(F.col("doc_id") % 7 <= 1), "text", "doc_id"
+    )
+    assert sorted(tuple(r) for r in big2.collect()) == sorted(
+        tuple(r) for r in ref_big.collect()
+    )
+    assert sorted(tuple(r) for r in uni2.collect()) == sorted(
+        tuple(r) for r in ref_uni.collect()
+    )
+
+
 def test_cas_append_stolen_claim_never_double_publishes(
     spark, tmp_path, monkeypatch
 ):
