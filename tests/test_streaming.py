@@ -437,6 +437,17 @@ def test_streaming_ingest_epoch_replay_is_idempotent(spark, tmp_path):
     assert after[0]["n_batches"] == before[0]["n_batches"] + 1
     assert after[0]["epochs"] == ["runA:0", "runA:1"]
     assert len(after[1]) > len(before[1])
+    # the epoch ring SURVIVES compaction (compact_signature_store mutates
+    # the loaded manifest in place): a replay right after compacting must
+    # still be a no-op, not a double-publish against the compacted store
+    from palletjack_spark.functions.dedup import compact_signature_store
+
+    compact_signature_store(spark, store)
+    compacted = snap()
+    assert compacted[0]["epochs"] == ["runA:0", "runA:1"]
+    assert compacted[0]["n_batches"] == 1
+    _ingest_epoch(docs.where(F.col("doc_id") % 4 == 1), 1, store, dec, "runA", 500)
+    assert snap() == compacted  # replayed epoch: no-op post-compaction too
 
 
 def test_streaming_dedup_does_not_wipe_existing_store(spark, tmp_path):
