@@ -1207,13 +1207,6 @@ def load_signature_store(
     return S.live_batches(spark, store_dir, "signatures", meta["n_batches"])
 
 
-#: recent-epoch markers kept in the manifest for idempotent streaming
-#: replays — a structured-streaming retry only ever replays the most
-#: recent epoch(s), so a bounded ring suffices and the manifest stays
-#: O(1) over an unbounded stream
-_EPOCH_RING = 128
-
-
 def append_signatures(
     sig_df: DataFrame, store_dir: str, epoch: str | None = None
 ) -> int:
@@ -1233,8 +1226,10 @@ def append_signatures(
     whose epoch the manifest ALREADY records is a no-op returning the
     current version — Spark's foreachBatch is at-least-once, and a
     retried micro-batch must not publish its signatures twice.  The
-    marker ring keeps the last ``_EPOCH_RING`` epochs (replays only
-    ever target recent epochs), so the manifest stays O(1)."""
+    marker ring keeps the last ``store.EPOCH_RING`` epochs (replays
+    only ever target recent epochs), so the manifest stays O(1); all
+    three incremental stores share the contract
+    (:func:`palletjack_spark.functions.store.epoch_seen`)."""
     from palletjack_spark.errors import IndexFormatError
     from palletjack_spark.functions import store as S
 
@@ -1247,16 +1242,13 @@ def append_signatures(
             f"signature store {store_dir} uses the legacy flat layout; "
             "rebuild it with save_signature_store"
         )
-    if epoch is not None and epoch in meta.get("epochs", []):
+    if S.epoch_seen(meta, epoch):
         return int(meta.get("version", 1))  # replayed epoch: already in
     batch = int(meta["n_batches"])
     S.write_batch(sig_df, store_dir, "signatures", batch)
     meta["n_batches"] = batch + 1
     meta["version"] = int(meta.get("version", 1)) + 1
-    if epoch is not None:
-        meta["epochs"] = (list(meta.get("epochs", [])) + [epoch])[
-            -_EPOCH_RING:
-        ]
+    S.record_epoch(meta, epoch)
     S.commit_manifest(store_dir, _SIG_META_NAME, meta)
     return meta["version"]
 

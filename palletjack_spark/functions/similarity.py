@@ -905,6 +905,7 @@ def append_vectors(
     path: str,
     id_col: str | None = None,
     vec_col: str | None = None,
+    epoch: str | None = None,
 ) -> int:
     """Append a new batch of vectors to a persisted store: assign +
     encode against the PERSISTED codebooks (zero training jobs — no
@@ -918,10 +919,20 @@ def append_vectors(
     names must match the manifest (the q92g/q156 param-mismatch
     discipline: a store queried under different columns is a silent
     wrong answer, so it hard-errors instead).  Single-writer appends,
-    like the q156 signature store.  Returns the appended row count."""
+    like the q156 signature store.  Returns the appended row count.
+
+    ``epoch``: the shared at-least-once-replay guard
+    (:func:`palletjack_spark.functions.store.epoch_seen`, round 14) —
+    an append whose caller-unique epoch the manifest already records is
+    a no-op returning 0, so a retried streaming micro-batch can't
+    publish its vectors twice."""
 
     spark = new_df.sparkSession
     meta = _store_meta(path)
+    from palletjack_spark.functions import store as S
+
+    if S.epoch_seen(meta, epoch):
+        return 0  # replayed epoch: the batch is already published
     id_col = id_col or meta["id_col"]
     vec_col = vec_col or meta["vec_col"]
     if id_col != meta["id_col"] or vec_col != meta["vec_col"]:
@@ -938,8 +949,6 @@ def append_vectors(
             f"{idx['centroids'].shape[1]}-dim vectors; batch "
             f"'{vec_col}' is {row[0]['d']}-dim"
         )
-    from palletjack_spark.functions import store as S
-
     batch = int(meta["n_batches"])
     batch_dir = S.write_batch(
         encode_vectors(new_df, idx, id_col, vec_col), path, "vectors", batch
@@ -947,6 +956,7 @@ def append_vectors(
     n = spark.read.parquet(batch_dir).count()
     meta["n_batches"] = batch + 1
     meta["n_vectors"] = list(meta.get("n_vectors", [])) + [int(n)]
+    S.record_epoch(meta, epoch)
     S.commit_manifest(path, _ANN_META_NAME, meta)
     return int(n)
 

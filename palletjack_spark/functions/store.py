@@ -71,6 +71,28 @@ def commit_manifest(store_dir: str, manifest_name: str, meta: dict) -> None:
     os.replace(tmp, path)
 
 
+#: recent-epoch markers kept in a store manifest for idempotent
+#: streaming replays — structured streaming only ever replays the most
+#: recent epoch(s), so a bounded ring suffices and the manifest stays
+#: O(1) over an unbounded stream
+EPOCH_RING = 128
+
+
+def epoch_seen(meta: dict, epoch: str | None) -> bool:
+    """Whether an append's caller-unique epoch marker is already
+    recorded in the manifest — Spark's foreachBatch is at-least-once,
+    and a retried micro-batch must not publish its batch twice."""
+    return epoch is not None and epoch in meta.get("epochs", [])
+
+
+def record_epoch(meta: dict, epoch: str | None, ring: int = EPOCH_RING) -> None:
+    """Record an epoch marker in the manifest (bounded ring, oldest
+    evicted) — call just before :func:`commit_manifest` so the marker
+    and the batch publish atomically."""
+    if epoch is not None:
+        meta["epochs"] = (list(meta.get("epochs", [])) + [epoch])[-ring:]
+
+
 def write_batch(df: DataFrame, store_dir: str, dataset: str, batch: int) -> str:
     """Land one batch under ``<dataset>/batch=N`` (mode overwrite: an
     unpublished orphan from a crashed append is garbage by contract).

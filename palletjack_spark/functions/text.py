@@ -546,13 +546,21 @@ def save_lm_store(
 
 
 def append_lm_counts(
-    new_train: DataFrame, text_col: str, id_col: str, store_dir: str
+    new_train: DataFrame,
+    text_col: str,
+    id_col: str,
+    store_dir: str,
+    epoch: str | None = None,
 ) -> None:
     """Merge a NEW batch into the LM store: count ONLY the batch (the
     store is never rescanned — the q156/q92k incremental discipline),
     land the deltas under ``batch=N``, commit the manifest atomically.
     A store built over a different text column hard-errors (the q92g
-    param-mismatch discipline)."""
+    param-mismatch discipline).  ``epoch``: the shared
+    at-least-once-replay guard
+    (:func:`palletjack_spark.functions.store.epoch_seen`, round 14) —
+    a replayed epoch is a no-op, so a retried streaming micro-batch
+    can't double-count its deltas."""
     from palletjack_spark.functions import store as S
 
     meta = _lm_meta(store_dir)
@@ -561,11 +569,14 @@ def append_lm_counts(
             f"LM store at {store_dir} was built over "
             f"{meta['text_col']!r}; append asked for {text_col!r}"
         )
+    if S.epoch_seen(meta, epoch):
+        return  # replayed epoch: the deltas are already published
     batch = int(meta["n_batches"])
     big, uni = _lm_counts(new_train, text_col, id_col)
     S.write_batch(big, store_dir, "bigrams", batch)
     S.write_batch(uni, store_dir, "unigrams", batch)
     meta["n_batches"] = batch + 1
+    S.record_epoch(meta, epoch)
     _lm_commit(store_dir, meta)
 
 

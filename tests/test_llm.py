@@ -2525,6 +2525,52 @@ def test_concurrent_lm_appends_lose_nothing(spark, tmp_path):
     )
 
 
+def test_vector_and_lm_store_epoch_replays_are_noops(spark, tmp_path):
+    """Round-14: the at-least-once-replay epoch guard is shared by all
+    three incremental stores (store.epoch_seen/record_epoch) — a
+    replayed epoch must not double-publish a vector batch or
+    double-count LM deltas."""
+    import json
+
+    import palletjack_spark.functions.similarity as sim
+    from palletjack_spark.functions import text as T
+
+    # vector store
+    emb = load_table(spark, SF_DIR, "embeddings")
+    vstore = str(tmp_path / "epvec")
+    sim.save_vector_store(emb.where(F.col("vec_id") % 5 == 0), vstore, n_centroids=8)
+    batch = emb.where(F.col("vec_id") % 5 == 1)
+    n = sim.append_vectors(batch, vstore, epoch="e:0")
+    assert n == batch.count() > 0
+    with open(os.path.join(vstore, "_ann_meta.json")) as f:
+        before = json.load(f)
+    assert before["epochs"] == ["e:0"]
+    assert sim.append_vectors(batch, vstore, epoch="e:0") == 0  # replay
+    with open(os.path.join(vstore, "_ann_meta.json")) as f:
+        assert json.load(f) == before  # manifest byte-identical
+    assert sim.append_vectors(batch, vstore, epoch="e:1") == n  # next epoch
+
+    # LM store
+    docs = load_table(spark, SF_DIR, "documents")
+    lstore = str(tmp_path / "eplm")
+    T.save_lm_store(docs.where(F.col("doc_id") % 5 == 0), "text", "doc_id", lstore)
+    lbatch = docs.where(F.col("doc_id") % 5 == 1)
+    T.append_lm_counts(lbatch, "text", "doc_id", lstore, epoch="e:0")
+    big1, uni1 = T.load_lm_tables(spark, lstore)
+    snap = (
+        sorted(tuple(r) for r in big1.collect()),
+        sorted(tuple(r) for r in uni1.collect()),
+    )
+    T.append_lm_counts(lbatch, "text", "doc_id", lstore, epoch="e:0")  # replay
+    big2, uni2 = T.load_lm_tables(spark, lstore)
+    assert (
+        sorted(tuple(r) for r in big2.collect()),
+        sorted(tuple(r) for r in uni2.collect()),
+    ) == snap  # no double-counted deltas
+    with open(os.path.join(lstore, "_lm_meta.json")) as f:
+        assert json.load(f)["n_batches"] == 2
+
+
 def test_cas_append_multi_partial_rename_crash_is_invisible(
     spark, tmp_path, monkeypatch
 ):
