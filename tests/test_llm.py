@@ -2263,6 +2263,48 @@ def test_itq_persisted_rotation_loads_without_training(
         sim.load_itq_rotation(spark, side)
 
 
+def test_itq_sidecar_composes_with_a_vector_store(spark, tmp_path):
+    """The ITQ sidecar (itq/ + _itq_meta.json) and the IVF-PQ vector
+    store (vectors/ + quantizers/ + _ann_meta.json) can share ONE store
+    path — a production corpus ships all its retrieval tiers from one
+    directory.  Both query paths must work and neither manifest may
+    clobber the other."""
+    import json
+    import os
+
+    import palletjack_spark.functions.similarity as sim
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    store = str(tmp_path / "combo")
+    sim.save_vector_store(emb, store, n_centroids=8)
+    sim.save_itq_rotation(emb, store)
+    # both manifests coexist
+    with open(os.path.join(store, "_ann_meta.json")) as f:
+        assert json.load(f)["n_batches"] == 1
+    with open(os.path.join(store, "_itq_meta.json")) as f:
+        assert json.load(f)["code_bits"] == 64
+    # both query tiers answer from the same path, both exact at
+    # exhaustive settings — hash-equal to brute force and to each other
+    brute = sorted(
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    )
+    pq_rows = sorted(
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in sim.vector_store_topk(
+            spark, store, queries, k=5, n_probes=8, shortlist=1_000_000,
+        ).collect()
+    )
+    itq_rows = sorted(
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in sim.itq_bq_topk_store(
+            emb, queries, store, k=5, shortlist=1_000_000
+        ).collect()
+    )
+    assert pq_rows == brute and itq_rows == brute
+
+
 def test_itq_rotation_rejects_unpackable_code_widths(spark):
     """Round-14 ADVICE: itq_rotation validated only that vectors are
     wide enough, not that ``in_dims`` fits the two-BIGINT packing that
