@@ -623,7 +623,7 @@ def _ingest_epoch(
 
     epoch = f"{run_id}:{batch_id}"
     meta = S.load_manifest(store_dir, _SIG_META_NAME)
-    if epoch in meta.get("epochs", []):
+    if S.epoch_seen(meta, epoch):
         # fully replayed epoch: the signature append committed, so the
         # decision write before it landed too.  Recomputing here would
         # be WRONG, not just wasteful — the store now holds this
