@@ -1733,12 +1733,16 @@ def incremental_components(
     return updated_old.unionByName(labeled_new)
 
 
-def append_signatures_concurrent(sig_df: DataFrame, store_dir: str) -> int:
+def append_signatures_concurrent(
+    sig_df: DataFrame, store_dir: str, claims=None
+) -> int:
     """Multi-writer :func:`append_signatures` (round-13): concurrent
     crawl-ingest jobs appending to ONE signature store compose safely —
-    each append stages to a unique dir, claims the next batch slot with
-    an O_EXCL claim file, and commits the manifest under the claim
-    (:func:`palletjack_spark.functions.store.cas_append`).  The
+    each append stages to a unique dir, claims the next batch slot
+    through the store's :class:`~palletjack_spark.functions.store.
+    ClaimBackend` (O_EXCL files by default, conditional PUT on an
+    object store via ``claims=``), and commits the manifest under the
+    claim (:func:`palletjack_spark.functions.store.cas_append`).  The
     single-writer :func:`append_signatures` stays the default (one
     fewer filesystem round-trip per append); use this from parallel
     ingest drivers.  Returns the slot the batch published as."""
@@ -1759,5 +1763,5 @@ def append_signatures_concurrent(sig_df: DataFrame, store_dir: str) -> int:
         m["version"] = int(m.get("version", 1)) + 1
 
     return S.cas_append(
-        sig_df, store_dir, _SIG_META_NAME, "signatures", bump
+        sig_df, store_dir, _SIG_META_NAME, "signatures", bump, claims=claims
     )

@@ -931,8 +931,6 @@ def append_vectors(
     meta = _store_meta(path)
     from palletjack_spark.functions import store as S
 
-    if S.epoch_seen(meta, epoch):
-        return 0  # replayed epoch: the batch is already published
     id_col = id_col or meta["id_col"]
     vec_col = vec_col or meta["vec_col"]
     if id_col != meta["id_col"] or vec_col != meta["vec_col"]:
@@ -949,6 +947,12 @@ def append_vectors(
             f"{idx['centroids'].shape[1]}-dim vectors; batch "
             f"'{vec_col}' is {row[0]['d']}-dim"
         )
+    # replay check AFTER the column/dimension validation (round-15
+    # ADVICE): a replayed micro-batch with mismatched columns or dims is
+    # a caller misconfiguration and must hard-error like the first call,
+    # not silently no-op just because the epoch happens to be recorded.
+    if S.epoch_seen(meta, epoch):
+        return 0  # replayed epoch: the batch is already published
     batch = int(meta["n_batches"])
     batch_dir = S.write_batch(
         encode_vectors(new_df, idx, id_col, vec_col), path, "vectors", batch
@@ -966,6 +970,7 @@ def append_vectors_concurrent(
     path: str,
     id_col: str | None = None,
     vec_col: str | None = None,
+    claims=None,
 ) -> int:
     """Multi-writer :func:`append_vectors` (round-14, closing the r13
     gap: CAS appends were wired to the signature store only — parallel
@@ -1007,7 +1012,9 @@ def append_vectors_concurrent(
             # _slot == len(n_vectors) when this runs under the claim
             m["n_vectors"] = list(m.get("n_vectors", [])) + [n_rows]
 
-        return S.cas_append(encoded, path, _ANN_META_NAME, "vectors", bump)
+        return S.cas_append(
+            encoded, path, _ANN_META_NAME, "vectors", bump, claims=claims
+        )
     finally:
         encoded.unpersist()
 

@@ -46,11 +46,18 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
+import time
+import uuid
 
 from pyspark.sql import DataFrame, functions as F
 
 _COMPACT_TMP = "_compact_tmp"
 _OLD_SUFFIX = ".old.tmp"
+#: hidden (reader-invisible) prefix under which a multi-writer rename
+#: sets a slot's PREVIOUS content aside instead of deleting it — see
+#: :func:`cas_append_multi` and the restore in :func:`recover_dataset`
+_DISPLACED_PREFIX = ".displaced-"
 
 
 def load_manifest(store_dir: str, manifest_name: str) -> dict:
@@ -113,7 +120,15 @@ def recover_dataset(store_dir: str, dataset: str) -> None:
     dataset dir is absent but ``<dataset>.old.tmp`` holds the complete
     pre-compaction store — rename it back.  No-op otherwise.  Two
     concurrent recoverers race benignly: the loser's rename source is
-    gone, which just means recovery already happened."""
+    gone, which just means recovery already happened.
+
+    Also heals a displaced SLOT (round 15, the multi-writer loss path):
+    a writer that crashed — or lost its claim — between setting
+    ``batch=K`` aside at ``.displaced-batch=K`` and putting a
+    replacement in place can leave the slot absent with its previous
+    (possibly published) content in the aside; restore it.  An aside
+    whose slot EXISTS is a live writer's in-flight swap or a winner's
+    pre-cleanup state and is never touched here."""
     live = os.path.join(store_dir, dataset)
     aside = live + _OLD_SUFFIX
     if not os.path.exists(live) and os.path.exists(aside):
@@ -122,6 +137,16 @@ def recover_dataset(store_dir: str, dataset: str) -> None:
         except OSError:
             if not os.path.exists(live):
                 raise  # a real failure, not a lost recovery race
+    if os.path.isdir(live):
+        for name in os.listdir(live):
+            if not name.startswith(_DISPLACED_PREFIX):
+                continue
+            slot = os.path.join(live, name[len(_DISPLACED_PREFIX):])
+            if not os.path.exists(slot):
+                try:
+                    os.replace(os.path.join(live, name), slot)
+                except OSError:
+                    pass  # lost a benign recovery race
 
 
 def live_batches(
@@ -186,17 +211,135 @@ def compact_swap(
 # Multi-writer appends (round-13 runway item): the base contract is
 # single-writer — two concurrent appends both read n_batches=N, clobber
 # each other's batch=N files mid-write, and one batch is silently lost.
-# ``cas_append`` serializes slot claims with an O_EXCL claim file and
-# retries on contention, so concurrent crawl-ingest jobs compose safely
-# on a shared filesystem.  (On an object store the claim would be a
-# conditional PUT / the manifest commit a CAS against the catalog — the
-# protocol shape is the same.)
+# ``cas_append`` serializes slot claims through a :class:`ClaimBackend`
+# (POSIX O_EXCL by default, conditional PUT on an object store) and
+# retries on contention, so concurrent crawl-ingest jobs compose safely.
 
 
 #: a claim older than this is presumed crashed and may be stolen; slow
 #: writers must finish their slot within it (generous: a batch write is
 #: seconds, the claim covers only stage-rename + manifest commit)
 _CLAIM_TTL_S = 600.0
+
+
+class ClaimBackend:
+    """The slot-claim primitive behind the multi-writer protocol
+    (round-15, closing the object-store gap): everything the protocol
+    needs from the environment is atomic CREATE-IF-ABSENT of a small
+    value at a key, plus read and (conditionally) delete.
+
+    * On a shared POSIX filesystem that is ``O_EXCL``
+      (:class:`PosixClaimBackend`, the default).
+    * On an object store it is a conditional PUT — S3
+      ``If-None-Match: *``, GCS ``ifGenerationMatch=0``, Azure
+      ``If-None-Match: *`` — where ``O_EXCL`` does not exist.  Deploy
+      there by implementing these three methods with those calls and
+      passing the instance as ``claims=`` to :func:`cas_append` /
+      :func:`cas_append_multi`; :class:`ConditionalPutClaimBackend` is
+      a process-local reference implementation of that contract, and
+      the concurrency stress suite runs the full protocol through it
+      to prove nothing depends on POSIX claim semantics.  (Batch DATA
+      still lands via filesystem renames here; on a real object store
+      those become PUTs of immutable objects under new keys — strictly
+      easier than rename atomicity.)
+    """
+
+    def try_create(self, key: str, value: str) -> bool:
+        """Atomically create ``key`` holding ``value`` iff absent;
+        False (nothing written) if it already exists."""
+        raise NotImplementedError
+
+    def read(self, key: str) -> tuple[str, float] | None:
+        """``(value, age_seconds)`` of the claim, or None if absent."""
+        raise NotImplementedError
+
+    def delete(self, key: str, expected: str | None = None) -> None:
+        """Remove the claim; with ``expected``, only while the current
+        value still matches (atomic on a CAS store, best-effort
+        read-then-delete on POSIX).  Missing keys are a no-op."""
+        raise NotImplementedError
+
+
+class PosixClaimBackend(ClaimBackend):
+    """O_EXCL claim files — correct on any shared POSIX filesystem.
+    ``try_create`` hard-links a fully-written temp file into place so a
+    concurrent read can never observe a claim that exists with partial
+    content (the old ``O_CREAT|O_EXCL`` + write sequence had a window
+    where the claim existed empty and ``_owned()`` misread it)."""
+
+    def try_create(self, key: str, value: str) -> bool:
+        tmp = f"{key}.w-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(value)
+        try:
+            os.link(tmp, key)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+    def read(self, key: str) -> tuple[str, float] | None:
+        try:
+            with open(key) as f:
+                value = f.read()
+            age = time.time() - os.stat(key).st_mtime
+            return value, age
+        except OSError:
+            return None
+
+    def delete(self, key: str, expected: str | None = None) -> None:
+        if expected is not None:
+            cur = self.read(key)
+            if cur is None or cur[0] != expected:
+                return
+        try:
+            os.unlink(key)
+        except OSError:
+            pass
+
+
+class ConditionalPutClaimBackend(ClaimBackend):
+    """Process-local emulation of an object store's conditional-PUT
+    claim: one dict guarded by a lock, keys never touch the
+    filesystem.  ``try_create`` has exactly the PUT-if-absent
+    semantics (S3 ``If-None-Match: *`` returning 412 on conflict) and
+    ``delete(expected=...)`` the compare-and-delete semantics a real
+    backend would build from generation/etag preconditions."""
+
+    def __init__(self) -> None:
+        self._kv: dict[str, tuple[str, float]] = {}
+        self._lock = threading.Lock()
+
+    def try_create(self, key: str, value: str) -> bool:
+        with self._lock:
+            if key in self._kv:
+                return False
+            self._kv[key] = (value, time.monotonic())
+            return True
+
+    def read(self, key: str) -> tuple[str, float] | None:
+        with self._lock:
+            cur = self._kv.get(key)
+        if cur is None:
+            return None
+        return cur[0], time.monotonic() - cur[1]
+
+    def delete(self, key: str, expected: str | None = None) -> None:
+        with self._lock:
+            cur = self._kv.get(key)
+            if cur is None:
+                return
+            if expected is not None and cur[0] != expected:
+                return
+            del self._kv[key]
+
+
+#: default claim backend — shared-POSIX-filesystem deployments
+POSIX_CLAIMS = PosixClaimBackend()
 
 
 def cas_append(
@@ -206,6 +349,7 @@ def cas_append(
     dataset: str,
     update_meta,
     max_attempts: int = 64,
+    claims: ClaimBackend | None = None,
 ) -> int:
     """Append ``df`` as the next published batch under a MULTI-WRITER
     contract (single-dataset form of :func:`cas_append_multi`).
@@ -246,6 +390,7 @@ def cas_append(
         manifest_name,
         update_meta,
         max_attempts=max_attempts,
+        claims=claims,
     )
 
 
@@ -256,23 +401,43 @@ def cas_append_multi(
     update_meta,
     counter_key: str = "n_batches",
     max_attempts: int = 64,
+    claims: ClaimBackend | None = None,
 ) -> int:
     """Append one batch to SEVERAL datasets that advance under ONE
     manifest counter (the LM store's bigrams+unigrams shape: both land
     as ``batch=N`` and publish in one manifest commit) under the
-    multi-writer contract of :func:`cas_append`.  The claim file lives
+    multi-writer contract of :func:`cas_append`.  The claim key lives
     in the FIRST dataset's directory (slot claims only need one agreed
     location per counter; callers that share a counter must pass the
     datasets in a stable order).  The cross-dataset renames are not one
     atomic step, but a crash or lost claim between them only ever
     leaves unpublished ``batch=N`` orphans — invisible by the manifest
-    contract and overwritten by the slot's eventual winner.  Returns
-    the slot the batch published as."""
-    import time
-    import uuid
+    contract and overwritten by the slot's eventual winner.
 
+    Ownership is re-verified IMMEDIATELY before every per-dataset slot
+    rename, not just once before the loop (round-15 ADVICE: a writer
+    that stalled past the TTL between the loop-head check and a rename
+    could rmtree a stealer's already-renamed — possibly already
+    PUBLISHED — batch and replace it with its own rows, a silent
+    content swap the loser's later checks couldn't undo).  And a slot's
+    existing content is never deleted: it is set ASIDE under a hidden
+    ``.displaced-batch=N`` name and restored if ownership turns out to
+    have been lost (normally it is a crashed append's orphan and is
+    cleaned up after OUR commit).  Residual window, documented rather
+    than hidden: a writer that stalls >TTL inside the few milliseconds
+    BETWEEN an ownership check and the very next rename can still
+    transiently displace a stealer's published slot — the loss path
+    and :func:`recover_dataset` restore the displaced content, but a
+    reader racing that exact window can observe the swapped rows until
+    the restore lands.  Returns the slot the batch published as.
+
+    ``claims``: the :class:`ClaimBackend` holding slot claims —
+    defaults to :data:`POSIX_CLAIMS` (O_EXCL files); pass a
+    conditional-PUT implementation on an object store."""
     if not dfs:
         raise ValueError("cas_append_multi: no datasets to append")
+    if claims is None:
+        claims = POSIX_CLAIMS
     for dataset in dfs:
         recover_dataset(store_dir, dataset)
     claim_dataset = next(iter(dfs))
@@ -285,8 +450,43 @@ def cas_append_multi(
                 store_dir, dataset, f".stage-{uuid.uuid4().hex[:12]}"
             )
             df.write.mode("overwrite").parquet(s)
+            # writer marker (underscore-prefixed: invisible to readers,
+            # travels with the rename): lets the loss path prove which
+            # writer's rows a slot currently holds before touching it
+            with open(os.path.join(s, "_writer"), "w") as f:
+                f.write(nonce)
             staged[dataset] = s
         return staged
+
+    def _holds(path: str) -> str | None:
+        try:
+            with open(os.path.join(path, "_writer")) as f:
+                return f.read()
+        except OSError:
+            return None
+
+    def _withdraw(placed: list[tuple[str, str, str | None]]) -> None:
+        # lost the claim after some renames: NEVER leave our rows at a
+        # slot another writer may already have published.  For each slot
+        # that still holds OUR rows, move them out to a hidden dir and
+        # restore whatever the slot held before.  Slots a stealer
+        # already re-displaced are left alone — touching them would race
+        # the stealer's own swap, and our displaced rows there are its
+        # garbage to clean.
+        for dataset, target, aside in reversed(placed):
+            if _holds(target) != nonce:
+                continue
+            junk = os.path.join(store_dir, dataset, f".lost-{nonce}")
+            try:
+                os.replace(target, junk)
+            except OSError:
+                continue  # displaced under us mid-check: no longer ours
+            if aside is not None and os.path.isdir(aside):
+                try:
+                    os.replace(aside, target)
+                except OSError:
+                    pass  # recover_dataset restores an absent slot
+            shutil.rmtree(junk, ignore_errors=True)
 
     stages = _stage_all()
 
@@ -297,67 +497,75 @@ def cas_append_multi(
             claim = os.path.join(store_dir, claim_dataset, f".claim-{n}")
 
             def _owned() -> bool:
-                try:
-                    with open(claim) as f:
-                        return f.read() == nonce
-                except OSError:
-                    return False
+                cur = claims.read(claim)
+                return cur is not None and cur[0] == nonce
 
-            try:
-                fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                try:
-                    os.write(fd, nonce.encode())
-                finally:
-                    os.close(fd)
-            except FileExistsError:
-                try:
-                    age = time.time() - os.stat(claim).st_mtime
-                except OSError:
+            if not claims.try_create(claim, nonce):
+                cur = claims.read(claim)
+                if cur is None:
                     continue  # holder just released: retry immediately
-                if age > _CLAIM_TTL_S:
-                    try:
-                        os.unlink(claim)  # crashed holder: steal
-                    except OSError:
-                        pass
+                if cur[1] > _CLAIM_TTL_S:
+                    # crashed holder: steal — but only the exact stale
+                    # claim we observed, never a fresh one racing in
+                    claims.delete(claim, expected=cur[0])
                 else:
                     time.sleep(0.05)
                 continue
-            committed = False
             try:
                 # re-check under the claim: the manifest may have advanced
-                # between the read and the O_EXCL (our slot already taken)
+                # between the read and the claim create (slot already taken)
                 meta = load_manifest(store_dir, manifest_name)
                 if int(meta[counter_key]) != n:
                     continue  # stale slot: retry with the fresh manifest
-                if not _owned():
-                    continue  # stolen while stalled: slot no longer ours
+                placed: list[tuple[str, str, str | None]] = []
+                lost = False
                 for dataset, stage in stages.items():
+                    # re-verify ownership per rename (round-15 ADVICE):
+                    # a >TTL stall anywhere before this point means the
+                    # slot may legitimately belong to a stealer now
+                    if not _owned():
+                        lost = True
+                        break
                     target = os.path.join(store_dir, dataset, f"batch={n}")
-                    shutil.rmtree(target, ignore_errors=True)  # orphan only
+                    aside: str | None = os.path.join(
+                        store_dir, dataset, f"{_DISPLACED_PREFIX}batch={n}"
+                    )
+                    if os.path.exists(target):
+                        # existing content is an unpublished orphan by
+                        # contract — but in the steal race it could be a
+                        # live batch, so set it aside, never rmtree
+                        shutil.rmtree(aside, ignore_errors=True)
+                        os.replace(target, aside)
+                    else:
+                        aside = None
                     os.replace(stage, target)
-                if not _owned():
-                    # stolen between rename and commit: the stealer may
-                    # already have rmtree'd our targets — NEVER commit a
-                    # slot we lost; re-stage (the renames consumed the
-                    # staging dirs) and retry a fresh slot.
+                    placed.append((dataset, target, aside))
+                if not lost:
+                    # final check before the commit: a steal after our
+                    # last rename must still abort the publication
+                    lost = not _owned()
+                if lost:
+                    _withdraw(placed)
+                    # the renames consumed some staging dirs: re-stage
+                    # everything and retry a fresh slot
                     stages = _stage_all()
                     continue
                 update_meta(meta, n)
                 meta[counter_key] = n + 1
                 commit_manifest(store_dir, manifest_name, meta)
-                committed = True
+                # the asides we created held crashed-append orphans (or a
+                # loser's garbage): safe to drop now that we published
+                for _dataset, _target, aside in placed:
+                    if aside is not None:
+                        shutil.rmtree(aside, ignore_errors=True)
                 return n
             finally:
-                # release ONLY if the claim is still ours — after a steal
-                # the file belongs to the stealer, and unlinking it would
+                # release ONLY while the claim is still ours — after a
+                # steal it belongs to the stealer, and deleting it would
                 # let a third writer race the stealer's slot.  After OUR
-                # commit the claim content is still our nonce, so the
-                # owned-check also covers the normal release.
-                if committed or _owned():
-                    try:
-                        os.unlink(claim)
-                    except OSError:
-                        pass
+                # commit the claim value is still our nonce, so the
+                # conditional delete also covers the normal release.
+                claims.delete(claim, expected=nonce)
         raise TimeoutError(
             f"cas_append: could not claim a batch slot in {max_attempts} "
             f"attempts (store {store_dir!r}, datasets {sorted(dfs)!r})"

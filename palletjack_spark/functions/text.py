@@ -581,7 +581,11 @@ def append_lm_counts(
 
 
 def append_lm_counts_concurrent(
-    new_train: DataFrame, text_col: str, id_col: str, store_dir: str
+    new_train: DataFrame,
+    text_col: str,
+    id_col: str,
+    store_dir: str,
+    claims=None,
 ) -> int:
     """Multi-writer :func:`append_lm_counts` (round-14, closing the r13
     gap: CAS appends were wired to the signature store only — parallel
@@ -606,6 +610,7 @@ def append_lm_counts_concurrent(
         store_dir,
         _LM_META_NAME,
         lambda _m, _slot: None,
+        claims=claims,
     )
 
 

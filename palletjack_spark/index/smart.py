@@ -25,6 +25,7 @@ metadata-only count for catalog-scale ones.
 from __future__ import annotations
 
 import os
+import threading
 from typing import Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,6 +33,10 @@ from pyspark.sql import functions as F
 
 from palletjack_spark.index.builder import build_index
 from palletjack_spark.index.metadata_index import MetadataIndex
+
+#: serializes the session-global partition-inference toggle in the
+#: native-fallback read (see the comment at its use site)
+_INFER_TOGGLE_LOCK = threading.Lock()
 
 
 def _apply_predicate(df: DataFrame, predicate: Sequence[tuple]) -> DataFrame:
@@ -220,16 +225,27 @@ def smart_read(
     # scope around the call: partition discovery resolves EAGERLY inside
     # ``reader.parquet`` (the DataFrame's schema requires it), after
     # which the relation's partition spec is fixed.
+    # partitionColumnTypeInference has no reader-level datasource option,
+    # so the toggle is necessarily session-scoped: a lock serializes
+    # concurrent smart_read fallbacks (round-15 ADVICE: two concurrent
+    # calls could race the save/restore and leave inference permanently
+    # off), but an UNRELATED query on the same SparkSession that resolves
+    # a hive-partitioned read inside this window still sees inference
+    # off — callers running heterogeneous concurrent readers on one
+    # session should route partitioned reads through smart_read (both
+    # routes pin inference-off string semantics) or tolerate string-typed
+    # partition columns for the duration of the call.
     infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    prev = spark.conf.get(infer_key, None)
-    try:
-        spark.conf.set(infer_key, "false")
-        df = reader.parquet(*paths_list)
-    finally:
-        if prev is None:
-            spark.conf.unset(infer_key)
-        else:
-            spark.conf.set(infer_key, prev)
+    with _INFER_TOGGLE_LOCK:
+        prev = spark.conf.get(infer_key, None)
+        try:
+            spark.conf.set(infer_key, "false")
+            df = reader.parquet(*paths_list)
+        finally:
+            if prev is None:
+                spark.conf.unset(infer_key)
+            else:
+                spark.conf.set(infer_key, prev)
     if part_keys:
         for k in part_keys:
             if k in df.columns:

@@ -31,16 +31,31 @@ def _tmp(name: str, sf_dir: str) -> str:
 
 
 def _src_sig(sf_dir: str, *tables: str) -> str:
-    """Source-content signature (mtime+size per table) for staged /tmp
-    fixtures — the q92g round-8 lesson, applied to every skip-if-exists
-    cache in this module (round-14 sweep): a regenerated table under
-    the same sf_dir path must INVALIDATE the staged copy, or the query
-    silently serves stale rows while the oracle reads the new data."""
+    """Source-content signature (name+mtime+size per FILE under each
+    table path) for staged /tmp fixtures — the q92g round-8 lesson,
+    applied to every skip-if-exists cache in this module (round-14
+    sweep): a regenerated table under the same sf_dir path must
+    INVALIDATE the staged copy, or the query silently serves stale rows
+    while the oracle reads the new data.  Walks directory tables
+    per-file (round-15 ADVICE): rewriting part files inside a
+    Spark-written ``<name>.parquet`` DIRECTORY need not change the
+    directory's own mtime or size, so a single ``os.stat`` of the table
+    path could still serve stale fixtures; the single stat remains only
+    as the plain-file fallback."""
     parts = []
     for tb in tables:
+        src = table_path(sf_dir, tb)
         try:
-            st = os.stat(table_path(sf_dir, tb))
-            parts.append(f"{tb}:{st.st_mtime_ns}:{st.st_size}")
+            if os.path.isdir(src):
+                for root, _dirs, files in sorted(os.walk(src)):
+                    for fn in sorted(files):
+                        st = os.stat(os.path.join(root, fn))
+                        parts.append(
+                            f"{root}/{fn}:{st.st_mtime_ns}:{st.st_size}"
+                        )
+            else:
+                st = os.stat(src)
+                parts.append(f"{tb}:{st.st_mtime_ns}:{st.st_size}")
         except OSError:
             parts.append(f"{tb}:absent")
     return ";".join(parts)
