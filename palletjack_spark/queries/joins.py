@@ -1430,6 +1430,84 @@ def q29p(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q29a_tpch_q1_shape",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q29a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (pricing summary report) — the benchmark's
+    canonical scan-filter-cluster-aggregate, completing the q29 family
+    (round-15 verdict item 6).  Scale shape: the shipdate predicate
+    pushes into the parquet scan, the grouping has 4-ish groups so the
+    whole aggregate map-side combines to a handful of rows per task,
+    and every sum accumulates decimal(18,6) (the q29b rule: exact,
+    fold-order-independent) with ONE cast to double.  The averages are
+    a single IEEE double division of the engine-identical decimal sum
+    by the group count — bit-equal on both engines (the q29o/q125b
+    sequencing rule), never a float AVG whose accumulation order
+    differs."""
+    dec6 = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= "1998-09-02"
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec6(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(dec6(F.col("l_extendedprice")))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum(
+                dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                dec6(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                )
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(dec6(F.col("l_quantity"))).cast("double") / cnt).alias(
+                "avg_qty"
+            ),
+            (
+                F.sum(dec6(F.col("l_extendedprice"))).cast("double") / cnt
+            ).alias("avg_price"),
+            (F.sum(dec6(F.col("l_discount"))).cast("double") / cnt).alias(
+                "avg_disc"
+            ),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
     "q29q_tpch_q6_shape",
     oracle="""
     SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))

@@ -606,3 +606,51 @@ def q115b(spark: SparkSession, sf_dir: str) -> DataFrame:
     from palletjack_spark.streaming.ops import streaming_incremental_dedup
 
     return streaming_incremental_dedup(spark, sf_dir)
+
+
+def _q115c_oracle() -> str:
+    from palletjack_spark.queries.llm_ops import _Q92_ORACLE
+
+    return _Q92_ORACLE
+
+
+@query("q115c_streaming_vector_ingest", oracle=_q115c_oracle())
+def q115c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest composed with the persisted VECTOR store
+    (Q115c, round 15 — q115b's loop for embeddings): the store is
+    bootstrapped on slice 0, then embedding slices arrive as a real
+    file stream whose foreachBatch encodes against the PERSISTED
+    codebooks (zero training jobs on the ingest path) and appends under
+    the crash-atomic manifest commit with the shared epoch replay guard
+    — a retried micro-batch can never publish its vectors twice (the
+    no-op is pinned end-to-end under the stream in
+    tests/test_streaming.py).  After the stream drains the store holds
+    the whole corpus, so the exhaustive-settings query is exact brute
+    force, hash-identical to the q92 oracle (streamed appends are
+    order-insensitive: the store is a set of published batches)."""
+    from palletjack_spark.streaming.ops import streaming_vector_ingest
+
+    return streaming_vector_ingest(spark, sf_dir)
+
+
+def _q115d_oracle() -> str:
+    from palletjack_spark.queries.llm_ops import _bigram_lm_oracle
+
+    return _bigram_lm_oracle(train_mod=4)
+
+
+@query("q115d_streaming_lm_ingest", oracle=_q115d_oracle())
+def q115d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest composed with the persisted LM count store
+    (Q115d, round 15): document slices arrive as a real file stream
+    whose foreachBatch counts ONLY the batch and appends the deltas
+    under one manifest commit with the epoch replay guard (a replayed
+    micro-batch never double-counts — pinned end-to-end in
+    tests/test_streaming.py).  Counts are additive, so the streamed
+    store is exactly a one-shot train over slices 1-3; the held-out
+    slice 0 is scored against it and must match the q157-shape oracle
+    with train = doc_id % 4 != 0 — integer bits throughout, one final
+    division (the q157 determinism rule)."""
+    from palletjack_spark.streaming.ops import streaming_lm_ingest
+
+    return streaming_lm_ingest(spark, sf_dir)

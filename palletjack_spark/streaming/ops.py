@@ -640,3 +640,209 @@ def _ingest_epoch(
         os.path.join(dec_dir, f"batch={batch_id}")
     )
     append_signatures(accepted, store_dir, epoch=epoch)
+
+
+# --- q115c/q115d: streaming ingest into the vector and LM stores ------------
+# (round-15 verdict item 4: the epoch replay guard covers all three
+# incremental stores, but only the signature store had a streaming
+# composition row — these wire a REAL file stream's foreachBatch to
+# append_vectors / append_lm_counts under the same discipline.)
+
+
+def stage_table_slices(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    id_col: str,
+    n_slices: int = 4,
+) -> str:
+    """Stage any fixture table as ``n_slices`` single-file crawl batches
+    (slice i = ``id % n_slices == i``) with strictly increasing mtimes —
+    the generic form of :func:`stage_document_slices` (kept as-is for
+    q115b's staged-dir compatibility).  Once per (sf_dir, table)."""
+    import glob
+    import shutil
+    import time
+
+    out = os.path.join(
+        tempfile.gettempdir(), _staging_key(sf_dir, f"{table}slices{n_slices}")
+    )
+    marker = os.path.join(out, "_READY")
+    sig = _source_sig(sf_dir, table)
+    if _stage_is_fresh(marker, sig):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    rows = load_table(spark, sf_dir, table)
+    base = time.time() - 3600
+    for i in range(n_slices):
+        tmp = out + f"_tmp{i}"
+        rows.where(F.col(id_col) % n_slices == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(out, f"slice-{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (base + 60 * i, base + 60 * i))
+        shutil.rmtree(tmp, ignore_errors=True)
+    with open(marker, "w") as f:
+        f.write(sig)
+    return out
+
+
+def _run_slice_ingest(
+    spark: SparkSession,
+    path: str,
+    glob_filter: str,
+    ckpt_key: str,
+    ingest,
+) -> None:
+    """Drive one availableNow file-stream pass over the staged slices
+    matched by ``glob_filter``, one file per trigger, calling
+    ``ingest(batch_df, batch_id)`` per micro-batch."""
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", glob_filter)
+        .parquet(path)
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), f"pjspark_ckpt_{ckpt_key}"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+
+
+def streaming_vector_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = 4,
+    store_dir: str | None = None,
+) -> DataFrame:
+    """Streaming crawl ingest into the PERSISTED vector store (q115c):
+    the store is bootstrapped (codebooks trained once) on slice 0 of
+    the embeddings table; slices 1..n-1 then arrive as a real file
+    stream whose foreachBatch encodes each batch against the PERSISTED
+    codebooks and appends it under the store's crash-atomic manifest
+    commit (``append_vectors`` — zero training jobs on the ingest
+    path), carrying the shared epoch marker so an at-least-once replay
+    of a micro-batch can never publish its vectors twice
+    (functions/store.epoch_seen; the replay no-op is pinned end-to-end
+    in tests/test_streaming.py).  After the stream drains, the store
+    holds the WHOLE corpus, and the exhaustive-settings
+    ``vector_store_topk`` is exact brute force — hash-identical to the
+    q92 oracle.
+
+    Scale shape: each micro-batch's only work is one zero-shuffle
+    assign+encode pass over the batch plus a manifest rename — the
+    at-rest store is never rescanned, never exchanged; at 100 TB this
+    IS the embedding-ingest job, with the stream source swapped for the
+    crawl bus."""
+    from palletjack_spark.functions.similarity import (
+        _ANN_META_NAME,
+        append_vectors,
+        save_vector_store,
+        vector_store_topk,
+    )
+
+    path = stage_table_slices(spark, sf_dir, "embeddings", "vec_id", n_slices)
+    emb = load_table(spark, sf_dir, "embeddings")
+    run_id = uuid.uuid4().hex[:8]
+    if store_dir is None:
+        store_dir = os.path.join(
+            tempfile.gettempdir(), f"pjspark_q115c_store_{run_id}"
+        )
+    # bootstrap only when no store exists (the q115b rule: a caller
+    # continuing ingest against a real store must not have it wiped)
+    if not os.path.exists(os.path.join(store_dir, _ANN_META_NAME)):
+        save_vector_store(
+            emb.where(F.col("vec_id") % n_slices == 0),
+            store_dir,
+            n_centroids=16,
+        )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        append_vectors(batch_df, store_dir, epoch=f"{run_id}:{int(batch_id)}")
+
+    _run_slice_ingest(
+        spark,
+        path,
+        f"slice-[1-{n_slices - 1}].parquet",
+        f"q115c_{run_id}",
+        ingest,
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    return vector_store_topk(
+        spark, store_dir, queries, k=10, n_probes=16, shortlist=1_000_000
+    )
+
+
+def streaming_lm_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = 4,
+    store_dir: str | None = None,
+) -> DataFrame:
+    """Streaming crawl ingest into the PERSISTED LM count store
+    (q115d): the store is bootstrapped on slice 1 of the documents
+    table; slices 2..n-1 then arrive as a real file stream whose
+    foreachBatch counts ONLY the batch and appends the deltas under one
+    manifest commit (``append_lm_counts`` — the store is never
+    rescanned), carrying the shared epoch marker so a replayed
+    micro-batch can never double-count (pinned end-to-end in
+    tests/test_streaming.py).  Counts are additive, so the streamed
+    store ≡ a one-shot train over slices 1..n-1 — the held-out slice 0
+    is then scored against it, and the result matches the q157-shape
+    oracle with train = ``doc_id % n != 0`` exactly.
+
+    Scale shape: per micro-batch one map-side-combined count over the
+    batch (Zipf-sublinear output) + a manifest rename; scoring reads
+    the at-rest count tables once."""
+    from palletjack_spark.functions.text import (
+        _LM_META_NAME,
+        append_lm_counts,
+        bigram_lm_score_store,
+        save_lm_store,
+    )
+
+    path = stage_document_slices(spark, sf_dir, n_slices)
+    docs = load_table(spark, sf_dir, "documents")
+    run_id = uuid.uuid4().hex[:8]
+    if store_dir is None:
+        store_dir = os.path.join(
+            tempfile.gettempdir(), f"pjspark_q115d_store_{run_id}"
+        )
+    if not os.path.exists(os.path.join(store_dir, _LM_META_NAME)):
+        save_lm_store(
+            docs.where(F.col("doc_id") % n_slices == 1),
+            "text",
+            "doc_id",
+            store_dir,
+        )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        append_lm_counts(
+            batch_df,
+            "text",
+            "doc_id",
+            store_dir,
+            epoch=f"{run_id}:{int(batch_id)}",
+        )
+
+    _run_slice_ingest(
+        spark,
+        path,
+        f"slice-[2-{n_slices - 1}].parquet",
+        f"q115d_{run_id}",
+        ingest,
+    )
+    return bigram_lm_score_store(
+        spark, docs.where(F.col("doc_id") % n_slices == 0), "text", "doc_id",
+        store_dir,
+    )

@@ -1500,6 +1500,19 @@ def test_group_holdout_split_is_scan_local(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 
+def test_tpch_q1_shape_pushdown_and_hash_agg(spark):
+    """Q29a: the shipdate predicate pushes into the parquet scan, the
+    cluster aggregate is a map-side-combined HashAggregate (never
+    SortAggregate — decimal sums hash-aggregate fine), and there is no
+    join in the plan."""
+    from palletjack_spark.queries import REGISTRY
+
+    plan = _simple_plan(REGISTRY["q29a_tpch_q1_shape"].fn(spark, SF_DIR))
+    assert "PushedFilters: [" in plan and "IsNotNull(l_shipdate)" in plan, plan
+    assert "Join" not in plan, plan
+    assert "HashAggregate" in plan and "SortAggregate" not in plan, plan
+
+
 def test_tpch_q6_shape_filters_reach_the_scan(spark):
     """Q29q: all three predicates push into the parquet scan and the
     single sum partial-aggregates — no join, no wide exchange."""

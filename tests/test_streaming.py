@@ -478,3 +478,104 @@ def test_streaming_dedup_does_not_wipe_existing_store(spark, tmp_path):
     assert all(not r["accepted"] for r in second)
     with open(os.path.join(store, "_sig_meta.json")) as f:
         assert json.load(f)["n_batches"] > n_before  # appended, not reset
+
+
+def test_streaming_vector_ingest_fills_store_and_replay_noops(
+    spark, tmp_path
+):
+    """Q115c end-to-end (round 15): bootstrap on slice 0, stream slices
+    1-3 into the persisted vector store via foreachBatch — afterwards
+    the store holds the WHOLE corpus (bootstrap + 3 published appends,
+    per-batch ledger consistent), and replaying the exact epoch the
+    stream recorded is a no-op with a byte-identical manifest."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from palletjack_spark.functions import store as S
+    from palletjack_spark.functions.similarity import append_vectors
+    from palletjack_spark.streaming.ops import streaming_vector_ingest
+    from palletjack_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    store = str(tmp_path / "vstore")
+    topk = streaming_vector_ingest(spark, sf, store_dir=store)
+    assert topk.count() == 5 * 10  # 5 queries x k=10
+    with open(os.path.join(store, "_ann_meta.json")) as f:
+        meta = json.load(f)
+    assert int(meta["n_batches"]) == 4  # bootstrap + 3 streamed slices
+    assert len(meta.get("epochs", [])) == 3
+    emb = load_table(spark, sf, "embeddings")
+    want = sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+    got = sorted(
+        r["vec_id"]
+        for r in S.live_batches(spark, store, "vectors", meta["n_batches"])
+        .select("vec_id")
+        .collect()
+    )
+    assert got == want  # nothing lost, nothing doubled
+    # the per-batch ledger (bootstrap + 3 streamed slices) accounts for
+    # exactly the whole corpus
+    assert sum(meta["n_vectors"]) == len(want)
+    # at-least-once replay of the newest streamed epoch: a no-op that
+    # publishes nothing and leaves the manifest byte-identical
+    replay = emb.where(F.col("vec_id") % 4 == 1)
+    assert append_vectors(replay, store, epoch=meta["epochs"][-1]) == 0
+    with open(os.path.join(store, "_ann_meta.json")) as f:
+        assert json.load(f) == meta
+
+
+def test_streaming_lm_ingest_equals_one_shot_and_replay_noops(
+    spark, tmp_path
+):
+    """Q115d end-to-end (round 15): counts are additive, so the
+    streamed store (bootstrap slice 1 + streamed slices 2-3) must equal
+    a ONE-SHOT count over doc_id % 4 != 0 — and replaying the exact
+    epoch the stream recorded double-counts nothing."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from palletjack_spark.functions.text import (
+        _lm_counts,
+        append_lm_counts,
+        load_lm_tables,
+    )
+    from palletjack_spark.streaming.ops import streaming_lm_ingest
+    from palletjack_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    store = str(tmp_path / "lmstore")
+    scored = streaming_lm_ingest(spark, sf, store_dir=store)
+    docs = load_table(spark, sf, "documents")
+    assert scored.count() == docs.where(F.col("doc_id") % 4 == 0).count()
+    with open(os.path.join(store, "_lm_meta.json")) as f:
+        meta = json.load(f)
+    assert int(meta["n_batches"]) == 3  # bootstrap + 2 streamed slices
+    assert len(meta.get("epochs", [])) == 2
+    big, uni = load_lm_tables(spark, store)
+    ref_big, ref_uni = _lm_counts(
+        docs.where(F.col("doc_id") % 4 != 0), "text", "doc_id"
+    )
+    assert sorted(tuple(r) for r in big.collect()) == sorted(
+        tuple(r) for r in ref_big.collect()
+    )
+    assert sorted(tuple(r) for r in uni.collect()) == sorted(
+        tuple(r) for r in ref_uni.collect()
+    )
+    # replay of the newest streamed epoch: nothing double-counted
+    append_lm_counts(
+        docs.where(F.col("doc_id") % 4 == 2),
+        "text",
+        "doc_id",
+        store,
+        epoch=meta["epochs"][-1],
+    )
+    with open(os.path.join(store, "_lm_meta.json")) as f:
+        assert json.load(f) == meta
+    big2, _ = load_lm_tables(spark, store)
+    assert sorted(tuple(r) for r in big2.collect()) == sorted(
+        tuple(r) for r in ref_big.collect()
+    )
