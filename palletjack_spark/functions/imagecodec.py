@@ -76,6 +76,13 @@ def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
     h = abs(h)
     if not (0 < w <= MAX_DIM and 0 < h <= MAX_DIM):
         raise UnsupportedImageError(f"implausible BMP dimensions {w}x{h}")
+    if data_offset < 14 + hdr_size:
+        # the header claims pixel data starts inside itself — a corrupt
+        # file that would otherwise decode header bytes as pixels
+        # (round-15 codec sweep)
+        raise UnsupportedImageError(
+            f"BMP data offset {data_offset} overlaps the header"
+        )
     row_size = (w * 3 + 3) & ~3
     if len(payload) < data_offset + row_size * h:
         raise UnsupportedImageError("truncated BMP payload")

@@ -42,6 +42,14 @@ class UnsupportedVideoError(NotImplementedError):
     """Payload is not in a format this build can decode."""
 
 
+#: dimension sanity cap, matching ``imagecodec.MAX_DIM`` — corrupt avih
+#: headers must fail cleanly, not size multi-GB frame buffers (round-15
+#: codec sweep: the RLE8 decoder allocates its (h, w) index grid from
+#: header dimensions BEFORE any body-length check, so an implausible
+#: header was an allocation DoS rather than a typed error)
+MAX_DIM = 1 << 16
+
+
 #: fourcc -> frame decoder ``(chunk_body, width, height, strf_bytes) ->
 #: RGB (h, w, 3)``; ``b"DIB "``/``b"\0\0\0\0"`` (uncompressed) is built
 #: in.  ``strf_bytes`` is the stream-format chunk (BITMAPINFOHEADER +
@@ -123,8 +131,14 @@ def _rle8_palette_from_strf(strf: bytes) -> np.ndarray:
         )
     (clr_used,) = struct.unpack_from("<I", strf, 32)
     n_colors = clr_used or 256
-    quads = np.frombuffer(strf, dtype=np.uint8, offset=40,
-                          count=min(n_colors, 256) * 4).reshape(-1, 4)
+    # clamp to the quads actually present (round-15 codec sweep: a
+    # truncated palette made np.frombuffer raise a raw ValueError instead
+    # of this module's typed error); missing entries decode as black —
+    # deterministic, and strictly better than crashing on a corrupt file
+    avail = max(0, (len(strf) - 40) // 4)
+    quads = np.frombuffer(
+        strf, dtype=np.uint8, offset=40, count=min(n_colors, 256, avail) * 4
+    ).reshape(-1, 4)
     palette = np.zeros((256, 3), dtype=np.uint8)
     palette[: len(quads)] = quads[:, 2::-1]  # RGBQUAD is B,G,R,reserved
     return palette
@@ -368,6 +382,10 @@ def decode_avi(payload: bytes, frame_indices=None) -> dict:
 
     if width is None or n_frames is None:
         raise UnsupportedVideoError("AVI missing avih header")
+    if not (0 < width <= MAX_DIM and 0 < height <= MAX_DIM):
+        raise UnsupportedVideoError(
+            f"implausible AVI dimensions {width}x{height}"
+        )
     uncompressed = handler in (b"DIB ", b"\x00\x00\x00\x00", b"RGB ")
     decoder = None if uncompressed else FOURCC_DECODERS.get(handler)
     if not uncompressed and decoder is None:

@@ -140,3 +140,19 @@ def test_mutated_valid_payloads_never_crash(data, kind):
         dec(bytes(buf[:cut]))
     except err:
         pass  # the ONLY acceptable failure mode — callers catch exactly this
+
+
+def test_bmp_data_offset_inside_header_rejected():
+    """Round-15 codec sweep: a BMP whose bfOffBits points inside its own
+    header would decode header bytes as pixels — corrupt input must be a
+    typed error, not garbage output."""
+    payload = bytearray(encode_bmp(synthetic_image(9, 9, 7)))
+    import struct
+
+    struct.pack_into("<I", payload, 10, 10)  # bfOffBits into the header
+    try:
+        decode_image(bytes(payload))
+    except UnsupportedImageError as e:
+        assert "overlaps the header" in str(e)
+    else:  # pragma: no cover - failure detail
+        raise AssertionError("offset-in-header BMP decoded silently")

@@ -208,3 +208,40 @@ def test_corrupt_dib_chunk_raises_codec_error_only():
     struct.pack_into("<I", payload, at + 4, 4)  # shrink chunk to 4 bytes
     with pytest.raises(UnsupportedVideoError):
         decode_avi(bytes(payload))
+
+
+def test_implausible_avih_dimensions_fail_cleanly():
+    """Round-15 codec sweep: the RLE8 decoder sizes its (h, w) index grid
+    from the avih header BEFORE any body check, so a corrupt header with
+    multi-GB dimensions must be a typed error, never an allocation."""
+    payload = bytearray(encode_avi_rle8(synthetic_video_indexed(7, 8, 6, 2)))
+    at = bytes(payload).index(b"avih") + 8
+    struct.pack_into("<II", payload, at + 32, 1 << 30, 1 << 30)  # w, h
+    with pytest.raises(UnsupportedVideoError, match="implausible"):
+        decode_avi(bytes(payload))
+    struct.pack_into("<II", payload, at + 32, 0, 6)  # zero width
+    with pytest.raises(UnsupportedVideoError, match="implausible"):
+        decode_avi(bytes(payload))
+
+
+def test_truncated_rle8_palette_decodes_black_not_valueerror():
+    """Round-15 codec sweep: a strf chunk cut mid-palette previously made
+    np.frombuffer raise a raw ValueError (buffer smaller than requested);
+    present entries must decode and missing ones come back black."""
+    from palletjack_spark.functions.videocodec import _rle8_palette_from_strf
+
+    payload = encode_avi_rle8(synthetic_video_indexed(8, 8, 6, 1))
+    full_strf = _strf_of(payload)
+    pal = _rle8_palette_from_strf(full_strf[: 40 + 10 * 4])  # 10 entries
+    assert pal.shape == (256, 3)
+    assert np.array_equal(pal[:10], rle8_palette()[:10])  # present entries
+    assert (pal[10:] == 0).all()  # missing entries: black, not a crash
+    # a strf with NO palette at all still yields an all-black palette
+    assert (_rle8_palette_from_strf(full_strf[:40]) == 0).all()
+    # and the truncated-strf payload decodes end-to-end without a raw
+    # numpy error: frames come back palette-mapped through the zeros
+    short = full_strf[: 40 + 10 * 4]
+    got = _decode_rle8(
+        payload[payload.index(b"00dc") + 8 :], 8, 6, short
+    )
+    assert got.shape == (6, 8, 3)
