@@ -1229,7 +1229,8 @@ def append_signatures(
     marker ring keeps the last ``store.EPOCH_RING`` epochs (replays
     only ever target recent epochs), so the manifest stays O(1); all
     three incremental stores share the contract
-    (:func:`palletjack_spark.functions.store.epoch_seen`)."""
+    (:func:`palletjack_spark.functions.store.epoch_seen`).  Full store
+    invariants: STORES.md."""
     from palletjack_spark.errors import IndexFormatError
     from palletjack_spark.functions import store as S
 

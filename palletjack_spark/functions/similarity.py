@@ -925,7 +925,7 @@ def append_vectors(
     (:func:`palletjack_spark.functions.store.epoch_seen`, round 14) —
     an append whose caller-unique epoch the manifest already records is
     a no-op returning 0, so a retried streaming micro-batch can't
-    publish its vectors twice."""
+    publish its vectors twice.  Full store invariants: STORES.md."""
 
     spark = new_df.sparkSession
     meta = _store_meta(path)

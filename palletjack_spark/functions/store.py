@@ -36,9 +36,12 @@ The contract (README "incremental stores"):
   content-preserving, so reading ``batch < old_n_batches`` over the
   compacted directory sees exactly ``batch=0`` = the full store.
 
-Single-writer per store, like the reference's sidecar writes — at
-100 TB the manifest commit would sit behind the metastore/catalog
-transaction instead; the layout and pruning are unchanged.
+Single-writer per store by default (like the reference's sidecar
+writes), multi-writer via :func:`cas_append` — at 100 TB the manifest
+commit would sit behind the metastore/catalog transaction instead; the
+layout and pruning are unchanged.  The full invariant set (manifest
+commit, epochs, claim chain, displaced-slot recovery, compaction) is
+written down once in STORES.md at the repo root.
 """
 
 from __future__ import annotations

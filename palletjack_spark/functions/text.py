@@ -560,7 +560,7 @@ def append_lm_counts(
     at-least-once-replay guard
     (:func:`palletjack_spark.functions.store.epoch_seen`, round 14) —
     a replayed epoch is a no-op, so a retried streaming micro-batch
-    can't double-count its deltas."""
+    can't double-count its deltas.  Full store invariants: STORES.md."""
     from palletjack_spark.functions import store as S
 
     meta = _lm_meta(store_dir)
