@@ -2134,6 +2134,55 @@ def q92l(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q92r_store_compacted_topk", oracle=_Q92L_ORACLE)
+def q92r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-store COMPACTION on the §2.2 scoreboard (round 15 —
+    result-neutrality was previously pinned only in tests): the q92l
+    store shape (whole corpus, vec_id % 17 == 3 tombstoned) is
+    physically compacted — ``compact_vector_store`` rewrites the live
+    rows as one ``batch=0`` via the crash-atomic aside-then-promote
+    swap (STORES.md invariant 5), drops the tombstones, and never
+    re-encodes (codes stay valid; quantizers untouched).  The
+    exhaustive-settings query over the COMPACTED store answers against
+    the SAME oracle as q92l's tombstone-anti-join route — compaction
+    changing any answer fails the driver hash gate.  Query-time plan
+    after compaction: the tombstone anti-join is GONE (zero published
+    tombstones), one zero-shuffle ADC pass over a single batch
+    partition."""
+    import os
+    import shutil
+    import tempfile
+
+    from palletjack_spark.functions.similarity import (
+        _ANN_META_NAME,
+        compact_vector_store,
+        delete_vectors,
+        save_vector_store,
+        vector_store_topk,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    fp = _emb_fingerprint(sf_dir)
+    store = os.path.join(tempfile.gettempdir(), f"pjspark_annstore_cmp_{fp}")
+    # build-once cache keyed by source content; the marker is written
+    # LAST so a torn build (crash between delete and compact) rebuilds
+    marker = os.path.join(store, "_q92r_compacted")
+    ready = os.path.exists(marker) and os.path.exists(
+        os.path.join(store, _ANN_META_NAME)
+    )
+    if not ready:
+        shutil.rmtree(store, ignore_errors=True)
+        save_vector_store(emb, store, n_centroids=16)
+        delete_vectors(emb.where(F.col("vec_id") % 17 == 3), store)
+        compact_vector_store(spark, store)
+        with open(marker, "w") as f:
+            f.write("1")
+    queries = emb.where(F.col("vec_id") < 5)
+    return vector_store_topk(
+        spark, store, queries, k=10, n_probes=16, shortlist=1_000_000
+    )
+
+
 @query(
     "q122_keyword_extraction",
     oracle="""
