@@ -479,7 +479,12 @@ def cas_append_multi(
         for dataset, target, aside in reversed(placed):
             if _holds(target) != nonce:
                 continue
-            junk = os.path.join(store_dir, dataset, f".lost-{nonce}")
+            # unique per loss (a second loss in the same call must not
+            # collide with a leftover junk dir and misread the rename
+            # failure as "displaced under us")
+            junk = os.path.join(
+                store_dir, dataset, f".lost-{nonce}-{uuid.uuid4().hex[:6]}"
+            )
             try:
                 os.replace(target, junk)
             except OSError:
@@ -541,7 +546,27 @@ def cas_append_multi(
                         os.replace(target, aside)
                     else:
                         aside = None
-                    os.replace(stage, target)
+                    for attempt in range(3):
+                        try:
+                            os.replace(stage, target)
+                            break
+                        except OSError:
+                            # a concurrent reader's recover_dataset can
+                            # legitimately restore our aside BETWEEN the
+                            # two renames (slot-absent + aside-present is
+                            # also the crash signature, and a reader
+                            # cannot tell an in-flight swap from a
+                            # crashed one) — re-displace and retry,
+                            # bounded; anything else is a real failure
+                            if (
+                                attempt == 2
+                                or aside is None
+                                or not os.path.exists(target)
+                                or not _owned()
+                            ):
+                                raise
+                            shutil.rmtree(aside, ignore_errors=True)
+                            os.replace(target, aside)
                     placed.append((dataset, target, aside))
                 if not lost:
                     # final check before the commit: a steal after our

@@ -342,3 +342,59 @@ def test_lost_claim_mid_loop_withdraws_and_restores_displaced(
     )
     # the thief's claim survived A's conditional release
     assert claims.read(key)[0] == "thief"
+
+
+def test_reader_recovery_racing_writer_swap_is_retried(
+    spark, tmp_path, monkeypatch
+):
+    """A reader's recover_dataset that runs BETWEEN a writer's two slot
+    renames sees slot-absent + aside-present — the crash signature — and
+    restores the aside out from under the live writer.  The writer's
+    stage->target rename then fails; it must re-displace and retry
+    (bounded), publishing normally instead of dying with a raw OSError
+    mid-append."""
+    from palletjack_spark.functions import dedup as D
+
+    docs = load_table(spark, SF_DIR, "documents")
+    store = str(tmp_path / "race")
+    D.save_signature_store(
+        docs.where(F.col("doc_id") % 7 == 0), "text", "doc_id", store
+    )
+    # plant an unpublished orphan at slot 1 so the writer has to displace
+    orphan = D._signatures_one_shuffle(
+        docs.where(F.col("doc_id") % 7 == 3), "text", "doc_id"
+    )
+    orphan.write.mode("overwrite").parquet(
+        os.path.join(store, "signatures", "batch=1")
+    )
+
+    real_replace = os.replace
+    state = {"fired": False}
+
+    def reader_races_the_swap(src, dst):
+        real_replace(src, dst)
+        if state["fired"] or not str(dst).endswith(".displaced-batch=1"):
+            return
+        state["fired"] = True
+        # the racing reader: slot absent, aside present -> restore
+        S.recover_dataset(store, "signatures")
+        assert os.path.exists(os.path.join(store, "signatures", "batch=1"))
+
+    monkeypatch.setattr(os, "replace", reader_races_the_swap)
+    sig = D._signatures_one_shuffle(
+        docs.where(F.col("doc_id") % 7 == 1), "text", "doc_id"
+    )
+    slot = D.append_signatures_concurrent(sig, store)
+    monkeypatch.setattr(os, "replace", real_replace)
+    assert state["fired"]
+    assert slot == 1  # published at the claimed slot despite the race
+    got = sorted(
+        r["doc_id"] for r in D.load_signature_store(spark, store).collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in docs.where(F.col("doc_id") % 7 <= 1)
+        .select("doc_id")
+        .collect()
+    )
+    assert got == want  # the orphan never leaked into the published rows
