@@ -1735,7 +1735,7 @@ def incremental_components(
 
 
 def append_signatures_concurrent(
-    sig_df: DataFrame, store_dir: str, claims=None
+    sig_df: DataFrame, store_dir: str, claims=None, epoch: str | None = None
 ) -> int:
     """Multi-writer :func:`append_signatures` (round-13): concurrent
     crawl-ingest jobs appending to ONE signature store compose safely —
@@ -1764,5 +1764,11 @@ def append_signatures_concurrent(
         m["version"] = int(m.get("version", 1)) + 1
 
     return S.cas_append(
-        sig_df, store_dir, _SIG_META_NAME, "signatures", bump, claims=claims
+        sig_df,
+        store_dir,
+        _SIG_META_NAME,
+        "signatures",
+        bump,
+        claims=claims,
+        epoch=epoch,
     )

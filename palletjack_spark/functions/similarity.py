@@ -971,6 +971,7 @@ def append_vectors_concurrent(
     id_col: str | None = None,
     vec_col: str | None = None,
     claims=None,
+    epoch: str | None = None,
 ) -> int:
     """Multi-writer :func:`append_vectors` (round-14, closing the r13
     gap: CAS appends were wired to the signature store only — parallel
@@ -1013,7 +1014,13 @@ def append_vectors_concurrent(
             m["n_vectors"] = list(m.get("n_vectors", [])) + [n_rows]
 
         return S.cas_append(
-            encoded, path, _ANN_META_NAME, "vectors", bump, claims=claims
+            encoded,
+            path,
+            _ANN_META_NAME,
+            "vectors",
+            bump,
+            claims=claims,
+            epoch=epoch,
         )
     finally:
         encoded.unpersist()

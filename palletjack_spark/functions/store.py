@@ -353,6 +353,7 @@ def cas_append(
     update_meta,
     max_attempts: int = 64,
     claims: ClaimBackend | None = None,
+    epoch: str | None = None,
 ) -> int:
     """Append ``df`` as the next published batch under a MULTI-WRITER
     contract (single-dataset form of :func:`cas_append_multi`).
@@ -394,6 +395,7 @@ def cas_append(
         update_meta,
         max_attempts=max_attempts,
         claims=claims,
+        epoch=epoch,
     )
 
 
@@ -405,6 +407,7 @@ def cas_append_multi(
     counter_key: str = "n_batches",
     max_attempts: int = 64,
     claims: ClaimBackend | None = None,
+    epoch: str | None = None,
 ) -> int:
     """Append one batch to SEVERAL datasets that advance under ONE
     manifest counter (the LM store's bigrams+unigrams shape: both land
@@ -436,7 +439,16 @@ def cas_append_multi(
 
     ``claims``: the :class:`ClaimBackend` holding slot claims —
     defaults to :data:`POSIX_CLAIMS` (O_EXCL files); pass a
-    conditional-PUT implementation on an object store."""
+    conditional-PUT implementation on an object store.
+
+    ``epoch``: the shared at-least-once replay guard
+    (:func:`epoch_seen` — round 15, extending the single-writer
+    appends' guard to the multi-writer path so streaming foreachBatch
+    can use CAS appends safely).  The marker is checked against the
+    FRESH manifest on every claim attempt (so a retry that lost a slot
+    race to its own epoch's earlier publication no-ops instead of
+    double-publishing) and recorded in the same commit as the batch.
+    A replayed epoch returns ``-1`` and publishes nothing."""
     if not dfs:
         raise ValueError("cas_append_multi: no datasets to append")
     if claims is None:
@@ -501,6 +513,8 @@ def cas_append_multi(
     try:
         for _ in range(max_attempts):
             meta = load_manifest(store_dir, manifest_name)
+            if epoch_seen(meta, epoch):
+                return -1  # replayed epoch: already published
             n = int(meta[counter_key])
             claim = os.path.join(store_dir, claim_dataset, f".claim-{n}")
 
@@ -523,6 +537,8 @@ def cas_append_multi(
                 # re-check under the claim: the manifest may have advanced
                 # between the read and the claim create (slot already taken)
                 meta = load_manifest(store_dir, manifest_name)
+                if epoch_seen(meta, epoch):
+                    return -1  # our epoch won a parallel race: no-op
                 if int(meta[counter_key]) != n:
                     continue  # stale slot: retry with the fresh manifest
                 placed: list[tuple[str, str, str | None]] = []
@@ -580,6 +596,7 @@ def cas_append_multi(
                     continue
                 update_meta(meta, n)
                 meta[counter_key] = n + 1
+                record_epoch(meta, epoch)
                 commit_manifest(store_dir, manifest_name, meta)
                 # the asides we created held crashed-append orphans (or a
                 # loser's garbage): safe to drop now that we published

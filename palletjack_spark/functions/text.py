@@ -586,6 +586,7 @@ def append_lm_counts_concurrent(
     id_col: str,
     store_dir: str,
     claims=None,
+    epoch: str | None = None,
 ) -> int:
     """Multi-writer :func:`append_lm_counts` (round-14, closing the r13
     gap: CAS appends were wired to the signature store only — parallel
@@ -611,6 +612,7 @@ def append_lm_counts_concurrent(
         _LM_META_NAME,
         lambda _m, _slot: None,
         claims=claims,
+        epoch=epoch,
     )
 
 

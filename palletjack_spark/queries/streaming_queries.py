@@ -654,3 +654,21 @@ def q115d(spark: SparkSession, sf_dir: str) -> DataFrame:
     from palletjack_spark.streaming.ops import streaming_lm_ingest
 
     return streaming_lm_ingest(spark, sf_dir)
+
+
+@query("q115e_concurrent_lm_ingest", oracle=_q115d_oracle())
+def q115e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO streams, ONE store, multi-writer CAS appends (Q115e, round
+    15): q115d's loop run as two SIMULTANEOUS availableNow streams —
+    slice 2 and slice 3 ingested by independent writers racing slot
+    claims on one LM store (``append_lm_counts_concurrent``), each
+    micro-batch carrying the epoch replay guard, which round 15
+    extended to the CAS path (a replayed micro-batch of either stream
+    no-ops; checked against the fresh manifest on every claim attempt,
+    so even a same-epoch parallel race publishes exactly once).
+    Counts are additive, so any slot interleaving ≡ one-shot train
+    over slices 1-3 — the SAME oracle as q115d, now under real writer
+    concurrency."""
+    from palletjack_spark.streaming.ops import streaming_lm_ingest_concurrent
+
+    return streaming_lm_ingest_concurrent(spark, sf_dir)

@@ -42,10 +42,22 @@ def _staging_key(sf_dir: str, table: str) -> str:
 
 
 def _source_sig(sf_dir: str, table: str) -> str:
-    """Signature of the source parquet (mtime + size) — a regenerated
-    table under the same path must invalidate the staged copy."""
+    """Signature of the source parquet (name+mtime+size per FILE) — a
+    regenerated table under the same path must invalidate the staged
+    copy.  Walks directory tables per-file (round-15 ADVICE, applied
+    here too): rewriting part files inside a Spark-written directory
+    need not change the directory's own mtime/size, so a single stat
+    could serve stale staged slices; the single stat remains only as
+    the plain-file fallback."""
     p = os.path.join(sf_dir, f"{table}.parquet")
     try:
+        if os.path.isdir(p):
+            parts = []
+            for root, _dirs, files in sorted(os.walk(p)):
+                for fn in sorted(files):
+                    st = os.stat(os.path.join(root, fn))
+                    parts.append(f"{root}/{fn}:{st.st_mtime_ns}:{st.st_size}")
+            return ";".join(parts)
         st = os.stat(p)
         return f"{st.st_mtime_ns}:{st.st_size}"
     except OSError:
@@ -844,5 +856,94 @@ def streaming_lm_ingest(
     )
     return bigram_lm_score_store(
         spark, docs.where(F.col("doc_id") % n_slices == 0), "text", "doc_id",
+        store_dir,
+    )
+
+
+def streaming_lm_ingest_concurrent(
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = 4,
+    store_dir: str | None = None,
+) -> DataFrame:
+    """TWO ingest streams sharing ONE LM store via multi-writer CAS
+    appends (q115e, round 15): production crawl ingest is many parallel
+    jobs, not one stream, and the single-writer append contract the
+    q115d loop uses would silently lose batches under that concurrency.
+    Stream A carries slice 2 and stream B slice 3 (store bootstrapped
+    on slice 1); both run availableNow SIMULTANEOUSLY from separate
+    checkpoints, each micro-batch appending through
+    ``append_lm_counts_concurrent`` — the slot-claim CAS protocol plus
+    the round-15 epoch extension, so a replayed micro-batch of EITHER
+    stream is a no-op even under the multi-writer path.  Counts are
+    additive, so ANY interleaving of the two writers' slots ≡ a
+    one-shot train over slices 1..n-1; the held-out slice 0 is scored
+    against the store and matches the q157-shape oracle exactly.
+
+    Scale shape: per micro-batch one map-side-combined count over the
+    batch + one claim/rename/commit; contention cost is the claim
+    retry loop, never a lost batch or a store rescan."""
+    from palletjack_spark.functions.text import (
+        _LM_META_NAME,
+        append_lm_counts_concurrent,
+        bigram_lm_score_store,
+        save_lm_store,
+    )
+
+    path = stage_document_slices(spark, sf_dir, n_slices)
+    docs = load_table(spark, sf_dir, "documents")
+    run_id = uuid.uuid4().hex[:8]
+    if store_dir is None:
+        store_dir = os.path.join(
+            tempfile.gettempdir(), f"pjspark_q115e_store_{run_id}"
+        )
+    if not os.path.exists(os.path.join(store_dir, _LM_META_NAME)):
+        save_lm_store(
+            docs.where(F.col("doc_id") % n_slices == 1),
+            "text",
+            "doc_id",
+            store_dir,
+        )
+    schema = spark.read.parquet(path).schema
+
+    def start(tag: str, glob: str):
+        def ingest(batch_df: DataFrame, batch_id: int) -> None:
+            append_lm_counts_concurrent(
+                batch_df,
+                "text",
+                "doc_id",
+                store_dir,
+                epoch=f"{run_id}:{tag}:{int(batch_id)}",
+            )
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", glob)
+            .parquet(path)
+        )
+        return (
+            stream.writeStream.foreachBatch(ingest)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                os.path.join(
+                    tempfile.gettempdir(),
+                    f"pjspark_ckpt_q115e_{run_id}_{tag}",
+                ),
+            )
+            .start()
+        )
+
+    running = [
+        start(tag, f"slice-{i}.parquet") for tag, i in (("a", 2), ("b", 3))
+    ]
+    for q in running:
+        q.awaitTermination()
+    return bigram_lm_score_store(
+        spark,
+        docs.where(F.col("doc_id") % n_slices == 0),
+        "text",
+        "doc_id",
         store_dir,
     )

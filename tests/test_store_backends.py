@@ -398,3 +398,63 @@ def test_reader_recovery_racing_writer_swap_is_retried(
         .collect()
     )
     assert got == want  # the orphan never leaked into the published rows
+
+
+@pytest.mark.parametrize("backend", sorted(BACKENDS))
+def test_cas_same_epoch_parallel_race_publishes_once(
+    spark, tmp_path, backend
+):
+    """Round-15 epoch extension to the CAS path: two writers carrying
+    the SAME epoch (a speculatively retried micro-batch racing its own
+    first attempt) must publish exactly once — the loser sees the epoch
+    in the fresh manifest on its next claim attempt and returns -1."""
+    from palletjack_spark.functions import dedup as D
+
+    claims = BACKENDS[backend]()
+    docs = load_table(spark, SF_DIR, "documents")
+    store = str(tmp_path / "eporace")
+    D.save_signature_store(
+        docs.where(F.col("doc_id") % 7 == 0), "text", "doc_id", store
+    )
+    sig = D._signatures_one_shuffle(
+        docs.where(F.col("doc_id") % 7 == 1), "text", "doc_id"
+    )
+    results, errs = [], []
+    barrier = threading.Barrier(2)
+
+    def run():
+        try:
+            barrier.wait()
+            results.append(
+                D.append_signatures_concurrent(
+                    sig, store, claims=claims, epoch="e:0"
+                )
+            )
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    threads = [threading.Thread(target=run) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert sorted(results) == [-1, 1]  # one published, one no-op'd
+    meta = S.load_manifest(store, D._SIG_META_NAME)
+    assert int(meta["n_batches"]) == 2
+    assert meta["epochs"] == ["e:0"]
+    got = sorted(
+        r["doc_id"] for r in D.load_signature_store(spark, store).collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in docs.where(F.col("doc_id") % 7 <= 1)
+        .select("doc_id")
+        .collect()
+    )
+    assert got == want  # the batch landed exactly once
+    # a later sequential replay of the same epoch is also a no-op
+    assert (
+        D.append_signatures_concurrent(sig, store, claims=claims, epoch="e:0")
+        == -1
+    )

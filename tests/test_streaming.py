@@ -579,3 +579,60 @@ def test_streaming_lm_ingest_equals_one_shot_and_replay_noops(
     assert sorted(tuple(r) for r in big2.collect()) == sorted(
         tuple(r) for r in ref_big.collect()
     )
+
+
+def test_concurrent_lm_ingest_equals_one_shot_and_replay_noops(
+    spark, tmp_path
+):
+    """Q115e end-to-end (round 15): two SIMULTANEOUS streams appending
+    to one LM store through the multi-writer CAS path must together
+    equal a one-shot count over doc_id % 4 != 0, with both streams'
+    epochs recorded and a replayed micro-batch of either stream a
+    CAS-path no-op (returns -1, nothing double-counted)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from palletjack_spark.functions.text import (
+        _lm_counts,
+        append_lm_counts_concurrent,
+        load_lm_tables,
+    )
+    from palletjack_spark.streaming.ops import streaming_lm_ingest_concurrent
+    from palletjack_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    store = str(tmp_path / "clmstore")
+    scored = streaming_lm_ingest_concurrent(spark, sf, store_dir=store)
+    docs = load_table(spark, sf, "documents")
+    assert scored.count() == docs.where(F.col("doc_id") % 4 == 0).count()
+    with open(os.path.join(store, "_lm_meta.json")) as f:
+        meta = json.load(f)
+    assert int(meta["n_batches"]) == 3  # bootstrap + one slot per stream
+    tags = sorted(e.split(":")[1] for e in meta.get("epochs", []))
+    assert tags == ["a", "b"]  # both writers' epochs recorded
+    big, uni = load_lm_tables(spark, store)
+    ref_big, ref_uni = _lm_counts(
+        docs.where(F.col("doc_id") % 4 != 0), "text", "doc_id"
+    )
+    assert sorted(tuple(r) for r in big.collect()) == sorted(
+        tuple(r) for r in ref_big.collect()
+    )
+    assert sorted(tuple(r) for r in uni.collect()) == sorted(
+        tuple(r) for r in ref_uni.collect()
+    )
+    # replay of either stream's recorded epoch through the CAS path:
+    # -1, manifest byte-identical, nothing double-counted
+    assert (
+        append_lm_counts_concurrent(
+            docs.where(F.col("doc_id") % 4 == 2),
+            "text",
+            "doc_id",
+            store,
+            epoch=meta["epochs"][0],
+        )
+        == -1
+    )
+    with open(os.path.join(store, "_lm_meta.json")) as f:
+        assert json.load(f) == meta
