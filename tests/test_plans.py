@@ -1710,3 +1710,26 @@ def test_lttb_anchor_table_broadcasts_argmax_grouplimits(spark):
     plan = _simple_plan(REGISTRY["q121d_lttb_downsample"].fn(spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_compacted_store_drops_the_tombstone_antijoin(spark, tmp_path):
+    """Q92r's plan claim: with tombstones published, the store's live
+    rows carry a broadcast LEFT ANTI against the tombstone ids; after
+    compaction (zero published tombstones) that join is GONE — the
+    at-rest read is a plain partition-pruned scan."""
+    import palletjack_spark.functions.similarity as sim
+    from palletjack_spark.functions.similarity import _store_meta
+
+    emb = load_table(spark, SF_DIR, "embeddings").where(F.col("vec_id") < 200)
+    store = str(tmp_path / "plan_store")
+    sim.save_vector_store(emb, store, n_centroids=4)
+    sim.delete_vectors(emb.where(F.col("vec_id") % 17 == 3), store)
+    before = _simple_plan(
+        sim._store_vectors(spark, store, _store_meta(store))
+    )
+    assert "LeftAnti" in before and "Broadcast" in before, before
+    sim.compact_vector_store(spark, store)
+    after = _simple_plan(
+        sim._store_vectors(spark, store, _store_meta(store))
+    )
+    assert "Join" not in after, after
