@@ -672,3 +672,45 @@ def q115e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from palletjack_spark.streaming.ops import streaming_lm_ingest_concurrent
 
     return streaming_lm_ingest_concurrent(spark, sf_dir)
+
+
+@query(
+    "q76b_stream_reservoir",
+    oracle=f"""
+    WITH pri AS (
+      SELECT event_type, event_id, md5(CAST(event_id AS VARCHAR)) AS p
+      FROM {_E}),
+    ranked AS (
+      SELECT event_type, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY p) AS rank
+      FROM pri)
+    SELECT event_type, event_id, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q76b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-key reservoir sample (round 15): a REAL stateful
+    sampler over the event stream — per event_type, the k=5 events with
+    the smallest md5 priority survive (bottom-k-by-hash ≡ uniform
+    reservoir, but deterministic and mergeable across micro-batches, so
+    the stream's final state is exactly the batch answer the oracle
+    computes).  The last emission per key (highest n_seen) carries the
+    final reservoir; rank = priority order within it."""
+    from palletjack_spark.streaming.ops import (
+        events_stream,
+        run_stream_to_table,
+        stream_reservoir_sample,
+    )
+
+    out = run_stream_to_table(
+        stream_reservoir_sample(events_stream(spark, sf_dir)), "update"
+    )
+    final = out.groupBy("key").agg(F.max_by("ids", "n_seen").alias("ids"))
+    return final.select(
+        F.col("key").alias("event_type"),
+        F.posexplode("ids").alias("rank0", "event_id"),
+    ).select(
+        "event_type",
+        "event_id",
+        (F.col("rank0") + 1).cast("long").alias("rank"),
+    )

@@ -947,3 +947,56 @@ def streaming_lm_ingest_concurrent(
         "doc_id",
         store_dir,
     )
+
+
+def stream_reservoir_sample(
+    events: DataFrame, key: str = "event_type", k: int = 5
+) -> DataFrame:
+    """Deterministic per-key reservoir sample over an unbounded stream
+    (q76b, round 15): keep the k events with the SMALLEST
+    ``md5(event_id)`` priority per key — bottom-k-by-hash is a uniform
+    sample that is MERGEABLE (bottom-k of old-bottom-k ∪ new-batch =
+    bottom-k of the whole history) and, unlike the classic
+    random-replacement reservoir, bit-deterministic, so the streaming
+    run is oracle-checkable (the q47e md5-priority discipline).  This is
+    the "sample k docs per domain from an unbounded crawl" shape.
+
+    State per key is exactly k (priority, id) pairs + a count — O(keys
+    × k), the minimum any per-key sample can hold; at 100 TB stream
+    rates an unbounded key space would add an event-time timeout, like
+    q76's totals."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    tagged = events.select(
+        F.col(key).alias("key"),
+        "event_id",
+        F.md5(F.col("event_id").cast("string")).alias("p"),
+    )
+
+    def update(key_, pdfs, state):
+        ids: list[int] = []
+        prios: list[str] = []
+        n = 0
+        if state.exists:
+            stored_ids, stored_prios, n = state.get
+            ids, prios = list(stored_ids), list(stored_prios)
+        for pdf in pdfs:
+            n += len(pdf)
+            ids.extend(int(x) for x in pdf["event_id"])
+            prios.extend(str(x) for x in pdf["p"])
+        pairs = sorted(zip(prios, ids))[:k]
+        prios = [p for p, _ in pairs]
+        ids = [i for _, i in pairs]
+        state.update((ids, prios, n))
+        yield pd.DataFrame(
+            {"key": [key_[0]], "n_seen": [n], "ids": [ids]}
+        )
+
+    return tagged.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType="key string, n_seen long, ids array<long>",
+        stateStructType="ids array<long>, prios array<string>, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
