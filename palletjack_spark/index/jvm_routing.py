@@ -71,8 +71,14 @@ def jvm_classes_dir(compile_if_missing: bool = True) -> str:
     classes = sorted(
         glob.glob(os.path.join(out_dir, "io", "palletjack", "spark", "*.class"))
     )
-    fresh = classes and max(os.path.getmtime(s) for s in sources) <= min(
-        os.path.getmtime(c) for c in classes
+    # a class per source at minimum (javac may emit more for inner
+    # classes) — without the count check, ADDING a source while stale
+    # classes existed would pass the mtime comparison and skip the
+    # recompile, silently running the old rule (round-15 sweep)
+    fresh = (
+        len(classes) >= len(sources)
+        and max(os.path.getmtime(s) for s in sources)
+        <= min(os.path.getmtime(c) for c in classes)
     )
     if fresh:
         return out_dir

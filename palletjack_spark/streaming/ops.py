@@ -763,6 +763,11 @@ def streaming_vector_ingest(
         vector_store_topk,
     )
 
+    if not 2 <= n_slices <= 10:
+        raise ValueError(
+            "n_slices must be in [2, 10] (the slice glob is a single-digit "
+            f"character class), got {n_slices}"
+        )
     path = stage_table_slices(spark, sf_dir, "embeddings", "vec_id", n_slices)
     emb = load_table(spark, sf_dir, "embeddings")
     run_id = uuid.uuid4().hex[:8]
@@ -823,6 +828,11 @@ def streaming_lm_ingest(
         save_lm_store,
     )
 
+    if not 3 <= n_slices <= 10:
+        raise ValueError(
+            "n_slices must be in [3, 10] (bootstrap slice 1 + streamed "
+            f"slices 2..n-1, single-digit glob class), got {n_slices}"
+        )
     path = stage_document_slices(spark, sf_dir, n_slices)
     docs = load_table(spark, sf_dir, "documents")
     run_id = uuid.uuid4().hex[:8]
@@ -890,6 +900,11 @@ def streaming_lm_ingest_concurrent(
         save_lm_store,
     )
 
+    if n_slices != 4:
+        raise ValueError(
+            "the two-stream composition pins slices: bootstrap 1, stream A "
+            f"slice 2, stream B slice 3 (n_slices=4); got {n_slices}"
+        )
     path = stage_document_slices(spark, sf_dir, n_slices)
     docs = load_table(spark, sf_dir, "documents")
     run_id = uuid.uuid4().hex[:8]
