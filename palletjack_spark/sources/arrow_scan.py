@@ -234,7 +234,16 @@ def partition_values(path: str) -> dict[str, str]:
     """Hive partition values encoded in a file's path: ``.../key=value/...``
     segments, URL-decoded like Spark's own partition discovery.  Values
     stay STRINGS (the ``partitionColumnTypeInference.enabled=false``
-    semantics) — lossless, and identical on every engine."""
+    semantics) — lossless, and identical on every engine.
+
+    Deliberately scans EVERY directory segment (no dataset-root anchor):
+    the indexed route and smart_read's native fallback share this
+    all-segments rule, so the two routes always agree on the partition
+    spec.  Consequence, documented rather than hidden: a ``key=value``
+    segment in a PARENT directory above the dataset root (e.g.
+    ``/mnt/run=5/data/...``) surfaces as a constant partition column on
+    every route — keep '=' out of ancestor directory names or read
+    through a catalog location without one."""
     from urllib.parse import unquote
 
     out: dict[str, str] = {}
@@ -626,7 +635,16 @@ def read_schema_arrow(
     """Schema-only read (reference ``read_schema``, palletjack_cython.pyx:48-67):
     one footer read, zero row groups decoded, optional column pruning."""
     files = expand_paths(paths)
-    schema = pq.read_schema(files[0])
+    try:
+        schema = pq.read_schema(files[0])
+    except Exception as e:  # arrow raises OSError on encrypted footers
+        # same typed surface as the scan path's _open_parquet (round-15
+        # sweep: the schema-only read leaked the raw arrow error)
+        if "encrypt" in str(e).lower():
+            raise EncryptedParquetError(
+                f"Encrypted parquet is not supported: {files[0]}"
+            ) from e
+        raise
     sel = resolve_columns(schema.names, columns, column_indices)
     if sel is not None:
         schema = pa.schema([schema.field(c) for c in sel])
