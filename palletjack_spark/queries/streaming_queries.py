@@ -714,3 +714,21 @@ def q76b(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         (F.col("rank0") + 1).cast("long").alias("rank"),
     )
+
+
+@query("q115f_concurrent_vector_ingest", oracle=_q115c_oracle())
+def q115f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO streams, ONE vector store, multi-writer CAS appends (Q115f,
+    round 15 — q115e's composition for embeddings): slice 1 and slices
+    2-3 ingested by independent writers racing slot claims, each
+    micro-batch encoding against the PERSISTED codebooks (zero training
+    jobs) and carrying the CAS-path epoch replay guard.  The store is a
+    set of published batches, so any slot interleaving holds the whole
+    corpus — the exhaustive-settings query answers the SAME q92
+    brute-force oracle as the single-stream q115c row, now under real
+    writer concurrency."""
+    from palletjack_spark.streaming.ops import (
+        streaming_vector_ingest_concurrent,
+    )
+
+    return streaming_vector_ingest_concurrent(spark, sf_dir)

@@ -1015,3 +1015,85 @@ def stream_reservoir_sample(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_vector_ingest_concurrent(
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = 4,
+    store_dir: str | None = None,
+) -> DataFrame:
+    """TWO embedding-ingest streams sharing ONE vector store via
+    multi-writer CAS appends (q115f, round 15 — q115e's composition for
+    the vector store): bootstrap (codebooks trained once) on slice 0;
+    stream A carries slice 1 and stream B slices 2..n-1, both running
+    availableNow SIMULTANEOUSLY, each micro-batch encoding against the
+    PERSISTED codebooks and appending through
+    ``append_vectors_concurrent`` — slot-claim CAS plus the epoch
+    extension, so a replayed micro-batch of either stream publishes
+    nothing (returns -1).  The store is a SET of published batches, so
+    any slot interleaving holds the whole corpus and the
+    exhaustive-settings query is exact brute force — the q92 oracle,
+    now under real writer concurrency."""
+    from palletjack_spark.functions.similarity import (
+        _ANN_META_NAME,
+        append_vectors_concurrent,
+        save_vector_store,
+        vector_store_topk,
+    )
+
+    if n_slices != 4:
+        raise ValueError(
+            "the two-stream composition pins slices: bootstrap 0, stream A "
+            f"slice 1, stream B slices 2-3 (n_slices=4); got {n_slices}"
+        )
+    path = stage_table_slices(spark, sf_dir, "embeddings", "vec_id", n_slices)
+    emb = load_table(spark, sf_dir, "embeddings")
+    run_id = uuid.uuid4().hex[:8]
+    if store_dir is None:
+        store_dir = os.path.join(
+            tempfile.gettempdir(), f"pjspark_q115f_store_{run_id}"
+        )
+    if not os.path.exists(os.path.join(store_dir, _ANN_META_NAME)):
+        save_vector_store(
+            emb.where(F.col("vec_id") % n_slices == 0),
+            store_dir,
+            n_centroids=16,
+        )
+    schema = spark.read.parquet(path).schema
+
+    def start(tag: str, glob: str):
+        def ingest(batch_df: DataFrame, batch_id: int) -> None:
+            append_vectors_concurrent(
+                batch_df, store_dir, epoch=f"{run_id}:{tag}:{int(batch_id)}"
+            )
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", glob)
+            .parquet(path)
+        )
+        return (
+            stream.writeStream.foreachBatch(ingest)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                os.path.join(
+                    tempfile.gettempdir(),
+                    f"pjspark_ckpt_q115f_{run_id}_{tag}",
+                ),
+            )
+            .start()
+        )
+
+    running = [
+        start("a", "slice-1.parquet"),
+        start("b", "slice-[2-3].parquet"),
+    ]
+    for q in running:
+        q.awaitTermination()
+    queries = emb.where(F.col("vec_id") < 5)
+    return vector_store_topk(
+        spark, store_dir, queries, k=10, n_probes=16, shortlist=1_000_000
+    )

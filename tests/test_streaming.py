@@ -636,3 +636,54 @@ def test_concurrent_lm_ingest_equals_one_shot_and_replay_noops(
     )
     with open(os.path.join(store, "_lm_meta.json")) as f:
         assert json.load(f) == meta
+
+
+def test_concurrent_vector_ingest_fills_store_and_replay_noops(
+    spark, tmp_path
+):
+    """Q115f end-to-end (round 15): two SIMULTANEOUS streams appending
+    encoded batches to one vector store through the multi-writer CAS
+    path — every vector lands exactly once (per-slot ledger consistent),
+    both streams' epochs are recorded, and a replayed micro-batch of
+    either stream is a CAS no-op (returns -1, manifest byte-identical)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from palletjack_spark.functions import store as S
+    from palletjack_spark.functions.similarity import (
+        append_vectors_concurrent,
+    )
+    from palletjack_spark.streaming.ops import (
+        streaming_vector_ingest_concurrent,
+    )
+    from palletjack_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    store = str(tmp_path / "cvstore")
+    topk = streaming_vector_ingest_concurrent(spark, sf, store_dir=store)
+    assert topk.count() == 5 * 10
+    with open(os.path.join(store, "_ann_meta.json")) as f:
+        meta = json.load(f)
+    assert int(meta["n_batches"]) == 4  # bootstrap + 3 streamed slices
+    tags = sorted(e.split(":")[1] for e in meta.get("epochs", []))
+    assert tags == ["a", "b", "b"]  # one A micro-batch, two B
+    emb = load_table(spark, sf, "embeddings")
+    want = sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+    got = sorted(
+        r["vec_id"]
+        for r in S.live_batches(spark, store, "vectors", meta["n_batches"])
+        .select("vec_id")
+        .collect()
+    )
+    assert got == want  # nothing lost, nothing doubled under concurrency
+    assert sum(meta["n_vectors"]) == len(want)
+    # replay of either stream's recorded epoch through the CAS path
+    replay = emb.where(F.col("vec_id") % 4 == 1)
+    assert (
+        append_vectors_concurrent(replay, store, epoch=meta["epochs"][0])
+        == -1
+    )
+    with open(os.path.join(store, "_ann_meta.json")) as f:
+        assert json.load(f) == meta
