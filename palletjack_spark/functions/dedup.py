@@ -1746,7 +1746,9 @@ def append_signatures_concurrent(
     claim (:func:`palletjack_spark.functions.store.cas_append`).  The
     single-writer :func:`append_signatures` stays the default (one
     fewer filesystem round-trip per append); use this from parallel
-    ingest drivers.  Returns the slot the batch published as."""
+    ingest drivers.  Returns the slot the batch published as, or
+    ``-1`` when ``epoch`` was already recorded (a replayed
+    micro-batch — nothing published)."""
     from palletjack_spark.errors import IndexFormatError
     from palletjack_spark.functions import store as S
 

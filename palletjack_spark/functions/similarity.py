@@ -982,7 +982,9 @@ def append_vectors_concurrent(
     :func:`palletjack_spark.functions.store.cas_append`.  The
     single-writer :func:`append_vectors` stays the default (one fewer
     filesystem round-trip); use this from parallel ingest drivers.
-    Returns the slot the batch published as."""
+    Returns the slot the batch published as, or ``-1`` when
+    ``epoch`` was already recorded (a replayed micro-batch — nothing
+    published)."""
     from palletjack_spark.functions import store as S
 
     spark = new_df.sparkSession

@@ -37,11 +37,14 @@ The contract (README "incremental stores"):
   compacted directory sees exactly ``batch=0`` = the full store.
 
 Single-writer per store by default (like the reference's sidecar
-writes), multi-writer via :func:`cas_append` — at 100 TB the manifest
-commit would sit behind the metastore/catalog transaction instead; the
-layout and pruning are unchanged.  The full invariant set (manifest
-commit, epochs, claim chain, displaced-slot recovery, compaction) is
-written down once in STORES.md at the repo root.
+writes), multi-writer via :func:`cas_append` — slot claims AND the
+manifest commit itself go through an atomic create-if-absent primitive
+(:class:`ClaimBackend`; the commit is fenced by a monotone generation
+key, see :func:`_fenced_commit`), which is exactly the conditional-PUT
+a metastore/catalog transaction provides at 100 TB; the layout and
+pruning are unchanged.  The full invariant set (manifest commit,
+epochs, claim chain, fenced generations, displaced-slot recovery,
+compaction) is written down once in STORES.md at the repo root.
 """
 
 from __future__ import annotations
@@ -172,6 +175,7 @@ def compact_swap(
     meta: dict,
     writers: dict[str, DataFrame],
     finalize_meta=None,
+    claims: ClaimBackend | None = None,
 ) -> dict:
     """Crash-atomic multi-dataset compaction swap: write each dataset's
     compacted rows as a fresh ``batch=0`` under ``_compact_tmp``, set
@@ -184,7 +188,25 @@ def compact_swap(
     batch=0 path} AFTER the writes but BEFORE any rename, and its
     return value replaces ``meta`` — the hook for manifests that need
     post-write facts (e.g. the compacted row count) without executing
-    the live-rows plan twice.  Returns the committed manifest."""
+    the live-rows plan twice.  Returns the committed manifest.
+
+    ``claims``: for a store that takes multi-writer CAS appends, pass
+    its :class:`ClaimBackend` — compaction then HARD-ERRORS if the
+    committed generation chain is ahead of the manifest the caller
+    compacted from (a crashed writer's durable-but-unmirrored commit:
+    compacting over it would let the next append's
+    :func:`repair_manifest` mirror a pre-compaction manifest onto the
+    compacted layout).  The repair runs first, so the retry sees the
+    healed manifest."""
+    if claims is not None:
+        fresh = repair_manifest(store_dir, manifest_name, claims)
+        if int(fresh.get("commit_gen", 0)) != int(meta.get("commit_gen", 0)):
+            raise RuntimeError(
+                f"compact_swap: store {store_dir!r} had a committed but "
+                "unmirrored manifest generation (now repaired) — the "
+                "compaction inputs were computed from a stale manifest; "
+                "reload and retry"
+            )
     for dataset in writers:
         recover_dataset(store_dir, dataset)
     tmp_root = os.path.join(store_dir, _COMPACT_TMP)
@@ -295,6 +317,13 @@ class PosixClaimBackend(ClaimBackend):
             return None
 
     def delete(self, key: str, expected: str | None = None) -> None:
+        """Best-effort compare-and-delete: the read and the unlink are
+        two steps, so two stealers racing a fresh claimant can unlink
+        the fresh claim (B reads the stale value, A deletes+recreates,
+        B unlinks A's new claim).  Concrete consequence: a SPURIOUS
+        claim loss — A's per-rename ownership checks and the fenced
+        commit both fail closed, so A withdraws and retries; nothing
+        ever double-publishes through this window."""
         if expected is not None:
             cur = self.read(key)
             if cur is None or cur[0] != expected:
@@ -345,6 +374,84 @@ class ConditionalPutClaimBackend(ClaimBackend):
 POSIX_CLAIMS = PosixClaimBackend()
 
 
+# ---------------------------------------------------------------------------
+# Fenced manifest commits (round-16, closing the round-15 residual
+# check-to-commit window): under the pre-fence protocol a writer that
+# stalled past the TTL between its last ownership check and
+# ``commit_manifest`` could still publish — the stealer and the loser
+# BOTH committed slot N, and whichever rename landed last paired its
+# per-slot metadata with the other writer's rows.  The fix makes the
+# commit itself the atomic decision: every CAS commit must first WIN an
+# atomic create-if-absent of a monotone GENERATION key through the
+# claim backend; exactly one writer can ever hold a generation, so the
+# double-commit is an impossible state rather than a documented race.
+
+#: committed-generation keys older than ``commit_gen - _GEN_RING`` are
+#: garbage-collected at each fenced commit (one delete per commit keeps
+#: the set bounded; repair only ever consults ``commit_gen + 1``)
+_GEN_RING = 16
+
+
+def _gen_key(store_dir: str, manifest_name: str, gen: int) -> str:
+    """Claim-backend key recording committed manifest generation
+    ``gen`` (hidden dotfile under the POSIX backend)."""
+    return os.path.join(store_dir, f".{manifest_name}.gen-{gen}")
+
+
+def repair_manifest(
+    store_dir: str, manifest_name: str, claims: ClaimBackend, meta: dict | None = None
+) -> dict:
+    """Read-repair the reader-visible manifest from the committed
+    generation chain: a writer that crashed between winning generation
+    ``commit_gen + 1`` (the durable commit) and mirroring it to the
+    plain manifest file leaves the store COMMITTED but not yet visible;
+    walk the chain forward and mirror each committed generation.
+    Returns the freshest committed manifest.
+
+    The mirror is an unconditional ``os.replace``, so a slow repairer
+    racing a live writer can transiently roll the PLAIN file back to an
+    older committed generation — readers only ever see monotone-stale
+    snapshots (always safe under the batch-pruning contract) and the
+    next append's own loop-head repair re-advances it.
+
+    Call this before compacting a store that takes multi-writer CAS
+    appends (see :func:`compact_swap`'s ``claims`` guard)."""
+    if meta is None:
+        meta = load_manifest(store_dir, manifest_name)
+    while True:
+        cur = claims.read(
+            _gen_key(store_dir, manifest_name, int(meta.get("commit_gen", 0)) + 1)
+        )
+        if cur is None:
+            return meta
+        meta = json.loads(cur[0])
+        commit_manifest(store_dir, manifest_name, meta)
+
+
+def _fenced_commit(
+    store_dir: str, manifest_name: str, meta: dict, claims: ClaimBackend
+) -> bool:
+    """Commit ``meta`` iff no other writer committed this generation:
+    the atomic create-if-absent of the generation key IS the commit —
+    durable the instant it lands, mirrored to the plain manifest file
+    for readers right after.  Returns False (nothing published) when
+    the generation was already taken, i.e. the caller's claim was
+    stolen and the stealer committed first.
+
+    A mirror failure AFTER the generation key lands (the exception
+    propagates) is a liveness event, not a safety one: the commit is
+    already durable and the next append's :func:`repair_manifest`
+    publishes it to readers."""
+    gen = int(meta.get("commit_gen", 0)) + 1
+    meta["commit_gen"] = gen
+    if not claims.try_create(_gen_key(store_dir, manifest_name, gen), json.dumps(meta)):
+        return False
+    commit_manifest(store_dir, manifest_name, meta)
+    if gen > _GEN_RING:
+        claims.delete(_gen_key(store_dir, manifest_name, gen - _GEN_RING))
+    return True
+
+
 def cas_append(
     df: DataFrame,
     store_dir: str,
@@ -377,16 +484,19 @@ def cas_append(
     unpublished orphan + a stale claim; the next writer steals both.
 
     Claims carry a per-writer NONCE and ownership is re-verified right
-    before the rename and again before the manifest commit (round-14
-    ADVICE: a writer that stalled past ``_CLAIM_TTL_S`` between claim
-    and commit had its claim stolen, the stealer rmtree'd the stalled
-    writer's already-renamed data, and BOTH then committed "success" —
-    the stalled writer's rows were silently gone).  A writer that finds
-    its claim stolen never commits: it re-stages if its data dir was
-    exposed to the stealer and retries a fresh slot.  The verify→act
-    window is milliseconds, so a steal can only race a stall that
-    crosses the 10-minute TTL inside that window — versus racing ANY
-    post-claim stall before.  Returns the slot the batch published as.
+    before the rename (round-14 ADVICE: a writer that stalled past
+    ``_CLAIM_TTL_S`` between claim and commit had its claim stolen, the
+    stealer rmtree'd the stalled writer's already-renamed data, and
+    BOTH then committed "success" — the stalled writer's rows were
+    silently gone).  The COMMIT itself is fenced (round 16): it is an
+    atomic create-if-absent of a monotone manifest-generation key
+    through the claim backend, so of a stalled loser and its stealer
+    exactly ONE can ever commit a slot — the other loses the generation
+    create, withdraws its renames, and retries a fresh slot.  The
+    round-15 check-to-commit race (both commit, last manifest rename
+    wins) is an impossible state, not a window.  Returns the slot the
+    batch published as (``-1`` when ``epoch`` was already recorded — a
+    replayed micro-batch, nothing published).
     """
     return cas_append_multi(
         {dataset: df},
@@ -429,13 +539,22 @@ def cas_append_multi(
     existing content is never deleted: it is set ASIDE under a hidden
     ``.displaced-batch=N`` name and restored if ownership turns out to
     have been lost (normally it is a crashed append's orphan and is
-    cleaned up after OUR commit).  Residual window, documented rather
-    than hidden: a writer that stalls >TTL inside the few milliseconds
-    BETWEEN an ownership check and the very next rename can still
-    transiently displace a stealer's published slot — the loss path
-    and :func:`recover_dataset` restore the displaced content, but a
-    reader racing that exact window can observe the swapped rows until
-    the restore lands.  Returns the slot the batch published as.
+    cleaned up after OUR commit).
+
+    The manifest commit is FENCED (round 16, closing the round-15
+    check-to-commit window): :func:`_fenced_commit` makes the commit an
+    atomic create-if-absent of generation ``commit_gen + 1`` through
+    the claim backend, so two writers racing one slot can never BOTH
+    commit — the loser's generation create fails, it withdraws its
+    renames and retries.  What remains is strictly a DATA transient,
+    inherent to rename-based slot placement: a writer that stalls >TTL
+    inside the few milliseconds between an ownership check and the very
+    next rename (or between winning the generation and the stealer's
+    withdraw) can transiently leave the other writer's rows visible at
+    a published slot until the loss path / :func:`recover_dataset`
+    restores them — the manifest, epochs, and per-slot metadata are
+    always exactly one writer's.  Returns the slot the batch published
+    as.
 
     ``claims``: the :class:`ClaimBackend` holding slot claims —
     defaults to :data:`POSIX_CLAIMS` (O_EXCL files); pass a
@@ -509,10 +628,20 @@ def cas_append_multi(
             shutil.rmtree(junk, ignore_errors=True)
 
     stages = _stage_all()
+    # every staging generation ever created (the loss path re-stages and
+    # rebinds ``stages``; without this ledger the earlier generations'
+    # unconsumed dirs leaked as hidden ``.stage-*`` garbage under
+    # contention — round-15 ADVICE); consumed dirs are gone by rename
+    # and their rmtree is a no-op
+    all_stages: list[str] = list(stages.values())
 
     try:
         for _ in range(max_attempts):
-            meta = load_manifest(store_dir, manifest_name)
+            # loop-head read-repair: a writer that crashed between its
+            # durable generation commit and the reader mirror leaves the
+            # plain manifest behind the committed chain — advance it (and
+            # learn its epochs) before targeting a slot
+            meta = repair_manifest(store_dir, manifest_name, claims)
             if epoch_seen(meta, epoch):
                 return -1  # replayed epoch: already published
             n = int(meta[counter_key])
@@ -536,7 +665,7 @@ def cas_append_multi(
             try:
                 # re-check under the claim: the manifest may have advanced
                 # between the read and the claim create (slot already taken)
-                meta = load_manifest(store_dir, manifest_name)
+                meta = repair_manifest(store_dir, manifest_name, claims)
                 if epoch_seen(meta, epoch):
                     return -1  # our epoch won a parallel race: no-op
                 if int(meta[counter_key]) != n:
@@ -585,19 +714,28 @@ def cas_append_multi(
                             os.replace(target, aside)
                     placed.append((dataset, target, aside))
                 if not lost:
-                    # final check before the commit: a steal after our
-                    # last rename must still abort the publication
+                    # fast-path check before the commit (saves a wasted
+                    # generation attempt when the steal already happened)
                     lost = not _owned()
+                if not lost:
+                    update_meta(meta, n)
+                    meta[counter_key] = n + 1
+                    record_epoch(meta, epoch)
+                    # the FENCE: the atomic generation create is the
+                    # commit decision — a writer whose claim was stolen
+                    # inside the check-to-commit window loses this create
+                    # to the stealer and never publishes (the round-15
+                    # residual double-commit is an impossible state)
+                    lost = not _fenced_commit(
+                        store_dir, manifest_name, meta, claims
+                    )
                 if lost:
                     _withdraw(placed)
                     # the renames consumed some staging dirs: re-stage
                     # everything and retry a fresh slot
                     stages = _stage_all()
+                    all_stages.extend(stages.values())
                     continue
-                update_meta(meta, n)
-                meta[counter_key] = n + 1
-                record_epoch(meta, epoch)
-                commit_manifest(store_dir, manifest_name, meta)
                 # the asides we created held crashed-append orphans (or a
                 # loser's garbage): safe to drop now that we published
                 for _dataset, _target, aside in placed:
@@ -616,5 +754,5 @@ def cas_append_multi(
             f"attempts (store {store_dir!r}, datasets {sorted(dfs)!r})"
         )
     finally:
-        for stage in stages.values():
+        for stage in all_stages:
             shutil.rmtree(stage, ignore_errors=True)

@@ -596,7 +596,9 @@ def append_lm_counts_concurrent(
     under the slot-claim / nonce-ownership protocol
     (:func:`palletjack_spark.functions.store.cas_append_multi`) —
     counts are additive, so any interleaving of winners is equivalent
-    to some sequential append order.  Returns the published slot."""
+    to some sequential append order.  Returns the published slot, or
+    ``-1`` when ``epoch`` was already recorded (a replayed
+    micro-batch — nothing published)."""
     from palletjack_spark.functions import store as S
 
     meta = _lm_meta(store_dir)
