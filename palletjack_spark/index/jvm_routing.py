@@ -37,6 +37,7 @@ from __future__ import annotations
 import glob
 import math
 import os
+import shutil
 import subprocess
 
 from pyspark.sql import SparkSession, functions as F
@@ -71,12 +72,16 @@ def jvm_classes_dir(compile_if_missing: bool = True) -> str:
     classes = sorted(
         glob.glob(os.path.join(out_dir, "io", "palletjack", "spark", "*.class"))
     )
-    # a class per source at minimum (javac may emit more for inner
-    # classes) — without the count check, ADDING a source while stale
-    # classes existed would pass the mtime comparison and skip the
-    # recompile, silently running the old rule (round-15 sweep)
+    # freshness = the EXACT top-level class set derived from the source
+    # file names (javac emits Foo.class for Foo.java, plus Foo$*.class
+    # inner classes).  A bare count-and-mtime check missed removals and
+    # renames: deleting or renaming a .java left its orphaned .class in
+    # out_dir, still passing both checks, and the stale rule stayed on
+    # the session classpath (round-15 sweep + round-15 ADVICE)
+    expected = {os.path.splitext(os.path.basename(s))[0] for s in sources}
+    top_level = {os.path.basename(c)[: -len(".class")].split("$")[0] for c in classes}
     fresh = (
-        len(classes) >= len(sources)
+        top_level == expected
         and max(os.path.getmtime(s) for s in sources)
         <= min(os.path.getmtime(c) for c in classes)
     )
@@ -84,6 +89,9 @@ def jvm_classes_dir(compile_if_missing: bool = True) -> str:
         return out_dir
     if not compile_if_missing:
         raise PalletJackSparkError(f"compiled classes missing under {out_dir}")
+    # wipe the package tree before recompiling so removed/renamed
+    # sources can't leave orphaned classes behind
+    shutil.rmtree(os.path.join(out_dir, "io"), ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     cmd = [
         "javac",

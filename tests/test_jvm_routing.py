@@ -423,3 +423,42 @@ def test_per_file_intervals_soundness_gates(spark, tmp_path):
     idx4 = build_index(spark, p4)
     got4 = _per_file_intervals(idx4, ["k"])
     assert struct.unpack(">I", got4[p4]["k"][:4])[0] == 0
+
+
+def test_removed_source_evicts_orphan_class(tmp_path, monkeypatch):
+    """Round-15 ADVICE: the count-and-mtime freshness check missed
+    REMOVALS — deleting a .java left its orphaned .class in the output
+    dir, still "fresh", silently kept on the session classpath.  The
+    check now requires the exact top-level class set derived from the
+    source names, and a recompile wipes the package tree first."""
+    from palletjack_spark.index import jvm_routing as JR
+
+    pkg = os.path.join("io", "palletjack", "spark")
+    src = tmp_path / "java" / pkg
+    src.mkdir(parents=True)
+    for name in ("Alpha", "Beta"):
+        (src / f"{name}.java").write_text(
+            f"package io.palletjack.spark; public class {name} {{}}\n"
+        )
+    monkeypatch.setattr(JR, "_JVM_DIR", str(tmp_path))
+    out = JR.jvm_classes_dir()
+    cls_dir = os.path.join(out, pkg)
+    assert sorted(os.listdir(cls_dir)) == ["Alpha.class", "Beta.class"]
+
+    # fresh tree: a second call must NOT recompile (mtimes untouched)
+    before = os.path.getmtime(os.path.join(cls_dir, "Alpha.class"))
+    assert JR.jvm_classes_dir() == out
+    assert os.path.getmtime(os.path.join(cls_dir, "Alpha.class")) == before
+
+    # removing a source must evict its orphaned class on the next call
+    os.unlink(src / "Beta.java")
+    JR.jvm_classes_dir()
+    assert sorted(os.listdir(cls_dir)) == ["Alpha.class"]
+
+    # renaming a source likewise replaces the class, never adds to it
+    (src / "Alpha.java").rename(src / "Gamma.java")
+    (src / "Gamma.java").write_text(
+        "package io.palletjack.spark; public class Gamma {}\n"
+    )
+    JR.jvm_classes_dir()
+    assert sorted(os.listdir(cls_dir)) == ["Gamma.class"]
