@@ -79,6 +79,7 @@ HEADLINE = [
     # G.711 µ-law audio (FORMAT_DECODERS), MS RLE8 video (FOURCC_DECODERS)
     "q94e_audio_mulaw",
     "q94f_video_rle8",
+    "q94g_image_jpeg",
     # round 4 additions: corpus-curation ops — cross-doc duplicated
     # substrings (Lee et al.), SemDeDup embedding dedup, DSIR resampling
     "q110_cross_doc_dupgrams",

@@ -147,8 +147,9 @@ def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
 # dispatch
 # --------------------------------------------------------------------------
 
-#: magic-prefix → decoder; register a new codec by adding an entry
-#: (e.g. ``REGISTRY[b"\\xff\\xd8"] = pillow_jpeg_decode``)
+#: magic-prefix → decoder; register a new codec by adding an entry.
+#: Baseline JPEG registers itself below (jpegcodec.py — round 16); a
+#: Pillow/libjpeg-backed decoder would drop into the same slot.
 REGISTRY: dict[bytes, object] = {
     b"BM": decode_bmp,
     b"P6": decode_ppm,
@@ -160,6 +161,12 @@ def decode_image(payload: bytes) -> dict:
 
     Dispatches on the payload magic through :data:`REGISTRY`; raises
     :class:`UnsupportedImageError` for formats with no registered codec."""
+    if payload[:2] == b"\xff\xd8" and b"\xff\xd8" not in REGISTRY:
+        # lazy registration (jpegcodec imports THIS module for the
+        # error hierarchy, so a top-level import here would be circular)
+        from palletjack_spark.functions.jpegcodec import decode_jpeg
+
+        REGISTRY[b"\xff\xd8"] = decode_jpeg
     for magic, dec in REGISTRY.items():
         if payload[: len(magic)] == magic:
             w, h, px = dec(payload)

@@ -13,10 +13,12 @@ and tested, and the decode paths are real too:
   frame chunks) the same way — frame counts and dimensions come from the
   actual RIFF parse, and frame sampling decodes real pixel data.
 
-Compressed codecs (JPEG/H.264/...) remain out of scope for this container
-— ``imagecodec.REGISTRY`` / ``videocodec.FOURCC_DECODERS`` are the
-documented plug-in points, and unsupported payloads raise
-``UnsupportedImageError`` / ``UnsupportedVideoError``.
+Compressed codecs plug in through the documented seams and three are
+REAL here: baseline JPEG (round 16, ``jpegcodec`` — the T.81 Huffman +
+DCT process in numpy, registered in ``imagecodec.REGISTRY``), G.711
+µ-law audio (``audiocodec.FORMAT_DECODERS``) and MS-RLE8 video
+(``videocodec.FOURCC_DECODERS``).  Codecs outside the implemented set
+(H.264/...) raise ``UnsupportedImageError`` / ``UnsupportedVideoError``.
 
 Scale notes: binary payloads stay in the executors (never collected);
 feature extraction is Arrow-batched; ``spark.sql.execution.arrow.
@@ -41,6 +43,10 @@ from palletjack_spark.functions.imagecodec import (
     encode_ppm,
     resize_nearest,
     synthetic_image,
+)
+from palletjack_spark.functions.jpegcodec import (
+    encode_jpeg,
+    synthetic_block_image,
 )
 from palletjack_spark.functions.videocodec import (
     UnsupportedVideoError,
@@ -99,6 +105,7 @@ def attach_fake_binary(
     id_col: str,
     audio_codec: str = "pcm16",
     video_codec: str = "dib",
+    image_codec: str = "bmp_ppm",
 ) -> DataFrame:
     """Build a multimodal asset table from a text fixture.
 
@@ -111,11 +118,17 @@ def attach_fake_binary(
     (G.711-companded — exercises the ``FORMAT_DECODERS`` compressed-codec
     seam on the read side).  ``video_codec``: ``"dib"`` (uncompressed) or
     ``"rle8"`` (MS-RLE8-compressed, palettized — exercises the
-    ``FOURCC_DECODERS`` seam)."""
+    ``FOURCC_DECODERS`` seam).  ``image_codec``: ``"bmp_ppm"``
+    (uncompressed, BMP for even ids / PPM for odd) or ``"jpeg"``
+    (baseline 4:2:0 JFIF of the per-block-constant gray pattern —
+    exercises the compressed image seam; odd ids carry a restart
+    interval so the DRI/RST path is hit too)."""
     if audio_codec not in ("pcm16", "mulaw"):
         raise ValueError(f"unknown audio_codec {audio_codec!r}")
     if video_codec not in ("dib", "rle8"):
         raise ValueError(f"unknown video_codec {video_codec!r}")
+    if image_codec not in ("bmp_ppm", "jpeg"):
+        raise ValueError(f"unknown image_codec {image_codec!r}")
     cols = ["asset_id", "modality", "payload", "width", "height", "n_bytes"]
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -126,10 +139,17 @@ def attach_fake_binary(
                 modality = ("image", "audio", "video")[aid % 3]
                 if modality == "image":
                     w, h = _asset_dims(aid)
-                    px = synthetic_image(aid % 256, w, h)
-                    payload = (
-                        encode_bmp(px) if aid % 2 == 0 else encode_ppm(px)
-                    )
+                    if image_codec == "jpeg":
+                        payload = encode_jpeg(
+                            synthetic_block_image(aid % 256, w, h),
+                            subsampling="420",
+                            restart_interval=2 if aid % 2 else 0,
+                        )
+                    else:
+                        px = synthetic_image(aid % 256, w, h)
+                        payload = (
+                            encode_bmp(px) if aid % 2 == 0 else encode_ppm(px)
+                        )
                 elif modality == "video":
                     w, h, n = _video_dims(aid)
                     if video_codec == "dib":
@@ -274,6 +294,57 @@ def resize_images(
         .select("asset_id", "payload")
         .mapInPandas(
             rs, "asset_id long, payload binary, width int, height int, n_bytes long"
+        )
+    )
+
+
+def image_pixel_probes(assets: DataFrame) -> DataFrame:
+    """Decode image payloads and probe three pixels — (0,0), the center
+    (h//2, w//2), and the far corner (h-1, w-1), red channel — via
+    ``mapInPandas``.  The probes anchor DECODED CONTENT, not just header
+    metadata: for the q94g JPEG differential the first and last probe
+    sit in different MCUs, so a wrong Huffman walk, DC prediction chain,
+    dequantization, IDCT scale, or chroma upsample shifts at least one
+    of them off the oracle's closed form.  Payloads no codec can read
+    yield null probes rather than poisoning the batch."""
+
+    def probe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    d = decode_image(bytes(p) if p is not None else b"")
+                except UnsupportedImageError:
+                    rows.append(
+                        {"asset_id": aid, "width": None, "height": None,
+                         "p00": None, "p_mid": None, "p_last": None}
+                    )
+                    continue
+                px = d["pixels"]
+                h, w = px.shape[:2]
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "width": w,
+                        "height": h,
+                        "p00": int(px[0, 0, 0]),
+                        "p_mid": int(px[h // 2, w // 2, 0]),
+                        "p_last": int(px[h - 1, w - 1, 0]),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "width", "height", "p00", "p_mid", "p_last"],
+                dtype=object,
+            )
+
+    return (
+        assets.where(F.col("modality") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(
+            probe,
+            "asset_id long, width int, height int, p00 int, p_mid int,"
+            " p_last int",
         )
     )
 

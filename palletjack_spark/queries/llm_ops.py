@@ -583,6 +583,76 @@ def q94e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q94g_image_jpeg",
+    # COMPRESSED-image differential, completing the seam triple (µ-law
+    # audio q94e, RLE8 video q94f): the image assets are REAL baseline
+    # JPEG files — 4:2:0 YCbCr, Huffman entropy coding, Annex-K
+    # quantization, restart markers on odd ids — built and decoded by
+    # jpegcodec.py (the public T.81 process in numpy).  The fixture
+    # pattern is gray and CONSTANT per 8x8 DCT block (value (seed +
+    # by*7 + bx*3) mod 256, seed = id mod 256), so all signal sits in
+    # the DC coefficient and both chroma planes are exactly 128 through
+    # the whole pipeline; the decoded pixel then has the closed form
+    # clamp(floor((v-128)/2 + 0.5)*2 + 128) under the luma DC step 16,
+    # which the oracle recomputes in SQL.  Three probes per image land
+    # in different MCUs, so a wrong Huffman walk, DC prediction, zigzag,
+    # dequant, IDCT scale, chroma upsample, or restart resync breaks
+    # the hash match.
+    oracle="""
+    WITH img AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 16 AS INT) AS w,
+             CAST(8 + (doc_id * 7) % 16 AS INT) AS h,
+             doc_id % 256 AS seed
+      FROM documents WHERE doc_id % 3 = 0
+    ), px AS (
+      SELECT doc_id, w, h,
+             seed % 256 AS v00,
+             (seed + ((h // 2) // 8) * 7 + ((w // 2) // 8) * 3) % 256
+                 AS vmid,
+             (seed + ((h - 1) // 8) * 7 + ((w - 1) // 8) * 3) % 256
+                 AS vlast
+      FROM img
+    )
+    SELECT doc_id AS asset_id, w AS width, h AS height,
+           CAST(LEAST(255, GREATEST(0,
+             CAST(FLOOR((v00 - 128) / 2.0 + 0.5) AS INT) * 2 + 128))
+             AS INT) AS p00,
+           CAST(LEAST(255, GREATEST(0,
+             CAST(FLOOR((vmid - 128) / 2.0 + 0.5) AS INT) * 2 + 128))
+             AS INT) AS p_mid,
+           CAST(LEAST(255, GREATEST(0,
+             CAST(FLOOR((vlast - 128) / 2.0 + 0.5) AS INT) * 2 + 128))
+             AS INT) AS p_last
+    FROM px
+    ORDER BY asset_id
+    """,
+)
+def q94g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed image decode (Q94g): baseline JPEG — the format every
+    real image corpus leads with — flows through the same registry
+    dispatch as BMP/PPM (``imagecodec.REGISTRY[b"\xff\xd8"]``,
+    implemented by ``jpegcodec.py`` from the public ITU-T T.81 spec).
+    The probes are DECODED pixel values, analytically recomputed by the
+    oracle from the constant-block closed form, proving the full
+    Huffman → dequant → IDCT → color/upsample path end to end."""
+    from palletjack_spark.functions.multimodal import (
+        attach_fake_binary,
+        image_pixel_probes,
+    )
+
+    # the documents fixture is one small parquet file = one input split;
+    # the codec work is CPU-bound Python, so spread it across the
+    # executor cores BEFORE the mapInPandas stages (at corpus scale the
+    # many input files provide this parallelism for free)
+    docs = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    assets = attach_fake_binary(docs, "text", "doc_id", image_codec="jpeg")
+    return image_pixel_probes(assets).orderBy("asset_id")
+
+
+@query(
     "q107_paragraph_dedup",
     # The corpus is derived with REAL planted boilerplate: every document
     # becomes [unique-ish prefix, THE SAME cookie-banner paragraph,
