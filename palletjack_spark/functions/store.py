@@ -76,9 +76,14 @@ def load_manifest(store_dir: str, manifest_name: str) -> dict:
 
 def commit_manifest(store_dir: str, manifest_name: str, meta: dict) -> None:
     """Atomic manifest publication — the q92k contract: the rename IS
-    the commit; everything written before it is invisible until here."""
+    the commit; everything written before it is invisible until here.
+
+    The temp name is writer-unique (round 16): the object-layout path
+    and read-repair mirror WITHOUT holding a slot claim, and two
+    concurrent publications sharing one ``.tmp`` tore each other's
+    writes (one truncates while the other renames)."""
     path = os.path.join(store_dir, manifest_name)
-    tmp = path + ".tmp"
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, path)
@@ -450,6 +455,191 @@ def _fenced_commit(
     if gen > _GEN_RING:
         claims.delete(_gen_key(store_dir, manifest_name, gen - _GEN_RING))
     return True
+
+
+# ---------------------------------------------------------------------------
+# Rename-free object layout (round-16, verdict item 6): the data path an
+# object store actually wants.  Batches land ONCE at immutable
+# per-writer object directories (``<dataset>/obj-<nonce>``) that are
+# never moved, never overwritten, and never contended; the manifest
+# LISTS each dataset's published objects in slot order; and the fenced
+# generation commit is the ONLY synchronization.  Compare the slot
+# layout above: no slot claims, no TTL stealing, no displaced-slot
+# machinery, and the residual reader-visible data transient of
+# rename-based placement does not exist — an unpublished object is
+# unreferenced, a published one is immutable.  On S3/GCS/Azure the
+# object write is a PUT of new keys and the generation key is the
+# conditional PUT the fence already requires; nothing needs rename
+# atomicity.  This is the same commit shape a table format (Iceberg /
+# Delta) uses: optimistic append to a listed snapshot behind a CAS.
+
+
+def cas_append_objects(
+    dfs: dict[str, DataFrame],
+    store_dir: str,
+    manifest_name: str,
+    update_meta,
+    counter_key: str = "n_batches",
+    max_attempts: int = 64,
+    claims: ClaimBackend | None = None,
+    epoch: str | None = None,
+) -> int:
+    """Multi-writer append under the rename-free OBJECT layout: write
+    each dataset's batch once to an immutable ``obj-<nonce>`` directory,
+    then loop an optimistic fenced commit that appends the object names
+    to ``meta["objects"][dataset]`` and advances ``counter_key`` — a
+    lost fence reloads the manifest and retries the COMMIT only (the
+    data never moves, so contention costs commit attempts, not
+    rewrites).  Same ``update_meta`` / ``epoch`` contract as
+    :func:`cas_append_multi`; returns the published slot, or ``-1``
+    when ``epoch`` was already recorded (the just-written objects are
+    removed — they were never referenced)."""
+    if not dfs:
+        raise ValueError("cas_append_objects: no datasets to append")
+    if claims is None:
+        claims = POSIX_CLAIMS
+    nonce = uuid.uuid4().hex
+    objs: dict[str, str] = {}
+    for dataset, df in dfs.items():
+        rel = f"obj-{nonce}"
+        df.write.mode("overwrite").parquet(os.path.join(store_dir, dataset, rel))
+        objs[dataset] = rel
+
+    def _drop_unpublished() -> None:
+        for dataset, rel in objs.items():
+            shutil.rmtree(
+                os.path.join(store_dir, dataset, rel), ignore_errors=True
+            )
+
+    for attempt in range(max_attempts):
+        meta = repair_manifest(store_dir, manifest_name, claims)
+        if epoch_seen(meta, epoch):
+            _drop_unpublished()
+            return -1
+        n = int(meta[counter_key])
+        objects = meta.setdefault("objects", {})
+        for dataset, rel in objs.items():
+            objects.setdefault(dataset, []).append(rel)
+        update_meta(meta, n)
+        meta[counter_key] = n + 1
+        record_epoch(meta, epoch)
+        if _fenced_commit(store_dir, manifest_name, meta, claims):
+            return n
+        time.sleep(min(0.005 * (attempt + 1), 0.1))
+    _drop_unpublished()
+    raise TimeoutError(
+        f"cas_append_objects: lost the commit fence {max_attempts} times "
+        f"(store {store_dir!r}, datasets {sorted(dfs)!r})"
+    )
+
+
+def live_object_batches(spark, store_dir: str, dataset: str, meta: dict):
+    """The dataset's published rows under the object layout: read
+    EXACTLY the manifest-listed object directories (the manifest is the
+    listing — no partition-prune filter, no directory scan, so an
+    orphaned object can never leak into a read).  Returns None for an
+    empty listing (callers supply their empty-schema shape)."""
+    rels = list(meta.get("objects", {}).get(dataset, []))
+    if not rels:
+        return None
+    return spark.read.parquet(
+        *[os.path.join(store_dir, dataset, rel) for rel in rels]
+    )
+
+
+def sweep_orphan_objects(
+    store_dir: str,
+    manifest_name: str,
+    dataset: str,
+    min_age_s: float = _CLAIM_TTL_S,
+    claims: ClaimBackend | None = None,
+) -> list[str]:
+    """GC for the object layout: delete ``obj-*`` directories the
+    CURRENT committed manifest does not reference and that are older
+    than ``min_age_s`` — a crashed append's write, or a compaction's
+    superseded inputs whose post-commit deletes didn't finish.  The age
+    guard (default: the claim TTL) keeps a live append's not-yet-listed
+    object safe.  Returns the removed names."""
+    meta = (
+        repair_manifest(store_dir, manifest_name, claims)
+        if claims is not None
+        else load_manifest(store_dir, manifest_name)
+    )
+    listed = set(meta.get("objects", {}).get(dataset, []))
+    droot = os.path.join(store_dir, dataset)
+    removed: list[str] = []
+    for name in sorted(os.listdir(droot) if os.path.isdir(droot) else []):
+        if not name.startswith("obj-") or name in listed:
+            continue
+        path = os.path.join(droot, name)
+        try:
+            age = time.time() - os.stat(path).st_mtime
+        except OSError:
+            continue
+        if age > min_age_s:
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(name)
+    return removed
+
+
+def compact_objects(
+    store_dir: str,
+    manifest_name: str,
+    meta: dict,
+    writers: dict[str, DataFrame],
+    claims: ClaimBackend | None = None,
+    finalize_meta=None,
+) -> dict:
+    """Rename-free compaction: write each dataset's compacted rows as
+    ONE fresh object, fence-commit a manifest listing only the new
+    objects, then delete the superseded ones.  There is no
+    rename-to-rename window at all — a crash before the commit leaves
+    unreferenced garbage (swept by :func:`sweep_orphan_objects`), a
+    crash after it leaves the superseded objects as garbage; the listed
+    data is complete at every instant.  Raises if another writer
+    commits concurrently (compaction is single-writer by contract; the
+    fence turns a violated contract into an error, not corruption)."""
+    if claims is None:
+        claims = POSIX_CLAIMS
+    fresh = repair_manifest(store_dir, manifest_name, claims)
+    if int(fresh.get("commit_gen", 0)) != int(meta.get("commit_gen", 0)):
+        raise RuntimeError(
+            f"compact_objects: store {store_dir!r} advanced past the "
+            "manifest the compaction inputs were computed from; reload "
+            "and retry"
+        )
+    old = {
+        ds: list(meta.get("objects", {}).get(ds, [])) for ds in writers
+    }
+    nonce = uuid.uuid4().hex
+    staged: dict[str, str] = {}
+    for dataset, df in writers.items():
+        rel = f"obj-{nonce}"
+        df.write.mode("overwrite").parquet(
+            os.path.join(store_dir, dataset, rel)
+        )
+        staged[dataset] = rel
+    if finalize_meta is not None:
+        meta = finalize_meta(
+            {ds: os.path.join(store_dir, ds, rel) for ds, rel in staged.items()}
+        )
+    for dataset, rel in staged.items():
+        meta.setdefault("objects", {})[dataset] = [rel]
+    if not _fenced_commit(store_dir, manifest_name, meta, claims):
+        for dataset, rel in staged.items():
+            shutil.rmtree(
+                os.path.join(store_dir, dataset, rel), ignore_errors=True
+            )
+        raise RuntimeError(
+            f"compact_objects: a concurrent commit won the fence on "
+            f"{store_dir!r} — compaction must run quiesced; retry"
+        )
+    for dataset, rels in old.items():
+        for rel in rels:
+            shutil.rmtree(
+                os.path.join(store_dir, dataset, rel), ignore_errors=True
+            )
+    return meta
 
 
 def cas_append(

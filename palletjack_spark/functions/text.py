@@ -522,27 +522,52 @@ def _lm_commit(store_dir: str, meta: dict) -> None:
 
 
 def save_lm_store(
-    train: DataFrame, text_col: str, id_col: str, store_dir: str
+    train: DataFrame,
+    text_col: str,
+    id_col: str,
+    store_dir: str,
+    layout: str = "slots",
 ) -> None:
     """Persist the stupid-backoff count tables of an ingested corpus as
     a versioned store (``bigrams/batch=0``, ``unigrams/batch=0`` + a
     manifest): later crawl batches merge in as COUNT DELTAS with no
     rescan of this corpus (:func:`append_lm_counts`) — the exact reason
     Brants et al. chose count-based smoothing for distributed training:
-    counts are additive; normalized probabilities are not."""
+    counts are additive; normalized probabilities are not.
+
+    ``layout``: ``"slots"`` (rename-based ``batch=N`` dirs, the
+    default) or ``"objects"`` (round-16: rename-free immutable object
+    dirs listed by the manifest —
+    :func:`palletjack_spark.functions.store.cas_append_objects` — the
+    shape an object-store deployment wants; appends, loads, and
+    compaction all follow the manifest's layout automatically)."""
+    import os
+    import uuid
+
     from palletjack_spark.functions import store as S
 
+    if layout not in ("slots", "objects"):
+        raise ValueError(f"unknown LM store layout {layout!r}")
     big, uni = _lm_counts(train, text_col, id_col)
-    S.write_batch(big, store_dir, "bigrams", 0)
-    S.write_batch(uni, store_dir, "unigrams", 0)
-    _lm_commit(
-        store_dir,
-        {
-            "store_version": _LM_STORE_VERSION,
-            "n_batches": 1,
-            "text_col": text_col,
-        },
-    )
+    meta = {
+        "store_version": _LM_STORE_VERSION,
+        "n_batches": 1,
+        "text_col": text_col,
+        "layout": layout,
+    }
+    if layout == "objects":
+        rel = f"obj-{uuid.uuid4().hex}"
+        big.write.mode("overwrite").parquet(
+            os.path.join(store_dir, "bigrams", rel)
+        )
+        uni.write.mode("overwrite").parquet(
+            os.path.join(store_dir, "unigrams", rel)
+        )
+        meta["objects"] = {"bigrams": [rel], "unigrams": [rel]}
+    else:
+        S.write_batch(big, store_dir, "bigrams", 0)
+        S.write_batch(uni, store_dir, "unigrams", 0)
+    _lm_commit(store_dir, meta)
 
 
 def append_lm_counts(
@@ -571,8 +596,19 @@ def append_lm_counts(
         )
     if S.epoch_seen(meta, epoch):
         return  # replayed epoch: the deltas are already published
-    batch = int(meta["n_batches"])
     big, uni = _lm_counts(new_train, text_col, id_col)
+    if meta.get("layout") == "objects":
+        # the rename-free path is also the single-writer path: an
+        # uncontended fenced commit is one attempt
+        S.cas_append_objects(
+            {"bigrams": big, "unigrams": uni},
+            store_dir,
+            _LM_META_NAME,
+            lambda _m, _slot: None,
+            epoch=epoch,
+        )
+        return
+    batch = int(meta["n_batches"])
     S.write_batch(big, store_dir, "bigrams", batch)
     S.write_batch(uni, store_dir, "unigrams", batch)
     meta["n_batches"] = batch + 1
@@ -608,8 +644,18 @@ def append_lm_counts_concurrent(
             f"{meta['text_col']!r}; append asked for {text_col!r}"
         )
     big, uni = _lm_counts(new_train, text_col, id_col)
+    dfs = {"bigrams": big, "unigrams": uni}
+    if meta.get("layout") == "objects":
+        return S.cas_append_objects(
+            dfs,
+            store_dir,
+            _LM_META_NAME,
+            lambda _m, _slot: None,
+            claims=claims,
+            epoch=epoch,
+        )
     return S.cas_append_multi(
-        {"bigrams": big, "unigrams": uni},
+        dfs,
         store_dir,
         _LM_META_NAME,
         lambda _m, _slot: None,
@@ -628,17 +674,15 @@ def load_lm_tables(
     from palletjack_spark.functions import store as S
 
     meta = _lm_meta(store_dir)
-    n = int(meta["n_batches"])
-    big = (
-        S.live_batches(spark, store_dir, "bigrams", n)
-        .groupBy("w1", "w2")
-        .agg(F.sum("c12").alias("c12"))
-    )
-    uni = (
-        S.live_batches(spark, store_dir, "unigrams", n)
-        .groupBy("tok")
-        .agg(F.sum("c2").alias("c2"))
-    )
+    if meta.get("layout") == "objects":
+        big_raw = S.live_object_batches(spark, store_dir, "bigrams", meta)
+        uni_raw = S.live_object_batches(spark, store_dir, "unigrams", meta)
+    else:
+        n = int(meta["n_batches"])
+        big_raw = S.live_batches(spark, store_dir, "bigrams", n)
+        uni_raw = S.live_batches(spark, store_dir, "unigrams", n)
+    big = big_raw.groupBy("w1", "w2").agg(F.sum("c12").alias("c12"))
+    uni = uni_raw.groupBy("tok").agg(F.sum("c2").alias("c2"))
     return big, uni
 
 
@@ -673,6 +717,10 @@ def compact_lm_store(spark, store_dir: str) -> dict:
     meta = _lm_meta(store_dir)
     big, uni = load_lm_tables(spark, store_dir)
     meta["n_batches"] = 1
+    if meta.get("layout") == "objects":
+        return S.compact_objects(
+            store_dir, _LM_META_NAME, meta, {"bigrams": big, "unigrams": uni}
+        )
     S.compact_swap(
         store_dir, _LM_META_NAME, meta, {"bigrams": big, "unigrams": uni}
     )

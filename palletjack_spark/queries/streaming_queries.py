@@ -716,6 +716,24 @@ def q76b(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q115g_concurrent_lm_ingest_objects", oracle=_q115d_oracle())
+def q115g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q115e's two-stream multi-writer composition through the
+    RENAME-FREE object store layout (Q115g, round 16): the store is
+    saved with ``layout="objects"``, so every micro-batch append lands
+    its count deltas ONCE at immutable object directories and the
+    fenced generation commit is the only synchronization — no slot
+    claims, no rename of data anywhere on the publish path, the shape
+    an S3/GCS deployment runs (PUT new keys + conditional-PUT the
+    generation).  Same two simultaneous availableNow streams, same
+    epoch replay guard, same oracle: counts are additive, so any
+    interleaving of fenced commits ≡ the one-shot train over slices
+    1-3."""
+    from palletjack_spark.streaming.ops import streaming_lm_ingest_concurrent
+
+    return streaming_lm_ingest_concurrent(spark, sf_dir, layout="objects")
+
+
 @query("q115f_concurrent_vector_ingest", oracle=_q115c_oracle())
 def q115f(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO streams, ONE vector store, multi-writer CAS appends (Q115f,

@@ -875,6 +875,7 @@ def streaming_lm_ingest_concurrent(
     sf_dir: str,
     n_slices: int = 4,
     store_dir: str | None = None,
+    layout: str = "slots",
 ) -> DataFrame:
     """TWO ingest streams sharing ONE LM store via multi-writer CAS
     appends (q115e, round 15): production crawl ingest is many parallel
@@ -892,7 +893,12 @@ def streaming_lm_ingest_concurrent(
 
     Scale shape: per micro-batch one map-side-combined count over the
     batch + one claim/rename/commit; contention cost is the claim
-    retry loop, never a lost batch or a store rescan."""
+    retry loop, never a lost batch or a store rescan.
+
+    ``layout``: the store's data layout — ``"slots"`` (rename-based
+    ``batch=N``) or ``"objects"`` (round 16: rename-free immutable
+    objects listed by the manifest, commits serialized by the fenced
+    generation alone — q115g runs this same composition through it)."""
     from palletjack_spark.functions.text import (
         _LM_META_NAME,
         append_lm_counts_concurrent,
@@ -908,9 +914,10 @@ def streaming_lm_ingest_concurrent(
     path = stage_document_slices(spark, sf_dir, n_slices)
     docs = load_table(spark, sf_dir, "documents")
     run_id = uuid.uuid4().hex[:8]
+    qid = "q115e" if layout == "slots" else "q115g"
     if store_dir is None:
         store_dir = os.path.join(
-            tempfile.gettempdir(), f"pjspark_q115e_store_{run_id}"
+            tempfile.gettempdir(), f"pjspark_{qid}_store_{run_id}"
         )
     if not os.path.exists(os.path.join(store_dir, _LM_META_NAME)):
         save_lm_store(
@@ -918,6 +925,7 @@ def streaming_lm_ingest_concurrent(
             "text",
             "doc_id",
             store_dir,
+            layout=layout,
         )
     schema = spark.read.parquet(path).schema
 
@@ -944,7 +952,7 @@ def streaming_lm_ingest_concurrent(
                 "checkpointLocation",
                 os.path.join(
                     tempfile.gettempdir(),
-                    f"pjspark_ckpt_q115e_{run_id}_{tag}",
+                    f"pjspark_ckpt_{qid}_{run_id}_{tag}",
                 ),
             )
             .start()

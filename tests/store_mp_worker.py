@@ -10,6 +10,7 @@ Appends go through a pyarrow-backed stand-in for the one DataFrame
 method the protocol calls, so no Spark session is needed per process.
 
 Usage: python store_mp_worker.py <store_dir> <writer_id> <n_appends>
+[slots|objects] — the data layout (default slots).
 Prints one line per published slot: ``OK <slot>``.
 """
 
@@ -46,20 +47,30 @@ class FakeDF:
 
 def main() -> int:
     store, writer, n_appends = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    layout = sys.argv[4] if len(sys.argv) > 4 else "slots"
     for seq in range(n_appends):
         tag = f"{writer}:{seq}"
 
         def update(meta, slot, tag=tag):
             meta[f"slot{slot}"] = tag
 
-        slot = S.cas_append(
-            FakeDF(writer, seq),
-            store,
-            MANIFEST,
-            "data",
-            update,
-            max_attempts=2048,
-        )
+        if layout == "objects":
+            slot = S.cas_append_objects(
+                {"data": FakeDF(writer, seq)},
+                store,
+                MANIFEST,
+                update,
+                max_attempts=2048,
+            )
+        else:
+            slot = S.cas_append(
+                FakeDF(writer, seq),
+                store,
+                MANIFEST,
+                "data",
+                update,
+                max_attempts=2048,
+            )
         print(f"OK {slot}", flush=True)
     return 0
 

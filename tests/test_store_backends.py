@@ -119,15 +119,19 @@ def test_concurrent_signature_appends_through_backend(
     assert got == want
 
 
-def test_concurrent_lm_appends_through_backend(spark, tmp_path, claims):
+@pytest.mark.parametrize("layout", ["slots", "objects"])
+def test_concurrent_lm_appends_through_backend(spark, tmp_path, claims, layout):
     """The multi-dataset (bigrams+unigrams, one counter) stress shape
-    through both backends."""
+    through both backends — and through BOTH data layouts (round 16:
+    the rename-free object layout must satisfy the same no-lost-batch
+    contract as the slot layout)."""
     from palletjack_spark.functions import text as T
 
     docs = load_table(spark, SF_DIR, "documents")
     store = str(tmp_path / "mwlm")
     T.save_lm_store(
-        docs.where(F.col("doc_id") % 5 == 0), "text", "doc_id", store
+        docs.where(F.col("doc_id") % 5 == 0), "text", "doc_id", store,
+        layout=layout,
     )
     slices = [docs.where(F.col("doc_id") % 5 == m) for m in range(1, 4)]
     slots, errs = [], []

@@ -16,6 +16,7 @@ import subprocess
 import sys
 
 import duckdb
+import pytest
 
 from palletjack_spark.functions import store as S
 
@@ -26,7 +27,8 @@ N_WORKERS = 8
 N_APPENDS = 6
 
 
-def test_posix_claims_under_real_process_contention(tmp_path):
+@pytest.mark.parametrize("layout", ["slots", "objects"])
+def test_posix_claims_under_real_process_contention(tmp_path, layout):
     store = str(tmp_path / "store")
     os.makedirs(store)
     S.commit_manifest(store, "meta.json", {"n_batches": 0})
@@ -34,7 +36,7 @@ def test_posix_claims_under_real_process_contention(tmp_path):
     env = dict(os.environ, PYTHONPATH=_REPO)
     procs = [
         subprocess.Popen(
-            [sys.executable, _WORKER, store, f"w{i}", str(N_APPENDS)],
+            [sys.executable, _WORKER, store, f"w{i}", str(N_APPENDS), layout],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,
@@ -67,11 +69,22 @@ def test_posix_claims_under_real_process_contention(tmp_path):
     # ledger completeness: every (writer, seq) exactly once, and each
     # slot's rows are the SAME writer's batch its manifest record names
     con = duckdb.connect()
-    rows = con.execute(
-        "select cast(batch as int), writer, seq from read_parquet(?, "
-        "hive_partitioning=true)",
-        [os.path.join(store, "data", "batch=*", "*.parquet")],
-    ).fetchall()
+    if layout == "objects":
+        # the manifest IS the listing; read exactly the listed objects,
+        # in slot order, and pair each with its slot metadata
+        rows = []
+        for b, rel in enumerate(meta["objects"]["data"]):
+            got = con.execute(
+                "select writer, seq from read_parquet(?)",
+                [os.path.join(store, "data", rel, "*.parquet")],
+            ).fetchall()
+            rows += [(b, w, s) for w, s in got]
+    else:
+        rows = con.execute(
+            "select cast(batch as int), writer, seq from read_parquet(?, "
+            "hive_partitioning=true)",
+            [os.path.join(store, "data", "batch=*", "*.parquet")],
+        ).fetchall()
     con.close()
     assert len(rows) == total
     assert {(w, s) for _b, w, s in rows} == {
