@@ -543,8 +543,30 @@ class MetadataIndex:
 
     @staticmethod
     def _normalize_predicate(predicate: Sequence[tuple]) -> list[tuple]:
+        from palletjack_spark.errors import InvalidSelectionError
+
         out = []
         for col_name, op, *vals in predicate:
+            # arity validation (round-16 sweep): a malformed conjunct
+            # previously surfaced as a bare IndexError/TypeError deep in
+            # a prune tier — reject it here, once, with a clear message
+            if op == "between" and len(vals) != 2:
+                raise InvalidSelectionError(
+                    f"'between' needs exactly 2 values, got {len(vals)} "
+                    f"(column {col_name!r})"
+                )
+            if op in ("in", "not_in") and (
+                len(vals) != 1
+                or not isinstance(vals[0], (list, tuple, set, frozenset))
+            ):
+                raise InvalidSelectionError(
+                    f"{op!r} needs one list/set of values (column "
+                    f"{col_name!r})"
+                )
+            if op in ("<", "<=", ">", ">=", "=", "==", "!=", "<>") and not vals:
+                raise InvalidSelectionError(
+                    f"{op!r} needs a comparison value (column {col_name!r})"
+                )
             nv = []
             for v in vals:
                 if isinstance(v, (list, tuple, set)):

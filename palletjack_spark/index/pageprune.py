@@ -277,7 +277,12 @@ def read_offset_index(path: str, offset: int, length: int) -> list | None:
             if not isinstance(v, int) or v < 0:
                 return None
             firsts.append(v)
-        if firsts != sorted(firsts) or (firsts and firsts[0] != 0):
+        if not firsts or firsts[0] != 0:
+            return None
+        # STRICTLY increasing: a duplicate first_row_index would be a
+        # zero-row page — no conforming writer emits one, and downstream
+        # range math must never see an empty or inverted page span
+        if any(b <= a for a, b in zip(firsts, firsts[1:])):
             return None
         return firsts
     except Exception:
@@ -365,7 +370,11 @@ def _conjunct_page_mask(ci: dict, op, raw_vals, physical_type) -> list | None:
         vals = []
     else:
         if op in ("in", "not_in"):
-            cand = list(raw_vals[0]) if raw_vals else []
+            if not raw_vals or not isinstance(
+                raw_vals[0], (list, tuple, set, frozenset)
+            ):
+                return None  # malformed conjunct: keep (round-16 sweep)
+            cand = list(raw_vals[0])
             if op == "in" and not cand:
                 return [False] * len(ci["null_pages"])  # empty IN: nothing
             if not cand:
@@ -374,6 +383,8 @@ def _conjunct_page_mask(ci: dict, op, raw_vals, physical_type) -> list | None:
             cand = [raw_vals[0]] if raw_vals else []
             if op == "between":
                 cand = list(raw_vals[:2])
+                if len(cand) != 2:
+                    return None  # malformed between: keep, never crash
             if not cand:
                 return None
         if op in _EXCLUDE_OPS and t in ("FLOAT", "DOUBLE"):
@@ -529,6 +540,13 @@ class PageProber:
                 return False  # every page fails one conjunct
             if firsts is None or num_rows is None:
                 continue  # no row granularity: this conjunct only vetoes
+            if firsts[-1] >= num_rows:
+                # corrupt/foreign OffsetIndex: a first_row_index at or
+                # past the row group's end would make the final page's
+                # range inverted and VANISH in the intersection — a
+                # false "no rows" proof (round-16 sweep; incorrect
+                # pruning, not a missed prune).  No row granularity.
+                continue
             rngs = _mask_ranges(mask, firsts, num_rows)
             survive = rngs if survive is None else _intersect(survive, rngs)
             if survive == []:
@@ -549,8 +567,8 @@ class PageProber:
         for mask, firsts in masks:
             if not any(mask):
                 return []
-            if firsts is None:
-                return None
+            if firsts is None or firsts[-1] >= num_rows:
+                return None  # absent — or corrupt (see rg_can_match)
             survive = _intersect(survive, _mask_ranges(mask, firsts, num_rows))
             if not survive:
                 return []
@@ -664,6 +682,10 @@ def _walk_data_pages(path: str, col_meta: dict):
             raise _ISE("unparseable page header during page walk")
         page_type = _decode_value(raw, ptype_span[1], ptype_span[0])[0]
         compressed = _decode_value(raw, size_span[1], size_span[0])[0]
+        if not isinstance(compressed, int) or compressed < 0:
+            # a negative compressed_page_size would walk pos BACKWARD —
+            # an unterminating loop on corrupt input (round-16 sweep)
+            raise _ISE("negative page size during page walk")
         total_size = (payload - pos) + compressed
         if page_type == 0:  # DATA_PAGE v1
             dph_span = _span_get(header, 5)
@@ -681,6 +703,10 @@ def _walk_data_pages(path: str, col_meta: dict):
             nr = _span_get(dph, 3)
             rows = _decode_value(raw, nr[1], nr[0])[0]
             pages.append((start + pos, total_size, rows))
+        if pages and not (
+            isinstance(pages[-1][2], int) and pages[-1][2] >= 0
+        ):
+            raise _ISE("negative row count during page walk")
         pos = payload + compressed
     if pos != len(raw):
         raise _ISE("page walk overran the column chunk")

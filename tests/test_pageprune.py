@@ -812,3 +812,133 @@ def test_enrichers_skip_zero_row_group_files(tmp_path):
     else:
         # this pyarrow writes one empty row group: enrichment still works
         assert add_page_index(p, ["k"]) >= 0
+
+
+def test_corrupt_offset_index_never_fabricates_empty_proof():
+    """Round-16 sweep (the high finding): an OffsetIndex whose
+    first_row_index reaches past the row group's end used to make the
+    final page's range inverted — it VANISHED in the range
+    intersection, a false "no rows match" proof that pruned live rows.
+    Such an index must forfeit row granularity, never prune."""
+    from palletjack_spark.index import pageprune as P
+
+    mask = [False, True]  # page 0 fails the conjunct, page 1 survives
+    bad_firsts = [0, 999]  # but 999 >= num_rows: corrupt
+
+    class Prober(P.PageProber):
+        def _masks(self, path, rg_idx, predicate, col_lookup):
+            return [(mask, bad_firsts)]
+
+    p = Prober()
+    assert p.rg_can_match("f", 0, 100, [("k", "=", 1)], lambda c: None)
+    assert (
+        p.surviving_ranges("f", 0, 100, [("k", "=", 1)], lambda c: None)
+        is None
+    )
+    # sane firsts still produce the row-granular answer
+    class Good(P.PageProber):
+        def _masks(self, path, rg_idx, predicate, col_lookup):
+            return [(mask, [0, 50])]
+
+    assert Good().surviving_ranges(
+        "f", 0, 100, [("k", "=", 1)], lambda c: None
+    ) == [(50, 100)]
+
+
+def test_offset_index_requires_strictly_increasing_firsts(tmp_path):
+    """A duplicate first_row_index (a zero-row page) is a writer bug the
+    range math must never see — the parse rejects it (keep)."""
+    import struct as _st
+
+    from palletjack_spark.index import pageprune as P
+    from palletjack_spark.index.footer_splice import (
+        _encode_field_header,
+        _encode_value,
+    )
+
+    def _oi_bytes(firsts):
+        oi = bytearray()
+        _encode_field_header(oi, 1, 9, 0)
+        locs = [
+            [(1, 6, 4 + i), (2, 5, 10), (3, 6, fr)]
+            for i, fr in enumerate(firsts)
+        ]
+        _encode_value(oi, 9, (12, locs))
+        oi.append(0)
+        return bytes(oi)
+
+    for firsts, ok in [
+        ([0, 10, 20], True),
+        ([0, 10, 10], False),  # duplicate
+        ([0, 20, 10], False),  # decreasing
+        ([5, 10], False),      # first != 0
+    ]:
+        raw = _oi_bytes(firsts)
+        path = str(tmp_path / "oi.bin")
+        with open(path, "wb") as f:
+            f.write(raw)
+        got = P.read_offset_index(path, 0, len(raw))
+        assert (got == firsts) if ok else (got is None), (firsts, got)
+    _ = _st  # silence lints
+
+
+def test_malformed_conjuncts_keep_not_crash():
+    """Round-16 sweep: a 1-value 'between' or a scalar 'in' used to
+    raise bare IndexError/TypeError out of the probe tiers; the probe
+    keeps, and the explicit read path raises a TYPED error."""
+    import pytest as _pytest
+
+    from palletjack_spark.errors import InvalidSelectionError
+    from palletjack_spark.index import pageprune as P
+    from palletjack_spark.index.metadata_index import MetadataIndex
+
+    ci = {"null_pages": [False], "mins": [1], "maxs": [9], "null_counts": None}
+    assert P._conjunct_page_mask(ci, "between", (5,), "INT64") is None
+    assert P._conjunct_page_mask(ci, "in", (5,), "INT64") is None
+    assert P._conjunct_page_mask(ci, "not_in", (5,), "INT64") is None
+    assert P._conjunct_page_mask(ci, "=", (), "INT64") is None
+    for pred in [
+        [("k", "between", 5)],
+        [("k", "between", 1, 2, 3)],
+        [("k", "in", 5)],
+        [("k", "not_in", 5)],
+        [("k", "=")],
+    ]:
+        with _pytest.raises(InvalidSelectionError):
+            MetadataIndex._normalize_predicate(pred)
+    # well-formed ones still pass
+    assert MetadataIndex._normalize_predicate([("k", "between", 1, 2)])
+    assert MetadataIndex._normalize_predicate([("k", "in", [1, 2])])
+
+
+def test_page_walk_rejects_negative_page_size(tmp_path):
+    """Round-16 sweep: a negative compressed_page_size walked pos
+    BACKWARD — an unterminating loop on corrupt input; now a typed
+    error."""
+    import pytest as _pytest
+
+    from palletjack_spark.errors import InvalidSelectionError
+    from palletjack_spark.index import pageprune as P
+    from palletjack_spark.index.footer_splice import (
+        _encode_field_header,
+        _write_zigzag,
+    )
+
+    hdr = bytearray()
+    _encode_field_header(hdr, 1, 5, 0)  # PageHeader.type = DATA_PAGE
+    _write_zigzag(hdr, 0)
+    _encode_field_header(hdr, 2, 5, 1)  # uncompressed_page_size
+    _write_zigzag(hdr, 10)
+    _encode_field_header(hdr, 3, 5, 2)  # compressed_page_size = -5
+    _write_zigzag(hdr, -5)
+    hdr.append(0)
+    path = str(tmp_path / "chunk.bin")
+    with open(path, "wb") as f:
+        f.write(bytes(hdr) + b"\x00" * 32)
+    meta = {
+        "dictionary_page_offset": None,
+        "data_page_offset": 0,
+        "total_compressed_size": len(hdr) + 32,
+    }
+    with _pytest.raises(InvalidSelectionError, match="negative page size"):
+        P._walk_data_pages(path, meta)
