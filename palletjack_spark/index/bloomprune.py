@@ -825,7 +825,15 @@ def add_bloom_filters(
     for c in columns:
         if c not in names:
             raise _ISE(f"Unknown column for bloom filter: {c!r}")
-        ftype = pf_schema.field(c).type
+        try:
+            ftype = pf_schema.field(c).type
+        except KeyError:
+            # a NESTED leaf ("s.x"): present in the chunk path names but
+            # not an arrow top-level field — typed rejection, not a raw
+            # KeyError mid-enrichment (round-16 sweep)
+            raise _ISE(
+                f"bloom filters unsupported for nested column {c!r}"
+            ) from None
         if not any(ok(ftype) for ok in _writer_ok):
             raise _ISE(
                 f"bloom filters unsupported for column {c!r} of type "

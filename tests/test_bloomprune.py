@@ -435,3 +435,21 @@ def test_bloom_writer_rejects_non_identity_logical_types(tmp_path):
         with pytest.raises(InvalidSelectionError, match="unsupported"):
             add_bloom_filters(p, [col])
     assert add_bloom_filters(p, ["k"]) == 1  # identity type still enriches
+
+
+def test_nested_column_rejected_with_typed_error(tmp_path):
+    """Round-16 sweep: a nested leaf ("s.x") passed the chunk-path name
+    check but raised a raw KeyError out of the arrow schema lookup —
+    now a typed InvalidSelectionError like every other ineligible
+    column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from palletjack_spark.errors import InvalidSelectionError
+    from palletjack_spark.index.bloomprune import add_bloom_filters
+
+    p = str(tmp_path / "n.parquet")
+    pq.write_table(pa.table({"s": [{"x": 1}, {"x": 2}], "k": [1, 2]}), p)
+    with pytest.raises(InvalidSelectionError, match="nested"):
+        add_bloom_filters(p, ["s.x"])
