@@ -841,6 +841,7 @@ def save_vector_store(
     train_rows: int = 512,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    layout: str = "slots",
 ) -> dict:
     """Train IVF-PQ quantizers on ``corpus_df`` and persist a FULL
     vector store: the quantizer sidecar (:func:`save_ann_index`) plus
@@ -849,9 +850,18 @@ def save_vector_store(
     training jobs, and :func:`vector_store_topk` queries base ∪ appends
     without ever re-encoding — the symmetric closure of q156's
     incremental-dedup signature store (round-12 verdict item 4).
-    Returns the loaded quantizer dict."""
+    Returns the loaded quantizer dict.
+
+    ``layout``: ``"slots"`` (rename-based ``batch=N``, the default) or
+    ``"objects"`` (round 16: rename-free immutable object dirs listed
+    by the manifest — see STORES.md; appends, deletes, reads, and
+    compaction follow the manifest's layout automatically)."""
+    import uuid
+
     from palletjack_spark.functions import store as S
 
+    if layout not in ("slots", "objects"):
+        raise ValueError(f"unknown vector store layout {layout!r}")
     spark = corpus_df.sparkSession
     idx = save_ann_index(
         corpus_df,
@@ -863,9 +873,13 @@ def save_vector_store(
         id_col=id_col,
         vec_col=vec_col,
     )
-    batch_dir = S.write_batch(
-        encode_vectors(corpus_df, idx, id_col, vec_col), path, "vectors", 0
-    )
+    encoded = encode_vectors(corpus_df, idx, id_col, vec_col)
+    if layout == "objects":
+        rel = f"obj-{uuid.uuid4().hex}"
+        batch_dir = os.path.join(path, "vectors", rel)
+        encoded.write.mode("overwrite").parquet(batch_dir)
+    else:
+        batch_dir = S.write_batch(encoded, path, "vectors", 0)
     n = spark.read.parquet(batch_dir).count()
     meta = dict(idx["meta"])
     meta.update(
@@ -875,8 +889,11 @@ def save_vector_store(
             "n_vectors": [int(n)],
             "id_col": id_col,
             "vec_col": vec_col,
+            "layout": layout,
         }
     )
+    if layout == "objects":
+        meta["objects"] = {"vectors": [rel]}
     S.commit_manifest(path, _ANN_META_NAME, meta)
     idx["meta"] = meta
     return idx
@@ -953,10 +970,25 @@ def append_vectors(
     # not silently no-op just because the epoch happens to be recorded.
     if S.epoch_seen(meta, epoch):
         return 0  # replayed epoch: the batch is already published
+    encoded = encode_vectors(new_df, idx, id_col, vec_col)
+    if meta.get("layout") == "objects":
+        # the rename-free path is also the single-writer path: an
+        # uncontended fenced commit is one attempt
+        encoded.persist()
+        try:
+            n = int(encoded.count())
+
+            def bump(m: dict, _slot: int) -> None:
+                m["n_vectors"] = list(m.get("n_vectors", [])) + [n]
+
+            S.cas_append_objects(
+                {"vectors": encoded}, path, _ANN_META_NAME, bump, epoch=epoch
+            )
+            return n
+        finally:
+            encoded.unpersist()
     batch = int(meta["n_batches"])
-    batch_dir = S.write_batch(
-        encode_vectors(new_df, idx, id_col, vec_col), path, "vectors", batch
-    )
+    batch_dir = S.write_batch(encoded, path, "vectors", batch)
     n = spark.read.parquet(batch_dir).count()
     meta["n_batches"] = batch + 1
     meta["n_vectors"] = list(meta.get("n_vectors", [])) + [int(n)]
@@ -1011,10 +1043,20 @@ def append_vectors_concurrent(
         n_rows = int(encoded.count())
 
         def bump(m: dict, _slot: int) -> None:
-            # slots are claim-serialized, so by the n_batches invariant
+            # slots are claim-serialized (or fence-serialized under the
+            # object layout), so by the n_batches invariant
             # _slot == len(n_vectors) when this runs under the claim
             m["n_vectors"] = list(m.get("n_vectors", [])) + [n_rows]
 
+        if meta0.get("layout") == "objects":
+            return S.cas_append_objects(
+                {"vectors": encoded},
+                path,
+                _ANN_META_NAME,
+                bump,
+                claims=claims,
+                epoch=epoch,
+            )
         return S.cas_append(
             encoded,
             path,
@@ -1050,13 +1092,25 @@ def delete_vectors(ids_df: DataFrame, path: str, id_col: str | None = None) -> i
         )
     from palletjack_spark.functions import store as S
 
+    tomb = ids_df.select(
+        F.col(id_col).cast("long").alias("vec_id")
+    ).distinct()
+    if meta.get("layout") == "objects":
+        tomb.persist()
+        try:
+            n = int(tomb.count())
+            S.cas_append_objects(
+                {"tombstones": tomb},
+                path,
+                _ANN_META_NAME,
+                lambda _m, _slot: None,
+                counter_key="n_tombstone_batches",
+            )
+            return n
+        finally:
+            tomb.unpersist()
     batch = int(meta.get("n_tombstone_batches", 0))
-    out_dir = S.write_batch(
-        ids_df.select(F.col(id_col).cast("long").alias("vec_id")).distinct(),
-        path,
-        "tombstones",
-        batch,
-    )
+    out_dir = S.write_batch(tomb, path, "tombstones", batch)
     n = spark.read.parquet(out_dir).count()
     meta["n_tombstone_batches"] = batch + 1
     S.commit_manifest(path, _ANN_META_NAME, meta)
@@ -1069,6 +1123,14 @@ def _store_vectors(spark, path: str, meta: dict) -> DataFrame:
     shuffles; orphan batches of either kind are partition-pruned out)."""
     from palletjack_spark.functions import store as S
 
+    if meta.get("layout") == "objects":
+        vectors = S.live_object_batches(spark, path, "vectors", meta)
+        tombs = S.live_object_batches(spark, path, "tombstones", meta)
+        if tombs is not None:
+            vectors = vectors.join(
+                F.broadcast(tombs.select("vec_id")), "vec_id", "left_anti"
+            )
+        return vectors
     vectors = S.live_batches(spark, path, "vectors", meta["n_batches"])
     n_tomb = int(meta.get("n_tombstone_batches", 0))
     if n_tomb > 0:
@@ -1111,9 +1173,17 @@ def compact_vector_store(spark, path: str) -> dict:
         )
         return meta
 
-    out = S.compact_swap(
-        path, _ANN_META_NAME, meta, {"vectors": live}, finalize_meta=finalize
-    )
+    if meta.get("layout") == "objects":
+        meta.setdefault("objects", {}).pop("tombstones", None)
+        out = S.compact_objects(
+            path, _ANN_META_NAME, meta, {"vectors": live},
+            finalize_meta=finalize,
+        )
+    else:
+        out = S.compact_swap(
+            path, _ANN_META_NAME, meta, {"vectors": live},
+            finalize_meta=finalize,
+        )
     shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
     return out
 

@@ -516,7 +516,10 @@ def cas_append_objects(
         if epoch_seen(meta, epoch):
             _drop_unpublished()
             return -1
-        n = int(meta[counter_key])
+        # an absent counter is slot 0 (e.g. a store's FIRST tombstone
+        # append): under the object layout the counter only numbers
+        # slots — the manifest listing, not the counter, scopes reads
+        n = int(meta.get(counter_key, 0))
         objects = meta.setdefault("objects", {})
         for dataset, rel in objs.items():
             objects.setdefault(dataset, []).append(rel)

@@ -289,3 +289,57 @@ def test_lm_store_object_layout_end_to_end(spark, tmp_path):
     assert sorted(tuple(r) for r in big.collect()) == sorted(
         tuple(r) for r in ref_big.collect()
     )
+
+
+def test_vector_store_object_layout_end_to_end(spark, tmp_path):
+    """The VECTOR store through the object layout (two independent
+    counters — vectors and tombstones — each listing its own objects):
+    save → append → replayed-epoch no-op → concurrent append → delete →
+    top-k identical to the slot layout → compaction collapses the
+    listing, drops tombstones, and the store keeps working."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from palletjack_spark.functions import similarity as SIM
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.where(F.col("vec_id") % 3 == 0)
+    b1 = emb.where(F.col("vec_id") % 3 == 1)
+    b2 = emb.where(F.col("vec_id") % 3 == 2)
+    stores = {}
+    for layout in ("slots", "objects"):
+        p = str(tmp_path / layout)
+        SIM.save_vector_store(base, p, layout=layout)
+        assert SIM.append_vectors(b1, p, epoch="e1") > 0
+        assert SIM.append_vectors(b1, p, epoch="e1") == 0  # replay no-op
+        SIM.append_vectors_concurrent(b2, p)
+        SIM.delete_vectors(
+            emb.where(F.col("vec_id") % 10 == 0).select("vec_id"), p
+        )
+        stores[layout] = p
+
+    q = emb.where(F.col("vec_id") < 5)
+
+    def topk(p):
+        out = SIM.vector_store_topk(spark, p, q, k=5).toPandas()
+        cols = sorted(out.columns)
+        return sorted(map(tuple, out[cols].itertuples(index=False)))
+
+    assert topk(stores["slots"]) == topk(stores["objects"])
+
+    before = topk(stores["objects"])
+    SIM.compact_vector_store(spark, stores["objects"])
+    meta = _json.load(
+        open(os.path.join(stores["objects"], "_ann_meta.json"))
+    )
+    assert len(meta["objects"]["vectors"]) == 1
+    assert "tombstones" not in meta["objects"]
+    assert meta["n_tombstone_batches"] == 0
+    assert topk(stores["objects"]) == before
+    # the store keeps appending and deleting after compaction
+    assert SIM.append_vectors(b1, stores["objects"]) > 0
+    assert SIM.delete_vectors(
+        emb.where(F.col("vec_id") % 7 == 0).select("vec_id"),
+        stores["objects"],
+    ) > 0
