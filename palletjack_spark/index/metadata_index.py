@@ -105,6 +105,16 @@ _PRUNE_OPS = {
 }
 
 
+def _keep_unknown(clause: Column) -> Column:
+    """Force a prune conjunct to the "unknown KEEPS" contract at the SQL
+    level: a clause that evaluates to NULL (round-16 sweep — e.g.
+    ``not_null`` against a corrupt sidecar whose ``num_rows`` is NULL,
+    or a mixed-type ``between`` whose string-vs-numeric coercion nulls
+    out) would otherwise null the whole condition, and a ``where``
+    treats NULL as false — pruning a row group nothing PROVED empty."""
+    return F.coalesce(clause, F.lit(True))
+
+
 def _nan_free(values) -> bool:
     """A NaN literal must never drive pruning: Spark/DuckDB treat
     ``NaN = NaN`` as TRUE (NaN sorts greatest), but parquet min/max stats
@@ -643,9 +653,9 @@ class MetadataIndex:
                     if op == "is_null"
                     else (nc < F.col("num_rows"))
                 )
-                cond = cond & F.when(
-                    st.isNotNull() & nc.isNotNull(), keep
-                ).otherwise(F.lit(True))
+                cond = cond & _keep_unknown(
+                    F.when(st.isNotNull() & nc.isNotNull(), keep)
+                )
                 continue
             if op == "in":
                 in_vals = list(vals[0]) if vals else []
@@ -684,7 +694,7 @@ class MetadataIndex:
                 for x in in_vals:
                     x_dn, x_up = x if isinstance(x, tuple) else (x, x)
                     keep = keep | ((lo <= F.lit(x_up)) & (hi >= F.lit(x_dn)))
-                cond = cond & F.when(has, keep).otherwise(F.lit(True))
+                cond = cond & _keep_unknown(F.when(has, keep))
                 continue
             if op in ("!=", "<>", "not_in"):
                 ex_vals = (
@@ -738,7 +748,7 @@ class MetadataIndex:
                 # is excluded — then no row satisfies != / NOT IN (NULL
                 # rows don't satisfy them either, so nulls don't matter)
                 keep = ~((lo == hi) & lo.isin(ex_vals))
-                cond = cond & F.when(has, keep).otherwise(F.lit(True))
+                cond = cond & _keep_unknown(F.when(has, keep))
                 continue
             is_str = bool(vals) and isinstance(vals[0], str)
             if is_str and (
@@ -781,7 +791,7 @@ class MetadataIndex:
                 keep = hi >= v_dn
             elif op == "between":
                 keep = (hi >= v_dn) & (lo <= v2)
-            cond = cond & F.when(has, keep).otherwise(F.lit(True))
+            cond = cond & _keep_unknown(F.when(has, keep))
         return cond
 
     @staticmethod

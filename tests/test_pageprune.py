@@ -942,3 +942,32 @@ def test_page_walk_rejects_negative_page_size(tmp_path):
     }
     with _pytest.raises(InvalidSelectionError, match="negative page size"):
         P._walk_data_pages(path, meta)
+
+
+def test_null_keep_expression_keeps_not_prunes(spark, tmp_path):
+    """Round-16 sweep (metadata_index): a prune conjunct whose SQL keep
+    expression evaluates to NULL must KEEP the row group — a NULL
+    condition inside a where() is falsy, which silently pruned groups
+    nothing proved empty (e.g. not_null against a sidecar with NULL
+    num_rows)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from palletjack_spark.index.builder import build_index
+
+    path = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"k": [1, 2, None], "s": ["a", "b", "c"]}), path)
+    idx = build_index(spark, path)
+    # sabotage: NULL out num_rows in the row-group rows (a corrupt /
+    # foreign sidecar shape) and rebuild the handle over it
+    from palletjack_spark.index.metadata_index import MetadataIndex
+
+    broken = MetadataIndex(
+        spark,
+        idx.row_groups.withColumn("num_rows", F.lit(None).cast("long")),
+        idx.files,
+        None,
+    )
+    kept = broken.prune(predicate=[("k", "not_null")]).count()
+    assert kept == 1  # unknown keeps: the (only) row group survives
