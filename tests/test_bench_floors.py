@@ -120,10 +120,10 @@ def test_round10_floor_coverage_and_meta_gate():
     # every headline query is now floored — no number a regression could
     # hide in (floors may cover more than the current headline list).
     # Queries INTRODUCED in the current round are exempt until their first
-    # parsed bench lands a committed floor (BENCH_BASELINE._comment's
-    # floor policy: driver-context runs only, local captures are
-    # provisional): q94g is the round-16 headline addition.
-    new_this_round: set = {"q94g_image_jpeg"}
+    # parsed bench lands a committed floor; q94g (round 16) was floored
+    # from the round's gate-clean zero-warning capture (the q92p
+    # precedent), so the exemption set is empty again.
+    new_this_round: set = set()
     assert set(b.HEADLINE) - new_this_round <= set(floors)
     # the r9 contended values flag against the committed floors
     warnings = b._check_floors(
