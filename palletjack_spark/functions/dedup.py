@@ -1124,11 +1124,16 @@ def fuzzy_decontaminate(
 _SIG_META_NAME = "_sig_meta.json"
 
 
-def _sig_meta(id_col: str, k: int, bands: int, rows: int) -> dict:
+def _sig_meta(
+    id_col: str, k: int, bands: int, rows: int, layout: str = "batched"
+) -> dict:
     return {
         "format": "pjspark-sigstore",
         "version": 1,
-        "layout": "batched",
+        # "batched" = rename-based batch=N slots; "objects" = the
+        # round-16 rename-free manifest-listed layout (STORES.md); the
+        # pre-round-12 flat layout has no tag and is rejected on load
+        "layout": layout,
         "n_batches": 1,
         "id_col": id_col,
         "k": k,
@@ -1147,6 +1152,7 @@ def save_signature_store(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
+    layout: str = "batched",
 ) -> DataFrame:
     """Build and persist the MinHash signature store for an ingested
     corpus: one row per document — (id, n_sh, s0..s{k-1}, sh_set), the
@@ -1160,14 +1166,30 @@ def save_signature_store(
     different k/banding/shingle settings must never silently mix
     (:func:`load_signature_store` validates).  Batch layout, manifest
     commit, and compaction ride the shared crash-publication contract
-    (:mod:`palletjack_spark.functions.store`)."""
+    (:mod:`palletjack_spark.functions.store`).
+
+    ``layout``: ``"batched"`` (rename-based ``batch=N`` slots, the
+    default) or ``"objects"`` (round 16: rename-free immutable object
+    dirs listed by the manifest — see STORES.md; appends, loads, and
+    compaction follow the manifest's layout automatically)."""
+    import os as _os
+    import uuid as _uuid
+
     from palletjack_spark.functions import store as S
 
+    if layout not in ("batched", "objects"):
+        raise ValueError(f"unknown signature store layout {layout!r}")
     sig = _signatures_one_shuffle(df, text_col, id_col, k=k)
-    S.write_batch(sig, store_dir, "signatures", 0)
-    S.commit_manifest(
-        store_dir, _SIG_META_NAME, _sig_meta(id_col, k, bands, rows)
-    )
+    meta = _sig_meta(id_col, k, bands, rows, layout=layout)
+    if layout == "objects":
+        rel = f"obj-{_uuid.uuid4().hex}"
+        sig.write.mode("overwrite").parquet(
+            _os.path.join(store_dir, "signatures", rel)
+        )
+        meta["objects"] = {"signatures": [rel]}
+    else:
+        S.write_batch(sig, store_dir, "signatures", 0)
+    S.commit_manifest(store_dir, _SIG_META_NAME, meta)
     return sig
 
 
@@ -1195,7 +1217,9 @@ def load_signature_store(
                 f"signature store {store_dir} was built with {key}="
                 f"{meta.get(key)!r}, this session expects {want[key]!r}"
             )
-    if meta.get("layout") != "batched" or "n_batches" not in meta:
+    if meta.get("layout") not in ("batched", "objects") or (
+        "n_batches" not in meta
+    ):
         # pre-round-12 flat layout (mode-append writes, no publication
         # gate) — readers could see a crashed append's partial files.
         # Hard error; every caller rebuilds from source on load failure.
@@ -1204,6 +1228,8 @@ def load_signature_store(
             "rebuild it with save_signature_store (batched, manifest-"
             "gated — the q92k crash-publication contract)"
         )
+    if meta["layout"] == "objects":
+        return S.live_object_batches(spark, store_dir, "signatures", meta)
     return S.live_batches(spark, store_dir, "signatures", meta["n_batches"])
 
 
@@ -1238,13 +1264,26 @@ def append_signatures(
         meta = S.load_manifest(store_dir, _SIG_META_NAME)
     except (OSError, ValueError) as e:
         raise IndexFormatError(f"not a signature store: {store_dir}") from e
-    if meta.get("layout") != "batched" or "n_batches" not in meta:
+    if meta.get("layout") not in ("batched", "objects") or (
+        "n_batches" not in meta
+    ):
         raise IndexFormatError(
             f"signature store {store_dir} uses the legacy flat layout; "
             "rebuild it with save_signature_store"
         )
     if S.epoch_seen(meta, epoch):
         return int(meta.get("version", 1))  # replayed epoch: already in
+    if meta["layout"] == "objects":
+        def bump(m: dict, _slot: int) -> None:
+            m["version"] = int(m.get("version", 1)) + 1
+
+        S.cas_append_objects(
+            {"signatures": sig_df}, store_dir, _SIG_META_NAME, bump,
+            epoch=epoch,
+        )
+        return int(
+            S.load_manifest(store_dir, _SIG_META_NAME).get("version", 1)
+        )
     batch = int(meta["n_batches"])
     S.write_batch(sig_df, store_dir, "signatures", batch)
     meta["n_batches"] = batch + 1
@@ -1282,6 +1321,10 @@ def compact_signature_store(spark, store_dir: str) -> dict:
     )
     meta["n_batches"] = 1
     meta["version"] = int(meta.get("version", 1)) + 1
+    if meta.get("layout") == "objects":
+        return S.compact_objects(
+            store_dir, _SIG_META_NAME, meta, {"signatures": live}
+        )
     S.compact_swap(store_dir, _SIG_META_NAME, meta, {"signatures": live})
     return meta
 
@@ -1756,7 +1799,9 @@ def append_signatures_concurrent(
         meta = S.load_manifest(store_dir, _SIG_META_NAME)
     except (OSError, ValueError) as e:
         raise IndexFormatError(f"not a signature store: {store_dir}") from e
-    if meta.get("layout") != "batched" or "n_batches" not in meta:
+    if meta.get("layout") not in ("batched", "objects") or (
+        "n_batches" not in meta
+    ):
         raise IndexFormatError(
             f"signature store {store_dir} uses the legacy flat layout; "
             "rebuild it with save_signature_store"
@@ -1765,6 +1810,15 @@ def append_signatures_concurrent(
     def bump(m: dict, _slot: int) -> None:
         m["version"] = int(m.get("version", 1)) + 1
 
+    if meta["layout"] == "objects":
+        return S.cas_append_objects(
+            {"signatures": sig_df},
+            store_dir,
+            _SIG_META_NAME,
+            bump,
+            claims=claims,
+            epoch=epoch,
+        )
     return S.cas_append(
         sig_df,
         store_dir,

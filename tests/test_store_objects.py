@@ -343,3 +343,56 @@ def test_vector_store_object_layout_end_to_end(spark, tmp_path):
         emb.where(F.col("vec_id") % 7 == 0).select("vec_id"),
         stores["objects"],
     ) > 0
+
+
+def test_signature_store_object_layout_end_to_end(spark, tmp_path):
+    """The SIGNATURE store (the third store instance) through the
+    object layout: save → append → replayed-epoch no-op → concurrent
+    append → identical membership to the batched layout → compaction
+    collapses the listing and the store keeps appending."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from palletjack_spark.functions import dedup as D
+
+    docs = load_table(spark, SF_DIR, "documents")
+    stores = {}
+    for layout in ("batched", "objects"):
+        p = str(tmp_path / layout)
+        D.save_signature_store(
+            docs.where(F.col("doc_id") % 4 == 0), "text", "doc_id", p,
+            layout=layout,
+        )
+        sig1 = D._signatures_one_shuffle(
+            docs.where(F.col("doc_id") % 4 == 1), "text", "doc_id"
+        )
+        v = D.append_signatures(sig1, p, epoch="e1")
+        assert D.append_signatures(sig1, p, epoch="e1") == v  # replay
+        sig2 = D._signatures_one_shuffle(
+            docs.where(F.col("doc_id") % 4 == 2), "text", "doc_id"
+        )
+        D.append_signatures_concurrent(sig2, p)
+        stores[layout] = p
+
+    def ids(p):
+        return sorted(
+            r["doc_id"]
+            for r in D.load_signature_store(spark, p)
+            .select("doc_id")
+            .collect()
+        )
+
+    assert ids(stores["batched"]) == ids(stores["objects"])
+    before = ids(stores["objects"])
+    D.compact_signature_store(spark, stores["objects"])
+    meta = _json.load(
+        open(os.path.join(stores["objects"], "_sig_meta.json"))
+    )
+    assert len(meta["objects"]["signatures"]) == 1
+    assert ids(stores["objects"]) == before
+    sig3 = D._signatures_one_shuffle(
+        docs.where(F.col("doc_id") % 4 == 3), "text", "doc_id"
+    )
+    D.append_signatures(sig3, stores["objects"])
+    assert len(ids(stores["objects"])) > len(before)
