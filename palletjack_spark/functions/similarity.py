@@ -763,6 +763,16 @@ def load_ann_index(spark, path: str) -> dict:
             f"unsupported ANN index format_version {meta.get('format_version')}"
             f" at {path} (supported: {_ANN_FORMAT_VERSION})"
         )
+    # bound the declared shapes BEFORE any allocation sized from them
+    # (round-16 sweep — the codec discipline: a corrupt manifest must be
+    # a typed error, not a multi-GB np.zeros), and reject non-integers
+    dims = {k: meta.get(k) for k in
+            ("n_centroids", "dim", "m_subspaces", "n_codes", "sub_dim")}
+    for k, v in dims.items():
+        if not isinstance(v, int) or not (0 < v <= 1 << 20):
+            raise ValueError(
+                f"ANN index at {path} declares implausible {k}={v!r}"
+            )
     rows = spark.read.parquet(os.path.join(path, "quantizers")).collect()
     C = np.zeros((meta["n_centroids"], meta["dim"]), dtype="float64")
     codebooks = np.zeros(
@@ -770,10 +780,27 @@ def load_ann_index(spark, path: str) -> dict:
     )
     seen_c, seen_k = 0, 0
     for r in rows:
+        # explicit bounds: a corrupt quantizer row with a negative index
+        # would WRAP via numpy indexing and silently misplace a codeword
+        # while the count cross-check still balanced (round-16 sweep)
         if r["kind"] == "centroid":
+            if not (0 <= r["i"] < C.shape[0]) or len(r["vec"]) != C.shape[1]:
+                raise ValueError(
+                    f"ANN index at {path} has a corrupt centroid row "
+                    f"(i={r['i']}, len={len(r['vec'])})"
+                )
             C[r["i"]] = r["vec"]
             seen_c += 1
         else:
+            if (
+                not (0 <= r["i"] < codebooks.shape[0])
+                or not (0 <= r["j"] < codebooks.shape[1])
+                or len(r["vec"]) != codebooks.shape[2]
+            ):
+                raise ValueError(
+                    f"ANN index at {path} has a corrupt code row "
+                    f"(m={r['i']}, j={r['j']}, len={len(r['vec'])})"
+                )
             codebooks[r["i"], r["j"]] = r["vec"]
             seen_k += 1
     if seen_c != meta["n_centroids"] or seen_k != (

@@ -5,6 +5,8 @@ weaken them."""
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pytest
 from hypothesis import given, settings
@@ -224,3 +226,41 @@ def test_rrf_fuse_three_legs(spark):
     )
     assert rows[2]["rrf_score"] == 1_000_000 // 61
     assert (rows[2]["a_rank"], rows[2]["b_rank"], rows[2]["c_rank"]) == (0, 0, 1)
+
+
+def test_corrupt_ann_sidecar_is_typed_error_not_wrap_or_alloc(spark, tmp_path):
+    """Round-16 sweep (similarity.py quantizer loader): a corrupt
+    manifest must not size multi-GB allocations, and a corrupt
+    quantizer row with a negative index must not WRAP via numpy
+    indexing into a silently misplaced codeword."""
+    import json
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from palletjack_spark.functions import similarity as SIM
+    from palletjack_spark.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").where(F.col("vec_id") < 64)
+    path = str(tmp_path / "ann")
+    SIM.save_ann_index(emb, path, n_centroids=4, m_subspaces=4, n_codes=4)
+    meta_path = os.path.join(path, "_ann_meta.json")
+    meta = json.load(open(meta_path))
+
+    # allocation bomb: declared shape is rejected before np.zeros
+    bad = dict(meta, n_centroids=1 << 40)
+    json.dump(bad, open(meta_path, "w"))
+    with pytest.raises(ValueError, match="implausible"):
+        SIM.load_ann_index(spark, path)
+    json.dump(meta, open(meta_path, "w"))
+
+    # negative row index: typed error, never a wrapped write
+    q = os.path.join(path, "quantizers")
+    rows = spark.read.parquet(q).collect()
+    rows[0] = type(rows[0])(kind=rows[0]["kind"], i=-1, j=rows[0]["j"],
+                            vec=rows[0]["vec"])
+    spark.createDataFrame(
+        rows, "kind string, i int, j int, vec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(q)
+    with pytest.raises(ValueError, match="corrupt"):
+        SIM.load_ann_index(spark, path)
