@@ -49,12 +49,18 @@ compaction) is written down once in STORES.md at the repo root.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
 import threading
 import time
 import uuid
+
+try:
+    import fcntl
+except ImportError:  # pragma: no cover - non-POSIX platform
+    fcntl = None
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -87,6 +93,57 @@ def commit_manifest(store_dir: str, manifest_name: str, meta: dict) -> None:
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, path)
+
+
+@contextlib.contextmanager
+def _mirror_lock(path: str):
+    """Advisory exclusive lock serializing monotone mirrors of one
+    manifest (POSIX ``flock`` on a sibling dotfile).  On an object
+    store the equivalent is an etag/generation-conditional PUT of the
+    manifest object itself — the lock models exactly that one-writer
+    read-compare-write step and nothing else."""
+    if fcntl is None:  # pragma: no cover - non-POSIX platform
+        yield
+        return
+    lock_path = f"{path}.mlock"
+    fd = os.open(lock_path, os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        os.close(fd)  # closing the fd releases the flock
+
+
+def _mirror_manifest_monotone(
+    store_dir: str, manifest_name: str, meta: dict
+) -> None:
+    """Mirror a COMMITTED generation to the reader-visible plain
+    manifest, but never backward: the write is skipped when the plain
+    file already carries an equal-or-newer ``commit_gen``.
+
+    This closes the round-16 ADVICE gap: the old unconditional
+    ``os.replace`` meant a stalled repairer could roll the plain file
+    back behind a live writer, and once it fell more than
+    :data:`_GEN_RING` generations behind, the next repair found its
+    ``commit_gen + 1`` key garbage-collected, mis-read the stale
+    manifest as the chain head, and ``_fenced_commit`` could then
+    RE-CREATE a deleted generation key — forking the chain and
+    silently dropping every commit in the lost generations.  With the
+    mirror monotone, the plain file's ``commit_gen`` never decreases,
+    so a gen key is only ever GC'd once the plain file is durably past
+    it (see :func:`_fenced_commit`) and "``commit_gen + 1`` absent"
+    always means "chain head", never "GC'd gap"."""
+    path = os.path.join(store_dir, manifest_name)
+    gen = int(meta.get("commit_gen", 0))
+    with _mirror_lock(path):
+        try:
+            with open(path) as f:
+                cur_gen = int(json.load(f).get("commit_gen", 0))
+        except (OSError, ValueError):
+            cur_gen = -1
+        if cur_gen >= gen:
+            return
+        commit_manifest(store_dir, manifest_name, meta)
 
 
 #: recent-epoch markers kept in a store manifest for idempotent
@@ -202,7 +259,12 @@ def compact_swap(
     compacting over it would let the next append's
     :func:`repair_manifest` mirror a pre-compaction manifest onto the
     compacted layout).  The repair runs first, so the retry sees the
-    healed manifest."""
+    healed manifest.  The commit itself is then FENCED (round-17,
+    closing the round-16 ADVICE check-then-act window): a CAS writer
+    that fence-commits between the guard and the compaction's commit
+    wins the generation; the compaction loses the fence, rolls its
+    dataset swaps BACK (old data restored from the asides), and raises
+    instead of silently clobbering the racer's commit."""
     if claims is not None:
         fresh = repair_manifest(store_dir, manifest_name, claims)
         if int(fresh.get("commit_gen", 0)) != int(meta.get("commit_gen", 0)):
@@ -229,9 +291,24 @@ def compact_swap(
         shutil.rmtree(aside, ignore_errors=True)
         os.replace(live, aside)
         os.replace(os.path.join(tmp_root, dataset), live)
-        asides.append(aside)
-    commit_manifest(store_dir, manifest_name, meta)
-    for aside in asides:
+        asides.append((live, aside))
+    if claims is None:
+        commit_manifest(store_dir, manifest_name, meta)
+    elif not _fenced_commit(store_dir, manifest_name, meta, claims):
+        # a concurrent CAS writer won the generation between the guard
+        # and our commit: its manifest references the OLD layout, so the
+        # swap must be undone before we surface the conflict
+        for live, aside in reversed(asides):
+            junk = f"{live}.undo-{uuid.uuid4().hex[:8]}"
+            os.replace(live, junk)
+            os.replace(aside, live)
+            shutil.rmtree(junk, ignore_errors=True)
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        raise RuntimeError(
+            f"compact_swap: a concurrent commit won the fence on "
+            f"{store_dir!r} (compaction inputs are stale); reload and retry"
+        )
+    for _live, aside in asides:
         shutil.rmtree(aside, ignore_errors=True)
     shutil.rmtree(tmp_root, ignore_errors=True)
     return meta
@@ -393,7 +470,11 @@ POSIX_CLAIMS = PosixClaimBackend()
 
 #: committed-generation keys older than ``commit_gen - _GEN_RING`` are
 #: garbage-collected at each fenced commit (one delete per commit keeps
-#: the set bounded; repair only ever consults ``commit_gen + 1``)
+#: the set bounded).  Safe because the reader mirror is MONOTONE: a key
+#: is only deleted once the plain manifest is at or past it, and the
+#: plain manifest never rolls back — so repair (which walks from the
+#: plain manifest's ``commit_gen + 1``) can never start behind a GC'd
+#: key; the ring bounds garbage, not correctness.
 _GEN_RING = 16
 
 
@@ -413,11 +494,12 @@ def repair_manifest(
     walk the chain forward and mirror each committed generation.
     Returns the freshest committed manifest.
 
-    The mirror is an unconditional ``os.replace``, so a slow repairer
-    racing a live writer can transiently roll the PLAIN file back to an
-    older committed generation — readers only ever see monotone-stale
-    snapshots (always safe under the batch-pruning contract) and the
-    next append's own loop-head repair re-advances it.
+    The mirror is MONOTONE (:func:`_mirror_manifest_monotone`): a slow
+    repairer racing a live writer can never roll the plain file back to
+    an older committed generation, so the plain file's ``commit_gen``
+    only advances — the invariant that keeps generation-key GC safe
+    (a GC'd key is always behind the plain file, so an absent
+    ``commit_gen + 1`` key proves chain head, never a GC'd gap).
 
     Call this before compacting a store that takes multi-writer CAS
     appends (see :func:`compact_swap`'s ``claims`` guard)."""
@@ -430,7 +512,7 @@ def repair_manifest(
         if cur is None:
             return meta
         meta = json.loads(cur[0])
-        commit_manifest(store_dir, manifest_name, meta)
+        _mirror_manifest_monotone(store_dir, manifest_name, meta)
 
 
 def _fenced_commit(
@@ -446,12 +528,20 @@ def _fenced_commit(
     A mirror failure AFTER the generation key lands (the exception
     propagates) is a liveness event, not a safety one: the commit is
     already durable and the next append's :func:`repair_manifest`
-    publishes it to readers."""
+    publishes it to readers.
+
+    GC discipline (round-17, closing the round-16 ADVICE repair-chain
+    gap): a generation key is only deleted AFTER the monotone mirror
+    has succeeded, i.e. the plain manifest provably carries
+    ``commit_gen >= gen`` — and since the mirror never moves backward,
+    it stays past every GC'd key forever.  Repair therefore never
+    starts behind a GC'd key, and ``_GEN_RING`` bounds garbage, not
+    correctness."""
     gen = int(meta.get("commit_gen", 0)) + 1
     meta["commit_gen"] = gen
     if not claims.try_create(_gen_key(store_dir, manifest_name, gen), json.dumps(meta)):
         return False
-    commit_manifest(store_dir, manifest_name, meta)
+    _mirror_manifest_monotone(store_dir, manifest_name, meta)
     if gen > _GEN_RING:
         claims.delete(_gen_key(store_dir, manifest_name, gen - _GEN_RING))
     return True

@@ -187,6 +187,36 @@ def test_crashed_unmirrored_commit_is_durable_and_repaired(
     assert _rows(store) >= {("w1", 1), ("w2", 2)}
 
 
+def test_stalled_repairer_mirror_cannot_fork_the_chain(tmp_path):
+    """Round-16 ADVICE regression: a repairer that read an old
+    generation's committed meta, stalled past the GC ring, and then
+    mirrored could roll the plain manifest back behind the GC window —
+    the next repair then read a GC'd generation key, mis-took the stale
+    manifest for the chain head, and ``_fenced_commit`` RE-CREATED a
+    deleted generation key, forking the chain and dropping every commit
+    in the lost generations.  The mirror is now monotone, so the
+    rollback (the fork's only entry point) is impossible."""
+    store = _new_store(tmp_path)
+    claims = S.PosixClaimBackend()
+    assert _append(store, "w", 0, claims) == 1  # commits generation 1
+    # a repairer reads generation 1's committed meta ... then stalls
+    stalled = json.loads(claims.read(S._gen_key(store, MANIFEST, 1))[0])
+    # ... while the chain advances far past the GC ring
+    n = S._GEN_RING + 6
+    for i in range(1, n):
+        assert _append(store, "w", i, claims) == 1 + i
+    head = S.load_manifest(store, MANIFEST)
+    assert head["commit_gen"] == n
+    assert claims.read(S._gen_key(store, MANIFEST, 2)) is None  # GC'd
+    # the stalled repairer finally mirrors: monotone -> no rollback
+    S._mirror_manifest_monotone(store, MANIFEST, stalled)
+    assert S.load_manifest(store, MANIFEST) == head
+    # the chain continues from the true head; nothing was forked
+    assert _append(store, "w", n, claims) == n + 1
+    meta = S.load_manifest(store, MANIFEST)
+    assert meta["commit_gen"] == n + 1 and meta["n_batches"] == n + 2
+
+
 def test_generation_keys_are_gc_bounded(tmp_path):
     """One generation key per commit, one delete per commit: the set on
     disk never grows past the ring."""
@@ -227,7 +257,8 @@ def test_compact_swap_refuses_stale_manifest_with_pending_generation(
         )
     # the guard repaired the plain manifest on its way out
     assert S.load_manifest(store, MANIFEST)["commit_gen"] == 2
-    # retry from the reloaded manifest succeeds
+    # retry from the reloaded manifest succeeds; the compaction's own
+    # commit is FENCED (round 17), so it wins and records generation 3
     fresh = S.load_manifest(store, MANIFEST)
     out = S.compact_swap(
         store,
@@ -236,14 +267,14 @@ def test_compact_swap_refuses_stale_manifest_with_pending_generation(
         {"data": FakeDF("compacted", 0)},
         claims=claims,
     )
-    assert out["commit_gen"] == 2  # preserved, never reset
+    assert out["commit_gen"] == 3
 
 
 def test_commit_gen_survives_compaction_and_fencing_continues(tmp_path, claims):
-    """The generation counter is monotone ACROSS compactions (it rides
-    the manifest, which every compactor loads-and-mutates), so stale
-    generation keys from before a compaction can never collide with or
-    be mistaken for post-compaction commits."""
+    """The generation counter is monotone ACROSS compactions: a fenced
+    compaction (claims provided, round 17) wins the next generation
+    itself, so stale generation keys from before a compaction can never
+    collide with or be mistaken for post-compaction commits."""
     store = _new_store(tmp_path)
     for i in range(3):
         _append(store, "w", i, claims)
@@ -257,13 +288,50 @@ def test_commit_gen_survives_compaction_and_fencing_continues(tmp_path, claims):
         claims=claims,
     )
     meta = S.load_manifest(store, MANIFEST)
-    assert meta["commit_gen"] == 3 and meta["n_batches"] == 1
-    # next CAS append fences at generation 4 — no stale-gen collision,
-    # and the old gen-1..3 keys are dead records repair never consults
-    assert _append(store, "w", 42, claims) == 1
+    assert meta["commit_gen"] == 4 and meta["n_batches"] == 1
+    # and the chain continues cleanly past the compaction
+    assert _append(store, "w", 100, claims) == 1
+    assert S.load_manifest(store, MANIFEST)["commit_gen"] == 5
+
+
+def test_compact_swap_lost_fence_rolls_back_and_raises(tmp_path, claims):
+    """A CAS writer that fence-commits between compact_swap's staleness
+    guard and its own commit must WIN: the compaction loses the
+    generation create, restores the pre-compaction dataset dirs from
+    the asides, and raises — the racer's committed rows survive
+    (round-16 ADVICE: the old plain commit_manifest silently clobbered
+    the racer, and the next repair mirrored the racer's pre-compaction
+    manifest over the compacted layout)."""
+    store = _new_store(tmp_path)
+    assert _append(store, "w1", 1, claims) == 1
     meta = S.load_manifest(store, MANIFEST)
-    assert meta["commit_gen"] == 4 and meta["n_batches"] == 2
-    assert _rows(store) >= {("compacted", 99), ("w", 42)}
+    rows_before = _rows(store)
+
+    class RacingDF(FakeDF):
+        """Fence-commits a concurrent append from inside the
+        compaction's staging write — after the guard, before the
+        commit."""
+
+        def parquet(self, path: str):
+            super().parquet(path)
+            racer = dict(
+                S.load_manifest(store, MANIFEST), n_batches=3, racer=True
+            )
+            assert S._fenced_commit(store, MANIFEST, racer, claims)
+
+    with pytest.raises(RuntimeError, match="fence"):
+        S.compact_swap(
+            store,
+            MANIFEST,
+            dict(meta, n_batches=1),
+            {"data": RacingDF("compacted", 0)},
+            claims=claims,
+        )
+    # the racer's commit is the visible manifest; the data dirs were
+    # rolled back to the pre-compaction layout
+    after = S.load_manifest(store, MANIFEST)
+    assert after.get("racer") is True and after["commit_gen"] == 2
+    assert _rows(store) == rows_before
 
 
 def test_lost_stage_dirs_never_leak(tmp_path):
