@@ -31,6 +31,16 @@ decodes to exactly ``clamp(floor((v-128)/2 + 0.5)*2 + 128, 0, 255)``.
 Corrupt-input posture mirrors the other codecs (the reference's Thrift
 bounds discipline, palletjack.cc:82-83): dimension caps before any
 allocation, segment-length bounds checks, truncated-stream errors.
+Unlike BMP/PPM, a JPEG payload's SIZE does not bound its pixel count
+(entropy coding compresses), so the coefficient allocation is bounded
+two ways (round-16 ADVICE): total declared pixels are capped at
+:data:`MAX_PIXELS` (well below ``MAX_DIM**2``), and the scan refuses
+to allocate unless the remaining payload carries at least one bit per
+declared coefficient block — a ~100-byte payload declaring 65535x65535
+is a typed error, never a multi-GB ``np.zeros``.  The bit reader's
+end-of-stream 1-bit padding is likewise capped (a crafted one-bit
+Huffman table otherwise "decodes" every declared MCU from zero payload
+bytes at a marker boundary — unbounded CPU from no input).
 """
 
 from __future__ import annotations
@@ -45,6 +55,15 @@ from palletjack_spark.functions.imagecodec import MAX_DIM, UnsupportedImageError
 
 class JpegFormatError(UnsupportedImageError):
     """Payload is JPEG-framed but malformed or outside baseline."""
+
+
+#: total declared pixels a JPEG frame may carry (4096x4096) — JPEG's
+#: entropy coding means payload size does not bound pixel count the way
+#: it does for BMP/PPM, so the decoder needs its own area cap to keep a
+#: crafted header from driving a multi-GB coefficient allocation; 16.7M
+#: pixels covers every real training image while bounding the peak
+#: decode footprint to a few hundred MB
+MAX_PIXELS = 1 << 24
 
 
 # --------------------------------------------------------------------------
@@ -179,11 +198,20 @@ class _BitReader:
     0xFF00, stops at any other marker (restart markers are consumed by
     the caller between intervals)."""
 
+    #: synthetic 1-bit pad budget at a marker boundary: a legitimate
+    #: final block needs at most one ``peek16`` plus one magnitude
+    #: receive past the last real byte (< 4 bytes); without a cap a
+    #: crafted one-bit Huffman table would let the scan loop "decode"
+    #: every declared MCU from the endless pad — unbounded CPU from
+    #: zero payload bytes (round-16 ADVICE)
+    _MAX_PAD_BITS = 64
+
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
         self._acc = 0
         self._n = 0
+        self._pad = 0
 
     def _fill(self, need: int) -> None:
         while self._n < need:
@@ -197,7 +225,14 @@ class _BitReader:
                 else:
                     # a real marker: feed 1-bits (the spec's pad) so a
                     # final partial block terminates; the scan walker
-                    # validates the marker itself
+                    # validates the marker itself.  Bounded: past the
+                    # budget this is a truncated stream, not padding.
+                    self._pad += 8
+                    if self._pad > self._MAX_PAD_BITS:
+                        raise JpegFormatError(
+                            "truncated JPEG entropy stream (scan continues "
+                            "past a marker boundary)"
+                        )
                     self._acc = (self._acc << 8) | 0xFF
                     self._n += 8
                     continue
@@ -225,9 +260,13 @@ class _BitReader:
         return v
 
     def align(self) -> None:
-        """Drop to a byte boundary (before a restart marker)."""
+        """Drop to a byte boundary (before a restart marker).  Resets
+        the pad budget: it bounds the tail of ONE entropy interval, and
+        every restart interval may legitimately overread a few pad bits
+        into its own terminating RSTn marker."""
         self._acc = 0
         self._n = 0
+        self._pad = 0
 
 
 def _extend(v: int, size: int) -> int:
@@ -382,6 +421,10 @@ def _parse_sof(body: bytes) -> dict:
         raise JpegFormatError(f"{precision}-bit samples unsupported (baseline is 8)")
     if not (0 < w <= MAX_DIM and 0 < h <= MAX_DIM):
         raise JpegFormatError(f"implausible JPEG dimensions {w}x{h}")
+    if w * h > MAX_PIXELS:
+        raise JpegFormatError(
+            f"JPEG frame {w}x{h} exceeds the {MAX_PIXELS}-pixel decode cap"
+        )
     if nc not in (1, 3):
         raise JpegFormatError(f"{nc}-component JPEG unsupported (1 or 3)")
     if len(body) < 6 + 3 * nc:
@@ -416,6 +459,17 @@ def _decode_scan(
     mcus_y = (h + mcu_h - 1) // mcu_h
     per_mcu = sum(c["h"] * c["v"] for c in comps)
     n_mcus = mcus_x * mcus_y
+    # payload-vs-declaration bound BEFORE any allocation (round-16
+    # ADVICE): every coefficient block costs at least one DC Huffman
+    # code bit, so the remaining entropy payload must carry at least
+    # one bit per declared block — a tiny payload with huge declared
+    # dimensions is a typed error, not a proportional np.zeros
+    if (len(payload) - pos) * 8 < n_mcus * per_mcu:
+        raise JpegFormatError(
+            "truncated JPEG entropy stream (payload shorter than one bit "
+            f"per declared coefficient block: {n_mcus * per_mcu} blocks, "
+            f"{max(0, len(payload) - pos)} bytes)"
+        )
     for c in comps:
         if c["id"] not in tables:
             raise JpegFormatError(f"SOS missing component {c['id']}")

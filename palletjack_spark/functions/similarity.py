@@ -773,6 +773,21 @@ def load_ann_index(spark, path: str) -> dict:
             raise ValueError(
                 f"ANN index at {path} declares implausible {k}={v!r}"
             )
+    # the PRODUCTS must be bounded too (round-16 ADVICE: each field at
+    # 2^20 individually still allows an 8 TB np.zeros — e.g.
+    # n_centroids=dim=2^20); 2^27 doubles = 1 GiB per array, orders of
+    # magnitude past any real quantizer (a few hundred KB) while never
+    # rejecting one
+    if (
+        dims["n_centroids"] * dims["dim"] > 1 << 27
+        or dims["m_subspaces"] * dims["n_codes"] * dims["sub_dim"] > 1 << 27
+    ):
+        raise ValueError(
+            f"ANN index at {path} declares implausible quantizer sizes "
+            f"(n_centroids*dim={dims['n_centroids'] * dims['dim']}, "
+            f"codebook elements="
+            f"{dims['m_subspaces'] * dims['n_codes'] * dims['sub_dim']})"
+        )
     rows = spark.read.parquet(os.path.join(path, "quantizers")).collect()
     C = np.zeros((meta["n_centroids"], meta["dim"]), dtype="float64")
     codebooks = np.zeros(

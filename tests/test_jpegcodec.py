@@ -210,6 +210,70 @@ def test_implausible_dimensions_rejected_before_allocation():
         J.decode_jpeg(bytes(buf))
 
 
+def test_tiny_payload_huge_declared_dims_rejected_before_allocation():
+    """Round-16 ADVICE: JPEG's entropy coding means payload size does
+    not bound pixel count, so a ~100-byte payload declaring enormous
+    dimensions must be a typed error BEFORE the coefficient buffers are
+    sized from the header — never a multi-GB np.zeros."""
+    import time
+
+    buf = bytearray(_fixture_payload())
+    off = _find_marker(bytes(buf), 0xC0)
+    # 4096x4095 stays under MAX_PIXELS (so the area cap alone doesn't
+    # catch it) but needs ~196k coefficient blocks from a ~200-byte
+    # entropy stream: the one-bit-per-block payload bound must fire
+    struct.pack_into(">HH", buf, off + 5, 4095, 4096)
+    t0 = time.monotonic()
+    with pytest.raises(UnsupportedImageError, match="one bit"):
+        J.decode_jpeg(bytes(buf))
+    assert time.monotonic() - t0 < 1.0  # rejected up front, not decoded
+
+
+def test_declared_area_cap_rejected():
+    buf = bytearray(_fixture_payload())
+    off = _find_marker(bytes(buf), 0xC0)
+    # both dims within MAX_DIM but the product exceeds MAX_PIXELS
+    struct.pack_into(">HH", buf, off + 5, 8192, 8192)
+    with pytest.raises(UnsupportedImageError, match="pixel decode cap"):
+        J.decode_jpeg(bytes(buf))
+
+
+def test_marker_pad_bits_are_bounded():
+    """Round-16 ADVICE: at a real marker the bit reader feeds synthetic
+    1-bits (the spec's pad) — uncapped, and with a crafted Huffman
+    table where the all-ones pad IS a valid code, the scan 'decodes'
+    every remaining declared block from the endless pad: unbounded CPU
+    and a silent garbage success from a stream that physically ended.
+    Craft exactly that (two 1-bit codes, so code '1' -> symbol 0 = DC
+    cat 0 / AC EOB; entropy bytes all 0xFF via stuffing) with enough
+    real bytes to pass the one-bit-per-block payload bound, and require
+    a typed error when the scan runs past the terminating marker."""
+    bits = bytes([2] + [0] * 15)
+    vals = bytes([0, 0])
+    dht = lambda tc: (  # noqa: E731
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + 2)
+        + bytes([tc << 4])
+        + bits
+        + vals
+    )
+    payload = (
+        b"\xff\xd8"
+        + b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+        + b"\xff\xc0" + struct.pack(">H", 11)
+        + struct.pack(">BHHB", 8, 128, 128, 1) + bytes([1, 0x11, 0])
+        + dht(0) + dht(1)
+        + b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+        + b"\xff\x00" * 40  # 40 real all-ones bytes: 320 bits = 160 blocks
+        + b"\xff\xd9"
+    )
+    # the 128x128 grayscale frame declares 256 blocks; the payload bound
+    # (>= 1 bit/block = 32 bytes) passes, so only the pad cap can stop
+    # the remaining ~96 blocks from decoding out of synthetic pad
+    with pytest.raises(UnsupportedImageError, match="marker boundary"):
+        J.decode_jpeg(payload)
+
+
 def test_zero_quant_entry_rejected():
     buf = bytearray(_fixture_payload())
     off = _find_marker(bytes(buf), 0xDB)

@@ -252,6 +252,18 @@ def test_corrupt_ann_sidecar_is_typed_error_not_wrap_or_alloc(spark, tmp_path):
     json.dump(bad, open(meta_path, "w"))
     with pytest.raises(ValueError, match="implausible"):
         SIM.load_ann_index(spark, path)
+
+    # product bomb (round-16 ADVICE): every field individually under
+    # the per-field cap, but n_centroids*dim = 2^40 elements — an 8 TB
+    # np.zeros if only the fields were checked
+    bad = dict(meta, n_centroids=1 << 20, dim=1 << 20)
+    json.dump(bad, open(meta_path, "w"))
+    with pytest.raises(ValueError, match="implausible"):
+        SIM.load_ann_index(spark, path)
+    bad = dict(meta, m_subspaces=1 << 10, n_codes=1 << 10, sub_dim=1 << 10)
+    json.dump(bad, open(meta_path, "w"))
+    with pytest.raises(ValueError, match="implausible"):
+        SIM.load_ann_index(spark, path)
     json.dump(meta, open(meta_path, "w"))
 
     # negative row index: typed error, never a wrapped write
