@@ -8,9 +8,13 @@ available): payloads are real image files, widths/heights come from actual
 header parsing, resize is a real nearest-neighbour resample over decoded
 pixels.
 
-Compressed formats (JPEG/PNG/…) stay out of scope by design: decoding
-them needs a codec library; ``decode_image`` raises a clear
-``UnsupportedImageError`` for unknown magics, and the codec REGISTRY is the
+The two dominant COMPRESSED formats plug into the same REGISTRY seam
+with real pure-python/numpy decoders: baseline JPEG (round 16,
+``jpegcodec.py`` — the T.81 process) and PNG (round 17, ``pngcodec.py``
+— RFC 2083 with stdlib zlib inflating the IDAT stream).  Formats whose
+decoding genuinely needs an external codec library (MP3, H.264, WebP,
+…) remain documented non-goals; ``decode_image`` raises a clear
+``UnsupportedImageError`` for unknown magics, and the REGISTRY is the
 plug-in point where a Pillow/libjpeg-backed decoder would drop in
 unchanged.
 """
@@ -30,6 +34,15 @@ class UnsupportedImageError(NotImplementedError):
 #: unbounded pixel buffers (the decode analogue of the reference's Thrift
 #: string/container DoS limits, palletjack.cc:82-83)
 MAX_DIM = 1 << 16
+
+#: total declared pixels a COMPRESSED frame may carry (4096x4096).  For
+#: the uncompressed formats (BMP/PPM) the payload length itself bounds
+#: the pixel count, but a compressed payload (JPEG entropy coding, PNG
+#: zlib) can declare arbitrarily more pixels than it carries bytes, so
+#: their decoders need an explicit area cap before sizing any buffer
+#: from the header; 16.7M pixels covers every real training image while
+#: bounding the peak decode footprint to tens of MB
+MAX_PIXELS = 1 << 24
 
 
 # --------------------------------------------------------------------------
@@ -167,6 +180,11 @@ def decode_image(payload: bytes) -> dict:
         from palletjack_spark.functions.jpegcodec import decode_jpeg
 
         REGISTRY[b"\xff\xd8"] = decode_jpeg
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[:8] not in REGISTRY:
+        # same lazy-registration shape for the PNG codec (round 17)
+        from palletjack_spark.functions.pngcodec import decode_png
+
+        REGISTRY[payload[:8]] = decode_png
     for magic, dec in REGISTRY.items():
         if payload[: len(magic)] == magic:
             w, h, px = dec(payload)

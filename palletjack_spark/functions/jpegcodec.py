@@ -50,20 +50,15 @@ import struct
 
 import numpy as np
 
-from palletjack_spark.functions.imagecodec import MAX_DIM, UnsupportedImageError
+from palletjack_spark.functions.imagecodec import (
+    MAX_DIM,
+    MAX_PIXELS,
+    UnsupportedImageError,
+)
 
 
 class JpegFormatError(UnsupportedImageError):
     """Payload is JPEG-framed but malformed or outside baseline."""
-
-
-#: total declared pixels a JPEG frame may carry (4096x4096) — JPEG's
-#: entropy coding means payload size does not bound pixel count the way
-#: it does for BMP/PPM, so the decoder needs its own area cap to keep a
-#: crafted header from driving a multi-GB coefficient allocation; 16.7M
-#: pixels covers every real training image while bounding the peak
-#: decode footprint to a few hundred MB
-MAX_PIXELS = 1 << 24
 
 
 # --------------------------------------------------------------------------

@@ -44,6 +44,7 @@ from palletjack_spark.functions.imagecodec import (
     resize_nearest,
     synthetic_image,
 )
+from palletjack_spark.functions.pngcodec import encode_png
 from palletjack_spark.functions.jpegcodec import (
     encode_jpeg,
     synthetic_block_image,
@@ -119,15 +120,19 @@ def attach_fake_binary(
     seam on the read side).  ``video_codec``: ``"dib"`` (uncompressed) or
     ``"rle8"`` (MS-RLE8-compressed, palettized — exercises the
     ``FOURCC_DECODERS`` seam).  ``image_codec``: ``"bmp_ppm"``
-    (uncompressed, BMP for even ids / PPM for odd) or ``"jpeg"``
+    (uncompressed, BMP for even ids / PPM for odd), ``"jpeg"``
     (baseline 4:2:0 JFIF of the per-block-constant gray pattern —
     exercises the compressed image seam; odd ids carry a restart
-    interval so the DRI/RST path is hit too)."""
+    interval so the DRI/RST path is hit too), or ``"png"`` (lossless
+    RFC 2083 of the standard synthetic pattern — truecolor for even
+    ids, PLTE palette for odd, scanline filters cycling y % 5, so the
+    fixture exercises zlib inflate, all five filter decoders, and the
+    palette path in every image)."""
     if audio_codec not in ("pcm16", "mulaw"):
         raise ValueError(f"unknown audio_codec {audio_codec!r}")
     if video_codec not in ("dib", "rle8"):
         raise ValueError(f"unknown video_codec {video_codec!r}")
-    if image_codec not in ("bmp_ppm", "jpeg"):
+    if image_codec not in ("bmp_ppm", "jpeg", "png"):
         raise ValueError(f"unknown image_codec {image_codec!r}")
     cols = ["asset_id", "modality", "payload", "width", "height", "n_bytes"]
 
@@ -144,6 +149,12 @@ def attach_fake_binary(
                             synthetic_block_image(aid % 256, w, h),
                             subsampling="420",
                             restart_interval=2 if aid % 2 else 0,
+                        )
+                    elif image_codec == "png":
+                        payload = encode_png(
+                            synthetic_image(aid % 256, w, h),
+                            palette=aid % 2 == 1,
+                            filter_mode="cycle",
                         )
                     else:
                         px = synthetic_image(aid % 256, w, h)

@@ -653,6 +653,58 @@ def q94g(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q94h_image_png",
+    # PNG differential (round 17, completing the compressed-image pair
+    # with q94g's JPEG): the image assets are REAL RFC-2083 PNG files —
+    # zlib-deflated IDAT, scanline filters cycling y % 5 (so every
+    # image taller than 4 rows exercises ALL FIVE filter decoders),
+    # truecolor for even ids and PLTE palette for odd — built and
+    # decoded by pngcodec.py.  PNG is LOSSLESS, so the decoded pixel
+    # equals the synthetic pattern exactly: red at (y, x) is
+    # (seed + x*3 + y*7) % 256 with seed = id % 256 and the closed-form
+    # dims of _asset_dims; the oracle recomputes the three probes
+    # analytically.  A wrong chunk walk, CRC, inflate bound, filter
+    # reconstruction (esp. Paeth/Average), or palette lookup shifts at
+    # least one probe off the closed form.
+    oracle="""
+    WITH img AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 16 AS INT) AS w,
+             CAST(8 + (doc_id * 7) % 16 AS INT) AS h,
+             doc_id % 256 AS seed
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id AS asset_id, w AS width, h AS height,
+           CAST(seed % 256 AS INT) AS p00,
+           CAST((seed + (w // 2) * 3 + (h // 2) * 7) % 256 AS INT) AS p_mid,
+           CAST((seed + (w - 1) * 3 + (h - 1) * 7) % 256 AS INT) AS p_last
+    FROM img
+    ORDER BY asset_id
+    """,
+)
+def q94h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed image decode (Q94h): PNG — the web's dominant
+    lossless format — through the same registry dispatch as BMP/PPM and
+    JPEG (``imagecodec.REGISTRY``, implemented by ``pngcodec.py`` from
+    the public RFC 2083 with stdlib zlib doing the DEFLATE work).  The
+    probes are DECODED pixel values; losslessness makes the oracle the
+    synthetic pattern's closed form itself, so the full chunk → inflate
+    → unfilter → (palette) path is proved end to end, bit-exact."""
+    from palletjack_spark.functions.multimodal import (
+        attach_fake_binary,
+        image_pixel_probes,
+    )
+
+    # same parallelism note as q94g: one small parquet file = one input
+    # split; spread the CPU-bound codec work across the executor cores
+    docs = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    assets = attach_fake_binary(docs, "text", "doc_id", image_codec="png")
+    return image_pixel_probes(assets).orderBy("asset_id")
+
+
+@query(
     "q107_paragraph_dedup",
     # The corpus is derived with REAL planted boilerplate: every document
     # becomes [unique-ish prefix, THE SAME cookie-banner paragraph,

@@ -120,10 +120,10 @@ def test_round10_floor_coverage_and_meta_gate():
     # every headline query is now floored — no number a regression could
     # hide in (floors may cover more than the current headline list).
     # Queries INTRODUCED in the current round are exempt until their first
-    # parsed bench lands a committed floor; q94g (round 16) was floored
-    # from the round's gate-clean zero-warning capture (the q92p
-    # precedent), so the exemption set is empty again.
-    new_this_round: set = set()
+    # parsed bench lands a committed floor; q94h (round 17, the PNG
+    # decode differential) awaits its first gate-clean capture — floor it
+    # from that capture (the q94g/q92p precedent) and empty this set.
+    new_this_round: set = {"q94h_image_png"}
     assert set(b.HEADLINE) - new_this_round <= set(floors)
     # the r9 contended values flag against the committed floors
     warnings = b._check_floors(
