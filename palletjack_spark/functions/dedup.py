@@ -1125,7 +1125,7 @@ _SIG_META_NAME = "_sig_meta.json"
 
 
 def _sig_meta(
-    id_col: str, k: int, bands: int, rows: int, layout: str = "batched"
+    id_col: str, k: int, bands: int, rows: int, layout: str = "objects"
 ) -> dict:
     return {
         "format": "pjspark-sigstore",
@@ -1152,7 +1152,7 @@ def save_signature_store(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
-    layout: str = "batched",
+    layout: str = "objects",
 ) -> DataFrame:
     """Build and persist the MinHash signature store for an ingested
     corpus: one row per document — (id, n_sh, s0..s{k-1}, sh_set), the
@@ -1168,10 +1168,11 @@ def save_signature_store(
     commit, and compaction ride the shared crash-publication contract
     (:mod:`palletjack_spark.functions.store`).
 
-    ``layout``: ``"batched"`` (rename-based ``batch=N`` slots, the
-    default) or ``"objects"`` (round 16: rename-free immutable object
-    dirs listed by the manifest — see STORES.md; appends, loads, and
-    compaction follow the manifest's layout automatically)."""
+    ``layout``: ``"objects"`` (the default since round 17 — rename-free
+    immutable object dirs listed by the manifest, see STORES.md) or
+    ``"batched"`` (rename-based ``batch=N`` slots, still fully
+    supported for existing manifests; appends, loads, and compaction
+    follow the manifest's layout automatically)."""
     import os as _os
     import uuid as _uuid
 

@@ -312,9 +312,17 @@ def nn_graph(
 
 def _kmeans_cosine(mat: np.ndarray, k: int, iters: int = 8) -> np.ndarray:
     """Deterministic spherical k-means: init = first k rows (caller passes
-    an id-ordered sample), assign by max cosine, recenter, renormalize."""
+    an id-ordered sample), assign by max cosine, recenter, renormalize.
+    A sample smaller than ``k`` pads by repeating rows (the ``_kmeans_l2``
+    rule — round-17 sweep: the unpadded return broke the declared-shape
+    contract, and ``save_ann_index`` then stamped a manifest whose
+    ``n_centroids`` its own loader rejected as a torn store); duplicate
+    centroids just leave their clones' cells empty (argmax picks the
+    first)."""
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    C = mat[:k].copy()
+    C = mat[: min(k, len(mat))].copy()
+    if len(C) < k:
+        C = np.concatenate([C] * (k // max(len(C), 1) + 1))[:k].copy()
     for _ in range(iters):
         assign = (mat @ C.T).argmax(axis=1)
         for c in range(k):
@@ -883,7 +891,7 @@ def save_vector_store(
     train_rows: int = 512,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    layout: str = "slots",
+    layout: str = "objects",
 ) -> dict:
     """Train IVF-PQ quantizers on ``corpus_df`` and persist a FULL
     vector store: the quantizer sidecar (:func:`save_ann_index`) plus
@@ -894,10 +902,12 @@ def save_vector_store(
     incremental-dedup signature store (round-12 verdict item 4).
     Returns the loaded quantizer dict.
 
-    ``layout``: ``"slots"`` (rename-based ``batch=N``, the default) or
-    ``"objects"`` (round 16: rename-free immutable object dirs listed
-    by the manifest — see STORES.md; appends, deletes, reads, and
-    compaction follow the manifest's layout automatically)."""
+    ``layout``: ``"objects"`` (the default since round 17 — rename-free
+    immutable object dirs listed by the manifest, the shape an object
+    store wants; see STORES.md) or ``"slots"`` (rename-based
+    ``batch=N``, still fully supported for existing manifests; appends,
+    deletes, reads, and compaction follow the manifest's layout
+    automatically)."""
     import uuid
 
     from palletjack_spark.functions import store as S

@@ -526,7 +526,7 @@ def save_lm_store(
     text_col: str,
     id_col: str,
     store_dir: str,
-    layout: str = "slots",
+    layout: str = "objects",
 ) -> None:
     """Persist the stupid-backoff count tables of an ingested corpus as
     a versioned store (``bigrams/batch=0``, ``unigrams/batch=0`` + a
@@ -535,12 +535,13 @@ def save_lm_store(
     Brants et al. chose count-based smoothing for distributed training:
     counts are additive; normalized probabilities are not.
 
-    ``layout``: ``"slots"`` (rename-based ``batch=N`` dirs, the
-    default) or ``"objects"`` (round-16: rename-free immutable object
-    dirs listed by the manifest —
-    :func:`palletjack_spark.functions.store.cas_append_objects` — the
-    shape an object-store deployment wants; appends, loads, and
-    compaction all follow the manifest's layout automatically)."""
+    ``layout``: ``"objects"`` (the default since round 17 — rename-free
+    immutable object dirs listed by the manifest,
+    :func:`palletjack_spark.functions.store.cas_append_objects`, the
+    shape an object-store deployment wants) or ``"slots"``
+    (rename-based ``batch=N`` dirs, still fully supported for existing
+    manifests; appends, loads, and compaction all follow the
+    manifest's layout automatically)."""
     import os
     import uuid
 

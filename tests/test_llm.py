@@ -1108,7 +1108,7 @@ def test_vector_store_append_incremental_exact(spark, tmp_path, monkeypatch):
     base = emb.where(F.col("vec_id") % 10 != 7)
     batch = emb.where(F.col("vec_id") % 10 == 7)
     store = str(tmp_path / "store")
-    sim.save_vector_store(base, store, n_centroids=8)
+    sim.save_vector_store(base, store, n_centroids=8, layout="slots")
 
     base_files = {
         p: (os.path.getsize(p), os.path.getmtime(p))
@@ -1194,7 +1194,7 @@ def test_vector_store_validation_and_orphan_batches(spark, tmp_path):
         sim.vector_store_topk(spark, qonly, queries)
 
     store = str(tmp_path / "store")
-    sim.save_vector_store(base, store, n_centroids=8)
+    sim.save_vector_store(base, store, n_centroids=8, layout="slots")
     # column mismatch hard-errors (silent wrong answers otherwise)
     with pytest.raises(ValueError, match="built with columns"):
         sim.append_vectors(batch, store, id_col="other_id")
@@ -1305,7 +1305,7 @@ def test_vector_store_delete_and_compact(spark, tmp_path):
 
     emb = load_table(spark, SF_DIR, "embeddings")
     store = str(tmp_path / "store")
-    sim.save_vector_store(emb, store, n_centroids=8)
+    sim.save_vector_store(emb, store, n_centroids=8, layout="slots")
     batch0 = {
         p: (os.path.getsize(p), os.path.getmtime(p))
         for p in sorted(
@@ -2094,7 +2094,8 @@ def test_signature_compaction_crash_window_recovers(spark, tmp_path, monkeypatch
     docs = load_table(spark, SF_DIR, "documents")
     store = str(tmp_path / "sig")
     D.save_signature_store(
-        docs.where(F.col("doc_id") % 5 == 1), "text", "doc_id", store
+        docs.where(F.col("doc_id") % 5 == 1), "text", "doc_id", store,
+        layout="batched",
     )
     D.append_signatures(
         D._signatures_one_shuffle(
@@ -2152,7 +2153,7 @@ def test_lm_compaction_partial_swap_is_readable(spark, tmp_path, monkeypatch):
     delta = docs.where(F.col("doc_id") % 5 == 2)
     score = docs.where(F.col("doc_id") % 5 == 0)
     store = str(tmp_path / "lm")
-    T.save_lm_store(base, "text", "doc_id", store)
+    T.save_lm_store(base, "text", "doc_id", store, layout="slots")
     T.append_lm_counts(delta, "text", "doc_id", store)
     want = _lm_rows(
         T.bigram_lm_score_store(spark, score, "text", "doc_id", store)
@@ -2394,7 +2395,8 @@ def test_append_after_compaction_crash_recovers_first(spark, tmp_path, monkeypat
     docs = load_table(spark, SF_DIR, "documents")
     store = str(tmp_path / "sig")
     D.save_signature_store(
-        docs.where(F.col("doc_id") % 5 == 1), "text", "doc_id", store
+        docs.where(F.col("doc_id") % 5 == 1), "text", "doc_id", store,
+        layout="batched",
     )
     old_ids = sorted(
         r["doc_id"] for r in D.load_signature_store(spark, store).collect()
@@ -2486,7 +2488,8 @@ def test_concurrent_vector_appends_lose_nothing(spark, tmp_path):
     emb = load_table(spark, SF_DIR, "embeddings")
     store = str(tmp_path / "mwvec")
     sim.save_vector_store(
-        emb.where(F.col("vec_id") % 7 == 0), store, n_centroids=8
+        emb.where(F.col("vec_id") % 7 == 0), store, n_centroids=8,
+        layout="slots",
     )
     slices = [emb.where(F.col("vec_id") % 7 == m) for m in range(1, 5)]
     slots, errs = [], []
@@ -2627,7 +2630,7 @@ def test_cas_append_multi_partial_rename_crash_is_invisible(
 
     docs = load_table(spark, SF_DIR, "documents")
     store = str(tmp_path / "mwcrash")
-    T.save_lm_store(docs.where(F.col("doc_id") % 7 == 0), "text", "doc_id", store)
+    T.save_lm_store(docs.where(F.col("doc_id") % 7 == 0), "text", "doc_id", store, layout="slots")
     big0, uni0 = T.load_lm_tables(spark, store)
     before = (
         sorted(tuple(r) for r in big0.collect()),
@@ -2690,7 +2693,8 @@ def test_cas_append_stolen_claim_never_double_publishes(
     docs = load_table(spark, SF_DIR, "documents")
     store = str(tmp_path / "steal")
     D.save_signature_store(
-        docs.where(F.col("doc_id") % 7 == 0), "text", "doc_id", store
+        docs.where(F.col("doc_id") % 7 == 0), "text", "doc_id", store,
+        layout="batched",
     )
     a_sig = D._signatures_one_shuffle(
         docs.where(F.col("doc_id") % 7 == 1), "text", "doc_id"

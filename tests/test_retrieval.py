@@ -228,6 +228,37 @@ def test_rrf_fuse_three_legs(spark):
     assert (rows[2]["a_rank"], rows[2]["b_rank"], rows[2]["c_rank"]) == (0, 0, 1)
 
 
+def test_tiny_corpus_ann_index_roundtrips(spark, tmp_path):
+    """Round-17 sweep: _kmeans_cosine returned FEWER centroids than
+    requested when the training sample was smaller than n_centroids
+    (unlike _kmeans_l2, which pads) — save_ann_index then stamped the
+    REQUESTED count into the manifest and load_ann_index rejected the
+    store's own artifact as torn.  The trainer now pads by repeating
+    rows, so a tiny corpus saves, loads, and queries."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from palletjack_spark.functions import similarity as SIM
+    from palletjack_spark.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").where(F.col("vec_id") < 5)
+    assert emb.count() == 5
+    path = str(tmp_path / "tiny_ann")
+    idx = SIM.save_ann_index(emb, path, n_centroids=16, m_subspaces=4,
+                             n_codes=8)
+    assert idx["centroids"].shape[0] == 16  # padded to the declared count
+    loaded = SIM.load_ann_index(spark, path)
+    assert np.array_equal(loaded["centroids"], idx["centroids"])
+    assert np.array_equal(loaded["codebooks"], idx["codebooks"])
+    # the loaded quantizers drive a query end to end
+    out = SIM.ivf_pq_topk(
+        emb, emb.where(F.col("vec_id") < 2), k=2, n_centroids=16,
+        n_probes=16, m_subspaces=4, n_codes=8, shortlist=16,
+        ann_index=loaded,
+    )
+    assert out.count() > 0
+
+
 def test_corrupt_ann_sidecar_is_typed_error_not_wrap_or_alloc(spark, tmp_path):
     """Round-16 sweep (similarity.py quantizer loader): a corrupt
     manifest must not size multi-GB allocations, and a corrupt

@@ -177,7 +177,8 @@ def test_stale_claim_steal_through_fake_backend(spark, tmp_path):
     docs = load_table(spark, SF_DIR, "documents")
     store = str(tmp_path / "steal")
     D.save_signature_store(
-        docs.where(F.col("doc_id") % 7 == 0), "text", "doc_id", store
+        docs.where(F.col("doc_id") % 7 == 0), "text", "doc_id", store,
+        layout="batched",
     )
     claims = S.ConditionalPutClaimBackend()
     # a crashed writer left a claim on slot 1, backdated past the TTL
@@ -219,7 +220,8 @@ def test_recover_dataset_restores_displaced_slot(spark, tmp_path):
     docs = load_table(spark, SF_DIR, "documents")
     store = str(tmp_path / "disp")
     D.save_signature_store(
-        docs.where(F.col("doc_id") % 7 == 0), "text", "doc_id", store
+        docs.where(F.col("doc_id") % 7 == 0), "text", "doc_id", store,
+        layout="batched",
     )
     sig = D._signatures_one_shuffle(
         docs.where(F.col("doc_id") % 7 == 1), "text", "doc_id"
@@ -249,7 +251,8 @@ def test_displaced_aside_with_live_slot_is_left_alone(spark, tmp_path):
     docs = load_table(spark, SF_DIR, "documents")
     store = str(tmp_path / "noclobber")
     D.save_signature_store(
-        docs.where(F.col("doc_id") % 7 == 0), "text", "doc_id", store
+        docs.where(F.col("doc_id") % 7 == 0), "text", "doc_id", store,
+        layout="batched",
     )
     aside = os.path.join(store, "signatures", ".displaced-batch=0")
     os.makedirs(aside)
@@ -282,7 +285,8 @@ def test_lost_claim_mid_loop_withdraws_and_restores_displaced(
     docs = load_table(spark, SF_DIR, "documents")
     store = str(tmp_path / "midloop")
     T.save_lm_store(
-        docs.where(F.col("doc_id") % 5 == 0), "text", "doc_id", store
+        docs.where(F.col("doc_id") % 5 == 0), "text", "doc_id", store,
+        layout="slots",
     )
     # pre-existing slot-1 content from a DIFFERENT writer (slice %5==2),
     # which the thief will publish as-is by committing n_batches=2 —
@@ -362,7 +366,8 @@ def test_reader_recovery_racing_writer_swap_is_retried(
     docs = load_table(spark, SF_DIR, "documents")
     store = str(tmp_path / "race")
     D.save_signature_store(
-        docs.where(F.col("doc_id") % 7 == 0), "text", "doc_id", store
+        docs.where(F.col("doc_id") % 7 == 0), "text", "doc_id", store,
+        layout="batched",
     )
     # plant an unpublished orphan at slot 1 so the writer has to displace
     orphan = D._signatures_one_shuffle(

@@ -480,6 +480,18 @@ def test_streaming_dedup_does_not_wipe_existing_store(spark, tmp_path):
         assert json.load(f)["n_batches"] > n_before  # appended, not reset
 
 
+def _live_vector_rows(spark, store, meta):
+    """Layout-aware published-rows reader for vector-store assertions
+    (round 17: new stores default to the object layout, so the tests
+    read whichever layout the manifest declares — the same dispatch the
+    store's own loaders do)."""
+    from palletjack_spark.functions import store as S
+
+    if meta.get("layout") == "objects":
+        return S.live_object_batches(spark, store, "vectors", meta)
+    return S.live_batches(spark, store, "vectors", meta["n_batches"])
+
+
 def test_streaming_vector_ingest_fills_store_and_replay_noops(
     spark, tmp_path
 ):
@@ -487,7 +499,9 @@ def test_streaming_vector_ingest_fills_store_and_replay_noops(
     1-3 into the persisted vector store via foreachBatch — afterwards
     the store holds the WHOLE corpus (bootstrap + 3 published appends,
     per-batch ledger consistent), and replaying the exact epoch the
-    stream recorded is a no-op with a byte-identical manifest."""
+    stream recorded is a no-op with a byte-identical manifest.  Since
+    round 17 the store lands under the rename-free OBJECT layout (the
+    new default), so this also pins the streaming ingest through it."""
     import json
     import os
 
@@ -510,7 +524,7 @@ def test_streaming_vector_ingest_fills_store_and_replay_noops(
     want = sorted(r["vec_id"] for r in emb.select("vec_id").collect())
     got = sorted(
         r["vec_id"]
-        for r in S.live_batches(spark, store, "vectors", meta["n_batches"])
+        for r in _live_vector_rows(spark, store, meta)
         .select("vec_id")
         .collect()
     )
@@ -673,7 +687,7 @@ def test_concurrent_vector_ingest_fills_store_and_replay_noops(
     want = sorted(r["vec_id"] for r in emb.select("vec_id").collect())
     got = sorted(
         r["vec_id"]
-        for r in S.live_batches(spark, store, "vectors", meta["n_batches"])
+        for r in _live_vector_rows(spark, store, meta)
         .select("vec_id")
         .collect()
     )
