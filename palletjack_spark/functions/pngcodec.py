@@ -7,22 +7,28 @@ together the two cover the overwhelming majority of real image corpora.
 Everything here is implemented from the public specification — the
 chunk layer (length/type/CRC-32), IHDR validation, IDAT zlib inflate
 (stdlib ``zlib`` does the DEFLATE work), the five scanline filters
-(None/Sub/Up/Average/Paeth), and the PLTE palette — with numpy only.
+(None/Sub/Up/Average/Paeth), the PLTE palette, every legal bit depth,
+and Adam7 interlacing — with numpy only.
 
 Scope:
 
-* decode: bit depth 8; color types 0 (grayscale), 2 (truecolor RGB),
-  3 (palette), 4 (gray+alpha) and 6 (RGBA — alpha is dropped, the RGB
-  presentation every probe downstream expects); all five filter types;
-  ancillary chunks skipped after CRC verification.  Interlaced
-  (Adam7) images, 1/2/4/16-bit depths, and unknown CRITICAL chunks
-  raise a typed :class:`PngFormatError` naming the feature.
-* encode: RGB truecolor, grayscale, or palette output (palette
-  requires <= 256 distinct colors and is exact); per-scanline filter
-  choice cycles through ALL FIVE filter types by default
-  (``filter_mode="cycle"``, y % 5), so one encoded fixture image
-  taller than four rows exercises every filter decoder — the same
-  differential posture jpegcodec's restart-interval fixtures take.
+* decode: the FULL legal depth/color matrix — grayscale (color type 0)
+  at 1/2/4/8/16 bits, truecolor (2) and alpha types (4, 6) at 8/16,
+  palette (3) at 1/2/4/8 — plus Adam7 interlaced images (each of the
+  seven passes is an independently filtered sub-image).  All five
+  filter types.  16-bit samples present as their high byte (the
+  standard 8-bit presentation); sub-byte grayscale scales
+  ``v * 255 / (2^d - 1)``; alpha channels are dropped (the RGB
+  presentation every probe downstream expects).  Ancillary chunks are
+  skipped after CRC verification; unknown CRITICAL chunks raise a
+  typed :class:`PngFormatError` naming the chunk.
+* encode: RGB truecolor, grayscale, or palette output (palette is
+  exact, <= 256 distinct colors; ``depth`` packs palette indices at
+  1/2/4 bits when the palette fits); per-scanline filter choice cycles
+  through ALL FIVE filter types by default (``filter_mode="cycle"``,
+  y % 5), so one encoded fixture image taller than four rows exercises
+  every filter decoder — the same differential posture jpegcodec's
+  restart-interval fixtures take; ``interlace=True`` emits Adam7.
 
 Corrupt-input posture (the reference codec's Thrift bounds discipline,
 palletjack.cc:82-83, and this package's other codecs): chunk lengths
@@ -56,8 +62,28 @@ class PngFormatError(UnsupportedImageError):
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
-#: color type -> samples per pixel (bit depth 8 only)
+#: color type -> samples per pixel
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+#: color type -> legal bit depths (RFC 2083 §4.1.1)
+_LEGAL_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+#: Adam7 pass layout: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
 
 def _chunk(tag: bytes, body: bytes) -> bytes:
@@ -67,6 +93,10 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
         + body
         + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
     )
+
+
+def _rowbytes(w: int, ch: int, depth: int) -> int:
+    return (w * ch * depth + 7) // 8
 
 
 # --------------------------------------------------------------------------
@@ -97,10 +127,13 @@ def _unfilter_line(
     if ftype == 2:  # Up
         return (line + prev).astype(np.uint8)
     if ftype == 1:  # Sub
-        out = line.reshape(-1, bpp) if line.size % bpp == 0 else None
-        if out is not None:
+        if line.size % bpp == 0:
             return (
-                np.cumsum(out.astype(np.uint32), axis=0, dtype=np.uint32)
+                np.cumsum(
+                    line.reshape(-1, bpp).astype(np.uint32),
+                    axis=0,
+                    dtype=np.uint32,
+                )
                 .astype(np.uint8)
                 .reshape(-1)
             )
@@ -158,8 +191,9 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     """PNG bytes → (width, height, RGB uint8 (h, w, 3)).
 
     Grayscale replicates into three channels; alpha channels are
-    dropped (RGB presentation).  Raises :class:`PngFormatError` (a
-    typed :class:`UnsupportedImageError`) on corrupt input or features
+    dropped; 16-bit samples present as their high byte (the standard
+    8-bit presentation).  Raises :class:`PngFormatError` (a typed
+    :class:`UnsupportedImageError`) on corrupt input or features
     outside the supported profile."""
     if len(payload) < 8 or payload[:8] != PNG_MAGIC:
         raise PngFormatError("not a PNG payload (missing signature)")
@@ -210,12 +244,24 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
         raise PngFormatError("truncated PNG (no IEND)")
     if not idat:
         raise PngFormatError("PNG has no IDAT data")
-    w, h, color_type = ihdr["w"], ihdr["h"], ihdr["color_type"]
+    w, h = ihdr["w"], ihdr["h"]
+    color_type, depth = ihdr["color_type"], ihdr["depth"]
     ch = _CHANNELS[color_type]
     if color_type == 3 and plte is None:
         raise PngFormatError("palette PNG (color type 3) has no PLTE")
-    rowbytes = w * ch
-    expected = h * (1 + rowbytes)
+    # the sub-images to decode: one full frame, or the seven Adam7
+    # passes (each an independently filtered raster of its own width)
+    if ihdr["interlace"]:
+        passes = [
+            (xs, ys, xst, yst, (w - xs + xst - 1) // xst,
+             (h - ys + yst - 1) // yst)
+            for xs, ys, xst, yst in _ADAM7
+        ]
+        passes = [p for p in passes if p[4] > 0 and p[5] > 0]
+    else:
+        passes = [(0, 0, 1, 1, w, h)]
+    expected = sum(ph * (1 + _rowbytes(pw, ch, depth))
+                   for *_s, pw, ph in passes)
     d = zlib.decompressobj()
     try:
         raw = d.decompress(bytes(idat), expected)
@@ -230,29 +276,25 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
         # dimension lie or a bomb; either way a typed error
         raise PngFormatError("PNG zlib stream larger than declared raster")
     buf = np.frombuffer(raw, dtype=np.uint8)
-    out = np.empty((h, rowbytes), dtype=np.uint8)
-    prev = np.zeros(rowbytes, dtype=np.uint8)
-    bpp = ch  # bytes per complete pixel at depth 8
-    for y in range(h):
-        start = y * (1 + rowbytes)
-        ftype = int(buf[start])
-        if ftype > 4:
-            raise PngFormatError(f"invalid PNG filter type {ftype}")
-        prev = _unfilter_line(
-            ftype, buf[start + 1 : start + 1 + rowbytes], prev, bpp
-        )
-        out[y] = prev
-    px = out.reshape(h, w, ch)
-    if color_type == 2:
-        rgb = px
-    elif color_type == 6:
-        rgb = px[:, :, :3]
-    elif color_type == 0:
-        rgb = np.repeat(px, 3, axis=2)
+    samples = np.empty((h, w, ch), dtype=np.uint8)
+    offset = 0
+    for xs, ys, xst, yst, pw, ph in passes:
+        sub, offset = _decode_subimage(buf, offset, pw, ph, ch, depth)
+        samples[ys::yst, xs::xst] = sub
+    if color_type == 0:
+        if depth < 8:  # scale sub-byte gray to the 8-bit range
+            samples = (
+                samples.astype(np.uint16) * 255 // ((1 << depth) - 1)
+            ).astype(np.uint8)
+        rgb = np.repeat(samples, 3, axis=2)
+    elif color_type == 2:
+        rgb = samples
     elif color_type == 4:
-        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+        rgb = np.repeat(samples[:, :, :1], 3, axis=2)
+    elif color_type == 6:
+        rgb = samples[:, :, :3]
     else:  # palette
-        idx = px[:, :, 0]
+        idx = samples[:, :, 0]
         if int(idx.max()) >= len(plte):
             raise PngFormatError(
                 f"palette index {int(idx.max())} out of range "
@@ -260,6 +302,39 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
             )
         rgb = plte[idx]
     return w, h, np.ascontiguousarray(rgb)
+
+
+def _decode_subimage(
+    buf: np.ndarray, offset: int, w: int, h: int, ch: int, depth: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter + unpack one (sub-)image raster from the inflated
+    buffer at ``offset``: ``h`` scanlines of ``1 + rowbytes(w)`` bytes.
+    Returns ``(samples (h, w, ch) uint8, new_offset)`` — 16-bit samples
+    reduced to their high byte, sub-byte samples as raw codes."""
+    rowbytes = _rowbytes(w, ch, depth)
+    bpp = max(1, ch * depth // 8)
+    rows = np.empty((h, rowbytes), dtype=np.uint8)
+    prev = np.zeros(rowbytes, dtype=np.uint8)
+    for y in range(h):
+        start = offset + y * (1 + rowbytes)
+        ftype = int(buf[start])
+        if ftype > 4:
+            raise PngFormatError(f"invalid PNG filter type {ftype}")
+        prev = _unfilter_line(
+            ftype, buf[start + 1 : start + 1 + rowbytes], prev, bpp
+        )
+        rows[y] = prev
+    offset += h * (1 + rowbytes)
+    if depth == 8:
+        return rows.reshape(h, w, ch), offset
+    if depth == 16:
+        # big-endian sample pairs; high byte IS the 8-bit presentation
+        return rows.reshape(h, w, ch, 2)[:, :, :, 0], offset
+    # sub-byte: MSB-first bit groups, only legal for 1-channel types
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth].reshape(h, w, depth)
+    weights = 1 << np.arange(depth - 1, -1, -1, dtype=np.uint8)
+    vals = (bits * weights).sum(axis=2).astype(np.uint8)
+    return vals[:, :, None], offset
 
 
 def _parse_ihdr(body: bytes) -> dict:
@@ -276,17 +351,23 @@ def _parse_ihdr(body: bytes) -> dict:
         )
     if color_type not in _CHANNELS:
         raise PngFormatError(f"invalid PNG color type {color_type}")
-    if depth != 8:
+    if depth not in _LEGAL_DEPTHS[color_type]:
         raise PngFormatError(
-            f"{depth}-bit PNG unsupported (this profile decodes depth 8)"
+            f"{depth}-bit depth illegal for PNG color type {color_type}"
         )
     if comp != 0 or filt != 0:
         raise PngFormatError(
             f"PNG compression/filter method {comp}/{filt} invalid"
         )
-    if interlace != 0:
-        raise PngFormatError("interlaced (Adam7) PNG unsupported")
-    return {"w": w, "h": h, "color_type": color_type}
+    if interlace not in (0, 1):
+        raise PngFormatError(f"invalid PNG interlace method {interlace}")
+    return {
+        "w": w,
+        "h": h,
+        "color_type": color_type,
+        "depth": depth,
+        "interlace": interlace,
+    }
 
 
 # --------------------------------------------------------------------------
@@ -299,14 +380,20 @@ def encode_png(
     palette: bool = False,
     filter_mode: str = "cycle",
     level: int = 6,
+    depth: int | None = None,
+    interlace: bool = False,
 ) -> bytes:
     """RGB uint8 (h, w, 3) or grayscale (h, w) → PNG bytes.
 
     ``palette=True`` emits color type 3 with a PLTE built from the
     image's distinct colors (requires <= 256; exact, not quantized).
+    ``depth`` (palette only): pack indices at 1/2/4 bits — the palette
+    must fit in ``2**depth`` entries; ``None`` picks 8.
     ``filter_mode``: ``"none"`` (filter 0 every line) or ``"cycle"``
     (line y uses filter y % 5 — deliberately exercises every filter
-    decoder in one image; compression is not the fixture's goal)."""
+    decoder in one image; compression is not the fixture's goal).
+    ``interlace=True`` emits Adam7 (seven independently filtered
+    passes; filters apply within each pass)."""
     if filter_mode not in ("none", "cycle"):
         raise ValueError(f"unknown filter_mode {filter_mode!r}")
     pixels = np.asarray(pixels, dtype=np.uint8)
@@ -320,6 +407,8 @@ def encode_png(
         raise ValueError("encode_png expects (h, w, 3) RGB or (h, w) gray")
     h, w = raster.shape[:2]
     plte_body = b""
+    if depth is not None and not palette:
+        raise ValueError("depth packing is a palette-encoding option")
     if palette:
         if color_type != 2:
             raise ValueError("palette encoding needs an RGB input")
@@ -330,18 +419,32 @@ def encode_png(
                 f"palette encoding needs <= 256 distinct colors, "
                 f"got {len(colors)}"
             )
+        depth = depth or 8
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(f"palette depth must be 1/2/4/8, got {depth}")
+        if len(colors) > 1 << depth:
+            raise ValueError(
+                f"{len(colors)} palette entries do not fit {depth}-bit "
+                f"indices"
+            )
         color_type, ch = 3, 1
         plte_body = colors.astype(np.uint8).tobytes()
         raster = inverse.astype(np.uint8).reshape(h, w, 1)
-    lines = raster.reshape(h, w * ch)
-    prev = np.zeros(w * ch, dtype=np.uint8)
+    depth = depth or 8
     raw = bytearray()
-    for y in range(h):
-        ftype = (y % 5) if filter_mode == "cycle" else 0
-        raw.append(ftype)
-        raw += _filter_line(ftype, lines[y], prev, ch).tobytes()
-        prev = lines[y]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    if interlace:
+        passes = [
+            (xs, ys, xst, yst) for xs, ys, xst, yst in _ADAM7
+            if (w - xs + xst - 1) // xst > 0 and (h - ys + yst - 1) // yst > 0
+        ]
+        subs = [raster[ys::yst, xs::xst] for xs, ys, xst, yst in passes]
+    else:
+        subs = [raster]
+    for sub in subs:
+        raw += _encode_subimage(sub, depth, filter_mode)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0
+    )
     out = bytearray(PNG_MAGIC)
     out += _chunk(b"IHDR", ihdr)
     if plte_body:
@@ -349,3 +452,26 @@ def encode_png(
     out += _chunk(b"IDAT", zlib.compress(bytes(raw), level))
     out += _chunk(b"IEND", b"")
     return bytes(out)
+
+
+def _encode_subimage(sub: np.ndarray, depth: int, filter_mode: str) -> bytes:
+    """Filter one (sub-)image into raw scanline bytes (the encode
+    inverse of :func:`_decode_subimage`); ``depth`` < 8 packs the
+    single-channel codes MSB-first."""
+    h, w, ch = sub.shape
+    if depth == 8:
+        lines = sub.reshape(h, w * ch)
+    else:  # palette codes packed depth-at-a-time, MSB first
+        weights = 1 << np.arange(depth - 1, -1, -1, dtype=np.uint8)
+        bits = ((sub[:, :, 0, None] & weights) > 0).astype(np.uint8)
+        lines = np.packbits(bits.reshape(h, w * depth), axis=1)
+    rowbytes = lines.shape[1]
+    bpp = max(1, ch * depth // 8)
+    prev = np.zeros(rowbytes, dtype=np.uint8)
+    raw = bytearray()
+    for y in range(h):
+        ftype = (y % 5) if filter_mode == "cycle" else 0
+        raw.append(ftype)
+        raw += _filter_line(ftype, lines[y], prev, bpp).tobytes()
+        prev = lines[y]
+    return bytes(raw)

@@ -152,6 +152,85 @@ def test_rgba_and_gray_alpha_drop_alpha():
     assert all(np.array_equal(out[:, :, c], ga[:, :, 0]) for c in range(3))
 
 
+@settings(max_examples=20, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    w=st.integers(1, 21),
+    h=st.integers(1, 21),
+)
+def test_adam7_interlaced_roundtrips_exact(seed, w, h):
+    """Interlaced emit/decode is pixel-exact for every geometry,
+    including frames smaller than the 8x8 Adam7 macro-cell (where some
+    passes are empty)."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    w2, h2, out = P.decode_png(P.encode_png(px, interlace=True))
+    assert (w2, h2) == (w, h) and np.array_equal(out, px)
+    # and interlaced bytes differ from sequential (same pixels)
+    assert P.encode_png(px, interlace=True) != P.encode_png(px)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+def test_subbyte_palette_roundtrips(depth):
+    rng = np.random.default_rng(depth)
+    ncolors = 1 << depth
+    colors = rng.integers(0, 256, (ncolors, 3)).astype(np.uint8)
+    px = colors[rng.integers(0, ncolors, (11, 7))]
+    for interlace in (False, True):
+        _, _, out = P.decode_png(
+            P.encode_png(px, palette=True, depth=depth, interlace=interlace)
+        )
+        assert np.array_equal(out, px), (depth, interlace)
+    with pytest.raises(ValueError, match="do not fit"):
+        too_many = np.arange(24, dtype=np.uint8).reshape(8, 1, 3)
+        P.encode_png(too_many, palette=True, depth=1)
+
+
+def test_16bit_samples_present_high_byte():
+    rng = np.random.default_rng(9)
+    g16 = rng.integers(0, 65536, (4, 5)).astype(">u2")
+    lines = b"".join(bytes([0]) + g16[y].tobytes() for y in range(4))
+    _, _, out = P.decode_png(_manual_png(5, 4, 0, lines, depth=16))
+    assert np.array_equal(out[:, :, 0], (g16 >> 8).astype(np.uint8))
+    rgb16 = rng.integers(0, 65536, (3, 4, 3)).astype(">u2")
+    lines = b"".join(bytes([0]) + rgb16[y].tobytes() for y in range(3))
+    _, _, out = P.decode_png(_manual_png(4, 3, 2, lines, depth=16))
+    assert np.array_equal(out, (rgb16 >> 8).astype(np.uint8))
+
+
+def test_subbyte_grayscale_scales_to_full_range():
+    """2-bit gray codes 0..3 must present as 0/85/170/255 — the RFC's
+    v * 255 / (2^d - 1) sample scaling, built by hand bit by bit."""
+    vals = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+    bits = np.packbits(
+        ((vals[:, :, None] & np.array([2, 1], dtype=np.uint8)) > 0)
+        .astype(np.uint8)
+        .reshape(2, 8),
+        axis=1,
+    )
+    lines = b"".join(bytes([0]) + bits[y].tobytes() for y in range(2))
+    _, _, out = P.decode_png(_manual_png(4, 2, 0, lines, depth=2))
+    assert out[:, :, 0].tolist() == [[0, 85, 170, 255], [255, 170, 85, 0]]
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_mutated_interlaced_png_never_crashes_with_foreign_exception(data):
+    rng = np.random.default_rng(5)
+    colors = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    img = colors[rng.integers(0, 16, (11, 13))]
+    base = P.encode_png(img, palette=True, depth=4, interlace=True)
+    buf = bytearray(base)
+    for _ in range(data.draw(st.integers(1, 8))):
+        i = data.draw(st.integers(0, len(buf) - 1))
+        buf[i] = data.draw(st.integers(0, 255))
+    cut = data.draw(st.integers(0, len(buf)))
+    try:
+        P.decode_png(bytes(buf[:cut]))
+    except UnsupportedImageError:
+        pass  # the only acceptable failure mode
+
+
 def test_registry_dispatch():
     sp = synthetic_image(3, 9, 6)
     d = decode_image(P.encode_png(sp))
@@ -179,12 +258,15 @@ def test_ancillary_chunks_skipped_but_crc_checked():
 def test_unsupported_profiles_are_typed():
     sp = synthetic_image(1, 4, 4)
     lines = b"".join(bytes([0]) + sp[y].tobytes() for y in range(4))
-    with pytest.raises(UnsupportedImageError, match="interlaced|Adam7"):
-        P.decode_png(_manual_png(4, 4, 2, lines, interlace=1))
-    with pytest.raises(UnsupportedImageError, match="16-bit"):
-        P.decode_png(_manual_png(4, 4, 2, lines, depth=16))
+    # illegal depth/color combinations (RFC 2083 §4.1.1 matrix)
+    with pytest.raises(UnsupportedImageError, match="illegal"):
+        P.decode_png(_manual_png(4, 4, 3, lines, depth=16))  # 16-bit palette
+    with pytest.raises(UnsupportedImageError, match="illegal"):
+        P.decode_png(_manual_png(4, 4, 2, lines, depth=2))  # 2-bit truecolor
     with pytest.raises(UnsupportedImageError, match="color type"):
         P.decode_png(_manual_png(4, 4, 5, lines))
+    with pytest.raises(UnsupportedImageError, match="interlace"):
+        P.decode_png(_manual_png(4, 4, 2, lines, interlace=2))
     with pytest.raises(UnsupportedImageError, match="PLTE"):
         idx_lines = b"".join(bytes([0, y, y, y, y]) for y in range(4))
         P.decode_png(_manual_png(4, 4, 3, idx_lines))
