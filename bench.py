@@ -80,8 +80,10 @@ HEADLINE = [
     "q94e_audio_mulaw",
     "q94f_video_rle8",
     "q94g_image_jpeg",
-    # round 17: PNG through the image seam (zlib inflate + filters)
+    # round 17: PNG through the image seam (zlib inflate + filters),
+    # progressive JPEG (Annex-G multi-scan)
     "q94h_image_png",
+    "q94i_image_jpeg_progressive",
     # round 4 additions: corpus-curation ops — cross-doc duplicated
     # substrings (Lee et al.), SemDeDup embedding dedup, DSIR resampling
     "q110_cross_doc_dupgrams",

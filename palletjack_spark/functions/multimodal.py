@@ -123,16 +123,19 @@ def attach_fake_binary(
     (uncompressed, BMP for even ids / PPM for odd), ``"jpeg"``
     (baseline 4:2:0 JFIF of the per-block-constant gray pattern —
     exercises the compressed image seam; odd ids carry a restart
-    interval so the DRI/RST path is hit too), or ``"png"`` (lossless
-    RFC 2083 of the standard synthetic pattern — truecolor for even
-    ids, PLTE palette for odd, scanline filters cycling y % 5, so the
-    fixture exercises zlib inflate, all five filter decoders, and the
-    palette path in every image)."""
+    interval so the DRI/RST path is hit too), ``"jpeg_progressive"``
+    (the same per-block-constant pattern as an SOF2 PROGRESSIVE stream
+    — spectral-selection bands, DC/AC successive approximation,
+    EOBRUN runs; the format most web JPEGs use), or ``"png"``
+    (lossless RFC 2083 of the standard synthetic pattern — truecolor
+    for even ids, PLTE palette for odd, scanline filters cycling
+    y % 5, so the fixture exercises zlib inflate, all five filter
+    decoders, and the palette path in every image)."""
     if audio_codec not in ("pcm16", "mulaw"):
         raise ValueError(f"unknown audio_codec {audio_codec!r}")
     if video_codec not in ("dib", "rle8"):
         raise ValueError(f"unknown video_codec {video_codec!r}")
-    if image_codec not in ("bmp_ppm", "jpeg", "png"):
+    if image_codec not in ("bmp_ppm", "jpeg", "jpeg_progressive", "png"):
         raise ValueError(f"unknown image_codec {image_codec!r}")
     cols = ["asset_id", "modality", "payload", "width", "height", "n_bytes"]
 
@@ -149,6 +152,12 @@ def attach_fake_binary(
                             synthetic_block_image(aid % 256, w, h),
                             subsampling="420",
                             restart_interval=2 if aid % 2 else 0,
+                        )
+                    elif image_codec == "jpeg_progressive":
+                        payload = encode_jpeg(
+                            synthetic_block_image(aid % 256, w, h),
+                            subsampling="420",
+                            progressive=True,
                         )
                     elif image_codec == "png":
                         payload = encode_png(

@@ -705,6 +705,71 @@ def q94h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q94i_image_jpeg_progressive",
+    # PROGRESSIVE JPEG differential (round 17): the image assets are
+    # real SOF2 multi-scan streams — interleaved DC first at Al=1, DC
+    # refinement, two spectral-selection AC bands per component at
+    # Al=1 (EOBRUN coding), and a full-band AC refinement (T.81 Annex
+    # G) — decoded by jpegcodec's progressive path.  The fixture is
+    # the SAME per-block-constant gray pattern as q94g, and the
+    # progressive scan script carries coefficients identical to the
+    # baseline encoding, so the SAME closed form
+    # clamp(floor((v-128)/2 + 0.5)*2 + 128) pins the whole Annex-G
+    # entropy layer: a wrong EOBRUN count, refinement correction bit,
+    # spectral-band walk, or successive-approximation shift moves at
+    # least one probe off the oracle.
+    oracle="""
+    WITH img AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 16 AS INT) AS w,
+             CAST(8 + (doc_id * 7) % 16 AS INT) AS h,
+             doc_id % 256 AS seed
+      FROM documents WHERE doc_id % 3 = 0
+    ), px AS (
+      SELECT doc_id, w, h,
+             seed % 256 AS v00,
+             (seed + ((h // 2) // 8) * 7 + ((w // 2) // 8) * 3) % 256
+                 AS vmid,
+             (seed + ((h - 1) // 8) * 7 + ((w - 1) // 8) * 3) % 256
+                 AS vlast
+      FROM img
+    )
+    SELECT doc_id AS asset_id, w AS width, h AS height,
+           CAST(LEAST(255, GREATEST(0,
+             CAST(FLOOR((v00 - 128) / 2.0 + 0.5) AS INT) * 2 + 128))
+             AS INT) AS p00,
+           CAST(LEAST(255, GREATEST(0,
+             CAST(FLOOR((vmid - 128) / 2.0 + 0.5) AS INT) * 2 + 128))
+             AS INT) AS p_mid,
+           CAST(LEAST(255, GREATEST(0,
+             CAST(FLOOR((vlast - 128) / 2.0 + 0.5) AS INT) * 2 + 128))
+             AS INT) AS p_last
+    FROM px
+    ORDER BY asset_id
+    """,
+)
+def q94i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive-JPEG decode (Q94i): SOF2 — the process most web
+    JPEGs actually use — through the same registry dispatch and
+    pixel-probe pipeline as q94g's baseline streams.  The probes are
+    DECODED pixel values recomputed analytically by the oracle, so the
+    multi-scan coefficient accumulation (spectral selection, DC/AC
+    successive approximation, EOBRUN) is proved end to end."""
+    from palletjack_spark.functions.multimodal import (
+        attach_fake_binary,
+        image_pixel_probes,
+    )
+
+    docs = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    assets = attach_fake_binary(
+        docs, "text", "doc_id", image_codec="jpeg_progressive"
+    )
+    return image_pixel_probes(assets).orderBy("asset_id")
+
+
+@query(
     "q107_paragraph_dedup",
     # The corpus is derived with REAL planted boilerplate: every document
     # becomes [unique-ish prefix, THE SAME cookie-banner paragraph,

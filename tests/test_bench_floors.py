@@ -120,10 +120,11 @@ def test_round10_floor_coverage_and_meta_gate():
     # every headline query is now floored — no number a regression could
     # hide in (floors may cover more than the current headline list).
     # Queries INTRODUCED in the current round are exempt until their first
-    # parsed bench lands a committed floor; q94h (round 17, the PNG
-    # decode differential) awaits its first gate-clean capture — floor it
-    # from that capture (the q94g/q92p precedent) and empty this set.
-    new_this_round: set = {"q94h_image_png"}
+    # parsed bench lands a committed floor; q94h (PNG) and q94i
+    # (progressive JPEG), both round 17, await their first gate-clean
+    # capture — floor them from that capture (the q94g/q92p precedent)
+    # and empty this set.
+    new_this_round: set = {"q94h_image_png", "q94i_image_jpeg_progressive"}
     assert set(b.HEADLINE) - new_this_round <= set(floors)
     # the r9 contended values flag against the committed floors
     warnings = b._check_floors(

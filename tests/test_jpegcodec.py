@@ -185,11 +185,103 @@ def _fixture_payload(**kw) -> bytes:
     return J.encode_jpeg(J.synthetic_block_image(7, 18, 13), **kw)
 
 
-def test_progressive_rejected_with_named_profile():
-    buf = bytearray(_fixture_payload())
-    buf[_find_marker(bytes(buf), 0xC0) + 1] = 0xC2
-    with pytest.raises(UnsupportedImageError, match="baseline"):
-        J.decode_jpeg(bytes(buf))
+def test_unsupported_processes_rejected_with_named_profile():
+    # lossless (SOF3) and arithmetic-coded (SOFA) stay typed rejections
+    for sof in (0xC3, 0xCA):
+        buf = bytearray(_fixture_payload())
+        buf[_find_marker(bytes(buf), 0xC0) + 1] = sof
+        with pytest.raises(UnsupportedImageError, match="unsupported"):
+            J.decode_jpeg(bytes(buf))
+
+
+# --------------------------------------------------------------------
+# progressive (SOF2, round 17)
+# --------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "h,w,gray,sub",
+    [
+        (8, 8, True, "444"),
+        (24, 18, True, "444"),
+        (16, 16, False, "420"),
+        (17, 23, False, "420"),
+        (16, 24, False, "444"),
+        (1, 1, True, "444"),
+        (9, 50, False, "420"),
+    ],
+)
+def test_progressive_decodes_bit_equal_to_baseline(h, w, gray, sub):
+    """The progressive scan script encodes the SAME quantized
+    coefficients as the baseline path, so decode must be bit-equal —
+    and the baseline decode is independently anchored to the textbook
+    DCT and the closed-form fixture values, so this pins the whole
+    Annex-G entropy layer (DC first/refine, two AC spectral bands with
+    EOBRUN, full AC refinement)."""
+    rng = np.random.default_rng(h * 100 + w)
+    img = rng.integers(0, 256, (h, w) if gray else (h, w, 3)).astype(np.uint8)
+    base = J.decode_jpeg(J.encode_jpeg(img, subsampling=sub))
+    prog = J.decode_jpeg(J.encode_jpeg(img, subsampling=sub, progressive=True))
+    assert base[0] == prog[0] and base[1] == prog[1]
+    assert np.array_equal(base[2], prog[2])
+
+
+def test_progressive_block_constant_fixture_matches_closed_form():
+    """The q94i oracle anchor: the per-block-constant gray fixture
+    decodes from the PROGRESSIVE stream to exactly the same closed form
+    the q94g oracle states for the baseline stream."""
+    for seed, w, h in [(7, 18, 13), (0, 8, 8), (255, 23, 21)]:
+        img = J.synthetic_block_image(seed, w, h)
+        ww, hh, px = J.decode_jpeg(
+            J.encode_jpeg(img, subsampling="420", progressive=True)
+        )
+        assert (ww, hh) == (w, h)
+        for yy, xx in [(0, 0), (hh // 2, ww // 2), (hh - 1, ww - 1)]:
+            v = (seed + (yy // 8) * 7 + (xx // 8) * 3) % 256
+            assert int(px[yy, xx, 0]) == J.decoded_block_value(v)
+
+
+def test_progressive_stream_is_sof2_multi_scan():
+    payload = J.encode_jpeg(J.synthetic_block_image(3, 16, 16), progressive=True)
+    assert b"\xff\xc2" in payload and b"\xff\xc0" not in payload
+    # DC first + DC refine + 3 components x (2 AC bands + AC refine)
+    assert payload.count(b"\xff\xda") == 11
+    with pytest.raises(ValueError, match="baseline-scan option"):
+        J.encode_jpeg(
+            J.synthetic_block_image(3, 16, 16),
+            progressive=True,
+            restart_interval=2,
+        )
+
+
+def test_progressive_scan_header_validation():
+    """Malformed progressive scan headers are typed errors."""
+    payload = bytearray(
+        J.encode_jpeg(J.synthetic_block_image(1, 8, 8), progressive=True)
+    )
+    sos = payload.index(b"\xff\xda")
+    # first scan is DC (ns=1 here since grayscale): corrupt Ss/Se band
+    # bytes — grayscale SOS body: [ns, cs, tt, Ss, Se, AhAl]
+    bad = bytearray(payload)
+    bad[sos + 7] = 70  # Se = 70 > 63
+    with pytest.raises(UnsupportedImageError):
+        J.decode_jpeg(bytes(bad))
+
+
+@settings(max_examples=80, deadline=None)
+@given(data=st.data())
+def test_mutated_progressive_jpeg_never_crashes_with_foreign_exception(data):
+    buf = bytearray(
+        J.encode_jpeg(J.synthetic_block_image(9, 24, 16), progressive=True)
+    )
+    for _ in range(data.draw(st.integers(1, 8))):
+        i = data.draw(st.integers(0, len(buf) - 1))
+        buf[i] = data.draw(st.integers(0, 255))
+    cut = data.draw(st.integers(0, len(buf)))
+    try:
+        J.decode_jpeg(bytes(buf[:cut]))
+    except UnsupportedImageError:
+        pass  # the only acceptable failure mode
 
 
 def test_16bit_quant_table_rejected():
