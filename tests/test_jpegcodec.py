@@ -268,6 +268,83 @@ def test_progressive_scan_header_validation():
         J.decode_jpeg(bytes(bad))
 
 
+def test_handbuilt_progressive_stream_decodes_like_handbuilt_baseline():
+    """Spec anchor independent of our encoder: a progressive stream
+    written bit-by-bit from T.81 Annex G (DC first Al=1 'diff 3', DC
+    refinement bit 0, AC first Al=1 'coef +2 at k=1 then EOB', AC
+    refinement 'EOB then correction bit 1') must yield coefficients
+    DC=6, AC[1]=+5 — the same block a hand-built BASELINE stream codes
+    directly.  If encoder and decoder shared a consistent
+    misunderstanding of the scan bit layout, this hand-derivation
+    would catch it."""
+
+    def dqt_all_ones():
+        return b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64)
+
+    def dht(tc, bits, vals):
+        body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    def sos(ss, se, ahal):
+        body = bytes([1, 1, 0x00, ss, se, ahal])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    def bits_to_bytes(s):
+        s = s + "1" * (-len(s) % 8)
+        return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+    one_code = [1] + [0] * 15  # one 1-bit code: "0"
+    two_codes = [0, 2] + [0] * 14  # two 2-bit codes: "00", "01"
+
+    prog = bytearray(b"\xff\xd8")
+    prog += dqt_all_ones()
+    prog += b"\xff\xc2" + struct.pack(">H", 11) + struct.pack(
+        ">BHHB", 8, 8, 8, 1
+    ) + bytes([1, 0x11, 0])
+    # scan 1 — DC first, Al=1: category 2 ("0"), magnitude 3 ("11")
+    prog += dht(0, one_code, [2]) + sos(0, 0, 0x01)
+    prog += bits_to_bytes("0" + "11")
+    # scan 2 — DC refinement to Al=0: one raw bit, 0 (6 & 1 == 0)
+    prog += sos(0, 0, 0x10)
+    prog += bits_to_bytes("0")
+    # scan 3 — AC first 1..63, Al=1: (run 0, size 2) -> +2 at k=1, EOB
+    prog += dht(1, two_codes, [0x02, 0x00]) + sos(1, 63, 0x01)
+    prog += bits_to_bytes("00" + "10" + "01")
+    # scan 4 — AC refinement to Al=0: EOB(r=0), then the correction
+    # bit for the nonzero-history coefficient at k=1 (4 -> 5)
+    prog += dht(1, one_code, [0x00]) + sos(1, 63, 0x10)
+    prog += bits_to_bytes("0" + "1")
+    prog += b"\xff\xd9"
+
+    base = bytearray(b"\xff\xd8")
+    base += dqt_all_ones()
+    base += b"\xff\xc0" + struct.pack(">H", 11) + struct.pack(
+        ">BHHB", 8, 8, 8, 1
+    ) + bytes([1, 0x11, 0])
+    # DC category 3 ("0" + "110" = +6); AC (0,3) -> +5 ("101"); EOB
+    base += dht(0, one_code, [3]) + dht(1, two_codes, [0x03, 0x00])
+    base += sos(0, 63, 0x00)
+    base += bits_to_bytes("0" + "110" + "00" + "101" + "01")
+    base += b"\xff\xd9"
+
+    wp, hp, px_prog = J.decode_jpeg(bytes(prog))
+    wb, hb, px_base = J.decode_jpeg(bytes(base))
+    assert (wp, hp) == (wb, hb) == (8, 8)
+    assert np.array_equal(px_prog, px_base)
+    # and the coefficients are what the derivation says: DC=6 shifts
+    # the whole block by 6/8 of a level; AC[1] tilts it — distinct
+    # from a DC-only block
+    dc_only = bytearray(b"\xff\xd8") + dqt_all_ones()
+    dc_only += b"\xff\xc0" + struct.pack(">H", 11) + struct.pack(
+        ">BHHB", 8, 8, 8, 1
+    ) + bytes([1, 0x11, 0])
+    dc_only += dht(0, one_code, [3]) + dht(1, one_code, [0x00])
+    dc_only += sos(0, 63, 0x00) + bits_to_bytes("0" + "110" + "0")
+    dc_only += b"\xff\xd9"
+    _, _, px_dc = J.decode_jpeg(bytes(dc_only))
+    assert not np.array_equal(px_prog, px_dc)
+
+
 @settings(max_examples=80, deadline=None)
 @given(data=st.data())
 def test_mutated_progressive_jpeg_never_crashes_with_foreign_exception(data):
