@@ -100,6 +100,10 @@ def _audio_dims(asset_id: int) -> tuple[int, int]:
     return 1 + asset_id % 2, 100 + (asset_id * 11) % 400
 
 
+#: modality cycle used by :func:`attach_fake_binary` (index = id % 3)
+_MODALITIES = ("image", "audio", "video")
+
+
 def attach_fake_binary(
     df: DataFrame,
     text_col: str,
@@ -107,6 +111,7 @@ def attach_fake_binary(
     audio_codec: str = "pcm16",
     video_codec: str = "dib",
     image_codec: str = "bmp_ppm",
+    modalities: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Build a multimodal asset table from a text fixture.
 
@@ -130,13 +135,41 @@ def attach_fake_binary(
     (lossless RFC 2083 of the standard synthetic pattern — truecolor
     for even ids, PLTE palette for odd, scanline filters cycling
     y % 5, so the fixture exercises zlib inflate, all five filter
-    decoders, and the palette path in every image)."""
+    decoders, and the palette path in every image).
+
+    ``modalities``: optional subset of ``("image", "audio", "video")``.
+    A caller that consumes ONE modality (q94c-q94i all do) previously
+    paid the encode cost of all three and filtered after the opaque
+    ``mapInPandas`` — which Catalyst cannot see through, so 2/3 of the
+    encode work was computed and thrown away (optimization guide §1.2
+    "don't compute things you throw away" / §4.1 opaque-function
+    pruning).  Passing the consumed subset filters rows by the id-cycle
+    BEFORE the Python stage, as a narrow Catalyst predicate at the scan;
+    the emitted rows (ids, payload bytes, every column) are identical to
+    the unfiltered output filtered afterwards.  Default ``None`` keeps
+    all three.
+
+    The encode stage is CPU-bound Python, so when the input arrives in
+    fewer partitions than the cluster's parallelism (one small parquet
+    file → one task) it is spread with a repartition first; at corpus
+    scale inputs already carry enough splits and the spread is a no-op
+    (guide §2.5 input skew)."""
     if audio_codec not in ("pcm16", "mulaw"):
         raise ValueError(f"unknown audio_codec {audio_codec!r}")
     if video_codec not in ("dib", "rle8"):
         raise ValueError(f"unknown video_codec {video_codec!r}")
     if image_codec not in ("bmp_ppm", "jpeg", "jpeg_progressive", "png"):
         raise ValueError(f"unknown image_codec {image_codec!r}")
+    if modalities is not None:
+        unknown = set(modalities) - set(_MODALITIES)
+        if unknown:
+            raise ValueError(f"unknown modalities {sorted(unknown)!r}")
+        keep = sorted(_MODALITIES.index(m) for m in set(modalities))
+        if len(keep) < len(_MODALITIES):
+            df = df.where((F.col(id_col) % 3).isin(keep))
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     cols = ["asset_id", "modality", "payload", "width", "height", "n_bytes"]
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

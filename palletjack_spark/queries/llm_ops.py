@@ -328,7 +328,13 @@ def q94b(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_images,
     )
 
-    assets = attach_fake_binary(t(spark, sf_dir, "documents"), "text", "doc_id")
+    # image-only consumer: the modality pre-filter keeps 2/3 of the
+    # corpus out of the CPU-bound encode stage (results unchanged — the
+    # post-map filter below kept only these rows anyway)
+    assets = attach_fake_binary(
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        modalities=("image",),
+    )
     feats = extract_binary_features(assets).where(F.col("modality") == "image")
     resized = resize_images(assets).select(
         "asset_id", F.col("n_bytes").alias("resized_bytes")
@@ -387,7 +393,11 @@ def q94c(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
     )
 
-    assets = attach_fake_binary(t(spark, sf_dir, "documents"), "text", "doc_id")
+    # video-only consumer: see q94b's modality pre-filter note
+    assets = attach_fake_binary(
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        modalities=("video",),
+    )
     frames = sample_frames(assets)
     # pixel (0,0) red channel straight from the re-encoded BMP bytes,
     # JVM-side: the BMP header is 54 bytes and rows are stored bottom-up
@@ -450,7 +460,11 @@ def q94d(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_audio_features,
     )
 
-    assets = attach_fake_binary(t(spark, sf_dir, "documents"), "text", "doc_id")
+    # audio-only consumer: see q94b's modality pre-filter note
+    assets = attach_fake_binary(
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        modalities=("audio",),
+    )
     return extract_audio_features(assets).orderBy("asset_id")
 
 
@@ -502,8 +516,10 @@ def q94f(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
     )
 
+    # video-only consumer: see q94b's modality pre-filter note
     assets = attach_fake_binary(
-        t(spark, sf_dir, "documents"), "text", "doc_id", video_codec="rle8"
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        video_codec="rle8", modalities=("video",),
     )
     frames = sample_frames(assets)
     p00 = F.expr(
@@ -576,8 +592,10 @@ def q94e(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_audio_features,
     )
 
+    # audio-only consumer: see q94b's modality pre-filter note
     assets = attach_fake_binary(
-        t(spark, sf_dir, "documents"), "text", "doc_id", audio_codec="mulaw"
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        audio_codec="mulaw", modalities=("audio",),
     )
     return extract_audio_features(assets).orderBy("asset_id")
 
@@ -641,14 +659,13 @@ def q94g(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_pixel_probes,
     )
 
-    # the documents fixture is one small parquet file = one input split;
-    # the codec work is CPU-bound Python, so spread it across the
-    # executor cores BEFORE the mapInPandas stages (at corpus scale the
-    # many input files provide this parallelism for free)
-    docs = t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    # image-only consumer: the modality pre-filter keeps 2/3 of the
+    # corpus out of the CPU-bound encode stage, and attach_fake_binary
+    # itself spreads the single input split across the executor cores
+    docs = t(spark, sf_dir, "documents")
+    assets = attach_fake_binary(
+        docs, "text", "doc_id", image_codec="jpeg", modalities=("image",)
     )
-    assets = attach_fake_binary(docs, "text", "doc_id", image_codec="jpeg")
     return image_pixel_probes(assets).orderBy("asset_id")
 
 
@@ -695,12 +712,11 @@ def q94h(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_pixel_probes,
     )
 
-    # same parallelism note as q94g: one small parquet file = one input
-    # split; spread the CPU-bound codec work across the executor cores
-    docs = t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    # image-only consumer: modality pre-filter + spread, see q94g
+    docs = t(spark, sf_dir, "documents")
+    assets = attach_fake_binary(
+        docs, "text", "doc_id", image_codec="png", modalities=("image",)
     )
-    assets = attach_fake_binary(docs, "text", "doc_id", image_codec="png")
     return image_pixel_probes(assets).orderBy("asset_id")
 
 
@@ -760,11 +776,11 @@ def q94i(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_pixel_probes,
     )
 
-    docs = t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # image-only consumer: modality pre-filter + spread, see q94g
+    docs = t(spark, sf_dir, "documents")
     assets = attach_fake_binary(
-        docs, "text", "doc_id", image_codec="jpeg_progressive"
+        docs, "text", "doc_id", image_codec="jpeg_progressive",
+        modalities=("image",),
     )
     return image_pixel_probes(assets).orderBy("asset_id")
 

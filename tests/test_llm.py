@@ -151,6 +151,46 @@ def test_multimodal_plumbing(spark):
     )
 
 
+def test_attach_modality_prefilter_matches_postfilter(spark):
+    """r17 optimization: ``modalities=`` pre-filters the id cycle BEFORE
+    the opaque encode stage (Catalyst cannot prune through mapInPandas),
+    so single-modality consumers skip 2/3 of the encode work.  The
+    contract is equivalence: pre-filtered output == full output filtered
+    afterwards, payload bytes included."""
+    docs = load_table(spark, SF_DIR, "documents").limit(60)
+    full = (
+        attach_fake_binary(docs, "text", "doc_id")
+        .where(F.col("modality") == "image")
+        .toPandas()
+        .sort_values("asset_id")
+        .reset_index(drop=True)
+    )
+    pre = (
+        attach_fake_binary(docs, "text", "doc_id", modalities=("image",))
+        .toPandas()
+        .sort_values("asset_id")
+        .reset_index(drop=True)
+    )
+    assert len(pre) == len(full) > 0
+    assert (pre["asset_id"] == full["asset_id"]).all()
+    assert (pre["modality"] == "image").all()
+    assert all(
+        bytes(a) == bytes(b) for a, b in zip(pre["payload"], full["payload"])
+    )
+    # unknown modality is a typed error, not a silent empty filter
+    import pytest as pytest_
+
+    with pytest_.raises(ValueError, match="unknown modalities"):
+        attach_fake_binary(docs, "text", "doc_id", modalities=("imag",))
+    # the encode stage is spread across the cluster's cores even from a
+    # single input split (CPU-bound Python work)
+    spread = attach_fake_binary(docs, "text", "doc_id", modalities=("image",))
+    assert (
+        spread.rdd.getNumPartitions()
+        >= spark.sparkContext.defaultParallelism
+    )
+
+
 def test_mulaw_assets_decode_through_plugin_seam(spark):
     """q94e's pipeline shape: µ-law-companded WAV assets flow through the
     same extract_audio_features path as PCM, dispatched by FORMAT_DECODERS;
