@@ -851,10 +851,34 @@ def main() -> None:
     # query, not session startup
     REGISTRY["q13_pushdown_prune"].fn(spark, SF_DIR).collect()
     # ...and the Arrow Python workers (first mapInPandas pays worker
-    # spawn + Arrow codepath init, ~5s on local[32])
-    spark.range(32).mapInPandas(
-        lambda it: it, "id long"
-    ).count()
+    # spawn + Arrow codepath init, ~5s on local[32]).  Workers are pooled
+    # per (python exec, env) FACTORY, and a stage that pipelines two
+    # MapInPandas nodes (the q94 family: attach -> decode) holds TWO
+    # workers per task — so the first such query would otherwise fork a
+    # fresh core-count-wide worker bank mid-measurement, every fork
+    # paying the package import (~1 s each, all concurrent) inside a
+    # timed pass.  Warm the full depth-2 bank with the engine's
+    # worker-side imports up front (r17; guide §4.5 heavy init once).
+    def _warm_workers(it):
+        import palletjack_spark.functions.multimodal  # noqa: F401
+        import palletjack_spark.functions.similarity  # noqa: F401
+        import palletjack_spark.sources.arrow_scan  # noqa: F401
+
+        for b in it:
+            yield b
+
+    _par = spark.sparkContext.defaultParallelism
+    (
+        spark.range(_par * 4, numPartitions=_par)
+        .mapInPandas(_warm_workers, "id long")
+        .mapInPandas(_warm_workers, "id long")
+        .count()
+    )
+    # ...and the plain-pickle RDD worker factory: createDataFrame from
+    # local rows (arrow_scan's task-list vehicle) runs Python conversion
+    # tasks under a DIFFERENT worker-pool key (no SPARK_SIMPLIFIED_
+    # TRACEBACK in the env), so q03's first pass would fork ITS bank too
+    spark.sparkContext.parallelize(range(_par), _par).count()
     # ...and the mapInArrow codepath (q03's scan vehicle is ArrowStreamUDF,
     # a different serializer than mapInPandas) including a real pyarrow
     # parquet read inside the worker

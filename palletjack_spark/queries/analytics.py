@@ -622,7 +622,13 @@ def _pagerank_graph(spark: SparkSession, sf_dir: str):
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
         .distinct()
-        .localCheckpoint()
+        # lazy: the first consumer (the nodes count every caller runs
+        # before iterating) materializes the checkpoint inside its own
+        # job instead of paying a dedicated eager-materialization job —
+        # one fewer job + planning round-trip per query, identical
+        # lineage truncation (r17 optimization, guide §1.2: q130
+        # 3.97→3.51 s isolated best-of-3)
+        .localCheckpoint(eager=False)
     )
     nodes = (
         edges_raw.select(F.col("src").alias("node"))
@@ -698,7 +704,13 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
     teleport = 150_000_000_000 // n_nodes
     ranks = nodes.withColumn("rank", F.lit(base))
     for _ in range(2):
-        ranks = _pagerank_round(edges, nodes, ranks, teleport).localCheckpoint()
+        # lazy checkpoint: each round has exactly ONE consumer (the next
+        # round's join), so materialization fuses into the final action —
+        # the lineage still truncates per round, but the 2 dedicated
+        # materialization jobs and their driver gaps disappear
+        ranks = _pagerank_round(edges, nodes, ranks, teleport).localCheckpoint(
+            eager=False
+        )
     return ranks.orderBy(F.desc("rank"), "node").limit(50)
 
 
@@ -2402,7 +2414,10 @@ def q130b(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("node") % 100 == 0, F.lit(base)).otherwise(F.lit(0)),
     )
     for _ in range(2):
-        ranks = _ppr_round(edges, nodes, ranks, seed_teleport).localCheckpoint()
+        # lazy, single-consumer chain — see q130's note
+        ranks = _ppr_round(edges, nodes, ranks, seed_teleport).localCheckpoint(
+            eager=False
+        )
     return (
         ranks.where(F.col("rank") > 0)
         .orderBy(F.desc("rank"), "node")
