@@ -3171,14 +3171,23 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
-    n = docs.agg(F.count("*").alias("n_docs"))
     hist = docs.groupBy("millibits").agg(F.count("*").alias("c"))
     wcum = Window.orderBy("millibits").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = hist.withColumn("cum", F.sum("c").over(wcum))
+    # n_docs = sum of the histogram's counts — an unbounded frame over the
+    # SAME single-partition window spec, so it rides in the one Window
+    # node the cumsum already pays for instead of a separate count()
+    # aggregate over the corpus + broadcast-build job (r17 optimization,
+    # guide §1.2/§2.4: one fewer pass over `docs`, two fewer jobs)
+    wall = Window.orderBy("millibits").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n_docs", F.sum("c").over(wall)
+    )
     th = (
-        cum.join(F.broadcast(n))
+        cum
         .agg(
             F.min(
                 F.when(F.col("cum") * 3 >= F.col("n_docs"), F.col("millibits"))

@@ -702,13 +702,59 @@ def test_connected_components_one_action_per_round(spark, monkeypatch):
     )
     # a 9-node chain can't star-converge in one round — the round-13
     # guard makes that LOUD (silently returning a non-star edge set
-    # produced inconsistent component labels downstream)
+    # produced inconsistent component labels downstream).
+    # local_max_edges=0 pins the DISTRIBUTED path (the default size gate
+    # would contract 8 edges driver-side and never iterate).
     import pytest
 
     with pytest.raises(ValueError, match="did not converge"):
-        connected_components(pairs, max_iterations=1)
+        connected_components(pairs, max_iterations=1, local_max_edges=0)
     # one initial signature + one per-round signature, nothing else
     assert calls == {"collect": 2, "count": 0, "isEmpty": 0}
+
+
+def test_connected_components_local_path_matches_distributed(spark):
+    """The r17 small-graph fast path (bounded take + union-find) must
+    produce the identical labelling as the star-contraction loop on
+    graphs covering chains, stars, triangles, merges and singleton edges
+    — and the size gate must flip paths exactly at the edge count."""
+    import random
+
+    from palletjack_spark.functions.dedup import connected_components
+
+    rng = random.Random(17)
+    edges = (
+        [(i, i + 1) for i in range(40)]              # chain
+        + [(500, 500 + k) for k in range(1, 9)]      # star
+        + [(900, 901), (901, 902), (902, 900)]       # triangle
+        + [(40, 500)]                                # merge chain into star
+        + [(rng.randrange(2000, 2100), rng.randrange(2000, 2100))
+           for _ in range(60)]                       # random clutter
+    )
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a long, id_b long"
+    )
+    local = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs, local_max_edges=0).collect()
+    }
+    assert local == dist and local
+    # gate boundary: cap below the deduplicated edge count must also take
+    # the distributed path and still agree
+    n_edges = (
+        spark.createDataFrame([(a, b) for a, b in edges], "id_a long, id_b long")
+        .selectExpr("id_a u", "id_b v")
+        .where("u <> v").distinct().count()
+    )
+    tiny_gate = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs, local_max_edges=max(1, n_edges - 1)).collect()
+    }
+    assert tiny_gate == dist
 
 
 def test_apply_components_keeps_canonical(spark, crafted_docs):
