@@ -125,10 +125,17 @@ def _lpa_round(und: DataFrame, labels: DataFrame) -> DataFrame:
     (deterministic under any partitioning).
 
     Scale shape: one und⋈labels hash join on src ships each neighbor's
-    label to dst; the (node, label) count and the per-node argmax are
-    BOTH hash aggregates with map-side partial combine — the argmax is
-    ``min(struct(-cnt, label))``, not a row_number window, so no per-node
-    sort and no WindowExec memory at billion-node scale."""
+    label to dst; the (node, label) count is a hash aggregate with
+    map-side partial combine, and the per-node argmax is
+    ``min(struct(-cnt, label))`` — not a row_number window, so no
+    WindowExec memory at billion-node scale.  Note (r17 plan audit):
+    struct-min plans as a SortAggregate, i.e. a PARTITION-LOCAL sort of
+    the already-aggregated (node, label) table — no extra exchange, and
+    the input is one row per distinct neighbor label, not per edge.  A
+    bigint pack (the q153 trick) would restore the hash aggregate but
+    needs cnt×label to fit one int64, which a billion-node graph with
+    high-degree hubs cannot guarantee; the local sort is the safer
+    trade."""
     cnt = (
         und.join(labels, und["src"] == labels["node"])
         .groupBy(und["dst"].alias("n"), F.col("label"))

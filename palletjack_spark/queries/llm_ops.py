@@ -2607,10 +2607,23 @@ _KM_SCALE = 1000
 _KM_K = 8
 
 
+#: _km_assign packs (dist2, cid) into ONE bigint so the per-vector argmin
+#: plans as a codegen'd HashAggregate — ``min(struct(...))`` silently
+#: falls back to SortAggregate, sorting every scored partition (the
+#: q137/q153 lesson, caught by the r17 plan audit).  cid < 2^20 and
+#: dist2 < 2^43 keep the pack exact and far inside int64; violations
+#: raise EXECUTOR-side on the data path (zero extra jobs).
+_KM_PACK = 1 << 20
+_KM_DIST_MAX = 1 << 43
+
+
 def _km_assign(spark: SparkSession, qv: DataFrame, centroids: list) -> DataFrame:
     """(vec_id, cid, dist2) of each vector's nearest centroid: centroid
     arrays ship as a broadcast literal table; distance is an integer
-    fold over ``zip_with`` diffs (exact, order-free)."""
+    fold over ``zip_with`` diffs (exact, order-free).  The argmin packs
+    (dist2, cid) into one bigint: ``min(pack)`` is the lexicographic
+    (dist2, cid) minimum — nearest centroid, ties to the lowest cid —
+    exactly ``min(struct(dist2, cid))``, but it stays a hash aggregate."""
     cdf = spark.createDataFrame(
         [(cid, vals) for cid, vals in centroids], "cid long, c array<long>"
     )
@@ -2618,14 +2631,36 @@ def _km_assign(spark: SparkSession, qv: DataFrame, centroids: list) -> DataFrame
         "aggregate(zip_with(qv, c, (a, b) -> (a - b) * (a - b)),"
         " cast(0 as bigint), (acc, x) -> acc + x)"
     )
+    packed = F.when(
+        F.col("dist2").between(0, _KM_DIST_MAX - 1)
+        & F.col("cid").between(0, _KM_PACK - 1),
+        F.col("dist2") * F.lit(_KM_PACK) + F.col("cid"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "_km_assign requires 0 <= cid < 2^20 and "
+                    "0 <= dist2 < 2^43 (argmin pack range); got (dist2, cid)=("
+                ),
+                F.col("dist2").cast("string"),
+                F.lit(", "),
+                F.col("cid").cast("string"),
+                F.lit(")"),
+            )
+        )
+    )
     scored = qv.crossJoin(F.broadcast(cdf)).select(
         "vec_id", "cid", d2.alias("dist2")
     )
-    best = F.min(F.struct("dist2", "cid")).alias("b")
     return (
-        scored.groupBy("vec_id")
-        .agg(best)
-        .select("vec_id", F.col("b.cid").alias("cid"), F.col("b.dist2").alias("dist2"))
+        scored.select("vec_id", packed.alias("pack"))
+        .groupBy("vec_id")
+        .agg(F.min("pack").alias("b"))
+        .select(
+            "vec_id",
+            (F.col("b") % F.lit(_KM_PACK)).alias("cid"),
+            F.expr(f"b div {_KM_PACK}").alias("dist2"),
+        )
     )
 
 
