@@ -1101,7 +1101,12 @@ def cluster_representatives(
             "keeper_id"
         )
     )
-    return member.join(winners, "component").select(
+    # shuffle_hash, not the planner's sort-merge fallback (sizes are
+    # unknown behind the components seam): winners is one row per
+    # component vs member's one per clustered doc, so the per-partition
+    # hash build is the smaller side by the mean cluster size, and both
+    # sorts disappear — the q140 survivor-join pattern (guide §3.1)
+    return member.join(winners.hint("shuffle_hash"), "component").select(
         F.col(id_col),
         "component",
         "quality",

@@ -1068,10 +1068,15 @@ def q116c(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.expr(f"lo div {B}"), F.expr(f"hi div {B}"))
         ).alias("bucket"),
     )
-    a, b = bk.alias("a"), bk.alias("b")
+    a, b = bk.alias("a"), bk.hint("shuffle_hash").alias("b")
     first_bucket = F.col("a.bucket") == F.expr(
         f"greatest(a.lo, b.lo) div {B}"
     )
+    # shuffle_hash on the build side: the self-join's equi-key is the
+    # time bucket, whose per-partition population is the bounded
+    # per-bucket concurrency, so the hash build is small by construction
+    # and both partition sorts of the session table disappear
+    # (guide §3.1; r17 plan audit found the sort-merge fallback)
     pairs = a.join(
         b,
         (F.col("a.bucket") == F.col("b.bucket"))
