@@ -579,7 +579,12 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events").select("user_id", _ts_us())
     firsts = e.groupBy("user_id").agg(F.min("ts_us").alias("first_us"))
     act = (
-        e.join(firsts, "user_id")
+        # shuffle_hash: firsts is one row per user and arrives already
+        # hash-partitioned on user_id from its own aggregate, so the
+        # per-partition hash build is the deduplicated side and the
+        # sort-merge fallback's two partition sorts disappear
+        # (guide §3.1; r17 plan audit)
+        e.join(firsts.hint("shuffle_hash"), "user_id")
         .select(
             "user_id",
             F.expr(f"first_us div {_WEEK_US}").alias("cohort_week"),
