@@ -844,10 +844,11 @@ def cross_doc_dupgrams(
        (``hash60`` in the same codegen stage as the explode — measured 4×
        faster than hashing inside a ``transform`` lambda, which falls out
        of whole-stage codegen), exploded as (id, gh) pairs — 16 B rows;
-    2. gram doc-frequency is a distinct + count aggregate on ``gh`` —
-       both hash aggregates partial-combine map-side, so the extra
-       distinct exchange moves near-deduplicated 16 B rows (A/B-measured
-       cheaper than restructuring the plan to avoid it);
+    2. "gram seen in >= 2 distinct docs" is ``min(id) != max(id)`` — ONE
+       hash aggregate on ``gh`` with map-side partial combine, replacing
+       the former distinct-on-(id, gh) + count pair of exchanges (r17;
+       the boolean is all the roll-up reads, and min/max are
+       duplicate-insensitive, so the labelling is identical);
     3. the per-doc roll-up joins (id, gh) back to the tiny-keyed
        frequency table on ``gh`` and aggregates by id — after the
        explode a document's grams are co-located, so the partial
@@ -880,14 +881,22 @@ def cross_doc_dupgrams(
         .select(F.col(id_col), F.explode(F.expr(grams_expr)).alias("gram"))
         .select(F.col(id_col), hash60(F.col("gram")).alias("gh"))
     )
-    dfreq = g.distinct().groupBy("gh").agg(F.count("*").alias("ndocs"))
+    # the downstream sum only needs the BOOLEAN "gram seen in >= 2
+    # distinct docs", which is min(id) != max(id): one hash aggregate on
+    # gh with map-side partial combine, instead of a distinct-on-(id, gh)
+    # exchange FOLLOWED BY a count exchange (r17 optimization, guide §2.3
+    # "aggregate before you shuffle" — the gram table crosses the wire
+    # once, pre-combined)
+    dfreq = g.groupBy("gh").agg(
+        (F.min(id_col) != F.max(id_col)).alias("dup")
+    )
     dup_frac = F.col("n_dup_grams").cast("double") / F.col("n_grams")
     return (
         g.join(dfreq, "gh")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_grams"),
-            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0)).alias("n_dup_grams"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("n_dup_grams"),
         )
         .select(
             F.col(id_col),
@@ -967,15 +976,24 @@ def dup_span_excise(
             hash60(F.col("gram")).alias("gh"),
         )
     )
+    # "gram appears in >= 2 distinct docs" == min(id) != max(id): one
+    # hash aggregate on gh with map-side partial combine, instead of the
+    # former distinct-on-(id, gh) exchange FOLLOWED BY a count exchange —
+    # the (id, gh) triple table now crosses the wire once, pre-combined
+    # (r17 optimization, guide §2.3 "aggregate before you shuffle")
     dup = (
-        g.select(id_col, "gh")
-        .distinct()
-        .groupBy("gh")
-        .agg(F.count("*").alias("ndocs"))
-        .where(F.col("ndocs") >= 2)
+        g.groupBy("gh")
+        .agg(F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx"))
+        .where(F.col("_mn") != F.col("_mx"))
         .select("gh")
     )
     hits = g.join(dup, "gh").select(id_col, "s")
+    # NOTE (r17): pre-partitioning by id here (to share one exchange
+    # between this distinct and the island window) was A/B-measured
+    # SLOWER: the exploded positions are ~n x duplicated, and the
+    # distinct's map-side partial dedup collapses them BEFORE its
+    # exchange — one exchange of n x rows loses to two exchanges of
+    # deduplicated rows.  Kept as distinct + window exchange.
     covered = hits.select(
         F.col(id_col),
         F.explode(F.sequence(F.col("s"), F.col("s") + (n - 1))).alias("p"),
@@ -1009,8 +1027,12 @@ def dup_span_excise(
             ),
         )
     )
-    # the only text-bearing exchange: inner join on id, duplicated docs
-    # only; the excision is a row-local indexed transform + filter
+    # the final join must keep per_doc (duplicated docs only, one
+    # summary row each) on the BROADCAST side — a shuffle_hash hint here
+    # was A/B'd in r17 and REGRESSED: it forces the token-array side
+    # through a hash exchange the broadcast plan never pays (the plan
+    # test pins "no hash exchange carries toks"); the excision itself is
+    # a row-local indexed transform + filter
     return toks.join(per_doc, id_col).select(
         F.col(id_col),
         "n_spans",
