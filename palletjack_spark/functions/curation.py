@@ -455,17 +455,19 @@ def importance_weights(
 
     Returns (id, n_toks, t_mass, r_mass, score, keep).
 
-    Scale shape: both distribution tables are ``n_buckets`` rows —
-    broadcast; the corpus token stream never shuffles to be scored (the
-    bucket join is map-side) and the per-doc aggregate collapses each
-    document's tokens before its one id-keyed exchange.  The target
-    corpus is read twice (once for its distribution, once inside raw if
-    it overlaps) — at 100 TB the target is the tiny curated side, the
-    raw corpus streams once."""
+    Scale shape: the raw corpus is tokenized (md5 per token) exactly
+    ONCE — tokens collapse map-side to per-(doc, bucket) counts, and
+    both the raw distribution and the per-doc scoring re-aggregate that
+    one counted table (the same physical exchange, reused), weighting by
+    the count instead of re-walking token positions.  Both distribution
+    tables are ``n_buckets`` rows — broadcast; the token stream itself
+    never crosses the wire.  The target corpus is tokenized once for its
+    distribution — at 100 TB the target is the tiny curated side."""
     from palletjack_spark.functions.dedup import hash60
 
     _check_reserved(
-        {"tok", "b", "raw_cnt", "tgt_cnt", "n_toks", "t_mass", "r_mass"},
+        {"tok", "b", "cnt", "raw_w", "tgt_w", "raw_cnt", "tgt_cnt",
+         "n_toks", "t_mass", "r_mass"},
         id_col=id_col, text_col=text_col,
     )
 
@@ -474,16 +476,32 @@ def importance_weights(
             *cols, F.explode(F.split(F.col(text_col), " ")).alias("tok")
         ).select(*cols, F.pmod(hash60(F.col("tok")), F.lit(n_buckets)).alias("b"))
 
+    # tokenize raw ONCE: per-(doc, bucket) counts are <= n_buckets rows
+    # per document, and every downstream consumer (raw distribution,
+    # per-doc masses) is an exact re-aggregation of this table weighted
+    # by cnt — the md5 token hash never runs twice over the raw corpus
+    raw_counts = (
+        toks(raw_df, F.col(id_col))
+        .groupBy(id_col, "b")
+        .agg(F.count("*").alias("cnt"))
+    )
     # both distributions from ONE tagged union + aggregate — a join here
     # (full outer on bucket) would plan a sort-merge join just to build a
     # 64-row table; the union aggregates map-side to n_buckets rows total
     dists = (
-        toks(raw_df, F.lit(0).alias("is_tgt"))
-        .unionByName(toks(target_df, F.lit(1).alias("is_tgt")))
+        raw_counts.select(
+            "b", F.col("cnt").alias("raw_w"), F.lit(0).cast("long").alias("tgt_w")
+        )
+        .unionByName(
+            toks(target_df).select(
+                "b", F.lit(0).cast("long").alias("raw_w"),
+                F.lit(1).cast("long").alias("tgt_w"),
+            )
+        )
         .groupBy("b")
         .agg(
-            F.sum(1 - F.col("is_tgt")).alias("raw_cnt"),
-            F.sum("is_tgt").alias("tgt_cnt"),
+            F.sum("raw_w").alias("raw_cnt"),
+            F.sum("tgt_w").alias("tgt_cnt"),
         )
     )
     score = F.col("t_mass").cast("double") / F.col("r_mass")
@@ -495,13 +513,12 @@ def importance_weights(
         / F.lit(1000000.0)
     )
     return (
-        toks(raw_df, F.col(id_col))
-        .join(F.broadcast(dists), "b")
+        raw_counts.join(F.broadcast(dists), "b")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_toks"),
-            F.sum(F.col("tgt_cnt") + 1).alias("t_mass"),
-            F.sum(F.col("raw_cnt") + 1).alias("r_mass"),
+            F.sum("cnt").alias("n_toks"),
+            F.sum((F.col("tgt_cnt") + 1) * F.col("cnt")).alias("t_mass"),
+            F.sum((F.col("raw_cnt") + 1) * F.col("cnt")).alias("r_mass"),
         )
         .select(
             F.col(id_col),

@@ -487,6 +487,27 @@ def test_importance_weights_broadcasts_distributions(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_importance_weights_tokenizes_raw_once(spark):
+    """Q112: the raw corpus collapses to per-(doc, bucket) counts behind
+    ONE exchange, and both consumers (raw distribution, per-doc scoring)
+    reuse that exchange at runtime — the md5 token hash must never run
+    twice over the raw corpus (r17 optimization; the reuse is what makes
+    the counted-table shape strictly cheaper than two token passes)."""
+    from palletjack_spark.functions.curation import importance_weights
+
+    docs = load_table(spark, SF_DIR, "documents")
+    target = docs.where(F.col("lang") == "en")
+    df = importance_weights(docs, target, "text", "doc_id")
+    df.collect()
+    final = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "isFinalPlan=true" in final, final
+    assert "ReusedExchange" in final, final
+
+
 def test_badword_stats_zero_shuffle(spark):
     """Q113: pure per-row array expressions — no aggregate, no exchange
     beyond _spread-free direct scan (the filter is codegen'd)."""
