@@ -10,6 +10,8 @@ native pushdown/pruning over them.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from palletjack_spark.sources.arrow_scan import read_parquet_arrow
@@ -35,13 +37,49 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+def _stat_key(path: str) -> tuple:
+    """Freshness fingerprint of a fixture table: (mtime_ns, size) of the
+    path, plus every direct child for directory datasets — a rewritten or
+    appended table must never be served from the memoized plan."""
+    st = os.stat(path)
+    key: list = [st.st_mtime_ns, st.st_size]
+    if os.path.isdir(path):
+        for entry in sorted(os.scandir(path), key=lambda e: e.name):
+            es = entry.stat()
+            key += [entry.name, es.st_mtime_ns, es.st_size]
+    return tuple(key)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Resolve a fixture table to a DataFrame through a session-scoped
+    relation memo — the path-read analogue of a catalog lookup.
+
+    ``spark.read.parquet(path)`` pays schema inference (a footer-sampling
+    Spark job) plus file listing on EVERY call, ~40-190 ms of driver-side
+    metadata work that is byte-identical for an immutable input (guide
+    §6 caches file listings for exactly this reason; ``spark.table`` on a
+    catalog table — the q1b surface — reuses the resolved relation the
+    same way).  The memo holds only the ANALYZED PLAN: every action on
+    the returned DataFrame still scans the parquet input afresh, so no
+    result or intermediate is ever reused.  Keyed on the file's
+    (mtime_ns, size) so a rewritten fixture is re-resolved, and stored on
+    the session object so the memo dies with the session."""
     if name not in TABLES:
         raise KeyError(f"Unknown table {name!r}; expected one of {TABLES}")
     path = table_path(sf_dir, name)
-    if name in _ARROW_SOURCE_TABLES:
-        return read_parquet_arrow(spark, path)
-    return spark.read.parquet(path)
+    memo = getattr(spark, "_pj_table_memo", None)
+    if memo is None:
+        memo = {}
+        spark._pj_table_memo = memo
+    key = (path, _stat_key(path))
+    df = memo.get(key)
+    if df is None:
+        if name in _ARROW_SOURCE_TABLES:
+            df = read_parquet_arrow(spark, path)
+        else:
+            df = spark.read.parquet(path)
+        memo[key] = df
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1537,3 +1537,48 @@ def test_staged_query_fixtures_invalidate_on_source_regeneration(
         (r["n_nationkey"], r["batch"]) for r in q(spark, sf).collect()
     )
     assert second == sorted([(k, b) for k in (5, 6) for b in (1, 2)])
+
+
+def test_load_table_memoizes_plan_and_invalidates_on_rewrite(spark, tmp_path):
+    """load_table serves repeated reads of an UNCHANGED fixture from the
+    session-scoped relation memo (identical DataFrame handle — schema
+    inference and listing run once), but a rewrite of the file must be
+    picked up on the next call (stat-keyed invalidation), and the data
+    read through a memoized handle is always the CURRENT bytes on disk —
+    the memo holds a plan, never results."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from palletjack_spark.tables import load_table
+
+    sf = str(tmp_path / "sfm")
+    os.makedirs(sf)
+    path = os.path.join(sf, "nation.parquet")
+
+    def write_nation(keys):
+        pq.write_table(
+            pa.table(
+                {
+                    "n_nationkey": pa.array(keys, "int32"),
+                    "n_name": pa.array([f"N{k}" for k in keys]),
+                    "n_regionkey": pa.array([k % 3 for k in keys], "int32"),
+                }
+            ),
+            path,
+        )
+
+    write_nation([0, 1, 2])
+    a = load_table(spark, sf, "nation")
+    b = load_table(spark, sf, "nation")
+    assert a is b, "unchanged fixture must reuse the memoized relation"
+    assert a.count() == 3
+
+    # rewrite with different rows -> new mtime/size -> fresh relation
+    time.sleep(0.01)
+    write_nation([5, 6, 7, 8])
+    c = load_table(spark, sf, "nation")
+    assert c is not a, "rewritten fixture must invalidate the memo"
+    assert c.count() == 4
+    assert sorted(r["n_nationkey"] for r in c.collect()) == [5, 6, 7, 8]
