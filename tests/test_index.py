@@ -1582,3 +1582,63 @@ def test_load_table_memoizes_plan_and_invalidates_on_rewrite(spark, tmp_path):
     assert c is not a, "rewritten fixture must invalidate the memo"
     assert c.count() == 4
     assert sorted(r["n_nationkey"] for r in c.collect()) == [5, 6, 7, 8]
+
+
+def test_load_table_events_routing_follows_footer_type(spark, tmp_path):
+    """The events route is decided from the ACTUAL footer: timestamp[ns]
+    (Spark-unrepresentable) goes through the arrow source with documented
+    µs truncation; an already-µs generation scans natively so Catalyst
+    keeps pruning/pushdown.  Values are identical either way."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from palletjack_spark.tables import load_table
+
+    base = datetime.datetime(2031, 3, 1)
+    rows = {
+        "event_id": pa.array([1, 2, 3], "int64"),
+        "user_id": pa.array([10, 10, 11], "int64"),
+        "event_type": pa.array(["a", "b", "a"]),
+        "value": pa.array([1.5, 2.5, 3.5], "float64"),
+        "props": pa.array(["{}", "{}", "{}"]),
+    }
+    ts = [base + datetime.timedelta(microseconds=i) for i in (1, 2, 3)]
+
+    def write_events(sf, unit, extra_ns=0):
+        os.makedirs(sf, exist_ok=True)
+        t = pa.table(
+            {**rows, "ts": pa.array(ts, pa.timestamp(unit))}
+        )
+        if extra_ns:
+            # push sub-µs precision into the ns column so truncation is
+            # actually exercised
+            t = t.set_column(
+                t.schema.get_field_index("ts"), "ts",
+                pa.compute.add(
+                    t["ts"].cast(pa.int64()), extra_ns
+                ).cast(pa.timestamp("ns")),
+            )
+        pq.write_table(t, os.path.join(sf, "events.parquet"))
+
+    sf_us = str(tmp_path / "sf_us")
+    sf_ns = str(tmp_path / "sf_ns")
+    write_events(sf_us, "us")
+    write_events(sf_ns, "ns", extra_ns=750)  # 0.75 µs of sub-µs precision
+
+    d_us = load_table(spark, sf_us, "events")
+    d_ns = load_table(spark, sf_ns, "events")
+    p_us = d_us._jdf.queryExecution().executedPlan().toString()
+    p_ns = d_ns._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in p_us and "MapInArrow" not in p_us, p_us
+    assert "MapInArrow" in p_ns, p_ns
+
+    us_rows = sorted(
+        (r["event_id"], r["ts"]) for r in d_us.select("event_id", "ts").collect()
+    )
+    ns_rows = sorted(
+        (r["event_id"], r["ts"]) for r in d_ns.select("event_id", "ts").collect()
+    )
+    # ns generation truncates its 750ns of sub-µs precision to the same µs
+    assert us_rows == ns_rows, (us_rows, ns_rows)
