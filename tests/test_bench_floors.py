@@ -288,3 +288,21 @@ def test_steal_jiffies_readable_on_linux():
     time.sleep(0.05)
     s2 = b._steal_jiffies()
     assert s2[1] >= total
+
+
+def test_driver_memory_derivation(monkeypatch):
+    """driver_memory sizes the local JVM heap from physical RAM (~1/16,
+    clamped to [1g, 8g] — Spark's default heap is the floor, so small
+    boxes are never configured BELOW stock), and the env override wins."""
+    from palletjack_spark.session import driver_memory
+
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "3g")
+    assert driver_memory() == "3g"
+    monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM")
+
+    mem = driver_memory()
+    if mem is None:  # platform without sysconf: stock default kept
+        return
+    assert mem.endswith("m")
+    mb = int(mem[:-1])
+    assert 1024 <= mb <= 8192
