@@ -606,18 +606,31 @@ def build_index(
             # committing mixed-version row-group stats.
             _validate_combined(combined)
             mode = "append" if incremental else "overwrite"
+
+            def _clustered(df):
+                # bucketed sidecar: cluster rows by file_bucket before the
+                # partitioned write, so each bucket directory receives ONE
+                # file per build instead of one per (task × bucket) — the
+                # unclustered write fanned 32 extract tasks × 16 buckets
+                # into ~512 tiny files per dataset, paying parquet-writer
+                # setup per file on write and per-file open on every load
+                # (guide §6 small-files).  The exchange moves only the
+                # already-validated metadata rows and caps write tasks at
+                # the bucket count, which the caller sizes to the catalog.
+                return df.repartition(*part_cols) if part_cols else df
+
             # row_groups/ first: a crash between the two writes then leaves
             # orphaned row-group rows, which validate() rejects loudly
             # (files/-first would leave a files entry whose row groups are
             # missing — also rejected, but rg-first keeps the window where
             # a *complete-looking* index exists at zero).
-            combined.where(F.col("kind") == "rg").select(
-                rg_cols + part_cols
+            _clustered(
+                combined.where(F.col("kind") == "rg").select(rg_cols + part_cols)
             ).write.mode(mode).partitionBy(*part_cols).parquet(
                 os.path.join(index_dir, "row_groups")
             )
-            combined.where(F.col("kind") == "file").select(
-                f_cols + part_cols
+            _clustered(
+                combined.where(F.col("kind") == "file").select(f_cols + part_cols)
             ).write.mode(mode).partitionBy(*part_cols).parquet(
                 os.path.join(index_dir, "files")
             )
@@ -784,6 +797,11 @@ def _refresh_sidecar(
         part_cols = ["file_bucket"]
 
     for df, live in ((rg_df, rg_path), (files_df, f_path)):
+        if part_cols:
+            # cluster by bucket before the partitioned write — one file
+            # per bucket directory instead of one per (task × bucket);
+            # same rationale as the build_index write (guide §6)
+            df = df.repartition(*part_cols)
         df.write.mode("overwrite").partitionBy(*part_cols).parquet(
             live + "__stage"
         )

@@ -855,6 +855,37 @@ def test_catalog_bucketed_sidecar_prunes_partitions(spark, tmp_path):
     assert idx3.catalog_buckets == 4
 
 
+def test_bucketed_sidecar_write_is_clustered(spark, tmp_path):
+    """The bucketed sidecar write clusters rows by file_bucket first, so
+    each bucket directory holds ONE parquet file per build — not one per
+    (extract task × bucket), which fanned a 32-task build × 16 buckets
+    into ~512 tiny files per dataset (guide §6 small-files: parquet
+    writer setup per file on write, per-file open on every load)."""
+    import glob as _glob
+    import shutil
+
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    for t in ("nation", "region", "supplier", "customer"):
+        shutil.copy(f"{SF_DIR}/{t}.parquet", f"{data}/{t}.parquet")
+    idx_dir = str(tmp_path / "idx")
+    idx = build_index(
+        spark, data, index_dir=idx_dir, use_cache=False, catalog_buckets=4
+    )
+    for ds in ("row_groups", "files"):
+        for bdir in _glob.glob(os.path.join(idx_dir, ds, "file_bucket=*")):
+            parts = _glob.glob(os.path.join(bdir, "*.parquet"))
+            assert len(parts) == 1, (ds, bdir, parts)
+    # the churn-refresh rewrite keeps the clustered layout too
+    shutil.copy(f"{SF_DIR}/part.parquet", f"{data}/nation.parquet")
+    idx = build_index(spark, data, index_dir=idx_dir, incremental=True)
+    for ds in ("row_groups", "files"):
+        for bdir in _glob.glob(os.path.join(idx_dir, ds, "file_bucket=*")):
+            parts = _glob.glob(os.path.join(bdir, "*.parquet"))
+            assert len(parts) == 1, (ds, bdir, parts)
+    assert idx.files.count() == 4
+
+
 def test_string_predicate_prunes_row_groups(spark, tmp_path):
     """Round-5: string predicates prune via min_repr/max_repr when the
     stats_kind tag says the reprs are lexicographic text — on a file
